@@ -1,13 +1,462 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.EzFrame
+import graft.functions.Astro
+import graft.operators.{Binned, Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-runnable oracle where the semantics are
+  * ANSI-SQL-expressible.  Column names are aligned between the Spark
+  * result and the oracle SQL (driver compares after sorting columns by
+  * name).  Floating aggregates are either decimal-cast (exact) or
+  * rounded identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): EzFrame =
+    EzFrame.readParquet(s, s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
+    * nanos under this legacy flag, then we truncate to µs exactly like
+    * DuckDB's parquet reader does. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Flagship query on sf=0.001 (star join + aggregate); driver
+    * smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_join_star")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.2 selectWhere: NumPy-expression predicate + projection
+    "q01_selectwhere" -> ((s, dir) => {
+      t(s, dir, "lineitem").selectWhere(
+        "l_orderkey l_quantity l_extendedprice l_discount",
+        "(l_discount > 0.05) & (l_quantity * l_extendedprice > 1000)").df
+    }),
+
+    // §2.4 grouped aggregation (TPC-H Q1 flavor) through the frame API
+    "q02_agg_pricing" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.aggregate("l_returnflag l_linestatus",
+        sum(dec2(li.get("l_quantity"))).as("sum_qty"),
+        sum(dec2(li.get("l_extendedprice"))).as("sum_base_price"),
+        sum(dec4(li.get("l_extendedprice") * (lit(1) - li.get("l_discount")))).as("sum_disc_price"),
+        round(avg(li.get("l_quantity")), 6).as("avg_qty"),
+        round(avg(li.get("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")).df
+    }),
+
+    // §2.3 star-schema equi joins; dims broadcast
+    "q03_join_star" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val o = t(s, dir, "orders").df
+      val c = t(s, dir, "customer").df
+      val n = t(s, dir, "nation").df
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name"), c("c_mktsegment"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec4(li("l_extendedprice") * (lit(1) - li("l_discount")))).as("revenue"))
+    }),
+
+    // §2.6 sort + limit (TakeOrderedAndProject)
+    "q04_sort_topk" -> ((s, dir) => {
+      val o = t(s, dir, "orders").df
+      o.orderBy(o("o_totalprice").desc, o("o_orderkey").asc)
+        .select(o("o_orderkey"), o("o_totalprice"), o("o_orderdate"))
+        .limit(10)
+    }),
+
+    // §2.7 stack / unionByName with defaults fill
+    "q05_union_stack" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select("c_custkey c_name c_acctbal c_nationkey c_mktsegment")
+        .rename("c_custkey" -> "id", "c_name" -> "name",
+          "c_acctbal" -> "acctbal", "c_nationkey" -> "nationkey",
+          "c_mktsegment" -> "mktsegment")
+        .addColumn("kind", lit("customer"))
+      val sup = t(s, dir, "supplier")
+        .select("s_suppkey s_name s_acctbal s_nationkey")
+        .rename("s_suppkey" -> "id", "s_name" -> "name",
+          "s_acctbal" -> "acctbal", "s_nationkey" -> "nationkey")
+        .addColumn("kind", lit("supplier"))
+      c.stack(sup, defaults = Map("mktsegment" -> "NONE")).df
+    }),
+
+    // §2.4 nan-aware per-column stats, unpivoted
+    "q06_stats" -> ((s, dir) => {
+      val st = t(s, dir, "lineitem").stats("l_quantity l_extendedprice l_discount l_tax")
+      st.select(col("column").as("col_name"),
+        round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
+        col("min"), col("max"), col("has_nan").cast(IntegerType).as("has_nan"))
+    }),
+
+    // §2.3 match: key-pair inner equi-join
+    "q07_match_pairs" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").df
+      val c = t(s, dir, "customer").df
+      sup.join(c, sup("s_nationkey") === c("c_nationkey"), "inner")
+        .select(sup("s_suppkey"), c("c_custkey"))
+    }),
+
+    // §2.4 groupBy on a computed NumPy expression
+    "q08_groupby_expr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.df.groupBy(li.evalexpr("floor(l_quantity / 10)").as("qty_bucket"))
+        .agg(count(lit(1)).as("n"), sum(dec2(li.get("l_extendedprice"))).as("sum_price"))
+    }),
+
+    // §2.5 window lag (the reference's lagplot)
+    "q09_window_lag" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"))
+    }),
+
+    // §2.8 JSON scalar functions (events.props)
+    "q10_json_extract" -> ((s, dir) => {
+      events(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+    }),
+
+    // §2.4 dense 1-D histogram (empty bins kept, bin centers labeled)
+    "q11_histogram" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      Binned.histogram(li, col("l_extendedprice"), 0.0, 100000.0, 20)
+        .select(col("x_bin").as("bin"), col("value").as("cnt"), col("x_center").as("center"))
+    }),
+
+    // §2.4 dense 2-D weighted histogram cube
+    "q12_hist2d" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      Binned.denseCube(li,
+        Seq(Binned.Axis("x", col("l_quantity"), 0.0, 50.0, 10),
+            Binned.Axis("y", col("l_discount"), 0.0, 0.12, 6)),
+        Seq(count(lit(1)).as("cnt"), sum(dec2(col("l_extendedprice"))).as("wsum")),
+        fill = Map("cnt" -> 0L))
+        .select(col("x_bin"), col("y_bin"), col("cnt"), col("wsum"))
+    }),
+
+    // §2.4 binned statistic (per-bin mean) with dense axis
+    "q13_binned_stat" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      Binned.denseCube(li,
+        Seq(Binned.Axis("q", col("l_quantity"), 0.0, 50.0, 10)),
+        Seq(round(avg(col("l_extendedprice")), 6).as("mean_price")))
+        .select(col("q_bin"), col("mean_price"), col("q_center"))
+    }),
+
+    // §2.3 cone search: haversine predicate + separation column
+    "q14_cone_search" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+        .withColumn("ra", (col("l_orderkey") % 360).cast(DoubleType))
+        .withColumn("dec", ((col("l_partkey") % 181) - 90).cast(DoubleType))
+      li.filter(Astro.coneSearch(col("ra"), col("dec"), 180.0, 0.0, 57.3))
+        .select(col("l_orderkey"), col("l_partkey"), col("ra"), col("dec"),
+          round(Astro.sphdist(col("ra"), col("dec"), lit(180.0), lit(0.0)), 6).as("sep"))
+    }),
+
+    // §2.3 zone (box) search: conjunctive range predicate
+    "q15_zone_search" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+        .withColumn("ra", (col("l_orderkey") % 360).cast(DoubleType))
+        .withColumn("dec", ((col("l_partkey") % 181) - 90).cast(DoubleType))
+      li.filter(Astro.zoneSearch(col("ra"), col("dec"), 100.0, 200.0, -30.0, 30.0))
+        .select(col("l_orderkey"), col("l_partkey"), col("ra"), col("dec"))
+    }),
+
+    // §2.8 sexagesimal string → degrees
+    "q16_sexagesimal" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val hms = concat(
+        lpad((col("l_orderkey") % 24).cast(StringType), 2, "0"), lit(":"),
+        lpad((col("l_partkey") % 60).cast(StringType), 2, "0"), lit(":"),
+        lpad((col("l_suppkey") % 60).cast(StringType), 2, "0"))
+      li.select(col("l_orderkey"), col("l_linenumber"), hms.as("hms_str"),
+        round(Astro.hms2deg(hms), 6).as("ra_deg"))
+    }),
+
+    // §2.8 gaia healpix level rescale (integer cell arithmetic)
+    "q17_gaia_healpix" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("source_id", col("event_id") * lit(34359738368L) + col("user_id"))
+      ev.groupBy(Astro.gaiaHealpix(col("source_id"), 10).as("cell"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // M6 exact dedup by content hash
+    "q18_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      Dedup.exact(d, col("text"), col("doc_id"))
+    }),
+
+    // M6 text quality signals
+    "q19_text_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val sig = TextAnalysis.qualitySignals(col("text"))
+      d.select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // M6 language identification (stopword-evidence heuristic)
+    "q20_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+
+    // M6 document fingerprint (normalized md5)
+    "q21_text_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // §2.9 event-time tumbling window aggregation (batch-equivalent)
+    "q22_events_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("sum_value"))
+    }),
+
+    // M6 brute-force cosine top-k (ANN correctness baseline)
+    "q23_ann_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      val probes = e.filter(col("vec_id") < 20)
+      Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", 5)
+        .withColumn("rank", col("rank").cast(LongType))
+    }),
+
+    // §2.7 set ops: intersect
+    "q24_setops" -> ((s, dir) => {
+      val c = t(s, dir, "customer").df.select(col("c_nationkey").cast(IntegerType).as("nationkey"))
+      val sup = t(s, dir, "supplier").df.select(col("s_nationkey").cast(IntegerType).as("nationkey"))
+      c.intersect(sup)
+    }),
+
+    // §2.5 window ranking (top-3 orders per customer)
+    "q25_window_rank" -> ((s, dir) => {
+      val o = t(s, dir, "orders").df
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast(LongType).as("rn"))
+        .filter(col("rn") <= 3)
+    }),
+
+    // M6 MinHash+LSH near-dup candidates (not SQL-expressible → rows-only)
+    "q26_minhash_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      Dedup.minhashLsh(d, col("text"), col("doc_id"))
+    }),
+
+    // M6 SimHash fingerprints (rows-only)
+    "q27_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      Dedup.simhash(d, col("text"), col("doc_id"))
+    }),
+
+    // M6 LSH-bucketed ANN, the 100 TB scale path (rows-only)
+    "q28_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      Similarity.lshTopK(e, "vec_id", "embedding", 5, planes = 6)
+    }),
+  )
+
+  // ------------------------------------------------------------------
+  private def statsOracleFor(cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, round(avg($c), 6) AS mean,
+         |round(stddev_samp($c), 6) AS std, min($c) AS min, max($c) AS max,
+         |max(CASE WHEN isnan($c) OR $c IS NULL THEN 1 ELSE 0 END) AS has_nan
+         |FROM lineitem""".stripMargin.replace("\n", " ")
+    }.mkString(" UNION ALL ")
+
+  private val sphdistSql =
+    "degrees(2*asin(sqrt(pow(sin(radians(0.0 - dec)/2),2) + cos(radians(dec))*cos(radians(0.0))*pow(sin(radians(180.0 - ra)/2),2))))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_selectwhere" ->
+      """SELECT l_orderkey, l_quantity, l_extendedprice, l_discount FROM lineitem
+        |WHERE l_discount > 0.05 AND l_quantity * l_extendedprice > 1000""".stripMargin.replace("\n", " "),
+
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |round(avg(l_quantity), 6) AS avg_qty,
+        |round(avg(l_discount), 6) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+
+    "q03_join_star" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_items,
+        |sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, c_mktsegment""".stripMargin.replace("\n", " "),
+
+    "q04_sort_topk" ->
+      "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+
+    "q05_union_stack" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal,
+        |c_nationkey AS nationkey, c_mktsegment AS mktsegment, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_acctbal, s_nationkey, 'NONE', 'supplier' FROM supplier""".stripMargin.replace("\n", " "),
+
+    "q06_stats" -> statsOracleFor(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+
+    "q07_match_pairs" ->
+      "SELECT s_suppkey, c_custkey FROM supplier JOIN customer ON s_nationkey = c_nationkey",
+
+    "q08_groupby_expr" ->
+      """SELECT floor(l_quantity / 10) AS qty_bucket, count(*) AS n,
+        |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "q09_window_lag" ->
+      """SELECT event_id, user_id, value,
+        |lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events""".stripMargin.replace("\n", " "),
+
+    "q10_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events",
+
+    "q11_histogram" ->
+      """WITH h AS (SELECT CASE WHEN l_extendedprice = 100000 THEN 19
+        |ELSE CAST(floor(l_extendedprice / 5000.0) AS BIGINT) END AS bin, count(*) AS cnt
+        |FROM lineitem WHERE l_extendedprice >= 0 AND l_extendedprice <= 100000 GROUP BY 1),
+        |g AS (SELECT range AS bin FROM range(0, 20))
+        |SELECT g.bin AS bin, COALESCE(h.cnt, 0) AS cnt, 0.0 + (g.bin + 0.5) * 5000.0 AS center
+        |FROM g LEFT JOIN h ON g.bin = h.bin""".stripMargin.replace("\n", " "),
+
+    "q12_hist2d" ->
+      """WITH h AS (SELECT
+        |CASE WHEN l_quantity = 50 THEN 9 ELSE CAST(floor(l_quantity / 5.0) AS BIGINT) END AS xb,
+        |CASE WHEN l_discount = 0.12 THEN 5 ELSE CAST(floor(l_discount / 0.02) AS BIGINT) END AS yb,
+        |count(*) AS cnt, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS wsum
+        |FROM lineitem WHERE l_quantity >= 0 AND l_quantity <= 50
+        |AND l_discount >= 0 AND l_discount <= 0.12 GROUP BY 1, 2),
+        |g AS (SELECT a.range AS xb, b.range AS yb FROM range(0, 10) a, range(0, 6) b)
+        |SELECT g.xb AS x_bin, g.yb AS y_bin, COALESCE(h.cnt, 0) AS cnt, h.wsum AS wsum
+        |FROM g LEFT JOIN h ON g.xb = h.xb AND g.yb = h.yb""".stripMargin.replace("\n", " "),
+
+    "q13_binned_stat" ->
+      """WITH h AS (SELECT
+        |CASE WHEN l_quantity = 50 THEN 9 ELSE CAST(floor(l_quantity / 5.0) AS BIGINT) END AS qb,
+        |round(avg(l_extendedprice), 6) AS mean_price
+        |FROM lineitem WHERE l_quantity >= 0 AND l_quantity <= 50 GROUP BY 1),
+        |g AS (SELECT range AS qb FROM range(0, 10))
+        |SELECT g.qb AS q_bin, h.mean_price AS mean_price, 0.0 + (g.qb + 0.5) * 5.0 AS q_center
+        |FROM g LEFT JOIN h ON g.qb = h.qb""".stripMargin.replace("\n", " "),
+
+    "q14_cone_search" ->
+      s"""WITH c AS (SELECT l_orderkey, l_partkey,
+         |CAST(l_orderkey % 360 AS DOUBLE) AS ra,
+         |CAST((l_partkey % 181) - 90 AS DOUBLE) AS dec FROM lineitem)
+         |SELECT l_orderkey, l_partkey, ra, dec, round($sphdistSql, 6) AS sep
+         |FROM c WHERE $sphdistSql <= 57.3""".stripMargin.replace("\n", " "),
+
+    "q15_zone_search" ->
+      """WITH c AS (SELECT l_orderkey, l_partkey,
+        |CAST(l_orderkey % 360 AS DOUBLE) AS ra,
+        |CAST((l_partkey % 181) - 90 AS DOUBLE) AS dec FROM lineitem)
+        |SELECT l_orderkey, l_partkey, ra, dec FROM c
+        |WHERE ra >= 100 AND ra <= 200 AND dec >= -30 AND dec <= 30""".stripMargin.replace("\n", " "),
+
+    "q16_sexagesimal" ->
+      """SELECT l_orderkey, l_linenumber,
+        |lpad(CAST(l_orderkey % 24 AS VARCHAR), 2, '0') || ':' ||
+        |lpad(CAST(l_partkey % 60 AS VARCHAR), 2, '0') || ':' ||
+        |lpad(CAST(l_suppkey % 60 AS VARCHAR), 2, '0') AS hms_str,
+        |round((CAST(l_orderkey % 24 AS DOUBLE) + CAST(l_partkey % 60 AS DOUBLE) / 60.0
+        |+ CAST(l_suppkey % 60 AS DOUBLE) / 3600.0) * 15.0, 6) AS ra_deg
+        |FROM lineitem""".stripMargin.replace("\n", " "),
+
+    "q17_gaia_healpix" ->
+      """SELECT CAST(floor((event_id * 34359738368 + user_id) / 549755813888.0) AS BIGINT) AS cell,
+        |count(*) AS n FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "q18_dedup_exact" ->
+      "SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id FROM documents GROUP BY 1",
+
+    "q19_text_quality" ->
+      """SELECT doc_id,
+        |CAST(length(text) AS BIGINT) AS n_chars,
+        |CASE WHEN length(text) = 0 THEN 0
+        |ELSE CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1 END AS n_tokens,
+        |round((CAST((length(text) - length(replace(text, '.', ''))) AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, ',', ''))) AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, '!', ''))) AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, '?', ''))) AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, ';', ''))) AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, ':', ''))) AS BIGINT))
+        |/ CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+        |round((CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, ' of ', ''))) / 4 AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, ' to ', ''))) / 4 AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS BIGINT))
+        |/ CAST(greatest(CASE WHEN length(text) = 0 THEN 0
+        |ELSE CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1 END, 1) AS DOUBLE), 6) AS stop_ratio,
+        |round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |/ CAST(CASE WHEN length(text) = 0 THEN 0
+        |ELSE CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1 END AS DOUBLE), 6) AS avg_token_len
+        |FROM documents""".stripMargin.replace("\n", " "),
+
+    "q20_langid" -> {
+      val padded = "(' ' || text || ' ')"
+      def score(markers: Seq[String]): String =
+        markers.map(m => s"CAST((length($padded) - length(replace($padded, '$m', ''))) / ${m.length} AS BIGINT)").mkString(" + ")
+      val scores = TextAnalysis.langMarkers.map { case (lang, ms) => lang -> score(ms) }
+      val pairs = scores.map { case (l, sc) => s"($sc) AS s_$l" }.mkString(", ")
+      val m = scores.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val cases = scores.map { case (l, _) => s"WHEN s_$l = m AND m > 0 THEN '$l'" }.mkString(" ")
+      s"WITH sc AS (SELECT doc_id, $pairs FROM documents), mm AS (SELECT doc_id, s_en, s_es, s_de, s_fr, $m AS m FROM sc) " +
+        s"SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM mm"
+    },
+
+    "q21_text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp FROM documents""".stripMargin.replace("\n", " "),
+
+    "q22_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "q23_ann_cosine" ->
+      """WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+        |list_cosine_similarity(c.v, p.v) AS cs,
+        |row_number() OVER (PARTITION BY p.vec_id ORDER BY list_cosine_similarity(c.v, p.v) DESC, c.vec_id) AS rank
+        |FROM p, c WHERE p.vec_id <> c.vec_id)
+        |SELECT probe_id, corpus_id, round(cs, 6) AS cos_sim, rank FROM s WHERE rank <= 5""".stripMargin.replace("\n", " "),
+
+    "q24_setops" ->
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+
+    "q25_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) WHERE rn <= 3""".stripMargin.replace("\n", " "),
+  )
 }

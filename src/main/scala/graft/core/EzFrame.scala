@@ -1,0 +1,285 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.immutable.ListMap
+import graft.expr.NumpyExpr
+
+/** Table-level metadata carried alongside a DataFrame: header key/values,
+  * alias map, per-column units and descriptions, caseless name resolution.
+  * Mirrors the metadata slots of the reference's SimpleTable
+  * (ezdata/simpletable.py:1453–1460) as an immutable value.
+  */
+final case class EzMeta(
+    header: ListMap[String, String] = ListMap.empty,
+    aliases: Map[String, String] = Map.empty, // alias -> physical column
+    units: Map[String, String] = Map.empty,
+    comments: Map[String, String] = Map.empty,
+    caseless: Boolean = false) {
+
+  /** Drop aliases whose target column no longer exists
+    * (ezdata/simpletable.py:1981–1984 `_clean_orphan_aliases`). */
+  def pruneFor(columns: Seq[String]): EzMeta = {
+    val cols = columns.toSet
+    copy(
+      aliases = aliases.filter { case (_, target) => cols.contains(target) },
+      units = units.view.filterKeys(cols.contains).toMap,
+      comments = comments.view.filterKeys(cols.contains).toMap)
+  }
+}
+
+/** Immutable analytic frame: a Spark DataFrame + ezdata-style metadata.
+  *
+  * Every mutating API of the reference (`sort`, `add_column`,
+  * `rename_columns`, `stack(inplace=True)`, …) is a fluent immutable op
+  * here (SURVEY.md §7.1.4).  All query semantics compile to declarative
+  * DataFrame transformations so Catalyst performs pushdown/pruning.
+  */
+final class EzFrame(val df: DataFrame, val meta: EzMeta) {
+
+  def spark: SparkSession = df.sparkSession
+  def columns: Seq[String] = df.columns.toSeq
+  def schema: StructType = df.schema
+
+  private def withDf(d: DataFrame): EzFrame = new EzFrame(d, meta.pruneFor(d.columns.toSeq))
+  private def withMeta(m: EzMeta): EzFrame = new EzFrame(df, m)
+
+  // ----------------------------------------------------------- name resolution
+  /** alias → physical name; caseless fallback matches the reference's
+    * caseless SimpleTable variant (ezdata/simpletable.py:2014–2017). */
+  def resolveAlias(name: String): String = {
+    if (df.columns.contains(name)) name
+    else meta.aliases.get(name) match {
+      case Some(t) => t
+      case None if meta.caseless =>
+        val lower = name.toLowerCase
+        df.columns.find(_.toLowerCase == lower)
+          .orElse(meta.aliases.collectFirst { case (a, t) if a.toLowerCase == lower => t })
+          .getOrElse(name)
+      case None => name
+    }
+  }
+
+  def reverseAlias(physical: String): Seq[String] =
+    meta.aliases.collect { case (a, t) if t == physical => a }.toSeq
+
+  /** Regex / multi-pattern column selection (ezdata/simpletable.py:2055–2109):
+    * patterns are space- or comma-separated, matched with full-match
+    * semantics, and alias names participate. `*` alone means all columns. */
+  def keys(patterns: String): Seq[String] = {
+    val pats = patterns.split("[ ,]+").filter(_.nonEmpty)
+    if (pats.isEmpty || pats.sameElements(Array("*"))) columns
+    else {
+      val names = columns ++ meta.aliases.keys
+      val out = pats.toSeq.flatMap { p =>
+        if (names.contains(p)) Seq(resolveAlias(p))
+        else {
+          val rx = ("^" + p.replace("*", ".*") + "$").r
+          names.filter(n => rx.findFirstIn(n).isDefined).map(resolveAlias)
+        }
+      }
+      out.distinct
+    }
+  }
+
+  // ----------------------------------------------------------- metadata ops
+  def setAlias(alias: String, column: String): EzFrame = {
+    require(df.columns.contains(column), s"alias target '$column' does not exist")
+    withMeta(meta.copy(aliases = meta.aliases + (alias -> column)))
+  }
+  def setUnit(column: String, unit: String): EzFrame =
+    withMeta(meta.copy(units = meta.units + (resolveAlias(column) -> unit)))
+  def setComment(column: String, comment: String): EzFrame =
+    withMeta(meta.copy(comments = meta.comments + (resolveAlias(column) -> comment)))
+  def setHeader(key: String, value: String): EzFrame =
+    withMeta(meta.copy(header = meta.header + (key -> value)))
+
+  // ----------------------------------------------------------- expressions
+  /** Compile a NumPy-surface expression string to a Column; identifiers
+    * resolve through the alias map (ezdata/simpletable.py:2710–2747). */
+  def evalexpr(expression: String, exprvars: Map[String, Any] = Map.empty): Column = {
+    val ast = NumpyExpr.parse(expression)
+    NumpyExpr.compile(ast, resolveTyped, exprvars).col
+  }
+
+  private def resolveTyped(name: String): Option[NumpyExpr.Typed] = {
+    val physical = resolveAlias(name)
+    schema.fields.find(_.name == physical).map { f =>
+      NumpyExpr.Typed(df.col(physical), f.dataType match {
+        case BooleanType => NumpyExpr.TyBool
+        case IntegerType | LongType | ShortType | ByteType => NumpyExpr.TyInt
+        case FloatType | DoubleType | _: DecimalType => NumpyExpr.TyFloat
+        case StringType => NumpyExpr.TyStr
+        case _ => NumpyExpr.TyOther
+      })
+    }
+  }
+
+  // ----------------------------------------------------------- query surface
+  /** Project columns (regex patterns + aliases). */
+  def select(fields: String): EzFrame = withDf(df.select(keys(fields).map(df.col): _*))
+  def select(cols: Column*): EzFrame = withDf(df.select(cols: _*))
+
+  /** Rows satisfying a NumPy-style predicate (ezdata/simpletable.py:2749). */
+  def where(condition: String, condvars: Map[String, Any] = Map.empty): EzFrame =
+    withDf(df.filter(evalexpr(condition, condvars)))
+
+  /** Project + filter in one call; condition of True/"True"/null means
+    * no filtering (ezdata/simpletable.py:2815–2844). */
+  def selectWhere(fields: String, condition: String, condvars: Map[String, Any] = Map.empty): EzFrame = {
+    val base =
+      if (condition == null || condition.trim.isEmpty || condition.trim == "True") df
+      else df.filter(evalexpr(condition, condvars))
+    withDf(base.select(keys(fields).map(df.col): _*))
+  }
+
+  def get(key: String): Column = df.col(resolveAlias(key))
+
+  /** Multi-key sort; `desc` applies to all keys like the reference's
+    * `reverse` flag (ezdata/simpletable.py:2357, dictdataframe.py:483). */
+  def sort(keysStr: String, desc: Boolean = false): EzFrame = {
+    val ks = keys(keysStr).map(k => if (desc) df.col(k).desc else df.col(k).asc)
+    withDf(df.orderBy(ks: _*))
+  }
+
+  def limit(n: Int): EzFrame = withDf(df.limit(n))
+
+  /** Add a computed column from a NumPy expression or Column. */
+  def addColumn(name: String, expression: String): EzFrame =
+    withDf(df.withColumn(name, evalexpr(expression)))
+  def addColumn(name: String, c: Column): EzFrame = withDf(df.withColumn(name, c))
+
+  def drop(fields: String): EzFrame = withDf(df.drop(keys(fields): _*))
+
+  def rename(mapping: (String, String)*): EzFrame = {
+    val d = mapping.foldLeft(df) { case (acc, (from, to)) => acc.withColumnRenamed(resolveAlias(from), to) }
+    // keep aliases pointing at the renamed physical columns
+    val renames = mapping.map { case (f, t) => resolveAlias(f) -> t }.toMap
+    val newAliases = meta.aliases.map { case (a, t) => a -> renames.getOrElse(t, t) }
+    new EzFrame(d, meta.copy(aliases = newAliases).pruneFor(d.columns.toSeq))
+  }
+
+  // ----------------------------------------------------------- relational
+  /** Equi join with ezdata's surface (ezdata/simpletable.py:2426–2553):
+    * join keys may be *expressions* evaluated on both sides; name
+    * collisions get lsuffix/rsuffix. Duplicate keys follow standard SQL
+    * multiplicity (documented deviation, SURVEY.md §7.1.5).
+    */
+  def join(other: EzFrame, on: String = null, leftOn: String = null, rightOn: String = null,
+           lsuffix: String = "_l", rsuffix: String = "_r", how: String = "left_outer"): EzFrame = {
+    val lk = Option(leftOn).getOrElse(on)
+    val rk = Option(rightOn).getOrElse(on)
+    require(lk != null && rk != null, "join requires `on` or both leftOn/rightOn")
+    val overlap = df.columns.toSet.intersect(other.df.columns.toSet)
+    val (l, r) = {
+      val lRenamed = overlap.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + lsuffix))
+      val rRenamed = overlap.foldLeft(other.df)((d, c) => d.withColumnRenamed(c, c + rsuffix))
+      (new EzFrame(lRenamed, meta), new EzFrame(rRenamed, other.meta))
+    }
+    def keyOf(f: EzFrame, k: String, suffix: String): Column = {
+      val k2 = if (overlap.contains(k)) k + suffix else k
+      if (f.df.columns.contains(k2)) f.df.col(k2) else f.evalexpr(k2)
+    }
+    val cond = keyOf(l, lk, lsuffix) === keyOf(r, rk, rsuffix)
+    val joined = l.df.join(r.df, cond, how)
+    new EzFrame(joined, EzMeta(
+      header = meta.header ++ other.meta.header,
+      units = meta.units ++ other.meta.units,
+      comments = meta.comments ++ other.meta.comments,
+      caseless = meta.caseless).pruneFor(joined.columns.toSeq))
+  }
+
+  /** Index-pair equi match (ezdata/simpletable.py:2381–2398) — expressed
+    * as a distributed inner join instead of `np.equal.outer` (O(n·m)). */
+  def matchOn(other: EzFrame, key: String, otherKey: String = null): DataFrame = {
+    val rk = Option(otherKey).getOrElse(key)
+    df.select(df.col(resolveAlias(key)).as("_lkey"))
+      .join(other.df.select(other.df.col(other.resolveAlias(rk)).as("_rkey")), col("_lkey") === col("_rkey"), "inner")
+  }
+
+  /** Vertical concat with missing-column defaults
+    * (ezdata/simpletable.py:2400–2424 `stack_arrays` + defaults). */
+  def stack(other: EzFrame, defaults: Map[String, Any] = Map.empty): EzFrame = {
+    val u = df.unionByName(other.df, allowMissingColumns = true)
+    val filled = defaults.foldLeft(u) { case (d, (c, v)) => d.na.fill(Map(c -> v)) }
+    withDf(filled)
+  }
+
+  /** Whole-row duplicate detection (ezdata/simpletable.py:2691–2708) as a
+    * hash groupBy, not the reference's O(n²) scan. */
+  def findDuplicate(fields: String = "*"): DataFrame = {
+    val ks = keys(fields)
+    df.groupBy(ks.map(df.col): _*).count().filter(col("count") > 1)
+  }
+
+  def distinct(fields: String = "*"): EzFrame =
+    withDf(df.select(keys(fields).map(df.col): _*).distinct())
+
+  // ----------------------------------------------------------- aggregation
+  /** Nan-aware per-column statistics, unpivoted to one row per column
+    * (ezdata/simpletable.py:2877–2929).  `mode="extended"` adds variance
+    * and the 16/50/84 percentiles (ezdata/simpletable.py:3241–3257).
+    * NaNs are normalized to null first so Spark's null-ignoring
+    * aggregates reproduce the reference's nanmean/nanstd family. */
+  def stats(fields: String = "*", extended: Boolean = false): DataFrame = {
+    val numeric = keys(fields).filter { k =>
+      schema(k).dataType match {
+        case _: NumericType => true
+        case _ => false
+      }
+    }
+    val rows = numeric.map { k =>
+      val c0 = df.col(k).cast(DoubleType)
+      val c = when(isnan(c0), lit(null)).otherwise(c0) // NaN -> null normalization
+      val base = Seq(
+        lit(k).as("column"),
+        avg(c).as("mean"),
+        stddev_samp(c).as("std"),
+        min(c).as("min"),
+        max(c).as("max"),
+        max(isnan(c0) || c0.isNull).as("has_nan"))
+      val ext = if (extended) Seq(
+        var_samp(c).as("variance"),
+        percentile_approx(c, lit(0.16), lit(10000)).as("p16"),
+        percentile_approx(c, lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(c, lit(0.84), lit(10000)).as("p84")) else Seq.empty
+      df.agg(base.head, (base.tail ++ ext): _*)
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  def groupby(keysStr: String): org.apache.spark.sql.RelationalGroupedDataset =
+    df.groupBy(keys(keysStr).map(df.col): _*)
+
+  /** `aggregate(func, keys)` surface (ezdata/dictdataframe.py:578–599):
+    * reducible case — named agg Columns per group. */
+  def aggregate(keysStr: String, aggs: Column*): EzFrame =
+    withDf(df.groupBy(keys(keysStr).map(df.col): _*).agg(aggs.head, aggs.tail: _*))
+
+  // ----------------------------------------------------------- misc
+  /** NaN → null normalization at the ingest boundary (SURVEY.md §7.1.1). */
+  def nanToNull(): EzFrame = {
+    val cols = schema.fields.map { f =>
+      f.dataType match {
+        case DoubleType | FloatType =>
+          when(isnan(df.col(f.name)), lit(null)).otherwise(df.col(f.name)).as(f.name)
+        case _ => df.col(f.name)
+      }
+    }
+    withDf(df.select(cols.toSeq: _*))
+  }
+
+  def count(): Long = df.count()
+  def show(n: Int = 10): Unit = df.show(n)
+}
+
+object EzFrame {
+  def apply(df: DataFrame): EzFrame = new EzFrame(df, EzMeta())
+  def apply(df: DataFrame, meta: EzMeta): EzFrame = new EzFrame(df, meta)
+
+  def readParquet(spark: SparkSession, path: String): EzFrame = {
+    val df = spark.read.parquet(path)
+    new EzFrame(df, EzMeta())
+  }
+}

@@ -1,0 +1,393 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** NumPy-surface expression language compiled to Catalyst Columns.
+  *
+  * The reference evaluates query predicates/expressions by Python
+  * `eval` over a NumPy namespace (ezdata/simpletable.py:2710–2747,
+  * ezdata/dictdataframe.py:883–934).  We re-express the same surface
+  * — Python operator precedence, `**` power, bitwise `& | ~ ^` acting
+  * as elementwise logical ops on booleans, NumPy ufuncs — as a small
+  * Pratt parser producing an AST that is compiled to Spark `Column`s,
+  * so every expression stays inside whole-stage codegen (no UDFs).
+  *
+  * Deliberate fix vs the reference: identifier binding is by real
+  * tokenization, not the substring test of simpletable.py:2731–2734.
+  */
+object NumpyExpr {
+
+  // ---------------------------------------------------------------- tokens
+  sealed trait Tok
+  final case class TNum(text: String) extends Tok
+  final case class TId(name: String) extends Tok
+  final case class TStr(value: String) extends Tok
+  final case class TOp(op: String) extends Tok
+
+  private val twoCharOps = Set("**", "//", "<<", ">>", "<=", ">=", "==", "!=")
+  private val oneCharOps = Set("+", "-", "*", "/", "%", "<", ">", "&", "|", "^", "~", "(", ")", ",", ".")
+
+  def tokenize(s: String): List[Tok] = {
+    val out = List.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        if (i < n && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+          val save = i
+          i += 1
+          if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+          if (i < n && s.charAt(i).isDigit) { while (i < n && s.charAt(i).isDigit) i += 1 }
+          else i = save
+        }
+        out += TNum(s.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        out += TId(s.substring(start, i))
+      } else if (c == '\'' || c == '"') {
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && s.charAt(i) != quote) {
+          if (s.charAt(i) == '\\' && i + 1 < n) { sb += s.charAt(i + 1); i += 2 }
+          else { sb += s.charAt(i); i += 1 }
+        }
+        if (i >= n) throw new IllegalArgumentException(s"unterminated string literal in: $s")
+        i += 1
+        out += TStr(sb.toString)
+      } else {
+        if (i + 1 < n && twoCharOps.contains(s.substring(i, i + 2))) {
+          out += TOp(s.substring(i, i + 2)); i += 2
+        } else if (oneCharOps.contains(c.toString)) {
+          out += TOp(c.toString); i += 1
+        } else throw new IllegalArgumentException(s"unexpected character '$c' in expression: $s")
+      }
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------------------ AST
+  sealed trait Ast
+  final case class Num(text: String) extends Ast
+  final case class Id(name: String) extends Ast
+  final case class StrLit(value: String) extends Ast
+  final case class Bin(op: String, l: Ast, r: Ast) extends Ast
+  final case class Un(op: String, x: Ast) extends Ast
+  final case class Call(fn: String, args: List[Ast]) extends Ast
+
+  /** Python operator precedence (low → high); comparisons bind *looser*
+    * than bitwise ops, which is why NumPy predicates are parenthesized. */
+  private def lbp(op: String): Int = op match {
+    case "or"                                      => 2
+    case "and"                                     => 3
+    case "<" | "<=" | ">" | ">=" | "==" | "!="     => 5
+    case "|"                                       => 10
+    case "^"                                       => 20
+    case "&"                                       => 30
+    case "<<" | ">>"                               => 40
+    case "+" | "-"                                 => 50
+    case "*" | "/" | "//" | "%"                    => 60
+    case "**"                                      => 80
+    case _                                         => -1
+  }
+
+  final class Parser(tokens: List[Tok], src: String) {
+    private var toks = tokens
+    private def peek: Option[Tok] = toks.headOption
+    private def next(): Tok = {
+      val t = toks.headOption.getOrElse(throw new IllegalArgumentException(s"unexpected end of expression: $src"))
+      toks = toks.tail; t
+    }
+    private def expectOp(op: String): Unit = next() match {
+      case TOp(`op`) => ()
+      case other => throw new IllegalArgumentException(s"expected '$op' but found $other in: $src")
+    }
+
+    def parse(): Ast = {
+      val e = expr(0)
+      if (toks.nonEmpty) throw new IllegalArgumentException(s"trailing tokens $toks in: $src")
+      e
+    }
+
+    def expr(minBp: Int): Ast = {
+      var left = nud()
+      var continue = true
+      while (continue) {
+        peek match {
+          case Some(TOp(op)) if lbp(op) > minBp =>
+            next()
+            // '**' is right-associative; everything else left-associative.
+            val rightBp = if (op == "**") lbp(op) - 1 else lbp(op)
+            left = Bin(op, left, expr(rightBp))
+          case Some(TId(kw @ ("and" | "or"))) if lbp(kw) > minBp =>
+            next()
+            left = Bin(kw, left, expr(lbp(kw)))
+          case _ => continue = false
+        }
+      }
+      left
+    }
+
+    private def nud(): Ast = next() match {
+      case TNum(t) => Num(t)
+      case TStr(v) => StrLit(v)
+      case TOp("(") =>
+        val e = expr(0); expectOp(")"); e
+      case TOp("-") => Un("-", expr(69))   // unary binds tighter than '*', looser than '**'
+      case TOp("+") => expr(69)
+      case TOp("~") => Un("~", expr(69))
+      case TId("not") => Un("not", expr(4))
+      case TId("np") if peek.contains(TOp(".")) =>
+        next() // '.'
+        next() match {
+          case TId(fn) => identOrCall(fn)
+          case other   => throw new IllegalArgumentException(s"expected name after 'np.' but found $other in: $src")
+        }
+      case TId(name) => identOrCall(name)
+      case other => throw new IllegalArgumentException(s"unexpected token $other in: $src")
+    }
+
+    private def identOrCall(name: String): Ast = peek match {
+      case Some(TOp("(")) =>
+        next()
+        val args = List.newBuilder[Ast]
+        if (!peek.contains(TOp(")"))) {
+          args += expr(0)
+          while (peek.contains(TOp(","))) { next(); args += expr(0) }
+        }
+        expectOp(")")
+        Call(name, args.result())
+      case _ => Id(name)
+    }
+  }
+
+  def parse(s: String): Ast = new Parser(tokenize(s), s).parse()
+
+  // ------------------------------------------------------------- compile
+  /** Coarse type lattice for deciding whether `& | ^ ~` are logical or
+    * bitwise, mirroring NumPy's behavior on bool vs int arrays. */
+  sealed trait Ty
+  case object TyBool extends Ty
+  case object TyInt extends Ty
+  case object TyFloat extends Ty
+  case object TyStr extends Ty
+  case object TyOther extends Ty
+
+  final case class Typed(col: Column, ty: Ty)
+
+  private def tyOf(dt: DataType): Ty = dt match {
+    case BooleanType                                      => TyBool
+    case _: IntegerType | _: LongType | ShortType | ByteType => TyInt
+    case _: FloatType | _: DoubleType | _: DecimalType    => TyFloat
+    case _: StringType                                    => TyStr
+    case _                                                => TyOther
+  }
+
+  private def numJoin(a: Ty, b: Ty): Ty =
+    if (a == TyFloat || b == TyFloat) TyFloat
+    else if (a == TyInt || b == TyInt) TyInt
+    else if (a == TyBool && b == TyBool) TyInt // numpy bool+bool promotes to int for arithmetic
+    else TyOther
+
+  /** Compile an AST to a Column.
+    *
+    * @param resolve  identifier → (Column, type); handles alias/caseless
+    *                 resolution (throws on unknown name)
+    * @param vars     free variables (`exprvars` in the reference) → literals
+    */
+  def compile(ast: Ast, resolve: String => Option[Typed], vars: Map[String, Any] = Map.empty): Typed = {
+    def go(a: Ast): Typed = a match {
+      case Num(t) =>
+        if (t.contains('.') || t.contains('e') || t.contains('E'))
+          Typed(lit(t.toDouble), TyFloat)
+        else Typed(lit(t.toLong), TyInt)
+      case StrLit(s) => Typed(lit(s), TyStr)
+      case Id(name) =>
+        constants.get(name)
+          .orElse(vars.get(name).map(litOf))
+          .orElse(resolve(name))
+          .getOrElse(throw new IllegalArgumentException(s"unknown identifier '$name'"))
+      case Un("-", x)   => val t = go(x); Typed(negate(t.col), if (t.ty == TyBool) TyInt else t.ty)
+      case Un("~", x)   =>
+        val t = go(x)
+        if (t.ty == TyBool) Typed(!t.col, TyBool) else Typed(bitwise_not(t.col), TyInt)
+      case Un("not", x) => Typed(!go(x).col, TyBool)
+      case Bin(op, l, r) => binOp(op, go(l), go(r))
+      case Call(fn, args) => call(fn, args.map(go))
+    }
+
+    def binOp(op: String, l: Typed, r: Typed): Typed = op match {
+      case "+" if l.ty == TyStr && r.ty == TyStr => Typed(concat(l.col, r.col), TyStr)
+      case "+"  => Typed(l.col + r.col, numJoin(l.ty, r.ty))
+      case "-"  => Typed(l.col - r.col, numJoin(l.ty, r.ty))
+      case "*"  => Typed(l.col * r.col, numJoin(l.ty, r.ty))
+      case "/"  => Typed(l.col.cast(DoubleType) / r.col.cast(DoubleType), TyFloat) // numpy true division
+      case "//" =>
+        val q = floor(l.col.cast(DoubleType) / r.col.cast(DoubleType))
+        if (numJoin(l.ty, r.ty) == TyInt) Typed(q.cast(LongType), TyInt) else Typed(q, TyFloat)
+      case "%"  => // numpy mod: floored (sign follows divisor)
+        val m = l.col - r.col * floor(l.col.cast(DoubleType) / r.col.cast(DoubleType))
+        if (numJoin(l.ty, r.ty) == TyInt) Typed(m.cast(LongType), TyInt) else Typed(m, TyFloat)
+      case "**" => Typed(pow(l.col, r.col), TyFloat)
+      case "<"  => Typed(l.col < r.col, TyBool)
+      case "<=" => Typed(l.col <= r.col, TyBool)
+      case ">"  => Typed(l.col > r.col, TyBool)
+      case ">=" => Typed(l.col >= r.col, TyBool)
+      case "==" => Typed(l.col === r.col, TyBool)
+      case "!=" => Typed(l.col =!= r.col, TyBool)
+      case "&" if l.ty == TyBool && r.ty == TyBool => Typed(l.col && r.col, TyBool)
+      case "|" if l.ty == TyBool && r.ty == TyBool => Typed(l.col || r.col, TyBool)
+      case "^" if l.ty == TyBool && r.ty == TyBool => Typed(l.col =!= r.col, TyBool)
+      case "&"  => Typed(l.col.bitwiseAND(r.col), TyInt)
+      case "|"  => Typed(l.col.bitwiseOR(r.col), TyInt)
+      case "^"  => Typed(l.col.bitwiseXOR(r.col), TyInt)
+      case "<<" => Typed(expr_shiftleft(l, r), TyInt)
+      case ">>" => Typed(expr_shiftright(l, r), TyInt)
+      case "and" => Typed(l.col && r.col, TyBool)
+      case "or"  => Typed(l.col || r.col, TyBool)
+      case other => throw new IllegalArgumentException(s"unsupported operator '$other'")
+    }
+
+    // shiftleft/shiftright builtins take a literal Int count; generic shift
+    // via pow-of-two multiply keeps variable shift counts working.
+    def expr_shiftleft(l: Typed, r: Typed): Column =
+      (l.col.cast(LongType) * pow(lit(2.0), r.col).cast(LongType)).cast(LongType)
+    def expr_shiftright(l: Typed, r: Typed): Column =
+      floor(l.col.cast(DoubleType) / pow(lit(2.0), r.col)).cast(LongType)
+
+    def f1(args: List[Typed])(f: Column => Column): Typed = args match {
+      case a :: Nil => Typed(f(a.col), TyFloat)
+      case _        => throw new IllegalArgumentException("expected 1 argument")
+    }
+    def f2(args: List[Typed])(f: (Column, Column) => Column): Typed = args match {
+      case a :: b :: Nil => Typed(f(a.col, b.col), TyFloat)
+      case _             => throw new IllegalArgumentException("expected 2 arguments")
+    }
+
+    def call(fn: String, args: List[Typed]): Typed = fn match {
+      case "log"     => f1(args)(log(_))
+      case "log10"   => f1(args)(log10(_))
+      case "log2"    => f1(args)(log2(_))
+      case "log1p"   => f1(args)(log1p(_))
+      case "exp"     => f1(args)(exp(_))
+      case "expm1"   => f1(args)(expm1(_))
+      case "exp2"    => f1(args)(pow(lit(2.0), _))
+      case "sqrt"    => f1(args)(sqrt(_))
+      case "cbrt"    => f1(args)(cbrt(_))
+      case "square"  => f1(args)(c => c * c)
+      case "abs" | "absolute" | "fabs" => args match {
+        case a :: Nil => Typed(abs(a.col), if (a.ty == TyInt) TyInt else TyFloat)
+        case _ => throw new IllegalArgumentException("abs expects 1 argument")
+      }
+      case "sign"    => f1(args)(signum(_))
+      case "floor"   => f1(args)(floor(_))
+      case "ceil"    => f1(args)(ceil(_).cast(DoubleType))
+      case "rint" | "round" | "around" => f1(args)(bround(_, 0)) // numpy: half-to-even
+      case "trunc"   => f1(args)(c => c.cast(LongType).cast(DoubleType))
+      case "sin"     => f1(args)(sin(_))
+      case "cos"     => f1(args)(cos(_))
+      case "tan"     => f1(args)(tan(_))
+      case "arcsin"  => f1(args)(asin(_))
+      case "arccos"  => f1(args)(acos(_))
+      case "arctan"  => f1(args)(atan(_))
+      case "arctan2" => f2(args)(atan2(_, _))
+      case "sinh"    => f1(args)(sinh(_))
+      case "cosh"    => f1(args)(cosh(_))
+      case "tanh"    => f1(args)(tanh(_))
+      case "arcsinh" => f1(args)(asinh(_))
+      case "arccosh" => f1(args)(acosh(_))
+      case "arctanh" => f1(args)(atanh(_))
+      case "hypot"   => f2(args)(hypot(_, _))
+      case "degrees" | "rad2deg" => f1(args)(degrees(_))
+      case "radians" | "deg2rad" => f1(args)(radians(_))
+      case "power" | "pow" => f2(args)(pow(_, _))
+      case "fmod"    => f2(args)((a, b) => a % b)
+      case "minimum" | "fmin" => args match {
+        case a :: b :: Nil => Typed(least(a.col, b.col), numJoin(a.ty, b.ty))
+        case _ => throw new IllegalArgumentException("minimum expects 2 arguments")
+      }
+      case "maximum" | "fmax" => args match {
+        case a :: b :: Nil => Typed(greatest(a.col, b.col), numJoin(a.ty, b.ty))
+        case _ => throw new IllegalArgumentException("maximum expects 2 arguments")
+      }
+      case "clip" => args match {
+        case x :: lo :: hi :: Nil => Typed(least(greatest(x.col, lo.col), hi.col), numJoin(x.ty, numJoin(lo.ty, hi.ty)))
+        case _ => throw new IllegalArgumentException("clip expects 3 arguments")
+      }
+      case "where" => args match {
+        case c :: a :: b :: Nil => Typed(when(c.col, a.col).otherwise(b.col), numJoin(a.ty, b.ty))
+        case _ => throw new IllegalArgumentException("where expects 3 arguments")
+      }
+      case "isnan"    => args match {
+        case a :: Nil => Typed(isnan(a.col), TyBool)
+        case _ => throw new IllegalArgumentException("isnan expects 1 argument")
+      }
+      case "isfinite" => args match {
+        case a :: Nil =>
+          Typed(!(isnan(a.col) || a.col === lit(Double.PositiveInfinity) || a.col === lit(Double.NegativeInfinity)), TyBool)
+        case _ => throw new IllegalArgumentException("isfinite expects 1 argument")
+      }
+      case "isinf" => args match {
+        case a :: Nil => Typed(a.col === lit(Double.PositiveInfinity) || a.col === lit(Double.NegativeInfinity), TyBool)
+        case _ => throw new IllegalArgumentException("isinf expects 1 argument")
+      }
+      case "logical_and" => f2Bool(args)(_ && _)
+      case "logical_or"  => f2Bool(args)(_ || _)
+      case "logical_not" => args match {
+        case a :: Nil => Typed(!a.col, TyBool)
+        case _ => throw new IllegalArgumentException("logical_not expects 1 argument")
+      }
+      case "sinc" => f1(args) { x => // numpy normalized sinc: sin(pi x)/(pi x), 1 at 0
+        val px = x * lit(math.Pi)
+        when(x === lit(0.0), lit(1.0)).otherwise(sin(px) / px)
+      }
+      case other => throw new IllegalArgumentException(s"unsupported function '$other'")
+    }
+
+    def f2Bool(args: List[Typed])(f: (Column, Column) => Column): Typed = args match {
+      case a :: b :: Nil => Typed(f(a.col, b.col), TyBool)
+      case _             => throw new IllegalArgumentException("expected 2 arguments")
+    }
+
+    go(ast)
+  }
+
+  private val constants: Map[String, Typed] = Map(
+    "pi"  -> Typed(lit(math.Pi), TyFloat),
+    "e"   -> Typed(lit(math.E), TyFloat),
+    "inf" -> Typed(lit(Double.PositiveInfinity), TyFloat),
+    "Inf" -> Typed(lit(Double.PositiveInfinity), TyFloat),
+    "nan" -> Typed(lit(Double.NaN), TyFloat),
+    "NaN" -> Typed(lit(Double.NaN), TyFloat),
+    "True"  -> Typed(lit(true), TyBool),
+    "False" -> Typed(lit(false), TyBool),
+  )
+
+  private def litOf(v: Any): Typed = v match {
+    case b: Boolean => Typed(lit(b), TyBool)
+    case i: Int     => Typed(lit(i), TyInt)
+    case l: Long    => Typed(lit(l), TyInt)
+    case f: Float   => Typed(lit(f.toDouble), TyFloat)
+    case d: Double  => Typed(lit(d), TyFloat)
+    case s: String  => Typed(lit(s), TyStr)
+    case c: Column  => Typed(c, TyOther)
+    case other      => Typed(lit(other), TyOther)
+  }
+
+  /** Collect identifiers referenced by an expression (for column pruning
+    * and orphan-alias bookkeeping). */
+  def identifiers(ast: Ast): Set[String] = ast match {
+    case Id(n)         => Set(n)
+    case Bin(_, l, r)  => identifiers(l) ++ identifiers(r)
+    case Un(_, x)      => identifiers(x)
+    case Call(_, args) => args.flatMap(identifiers).toSet
+    case _             => Set.empty
+  }
+}

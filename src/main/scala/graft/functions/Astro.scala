@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Astronomy-flavored scalar surface of the reference, re-expressed as
+  * pure Column compositions (whole-stage-codegen friendly; no UDFs).
+  *
+  * References: sphdist ezdata/simpletable.py:1337–1363; conesearch
+  * 1365–1415; hms/dms converters 1107–1214; Aitoff projection
+  * ezdata/astro/astro.py:215–261; gaia healpix expression
+  * ezdata/astro/astro.py:53–79.
+  */
+object Astro {
+
+  /** Haversine angular separation in degrees between two points given in
+    * degrees (ezdata/simpletable.py:1337–1363). */
+  def sphdist(ra1: Column, dec1: Column, ra2: Column, dec2: Column): Column = {
+    val dLat = radians(dec2 - dec1)
+    val dLon = radians(ra2 - ra1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(dec1)) * cos(radians(dec2)) * pow(sin(dLon / 2), 2)
+    degrees(lit(2) * asin(sqrt(a)))
+  }
+
+  /** Cone-search predicate: separation from (ra0, dec0) ≤ r degrees
+    * (ezdata/simpletable.py:3056–3097).  Compose with `.filter`; pair
+    * with [[sphdist]] to carry the separation column like the
+    * reference's `selectWhere` blobs (simpletable.py:3216). */
+  def coneSearch(ra: Column, dec: Column, ra0: Double, dec0: Double, radiusDeg: Double): Column =
+    sphdist(ra, dec, lit(ra0), lit(dec0)) <= lit(radiusDeg)
+
+  /** Zone (box) search predicate (ezdata/simpletable.py:3099–3137).
+    * A conjunctive range filter — Parquet min/max pruning applies. */
+  def zoneSearch(ra: Column, dec: Column,
+                 ramin: Double, ramax: Double, decmin: Double, decmax: Double): Column =
+    ra >= lit(ramin) && ra <= lit(ramax) && dec >= lit(decmin) && dec <= lit(decmax)
+
+  /** Sexagesimal "hh:mm:ss[.s]" → degrees (ezdata/simpletable.py:1107–1133).
+    * Sign is carried by the hour field. */
+  def hms2deg(hms: Column, delimiter: String = ":"): Column = {
+    val parts = split(hms, delimiter)
+    val sign = when(parts.getItem(0).startsWith("-"), lit(-1.0)).otherwise(lit(1.0))
+    val h = abs(parts.getItem(0).cast(DoubleType))
+    val m = coalesce(parts.getItem(1).cast(DoubleType), lit(0.0))
+    val s = coalesce(parts.getItem(2).cast(DoubleType), lit(0.0))
+    sign * (h + m / 60.0 + s / 3600.0) * 15.0
+  }
+
+  /** Sexagesimal "[+-]dd:mm:ss[.s]" → degrees (ezdata/simpletable.py:1189–1214). */
+  def dms2deg(dms: Column, delimiter: String = ":"): Column = {
+    val parts = split(dms, delimiter)
+    val sign = when(parts.getItem(0).startsWith("-"), lit(-1.0)).otherwise(lit(1.0))
+    val d = abs(parts.getItem(0).cast(DoubleType))
+    val m = coalesce(parts.getItem(1).cast(DoubleType), lit(0.0))
+    val s = coalesce(parts.getItem(2).cast(DoubleType), lit(0.0))
+    sign * (d + m / 60.0 + s / 3600.0)
+  }
+
+  /** Degrees → "hh:mm:ss.ss" (ezdata/simpletable.py:1135–1160). */
+  def deg2hms(deg: Column): Column = {
+    val hours = abs(deg) / 15.0
+    val h = floor(hours)
+    val m = floor((hours - h) * 60.0)
+    val s = ((hours - h) * 60.0 - m) * 60.0
+    concat(
+      when(deg < 0, lit("-")).otherwise(lit("")),
+      lpad(h.cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
+      lpad(m.cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
+      lpad(format_number(s, 2), 5, "0"))
+  }
+
+  /** Degrees → "[+-]dd:mm:ss.ss" (ezdata/simpletable.py:1162–1187). */
+  def deg2dms(deg: Column): Column = {
+    val ad = abs(deg)
+    val d = floor(ad)
+    val m = floor((ad - d) * 60.0)
+    val s = ((ad - d) * 60.0 - m) * 60.0
+    concat(
+      when(deg < 0, lit("-")).otherwise(lit("+")),
+      lpad(d.cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
+      lpad(m.cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
+      lpad(format_number(s, 2), 5, "0"))
+  }
+
+  /** Aitoff projection (x, y) in degrees, x ∈ [-180, 180], y ∈ [-90, 90]
+    * (ezdata/astro/astro.py:215–261).  `sinc` is the normalized sinc. */
+  def projectAitoff(lon: Column, lat: Column): (Column, Column) = {
+    // fold lon into [-180, 180)
+    val l = ((lon + lit(180.0)) - floor((lon + lit(180.0)) / 360.0) * 360.0) - lit(180.0)
+    val alpha2 = radians(l / 2)
+    val delta = radians(lat)
+    val r2 = sqrt(lit(2.0))
+    val f = lit(2.0) * r2 / lit(math.Pi)
+    val cdec = cos(delta)
+    val denom = sqrt(lit(1.0) + cdec * cos(alpha2))
+    val xr = cdec * sin(alpha2) * lit(2.0) * r2 / denom / f
+    val yr = sin(delta) * r2 / denom / f
+    (degrees(xr), degrees(yr))
+  }
+
+  /** Gaia source_id → healpix cell at a coarser level via integer
+    * division (ezdata/astro/astro.py:53–79): level-12 cells are
+    * source_id / 34359738368; each step up divides by 4. */
+  def gaiaHealpix(sourceId: Column, level: Int = 12): Column = {
+    require(level >= 0 && level <= 12, "gaia healpix level in [0, 12]")
+    val divisor = 34359738368L * (1L << (2 * (12 - level)))
+    (sourceId / lit(divisor)).cast(LongType)
+  }
+
+  def nside2npix(nside: Int): Long = 12L * nside * nside
+
+  /** Galactic/celestial/ecliptic frame transform, the reference's
+    * `euler` (ezdata/simpletable.py:1216–1335), J2000 constants.
+    * select ∈ 1..6: 1 RA-Dec→Gal, 2 Gal→RA-Dec, 3 RA-Dec→Ecl,
+    * 4 Ecl→RA-Dec, 5 Ecl→Gal, 6 Gal→Ecl.  Pure trig Columns. */
+  def euler(aiDeg: Column, biDeg: Column, select: Int): (Column, Column) = {
+    require(select >= 1 && select <= 6, "euler select in 1..6")
+    val twopi = 2.0 * math.Pi
+    // J2000 psi/stheta/ctheta/phi tables (simpletable.py:1289–1300)
+    val psiT    = Array(0.57477043300, 4.9368292465, 0.00000000000, 0.0000000000, 0.11142137093, 4.71279419371)
+    val sthetaT = Array(0.88998808748, -0.88998808748, 0.39777715593, -0.39777715593, 0.86766622025, -0.86766622025)
+    val cthetaT = Array(0.45598377618, 0.45598377618, 0.91748206207, 0.91748206207, 0.49714719172, 0.49714719172)
+    val phiT    = Array(4.9368292465, 0.57477043300, 0.0000000000, 0.00000000000, 4.71279419371, 0.11142137093)
+    val i = select - 1
+    val (psi, stheta, ctheta, phi) = (psiT(i), sthetaT(i), cthetaT(i), phiT(i))
+    val a = radians(aiDeg) - lit(phi)
+    val b = radians(biDeg)
+    val sb = sin(b); val cb = cos(b)
+    val cbsa = cb * sin(a)
+    val bOut = -lit(stheta) * cbsa + lit(ctheta) * sb
+    val bClamped = least(bOut, lit(1.0))
+    val bo = asin(bClamped)
+    val aTmp = atan2(lit(ctheta) * cbsa + lit(stheta) * sb, cb * cos(a))
+    val aoRad = aTmp + lit(psi + twopi)
+    val ao = aoRad - floor(aoRad / lit(twopi)) * lit(twopi)
+    (degrees(ao), degrees(bo))
+  }
+}

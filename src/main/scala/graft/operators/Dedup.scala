@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines (beyond-reference
+  * extension, SURVEY.md §7.2 M6).  All variants are shuffle-on-key
+  * designs that scale to 100 TB: no pairwise O(n²) comparisons except
+  * inside LSH candidate buckets, whose size is bounded by band width.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash.  One shuffle on the 128-bit hash;
+    * keeps the lowest id per group (deterministic winner). */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text.cast(BinaryType)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(id).as("keep_id"))
+
+  /** Exact near-dup on normalized text (case/punct-insensitive). */
+  def exactNormalized(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(text).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(id).as("keep_id"))
+
+  /** MinHash signature: k independent hash functions simulated by
+    * seeding xxhash64 with the permutation index; signature[i] =
+    * min over shingles of xxhash64(i, shingle).  Pure Column ops.
+    *
+    * NOTE: apply this to a *materialized* shingle column reference.
+    * Inlining a whole shingle-computation expression k times makes
+    * Catalyst's project-collapse blow the tree up k-fold (observed:
+    * ~10 min of optimizer time at k=32).  [[minhashSignatures]] below
+    * is the explode/groupBy formulation that avoids the hazard. */
+  def minhashSignature(shingleArr: Column, k: Int = 32): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** MinHash signatures via explode + single groupBy: one row per
+    * (doc, shingle), then k `min` aggregates (map-side partial agg).
+    * Linear work, one shuffle on doc id — the scale formulation. */
+  def minhashSignatures(df: DataFrame, text: Column, id: Column,
+                        shingleSize: Int, k: Int): DataFrame = {
+    val exploded = df
+      .select(id.as("doc_id"), explode(TextAnalysis.shingles(text, shingleSize)).as("shingle"))
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    exploded.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding: `bands` bands of `rowsPerBand` hashes; docs
+    * sharing any band signature become candidate pairs.
+    *
+    * Scale path: explode is bands-per-doc (small constant), the shuffle
+    * key is (band index, band signature) — uniformly distributed by
+    * hashing — and the O(|bucket|²) pair expansion only happens inside
+    * buckets, which stay tiny for non-duplicate corpora.
+    *
+    * @return candidate pairs (id_a < id_b) with estimated jaccard from
+    *         full-signature agreement.
+    */
+  def minhashLsh(df: DataFrame, text: Column, id: Column,
+                 shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minhashSignatures(df, text, id, shingleSize, k)
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+      }: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+    val a = banded.select(col("band"), col("band_sig"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_sig"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+          .cast(DoubleType) / lit(bands * rowsPerBand), 6))
+      .select("id_a", "id_b", "est_jaccard")
+      .distinct()
+  }
+
+  /** SimHash (64-bit): per-token hash votes on each bit; the sign of
+    * the per-bit sum forms the fingerprint.  Implemented as explode +
+    * single groupBy — one shuffle on doc id. */
+  def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val tokens = df.select(id.as("doc_id"),
+      explode(split(TextAnalysis.normalize(text), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { i =>
+      // 1L << 63 is Long.MinValue — the sign bit of the 64-bit fingerprint
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** N-gram Jaccard similarity for a candidate pair set: exact set
+    * overlap of character shingles.  Meant to *verify* LSH candidates,
+    * not to run all-pairs. */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,
+                   n: Int = 5): DataFrame = {
+    val sh = docs.select(id.as("doc_id"), TextAnalysis.shingles(text, n).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast(DoubleType), 6))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

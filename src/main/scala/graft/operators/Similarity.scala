@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`Array[Float]`).  Beyond-reference extension (SURVEY.md §7.2
+  * M6).  Dot products are `zip_with` + `aggregate` Column compositions
+  * (codegen'd, no UDF).
+  *
+  * Scale posture: brute-force top-k is the *correctness baseline* (a
+  * cartesian product — only for small probe sets or verification); the
+  * production path is [[lshTopK]], which buckets by random-hyperplane
+  * signs so the join key is the LSH signature and only intra-bucket
+  * pairs are scored.
+  */
+object Similarity {
+
+  /** Cosine similarity between two double-array columns (computed in
+    * double; cast float embeddings first for cross-engine stability). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+
+  private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** Brute-force cosine top-k per probe vector: probes × corpus scored
+    * pairwise, ranked by a window.  Exact; O(|probes|·|corpus|). The
+    * probe side should be small — broadcast it. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pvec"))
+    val scored0 = c.crossJoin(broadcast(p))
+    val scored1 = if (excludeSelf) scored0.filter(col("corpus_id") =!= col("probe_id")) else scored0
+    val scored = scored1.withColumn("cos_sim", cosine(col("cvec"), col("pvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("corpus_id"), round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a hash folded to [-1, 1].  Seeds are static so signatures are
+    * reproducible across runs and engines. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast(DoubleType) / lit(1000000.0)) - lit(1.0)
+
+  /** Random-hyperplane LSH signature: `planes` sign bits packed into a
+    * long.  Vectors with high cosine similarity collide with high
+    * probability (signature = coarse angular cell). */
+  def lshSignature(vec: Column, planes: Int = 12): Column = {
+    val v = asDouble(vec)
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: score only pairs sharing a signature cell.
+    * One shuffle on the signature; bucket sizes ~ n / 2^planes keep the
+    * intra-bucket pairing bounded.  Recall < 1 by construction — the
+    * scale path, verified against [[bruteForceTopK]] in tests. */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, planes: Int = 8): DataFrame = {
+    val sig = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("sig", lshSignature(col("v"), planes))
+    val a = sig.select(col("sig"), col("vid").as("probe_id"), col("v").as("pvec"))
+    val b = sig.select(col("sig"), col("vid").as("corpus_id"), col("v").as("cvec"))
+    val scored = a.join(b, Seq("sig"))
+      .filter(col("probe_id") =!= col("corpus_id"))
+      .withColumn("cos_sim", cosine(col("pvec"), col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("corpus_id"), round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest
+    * of `centroids` (small, broadcast), so queries probe only matching
+    * cells.  Centroid set is provided (e.g. sampled ids) — training a
+    * full k-means is out of scope for the engine core. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val cents = centroids.select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("dist").asc, col("centroid_id").asc)
+    c.crossJoin(broadcast(cents))
+      .withColumn("dist", l2Distance(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("centroid_id"), round(col("dist"), 6).as("dist"))
+  }
+}

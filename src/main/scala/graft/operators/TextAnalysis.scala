@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting.  Beyond-reference extension (SURVEY.md §7.2 M6) —
+  * every function is a pure Column composition so it stays inside
+  * whole-stage codegen and scales linearly with no shuffle.
+  */
+object TextAnalysis {
+
+  /** Occurrences of a literal substring, via length differencing —
+    * avoids regex engines (dialect-portable and codegen'd). */
+  def countOccurrences(text: Column, token: String): Column =
+    ((length(text) - length(replace(text, lit(token), lit("")))) / token.length).cast(LongType)
+
+  /** Whitespace token count: single-space-separated corpora count
+    * tokens as spaces + 1 (empty text → 0). */
+  def tokenCount(text: Column): Column =
+    when(length(text) === 0, lit(0L))
+      .otherwise(countOccurrences(text, " ") + 1L)
+
+  /** Average token length in characters. */
+  def avgTokenLength(text: Column): Column =
+    (length(replace(text, lit(" "), lit(""))).cast(DoubleType) /
+      tokenCount(text).cast(DoubleType))
+
+  /** Quality signals: length, token count, punctuation ratio,
+    * stopword ratio, uppercase ratio.  Heuristics in the spirit of
+    * C4/Gopher-style quality filters. */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast(LongType)
+    val nTokens = tokenCount(text)
+    val punct = Seq(".", ",", "!", "?", ";", ":").map(countOccurrences(text, _)).reduce(_ + _)
+    val stop = Seq(" the ", " and ", " of ", " to ", " a ").map(countOccurrences(text, _)).reduce(_ + _)
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "punct_ratio" -> round(punct.cast(DoubleType) / greatest(nChars, lit(1L)).cast(DoubleType), 6),
+      "stop_ratio" -> round(stop.cast(DoubleType) / greatest(nTokens, lit(1L)).cast(DoubleType), 6),
+      "avg_token_len" -> round(avgTokenLength(text), 6))
+  }
+
+  /** Language-ID by stopword evidence: per-language marker-word counts,
+    * argmax with a deterministic tie-break (language order).  An n-gram
+    * heuristic, not a model — deterministic and SQL-expressible so the
+    * correctness oracle can mirror it. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " los "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "))
+
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> markers.map(countOccurrences(padded, _)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    // first language reaching the max wins; all-zero → "und"
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Normalize text for fingerprinting: lowercase, strip all but
+    * [a-z0-9 ], squeeze repeated spaces, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Content fingerprint of the normalized text (md5 hex). */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast(BinaryType))
+
+  /** Character n-gram (shingle) set of the normalized text — feeds
+    * MinHash / Jaccard dedup. */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val norm = normalize(text)
+    val cnt = length(norm) - lit(n - 1)
+    // sequence(1, 0) would generate a *descending* [1, 0] — guard short texts
+    when(cnt <= 0, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n)))))
+  }
+}
