@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{EzFrame, EzMeta}
+
+class EzFrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val phot = Seq(
+    (1.0, 3.8, 2.1, 2.5),
+    (2.0, 3.9, 2.9, 1.5),
+    (3.0, 3.7, 1.2, 3.5))
+    .toDF("M_ini", "logTe", "logL", "J")
+
+  test("regex keys: patterns, aliases, star") {
+    val ez = EzFrame(phot).setAlias("logT", "logTe")
+    assert(ez.keys("log*") == Seq("logTe", "logL"))
+    assert(ez.keys("logT J") == Seq("logTe", "J"))
+    assert(ez.keys("*") == Seq("M_ini", "logTe", "logL", "J"))
+  }
+
+  test("caseless resolution") {
+    val ez = EzFrame(phot, EzMeta(caseless = true))
+    assert(ez.resolveAlias("LOGTE") == "logTe")
+  }
+
+  test("selectWhere with alias (README canonical query)") {
+    val ez = EzFrame(phot).setAlias("logT", "logTe")
+    val q = ez.selectWhere("logT logL", "(J > 2) & (10 ** logT > 5000)")
+    assert(q.columns == Seq("logTe", "logL"))
+    assert(q.count() == 2) // logTe 3.8 (6310 K, J=2.5) and 3.7 (5012 K, J=3.5)
+  }
+
+  test("orphan aliases pruned after select") {
+    val ez = EzFrame(phot).setAlias("logT", "logTe").setAlias("mass", "M_ini")
+    val sel = ez.select("logTe J")
+    assert(sel.meta.aliases == Map("logT" -> "logTe"))
+  }
+
+  test("join with expression keys and suffixes") {
+    val l = EzFrame(Seq((0L, 0L), (1L, 1L), (2L, 4L), (3L, 9L)).toDF("x", "y"))
+    val r = EzFrame(Seq((0L, 0L), (1L, 1L), (2L, 8L)).toDF("x", "z"))
+    val j = l.join(r, on = "x", how = "left_outer")
+    assert(j.columns.toSet == Set("x_l", "y", "x_r", "z"))
+    assert(j.count() == 4)
+    assert(j.df.filter(col("z").isNull).count() == 1) // x=3 has no match
+  }
+
+  test("stack fills missing columns with defaults") {
+    val a = EzFrame(Seq((1L, "a")).toDF("id", "tag"))
+    val b = EzFrame(Seq((2L, 5.0)).toDF("id", "w"))
+    val s = a.stack(b, defaults = Map("tag" -> "NONE", "w" -> 0.0))
+    val rows = s.df.orderBy("id").collect()
+    assert(rows(0).getAs[String]("tag") == "a" && rows(0).getAs[Double]("w") == 0.0)
+    assert(rows(1).getAs[String]("tag") == "NONE" && rows(1).getAs[Double]("w") == 5.0)
+  }
+
+  test("stats is nan-aware and unpivoted") {
+    val df = Seq(1.0, 2.0, 3.0, Double.NaN).toDF("v")
+    val st = EzFrame(df).stats("v").collect().head
+    assert(st.getAs[String]("column") == "v")
+    assert(math.abs(st.getAs[Double]("mean") - 2.0) < 1e-12)
+    assert(st.getAs[Double]("min") == 1.0 && st.getAs[Double]("max") == 3.0)
+    assert(st.getAs[Boolean]("has_nan"))
+  }
+
+  test("findDuplicate via hash groupBy") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+    val dups = EzFrame(df).findDuplicate()
+    assert(dups.count() == 1)
+    assert(dups.collect().head.getAs[Long]("count") == 2)
+  }
+
+  test("sort + rename keep metadata consistent") {
+    val ez = EzFrame(phot).setAlias("logT", "logTe").setUnit("logTe", "dex(K)")
+    val r = ez.rename("logTe" -> "logT_eff")
+    assert(r.columns.contains("logT_eff"))
+    assert(r.meta.aliases("logT") == "logT_eff")
+    val sorted = r.sort("J", desc = true).df.select("J").collect().map(_.getDouble(0))
+    assert(sorted.toSeq == Seq(3.5, 2.5, 1.5))
+  }
+
+  test("nanToNull normalizes at the boundary") {
+    val df = Seq(1.0, Double.NaN).toDF("v")
+    assert(EzFrame(df).nanToNull().df.filter(col("v").isNull).count() == 1)
+  }
+}

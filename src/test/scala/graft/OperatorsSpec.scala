@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Binned, Dedup, Similarity, TextAnalysis}
+import graft.functions.Astro
+
+class BinnedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("1-D dense histogram keeps empty bins (xarray reindex semantics)") {
+    val df = Seq(0.5, 1.5, 1.6, 3.5, 4.0).toDF("x") // bins [0,1)[1,2)[2,3)[3,4]
+    val h = Binned.histogram(df, col("x"), 0.0, 4.0, 4)
+      .orderBy("x_bin").collect()
+    assert(h.map(_.getAs[Long]("value")).toSeq == Seq(1L, 2L, 0L, 2L)) // 4.0 on upper edge -> last bin
+    assert(h.map(_.getAs[Double]("x_center")).toSeq == Seq(0.5, 1.5, 2.5, 3.5))
+  }
+
+  test("2-D binned mean cube with empty cell null") {
+    val df = Seq((0.5, 0.5, 10.0), (0.5, 0.6, 20.0), (1.5, 1.5, 30.0)).toDF("x", "y", "w")
+    val cube = Binned.denseCube(df,
+      Seq(Binned.Axis("x", col("x"), 0.0, 2.0, 2), Binned.Axis("y", col("y"), 0.0, 2.0, 2)),
+      Seq(avg(col("w")).as("mean_w")))
+    val m = cube.collect().map(r => (r.getAs[Long]("x_bin"), r.getAs[Long]("y_bin")) -> Option(r.getAs[Any]("mean_w"))).toMap
+    assert(m((0L, 0L)).contains(15.0))
+    assert(m((1L, 1L)).contains(30.0))
+    assert(m((0L, 1L)).isEmpty && m((1L, 0L)).isEmpty)
+    assert(cube.count() == 4)
+  }
+
+  test("raster aggregation parses agg strings through Spark SQL") {
+    val df = Seq((0.1, 0.1, 5.0), (0.9, 0.9, 7.0), (0.95, 0.95, 9.0)).toDF("x", "y", "z")
+    val r = Binned.raster(df, col("x"), col("y"), 0.0, 1.0, 0.0, 1.0, 2, 2, "avg(z)")
+    val m = r.collect().map(row => (row.getAs[Long]("px_bin"), row.getAs[Long]("py_bin")) -> row.getAs[Double]("value")).toMap
+    assert(m((0L, 0L)) == 5.0 && m((1L, 1L)) == 8.0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"), // near dup of 1
+    (4L, "completely different content about spark query engines and shuffles"),
+    (5L, "totally unrelated words concerning gardens flowers bees and honey"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical content") {
+    val d = Dedup.exact(docs, col("text"), col("doc_id"))
+    val dup = d.filter(col("n_copies") > 1).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("keep_id") == 1L)
+    assert(d.count() == 4)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"), shingleSize = 4, bands = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("est_jaccard")))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))
+    assert(keys.contains((1L, 3L)) || keys.contains((2L, 3L)))
+    assert(!keys.exists(p => p._2 == 5L || p._1 == 5L))
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 2L)).get
+    assert(exact._3 == 1.0) // identical docs agree on every minhash
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    val fp = Dedup.simhash(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fp(1L) == fp(2L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(5L)))
+  }
+
+  test("ngram jaccard verifies candidate pairs") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(pairs, docs, col("doc_id"), col("text"), n = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 4L)) < 0.2)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k is exact") {
+    val probes = vecs.filter(col("vec_id") === 0L)
+    val top = Similarity.bruteForceTopK(vecs, probes, "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("corpus_id")).toSeq == Seq(1L, 2L))
+    assert(math.abs(top.head.getAs[Double]("cos_sim") - 0.993884) < 1e-6)
+  }
+
+  test("LSH top-k finds the strong neighbor (same bucket) and never a negated vector") {
+    val res = Similarity.lshTopK(vecs, "vec_id", "embedding", 2, planes = 4)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("corpus_id")))
+    // 0 and 1 are nearly parallel -> same signature cell with overwhelming probability
+    assert(res.contains((0L, 1L)) || res.contains((1L, 0L)))
+    assert(!res.contains((0L, 4L)))
+  }
+
+  test("IVF assignment picks the nearest centroid") {
+    val cents = vecs.filter(col("vec_id").isin(0L, 2L))
+    val assign = Similarity.ivfAssign(vecs, cents, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vid") -> r.getAs[Long]("centroid_id")).toMap
+    assert(assign(1L) == 0L)
+    assert(assign(2L) == 2L)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count / quality signals") {
+    val df = Seq("one two three", "").toDF("text")
+    val r = df.select(TextAnalysis.tokenCount(col("text")).as("n")).collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(3L, 0L))
+  }
+
+  test("langId picks dominant marker language, und for none") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "el gato y la casa el perro la luna",
+      "der hund und die katze der mann",
+      "le chat et les chiens le soir",
+      "xyzzy plugh").toDF("text")
+    val langs = df.select(TextAnalysis.langId(col("text")).as("l")).collect().map(_.getString(0))
+    assert(langs.toSeq == Seq("en", "es", "de", "fr", "und"))
+  }
+
+  test("fingerprint is case/punctuation invariant") {
+    val df = Seq(("Hello, World!", "hello world")).toDF("a", "b")
+    val r = df.select((TextAnalysis.fingerprint(col("a")) === TextAnalysis.fingerprint(col("b"))).as("eq"))
+      .collect().head.getBoolean(0)
+    assert(r)
+  }
+
+  test("shingles of short text are empty, not descending-sequence garbage") {
+    val df = Seq("ab").toDF("text")
+    val r = df.select(size(TextAnalysis.shingles(col("text"), 5)).as("n")).collect().head.getInt(0)
+    assert(r == 0)
+  }
+}
+
+class AstroSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sphdist: zero, quarter-circle, pole distances") {
+    val df = Seq((0.0, 0.0, 0.0, 0.0), (0.0, 0.0, 90.0, 0.0), (0.0, 0.0, 0.0, 90.0))
+      .toDF("ra1", "dec1", "ra2", "dec2")
+    val d = df.select(Astro.sphdist(col("ra1"), col("dec1"), col("ra2"), col("dec2")).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(d(0)) < 1e-12)
+    assert(math.abs(d(1) - 90.0) < 1e-9)
+    assert(math.abs(d(2) - 90.0) < 1e-9)
+  }
+
+  test("hms/dms round trips") {
+    val df = Seq("10:30:00", "-05:15:30").toDF("s")
+    val h = df.select(Astro.hms2deg(col("s")).as("d")).collect().map(_.getDouble(0))
+    assert(math.abs(h(0) - 157.5) < 1e-9)          // 10.5 h * 15
+    assert(math.abs(h(1) + 78.875) < 1e-9)          // -(5 + 15/60 + 30/3600) * 15
+    val dm = df.select(Astro.dms2deg(col("s")).as("d")).collect().map(_.getDouble(0))
+    assert(math.abs(dm(0) - 10.5) < 1e-9)
+    assert(math.abs(dm(1) + 5.258333333333334) < 1e-9)
+  }
+
+  test("euler galactic transform hits known anchor (galactic center)") {
+    // the galactic origin direction (J2000 RA 266.405, Dec -28.936) -> l,b ~ (0, 0)
+    val origin = Seq((266.405, -28.936)).toDF("ra", "dec")
+    val (l, b) = Astro.euler(col("ra"), col("dec"), select = 1)
+    val r0 = origin.select(l.as("l"), b.as("b")).collect().head
+    assert(math.abs(r0.getDouble(0)) < 0.01 || math.abs(r0.getDouble(0) - 360.0) < 0.01)
+    assert(math.abs(r0.getDouble(1)) < 0.01)
+    // galactic north pole (RA 192.85948, Dec 27.12825) -> b = +90
+    val pole = Seq((192.85948, 27.12825)).toDF("ra", "dec")
+    val rp = pole.select(b.as("b")).collect().head
+    assert(math.abs(rp.getDouble(0) - 90.0) < 0.001)
+  }
+
+  test("gaia healpix level rescale") {
+    val df = Seq(34359738368L * 7 + 123L).toDF("source_id")
+    val cell = df.select(Astro.gaiaHealpix(col("source_id"), 12).as("c")).collect().head.getLong(0)
+    assert(cell == 7L)
+  }
+
+  test("aitoff projection stays in bounds and maps origin to origin") {
+    val df = Seq((0.0, 0.0), (170.0, 80.0), (-170.0, -80.0)).toDF("lon", "lat")
+    val (x, y) = Astro.projectAitoff(col("lon"), col("lat"))
+    val rows = df.select(x.as("x"), y.as("y")).collect()
+    assert(math.abs(rows(0).getDouble(0)) < 1e-9 && math.abs(rows(0).getDouble(1)) < 1e-9)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0)) <= 180.0 && math.abs(r.getDouble(1)) <= 90.0)
+    }
+  }
+}
