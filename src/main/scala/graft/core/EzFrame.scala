@@ -278,8 +278,51 @@ object EzFrame {
   def apply(df: DataFrame): EzFrame = new EzFrame(df, EzMeta())
   def apply(df: DataFrame, meta: EzMeta): EzFrame = new EzFrame(df, meta)
 
+  private val TableMetaKey = "ez_table_meta"
+
+  /** Read Parquet, recovering units/descriptions from StructField
+    * metadata and header/aliases from the stashed table-meta JSON
+    * (see [[EzFrame.writeParquet]]). */
   def readParquet(spark: SparkSession, path: String): EzFrame = {
     val df = spark.read.parquet(path)
-    new EzFrame(df, EzMeta())
+    var meta = EzMeta()
+    df.schema.fields.foreach { f =>
+      if (f.metadata.contains("unit"))
+        meta = meta.copy(units = meta.units + (f.name -> f.metadata.getString("unit")))
+      if (f.metadata.contains("description"))
+        meta = meta.copy(comments = meta.comments + (f.name -> f.metadata.getString("description")))
+      if (f.metadata.contains(TableMetaKey)) {
+        // "k\tv\nk2\tv2" header block + "a=target" alias lines, see writeParquet
+        val Array(hdr, al) = (f.metadata.getString(TableMetaKey).split(" ", 2) ++ Array("", "")).take(2)
+        val header = hdr.split("\n").filter(_.contains("\t")).map { l =>
+          val Array(k, v) = l.split("\t", 2); k -> v
+        }
+        val aliases = al.split("\n").filter(_.contains("=")).map { l =>
+          val Array(a, t) = l.split("=", 2); a -> t
+        }
+        meta = meta.copy(header = ListMap(header.toSeq: _*), aliases = aliases.toMap)
+      }
+    }
+    new EzFrame(df, meta.pruneFor(df.columns.toSeq))
+  }
+
+  /** Write Parquet with metadata embedded in the schema: per-column
+    * unit/description in each StructField, table header + alias map in
+    * the first field under [[TableMetaKey]] (Parquet persists field
+    * metadata in its own footer schema JSON). */
+  def writeParquet(ez: EzFrame, path: String): Unit = {
+    import org.apache.spark.sql.types.MetadataBuilder
+    val fields = ez.df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+      ez.meta.units.get(f.name).foreach(mb.putString("unit", _))
+      ez.meta.comments.get(f.name).foreach(mb.putString("description", _))
+      if (i == 0 && (ez.meta.header.nonEmpty || ez.meta.aliases.nonEmpty)) {
+        val hdr = ez.meta.header.map { case (k, v) => s"$k\t$v" }.mkString("\n")
+        val al = ez.meta.aliases.map { case (a, t) => s"$a=$t" }.mkString("\n")
+        mb.putString(TableMetaKey, hdr + " " + al)
+      }
+      ez.df.col(f.name).as(f.name, mb.build())
+    }
+    ez.df.select(fields.toSeq: _*).write.mode("overwrite").parquet(path)
   }
 }
