@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked tumbling window aggregation over a real stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStreams.tumbling(
+      input.toDF.toDF("ts", "event_type", "value"),
+      ts = "ts", watermark = "10 minutes", width = "15 minutes",
+      keys = Seq(col("event_type")),
+      aggs = Seq(count(lit(1)).as("n"), sum(col("value")).as("sv")))
+    val q = agg.writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("update").start()
+    try {
+      input.addData((ts(1), "a", 1.0), (ts(5), "a", 2.0), (ts(16), "b", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select(col("window.start"), col("event_type"), col("n"), col("sv")).collect()
+      val byKey = rows.map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(byKey(("2024-01-01 10:00:00.0", "a")) == (2L, 3.0))
+      assert(byKey(("2024-01-01 10:15:00.0", "b")) == (1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("session windows close after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = EventStreams.sessions(
+      input.toDF.toDF("ts", "user_id"),
+      ts = "ts", watermark = "30 minutes", gap = "5 minutes",
+      keys = Seq(col("user_id")),
+      aggs = Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("session_test")
+      .outputMode("complete").start()
+    try {
+      // user 7: events at 10:01, 10:03 (one session), 10:30 (a second session)
+      input.addData((ts(1), 7L), (ts(3), 7L), (ts(30), 7L))
+      q.processAllAvailable()
+      val n = spark.table("session_test").filter(col("user_id") === 7L).count()
+      assert(n == 2)
+    } finally q.stop()
+  }
+
+  test("dedup within watermark removes stream duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dd = EventStreams.dedupWithinWatermark(
+      input.toDF.toDF("ts", "event_id"), "ts", "10 minutes", Seq("event_id"))
+    val q = dd.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), 100L), (ts(2), 100L), (ts(3), 101L))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+    } finally q.stop()
+  }
+
+  test("same builder serves batch backfill (stream/batch unification)") {
+    val batch = Seq((ts(1), "a", 1.0), (ts(20), "a", 2.0)).toDF("ts", "event_type", "value")
+    val out = EventStreams.tumbling(batch, "ts", "10 minutes", "15 minutes",
+      Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+    assert(out.count() == 2)
+  }
+}
+
+class HealpixSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.Healpix
+
+  test("nside=1 maps the 12 base faces") {
+    // north polar cap quadrants -> faces 0..3
+    assert(Healpix.ang2pixNestLonLat(0, 45.0, 80.0) == 0L)
+    assert(Healpix.ang2pixNestLonLat(0, 135.0, 80.0) == 1L)
+    assert(Healpix.ang2pixNestLonLat(0, 225.0, 80.0) == 2L)
+    assert(Healpix.ang2pixNestLonLat(0, 315.0, 80.0) == 3L)
+    // equator -> faces 4..7; south cap -> 8..11
+    assert(Healpix.ang2pixNestLonLat(0, 0.0, 0.0) == 4L)
+    assert(Healpix.ang2pixNestLonLat(0, 45.0, -80.0) == 8L)
+  }
+
+  test("pixel ids stay in range and cover many cells at order 4") {
+    val df = spark.range(2000).select(
+      (col("id") % 360).cast("double").as("lon"),
+      ((col("id") % 161) - 80).cast("double").as("lat"))
+    val pix = df.select(Healpix.ang2pix(4, col("lon"), col("lat")).as("p"))
+    val npix = 12L * 16 * 16
+    assert(pix.filter(col("p") < 0 || col("p") >= npix).count() == 0)
+    assert(pix.distinct().count() > 500)
+  }
+
+  test("nearby points share pixels at coarse order, split at fine order") {
+    val df = Seq((10.0, 10.0), (10.01, 10.01), (100.0, -40.0)).toDF("lon", "lat")
+    val p2 = df.select(Healpix.ang2pix(2, col("lon"), col("lat")).as("p")).collect().map(_.getLong(0))
+    assert(p2(0) == p2(1) && p2(0) != p2(2))
+    val p12 = df.select(Healpix.ang2pix(12, col("lon"), col("lat")).as("p")).collect().map(_.getLong(0))
+    assert(p12(0) != p12(2))
+  }
+
+  test("SQL registration works") {
+    Healpix.register(spark)
+    val r = spark.sql("SELECT healpix_ang2pix(0, 45.0, 80.0) AS p").collect().head.getLong(0)
+    assert(r == 0L)
+  }
+
+  test("codegen and interpreted paths agree") {
+    val df = spark.range(100).select(
+      (col("id") * 3.7 % 360).as("lon"), ((col("id") * 1.3 % 160) - 80).as("lat"))
+    val a = df.select(Healpix.ang2pix(6, col("lon"), col("lat")).as("p")).collect().map(_.getLong(0))
+    val b = df.collect().map(r => Healpix.ang2pixNestLonLat(6, r.getDouble(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq)
+  }
+}
