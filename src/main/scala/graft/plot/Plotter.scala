@@ -1,0 +1,232 @@
+package graft.plot
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.EzFrame
+import graft.operators.Binned
+import graft.functions.Astro
+
+/** A render-ready plot: small, already-aggregated data plus encoding
+  * metadata.  The cluster does the aggregation; only the aggregate
+  * (bin counts, percentiles, pixel grids) is collected — never raw
+  * rows (the 100 TB posture of SURVEY.md §7.4).  Rendering is
+  * delegated to any Vega-Lite consumer via [[PlotSpec.toVegaLite]];
+  * the reference renders with matplotlib/plotly/bokeh backends
+  * (ezdata/plotter.py, ezdata/matplotlib, ezdata/plotly), which are
+  * presentation concerns outside the engine.
+  */
+final case class PlotSpec(
+    mark: String,
+    data: Seq[Map[String, Any]],
+    encoding: Map[String, Map[String, String]],
+    title: Option[String] = None) {
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
+    case f: Float => jsonValue(f.toDouble)
+    case n: Number => n.toString
+    case b: Boolean => b.toString
+    case t: java.sql.Timestamp => "\"" + t.toString + "\""
+    case other => jsonValue(other.toString)
+  }
+
+  def toVegaLite: String = {
+    val values = data.map(row =>
+      row.map { case (k, v) => jsonValue(k) + ": " + jsonValue(v) }.mkString("{", ", ", "}"))
+      .mkString("[", ", ", "]")
+    val enc = encoding.map { case (channel, props) =>
+      jsonValue(channel) + ": " + props.map { case (k, v) => jsonValue(k) + ": " + jsonValue(v) }
+        .mkString("{", ", ", "}")
+    }.mkString("{", ", ", "}")
+    val t = title.map(s => s""""title": ${jsonValue(s)}, """).getOrElse("")
+    s"""{"$$schema": "https://vega.github.io/schema/vega-lite/v5.json", $t"mark": ${jsonValue(mark)}, "data": {"values": $values}, "encoding": $enc}"""
+  }
+}
+
+/** Facet set: one PlotSpec per group/selection, with cycled style
+  * labels (the Group/looper machinery of ezdata/plotter.py:130–523
+  * reduced to its query semantics). */
+final case class FacetSpec(facets: Seq[(String, PlotSpec)]) {
+  def toVegaLite: String =
+    facets.map { case (label, spec) => spec.copy(title = Some(label)).toVegaLite }
+      .mkString("[", ", ", "]")
+}
+
+/** Query-compiling plotter over an [[EzFrame]]
+  * (ezdata/plotter.py:560–1090 `Plotter`).  Every method builds a
+  * Spark aggregation, executes it, and wraps the small result. */
+final class Plotter(val ez: EzFrame, val label: String = "") {
+
+  private def collectMaps(df: DataFrame): Seq[Map[String, Any]] = {
+    val cols = df.columns
+    df.collect().toSeq.map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+  }
+
+  /** Predicate selections → one sub-plotter per predicate
+    * (ezdata/plotter.py:650–699). */
+  def select(selections: (String, String)*): Group =
+    new Group(selections.map { case (lbl, cond) => lbl -> new Plotter(ez.where(cond), lbl) })
+
+  /** Group by a key: the group list is a distinct-sort query; each
+    * group becomes a filtered sub-plotter (lazy — no data moves until
+    * a plot method aggregates it).  (ezdata/plotter.py:992–1023.) */
+  def groupby(key: String): Group = {
+    val k = ez.resolveAlias(key)
+    val values = ez.df.select(col(k)).distinct().orderBy(col(k)).collect().map(_.get(0))
+    new Group(values.toSeq.map { v =>
+      val lbl = s"$key=$v"
+      lbl -> new Plotter(EzFrame(ez.df.filter(col(k) === lit(v)), ez.meta), lbl)
+    })
+  }
+
+  /** 1-D histogram (ezdata/plotter.py:877–896): binned count agg in
+    * the cluster, 'bar' spec out. */
+  def hist(x: String, bins: Int = 10, range: Option[(Double, Double)] = None,
+           weights: Option[String] = None): PlotSpec = {
+    val xc = ez.get(x)
+    val (lo, hi) = range.getOrElse(Binned.extent(ez.df, xc))
+    val h = Binned.histogram(ez.df, xc, lo, hi, bins, weights.map(ez.get))
+      .select(col("x_center").as(x), col("value").as("count"))
+    PlotSpec("bar", collectMaps(h), Map(
+      "x" -> Map("field" -> x, "type" -> "quantitative", "bin" -> "binned"),
+      "y" -> Map("field" -> "count", "type" -> "quantitative")))
+  }
+
+  /** 2-D histogram / hexbin-equivalent (ezdata/plotter.py:898–941):
+    * rect heatmap over a dense 2-D count cube. */
+  def hist2d(x: String, y: String, bins: Int = 20,
+             xRange: Option[(Double, Double)] = None,
+             yRange: Option[(Double, Double)] = None): PlotSpec = {
+    val (xc, yc) = (ez.get(x), ez.get(y))
+    val (xlo, xhi) = xRange.getOrElse(Binned.extent(ez.df, xc))
+    val (ylo, yhi) = yRange.getOrElse(Binned.extent(ez.df, yc))
+    val cube = Binned.denseCube(ez.df,
+      Seq(Binned.Axis("x", xc, xlo, xhi, bins), Binned.Axis("y", yc, ylo, yhi, bins)),
+      Seq(count(lit(1)).as("count")), fill = Map("count" -> 0L))
+      .select(col("x_center").as(x), col("y_center").as(y), col("count"))
+    PlotSpec("rect", collectMaps(cube), Map(
+      "x" -> Map("field" -> x, "type" -> "quantitative", "bin" -> "binned"),
+      "y" -> Map("field" -> y, "type" -> "quantitative", "bin" -> "binned"),
+      "color" -> Map("field" -> "count", "type" -> "quantitative")))
+  }
+
+  /** Scatter with a hard point budget: never collects raw data beyond
+    * `maxPoints` (sampled), keeping the driver safe at any input scale
+    * (ezdata/plotter.py:829–843 collects everything — deliberately not
+    * reproduced). */
+  def scatter(x: String, y: String, color: Option[String] = None,
+              maxPoints: Int = 5000): PlotSpec = {
+    val cols = (Seq(x, y) ++ color.toSeq).map(c => ez.get(c).as(c))
+    val n = ez.df.count()
+    val base = ez.df.select(cols: _*)
+    val sampled = if (n <= maxPoints) base else base.sample(maxPoints.toDouble / n, seed = 42)
+    val enc = Map(
+      "x" -> Map("field" -> x, "type" -> "quantitative"),
+      "y" -> Map("field" -> y, "type" -> "quantitative")) ++
+      color.map(c => "color" -> Map("field" -> c, "type" -> "quantitative"))
+    PlotSpec("point", collectMaps(sampled), enc)
+  }
+
+  /** Box/violin statistics (ezdata/plotter.py:943–965): percentile +
+    * extreme aggregation per column, one row per variable. */
+  def box(columns: String*): PlotSpec = {
+    val rows = columns.map { c =>
+      val cc = ez.get(c).cast("double")
+      val r = ez.df.agg(
+        min(cc).as("min"),
+        percentile_approx(cc, lit(0.25), lit(10000)).as("q1"),
+        percentile_approx(cc, lit(0.5), lit(10000)).as("median"),
+        percentile_approx(cc, lit(0.75), lit(10000)).as("q3"),
+        max(cc).as("max")).collect().head
+      Map[String, Any]("variable" -> c, "min" -> r.get(0), "q1" -> r.get(1),
+        "median" -> r.get(2), "q3" -> r.get(3), "max" -> r.get(4))
+    }
+    PlotSpec("boxplot", rows, Map(
+      "x" -> Map("field" -> "variable", "type" -> "nominal"),
+      "y" -> Map("field" -> "median", "type" -> "quantitative")))
+  }
+
+  /** Lag plot (ezdata/plotter.py:1059–1090): lag-k self-comparison via
+    * a window, sampled like scatter. */
+  def lagplot(x: String, lag: Int = 1, orderBy: String, maxPoints: Int = 5000): PlotSpec = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ez.get(orderBy))
+    val df = ez.df
+      .withColumn("_lagged", org.apache.spark.sql.functions.lag(ez.get(x), lag).over(w))
+      .filter(col("_lagged").isNotNull)
+      .select(ez.get(x).as(x), col("_lagged").as(s"${x}_lag$lag"))
+    val n = df.count()
+    val sampled = if (n <= maxPoints) df else df.sample(maxPoints.toDouble / n, seed = 42)
+    PlotSpec("point", collectMaps(sampled), Map(
+      "x" -> Map("field" -> x, "type" -> "quantitative"),
+      "y" -> Map("field" -> s"${x}_lag$lag", "type" -> "quantitative")))
+  }
+
+  /** Aitoff all-sky scatter (ezdata/plotter.py:971–990): projection as
+    * Column math, sampled collection. */
+  def aitoff(lon: String, lat: String, maxPoints: Int = 5000): PlotSpec = {
+    val (x, y) = Astro.projectAitoff(ez.get(lon), ez.get(lat))
+    val df = ez.df.select(x.as("aitoff_x"), y.as("aitoff_y"))
+    val n = df.count()
+    val sampled = if (n <= maxPoints) df else df.sample(maxPoints.toDouble / n, seed = 42)
+    PlotSpec("point", collectMaps(sampled), Map(
+      "x" -> Map("field" -> "aitoff_x", "type" -> "quantitative"),
+      "y" -> Map("field" -> "aitoff_y", "type" -> "quantitative")))
+  }
+
+  /** Datashader-equivalent raster (ezdata/datashader.py:183–219): the
+    * viewport is a filter, the pixel grid a 2-D groupBy; re-invoke per
+    * zoom/pan with a new viewport — predicate pushdown re-queries only
+    * the visible range. */
+  def raster(x: String, y: String, xlo: Double, xhi: Double, ylo: Double, yhi: Double,
+             widthPx: Int = 256, heightPx: Int = 256, what: String = "count(*)"): PlotSpec = {
+    val r = Binned.raster(ez.df, ez.get(x), ez.get(y), xlo, xhi, ylo, yhi, widthPx, heightPx, what)
+    PlotSpec("rect", collectMaps(r), Map(
+      "x" -> Map("field" -> "px_bin", "type" -> "ordinal"),
+      "y" -> Map("field" -> "py_bin", "type" -> "ordinal"),
+      "color" -> Map("field" -> "value", "type" -> "quantitative")))
+  }
+
+  /** Every variable against one key (ezdata/plotter.py:1025–1057). */
+  def allAgainst(key: String, maxPoints: Int = 2000): Seq[(String, PlotSpec)] =
+    ez.columns.filter(_ != ez.resolveAlias(key)).map(v => v -> scatter(key, v, maxPoints = maxPoints))
+}
+
+/** A set of labeled sub-plotters: facet iteration with cycled labels
+  * (ezdata/plotter.py:130–353 Group + looper dispatch 390–523). */
+final class Group(val items: Seq[(String, Plotter)]) {
+
+  def hist(x: String, bins: Int = 10, range: Option[(Double, Double)] = None): FacetSpec = {
+    // shared axes across facets: compute the global extent once
+    val globalRange = range.orElse {
+      val extents = items.map { case (_, p) => Binned.extent(p.ez.df, p.ez.get(x)) }
+      Some((extents.map(_._1).min, extents.map(_._2).max))
+    }
+    FacetSpec(items.map { case (lbl, p) => lbl -> p.hist(x, bins, globalRange) })
+  }
+
+  def hist2d(x: String, y: String, bins: Int = 20): FacetSpec =
+    FacetSpec(items.map { case (lbl, p) => lbl -> p.hist2d(x, y, bins) })
+
+  def scatter(x: String, y: String, maxPoints: Int = 2000): FacetSpec =
+    FacetSpec(items.map { case (lbl, p) => lbl -> p.scatter(x, y, maxPoints = maxPoints) })
+
+  def box(columns: String*): FacetSpec =
+    FacetSpec(items.map { case (lbl, p) => lbl -> p.box(columns: _*) })
+
+  /** Nested grouping (ezdata/plotter.py:315–353). */
+  def groupby(key: String): Group =
+    new Group(items.flatMap { case (lbl, p) =>
+      p.groupby(key).items.map { case (lbl2, p2) => s"$lbl | $lbl2" -> p2 }
+    })
+
+  /** Group algebra (ezdata/plotter.py:532–546). */
+  def +(other: Group): Group = new Group(items ++ other.items)
+
+  def size: Int = items.length
+}
+
+object Plotter {
+  def apply(ez: EzFrame): Plotter = new Plotter(ez)
+}

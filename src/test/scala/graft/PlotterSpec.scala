@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.EzFrame
+import graft.plot.Plotter
+
+class PlotterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1.0, 10.0, "a"), (2.0, 20.0, "a"), (3.0, 30.0, "b"),
+    (4.0, 40.0, "b"), (5.0, 50.0, "b"))
+    .toDF("x", "y", "g")
+  private lazy val p = Plotter(EzFrame(df))
+
+  test("hist aggregates in cluster and emits binned bar data") {
+    val spec = p.hist("x", bins = 5, range = Some((0.0, 5.0)))
+    assert(spec.mark == "bar")
+    assert(spec.data.length == 5)
+    assert(spec.data.map(_("count").asInstanceOf[Long]).sum == 5L)
+    val vl = spec.toVegaLite
+    assert(vl.contains("\"mark\": \"bar\"") && vl.contains("vega-lite"))
+  }
+
+  test("groupby facets with shared axes; nested groupby; group algebra") {
+    val g = p.groupby("g")
+    assert(g.size == 2)
+    val f = g.hist("x", bins = 5)
+    assert(f.facets.map(_._1) == Seq("g=a", "g=b"))
+    // shared range: every facet has the same bins
+    val counts = f.facets.map(_._2.data.map(_("count").asInstanceOf[Long]).sum)
+    assert(counts == Seq(2L, 3L))
+    assert((g + g).size == 4)
+  }
+
+  test("select builds one plotter per predicate") {
+    val g = p.select("low" -> "x < 3", "high" -> "x >= 3")
+    assert(g.items.map(_._2.ez.count()) == Seq(2L, 3L))
+  }
+
+  test("scatter respects the point budget") {
+    val big = EzFrame(spark.range(100000).select(col("id").cast("double").as("x"),
+      (col("id") * 2).cast("double").as("y")))
+    val spec = new Plotter(big).scatter("x", "y", maxPoints = 500)
+    assert(spec.data.length < 2500) // sampled, not collected wholesale
+  }
+
+  test("box computes percentile aggregates per variable") {
+    val spec = p.box("x", "y")
+    assert(spec.data.length == 2)
+    val xrow = spec.data.find(_("variable") == "x").get
+    assert(xrow("median").asInstanceOf[Double] == 3.0)
+    assert(xrow("min").asInstanceOf[Double] == 1.0 && xrow("max").asInstanceOf[Double] == 5.0)
+  }
+
+  test("raster viewport re-aggregation") {
+    val spec = p.raster("x", "y", 0.0, 5.0, 0.0, 50.0, widthPx = 5, heightPx = 5)
+    assert(spec.data.nonEmpty)
+    assert(spec.data.map(_("value").asInstanceOf[Long]).sum == 5L)
+    val zoomed = p.raster("x", "y", 0.0, 2.5, 0.0, 25.0, 5, 5)
+    assert(zoomed.data.map(_("value").asInstanceOf[Long]).sum == 2L)
+  }
+
+  test("lagplot pairs x with its lag") {
+    val spec = p.lagplot("x", lag = 1, orderBy = "x")
+    assert(spec.data.length == 4)
+    assert(spec.data.head.contains("x_lag1"))
+  }
+
+  test("allAgainst melts every var against the key") {
+    val specs = p.allAgainst("x")
+    assert(specs.map(_._1).toSet == Set("y", "g"))
+  }
+}
