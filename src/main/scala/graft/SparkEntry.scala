@@ -273,6 +273,117 @@ object SparkEntry {
       val e = t(s, dir, "embeddings").df
       Similarity.lshTopK(e, "vec_id", "embedding", 5, planes = 6)
     }),
+
+    // §2.3 semi/anti joins (EXISTS / NOT EXISTS)
+    "q29_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer").df
+      val o = t(s, dir, "orders").df.select(col("o_custkey"))
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders"))
+      withO.unionByName(withoutO).select(col("kind"), col("n"))
+    }),
+
+    // §2.7 except (set difference)
+    "q30_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").df.select(col("c_nationkey").cast(IntegerType).as("nationkey"))
+      val sup = t(s, dir, "supplier").df.select(col("s_nationkey").cast(IntegerType).as("nationkey"))
+      c.except(sup)
+    }),
+
+    // §2.4 extended stats: exact interpolated percentiles + variance
+    "q31_stats_extended" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val c = col("l_extendedprice")
+      li.agg(
+        round(var_samp(c), 6).as("variance"),
+        round(expr("percentile(l_extendedprice, 0.16)"), 6).as("p16"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.84)"), 6).as("p84"))
+    }),
+
+    // §2.4 healpix-cell aggregation via the custom Catalyst Expression
+    // (rows-only: nested-scheme bit math is not DuckDB-expressible)
+    "q32_healpix_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+        .withColumn("ra", (col("l_orderkey") % 360).cast(DoubleType))
+        .withColumn("dec", ((col("l_partkey") % 181) - 90).cast(DoubleType))
+      Binned.healpixAgg(li, graft.functions.Healpix.ang2pix(2, col("ra"), col("dec")), 2)
+    }),
+
+    // §2.9 sessionization (session_window in batch; 30-min gap)
+    "q33_events_sessions" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("last_ts"))
+    }),
+
+    // M6 multimodal: binary payload + stub decode + frame explode (rows-only)
+    "q34_multimodal" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val m = operators.Multimodal.withMedia(d, col("text"), "text/plain")
+      operators.Multimodal.explodeFrames(m, "payload", maxFrames = 4)
+        .groupBy(col("doc_id"), col("media.width").as("width"))
+        .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("total_bytes"))
+    }),
+
+    // §2.8 euler frame transform (celestial -> galactic, J2000)
+    "q35_euler_galactic" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+        .withColumn("ra", (col("l_orderkey") % 360).cast(DoubleType))
+        .withColumn("dec", ((col("l_partkey") % 181) - 90).cast(DoubleType))
+      val (l, b) = Astro.euler(col("ra"), col("dec"), select = 1)
+      li.select(col("l_orderkey"), col("l_partkey"), col("ra"), col("dec"),
+        round(l, 6).as("gal_l"), round(b, 6).as("gal_b"))
+    }),
+
+    // §2.8 Aitoff projection
+    "q36_aitoff" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+        .withColumn("lon", (col("l_orderkey") % 360).cast(DoubleType))
+        .withColumn("lat", ((col("l_partkey") % 181) - 90).cast(DoubleType))
+      val (x, y) = Astro.projectAitoff(col("lon"), col("lat"))
+      li.select(col("l_orderkey"), col("l_partkey"),
+        round(x, 6).as("aitoff_x"), round(y, 6).as("aitoff_y"))
+    }),
+
+    // §2.4 datashader-style raster aggregation (viewport + pixel grid)
+    "q37_raster" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+        .withColumn("ra", (col("l_orderkey") % 360).cast(DoubleType))
+        .withColumn("dec", ((col("l_partkey") % 181) - 90).cast(DoubleType))
+      Binned.raster(li, col("ra"), col("dec"), 0.0, 360.0, -90.0, 90.0, 8, 4,
+          "round(avg(l_extendedprice), 6)")
+        .select(col("px_bin"), col("py_bin"), col("value"))
+    }),
+
+    // §2.4 datashader first/last reductions, deterministic via min_by/max_by
+    "q38_first_last" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+        .withColumn("seq", col("l_orderkey") * 10 + col("l_linenumber"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("l_linestatus"), col("seq")).as("first_status"),
+          max_by(col("l_linestatus"), col("seq")).as("last_status"))
+    }),
+
+    // §2.4 multigroupby: nested grouping flattened to key columns
+    "q39_multigroupby" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.df.groupBy(col("l_returnflag"), col("l_linestatus"), year(col("l_shipdate")).as("ship_year"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("l_extendedprice"))).as("sum_price"))
+    }),
+
+    // M6 verified dedup pipeline: LSH candidates -> exact n-gram Jaccard
+    // confirmation >= 0.8 (rows-only)
+    "q40_dedup_verified" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val cands = Dedup.minhashLsh(d, col("text"), col("doc_id"))
+      Dedup.ngramJaccard(cands.select("id_a", "id_b"), d, col("doc_id"), col("text"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -458,5 +569,83 @@ object SparkEntry {
         |SELECT o_custkey, o_orderkey, o_totalprice,
         |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |FROM orders) WHERE rn <= 3""".stripMargin.replace("\n", " "),
+
+    "q29_semi_anti" ->
+      """SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'without_orders' AS kind, count(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin.replace("\n", " "),
+
+    "q30_except" ->
+      "SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+
+    "q31_stats_extended" ->
+      """SELECT round(var_samp(l_extendedprice), 6) AS variance,
+        |round(quantile_cont(l_extendedprice, 0.16), 6) AS p16,
+        |round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |round(quantile_cont(l_extendedprice, 0.84), 6) AS p84
+        |FROM lineitem""".stripMargin.replace("\n", " "),
+
+    "q33_events_sessions" ->
+      """WITH flagged AS (SELECT user_id, ts,
+        |CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |THEN 1 ELSE 0 END AS new_session FROM events),
+        |ids AS (SELECT user_id, ts,
+        |sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events, max(ts) AS last_ts
+        |FROM ids GROUP BY user_id, sid""".stripMargin.replace("\n", " "),
+
+    "q35_euler_galactic" -> {
+      // mirror Astro.euler J2000 select=1 constants and operation order
+      val psi = "0.574770433"; val st = "0.88998808748"; val ct = "0.45598377618"
+      val phi = "4.9368292465"; val twopi = "6.283185307179586"
+      s"""WITH c AS (SELECT l_orderkey, l_partkey,
+         |CAST(l_orderkey % 360 AS DOUBLE) AS ra,
+         |CAST((l_partkey % 181) - 90 AS DOUBLE) AS dec FROM lineitem),
+         |m AS (SELECT l_orderkey, l_partkey, ra, dec,
+         |radians(ra) - $phi AS a, radians(dec) AS b FROM c),
+         |n AS (SELECT *, cos(b) * sin(a) AS cbsa, sin(b) AS sb, cos(b) AS cb FROM m),
+         |o AS (SELECT *,
+         |asin(least(-($st) * cbsa + $ct * sb, 1.0)) AS bo,
+         |atan2($ct * cbsa + $st * sb, cb * cos(a)) + $psi + $twopi AS aorad FROM n)
+         |SELECT l_orderkey, l_partkey, ra, dec,
+         |round(degrees(aorad - floor(aorad / $twopi) * $twopi), 6) AS gal_l,
+         |round(degrees(bo), 6) AS gal_b FROM o""".stripMargin.replace("\n", " ")
+    },
+
+    "q36_aitoff" ->
+      """WITH c AS (SELECT l_orderkey, l_partkey,
+        |CAST(l_orderkey % 360 AS DOUBLE) AS lon,
+        |CAST((l_partkey % 181) - 90 AS DOUBLE) AS lat FROM lineitem),
+        |m AS (SELECT l_orderkey, l_partkey,
+        |radians((((lon + 180.0) - floor((lon + 180.0) / 360.0) * 360.0) - 180.0) / 2) AS alpha2,
+        |radians(lat) AS delta FROM c),
+        |n AS (SELECT *, sqrt(1.0 + cos(delta) * cos(alpha2)) AS denom,
+        |2.0 * sqrt(2.0) / pi() AS f FROM m)
+        |SELECT l_orderkey, l_partkey,
+        |round(degrees(cos(delta) * sin(alpha2) * 2.0 * sqrt(2.0) / denom / f), 6) AS aitoff_x,
+        |round(degrees(sin(delta) * sqrt(2.0) / denom / f), 6) AS aitoff_y
+        |FROM n""".stripMargin.replace("\n", " "),
+
+    "q37_raster" ->
+      """SELECT CAST(floor(CAST(l_orderkey % 360 AS DOUBLE) / 45.0) AS BIGINT) AS px_bin,
+        |CASE WHEN (l_partkey % 181) - 90 = 90 THEN 3
+        |ELSE CAST(floor((CAST((l_partkey % 181) - 90 AS DOUBLE) + 90.0) / 45.0) AS BIGINT) END AS py_bin,
+        |round(avg(l_extendedprice), 6) AS value
+        |FROM lineitem GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "q38_first_last" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |min_by(l_linestatus, l_orderkey * 10 + l_linenumber) AS first_status,
+        |max_by(l_linestatus, l_orderkey * 10 + l_linenumber) AS last_status
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "q39_multigroupby" ->
+      """SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |count(*) AS n, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |FROM lineitem GROUP BY 1, 2, 3""".stripMargin.replace("\n", " "),
   )
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines.  Media payloads are opaque `binary` columns with a typed
+  * metadata struct; the pipeline shape — schema, partitioning, batch
+  * processing, frame explode — is real and tested, while the codec
+  * step itself is a STUB (this environment has no image/audio codecs):
+  * `fakeDecodeMeta` derives deterministic pseudo-metadata from the
+  * payload hash, standing in for a libjpeg/ffmpeg call.  Swapping the
+  * stub for a real decoder keeps every Spark-side contract unchanged.
+  */
+object Multimodal {
+
+  /** Metadata struct carried next to each payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("size_bytes", LongType)))
+
+  /** STUB decoder: deterministic pseudo metadata from the payload
+    * bytes (xxhash64-derived).  A real deployment replaces this Column
+    * with a codec UDF of the same shape — `??? : (binary) => struct`. */
+  def fakeDecodeMeta(payload: Column, mime: String = "image/fake"): Column =
+    struct(
+      lit(mime).as("mime"),
+      (pmod(xxhash64(payload), lit(1920L)).cast(IntegerType) + 1).as("width"),
+      (pmod(xxhash64(payload, lit(1)), lit(1080L)).cast(IntegerType) + 1).as("height"),
+      (pmod(xxhash64(payload, lit(2)), lit(240L)).cast(IntegerType) + 1).as("n_frames"),
+      length(payload).cast(LongType).as("size_bytes"))
+
+  /** Attach payload + decoded metadata to any table with a binary (or
+    * castable) column.  This is the ingest normalization step. */
+  def withMedia(df: DataFrame, payload: Column, mime: String = "image/fake"): DataFrame =
+    df.withColumn("payload", payload.cast(BinaryType))
+      .withColumn("media", fakeDecodeMeta(col("payload"), mime))
+
+  /** Deterministic fake frame sampling: slice the payload into
+    * `maxFrames` equal chunks (stands in for video frame extraction),
+    * exploded one row per frame with a stable frame index.  The
+    * explode-then-process shape is the real contract: downstream
+    * per-frame operators are ordinary row operators. */
+  def explodeFrames(df: DataFrame, payloadCol: String, maxFrames: Int): DataFrame = {
+    val p = col(payloadCol)
+    // ceil division so the frames tile the whole payload (last one short)
+    val frameW = greatest(ceil(length(p).cast(DoubleType) / maxFrames).cast(IntegerType), lit(1))
+    val frames = transform(
+      sequence(lit(0), lit(maxFrames - 1)),
+      i => substring(p, (i * frameW + 1).cast(IntegerType), frameW))
+    df.select(col("*"), posexplode(frames).as(Seq("frame_id", "frame")))
+      .filter(length(col("frame")) > 0)
+  }
+
+  /** Real feature extraction that needs no codec: the nibble histogram
+    * of the payload — 16 counts over the hex expansion (2 hex digits
+    * per byte), the per-item "embedding" of the binary modality.
+    * Pure length/replace differencing over `hex(payload)`: exact,
+    * codegen'd, no explode. */
+  def byteStats(payload: Column): Column = {
+    val h = lower(hex(payload))
+    val counts = "0123456789abcdef".map { d =>
+      (length(h) - length(replace(h, lit(d.toString), lit("")))).cast(LongType)
+    }
+    struct(
+      length(payload).cast(LongType).as("n_bytes"),
+      array(counts: _*).as("nibble_hist"))
+  }
+
+  /** Partition-batched processing (the Scala analog of mapInPandas
+    * batches): process payloads per partition with a reusable
+    * per-partition "codec" resource.  `decode` is the stub seam —
+    * a real implementation would open the codec once per partition. */
+  def mapBatches(ds: Dataset[(Long, Array[Byte])],
+                 decode: Array[Byte] => (Int, Int)): Dataset[(Long, Int, Int)] = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt)
+    ds.mapPartitions { it =>
+      // per-partition setup happens here (codec open / model load)
+      it.map { case (id, payload) =>
+        val (w, h) = decode(payload)
+        (id, w, h)
+      }
+    }
+  }
+
+  /** Deterministic stand-in decoder for tests and examples. */
+  def stubDecode(payload: Array[Byte]): (Int, Int) = {
+    val h = java.util.Arrays.hashCode(payload)
+    (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1)
+  }
+}
