@@ -38,12 +38,16 @@ object Dedup {
 
   /** MinHash signatures via explode + single groupBy: one row per
     * (doc, shingle), then k `min` aggregates (map-side partial agg).
-    * Linear work, one shuffle on doc id — the scale formulation. */
+    * Linear work, one shuffle on doc id — the scale formulation.
+    *
+    * Each shingle is string-hashed ONCE (xxhash64); the k
+    * "permutations" re-hash that fixed-width long with the permutation
+    * index as seed — a few ALU ops each, no string traversal, and no
+    * overflow under ANSI mode (Spark 4 default). */
   def minhashSignatures(df: DataFrame, text: Column, id: Column,
                         shingleSize: Int, k: Int): DataFrame = {
-    val exploded = df
-      .select(id.as("doc_id"), explode(TextAnalysis.shingles(text, shingleSize)).as("shingle"))
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val exploded = TextAnalysis.shingleHashes(df, text, id, shingleSize)
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
     exploded.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
@@ -64,16 +68,20 @@ object Dedup {
                  shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = minhashSignatures(df, text, id, shingleSize, k)
+    // Fold each band's slice into ONE long key (band index mixed in):
+    // an array-typed join key cannot hash-join (Spark falls back to a
+    // nested-loop — observed 5x wall time); a long key shuffles and
+    // hash-joins normally.  Hash collisions only add candidates, which
+    // the jaccard verification stage filters anyway.
     val banded = sigs.select(
       col("doc_id"), col("sig"),
-      posexplode(array((0 until bands).map { b =>
-        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-      }: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_sig")
-    val a = banded.select(col("band"), col("band_sig"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_sig"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_sig"))
+      explode(array((0 until bands).map { b =>
+        xxhash64(((0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+          :+ lit(b)): _*)
+      }: _*)).as("band_key"))
+    val a = banded.select(col("band_key"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_key"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
@@ -106,11 +114,15 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** N-gram Jaccard similarity for a candidate pair set: exact set
-    * overlap of character shingles.  Meant to *verify* LSH candidates,
-    * not to run all-pairs. */
+    * overlap of (hashed) character shingles.  Meant to *verify* LSH
+    * candidates, not to run all-pairs.  Shingle sets are built from
+    * the linear-time [[TextAnalysis.shingleHashes]] primitive (one
+    * groupBy), and set algebra runs over fixed-width longs — collision
+    * probability at 64 bits is negligible for dedup purposes. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,
                    n: Int = 5): DataFrame = {
-    val sh = docs.select(id.as("doc_id"), TextAnalysis.shingles(text, n).as("sh"))
+    val sh = TextAnalysis.shingleHashes(docs, text, id, n)
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
     pairs
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -54,21 +54,19 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"), round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a hash folded to [-1, 1].  Seeds are static so signatures are
-    * reproducible across runs and engines. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast(DoubleType) / lit(1000000.0)) - lit(1.0)
-
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a
     * long.  Vectors with high cosine similarity collide with high
-    * probability (signature = coarse angular cell). */
-  def lshSignature(vec: Column, planes: Int = 12): Column = {
+    * probability (signature = coarse angular cell).  The hyperplanes
+    * are seeded literal arrays (fixed seed 42 → reproducible), so each
+    * row pays only `planes` dot products — no per-element hashing in
+    * the hot path. */
+  def lshSignature(vec: Column, planes: Int, dim: Int): Column = {
+    val rnd = new scala.util.Random(42)
+    val planeVecs = Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
     val v = asDouble(vec)
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
+      val pv = typedlit(planeVecs(p))
+      val proj = aggregate(zip_with(v, pv, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -79,8 +77,10 @@ object Similarity {
     * scale path, verified against [[bruteForceTopK]] in tests. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 8): DataFrame = {
+    // embedding dimensionality from one row (tiny driver-side probe)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val sig = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-      .withColumn("sig", lshSignature(col("v"), planes))
+      .withColumn("sig", lshSignature(col("v"), planes, dim))
     val a = sig.select(col("sig"), col("vid").as("probe_id"), col("v").as("pvec"))
     val b = sig.select(col("sig"), col("vid").as("corpus_id"), col("v").as("cvec"))
     val scored = a.join(b, Seq("sig"))

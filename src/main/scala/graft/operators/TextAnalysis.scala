@@ -76,11 +76,39 @@ object TextAnalysis {
 
   /** Character n-gram (shingle) set of the normalized text — feeds
     * MinHash / Jaccard dedup. */
-  def shingles(text: Column, n: Int = 5): Column = {
+  def shingles(text: Column, n: Int = 5): Column =
+    array_distinct(shinglesRaw(text, n))
+
+  /** Shingle list *with* duplicates — cheaper when the consumer is
+    * dedup-insensitive (MinHash: duplicates cannot change a min).
+    *
+    * PERFORMANCE HAZARD: higher-order functions are interpreted, and a
+    * lambda that captures a non-attribute subtree re-evaluates it per
+    * element — O(len²) regex work when `text` is a raw column (the
+    * `normalize` call gets inlined into the lambda).  For bulk
+    * pipelines use [[shingleHashes]], which materializes the
+    * normalized text once per row before exploding. */
+  def shinglesRaw(text: Column, n: Int = 5): Column = {
     val norm = normalize(text)
     val cnt = length(norm) - lit(n - 1)
     // sequence(1, 0) would generate a *descending* [1, 0] — guard short texts
     when(cnt <= 0, array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n)))))
+      .otherwise(transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n))))
+  }
+
+  /** Exploded, hashed shingles: one row per (id, shingle-hash).  The
+    * normalized text is computed ONCE per document (it crosses the
+    * Generate boundary as data, not as an expression), and each
+    * position pays only a substr + xxhash64.  This is the linear-time
+    * primitive behind MinHash and Jaccard at scale. */
+  def shingleHashes(df: org.apache.spark.sql.DataFrame, text: Column, id: Column,
+                    n: Int = 5): org.apache.spark.sql.DataFrame = {
+    val normed = df.select(id.as("doc_id"), normalize(text).as("norm"))
+    val cnt = greatest(length(col("norm")) - lit(n - 1), lit(0))
+    normed
+      .select(col("doc_id"), col("norm"),
+        explode(when(cnt >= 1, sequence(lit(1), cnt))
+          .otherwise(array().cast(ArrayType(IntegerType)))).as("pos"))
+      .select(col("doc_id"), xxhash64(col("norm").substr(col("pos"), lit(n))).as("h"))
   }
 }
