@@ -257,6 +257,20 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
   def aggregate(keysStr: String, aggs: Column*): EzFrame =
     withDf(df.groupBy(keys(keysStr).map(df.col): _*).agg(aggs.head, aggs.tail: _*))
 
+  /** `aggregate(func, keys)` with an *arbitrary* per-group function —
+    * the reference's per-group escape hatch (ezdata/dictdataframe.py:
+    * 578–599 applies any Python callable to each sub-frame).  Typed
+    * Spark surface: groups shuffle once, `f` sees each group's rows as
+    * an iterator and yields output rows for `outSchema`. */
+  def flatMapGroups(keysStr: String, outSchema: StructType)(
+      f: (Seq[Any], Iterator[org.apache.spark.sql.Row]) => Iterator[org.apache.spark.sql.Row]): DataFrame = {
+    val ks = keys(keysStr)
+    val keyIdx = ks.map(k => df.columns.indexOf(k))
+    implicit val keyEnc = org.apache.spark.sql.Encoders.kryo[Seq[Any]]
+    df.groupByKey(row => keyIdx.map(row.get): Seq[Any])
+      .flatMapGroups((k, it) => f(k, it))(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   // ----------------------------------------------------------- misc
   /** NaN → null normalization at the ingest boundary (SURVEY.md §7.1.1). */
   def nanToNull(): EzFrame = {

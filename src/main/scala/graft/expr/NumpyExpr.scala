@@ -228,20 +228,23 @@ object NumpyExpr {
       case "+"  => Typed(l.col + r.col, numJoin(l.ty, r.ty))
       case "-"  => Typed(l.col - r.col, numJoin(l.ty, r.ty))
       case "*"  => Typed(l.col * r.col, numJoin(l.ty, r.ty))
-      case "/"  => Typed(l.col.cast(DoubleType) / r.col.cast(DoubleType), TyFloat) // numpy true division
+      case "/"  => Typed(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)), TyFloat) // numpy true division
       case "//" =>
-        val q = floor(l.col.cast(DoubleType) / r.col.cast(DoubleType))
+        val q = floor(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)))
         if (numJoin(l.ty, r.ty) == TyInt) Typed(q.cast(LongType), TyInt) else Typed(q, TyFloat)
       case "%"  => // numpy mod: floored (sign follows divisor)
-        val m = l.col - r.col * floor(l.col.cast(DoubleType) / r.col.cast(DoubleType))
+        val m = l.col - r.col * floor(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)))
         if (numJoin(l.ty, r.ty) == TyInt) Typed(m.cast(LongType), TyInt) else Typed(m, TyFloat)
       case "**" => Typed(pow(l.col, r.col), TyFloat)
-      case "<"  => Typed(l.col < r.col, TyBool)
-      case "<=" => Typed(l.col <= r.col, TyBool)
-      case ">"  => Typed(l.col > r.col, TyBool)
-      case ">=" => Typed(l.col >= r.col, TyBool)
-      case "==" => Typed(l.col === r.col, TyBool)
-      case "!=" => Typed(l.col =!= r.col, TyBool)
+      // NumPy comparison semantics with NaN: every comparison is False
+      // except '!=' (True).  Spark/SQL instead orders NaN greatest and
+      // equal to itself — guard float comparisons explicitly.
+      case "<"  => Typed(npCmp(l, r, l.col < r.col, nanResult = false), TyBool)
+      case "<=" => Typed(npCmp(l, r, l.col <= r.col, nanResult = false), TyBool)
+      case ">"  => Typed(npCmp(l, r, l.col > r.col, nanResult = false), TyBool)
+      case ">=" => Typed(npCmp(l, r, l.col >= r.col, nanResult = false), TyBool)
+      case "==" => Typed(npCmp(l, r, l.col === r.col, nanResult = false), TyBool)
+      case "!=" => Typed(npCmp(l, r, l.col =!= r.col, nanResult = true), TyBool)
       case "&" if l.ty == TyBool && r.ty == TyBool => Typed(l.col && r.col, TyBool)
       case "|" if l.ty == TyBool && r.ty == TyBool => Typed(l.col || r.col, TyBool)
       case "^" if l.ty == TyBool && r.ty == TyBool => Typed(l.col =!= r.col, TyBool)
@@ -253,6 +256,20 @@ object NumpyExpr {
       case "and" => Typed(l.col && r.col, TyBool)
       case "or"  => Typed(l.col || r.col, TyBool)
       case other => throw new IllegalArgumentException(s"unsupported operator '$other'")
+    }
+
+    // IEEE-754 division with NumPy semantics: Spark 4's ANSI mode throws
+    // on x/0 even for doubles, but NumPy yields ±inf (or NaN for 0/0).
+    // The zero branch reconstructs the IEEE result, including the sign
+    // of a negative-zero divisor (detected via its string form — only
+    // evaluated in the rare r==0 branch).
+    def ieeeDiv(l: Column, r: Column): Column = {
+      val negZero = r.cast(StringType).startsWith("-")
+      val zsign = when(negZero, lit(-1.0)).otherwise(lit(1.0))
+      when(isnan(l) || isnan(r) || l.isNull || r.isNull, lit(Double.NaN))
+        .when(r =!= 0.0, l / r)
+        .when(l === 0.0, lit(Double.NaN))                       // 0/0
+        .otherwise(zsign * signum(l) * lit(Double.PositiveInfinity))
     }
 
     // shiftleft/shiftright builtins take a literal Int count; generic shift
@@ -271,11 +288,20 @@ object NumpyExpr {
       case _             => throw new IllegalArgumentException("expected 2 arguments")
     }
 
+    // NumPy log semantics: x>0 → log, x==0 (either sign) → -inf,
+    // x<0 → NaN.  Spark's SQL log returns null for x<=0 — a different
+    // lattice, so the edges are made explicit here.
+    def npLog(f: Column => Column)(x: Column): Column =
+      when(isnan(x) || x.isNull, lit(Double.NaN))
+        .when(x === 0.0, lit(Double.NegativeInfinity))
+        .when(x < 0.0, lit(Double.NaN))
+        .otherwise(f(x))
+
     def call(fn: String, args: List[Typed]): Typed = fn match {
-      case "log"     => f1(args)(log(_))
-      case "log10"   => f1(args)(log10(_))
-      case "log2"    => f1(args)(log2(_))
-      case "log1p"   => f1(args)(log1p(_))
+      case "log"     => f1(args)(npLog(log(_)))
+      case "log10"   => f1(args)(npLog(log10(_)))
+      case "log2"    => f1(args)(npLog(log2(_)))
+      case "log1p"   => f1(args)(c => npLog(x => log1p(x - lit(1.0)))(c + lit(1.0)))
       case "exp"     => f1(args)(exp(_))
       case "expm1"   => f1(args)(expm1(_))
       case "exp2"    => f1(args)(pow(lit(2.0), _))
@@ -309,13 +335,24 @@ object NumpyExpr {
       case "radians" | "deg2rad" => f1(args)(radians(_))
       case "power" | "pow" => f2(args)(pow(_, _))
       case "fmod"    => f2(args)((a, b) => a % b)
-      case "minimum" | "fmin" => args match {
-        case a :: b :: Nil => Typed(least(a.col, b.col), numJoin(a.ty, b.ty))
+      // np.minimum/np.maximum PROPAGATE NaN; least/greatest skip
+      // null/NaN (that's np.fmin/np.fmax).  Nulls stand for NumPy's
+      // domain-error NaNs here (SURVEY.md §7.1.1).
+      case "minimum" => args match {
+        case a :: b :: Nil => Typed(nanPropagating(a.col, b.col, least(a.col, b.col)), TyFloat)
         case _ => throw new IllegalArgumentException("minimum expects 2 arguments")
       }
-      case "maximum" | "fmax" => args match {
-        case a :: b :: Nil => Typed(greatest(a.col, b.col), numJoin(a.ty, b.ty))
+      case "maximum" => args match {
+        case a :: b :: Nil => Typed(nanPropagating(a.col, b.col, greatest(a.col, b.col)), TyFloat)
         case _ => throw new IllegalArgumentException("maximum expects 2 arguments")
+      }
+      case "fmin" => args match {
+        case a :: b :: Nil => Typed(least(a.col, b.col), numJoin(a.ty, b.ty))
+        case _ => throw new IllegalArgumentException("fmin expects 2 arguments")
+      }
+      case "fmax" => args match {
+        case a :: b :: Nil => Typed(greatest(a.col, b.col), numJoin(a.ty, b.ty))
+        case _ => throw new IllegalArgumentException("fmax expects 2 arguments")
       }
       case "clip" => args match {
         case x :: lo :: hi :: Nil => Typed(least(greatest(x.col, lo.col), hi.col), numJoin(x.ty, numJoin(lo.ty, hi.ty)))
@@ -355,6 +392,21 @@ object NumpyExpr {
       case a :: b :: Nil => Typed(f(a.col, b.col), TyBool)
       case _             => throw new IllegalArgumentException("expected 2 arguments")
     }
+
+    def nanPropagating(a: Column, b: Column, result: Column): Column =
+      when(a.isNull || b.isNull || isnan(a) || isnan(b), lit(Double.NaN)).otherwise(result)
+
+    // Conjunctive/disjunctive form rather than CASE WHEN: the plain
+    // comparison conjunct remains eligible for parquet filter pushdown
+    // (Spark pushes supported conjuncts of an AND), and SQL's
+    // `null AND false = false` makes the result a *genuine* false for
+    // null operands, so `~` negation behaves like NumPy too.
+    def npCmp(l: Typed, r: Typed, cmp: Column, nanResult: Boolean): Column =
+      if (l.ty == TyFloat || r.ty == TyFloat) {
+        val anyNaN = (if (l.ty == TyFloat) l.col.isNull || isnan(l.col) else lit(false)) ||
+          (if (r.ty == TyFloat) r.col.isNull || isnan(r.col) else lit(false))
+        if (nanResult) cmp || anyNaN else cmp && !anyNaN
+      } else cmp
 
     go(ast)
   }

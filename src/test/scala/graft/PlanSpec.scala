@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.EzFrame
+
+/** Plan-quality gates: these tests pin the *physical plan* properties
+  * that make the engine viable at 100 TB — predicate pushdown into the
+  * parquet scan, column pruning, broadcast joins for small dims, and
+  * whole-stage codegen coverage.  A regression here is a performance
+  * bug even when results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val li = EzFrame.readParquet(spark, s"$sf/lineitem.parquet")
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("translated predicate pushes down to the parquet scan") {
+    val q = li.selectWhere("l_quantity l_extendedprice", "l_discount > 0.05")
+    val plan = planOf(q.df)
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThan(l_discount,0.05)") && pushed.contains("IsNotNull(l_discount)"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("projection prunes the scan schema to referenced columns") {
+    val q = li.selectWhere("l_quantity l_extendedprice", "l_discount > 0.05")
+    val plan = planOf(q.df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_returnflag"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("small dimension joins broadcast; fact side never broadcasts") {
+    val plan = planOf(SparkEntry.queries("q03_join_star")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in star query:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "degenerate nested-loop join present")
+  }
+
+  test("aggregation is partial+final hash agg inside whole-stage codegen") {
+    val df = SparkEntry.queries("q02_agg_pricing")(spark, sf)
+    df.collect() // finalize the AQE plan so codegen stages are visible
+    val plan = planOf(df)
+    assert(plan.contains("*("), s"no whole-stage-codegen stages:\n$plan") // '*(n)' marks codegen
+    assert(plan.contains("partial_sum"), "map-side partial aggregation missing")
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(SparkEntry.queries("q04_sort_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k plan:\n$plan")
+  }
+
+  test("LSH band join is a hash or sort-merge join on a scalar key") {
+    val d = EzFrame.readParquet(spark, s"$sf/documents.parquet").df
+    val plan = planOf(graft.operators.Dedup.minhashLsh(d, col("text"), col("doc_id")))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LSH candidate join degenerated:\n$plan")
+  }
+
+  test("zone search pushes both range predicates into the scan") {
+    val q = li.df
+      .filter(col("l_quantity") >= 10 && col("l_quantity") <= 20)
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(q)
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,10.0)") &&
+      plan.contains("LessThanOrEqual(l_quantity,20.0)"), s"range not pushed:\n$plan")
+  }
+}
+
+class GroupedFnSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.Row
+
+  test("flatMapGroups: arbitrary per-group function over shuffled groups") {
+    val ez = EzFrame(Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "v"))
+    val out = ez.flatMapGroups("k",
+      StructType(Seq(StructField("k", StringType), StructField("span", DoubleType)))) {
+      (key, rows) =>
+        val vs = rows.map(_.getDouble(1)).toSeq
+        Iterator(Row(key.head.toString, vs.max - vs.min))
+    }
+    val m = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m == Map("a" -> 2.0, "b" -> 0.0))
+  }
+
+  test("custom Aggregators: weighted and geometric mean, NaN-aware") {
+    import graft.functions.Aggregators
+    val df = Seq((1.0, 1.0), (3.0, 3.0), (Double.NaN, 5.0)).toDF("x", "w")
+    val r = df.agg(
+      Aggregators.weightedMean(col("x"), col("w")).as("wm"),
+      Aggregators.geometricMean(col("x")).as("gm")).collect().head
+    assert(math.abs(r.getDouble(0) - 2.5) < 1e-12) // (1*1 + 3*3) / 4
+    assert(math.abs(r.getDouble(1) - math.sqrt(3.0)) < 1e-12)
+  }
+
+  test("elementwise lifts a scalar function (UDF escape hatch)") {
+    import graft.functions.Aggregators
+    val f = Aggregators.elementwise((s: String) => s.length)
+    val n = Seq("abc", "de").toDF("s").select(f(col("s")).as("n"))
+      .collect().map(_.getInt(0))
+    assert(n.toSeq == Seq(3, 2))
+  }
+}
