@@ -384,6 +384,37 @@ object SparkEntry {
       Dedup.ngramJaccard(cands.select("id_a", "id_b"), d, col("doc_id"), col("text"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
     }),
+
+    // §2.8 degrees -> sexagesimal string (inverse of q16)
+    "q41_deg2hms" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val deg = ((col("l_orderkey") % 24).cast(DoubleType)
+        + (col("l_partkey") % 60).cast(DoubleType) / 60.0
+        + (col("l_suppkey") % 60).cast(DoubleType) / 3600.0) * 15.0
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        round(deg, 6).as("deg"), Astro.deg2hms(deg).as("hms"))
+    }),
+
+    // §2.4 per-variable weighted histograms over one shared grid
+    // (ezdata/xarray.py:99–165 xr_histogram_df)
+    "q42_weighted_hist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      Binned.denseCube(li,
+        Seq(Binned.Axis("x", col("l_extendedprice"), 0.0, 100000.0, 20)),
+        Seq(count(lit(1)).as("cnt"),
+          sum(dec2(col("l_quantity"))).as("w_quantity"),
+          sum(dec2(col("l_extendedprice"))).as("w_price")),
+        fill = Map("cnt" -> 0L))
+        .select(col("x_bin").as("bin"), col("cnt"), col("w_quantity"), col("w_price"))
+    }),
+
+    // §2.10 custom Aggregator (weighted mean UDAF) in a grouped query
+    "q43_weighted_mean" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      li.groupBy(col("l_returnflag"))
+        .agg(round(graft.functions.Aggregators.weightedMean(
+          col("l_extendedprice"), col("l_quantity")), 3).as("wm_price"))
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -647,5 +678,35 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INT) AS ship_year,
         |count(*) AS n, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
         |FROM lineitem GROUP BY 1, 2, 3""".stripMargin.replace("\n", " "),
+
+    "q41_deg2hms" ->
+      """WITH c AS (SELECT l_orderkey, l_linenumber,
+        |(CAST(l_orderkey % 24 AS DOUBLE) + CAST(l_partkey % 60 AS DOUBLE) / 60.0
+        |+ CAST(l_suppkey % 60 AS DOUBLE) / 3600.0) * 15.0 AS deg FROM lineitem),
+        |m AS (SELECT l_orderkey, l_linenumber, deg, abs(deg) / 15.0 AS hours FROM c),
+        |n AS (SELECT *, floor(hours) AS h FROM m),
+        |o AS (SELECT *, floor((hours - h) * 60.0) AS mi FROM n)
+        |SELECT l_orderkey, l_linenumber, round(deg, 6) AS deg,
+        |CASE WHEN deg < 0 THEN '-' ELSE '' END ||
+        |lpad(CAST(CAST(h AS INT) AS VARCHAR), 2, '0') || ':' ||
+        |lpad(CAST(CAST(mi AS INT) AS VARCHAR), 2, '0') || ':' ||
+        |lpad(printf('%.2f', ((hours - h) * 60.0 - mi) * 60.0), 5, '0') AS hms
+        |FROM o""".stripMargin.replace("\n", " "),
+
+    "q42_weighted_hist" ->
+      """WITH h AS (SELECT CASE WHEN l_extendedprice = 100000 THEN 19
+        |ELSE CAST(floor(l_extendedprice / 5000.0) AS BIGINT) END AS bin,
+        |count(*) AS cnt,
+        |sum(CAST(l_quantity AS DECIMAL(18,2))) AS w_quantity,
+        |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w_price
+        |FROM lineitem WHERE l_extendedprice >= 0 AND l_extendedprice <= 100000 GROUP BY 1),
+        |g AS (SELECT range AS bin FROM range(0, 20))
+        |SELECT g.bin AS bin, COALESCE(h.cnt, 0) AS cnt, h.w_quantity AS w_quantity, h.w_price AS w_price
+        |FROM g LEFT JOIN h ON g.bin = h.bin""".stripMargin.replace("\n", " "),
+
+    "q43_weighted_mean" ->
+      """SELECT l_returnflag,
+        |round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 3) AS wm_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin.replace("\n", " "),
   )
 }
