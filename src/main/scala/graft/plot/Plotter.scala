@@ -191,7 +191,44 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
   /** Every variable against one key (ezdata/plotter.py:1025–1057). */
   def allAgainst(key: String, maxPoints: Int = 2000): Seq[(String, PlotSpec)] =
     ez.columns.filter(_ != ez.resolveAlias(key)).map(v => v -> scatter(key, v, maxPoints = maxPoints))
+
+  /** PairGrid (ezdata/plotter.py:1256–1612): pairwise panel matrix —
+    * histograms on the diagonal, 2-D density above/below.  Each cell
+    * is an independent aggregation; all stay cluster-side. */
+  def pairGrid(columns: Seq[String], bins: Int = 20): Seq[((String, String), PlotSpec)] =
+    for (cx <- columns; cy <- columns) yield {
+      val spec =
+        if (cx == cy) hist(cx, bins)
+        else hist2d(cx, cy, bins)
+      (cx, cy) -> spec
+    }
+
+  /** CornerPlot (ezdata/plotter.py:1615–1711): lower-triangle 2-D
+    * histograms, diagonal 1-D histograms, and the 16/50/84 percentile
+    * annotations of the reference (plotter.py:1685–1701). */
+  def corner(columns: Seq[String], bins: Int = 20): CornerSpec = {
+    val panels = for {
+      (cy, iy) <- columns.zipWithIndex
+      (cx, ix) <- columns.zipWithIndex
+      if ix <= iy
+    } yield (cx, cy) -> (if (ix == iy) hist(cx, bins) else hist2d(cx, cy, bins))
+    val quantiles = columns.map { c =>
+      val cc = ez.get(c).cast("double")
+      val r = ez.df.agg(
+        percentile_approx(cc, lit(0.16), lit(10000)),
+        percentile_approx(cc, lit(0.5), lit(10000)),
+        percentile_approx(cc, lit(0.84), lit(10000))).collect().head
+      c -> (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    CornerSpec(panels, quantiles.toMap)
+  }
 }
+
+/** Corner-plot bundle: triangular panel set + per-variable
+  * (p16, p50, p84) annotations. */
+final case class CornerSpec(
+    panels: Seq[((String, String), PlotSpec)],
+    quantiles: Map[String, (Double, Double, Double)])
 
 /** A set of labeled sub-plotters: facet iteration with cycled labels
   * (ezdata/plotter.py:130–353 Group + looper dispatch 390–523). */

@@ -71,4 +71,32 @@ class PlotterSpec extends SparkSpec {
     val specs = p.allAgainst("x")
     assert(specs.map(_._1).toSet == Set("y", "g"))
   }
+
+  test("pairGrid builds the full panel matrix") {
+    val grid = p.pairGrid(Seq("x", "y"), bins = 4)
+    assert(grid.size == 4)
+    val byKey = grid.toMap
+    assert(byKey(("x", "x")).mark == "bar")   // diagonal: 1-D hist
+    assert(byKey(("x", "y")).mark == "rect")  // off-diagonal: 2-D hist
+  }
+
+  test("corner: lower triangle + diagonal + quantile annotations") {
+    val c = p.corner(Seq("x", "y"), bins = 4)
+    assert(c.panels.map(_._1).toSet == Set(("x", "x"), ("x", "y"), ("y", "y")))
+    val (p16, p50, p84) = c.quantiles("x")
+    assert(p16 <= p50 && p50 <= p84)
+    assert(p50 == 3.0)
+  }
+
+  test("raster supports count_cat-style categorical aggregation") {
+    val r = graft.operators.Binned.cube(df,
+      Seq(graft.operators.Binned.Axis("px", col("x"), 0.0, 5.0, 2)),
+      Seq(count(lit(1)).as("n")))
+    assert(r.count() == 2)
+    // categorical dimension = extra group key (ezdata count_cat)
+    val rc = df.groupBy(
+        graft.operators.Binned.Axis("px", col("x"), 0.0, 5.0, 2).bucket.as("px_bin"), col("g"))
+      .count()
+    assert(rc.count() == 2) // cells (0,a) and (1,b); x=5 upper edge joins bin 1
+  }
 }
