@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out primitives: skew-aware aggregation and bucketed
+  * co-located joins.  These address the two classic 100 TB failure
+  * modes — a hot group key that lands one reducer with most of the
+  * data, and repeated shuffles of a large fact table joined on the
+  * same key (SURVEY.md §7.2 M6 posture).
+  */
+object Scale {
+
+  /** Two-phase salted aggregation for skewed group keys.  Phase 1
+    * groups by (keys, salt) so a hot key's rows spread over `salt`
+    * reducers; phase 2 merges the partials.  Caller supplies the
+    * partial aggregates and the matching merge aggregates — algebraic
+    * functions (sum/count/min/max) compose exactly.
+    *
+    * AQE's skew-join handling covers joins; this covers groupBy,
+    * which AQE does not rebalance.
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[Column], salt: Int,
+                      partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    val keyNames = df.select(keys: _*).columns.toSeq // output names of the key exprs
+    val salted = df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val phase1 = salted
+      .groupBy(keys :+ col("_salt"): _*)
+      .agg(partials.head, partials.tail: _*)
+    phase1
+      .groupBy(keyNames.map(phase1.col): _*) // phase-1 output carries the aliased key names
+      .agg(merges.head, merges.tail: _*)
+      .drop("_salt")
+  }
+
+  /** Convenience: salted count + sum over one key. */
+  def saltedCountSum(df: DataFrame, key: Column, value: Column, salt: Int = 16): DataFrame =
+    saltedAggregate(df, Seq(key.as("key")), salt,
+      partials = Seq(count(lit(1)).as("_n"), sum(value).as("_s")),
+      merges = Seq(sum(col("_n")).as("n"), sum(col("_s")).as("s")))
+
+  /** Write a table bucketed+sorted by join keys so subsequent equi
+    * joins on those keys are exchange-free (co-located).  Bucket count
+    * should match the expected parallelism of the join at target
+    * scale; both sides must agree. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** True when the executed plan of `df` contains no shuffle exchange —
+    * the co-location check for bucketed joins. */
+  def isExchangeFree(df: DataFrame): Boolean = {
+    df.collect() // finalize AQE
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation matches plain aggregation on a skewed key") {
+    // one hot key with 90% of rows
+    val df = spark.range(10000)
+      .select(when(col("id") % 10 === 0, col("id") % 7).otherwise(lit(999L)).as("k"),
+        (col("id") % 100).cast("double").as("v"))
+    val salted = Scale.saltedCountSum(df, col("k"), col("v"), salt = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val plain = df.groupBy(col("k")).agg(count(lit(1)), sum(col("v")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted == plain)
+    assert(salted(999L)._1 == 9000L)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      Scale.writeBucketed(li, "li_b", Seq("l_orderkey"), 4)
+      Scale.writeBucketed(o, "o_b", Seq("o_orderkey"), 4)
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy().count()
+      assert(Scale.isExchangeFree(
+        spark.table("li_b").join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))),
+        "bucketed join still shuffles")
+      assert(joined.collect().head.getLong(0) == 6000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
+  test("multi-file glob scan unions transparently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_glob").toString
+    spark.range(10).write.parquet(s"$dir/part1.parquet")
+    spark.range(5).write.parquet(s"$dir/part2.parquet")
+    val n = spark.read.parquet(s"$dir/part*.parquet").count()
+    assert(n == 15L)
+  }
+}
