@@ -100,6 +100,31 @@ object Astro {
     (degrees(xr), degrees(yr))
   }
 
+  /** Combined astro selection (ezdata/simpletable.py:3139–3224
+    * `AstroTable.where/selectWhere`): conjunction of an optional
+    * NumPy-expression predicate, an optional cone, and an optional
+    * zone, with the cone separation carried as a column (the
+    * reference's "blobs", simpletable.py:3216).  One filter → one
+    * scan; all three predicates push toward the source together. */
+  def combinedWhere(ez: graft.core.EzFrame, raCol: String, decCol: String,
+                    condition: Option[String] = None,
+                    cone: Option[(Double, Double, Double)] = None,
+                    zone: Option[(Double, Double, Double, Double)] = None): graft.core.EzFrame = {
+    val ra = ez.get(raCol); val dec = ez.get(decCol)
+    val preds = Seq(
+      condition.map(c => ez.evalexpr(c)),
+      cone.map { case (ra0, dec0, r) => coneSearch(ra, dec, ra0, dec0, r) },
+      zone.map { case (rmin, rmax, dmin, dmax) => zoneSearch(ra, dec, rmin, rmax, dmin, dmax) }
+    ).flatten
+    val filtered = if (preds.isEmpty) ez.df else ez.df.filter(preds.reduce(_ && _))
+    val withSep = cone match {
+      case Some((ra0, dec0, _)) =>
+        filtered.withColumn("separation", sphdist(ra, dec, lit(ra0), lit(dec0)))
+      case None => filtered
+    }
+    graft.core.EzFrame(withSep, ez.meta)
+  }
+
   /** Gaia source_id → healpix cell at a coarser level via integer
     * division (ezdata/astro/astro.py:53–79): level-12 cells are
     * source_id / 34359738368; each step up divides by 4. */

@@ -17,6 +17,14 @@ object Dedup {
     df.groupBy(md5(text.cast(BinaryType)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("keep_id"))
 
+  /** The deduplicated corpus itself: keeps exactly the winner row of
+    * each content group (semi join against the winners — no row data
+    * moves through the aggregation). */
+  def deduplicated(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val winners = exact(df, text, id).select(col("keep_id"))
+    df.join(winners, id === col("keep_id"), "left_semi")
+  }
+
   /** Exact near-dup on normalized text (case/punct-insensitive). */
   def exactNormalized(df: DataFrame, text: Column, id: Column): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(text).as("content_hash"))

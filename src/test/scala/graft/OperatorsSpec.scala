@@ -51,6 +51,9 @@ class DedupSpec extends SparkSpec {
     val dup = d.filter(col("n_copies") > 1).collect()
     assert(dup.length == 1 && dup.head.getAs[Long]("keep_id") == 1L)
     assert(d.count() == 4)
+    val kept = Dedup.deduplicated(docs, col("text"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L)) // doc 2 (copy of 1) dropped
   }
 
   test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
@@ -191,6 +194,32 @@ class AstroSpec extends SparkSpec {
     val df = Seq(34359738368L * 7 + 123L).toDF("source_id")
     val cell = df.select(Astro.gaiaHealpix(col("source_id"), 12).as("c")).collect().head.getLong(0)
     assert(cell == 7L)
+  }
+
+  test("deg2hms/deg2dms format and invert") {
+    val df = Seq(157.5, -78.875).toDF("deg")
+    val hms = df.select(Astro.deg2hms(col("deg")).as("s")).collect().map(_.getString(0))
+    assert(hms(0) == "10:30:00.00")
+    assert(hms(1) == "-05:15:30.00")
+    val dms = df.select(Astro.deg2dms(col("deg")).as("s")).collect().map(_.getString(0))
+    assert(dms(1) == "-78:52:30.00")
+    // round trip through the parser
+    val rt = df.select(Astro.hms2deg(Astro.deg2hms(col("deg"))).as("d")).collect().map(_.getDouble(0))
+    assert(math.abs(rt(0) - 157.5) < 1e-6 && math.abs(rt(1) + 78.875) < 1e-6)
+  }
+
+  test("combined astro where: predicate AND cone AND zone with separation column") {
+    val ez = graft.core.EzFrame(Seq(
+      (10.0, 0.0, 1.0), (12.0, 1.0, 5.0), (50.0, 0.0, 1.0), (10.5, 0.5, 0.5))
+      .toDF("ra", "dec", "mag"))
+    val out = Astro.combinedWhere(ez, "ra", "dec",
+      condition = Some("mag < 2"),
+      cone = Some((10.0, 0.0, 5.0)),
+      zone = Some((0.0, 20.0, -10.0, 10.0)))
+    val rows = out.df.orderBy("ra").collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(10.0, 10.5)) // 12.0 fails mag, 50.0 fails cone+zone
+    assert(out.columns.contains("separation"))
+    assert(rows.head.getAs[Double]("separation") == 0.0)
   }
 
   test("aitoff projection stays in bounds and maps origin to origin") {
