@@ -87,10 +87,13 @@ object Dedup {
         xxhash64(((0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
           :+ lit(b)): _*)
       }: _*)).as("band_key"))
-    val a = banded.select(col("band_key"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band_key"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_key"))
-      .filter(col("id_a") < col("id_b"))
+    // true self-join (identical projections on both sides) so the
+    // shuffle below the join canonicalizes equal and ReusedExchange
+    // computes the whole signature pipeline once, not twice
+    banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
           .cast(DoubleType) / lit(bands * rowsPerBand), 6))
