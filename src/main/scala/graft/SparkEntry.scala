@@ -415,6 +415,35 @@ object SparkEntry {
         .agg(round(graft.functions.Aggregators.weightedMean(
           col("l_extendedprice"), col("l_quantity")), 3).as("wm_price"))
     }),
+
+    // §2.4 datashader `mode` reduction
+    "q44_mode" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      li.groupBy(col("l_returnflag"))
+        .agg(expr("mode(l_linestatus)").as("mode_status"), count(lit(1)).as("n"))
+    }),
+
+    // §2.4 rollup (hierarchical grouping-sets extension)
+    "q45_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("l_extendedprice"))).as("sum_price"))
+    }),
+
+    // §2.9 sliding windows (batch equivalent; 2h width, 1h slide)
+    "q46_events_sliding" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"))
+    }),
+
+    // M6 IVF coarse quantization: nearest-centroid assignment
+    "q47_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      val cents = e.filter(col("vec_id") < 16)
+      Similarity.ivfAssign(e, cents, "vec_id", "embedding")
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -708,5 +737,28 @@ object SparkEntry {
       """SELECT l_returnflag,
         |round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 3) AS wm_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "q44_mode" ->
+      "SELECT l_returnflag, mode(l_linestatus) AS mode_status, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+
+    "q45_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin.replace("\n", " "),
+
+    "q46_events_sliding" ->
+      """SELECT date_trunc('hour', ts) - off * INTERVAL 1 HOUR AS ws, event_type, count(*) AS n
+        |FROM events CROSS JOIN (SELECT 0 AS off UNION ALL SELECT 1) offs
+        |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+
+    "q47_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        |FROM embeddings WHERE vec_id < 16),
+        |s AS (SELECT e.vec_id AS vid, c.centroid_id,
+        |list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist,
+        |row_number() OVER (PARTITION BY e.vec_id
+        |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.centroid_id) AS rn
+        |FROM embeddings e, c)
+        |SELECT vid, centroid_id, round(dist, 6) AS dist FROM s WHERE rn = 1""".stripMargin.replace("\n", " "),
   )
 }

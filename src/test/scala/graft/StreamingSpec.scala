@@ -64,6 +64,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream end to end: parquet dir -> windowed agg -> sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val batch = Seq((ts(1), "a", 1.0), (ts(5), "a", 2.0), (ts(16), "b", 5.0))
+      .toDF("ts", "event_type", "value")
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val agg = EventStreams.tumbling(stream, "ts", "10 minutes", "15 minutes",
+      Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("file_stream_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val rows = spark.table("file_stream_test").collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == 3L)
+    } finally q.stop()
+  }
+
   test("same builder serves batch backfill (stream/batch unification)") {
     val batch = Seq((ts(1), "a", 1.0), (ts(20), "a", 2.0)).toDF("ts", "event_type", "value")
     val out = EventStreams.tumbling(batch, "ts", "10 minutes", "15 minutes",
