@@ -284,6 +284,24 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
     withDf(df.select(cols.toSeq: _*))
   }
 
+  /** 1-row append (ezdata/simpletable.py:2631–2647) — supported for
+    * parity; a hot loop of these is an anti-pattern on Spark (each is
+    * a union of a 1-row frame). */
+  def appendRow(values: Any*): EzFrame = {
+    require(values.length == columns.length, s"expected ${columns.length} values")
+    val row = org.apache.spark.sql.Row(values: _*)
+    val one = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), schema)
+    withDf(df.unionByName(one))
+  }
+
+  /** Conversions out (ezdata/simpletable.py:1774–1960 to_records/
+    * to_dict): driver-side materialization — only for small results. */
+  def toRecords(limit: Int = 100000): Seq[Map[String, Any]] = {
+    val cols = columns
+    df.limit(limit).collect().toSeq.map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+  }
+
   def count(): Long = df.count()
   def show(n: Int = 10): Unit = df.show(n)
 }

@@ -84,4 +84,11 @@ class EzFrameSpec extends SparkSpec {
     val df = Seq(1.0, Double.NaN).toDF("v")
     assert(EzFrame(df).nanToNull().df.filter(col("v").isNull).count() == 1)
   }
+
+  test("appendRow and toRecords parity surfaces") {
+    val ez = EzFrame(Seq((1L, "a")).toDF("id", "tag")).appendRow(2L, "b")
+    assert(ez.count() == 2)
+    val recs = ez.sort("id").toRecords()
+    assert(recs == Seq(Map("id" -> 1L, "tag" -> "a"), Map("id" -> 2L, "tag" -> "b")))
+  }
 }
