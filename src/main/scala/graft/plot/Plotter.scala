@@ -32,6 +32,39 @@ final case class PlotSpec(
     case other => jsonValue(other.toString)
   }
 
+  /** Normalization transforms applied to an aggregated grid's value
+    * field (ezdata/matplotlib/norm.py:6–148: HistEq, Arcsinh, Sqrt,
+    * Power, Midpoint).  Operates on the already-small collected data —
+    * exactly where the reference applies them. */
+  def normalized(field: String, norm: String, power: Double = 2.0): PlotSpec = {
+    def num(v: Any): Double = v match {
+      case null => Double.NaN
+      case n: Number => n.doubleValue()
+      case other => other.toString.toDouble
+    }
+    val values = data.map(r => num(r(field))).filterNot(_.isNaN)
+    val transform: Double => Double = norm match {
+      case "log" => v => math.log10(math.max(v, 1e-12))
+      case "sqrt" => math.sqrt
+      case "arcsinh" => v => math.log(v + math.sqrt(v * v + 1))
+      case "power" => v => math.pow(v, power)
+      case "histeq" => // CDF-rank equalization
+        val sorted = values.sorted
+        v => {
+          val idx = sorted.search(v)(Ordering.Double.TotalOrdering) match {
+            case scala.collection.Searching.Found(i) => i
+            case scala.collection.Searching.InsertionPoint(i) => i
+          }
+          if (sorted.isEmpty) 0.0 else idx.toDouble / sorted.length
+        }
+      case other => throw new IllegalArgumentException(s"unknown norm '$other'")
+    }
+    copy(data = data.map { r =>
+      val v = num(r(field))
+      r + (field -> (if (v.isNaN) null else transform(v)))
+    })
+  }
+
   def toVegaLite: String = {
     val values = data.map(row =>
       row.map { case (k, v) => jsonValue(k) + ": " + jsonValue(v) }.mkString("{", ", ", "}"))
