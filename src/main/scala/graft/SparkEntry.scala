@@ -444,6 +444,18 @@ object SparkEntry {
       val cents = e.filter(col("vec_id") < 16)
       Similarity.ivfAssign(e, cents, "vec_id", "embedding")
     }),
+
+    // M6 BPE-ish subword token counting
+    "q48_bpe_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      d.select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+    }),
+
+    // M6 embedding-cosine near-dup candidate pairs (LSH path; rows-only)
+    "q49_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      Dedup.embeddingNearDup(e, "vec_id", "embedding", threshold = 0.2, planes = 5)
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -760,5 +772,10 @@ object SparkEntry {
         |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv), c.centroid_id) AS rn
         |FROM embeddings e, c)
         |SELECT vid, centroid_id, round(dist, 6) AS dist FROM s WHERE rn = 1""".stripMargin.replace("\n", " "),
+
+    "q48_bpe_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
+        |' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin.replace("\n", " "),
   )
 }

@@ -124,6 +124,16 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Embedding-cosine near-duplicate pairs: vectors whose cosine
+    * similarity ≥ threshold.  Scale path is LSH-bucketed (only
+    * intra-bucket pairs scored); exact brute force is available via
+    * [[Similarity.bruteForceTopK]] for verification. */
+  def embeddingNearDup(corpus: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double = 0.95, planes: Int = 6): DataFrame =
+    Similarity.lshTopK(corpus, idCol, vecCol, k = 20, planes = planes)
+      .filter(col("cos_sim") >= threshold && col("probe_id") < col("corpus_id"))
+      .select(col("probe_id").as("id_a"), col("corpus_id").as("id_b"), col("cos_sim"))
+
   /** N-gram Jaccard similarity for a candidate pair set: exact set
     * overlap of (hashed) character shingles.  Meant to *verify* LSH
     * candidates, not to run all-pairs.  Shingle sets are built from

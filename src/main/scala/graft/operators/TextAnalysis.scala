@@ -23,6 +23,13 @@ object TextAnalysis {
     when(length(text) === 0, lit(0L))
       .otherwise(countOccurrences(text, " ") + 1L)
 
+  /** BPE-ish subword-boundary token count: runs of letters, runs of
+    * digits, runs of other symbols (each optionally space-prefixed) —
+    * the GPT-2 pre-tokenizer shape reduced to a dialect-portable
+    * regex.  Counts merge units, not whitespace tokens. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0))).cast(LongType)
+
   /** Average token length in characters. */
   def avgTokenLength(text: Column): Column =
     (length(replace(text, lit(" "), lit(""))).cast(DoubleType) /
