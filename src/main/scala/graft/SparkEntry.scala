@@ -599,8 +599,8 @@ object SparkEntry {
         |/ CAST(greatest(CASE WHEN length(text) = 0 THEN 0
         |ELSE CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1 END, 1) AS DOUBLE), 6) AS stop_ratio,
         |round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |/ CAST(CASE WHEN length(text) = 0 THEN 0
-        |ELSE CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1 END AS DOUBLE), 6) AS avg_token_len
+        |/ CAST(greatest(CASE WHEN length(text) = 0 THEN 0
+        |ELSE CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1 END, 1) AS DOUBLE), 6) AS avg_token_len
         |FROM documents""".stripMargin.replace("\n", " "),
 
     "q20_langid" -> {

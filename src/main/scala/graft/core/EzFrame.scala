@@ -172,17 +172,20 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
     val rk = Option(rightOn).getOrElse(on)
     require(lk != null && rk != null, "join requires `on` or both leftOn/rightOn")
     val overlap = df.columns.toSet.intersect(other.df.columns.toSet)
-    val (l, r) = {
-      val lRenamed = overlap.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + lsuffix))
-      val rRenamed = overlap.foldLeft(other.df)((d, c) => d.withColumnRenamed(c, c + rsuffix))
-      (new EzFrame(lRenamed, meta), new EzFrame(rRenamed, other.meta))
-    }
-    def keyOf(f: EzFrame, k: String, suffix: String): Column = {
-      val k2 = if (overlap.contains(k)) k + suffix else k
-      if (f.df.columns.contains(k2)) f.df.col(k2) else f.evalexpr(k2)
-    }
-    val cond = keyOf(l, lk, lsuffix) === keyOf(r, rk, rsuffix)
-    val joined = l.df.join(r.df, cond, how)
+    // Expression keys are evaluated against the ORIGINAL column names
+    // (before suffix renaming), matching the reference where the key
+    // expression is evalexpr'ed on each side (simpletable.py:2507).
+    val keyCol = "_graft_join_key"
+    def withKey(f: EzFrame, k: String): DataFrame =
+      if (f.df.columns.contains(f.resolveAlias(k))) f.df.withColumn(keyCol, f.df.col(f.resolveAlias(k)))
+      else f.df.withColumn(keyCol, f.evalexpr(k))
+    val lKeyed = withKey(this, lk)
+    val rKeyed = withKey(other, rk)
+    val lRenamed = overlap.foldLeft(lKeyed)((d, c) => d.withColumnRenamed(c, c + lsuffix))
+    val rRenamed = overlap.foldLeft(rKeyed)((d, c) => d.withColumnRenamed(c, c + rsuffix))
+    val joined = lRenamed.alias("l")
+      .join(rRenamed.alias("r"), col(s"l.$keyCol") === col(s"r.$keyCol"), how)
+      .drop(keyCol)
     new EzFrame(joined, EzMeta(
       header = meta.header ++ other.meta.header,
       units = meta.units ++ other.meta.units,
@@ -229,24 +232,34 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
         case _ => false
       }
     }
-    val rows = numeric.map { k =>
+    // ONE scan: every column's aggregates computed in a single agg job,
+    // then the 1-row result unpivoted with stack().  The per-column
+    // agg-then-union alternative re-scans the input once per column —
+    // untenable at large inputs.
+    val statNames = Seq("mean", "std", "min", "max", "has_nan") ++
+      (if (extended) Seq("variance", "p16", "p50", "p84") else Seq.empty)
+    val aggExprs = numeric.flatMap { k =>
       val c0 = df.col(k).cast(DoubleType)
       val c = when(isnan(c0), lit(null)).otherwise(c0) // NaN -> null normalization
-      val base = Seq(
-        lit(k).as("column"),
-        avg(c).as("mean"),
-        stddev_samp(c).as("std"),
-        min(c).as("min"),
-        max(c).as("max"),
-        max(isnan(c0) || c0.isNull).as("has_nan"))
-      val ext = if (extended) Seq(
-        var_samp(c).as("variance"),
-        percentile_approx(c, lit(0.16), lit(10000)).as("p16"),
-        percentile_approx(c, lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(c, lit(0.84), lit(10000)).as("p84")) else Seq.empty
-      df.agg(base.head, (base.tail ++ ext): _*)
+      Seq(
+        avg(c).as(s"${k}__mean"),
+        stddev_samp(c).as(s"${k}__std"),
+        min(c).as(s"${k}__min"),
+        max(c).as(s"${k}__max"),
+        max(isnan(c0) || c0.isNull).cast(DoubleType).as(s"${k}__has_nan")) ++
+        (if (extended) Seq(
+          var_samp(c).as(s"${k}__variance"),
+          percentile_approx(c, lit(0.16), lit(10000)).as(s"${k}__p16"),
+          percentile_approx(c, lit(0.5), lit(10000)).as(s"${k}__p50"),
+          percentile_approx(c, lit(0.84), lit(10000)).as(s"${k}__p84")) else Seq.empty)
     }
-    rows.reduce(_.unionByName(_))
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val stackArgs = numeric.map { k =>
+      (s"'$k'" +: statNames.map(s => s"`${k}__$s`")).mkString(", ")
+    }.mkString(", ")
+    one.selectExpr(
+        s"stack(${numeric.length}, $stackArgs) as (column, ${statNames.mkString(", ")})")
+      .withColumn("has_nan", col("has_nan") === 1.0)
   }
 
   def groupby(keysStr: String): org.apache.spark.sql.RelationalGroupedDataset =
@@ -310,10 +323,11 @@ object EzFrame {
   def apply(df: DataFrame): EzFrame = new EzFrame(df, EzMeta())
   def apply(df: DataFrame, meta: EzMeta): EzFrame = new EzFrame(df, meta)
 
-  private val TableMetaKey = "ez_table_meta"
+  private val HeaderMetaKey = "ez_header"
+  private val AliasMetaKey = "ez_aliases"
 
   /** Read Parquet, recovering units/descriptions from StructField
-    * metadata and header/aliases from the stashed table-meta JSON
+    * metadata and header/aliases from their stashed blocks
     * (see [[EzFrame.writeParquet]]). */
   def readParquet(spark: SparkSession, path: String): EzFrame = {
     val df = spark.read.parquet(path)
@@ -323,16 +337,19 @@ object EzFrame {
         meta = meta.copy(units = meta.units + (f.name -> f.metadata.getString("unit")))
       if (f.metadata.contains("description"))
         meta = meta.copy(comments = meta.comments + (f.name -> f.metadata.getString("description")))
-      if (f.metadata.contains(TableMetaKey)) {
-        // "k\tv\nk2\tv2" header block + "a=target" alias lines, see writeParquet
-        val Array(hdr, al) = (f.metadata.getString(TableMetaKey).split(" ", 2) ++ Array("", "")).take(2)
-        val header = hdr.split("\n").filter(_.contains("\t")).map { l =>
+      // header and aliases live under separate keys: values may contain
+      // spaces, so no in-band separator is safe within one blob
+      if (f.metadata.contains(HeaderMetaKey)) {
+        val header = f.metadata.getString(HeaderMetaKey).split("\n").filter(_.contains("\t")).map { l =>
           val Array(k, v) = l.split("\t", 2); k -> v
         }
-        val aliases = al.split("\n").filter(_.contains("=")).map { l =>
+        meta = meta.copy(header = ListMap(header.toSeq: _*))
+      }
+      if (f.metadata.contains(AliasMetaKey)) {
+        val aliases = f.metadata.getString(AliasMetaKey).split("\n").filter(_.contains("=")).map { l =>
           val Array(a, t) = l.split("=", 2); a -> t
         }
-        meta = meta.copy(header = ListMap(header.toSeq: _*), aliases = aliases.toMap)
+        meta = meta.copy(aliases = aliases.toMap)
       }
     }
     new EzFrame(df, meta.pruneFor(df.columns.toSeq))
@@ -340,7 +357,7 @@ object EzFrame {
 
   /** Write Parquet with metadata embedded in the schema: per-column
     * unit/description in each StructField, table header + alias map in
-    * the first field under [[TableMetaKey]] (Parquet persists field
+    * the first field under dedicated keys (Parquet persists field
     * metadata in its own footer schema JSON). */
   def writeParquet(ez: EzFrame, path: String): Unit = {
     import org.apache.spark.sql.types.MetadataBuilder
@@ -348,10 +365,13 @@ object EzFrame {
       val mb = new MetadataBuilder().withMetadata(f.metadata)
       ez.meta.units.get(f.name).foreach(mb.putString("unit", _))
       ez.meta.comments.get(f.name).foreach(mb.putString("description", _))
-      if (i == 0 && (ez.meta.header.nonEmpty || ez.meta.aliases.nonEmpty)) {
-        val hdr = ez.meta.header.map { case (k, v) => s"$k\t$v" }.mkString("\n")
-        val al = ez.meta.aliases.map { case (a, t) => s"$a=$t" }.mkString("\n")
-        mb.putString(TableMetaKey, hdr + " " + al)
+      if (i == 0) {
+        if (ez.meta.header.nonEmpty)
+          mb.putString(HeaderMetaKey,
+            ez.meta.header.map { case (k, v) => s"$k\t$v" }.mkString("\n"))
+        if (ez.meta.aliases.nonEmpty)
+          mb.putString(AliasMetaKey,
+            ez.meta.aliases.map { case (a, t) => s"$a=$t" }.mkString("\n"))
       }
       ez.df.col(f.name).as(f.name, mb.build())
     }

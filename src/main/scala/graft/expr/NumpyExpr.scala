@@ -210,9 +210,13 @@ object NumpyExpr {
         else Typed(lit(t.toLong), TyInt)
       case StrLit(s) => Typed(lit(s), TyStr)
       case Id(name) =>
-        constants.get(name)
-          .orElse(vars.get(name).map(litOf))
+        // Resolution order mirrors the reference's eval namespaces
+        // (simpletable.py:2744: locals = columns updated with exprvars,
+        // globals = numpy): exprvars > columns > constants.  A column
+        // named `e` or `pi` must win over the math constant.
+        vars.get(name).map(litOf)
           .orElse(resolve(name))
+          .orElse(constants.get(name))
           .getOrElse(throw new IllegalArgumentException(s"unknown identifier '$name'"))
       case Un("-", x)   => val t = go(x); Typed(negate(t.col), if (t.ty == TyBool) TyInt else t.ty)
       case Un("~", x)   =>

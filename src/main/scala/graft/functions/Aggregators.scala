@@ -27,9 +27,14 @@ object Aggregators {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  /** Column form: `weighted_mean(x, w)` usable in any groupBy.agg. */
+  /** Column form: `weighted_mean(x, w)` usable in any groupBy.agg.
+    * Nulls coalesce to NaN *before* the UDAF: the buffer encoder is a
+    * primitive tuple, so a raw null row would fail deserialization
+    * instead of being skipped like the NaN it stands for. */
   def weightedMean(x: Column, w: Column): Column =
-    udaf(WeightedMean).apply(x.cast("double"), w.cast("double"))
+    udaf(WeightedMean).apply(
+      org.apache.spark.sql.functions.coalesce(x.cast("double"), org.apache.spark.sql.functions.lit(Double.NaN)),
+      org.apache.spark.sql.functions.coalesce(w.cast("double"), org.apache.spark.sql.functions.lit(Double.NaN)))
 
   /** Streaming-friendly geometric mean (log-space sum). */
   object GeometricMean extends Aggregator[Double, (Double, Long), Double] {
@@ -42,7 +47,8 @@ object Aggregators {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  def geometricMean(x: Column): Column = udaf(GeometricMean).apply(x.cast("double"))
+  def geometricMean(x: Column): Column = udaf(GeometricMean).apply(
+    org.apache.spark.sql.functions.coalesce(x.cast("double"), org.apache.spark.sql.functions.lit(Double.NaN)))
 
   /** The reference's `elementwise` decorator (ezdata/simpletable.py:
     * 1089–1101): lift a scalar function to a column function.  This is

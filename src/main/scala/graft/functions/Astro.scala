@@ -130,8 +130,10 @@ object Astro {
     * source_id / 34359738368; each step up divides by 4. */
   def gaiaHealpix(sourceId: Column, level: Int = 12): Column = {
     require(level >= 0 && level <= 12, "gaia healpix level in [0, 12]")
-    val divisor = 34359738368L * (1L << (2 * (12 - level)))
-    (sourceId / lit(divisor)).cast(LongType)
+    // divisor = 2^35 * 4^(12-level) is a power of two; a shift keeps
+    // the arithmetic exact for real source_ids > 2^53, where a double
+    // division would round the quotient at cell boundaries
+    shiftright(sourceId.cast(LongType), 35 + 2 * (12 - level))
   }
 
   def nside2npix(nside: Int): Long = 12L * nside * nside

@@ -23,7 +23,9 @@ object Similarity {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
+    // a zero vector (failed encode / padding) must yield NaN, not an
+    // ANSI DIVIDE_BY_ZERO that kills the whole job
+    when(na * nb === 0.0, lit(Double.NaN)).otherwise(dot / (na * nb))
   }
 
   def dot(a: Column, b: Column): Column =

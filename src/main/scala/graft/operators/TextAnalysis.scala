@@ -30,10 +30,11 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0))).cast(LongType)
 
-  /** Average token length in characters. */
+  /** Average token length in characters (empty text → 0, not an ANSI
+    * divide-by-zero). */
   def avgTokenLength(text: Column): Column =
     (length(replace(text, lit(" "), lit(""))).cast(DoubleType) /
-      tokenCount(text).cast(DoubleType))
+      greatest(tokenCount(text), lit(1L)).cast(DoubleType))
 
   /** Quality signals: length, token count, punctuation ratio,
     * stopword ratio, uppercase ratio.  Heuristics in the spirit of

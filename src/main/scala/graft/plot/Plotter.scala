@@ -165,16 +165,19 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
   /** Box/violin statistics (ezdata/plotter.py:943–965): percentile +
     * extreme aggregation per column, one row per variable. */
   def box(columns: String*): PlotSpec = {
-    val rows = columns.map { c =>
+    // one scan for all variables: flat aggregate list, rows assembled
+    // driver-side from the single result row
+    val aggs = columns.flatMap { c =>
       val cc = ez.get(c).cast("double")
-      val r = ez.df.agg(
-        min(cc).as("min"),
-        percentile_approx(cc, lit(0.25), lit(10000)).as("q1"),
-        percentile_approx(cc, lit(0.5), lit(10000)).as("median"),
-        percentile_approx(cc, lit(0.75), lit(10000)).as("q3"),
-        max(cc).as("max")).collect().head
-      Map[String, Any]("variable" -> c, "min" -> r.get(0), "q1" -> r.get(1),
-        "median" -> r.get(2), "q3" -> r.get(3), "max" -> r.get(4))
+      Seq(min(cc), percentile_approx(cc, lit(0.25), lit(10000)),
+        percentile_approx(cc, lit(0.5), lit(10000)),
+        percentile_approx(cc, lit(0.75), lit(10000)), max(cc))
+    }
+    val r = ez.df.agg(aggs.head, aggs.tail: _*).collect().head
+    val rows = columns.zipWithIndex.map { case (c, i) =>
+      val base = i * 5
+      Map[String, Any]("variable" -> c, "min" -> r.get(base), "q1" -> r.get(base + 1),
+        "median" -> r.get(base + 2), "q3" -> r.get(base + 3), "max" -> r.get(base + 4))
     }
     PlotSpec("boxplot", rows, Map(
       "x" -> Map("field" -> "variable", "type" -> "nominal"),
@@ -245,13 +248,16 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
       (cx, ix) <- columns.zipWithIndex
       if ix <= iy
     } yield (cx, cy) -> (if (ix == iy) hist(cx, bins) else hist2d(cx, cy, bins))
-    val quantiles = columns.map { c =>
+    // one scan for every variable's percentile triple
+    val qAggs = columns.flatMap { c =>
       val cc = ez.get(c).cast("double")
-      val r = ez.df.agg(
-        percentile_approx(cc, lit(0.16), lit(10000)),
+      Seq(percentile_approx(cc, lit(0.16), lit(10000)),
         percentile_approx(cc, lit(0.5), lit(10000)),
-        percentile_approx(cc, lit(0.84), lit(10000))).collect().head
-      c -> (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+        percentile_approx(cc, lit(0.84), lit(10000)))
+    }
+    val qr = ez.df.agg(qAggs.head, qAggs.tail: _*).collect().head
+    val quantiles = columns.zipWithIndex.map { case (c, i) =>
+      c -> (qr.getDouble(i * 3), qr.getDouble(i * 3 + 1), qr.getDouble(i * 3 + 2))
     }
     CornerSpec(panels, quantiles.toMap)
   }

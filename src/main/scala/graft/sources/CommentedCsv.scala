@@ -121,7 +121,9 @@ object CommentedCsv {
       sb.append("#\n")
       ez.meta.aliases.foreach { case (a, t) => sb.append(s"# alias\t$a=$t\n") }
     }
-    sb.append("# " + ez.columns.mkString(if (delimiter == ",") " " else delimiter) + "\n")
+    // always space-joined: a tab-joined name line would be misread as a
+    // header key/value pair by the scanner (reader splits on [ ,\t]+)
+    sb.append("# " + ez.columns.mkString(" ") + "\n")
     sb.toString
   }
 
