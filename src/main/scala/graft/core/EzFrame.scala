@@ -75,7 +75,10 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
       val out = pats.toSeq.flatMap { p =>
         if (names.contains(p)) Seq(resolveAlias(p))
         else {
-          val rx = ("^" + p.replace("*", ".*") + "$").r
+          // only '*' is a wildcard; every other character is literal —
+          // a column pattern like "a+b" must not become a regex '+'
+          val rx = ("^" + p.split("\\*", -1).map(java.util.regex.Pattern.quote)
+            .mkString(".*") + "$").r
           names.filter(n => rx.findFirstIn(n).isDefined).map(resolveAlias)
         }
       }

@@ -151,15 +151,15 @@ object Fits {
         if (idx.isEmpty) Iterator.empty
         else {
           val raf = new java.io.RandomAccessFile(path, "r")
+          // close on task completion, not on iterator exhaustion — a
+          // limit() or task failure would otherwise leak the handle
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
           val buf = new Array[Byte](rowBytes)
-          val out = idx.iterator.map { i =>
+          idx.iterator.map { i =>
             raf.seek(dataStart + i * rowBytes)
             raf.readFully(buf)
             decodeRow(buf, cols)
-          }
-          new Iterator[Row] {
-            def hasNext: Boolean = { val h2 = out.hasNext; if (!h2) raf.close(); h2 }
-            def next(): Row = out.next()
           }
         }
       }
@@ -186,7 +186,7 @@ object Fits {
         case 'A' =>
           val bytes = new Array[Byte](c.repeat)
           bb.get(bytes)
-          new String(bytes, "US-ASCII").reverse.dropWhile(ch => ch == ' ' || ch == ' ').reverse
+          new String(bytes, "US-ASCII").reverse.dropWhile(ch => ch == ' ' || ch == '\u0000').reverse
         case _ if c.repeat > 1 => (0 until c.repeat).map(_ => one())
         case _ => one()
       }

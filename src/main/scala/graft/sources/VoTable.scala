@@ -92,7 +92,7 @@ object VoTable {
   }
 
   private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
 
   def write(ez: EzFrame, path: String): Unit = {
     val sb = new StringBuilder
