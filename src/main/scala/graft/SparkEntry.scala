@@ -456,6 +456,34 @@ object SparkEntry {
       val e = t(s, dir, "embeddings").df
       Dedup.embeddingNearDup(e, "vec_id", "embedding", threshold = 0.2, planes = 5)
     }),
+
+    // §2.4 full CUBE over two keys (grouping-sets family)
+    "q50_cube" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).as("sum_qty"))
+    }),
+
+    // §2.10 arbitrary per-group function via flatMapGroups (rows-only:
+    // the per-group range computation is the typed escape hatch)
+    "q51_group_function" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val li = t(s, dir, "lineitem")
+        .select("l_returnflag l_quantity l_extendedprice")
+      li.flatMapGroups("l_returnflag", StructType(Seq(
+        StructField("l_returnflag", StringType),
+        StructField("n", LongType),
+        StructField("price_span", DoubleType)))) { (key, rows) =>
+        var n = 0L; var lo = Double.MaxValue; var hi = Double.MinValue
+        rows.foreach { r =>
+          n += 1
+          val p = r.getDouble(2)
+          if (p < lo) lo = p
+          if (p > hi) hi = p
+        }
+        Iterator(Row(key.head.asInstanceOf[String], n, hi - lo))
+      }
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -777,5 +805,15 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
         |' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin.replace("\n", " "),
+
+    "q50_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin.replace("\n", " "),
+
+    "q51_group_function" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |max(l_extendedprice) - min(l_extendedprice) AS price_span
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin.replace("\n", " "),
   )
 }
