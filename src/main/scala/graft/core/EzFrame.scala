@@ -268,6 +268,41 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
   def groupby(keysStr: String): org.apache.spark.sql.RelationalGroupedDataset =
     df.groupBy(keys(keysStr).map(df.col): _*)
 
+  /** Per-group *table* iteration (`for k, sub in t.groupby(key)`,
+    * ezdata/simpletable.py:2846–2875) — the group list is one distinct
+    * query; each sub-frame stays a lazy filtered plan (nothing is
+    * collected).  For many groups prefer [[aggregate]] or
+    * [[flatMapGroups]]; this surface exists for facet-style consumers
+    * with a bounded group count. */
+  def groupbyIter(keysStr: String, maxGroups: Int = 1000): Seq[(Any, EzFrame)] = {
+    val ks = keys(keysStr)
+    require(ks.length == 1, "groupbyIter takes exactly one key")
+    val k = ks.head
+    val values = df.select(df.col(k)).distinct().orderBy(df.col(k)).limit(maxGroups + 1).collect()
+    require(values.length <= maxGroups, s"more than $maxGroups groups; use aggregate/flatMapGroups")
+    values.toSeq.map { r =>
+      val v = r.get(0)
+      v -> new EzFrame(df.filter(df.col(k) <=> lit(v)), meta)
+    }
+  }
+
+  /** Pluggable per-column statistics (`t.stats(fn)`,
+    * ezdata/simpletable.py:2877–2929 with stats classmethods): the
+    * caller names each statistic and how to build it; one scan. */
+  def statsWith(fields: String, fns: Seq[(String, Column => Column)]): DataFrame = {
+    val numeric = keys(fields).filter(k => schema(k).dataType.isInstanceOf[NumericType])
+    val aggExprs = numeric.flatMap { k =>
+      val c = df.col(k).cast(DoubleType)
+      fns.map { case (n, f) => f(c).cast(DoubleType).as(s"${k}__$n") }
+    }
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val statNames = fns.map(_._1)
+    val stackArgs = numeric.map { k =>
+      (s"'$k'" +: statNames.map(s => s"`${k}__$s`")).mkString(", ")
+    }.mkString(", ")
+    one.selectExpr(s"stack(${numeric.length}, $stackArgs) as (column, ${statNames.mkString(", ")})")
+  }
+
   /** `aggregate(func, keys)` surface (ezdata/dictdataframe.py:578–599):
     * reducible case — named agg Columns per group. */
   def aggregate(keysStr: String, aggs: Column*): EzFrame =

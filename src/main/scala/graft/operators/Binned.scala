@@ -96,6 +96,31 @@ object Binned {
     cube(df, Seq(ax, ay), Seq(expr(what).as("value")))
   }
 
+  /** Re-bin new data on a reference cube's axes (`xr_histogram_like`,
+    * ezdata/xarray.py:234–266): the Axis values ARE the stored axis
+    * spec, so reuse is passing the same axes back in. */
+  def histogramLike(df: DataFrame, axes: Seq[Axis], aggs: Seq[Column],
+                    fill: Map[String, Any] = Map.empty): DataFrame =
+    denseCube(df, axes, aggs, fill)
+
+  /** Categorical raster (`count_cat`, ezdata/datashader.py:105–138):
+    * per-pixel-per-category counts pivoted to one column per category.
+    * Category values are enumerated first (small distinct query) so
+    * the pivot is bounded and deterministic. */
+  def rasterCat(df: DataFrame, x: Column, y: Column,
+                xlo: Double, xhi: Double, ylo: Double, yhi: Double,
+                widthPx: Int, heightPx: Int, cat: Column): DataFrame = {
+    val ax = Axis("px", x, xlo, xhi, widthPx)
+    val ay = Axis("py", y, ylo, yhi, heightPx)
+    val cats = df.select(cat.cast("string").as("c")).distinct()
+      .orderBy(col("c")).collect().map(_.getString(0)).toSeq
+    df.filter(ax.inRange && ay.inRange)
+      .groupBy(ax.bucket.as("px_bin"), ay.bucket.as("py_bin"))
+      .pivot(cat.cast("string"), cats)
+      .count()
+      .na.fill(0L, cats)
+  }
+
   /** Healpix-cell aggregation + dense grid (ezdata/astro/astro.py:340–402):
     * groupBy cell, aggregate, right-join onto `spark.range(12·nside²)`. */
   def healpixAgg(df: DataFrame, cell: Column, level: Int, what: String = "count(*)"): DataFrame = {

@@ -85,6 +85,20 @@ class EzFrameSpec extends SparkSpec {
     assert(EzFrame(df).nanToNull().df.filter(col("v").isNull).count() == 1)
   }
 
+  test("groupbyIter yields lazy per-group frames; statsWith pluggable aggs") {
+    val ez = EzFrame(Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "v"))
+    val groups = ez.groupbyIter("k")
+    assert(groups.map(_._1) == Seq("a", "b"))
+    assert(groups.head._2.count() == 2)
+    val st = ez.statsWith("v", Seq(
+      "total" -> (c => sum(c)),
+      "geo" -> (c => graft.functions.Aggregators.geometricMean(c))))
+    val row = st.collect().head
+    assert(row.getAs[String]("column") == "v")
+    assert(row.getAs[Double]("total") == 14.0)
+    assert(math.abs(row.getAs[Double]("geo") - math.cbrt(30.0)) < 1e-9)
+  }
+
   test("appendRow and toRecords parity surfaces") {
     val ez = EzFrame(Seq((1L, "a")).toDF("id", "tag")).appendRow(2L, "b")
     assert(ez.count() == 2)

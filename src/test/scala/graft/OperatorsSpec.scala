@@ -27,6 +27,23 @@ class BinnedSpec extends SparkSpec {
     assert(cube.count() == 4)
   }
 
+  test("rasterCat pivots per-pixel category counts (count_cat)") {
+    val df = Seq((0.1, 0.1, "a"), (0.2, 0.2, "a"), (0.3, 0.3, "b"), (0.9, 0.9, "b"))
+      .toDF("x", "y", "c")
+    val r = Binned.rasterCat(df, col("x"), col("y"), 0.0, 1.0, 0.0, 1.0, 2, 2, col("c"))
+    val m = r.collect().map(row =>
+      (row.getAs[Long]("px_bin"), row.getAs[Long]("py_bin")) -> (row.getAs[Long]("a"), row.getAs[Long]("b"))).toMap
+    assert(m((0L, 0L)) == (2L, 1L))
+    assert(m((1L, 1L)) == (0L, 1L))
+  }
+
+  test("histogramLike reuses a stored axis spec") {
+    val axis = Binned.Axis("x", col("x"), 0.0, 4.0, 4)
+    val a = Binned.histogramLike(Seq(0.5, 1.5).toDF("x"), Seq(axis), Seq(count(lit(1)).as("n")), Map("n" -> 0L))
+    val b = Binned.histogramLike(Seq(3.5).toDF("x"), Seq(axis), Seq(count(lit(1)).as("n")), Map("n" -> 0L))
+    assert(a.count() == 4 && b.count() == 4) // same dense grid shape
+  }
+
   test("raster aggregation parses agg strings through Spark SQL") {
     val df = Seq((0.1, 0.1, 5.0), (0.9, 0.9, 7.0), (0.95, 0.95, 9.0)).toDF("x", "y", "z")
     val r = Binned.raster(df, col("x"), col("y"), 0.0, 1.0, 0.0, 1.0, 2, 2, "avg(z)")
