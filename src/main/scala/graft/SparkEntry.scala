@@ -484,6 +484,31 @@ object SparkEntry {
         Iterator(Row(key.head.asInstanceOf[String], n, hi - lo))
       }
     }),
+
+    // as-of join: each error event picks the latest prior purchase
+    // value of the same user (union + carry-forward window; one
+    // shuffle, not a theta join)
+    "q52_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+      operators.Relational.asofJoin(errors, purchases, Seq("user_id"),
+          "ts", "ts", Map("value" -> "prior_purchase"))
+        .select(col("event_id"), col("user_id"), col("prior_purchase"))
+    }),
+
+    // range join: error events with purchases of the same user within
+    // 10 minutes (bucketed equi-join, no nested loop)
+    "q53_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+      operators.Relational.rangeJoin(errors, purchases, Seq("user_id"),
+          "ts", "ts", windowSec = 600L, Map("event_id" -> "purchase_event_id"))
+        .select(col("event_id"), col("user_id"), col("purchase_event_id"))
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -815,5 +840,18 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n,
         |max(l_extendedprice) - min(l_extendedprice) AS price_span
         |FROM lineitem GROUP BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "q52_asof_join" ->
+      """SELECT e.event_id, e.user_id, p.value AS prior_purchase
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin.replace("\n", " "),
+
+    "q53_range_join" ->
+      """SELECT e.event_id, e.user_id, p.event_id AS purchase_event_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id
+        |AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 600000000""".stripMargin.replace("\n", " "),
   )
 }

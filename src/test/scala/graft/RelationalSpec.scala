@@ -1,0 +1,44 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int, s: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+
+  private lazy val trades = Seq(
+    (1L, 7L, ts(5)), (2L, 7L, ts(15)), (3L, 8L, ts(10)), (4L, 9L, ts(1)))
+    .toDF("trade_id", "acct", "t")
+  private lazy val quotes = Seq(
+    (7L, ts(1), 100.0), (7L, ts(10), 110.0), (8L, ts(10), 50.0), (8L, ts(20), 60.0))
+    .toDF("acct", "t", "px")
+
+  test("asofJoin picks the latest right row at or before each left row") {
+    val j = Relational.asofJoin(trades, quotes, Seq("acct"), "t", "t", Map("px" -> "quote_px"))
+      .select("trade_id", "quote_px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(j(1L).contains(100.0)) // 10:05 -> quote at 10:01
+    assert(j(2L).contains(110.0)) // 10:15 -> quote at 10:10
+    assert(j(3L).contains(50.0))  // equal timestamp is inclusive
+    assert(j(4L).isEmpty)         // acct 9 has no quotes -> null (left semantics)
+  }
+
+  test("asofJoin is one shuffle, not a nested-loop join") {
+    val j = Relational.asofJoin(trades, quotes, Seq("acct"), "t", "t", Map("px" -> "q"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+    assert(plan.contains("Window"), "expected the carry-forward window")
+  }
+
+  test("rangeJoin pairs rows within the window, microsecond-exact") {
+    val j = Relational.rangeJoin(trades, quotes, Seq("acct"), "t", "t",
+        windowSec = 300L, Map("px" -> "px"))
+      .select("trade_id", "px").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // trade1@10:05: quotes 10:01 (4min) and 10:10 (5min, inclusive) match
+    assert(j == Set((1L, 100.0), (1L, 110.0), (2L, 110.0), (3L, 50.0)))
+  }
+}
