@@ -509,6 +509,16 @@ object SparkEntry {
           "ts", "ts", windowSec = 600L, Map("event_id" -> "purchase_event_id"))
         .select(col("event_id"), col("user_id"), col("purchase_event_id"))
     }),
+
+    // §2.4 distinct aggregation (exact; HLL approx_count_distinct is the
+    // scale-out variant, not oracle-comparable across engines)
+    "q54_distinct_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      li.groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_partkey")).as("n_parts"),
+          count_distinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -853,5 +863,10 @@ object SparkEntry {
         |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ON e.user_id = p.user_id
         |AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 600000000""".stripMargin.replace("\n", " "),
+
+    "q54_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin.replace("\n", " "),
   )
 }

@@ -44,4 +44,28 @@ object EventStreams {
   def dedupWithinWatermark(events: DataFrame, ts: String, watermark: String,
                            idCols: Seq[String]): DataFrame =
     events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(idCols)
+
+  /** Custom stateful processing: running per-key count + running sum
+    * maintained in explicit state via flatMapGroupsWithState — the
+    * escape hatch for session logic the built-in windows can't express
+    * (per SURVEY.md §2.9 the reference has nothing comparable; this is
+    * the engine's `KeyValueGroupedDataset` surface). */
+  def runningTotals(events: org.apache.spark.sql.Dataset[(Long, Double)]):
+      org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update((n, s))
+          Iterator((key, n, s))
+      }
+  }
 }

@@ -83,6 +83,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState keeps running per-key totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val q = graft.streaming.EventStreams.runningTotals(input.toDS())
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("state_test").outputMode("append").start()
+    try {
+      input.addData((7L, 10.0), (7L, 5.0), (8L, 1.0))
+      q.processAllAvailable()
+      input.addData((7L, 2.0)) // second batch must see carried state
+      q.processAllAvailable()
+      val rows = spark.table("state_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.contains((7L, 2L, 15.0)))   // after batch 1
+      assert(rows.contains((7L, 3L, 17.0)))   // state carried into batch 2
+      assert(rows.contains((8L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("same builder serves batch backfill (stream/batch unification)") {
     val batch = Seq((ts(1), "a", 1.0), (ts(20), "a", 2.0)).toDF("ts", "event_type", "value")
     val out = EventStreams.tumbling(batch, "ts", "10 minutes", "15 minutes",
