@@ -40,6 +40,21 @@ object Scale {
       partials = Seq(count(lit(1)).as("_n"), sum(value).as("_s")),
       merges = Seq(sum(col("_n")).as("n"), sum(col("_s")).as("s")))
 
+  /** Skew-salted equi join: the (large, skewed) fact side gets a
+    * uniform salt; the dimension side is replicated `salt` times so
+    * every (key, salt) cell finds its match.  AQE's skew-join split
+    * covers sort-merge joins after the fact; explicit salting is the
+    * planned-ahead variant when one key holds most of the rows and the
+    * dim side is small enough to replicate. */
+  def saltedJoin(facts: DataFrame, dims: DataFrame, key: String, salt: Int,
+                 how: String = "inner"): DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    val f = facts.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val d = dims.withColumn("_salt", explode(array((0 until salt).map(lit(_)): _*)))
+    f.join(d, Seq(key, "_salt"), how).drop("_salt")
+  }
+
   /** Write a table bucketed+sorted by join keys so subsequent equi
     * joins on those keys are exchange-free (co-located).  Bucket count
     * should match the expected parallelism of the join at target

@@ -42,6 +42,19 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals plain join on a skewed fact table") {
+    val facts = spark.range(5000)
+      .select(when(col("id") % 10 === 0, col("id") % 3).otherwise(lit(1L)).as("k"),
+        col("id").as("fact_id"))
+    val dims = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "label")
+    val salted = Scale.saltedJoin(facts, dims, "k", salt = 8)
+      .groupBy("label").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = facts.join(dims, Seq("k")).groupBy("label").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted("one") > 4000L) // the hot key really is hot
+  }
+
   test("multi-file glob scan unions transparently") {
     val dir = java.nio.file.Files.createTempDirectory("graft_glob").toString
     spark.range(10).write.parquet(s"$dir/part1.parquet")
