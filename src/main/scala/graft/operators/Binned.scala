@@ -96,6 +96,36 @@ object Binned {
     cube(df, Seq(ax, ay), Seq(expr(what).as("value")))
   }
 
+  /** Hexagonal binning (the reference's hexbin, ezdata/plotter.py:
+    * 898–941 via matplotlib): pointy-top axial coordinates with cube
+    * rounding, all as Column arithmetic.  `size` is the hex circumradius
+    * in x-units; `aspect` scales y into x-units first.  Returns
+    * (hex_q, hex_r) axial ids + the aggregate per cell.
+    */
+  def hexbin(df: DataFrame, x: Column, y: Column, size: Double, aspect: Double,
+             aggs: Seq[Column]): DataFrame = {
+    val xs = x / lit(size)
+    val ys = y / lit(size * aspect)
+    // axial fractional coords (pointy-top)
+    val qf = lit(math.sqrt(3.0) / 3.0) * xs - ys / 3.0
+    val rf = ys * lit(2.0 / 3.0)
+    // cube rounding: round each of (q, r, s=-q-r); fix the largest error
+    val sf = -qf - rf
+    val q0 = round(qf, 0); val r0 = round(rf, 0); val s0 = round(sf, 0)
+    val dq = abs(q0 - qf); val dr = abs(r0 - rf); val ds = abs(s0 - sf)
+    val qFixed = when(dq > dr && dq > ds, -r0 - s0).otherwise(q0)
+    val rFixed = when(!(dq > dr && dq > ds) && dr > ds, -q0 - s0).otherwise(r0)
+    df.groupBy(qFixed.cast(LongType).as("hex_q"), rFixed.cast(LongType).as("hex_r"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Center of a hex cell in data units (for rendering). */
+  def hexCenter(q: Column, r: Column, size: Double, aspect: Double): (Column, Column) = {
+    val cx = lit(size) * (lit(math.sqrt(3.0)) * q + lit(math.sqrt(3.0) / 2.0) * r)
+    val cy = lit(size * aspect) * lit(1.5) * r
+    (cx, cy)
+  }
+
   /** Re-bin new data on a reference cube's axes (`xr_histogram_like`,
     * ezdata/xarray.py:234–266): the Axis values ARE the stored axis
     * spec, so reuse is passing the same axes back in. */

@@ -145,6 +145,19 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
       "color" -> Map("field" -> "count", "type" -> "quantitative")))
   }
 
+  /** Hexbin (ezdata/plotter.py:898–941): hexagonal-cell counts
+    * aggregated in-cluster; cell centers attached for rendering. */
+  def hexbin(x: String, y: String, size: Double = 1.0, aspect: Double = 1.0): PlotSpec = {
+    val h = Binned.hexbin(ez.df, ez.get(x), ez.get(y), size, aspect,
+      Seq(count(lit(1)).as("count")))
+    val (cx, cy) = Binned.hexCenter(col("hex_q"), col("hex_r"), size, aspect)
+    val d = h.select(cx.as(x), cy.as(y), col("count"))
+    PlotSpec("point", collectMaps(d), Map(
+      "x" -> Map("field" -> x, "type" -> "quantitative"),
+      "y" -> Map("field" -> y, "type" -> "quantitative"),
+      "size" -> Map("field" -> "count", "type" -> "quantitative")))
+  }
+
   /** Scatter with a hard point budget: never collects raw data beyond
     * `maxPoints` (sampled), keeping the driver safe at any input scale
     * (ezdata/plotter.py:829–843 collects everything — deliberately not

@@ -88,6 +88,21 @@ class PlotterSpec extends SparkSpec {
     assert(p50 == 3.0)
   }
 
+  test("hexbin: points near the same hex center share a cell, distant points don't") {
+    val pts = Seq(
+      (0.0, 0.0), (0.1, 0.05), (-0.1, -0.05), // cluster at origin
+      (10.0, 10.0))                            // far away
+      .toDF("x", "y")
+    val h = graft.operators.Binned.hexbin(pts, col("x"), col("y"), size = 1.0, aspect = 1.0,
+      Seq(count(lit(1)).as("n")))
+    val cells = h.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells.values.sum == 4L)
+    assert(cells((0L, 0L)) == 3L) // the origin cluster lands in cell (0,0)
+    assert(cells.size == 2)
+    val spec = p.hexbin("x", "y", size = 2.0)
+    assert(spec.data.map(_("count").asInstanceOf[Long]).sum == 5L)
+  }
+
   test("raster supports count_cat-style categorical aggregation") {
     val r = graft.operators.Binned.cube(df,
       Seq(graft.operators.Binned.Axis("px", col("x"), 0.0, 5.0, 2)),
