@@ -100,9 +100,39 @@ object CommentedCsv {
     EzFrame(withFieldMetadata(named, meta), meta)
   }
 
-  /** Whitespace-delimited variant (.tsv/.dat/.txt,
-    * ezdata/simpletable.py:1498–1522). */
+  /** Tab-delimited variant (.tsv, ezdata/simpletable.py:1498–1522). */
   def readTsv(spark: SparkSession, path: String): EzFrame = read(spark, path, "\t")
+
+  /** Whitespace-run-delimited variant (.dat/.txt — np.loadtxt
+    * convention, ezdata/simpletable.py:1498–1522): the csv reader
+    * cannot collapse space runs, so rows parse as a distributed text
+    * scan + regex split, typed by a driver-side sample. */
+  def readWhitespace(spark: SparkSession, path: String, sampleRows: Int = 100): EzFrame = {
+    import org.apache.spark.sql.functions.{col, split, trim, element_at}
+    val h = scanHeader(path)
+    val lines = spark.read.text(path)
+      .filter(!col("value").startsWith("#") && trim(col("value")) =!= "")
+    val parts = split(trim(col("value")), "\\s+")
+    // infer column types from a bounded sample (long -> double -> string)
+    val sample = lines.limit(sampleRows).collect().map(_.getString(0).trim.split("\\s+"))
+    val nCols = sample.headOption.map(_.length)
+      .getOrElse(throw new IllegalArgumentException(s"$path has no data rows"))
+    def typeOf(i: Int): DataType = {
+      val vals = sample.map(_.lift(i).getOrElse(""))
+      if (vals.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
+      else if (vals.forall(v => scala.util.Try(v.toDouble).isSuccess)) DoubleType
+      else StringType
+    }
+    val names =
+      if (h.colNames.length == nCols) h.colNames else (0 until nCols).map(i => s"_c$i")
+    val cols = (0 until nCols).map { i =>
+      element_at(parts, i + 1).cast(typeOf(i)).as(names(i))
+    }
+    val df = lines.select(cols: _*)
+    val meta = EzMeta(header = h.header, aliases = h.aliases, units = h.units, comments = h.comments)
+      .pruneFor(df.columns.toSeq)
+    EzFrame(withFieldMetadata(df, meta), meta)
+  }
 
   /** Regenerate the commented header block
     * (ezdata/simpletable.py:729–789). */

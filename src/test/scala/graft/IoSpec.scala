@@ -46,6 +46,25 @@ class CommentedCsvSpec extends SparkSpec {
     assert(back.where("aliasA > 2").count() == 1)
   }
 
+  test("whitespace-delimited .dat with commented header (np.loadtxt convention)") {
+    val path = tmpFile(".dat")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """# NAME	stars
+        |## mass	Msun	None
+        |# mass  logT  label
+        |1.0   3.80    G2
+        |  2.5 4.10    B5
+        |10    4.5     O9
+        |""".stripMargin)
+    val ez = CommentedCsv.readWhitespace(spark, path)
+    assert(ez.columns == Seq("mass", "logT", "label"))
+    assert(ez.schema("mass").dataType.typeName == "double")
+    assert(ez.schema("label").dataType.typeName == "string")
+    assert(ez.meta.units("mass") == "Msun")
+    assert(ez.count() == 3)
+    assert(ez.where("mass > 2").count() == 2)
+  }
+
   test("latex emitter produces a tabular") {
     val ez = EzFrame(Seq((1.0, "x")).toDF("v", "s"))
     val tex = CommentedCsv.toLatex(ez)

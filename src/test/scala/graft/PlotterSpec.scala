@@ -22,6 +22,18 @@ class PlotterSpec extends SparkSpec {
     assert(vl.contains("\"mark\": \"bar\"") && vl.contains("vega-lite"))
   }
 
+  test("toVegaLite emits parseable JSON even with quotes/NaN in data") {
+    val spec = graft.plot.PlotSpec("point",
+      Seq(Map[String, Any]("label" -> "say \"hi\"\\path", "v" -> Double.NaN, "w" -> 1.5)),
+      Map("x" -> Map("field" -> "v", "type" -> "quantitative")))
+    val vl = spec.toVegaLite
+    // parse through Spark's JSON reader — throws on malformed JSON
+    import spark.implicits._
+    val parsed = spark.read.option("mode", "FAILFAST").json(Seq(vl).toDS)
+    assert(!parsed.columns.isEmpty)
+    assert(vl.contains("null")) // NaN serialized as null, not bare NaN
+  }
+
   test("groupby facets with shared axes; nested groupby; group algebra") {
     val g = p.groupby("g")
     assert(g.size == 2)
