@@ -510,6 +510,17 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("purchase_event_id"))
     }),
 
+    // §2.3 the EzFrame.join surface itself (left outer, suffix handling)
+    // through the gate: customers with their order counts
+    "q55_ezframe_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey c_mktsegment")
+      val o = t(s, dir, "orders").select("o_orderkey o_custkey")
+      c.join(o, leftOn = "c_custkey", rightOn = "o_custkey", how = "left_outer")
+        .aggregate("c_mktsegment",
+          count(col("o_orderkey")).as("n_orders"),
+          count_distinct(col("c_custkey")).as("n_cust")).df
+    }),
+
     // §2.4 distinct aggregation (exact; HLL approx_count_distinct is the
     // scale-out variant, not oracle-comparable across engines)
     "q54_distinct_agg" -> ((s, dir) => {
@@ -868,5 +879,11 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin.replace("\n", " "),
+
+    "q55_ezframe_join" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+        |count(DISTINCT c_custkey) AS n_cust
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin.replace("\n", " "),
   )
 }
