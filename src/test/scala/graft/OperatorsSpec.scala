@@ -27,6 +27,18 @@ class BinnedSpec extends SparkSpec {
     assert(cube.count() == 4)
   }
 
+  test("axis edges: negative ranges, single bin, out-of-range drop") {
+    val df = Seq(-5.0, -2.5, 0.0, 7.0).toDF("x")
+    // negative-lo axis: [-5, 0] in 2 bins; 7.0 is out of range and dropped
+    val h = Binned.histogram(df, col("x"), -5.0, 0.0, 2)
+      .orderBy("x_bin").collect()
+    assert(h.map(_.getAs[Long]("value")).toSeq == Seq(2L, 1L)) // {-5,-2.5}, {0.0 on upper edge}
+    assert(h.map(_.getAs[Double]("x_center")).toSeq == Seq(-3.75, -1.25))
+    // single-bin axis swallows everything in range
+    val one = Binned.histogram(df, col("x"), -10.0, 10.0, 1).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("value") == 4L)
+  }
+
   test("rasterCat pivots per-pixel category counts (count_cat)") {
     val df = Seq((0.1, 0.1, "a"), (0.2, 0.2, "a"), (0.3, 0.3, "b"), (0.9, 0.9, "b"))
       .toDF("x", "y", "c")
