@@ -32,7 +32,7 @@ class BinnedSpec extends SparkSpec {
     // negative-lo axis: [-5, 0] in 2 bins; 7.0 is out of range and dropped
     val h = Binned.histogram(df, col("x"), -5.0, 0.0, 2)
       .orderBy("x_bin").collect()
-    assert(h.map(_.getAs[Long]("value")).toSeq == Seq(2L, 1L)) // {-5,-2.5}, {0.0 on upper edge}
+    assert(h.map(_.getAs[Long]("value")).toSeq == Seq(1L, 2L)) // {-5}; {-2.5 inner edge, 0.0 upper edge}
     assert(h.map(_.getAs[Double]("x_center")).toSeq == Seq(-3.75, -1.25))
     // single-bin axis swallows everything in range
     val one = Binned.histogram(df, col("x"), -10.0, 10.0, 1).collect()
