@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Per-key top-k as a first-class operator: the full custom-operator
+  * ladder (SURVEY.md §4 option (c)) — LogicalPlan node → Strategy →
+  * two-phase SparkPlan.
+  *
+  * Why a custom operator: the declarative formulation
+  * (`row_number().over(Window.partitionBy(keys).orderBy(ord))` +
+  * filter) must shuffle EVERY row and fully sort each key partition.
+  * This operator keeps a bounded buffer of k rows per key per input
+  * partition (partial phase), so only ≤ k·|keys| rows per partition
+  * reach the shuffle, and the final phase never sorts more than the
+  * survivors.  At 100 TB with small k this is the difference between
+  * shuffling terabytes and shuffling megabytes.
+  */
+final case class TopKPerKeyNode(keys: Seq[Expression], order: SortOrder, k: Int,
+                                child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical per-key top-k.  The partial instance runs before the
+  * shuffle (UnspecifiedDistribution) and bounds each partition's
+  * output; the final instance requires clustering on the keys, which
+  * EnsureRequirements satisfies with a hash exchange over the already
+  * -bounded rows. */
+final case class TopKPerKeyExec(keys: Seq[Expression], order: SortOrder, k: Int,
+                                partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowOrd = new LazilyGeneratedOrdering(Seq(sortOrder), childOutput)
+      val buffers = scala.collection.mutable.LinkedHashMap.empty[InternalRow, scala.collection.mutable.ArrayBuffer[InternalRow]]
+      it.foreach { row =>
+        val key = keyProj(row)
+        val buf = buffers.get(key) match {
+          case Some(b) => b
+          case None =>
+            val b = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+            buffers.put(key.copy(), b)
+            b
+        }
+        buf += row.copy()
+        // amortized bound: compact to the best k whenever we reach 2k
+        if (buf.length >= 2 * limit) {
+          val kept = buf.sorted(rowOrd.asInstanceOf[Ordering[InternalRow]]).take(limit)
+          buf.clear(); buf ++= kept
+        }
+      }
+      buffers.iterator.flatMap { case (_, buf) =>
+        buf.sorted(rowOrd.asInstanceOf[Ordering[InternalRow]]).take(limit)
+      }
+    }
+  }
+}
+
+/** User-facing surface. */
+object TopK {
+  /** Top-k rows per key group ordered by `orderBy`.  Key and order
+    * columns are passed by name so the analyzer resolves them inside
+    * the custom node (a Column's node-expression wrapper stays
+    * Unevaluable).  Registers the strategy on the session
+    * (idempotent). */
+  def perKey(df: DataFrame, keyCols: Seq[String], orderBy: String, k: Int,
+             descending: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    val keyExprs: Seq[Expression] = keyCols.map(n => UnresolvedAttribute.quotedString(n))
+    val order = SortOrder(UnresolvedAttribute.quotedString(orderBy),
+      if (descending) Descending else Ascending)
+    GraftBridge.ofRows(spark, TopKPerKeyNode(keyExprs, order, k, GraftBridge.logicalPlan(df)))
+  }
+}
