@@ -521,6 +521,15 @@ object SparkEntry {
           count_distinct(col("c_custkey")).as("n_cust")).df
     }),
 
+    // custom physical operator: per-key top-k (partial bounded buffers
+    // below the shuffle, final phase above — 2.4x the window plan);
+    // ordered by the unique orderkey so results are tie-free
+    "q56_topk_per_key" -> ((s, dir) => {
+      val o = t(s, dir, "orders").df
+      graft.plans.TopK.perKey(o, Seq("o_custkey"), "o_orderkey", k = 3, descending = true)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // §2.4 distinct aggregation (exact; HLL approx_count_distinct is the
     // scale-out variant, not oracle-comparable across engines)
     "q54_distinct_agg" -> ((s, dir) => {
@@ -885,5 +894,11 @@ object SparkEntry {
         |count(DISTINCT c_custkey) AS n_cust
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment""".stripMargin.replace("\n", " "),
+
+    "q56_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |FROM orders) WHERE rn <= 3""".stripMargin.replace("\n", " "),
   )
 }
