@@ -49,10 +49,14 @@ object SparkEntry {
     // §2.4 grouped aggregation (TPC-H Q1 flavor) through the frame API
     "q02_agg_pricing" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // Sums stay exact in decimal; the final cast to double is the
+      // canonical cross-engine rendering (driver hashes rendered cells, and
+      // DuckDB's client converts DECIMAL to float64 — Decimal vs float repr
+      // of the same value hash-differ on trailing zeros).
       li.aggregate("l_returnflag l_linestatus",
-        sum(dec2(li.get("l_quantity"))).as("sum_qty"),
-        sum(dec2(li.get("l_extendedprice"))).as("sum_base_price"),
-        sum(dec4(li.get("l_extendedprice") * (lit(1) - li.get("l_discount")))).as("sum_disc_price"),
+        sum(dec2(li.get("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec2(li.get("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec4(li.get("l_extendedprice") * (lit(1) - li.get("l_discount")))).cast(DoubleType).as("sum_disc_price"),
         round(avg(li.get("l_quantity")), 6).as("avg_qty"),
         round(avg(li.get("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order")).df
@@ -69,7 +73,7 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(n("n_name"), c("c_mktsegment"))
         .agg(count(lit(1)).as("n_items"),
-          sum(dec4(li("l_extendedprice") * (lit(1) - li("l_discount")))).as("revenue"))
+          sum(dec4(li("l_extendedprice") * (lit(1) - li("l_discount")))).cast(DoubleType).as("revenue"))
     }),
 
     // §2.6 sort + limit (TakeOrderedAndProject)
@@ -116,7 +120,7 @@ object SparkEntry {
     "q08_groupby_expr" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       li.df.groupBy(li.evalexpr("floor(l_quantity / 10)").as("qty_bucket"))
-        .agg(count(lit(1)).as("n"), sum(dec2(li.get("l_extendedprice"))).as("sum_price"))
+        .agg(count(lit(1)).as("n"), sum(dec2(li.get("l_extendedprice"))).cast(DoubleType).as("sum_price"))
     }),
 
     // §2.5 window lag (the reference's lagplot)
@@ -147,7 +151,7 @@ object SparkEntry {
       Binned.denseCube(li,
         Seq(Binned.Axis("x", col("l_quantity"), 0.0, 50.0, 10),
             Binned.Axis("y", col("l_discount"), 0.0, 0.12, 6)),
-        Seq(count(lit(1)).as("cnt"), sum(dec2(col("l_extendedprice"))).as("wsum")),
+        Seq(count(lit(1)).as("cnt"), sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("wsum")),
         fill = Map("cnt" -> 0L))
         .select(col("x_bin"), col("y_bin"), col("cnt"), col("wsum"))
     }),
@@ -228,7 +232,7 @@ object SparkEntry {
     "q22_events_window" -> ((s, dir) => {
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast(DoubleType).as("sum_value"))
     }),
 
     // M6 brute-force cosine top-k (ANN correctness baseline)
@@ -373,7 +377,7 @@ object SparkEntry {
     "q39_multigroupby" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       li.df.groupBy(col("l_returnflag"), col("l_linestatus"), year(col("l_shipdate")).as("ship_year"))
-        .agg(count(lit(1)).as("n"), sum(dec2(col("l_extendedprice"))).as("sum_price"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
     }),
 
     // M6 verified dedup pipeline: LSH candidates -> exact n-gram Jaccard
@@ -402,8 +406,8 @@ object SparkEntry {
       Binned.denseCube(li,
         Seq(Binned.Axis("x", col("l_extendedprice"), 0.0, 100000.0, 20)),
         Seq(count(lit(1)).as("cnt"),
-          sum(dec2(col("l_quantity"))).as("w_quantity"),
-          sum(dec2(col("l_extendedprice"))).as("w_price")),
+          sum(dec2(col("l_quantity"))).cast(DoubleType).as("w_quantity"),
+          sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("w_price")),
         fill = Map("cnt" -> 0L))
         .select(col("x_bin").as("bin"), col("cnt"), col("w_quantity"), col("w_price"))
     }),
@@ -427,7 +431,7 @@ object SparkEntry {
     "q45_rollup" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").df
       li.rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum(dec2(col("l_extendedprice"))).as("sum_price"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
     }),
 
     // §2.9 sliding windows (batch equivalent; 2h width, 1h slide)
@@ -461,7 +465,7 @@ object SparkEntry {
     "q50_cube" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").df
       li.cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
     }),
 
     // §2.10 arbitrary per-group function via flatMapGroups (rows-only:
@@ -560,9 +564,9 @@ object SparkEntry {
 
     "q02_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |round(avg(l_quantity), 6) AS avg_qty,
         |round(avg(l_discount), 6) AS avg_disc,
         |count(*) AS count_order
@@ -570,7 +574,7 @@ object SparkEntry {
 
     "q03_join_star" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_items,
-        |sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -592,8 +596,8 @@ object SparkEntry {
       "SELECT s_suppkey, c_custkey FROM supplier JOIN customer ON s_nationkey = c_nationkey",
 
     "q08_groupby_expr" ->
-      """SELECT floor(l_quantity / 10) AS qty_bucket, count(*) AS n,
-        |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+      """SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket, count(*) AS n,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1""".stripMargin.replace("\n", " "),
 
     "q09_window_lag" ->
@@ -616,7 +620,7 @@ object SparkEntry {
       """WITH h AS (SELECT
         |CASE WHEN l_quantity = 50 THEN 9 ELSE CAST(floor(l_quantity / 5.0) AS BIGINT) END AS xb,
         |CASE WHEN l_discount = 0.12 THEN 5 ELSE CAST(floor(l_discount / 0.02) AS BIGINT) END AS yb,
-        |count(*) AS cnt, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS wsum
+        |count(*) AS cnt, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS wsum
         |FROM lineitem WHERE l_quantity >= 0 AND l_quantity <= 50
         |AND l_discount >= 0 AND l_discount <= 0.12 GROUP BY 1, 2),
         |g AS (SELECT a.range AS xb, b.range AS yb FROM range(0, 10) a, range(0, 6) b)
@@ -704,7 +708,7 @@ object SparkEntry {
 
     "q22_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-        |sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
 
     "q23_ann_cosine" ->
@@ -781,8 +785,8 @@ object SparkEntry {
         |n AS (SELECT *, sqrt(1.0 + cos(delta) * cos(alpha2)) AS denom,
         |2.0 * sqrt(2.0) / pi() AS f FROM m)
         |SELECT l_orderkey, l_partkey,
-        |round(degrees(cos(delta) * sin(alpha2) * 2.0 * sqrt(2.0) / denom / f), 6) AS aitoff_x,
-        |round(degrees(sin(delta) * sqrt(2.0) / denom / f), 6) AS aitoff_y
+        |round(degrees(cos(delta) * sin(alpha2) * 2.0 * sqrt(2.0) / denom / f), 6) + 0.0 AS aitoff_x,
+        |round(degrees(sin(delta) * sqrt(2.0) / denom / f), 6) + 0.0 AS aitoff_y
         |FROM n""".stripMargin.replace("\n", " "),
 
     "q37_raster" ->
@@ -800,7 +804,7 @@ object SparkEntry {
 
     "q39_multigroupby" ->
       """SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INT) AS ship_year,
-        |count(*) AS n, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |count(*) AS n, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1, 2, 3""".stripMargin.replace("\n", " "),
 
     "q41_deg2hms" ->
@@ -821,8 +825,8 @@ object SparkEntry {
       """WITH h AS (SELECT CASE WHEN l_extendedprice = 100000 THEN 19
         |ELSE CAST(floor(l_extendedprice / 5000.0) AS BIGINT) END AS bin,
         |count(*) AS cnt,
-        |sum(CAST(l_quantity AS DECIMAL(18,2))) AS w_quantity,
-        |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w_price
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS w_quantity,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS w_price
         |FROM lineitem WHERE l_extendedprice >= 0 AND l_extendedprice <= 100000 GROUP BY 1),
         |g AS (SELECT range AS bin FROM range(0, 20))
         |SELECT g.bin AS bin, COALESCE(h.cnt, 0) AS cnt, h.w_quantity AS w_quantity, h.w_price AS w_price
@@ -838,7 +842,7 @@ object SparkEntry {
 
     "q45_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin.replace("\n", " "),
 
     "q46_events_sliding" ->
@@ -863,7 +867,7 @@ object SparkEntry {
 
     "q50_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin.replace("\n", " "),
 
     "q51_group_function" ->

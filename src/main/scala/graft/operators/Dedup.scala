@@ -136,20 +136,33 @@ object Dedup {
 
   /** N-gram Jaccard similarity for a candidate pair set: exact set
     * overlap of (hashed) character shingles.  Meant to *verify* LSH
-    * candidates, not to run all-pairs.  Shingle sets are built from
-    * the linear-time [[TextAnalysis.shingleHashes]] primitive (one
-    * groupBy), and set algebra runs over fixed-width longs — collision
-    * probability at 64 bits is negligible for dedup purposes. */
+    * candidates, not to run all-pairs.
+    *
+    * Explode-and-count formulation: |A∩B| is a per-pair COUNT over the
+    * hash-equi-join (pair ⋈ shingles-of-a ⋈ shingles-of-b on (doc, h)),
+    * and |A∪B| = |A| + |B| − |A∩B| from precomputed set sizes.  No
+    * shingle *array* ever moves through a shuffle (the r1 formulation
+    * shipped each doc's full collect_set once per candidate pair and ran
+    * interpreted array_intersect per pair — 34% of the whole bench);
+    * every operator here is a codegen'd hash join or partial-agg count
+    * over fixed-width longs. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,
                    n: Int = 5): DataFrame = {
+    // set semantics: one row per distinct (doc, shingle-hash)
     val sh = TextAnalysis.shingleHashes(docs, text, id, n)
-      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("sh"))
+      .select(col("doc_id"), col("h")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
     pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast(DoubleType), 6))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", round(col("n_inter").cast(DoubleType) /
+        greatest(col("sz_a") + col("sz_b") - col("n_inter"), lit(1)).cast(DoubleType), 6))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }
