@@ -300,11 +300,16 @@ object SparkEntry {
     "q31_stats_extended" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").df
       val c = col("l_extendedprice")
+      // one array-percentile aggregate: exact percentile buffers every
+      // value per aggregate expression, so three scalar calls would keep
+      // three copies and triple the single-reduce merge cost
       li.agg(
         round(var_samp(c), 6).as("variance"),
-        round(expr("percentile(l_extendedprice, 0.16)"), 6).as("p16"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.84)"), 6).as("p84"))
+        expr("percentile(l_extendedprice, array(0.16D, 0.5D, 0.84D))").as("ps"))
+        .select(col("variance"),
+          round(element_at(col("ps"), 1), 6).as("p16"),
+          round(element_at(col("ps"), 2), 6).as("p50"),
+          round(element_at(col("ps"), 3), 6).as("p84"))
     }),
 
     // §2.4 healpix-cell aggregation via the custom Catalyst Expression

@@ -228,7 +228,14 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
     * and the 16/50/84 percentiles (ezdata/simpletable.py:3241–3257).
     * NaNs are normalized to null first so Spark's null-ignoring
     * aggregates reproduce the reference's nanmean/nanstd family. */
-  def stats(fields: String = "*", extended: Boolean = false): DataFrame = {
+  /** Per-column summary statistics.  `exactPercentiles` switches the
+    * extended p16/p50/p84 from `percentile_approx` (bounded memory,
+    * the 100 TB default) to exact `percentile` via one array-percentile
+    * aggregate per column — exact buffers every value of the column in
+    * the final reduce, so reserve it for bounded inputs (it is what the
+    * reference's numpy percentile computes; q31 gates it). */
+  def stats(fields: String = "*", extended: Boolean = false,
+            exactPercentiles: Boolean = false): DataFrame = {
     val numeric = keys(fields).filter { k =>
       schema(k).dataType match {
         case _: NumericType => true
@@ -250,7 +257,12 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
         min(c).as(s"${k}__min"),
         max(c).as(s"${k}__max"),
         max(isnan(c0) || c0.isNull).cast(DoubleType).as(s"${k}__has_nan")) ++
-        (if (extended) Seq(
+        (if (extended && exactPercentiles) Seq(
+          var_samp(c).as(s"${k}__variance"),
+          element_at(percentile(c, array(lit(0.16), lit(0.5), lit(0.84))), 1).as(s"${k}__p16"),
+          element_at(percentile(c, array(lit(0.16), lit(0.5), lit(0.84))), 2).as(s"${k}__p50"),
+          element_at(percentile(c, array(lit(0.16), lit(0.5), lit(0.84))), 3).as(s"${k}__p84"))
+        else if (extended) Seq(
           var_samp(c).as(s"${k}__variance"),
           percentile_approx(c, lit(0.16), lit(10000)).as(s"${k}__p16"),
           percentile_approx(c, lit(0.5), lit(10000)).as(s"${k}__p50"),

@@ -30,8 +30,7 @@ object Scale {
       .agg(partials.head, partials.tail: _*)
     phase1
       .groupBy(keyNames.map(phase1.col): _*) // phase-1 output carries the aliased key names
-      .agg(merges.head, merges.tail: _*)
-      .drop("_salt")
+      .agg(merges.head, merges.tail: _*) // _salt is gone: it is not a phase-2 group key
   }
 
   /** Convenience: salted count + sum over one key. */

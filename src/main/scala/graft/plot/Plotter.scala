@@ -104,14 +104,32 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
 
   /** Group by a key: the group list is a distinct-sort query; each
     * group becomes a filtered sub-plotter (lazy — no data moves until
-    * a plot method aggregates it).  (ezdata/plotter.py:992–1023.) */
-  def groupby(key: String): Group = {
+    * a plot method aggregates it).  (ezdata/plotter.py:992–1023.)
+    *
+    * `maxGroups` bounds the driver-side group list (same guard as
+    * EzFrame.groupbyIter) — an unbounded distinct-collect on a
+    * high-cardinality key would OOM the driver. */
+  def groupby(key: String, maxGroups: Int = 1000): Group = {
     val k = ez.resolveAlias(key)
-    val values = ez.df.select(col(k)).distinct().orderBy(col(k)).collect().map(_.get(0))
+    val values = ez.df.select(col(k)).distinct().orderBy(col(k))
+      .limit(maxGroups + 1).collect().map(_.get(0))
+    require(values.length <= maxGroups,
+      s"more than $maxGroups groups for '$key'; facet on a coarser key or raise maxGroups")
     new Group(values.toSeq.map { v =>
       val lbl = s"$key=$v"
       lbl -> new Plotter(EzFrame(ez.df.filter(col(k) === lit(v)), ez.meta), lbl)
     })
+  }
+
+  /** Deterministic bounded sample in ONE pass: hash-ordered top-k
+    * (TakeOrderedAndProject — per-partition heap + merge, O(n log k)).
+    * Replaces the count()-then-sample() pattern, which scanned the
+    * input twice per plot. Uniform because xxhash64 over the row
+    * content + a unique id is uniform in the key space. */
+  private def sampleBounded(df: DataFrame, maxPoints: Int): DataFrame = {
+    val key = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*),
+      monotonically_increasing_id())
+    df.withColumn("_sk", key).orderBy(col("_sk")).limit(maxPoints).drop("_sk")
   }
 
   /** 1-D histogram (ezdata/plotter.py:877–896): binned count agg in
@@ -165,9 +183,7 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
   def scatter(x: String, y: String, color: Option[String] = None,
               maxPoints: Int = 5000): PlotSpec = {
     val cols = (Seq(x, y) ++ color.toSeq).map(c => ez.get(c).as(c))
-    val n = ez.df.count()
-    val base = ez.df.select(cols: _*)
-    val sampled = if (n <= maxPoints) base else base.sample(maxPoints.toDouble / n, seed = 42)
+    val sampled = sampleBounded(ez.df.select(cols: _*), maxPoints)
     val enc = Map(
       "x" -> Map("field" -> x, "type" -> "quantitative"),
       "y" -> Map("field" -> y, "type" -> "quantitative")) ++
@@ -205,8 +221,7 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
       .withColumn("_lagged", org.apache.spark.sql.functions.lag(ez.get(x), lag).over(w))
       .filter(col("_lagged").isNotNull)
       .select(ez.get(x).as(x), col("_lagged").as(s"${x}_lag$lag"))
-    val n = df.count()
-    val sampled = if (n <= maxPoints) df else df.sample(maxPoints.toDouble / n, seed = 42)
+    val sampled = sampleBounded(df, maxPoints)
     PlotSpec("point", collectMaps(sampled), Map(
       "x" -> Map("field" -> x, "type" -> "quantitative"),
       "y" -> Map("field" -> s"${x}_lag$lag", "type" -> "quantitative")))
@@ -217,8 +232,7 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
   def aitoff(lon: String, lat: String, maxPoints: Int = 5000): PlotSpec = {
     val (x, y) = Astro.projectAitoff(ez.get(lon), ez.get(lat))
     val df = ez.df.select(x.as("aitoff_x"), y.as("aitoff_y"))
-    val n = df.count()
-    val sampled = if (n <= maxPoints) df else df.sample(maxPoints.toDouble / n, seed = 42)
+    val sampled = sampleBounded(df, maxPoints)
     PlotSpec("point", collectMaps(sampled), Map(
       "x" -> Map("field" -> "aitoff_x", "type" -> "quantitative"),
       "y" -> Map("field" -> "aitoff_y", "type" -> "quantitative")))

@@ -207,15 +207,24 @@ object Fits {
   }
 
   /** Write a single-BINTABLE FITS file (empty primary HDU + table).
-    * Column order, units, and table header round-trip. */
+    * Column order, units, and table header round-trip.
+    *
+    * NAXIS2 and the string column widths are needed up front, so one
+    * aggregate pass computes them; the rows then stream through
+    * `toLocalIterator` — the sink is inherently single-file, but driver
+    * memory stays O(one partition), never O(table). */
   def write(ez: EzFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, count, length, lit, max}
     val df = ez.df
-    val rows = df.collect() // FITS needs NAXIS2 up front; sink is single-file
+    val widthAggs = df.schema.fields.collect {
+      case f if f.dataType == StringType =>
+        coalesce(max(length(df(f.name))), lit(1)).as(s"w_${f.name}")
+    }
+    val head = df.agg(count(lit(1)).as("n"), widthAggs.toIndexedSeq: _*).head()
+    val nRows = head.getLong(head.fieldIndex("n"))
     val maxStr = df.schema.fields.map { f =>
       f.dataType match {
-        case StringType =>
-          val i = df.schema.fieldIndex(f.name)
-          math.max(1, rows.map(r => if (r.isNullAt(i)) 0 else r.getString(i).length).foldLeft(0)(math.max))
+        case StringType => math.max(1, head.getAs[Number](s"w_${f.name}").intValue())
         case _ => 0
       }
     }
@@ -241,7 +250,7 @@ object Fits {
       val hdr = scala.collection.mutable.ListBuffer(
         cardStr("XTENSION", "BINTABLE"), card("BITPIX", f"${8}%20d"),
         card("NAXIS", f"${2}%20d"), card("NAXIS1", f"$rowBytes%20d"),
-        card("NAXIS2", f"${rows.length}%20d"), card("PCOUNT", f"${0}%20d"),
+        card("NAXIS2", f"$nRows%20d"), card("PCOUNT", f"${0}%20d"),
         card("GCOUNT", f"${1}%20d"), card("TFIELDS", f"${df.schema.length}%20d"))
       df.schema.fields.zipWithIndex.foreach { case (f, i) =>
         hdr += cardStr(s"TTYPE${i + 1}", f.name)
@@ -256,7 +265,9 @@ object Fits {
       // data
       var written = 0L
       val bb = java.nio.ByteBuffer.allocate(rowBytes).order(java.nio.ByteOrder.BIG_ENDIAN)
-      rows.foreach { r =>
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
         bb.clear()
         df.schema.fields.zipWithIndex.foreach { case (f, i) =>
           f.dataType match {
@@ -275,6 +286,9 @@ object Fits {
         out.write(bb.array(), 0, rowBytes)
         written += rowBytes
       }
+      require(written == nRows * rowBytes,
+        s"row count changed between the header pass and the data pass: " +
+          s"expected $nRows rows, wrote ${written / rowBytes}")
       out.write(new Array[Byte](pad(written)))
     } finally out.close()
   }

@@ -274,6 +274,10 @@ object Hdf5 {
         u2(b); u2(b) // bit offset, precision
         FixedPoint(size, signed = (bf0 & 0x08) != 0, le = (bf0 & 0x01) == 0)
       case 1 => // floating-point
+        // properties must be consumed: compound members parse sequentially
+        u2(b); u2(b) // bit offset, precision
+        u1(b); u1(b); u1(b); u1(b) // exp loc/size, mantissa loc/size
+        u4(b) // exponent bias
         FloatPoint(size, le = (bf0 & 0x01) == 0)
       case 3 => // string (fixed length)
         FixedString(size)
@@ -662,7 +666,9 @@ object Hdf5 {
       }
       if (key != null) {
         meta.datasets.find(_.path == key) match {
-          case Some(d) => Left(d)
+          case Some(d) if d.dtype.isInstanceOf[Compound] => Left(d)
+          case Some(d) => // plain dataset: a one-column table
+            Right(Seq(d.copy(path = d.path.split('/').last)))
           case None =>
             val g = meta.groups.find(_.path == key)
               .getOrElse(throw new IllegalArgumentException(

@@ -1,0 +1,326 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.EzFrame
+import graft.sources.{Hdf5, Hdf5Write}
+
+/** HDF5 format tests.  No native HDF5 library exists in this
+  * environment, so coverage is three-legged:
+  *   1. writer→reader round trips (both table layouts),
+  *   2. byte-level golden assertions against the published spec
+  *      (superblock fields at documented offsets),
+  *   3. a hand-crafted chunked+filtered file assembled in the test
+  *      directly from the spec, exercising the chunk B-tree walk and
+  *      the deflate/shuffle filter chain the writer never emits.
+  */
+class Hdf5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempFile("graft_h5", ".h5").toString
+
+  test("compound round trip: types and values") {
+    val df = Seq(
+      (1L, 1, 1.5, 2.5f, true, "alpha", Seq(1.0f, 2.0f)),
+      (2L, -7, -0.25, 0.5f, false, "bet", Seq(3.0f, 4.0f)),
+      (3L, 42, 1e300, 3.25f, true, "c", Seq(5.0f, 6.0f)))
+      .toDF("id", "n", "x", "f", "flag", "name", "vec")
+    val path = tmp()
+    Hdf5Write.write(EzFrame(df), path)
+    val back = Hdf5.read(spark, path)
+    assert(back.schema("id").dataType == LongType)
+    assert(back.schema("n").dataType == IntegerType)
+    assert(back.schema("x").dataType == DoubleType)
+    assert(back.schema("f").dataType == FloatType)
+    assert(back.schema("flag").dataType == ByteType) // HDF5 has no bool; int8
+    assert(back.schema("name").dataType == StringType)
+    assert(back.schema("vec").dataType.isInstanceOf[ArrayType])
+    val rows = back.df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(1, -7, 42))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.5, -0.25, 1e300))
+    assert(rows.map(_.getFloat(3)).toSeq == Seq(2.5f, 0.5f, 3.25f))
+    assert(rows.map(_.getByte(4)).toSeq == Seq(1.toByte, 0.toByte, 1.toByte))
+    assert(rows.map(_.getString(5)).toSeq == Seq("alpha", "bet", "c"))
+    assert(rows.map(_.getSeq[Float](6)).toSeq ==
+      Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(5.0f, 6.0f)))
+  }
+
+  test("vaex column layout round trip with auto-detection") {
+    val df = Seq(
+      (10L, 0.5, "aa"), (20L, 1.5, "b"), (30L, -2.5, "ccc"))
+      .toDF("key", "val", "tag")
+    val path = tmp()
+    Hdf5Write.writeColumns(EzFrame(df), path)
+    // metadata shape: /table/columns/<name>/data
+    val meta = Hdf5.scan(path)
+    assert(meta.datasets.map(_.path).toSet ==
+      Set("/table/columns/key/data", "/table/columns/val/data", "/table/columns/tag/data"))
+    val back = Hdf5.read(spark, path) // no key: detect the columnar group
+    assert(back.df.columns.sorted.toSeq == Seq("key", "tag", "val"))
+    val rows = back.df.orderBy("key").collect()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("key"))).toSeq == Seq(10L, 20L, 30L))
+    assert(rows.map(_.getDouble(rows.head.fieldIndex("val"))).toSeq == Seq(0.5, 1.5, -2.5))
+    assert(rows.map(_.getString(rows.head.fieldIndex("tag"))).toSeq == Seq("aa", "b", "ccc"))
+  }
+
+  test("vaex layout: 2-D array column round trips") {
+    val df = Seq((1L, Seq(0.5f, 1.5f, 2.5f)), (2L, Seq(3.5f, 4.5f, 5.5f)))
+      .toDF("id", "emb")
+    val path = tmp()
+    Hdf5Write.writeColumns(EzFrame(df), path)
+    val back = Hdf5.read(spark, path)
+    val rows = back.df.orderBy("id").collect()
+    val got = rows.map(_.getSeq[Float](rows.head.fieldIndex("emb"))).toSeq
+    assert(got == Seq(Seq(0.5f, 1.5f, 2.5f), Seq(3.5f, 4.5f, 5.5f)))
+  }
+
+  test("distributed read partitions the row range") {
+    val df = (0 until 1000).map(i => (i.toLong, i * 0.5)).toDF("i", "x")
+    val path = tmp()
+    Hdf5Write.write(EzFrame(df), path)
+    val back = Hdf5.read(spark, path, partitions = 7)
+    assert(back.df.rdd.getNumPartitions == 7)
+    assert(back.df.count() == 1000)
+    assert(back.df.agg(sum("i")).head.getLong(0) == 499500L)
+    assert(back.df.agg(sum("x")).head.getDouble(0) == 249750.0)
+  }
+
+  test("golden bytes: superblock v0 layout per spec") {
+    val df = Seq((1L, 2.0)).toDF("a", "b")
+    val path = tmp()
+    Hdf5Write.write(EzFrame(df), path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // format signature (spec III.A)
+    assert(bytes.take(8).toSeq ==
+      Seq(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte, '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte))
+    assert(bytes(8) == 0) // superblock version 0
+    assert(bytes(13) == 8 && bytes(14) == 8) // offset/length sizes
+    // end-of-file address (offset 40 in a v0 superblock) == file length
+    val eof = java.nio.ByteBuffer.wrap(bytes, 40, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    assert(eof == bytes.length.toLong)
+  }
+
+  test("reader handles a hand-crafted chunked dataset with deflate+shuffle") {
+    val values = (0 until 10).map(_ * 3 + 1) // int32 data, 3 chunks of 4
+    val path = tmp()
+    writeChunkedFixture(path, values, chunkRows = 4,
+      filters = Seq(2 -> Seq(4), 1 -> Seq(6))) // shuffle(4) then deflate(level 6)
+    val back = Hdf5.read(spark, path, key = "/d")
+    val got = back.df.orderBy("d").collect().map(_.getInt(0)).toSeq
+    assert(got == values)
+  }
+
+  test("reader handles plain chunked (no filters)") {
+    val values = (0 until 11).map(i => i * 7 - 3)
+    val path = tmp()
+    writeChunkedFixture(path, values, chunkRows = 4, filters = Nil)
+    val back = Hdf5.read(spark, path, key = "/d")
+    assert(back.df.orderBy("d").collect().map(_.getInt(0)).toSeq == values.sorted)
+  }
+
+  test("scan reports dataset metadata") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    val path = tmp()
+    Hdf5Write.write(EzFrame(df), path)
+    val meta = Hdf5.scan(path)
+    assert(meta.datasets.length == 1)
+    val d = meta.datasets.head
+    assert(d.path == "/data")
+    assert(d.dims == Seq(2L))
+    val c = d.dtype.asInstanceOf[Hdf5.Compound]
+    assert(c.members.map(_.name) == Seq("k", "s"))
+    assert(c.members.head.dtype == Hdf5.FixedPoint(8, signed = true, le = true))
+  }
+
+  // ================================================================
+  // fixture builder: a minimal HDF5 file written from the spec text,
+  // independent of Hdf5Write's code paths (different layout class,
+  // chunked + filter pipeline + v1 chunk B-tree)
+  // ================================================================
+  private def writeChunkedFixture(path: String, values: Seq[Int], chunkRows: Int,
+                                  filters: Seq[(Int, Seq[Int])]): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u1(v: Int): Unit = out.write(v & 0xff)
+    def u2(v: Int): Unit = { u1(v); u1(v >> 8) }
+    def u4(v: Long): Unit = { u1(v.toInt); u1((v >> 8).toInt); u1((v >> 16).toInt); u1((v >> 24).toInt) }
+    def u8(v: Long): Unit = { u4(v & 0xffffffffL); u4(v >>> 32) }
+    def undef(): Unit = u8(-1L)
+
+    def applyFilters(data: Array[Byte]): Array[Byte] =
+      filters.foldLeft(data) { case (d, (id, params)) =>
+        id match {
+          case 2 => // shuffle: interleave byte planes
+            val sz = params.head
+            val n = d.length / sz
+            val o = new Array[Byte](d.length)
+            for (i <- 0 until sz; j <- 0 until n) o(i * n + j) = d(j * sz + i)
+            o
+          case 1 => // deflate
+            val def_ = new java.util.zip.Deflater(params.head)
+            def_.setInput(d); def_.finish()
+            val buf = new Array[Byte](d.length * 2 + 64)
+            val n = def_.deflate(buf)
+            def_.end()
+            buf.take(n)
+        }
+      }
+
+    // ---- chunk payloads (addresses fixed after metadata is laid out)
+    val nChunks = (values.length + chunkRows - 1) / chunkRows
+    val chunkPayloads = (0 until nChunks).map { c =>
+      // chunks are always full-size; overhang padded (spec: edge chunks
+      // are stored at full chunk size)
+      val slice = (0 until chunkRows).map { i =>
+        val idx = c * chunkRows + i
+        if (idx < values.length) values(idx) else 0
+      }
+      val raw = new Array[Byte](chunkRows * 4)
+      val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      slice.foreach(bb.putInt)
+      applyFilters(raw)
+    }
+
+    // ---- layout plan (fixed-size blocks, so addresses are computable)
+    val sbSize = 96L
+    val rootOHAddr = sbSize // root group OH: 16 prefix + (8 + 16) symbol table msg
+    val rootOHSize = 16L + 8 + 16
+    val ohAddr = rootOHAddr + rootOHSize
+    // messages: dataspace(v1, rank1) 16, datatype(int32) 12->16 padded,
+    // filter pipeline (sized below), layout v3 chunked rank2 = 1+1+1+8+4+4 = 19 -> 24
+    val filterBody: Array[Byte] = if (filters.isEmpty) Array.empty else {
+      val b = new java.io.ByteArrayOutputStream()
+      def fu1(v: Int): Unit = b.write(v & 0xff)
+      def fu2(v: Int): Unit = { fu1(v); fu1(v >> 8) }
+      def fu4(v: Int): Unit = { fu2(v & 0xffff); fu2(v >>> 16) }
+      fu1(1); fu1(filters.length) // version 1, nfilters
+      fu2(0); fu4(0) // reserved
+      filters.foreach { case (id, params) =>
+        fu2(id); fu2(0) // name length 0
+        fu2(0) // flags
+        fu2(params.length)
+        params.foreach(fu4)
+        if (params.length % 2 == 1) fu4(0) // v1 pads odd client counts
+      }
+      b.toByteArray
+    }
+    val msgSizes = Seq(
+      16, // dataspace: 1+1+1+5 + 8
+      16, // datatype int32: 8 header + 4 props = 12 -> padded 16
+      (if (filters.isEmpty) 0 else (filterBody.length + 7) / 8 * 8),
+      24) // layout v3 chunked: 19 -> 24
+      .filter(_ > 0)
+    val ohSize = msgSizes.map(_ + 8L).sum
+    val btreeAddr = ohAddr + 16 + ohSize
+    // chunk B-tree node: 24 header + (nChunks+1) keys * (8 + 16) + nChunks * 8 children
+    val keyBytes = 8 + 8 * 2 // size+mask (8) + 2 offsets (rank+1 = 2)
+    val btreeSize = 24L + (nChunks + 1) * keyBytes + nChunks * 8
+    // root group symbol table: heap + SNOD + btree
+    val heapAddr = btreeAddr + btreeSize
+    val heapDataSize = 16L // "" + "d"
+    val snodAddr = heapAddr + 32 + heapDataSize
+    val snodSize = 8L + 8 * 40
+    val gBtreeAddr = snodAddr + snodSize
+    val gBtreeSize = 24L + 8 * (2 * 4) + 8 * (2 * 4 + 1)
+    var dataAddr = gBtreeAddr + gBtreeSize
+    val chunkAddrs = chunkPayloads.map { p =>
+      val a = dataAddr; dataAddr += p.length; a
+    }
+    val eof = dataAddr
+
+    // ---- superblock v0
+    out.write(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    u1(0); u1(0); u1(0); u1(0); u1(0)
+    u1(8); u1(8); u1(0)
+    u2(4); u2(16)
+    u4(0)
+    u8(0L); undef(); u8(eof); undef()
+    u8(0L) // root link name offset
+    u8(rootOHAddr)
+    u4(1); u4(0)
+    u8(gBtreeAddr); u8(heapAddr)
+
+    // ---- root group object header (v1, one symbol-table message)
+    u1(1); u1(0)
+    u2(1)
+    u4(1)
+    u4(24)
+    u4(0) // pad
+    u2(0x0011); u2(16); u4(0)
+    u8(gBtreeAddr); u8(heapAddr)
+
+    // ---- dataset object header (v1)
+    u1(1); u1(0)
+    u2(msgSizes.length)
+    u4(1)
+    u4(ohSize)
+    u4(0) // pad
+    // dataspace
+    u2(0x0001); u2(16); u4(0)
+    u1(1); u1(1); u1(0); (0 until 5).foreach(_ => u1(0))
+    u8(values.length.toLong)
+    // datatype: int32 LE signed
+    u2(0x0003); u2(16); u4(0)
+    u1(0x10); u1(0x08); u1(0); u1(0)
+    u4(4)
+    u2(0); u2(32)
+    u4(0) // pad 12 -> 16
+    // filter pipeline
+    if (filters.nonEmpty) {
+      val padded = (filterBody.length + 7) / 8 * 8
+      u2(0x000B); u2(padded); u4(0)
+      out.write(filterBody)
+      (filterBody.length until padded).foreach(_ => u1(0))
+    }
+    // layout v3 chunked
+    u2(0x0008); u2(24); u4(0)
+    u1(3); u1(2)
+    u1(2) // dimensionality = rank + 1
+    u8(btreeAddr)
+    u4(chunkRows.toLong); u4(4L) // chunk dims + element size
+    u1(0); u1(0); u1(0); u1(0); u1(0) // pad 19 -> 24
+
+    // ---- chunk B-tree (type 1, level 0)
+    out.write("TREE".getBytes("US-ASCII"))
+    u1(1); u1(0)
+    u2(nChunks)
+    undef(); undef()
+    (0 until nChunks).foreach { c =>
+      u4(chunkPayloads(c).length.toLong) // stored chunk size
+      u4(0L) // filter mask
+      u8(c.toLong * chunkRows); u8(0L)
+      u8(chunkAddrs(c))
+    }
+    // final key
+    u4(0L); u4(0L); u8(values.length.toLong); u8(0L)
+
+    // ---- root group: heap, SNOD, btree
+    out.write("HEAP".getBytes("US-ASCII"))
+    u1(0); u1(0); u1(0); u1(0)
+    u8(heapDataSize)
+    undef()
+    u8(heapAddr + 32)
+    u8(0L) // "" at offset 0
+    out.write('d'); u1(0); (0 until 6).foreach(_ => u1(0)) // "d" at offset 8
+    out.write("SNOD".getBytes("US-ASCII"))
+    u1(1); u1(0)
+    u2(1)
+    u8(8L); u8(ohAddr); u4(0); u4(0); (0 until 16).foreach(_ => u1(0))
+    (0 until 7 * 40).foreach(_ => u1(0))
+    out.write("TREE".getBytes("US-ASCII"))
+    u1(0); u1(0)
+    u2(1)
+    undef(); undef()
+    u8(0L); u8(snodAddr); u8(8L)
+    (0 until (2 * 4 - 1) * 16).foreach(_ => u1(0))
+
+    // ---- chunk data
+    chunkPayloads.foreach(out.write)
+
+    val bytes = out.toByteArray
+    assert(bytes.length == eof, s"fixture layout drift: ${bytes.length} != $eof")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
+}

@@ -137,3 +137,28 @@ class ParquetMetaSpec extends SparkSpec {
     assert(back.selectWhere("ex", "ex > 0").count() == 1)
   }
 }
+
+/** Extension-based dispatch (the reference's SimpleTable(fname) routing,
+  * ezdata/simpletable.py:1500–1560). */
+class IoDispatchSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.Io
+
+  private val df = Seq((1L, 1.5, "a"), (2L, -0.5, "b")).toDF("id", "x", "tag")
+
+  test("dispatch round-trips csv, ecsv, fits, hd5 on extension") {
+    for (ext <- Seq("csv", "ecsv", "fits", "hd5")) {
+      val p = java.nio.file.Files.createTempFile("graft_io", s".$ext").toString
+      Io.write(EzFrame(df), p)
+      val back = Io.read(spark, p).df.orderBy("id").collect()
+      // text formats may narrow inferred integer types; values must hold
+      assert(back.map(_.getAs[Number](0).longValue()).toSeq == Seq(1L, 2L), ext)
+      assert(back.map(_.getAs[Number](1).doubleValue()).toSeq == Seq(1.5, -0.5), ext)
+      assert(back.map(_.getString(2)).toSeq == Seq("a", "b"), ext)
+    }
+  }
+
+  test("unknown extension raises") {
+    intercept[IllegalArgumentException] { Io.read(spark, "/tmp/file.nope") }
+  }
+}

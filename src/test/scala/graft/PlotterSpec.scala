@@ -126,4 +126,23 @@ class PlotterSpec extends SparkSpec {
       .count()
     assert(rc.count() == 2) // cells (0,a) and (1,b); x=5 upper edge joins bin 1
   }
+
+  test("groupby guards the driver against high-cardinality keys") {
+    import org.apache.spark.sql.functions.expr
+    val wide = spark.range(50).selectExpr("cast(id as double) as x",
+      "cast(id as double) as y", "concat('g', id) as g")
+    val pl = new graft.plot.Plotter(graft.core.EzFrame(wide))
+    val ex = intercept[IllegalArgumentException] { pl.groupby("g", maxGroups = 10) }
+    assert(ex.getMessage.contains("more than 10 groups"))
+    assert(pl.groupby("g", maxGroups = 50).items.size == 50)
+  }
+
+  test("scatter sampling is one bounded job (TakeOrderedAndProject, no count)") {
+    val big = spark.range(20000).selectExpr("cast(id as double) as x", "cast(id % 97 as double) as y")
+    val pl = new graft.plot.Plotter(graft.core.EzFrame(big))
+    val spec = pl.scatter("x", "y", maxPoints = 500)
+    assert(spec.data.size == 500)
+    // deterministic: same call, same sample
+    assert(pl.scatter("x", "y", maxPoints = 500).data == spec.data)
+  }
 }
