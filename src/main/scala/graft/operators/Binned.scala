@@ -83,6 +83,22 @@ object Binned {
     (r.getDouble(0), r.getDouble(1))
   }
 
+  /** Bin-width heuristic from the reference (ezdata/xarray.py:23–30
+    * guess_bins): dx = the smallest gap between consecutive distinct
+    * values; edges run min−0.5dx to max+0.6dx (the +0.6 keeps the last
+    * bin).  Distributed: distinct + one window lag — never collects the
+    * column.  Returns an Axis covering the guessed grid. */
+  def guessBins(df: DataFrame, x: Column, name: String = "x"): Axis = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+    val r = df.select(x.cast(DoubleType).as("_v")).where(col("_v").isNotNull).distinct()
+      .select(col("_v"), (col("_v") - lag(col("_v"), 1).over(w)).as("_d"))
+      .agg(min(col("_v")), max(col("_v")), min(col("_d"))).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val dx = if (r.isNullAt(2) || r.getDouble(2) <= 0) math.max(hi - lo, 1.0) else r.getDouble(2)
+    val nBins = math.max(1, math.ceil(((hi + 0.6 * dx) - (lo - 0.5 * dx)) / dx - 1e-9).toInt)
+    Axis(name, x, lo - 0.5 * dx, (lo - 0.5 * dx) + nBins * dx, nBins)
+  }
+
   /** Datashader-style raster aggregation: viewport filter + per-pixel
     * groupBy with an aggregate parsed from strings like "mean(z)",
     * "count(*)" (ezdata/datashader.py:105–138 parse_agg,
