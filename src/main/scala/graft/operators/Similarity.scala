@@ -59,11 +59,12 @@ object Similarity {
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a
     * long.  Vectors with high cosine similarity collide with high
     * probability (signature = coarse angular cell).  The hyperplanes
-    * are seeded literal arrays (fixed seed 42 → reproducible), so each
+    * are seeded literal arrays (fixed seed → reproducible), so each
     * row pays only `planes` dot products — no per-element hashing in
-    * the hot path. */
-  def lshSignature(vec: Column, planes: Int, dim: Int): Column = {
-    val rnd = new scala.util.Random(42)
+    * the hot path.  Distinct seeds give independent hash tables for
+    * OR-amplification. */
+  def lshSignature(vec: Column, planes: Int, dim: Int, seed: Int = 42): Column = {
+    val rnd = new scala.util.Random(seed)
     val planeVecs = Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
     val v = asDouble(vec)
     (0 until planes).map { p =>
@@ -94,6 +95,39 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("corpus_id"), round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+  }
+
+  /** All intra-bucket candidate pairs (id_a < id_b) with exact cosine,
+    * OR-amplified across `tables` independent hyperplane sets: a pair
+    * is a candidate if it collides in ANY table, which lifts recall
+    * from p^1 to 1-(1-p)^tables without changing the per-table bucket
+    * cost.  Unlike [[lshTopK]] there is no rank window and no k cap —
+    * every colliding pair is scored, so a threshold filter downstream
+    * sees ALL pairs the tables surface (a 25-member duplicate cluster
+    * yields all C(25,2) pairs).
+    *
+    * Scale: each table is one self-join on a long signature key
+    * (ReusedExchange computes the signature pipeline once per table);
+    * the cosine is computed map-side inside each table's join output,
+    * so the cross-table dedup shuffle carries only (id_a, id_b,
+    * cos_sim) — never the vectors.  A pair colliding in several tables
+    * pays the dot product once per collision (cheap ALU work) instead
+    * of shipping 2·dim·8 bytes per pair through the dedup exchange. */
+  def lshPairs(corpus: DataFrame, idCol: String, vecCol: String,
+               planes: Int = 8, tables: Int = 2): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val v = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val perTable = (0 until tables).map { tbl =>
+      // identical projections on both sides -> the signature shuffle
+      // canonicalizes equal and is computed once per table
+      val sig = v.select(col("vid"), col("v"),
+        lshSignature(col("v"), planes, dim, seed = 42 + tbl).as("sig"))
+      sig.alias("a").join(sig.alias("b"), Seq("sig"))
+        .filter(col("a.vid") < col("b.vid"))
+        .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+          round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+    }
+    perTable.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest

@@ -111,6 +111,22 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 2L)) == 1.0)
     assert(j((1L, 4L)) < 0.2)
   }
+
+  test("embedding near-dup reports every pair of a large duplicate cluster (no k cap)") {
+    // 25 identical vectors + 5 unrelated: all C(25,2) = 300 pairs must
+    // surface (the r2 lshTopK(k=20) formulation silently capped this)
+    val rnd = new scala.util.Random(7)
+    val cluster = (0L until 25L).map(i => (i, Array(1.0f, 0.5f, -0.25f, 0.125f)))
+    val others = (100L until 105L).map(i =>
+      (i, Array.fill(4)(rnd.nextGaussian().toFloat)))
+    val df = (cluster ++ others).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+        threshold = 0.999, planes = 4, tables = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val inCluster = pairs.filter { case (a, b) => a < 25L && b < 25L }
+    assert(inCluster.length == 300, s"expected all 300 cluster pairs, got ${inCluster.length}")
+    assert(pairs.forall { case (a, b) => a < b })
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
