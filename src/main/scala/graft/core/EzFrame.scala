@@ -365,6 +365,36 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
     df.limit(limit).collect().toSeq.map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
   }
 
+  /** Streaming record export (the scale-safe form of
+    * ezdata/simpletable.py:1774–1790 to_records): one partition in
+    * driver memory at a time via `toLocalIterator`, so a table of any
+    * size can be drained into an external consumer. */
+  def recordIterator(): Iterator[Map[String, Any]] = {
+    val cols = columns
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+      .map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+  }
+
+  /** Column-major export (ezdata/simpletable.py:1792–1960 to_dict /
+    * to_pandas shape: name → value vector), limit-guarded like
+    * [[toRecords]].  The JVM-side equivalent of a pandas frame: feed
+    * it to any columnar consumer. */
+  def toColumns(limit: Int = 100000): Map[String, IndexedSeq[Any]] = {
+    val rows = df.limit(limit).collect()
+    columns.zipWithIndex.map { case (c, i) => c -> rows.map(_.get(i)).toIndexedSeq }.toMap
+  }
+
+  /** Estimated in-memory size in bytes, from Catalyst plan statistics
+    * (the distributed analogue of simpletable's `nbytes` property,
+    * ezdata/simpletable.py:2093–2098 — summing ndarray sizes would
+    * require materializing; the optimizer's estimate is free). */
+  def nbytes: BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Human-readable size (ezdata/simpletable.py:112–157
+    * pretty_size_print over `nbytes`). */
+  def prettySize: String = EzFrame.prettySizePrint(nbytes)
+
   def count(): Long = df.count()
   def show(n: Int = 10): Unit = df.show(n)
 }
@@ -372,6 +402,18 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
 object EzFrame {
   def apply(df: DataFrame): EzFrame = new EzFrame(df, EzMeta())
   def apply(df: DataFrame, meta: EzMeta): EzFrame = new EzFrame(df, meta)
+
+  /** Byte count → human-readable string with binary (1024) unit steps
+    * and 3 significant digits (ezdata/simpletable.py:112–157
+    * pretty_size_print). */
+  def prettySizePrint(numBytes: BigInt): String = {
+    val units = Seq("YB", "ZB", "EB", "PB", "TB", "GB", "MB", "KB")
+    val scales = units.indices.map(i => BigInt(1024).pow(units.length - i))
+    units.zip(scales).collectFirst {
+      case (u, s) if numBytes > s =>
+        "%.3g %s".format(numBytes.toDouble / s.toDouble, u).replace("e+0", "e+")
+    }.getOrElse("%.3g Bytes".format(numBytes.toDouble))
+  }
 
   private val HeaderMetaKey = "ez_header"
   private val AliasMetaKey = "ez_aliases"

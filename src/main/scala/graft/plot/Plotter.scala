@@ -213,6 +213,61 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
       "y" -> Map("field" -> "median", "type" -> "quantitative")))
   }
 
+  /** Violin plot (ezdata/plotter.py:943–955): distribution *shape* per
+    * variable.  The reference ships the raw arrays to matplotlib's KDE
+    * client-side; here the density curve itself is the aggregation — a
+    * binned count per variable normalized to a probability density, so
+    * only `bins` points per variable ever reach the driver, at any
+    * input scale. */
+  def violin(columns: Seq[String], bins: Int = 40): PlotSpec = {
+    val rows = columns.flatMap { c =>
+      val cc = ez.get(c)
+      val (lo, hi) = Binned.extent(ez.df, cc)
+      val h = Binned.histogram(ez.df, cc, lo, hi, bins).collect()
+      val total = h.map(_.getAs[Number]("value").doubleValue()).sum
+      val width = (hi - lo) / bins
+      h.toSeq.map { r =>
+        val density =
+          if (total <= 0 || width <= 0) 0.0
+          else r.getAs[Number]("value").doubleValue() / (total * width)
+        Map[String, Any]("variable" -> c,
+          "x" -> r.getAs[Number]("x_center").doubleValue(), "density" -> density)
+      }
+    }
+    PlotSpec("area", rows, Map(
+      "x" -> Map("field" -> "x", "type" -> "quantitative"),
+      "y" -> Map("field" -> "density", "type" -> "quantitative"),
+      "color" -> Map("field" -> "variable", "type" -> "nominal")))
+  }
+
+  /** pivot_plot (ezdata/plotter.py:1100–1149): a 2-key facet grid.
+    * The cell list is ONE bounded distinct aggregation over
+    * (key1, key2); each cell hands a lazily-filtered sub-plotter to
+    * `plotFn` (the reference's `plotfn(data, ax=...)` callable), so no
+    * raw data moves until the per-cell plot aggregates it. */
+  def pivotPlot(key1: String, key2: String, plotFn: Plotter => PlotSpec,
+                maxCells: Int = 144): PivotGridSpec = {
+    val (k1, k2) = (ez.resolveAlias(key1), ez.resolveAlias(key2))
+    val combos = ez.df.select(col(k1), col(k2)).distinct()
+      .orderBy(col(k1), col(k2)).limit(maxCells + 1).collect()
+    require(combos.length <= maxCells,
+      s"more than $maxCells ($key1, $key2) cells; facet on coarser keys or raise maxCells")
+    val cells = combos.toSeq.map { r =>
+      val (v1, v2) = (r.get(0), r.get(1))
+      val cell = new Plotter(
+        EzFrame(ez.df.filter(col(k1) === lit(v1) && col(k2) === lit(v2)), ez.meta),
+        s"$key1=$v1 | $key2=$v2")
+      (String.valueOf(v1), String.valueOf(v2)) -> plotFn(cell)
+    }
+    PivotGridSpec(cells.map(_._1._1).distinct, cells.map(_._1._2).distinct, cells.toMap)
+  }
+
+  /** Arbitrary-function hook (ezdata/plotter.py:757–778 Plotter.apply):
+    * hand the underlying frame to `fn` and return whatever it returns.
+    * The reference passes the raw ndarray to a user callable; here the
+    * callable gets the (lazy, cluster-side) EzFrame. */
+  def apply[T](fn: EzFrame => T): T = fn(ez)
+
   /** Lag plot (ezdata/plotter.py:1059–1090): lag-k self-comparison via
     * a window, sampled like scatter. */
   def lagplot(x: String, lag: Int = 1, orderBy: String, maxPoints: Int = 5000): PlotSpec = {
@@ -296,6 +351,13 @@ final case class CornerSpec(
     panels: Seq[((String, String), PlotSpec)],
     quantiles: Map[String, (Double, Double, Double)])
 
+/** 2-key facet grid (ezdata/plotter.py:1100–1149 pivot_plot): cell
+  * specs addressed by (key1 value, key2 value), with the distinct
+  * orderings of each axis. */
+final case class PivotGridSpec(
+    xKeys: Seq[String], yKeys: Seq[String],
+    cells: Map[(String, String), PlotSpec])
+
 /** A set of labeled sub-plotters: facet iteration with cycled labels
   * (ezdata/plotter.py:130–353 Group + looper dispatch 390–523). */
 final class Group(val items: Seq[(String, Plotter)]) {
@@ -317,6 +379,15 @@ final class Group(val items: Seq[(String, Plotter)]) {
 
   def box(columns: String*): FacetSpec =
     FacetSpec(items.map { case (lbl, p) => lbl -> p.box(columns: _*) })
+
+  /** Per-facet arbitrary function (ezdata/plotter.py:362–377
+    * Group.apply): run `fn` against each facet's frame, keeping the
+    * facet labels. */
+  def apply[T](fn: EzFrame => T): Seq[(String, T)] =
+    items.map { case (lbl, p) => lbl -> fn(p.ez) }
+
+  def violin(columns: Seq[String], bins: Int = 40): FacetSpec =
+    FacetSpec(items.map { case (lbl, p) => lbl -> p.violin(columns, bins) })
 
   /** Nested grouping (ezdata/plotter.py:315–353). */
   def groupby(key: String): Group =

@@ -60,11 +60,14 @@ object Fits {
   final case class TableHeader(cols: Seq[Col], nRows: Long, rowBytes: Int,
                                dataStart: Long, header: ListMap[String, String])
 
-  /** Driver-side header scan: walk HDUs until the first BINTABLE. */
-  def readHeader(path: String): TableHeader = {
+  /** Driver-side header scan: walk HDUs until the `hdu`-th BINTABLE
+    * (1-based — appended tables are addressed as hdu = 2, 3, …). */
+  def readHeader(path: String, hdu: Int = 1): TableHeader = {
+    require(hdu >= 1, s"hdu is 1-based, got $hdu")
     val raf = new java.io.RandomAccessFile(path, "r")
     try {
       var offset = 0L
+      var seen = 0
       var result: Option[TableHeader] = None
       while (result.isEmpty) {
         // read cards block by block until END
@@ -101,7 +104,7 @@ object Fits {
         val isBintable = strValue("XTENSION").contains("BINTABLE")
         val naxis1 = value("NAXIS1").map(_.toInt).getOrElse(0)
         val naxis2 = value("NAXIS2").map(_.toLong).getOrElse(0L)
-        if (isBintable) {
+        if (isBintable && { seen += 1; seen == hdu }) {
           val nFields = value("TFIELDS").map(_.toInt).getOrElse(0)
           val cols = (1 to nFields).map { i =>
             Col(
@@ -119,15 +122,22 @@ object Fits {
             }
           result = Some(TableHeader(cols, naxis2, naxis1, dataStart, ListMap(meta.toSeq: _*)))
         } else {
-          // skip this HDU's data (primary: BITPIX*prod(NAXIS)/8; here usually 0)
-          val bitpix = math.abs(value("BITPIX").map(_.toInt).getOrElse(8))
-          val naxis = value("NAXIS").map(_.toInt).getOrElse(0)
-          val dims = (1 to naxis).map(i => value(s"NAXIS$i").map(_.toLong).getOrElse(0L))
-          val dataBytes = if (naxis == 0 || dims.contains(0L)) 0L
+          // skip this HDU's data: a passed-over BINTABLE spans
+          // NAXIS1*NAXIS2 (+ PCOUNT heap) bytes; other HDUs span
+          // BITPIX*prod(NAXIS)/8 (primary: usually 0)
+          val dataBytes = if (isBintable) {
+            naxis1.toLong * naxis2 + value("PCOUNT").map(_.toLong).getOrElse(0L)
+          } else {
+            val bitpix = math.abs(value("BITPIX").map(_.toInt).getOrElse(8))
+            val naxis = value("NAXIS").map(_.toInt).getOrElse(0)
+            val dims = (1 to naxis).map(i => value(s"NAXIS$i").map(_.toLong).getOrElse(0L))
+            if (naxis == 0 || dims.contains(0L)) 0L
             else dims.product * bitpix / 8
+          }
           offset = dataStart + dataBytes + pad(dataBytes)
           if (offset >= raf.length())
-            throw new IllegalArgumentException(s"$path has no BINTABLE extension")
+            throw new IllegalArgumentException(
+              s"$path has no BINTABLE extension #$hdu (found $seen)")
         }
       }
       result.get
@@ -135,9 +145,10 @@ object Fits {
   }
 
   /** Distributed read: contiguous row ranges per partition, sequential
-    * big-endian decode. */
-  def read(spark: SparkSession, path: String, partitions: Int = 0): EzFrame = {
-    val h = readHeader(path)
+    * big-endian decode.  `hdu` selects the n-th BINTABLE (appended
+    * tables live at hdu = 2, 3, …). */
+  def read(spark: SparkSession, path: String, partitions: Int = 0, hdu: Int = 1): EzFrame = {
+    val h = readHeader(path, hdu)
     val schema = StructType(h.cols.map(c =>
       StructField(c.name, if (c.code != 'A' && c.repeat > 1) ArrayType(c.sparkType) else c.sparkType)))
     val nParts = if (partitions > 0) partitions
@@ -214,6 +225,40 @@ object Fits {
     * `toLocalIterator` — the sink is inherently single-file, but driver
     * memory stays O(one partition), never O(table). */
   def write(ez: EzFrame, path: String): Unit = {
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try {
+      // primary HDU
+      val primary = Seq(
+        card("SIMPLE", f"${"T"}%20s"), card("BITPIX", f"${8}%20d"),
+        card("NAXIS", f"${0}%20d"), card("EXTEND", f"${"T"}%20s"),
+        f"${"END"}%-80s")
+      writeCards(out, primary)
+      writeBintableHdu(out, ez)
+    } finally out.close()
+  }
+
+  /** Append a new BINTABLE HDU to an existing FITS file; creates the
+    * file (primary + table) if it doesn't exist or is empty
+    * (ezdata/simpletable.py:1756–1766 write(append=True) →
+    * _fits_append, 344–409).  HDUs are self-delimiting 2880-byte-
+    * aligned units, so appending is a plain end-of-file stream; the
+    * appended table is read back with `read(..., hdu = n)`. */
+  def append(ez: EzFrame, path: String): Unit = {
+    val f = new java.io.File(path)
+    if (!f.exists() || f.length() == 0L) write(ez, path)
+    else {
+      require(f.length() % Block == 0,
+        s"$path is not block-aligned (${f.length()} bytes) — not a valid FITS file")
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path, true))
+      try writeBintableHdu(out, ez) finally out.close()
+    }
+  }
+
+  /** One BINTABLE HDU (header + streamed rows + padding).  NAXIS2 and
+    * the string column widths are needed up front, so one aggregate
+    * pass computes them; rows then stream through `toLocalIterator` —
+    * driver memory stays O(one partition), never O(table). */
+  private def writeBintableHdu(out: java.io.OutputStream, ez: EzFrame): Unit = {
     import org.apache.spark.sql.functions.{coalesce, count, length, lit, max}
     val df = ez.df
     val widthAggs = df.schema.fields.collect {
@@ -238,14 +283,7 @@ object Fits {
       }
     }
     val rowBytes = colWidths.sum
-    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
-    try {
-      // primary HDU
-      val primary = Seq(
-        card("SIMPLE", f"${"T"}%20s"), card("BITPIX", f"${8}%20d"),
-        card("NAXIS", f"${0}%20d"), card("EXTEND", f"${"T"}%20s"),
-        f"${"END"}%-80s")
-      writeCards(out, primary)
+    locally {
       // bintable header
       val hdr = scala.collection.mutable.ListBuffer(
         cardStr("XTENSION", "BINTABLE"), card("BITPIX", f"${8}%20d"),
@@ -290,7 +328,7 @@ object Fits {
         s"row count changed between the header pass and the data pass: " +
           s"expected $nRows rows, wrote ${written / rowBytes}")
       out.write(new Array[Byte](pad(written)))
-    } finally out.close()
+    }
   }
 
   private def writeCards(out: java.io.OutputStream, cards: Seq[String]): Unit = {

@@ -105,4 +105,27 @@ class EzFrameSpec extends SparkSpec {
     val recs = ez.sort("id").toRecords()
     assert(recs == Seq(Map("id" -> 1L, "tag" -> "a"), Map("id" -> 2L, "tag" -> "b")))
   }
+
+  test("streaming and columnar exports") {
+    val ez = EzFrame(spark.range(1000).selectExpr("id", "cast(id * 2 as double) as v"))
+    // recordIterator drains lazily, partition by partition
+    val it = ez.recordIterator()
+    assert(it.take(3).map(_("id")).toSeq == Seq(0L, 1L, 2L))
+    assert(ez.recordIterator().size == 1000)
+    // column-major export: pandas/dict shape
+    val colsMap = ez.toColumns(limit = 10)
+    assert(colsMap.keySet == Set("id", "v"))
+    assert(colsMap("v").length == 10)
+    assert(colsMap("v").head.isInstanceOf[Double])
+  }
+
+  test("nbytes estimate and pretty size formatting") {
+    val ez = EzFrame(spark.range(100).selectExpr("id"))
+    assert(ez.nbytes > 0)
+    assert(ez.prettySize.nonEmpty)
+    assert(EzFrame.prettySizePrint(BigInt(512)) == "512 Bytes")
+    assert(EzFrame.prettySizePrint(BigInt(2048)).endsWith(" KB"))
+    assert(EzFrame.prettySizePrint(BigInt(3L * 1024 * 1024)).endsWith(" MB"))
+    assert(EzFrame.prettySizePrint(BigInt(1024L * 1024 * 1024 * 1024 * 5)).endsWith(" TB"))
+  }
 }

@@ -68,4 +68,25 @@ class FitsSpec extends SparkSpec {
     val back = Fits.read(spark, path).setAlias("val", "v")
     assert(back.selectWhere("k", "val > 15").count() == 2)
   }
+
+  test("append adds a second BINTABLE HDU; both readable by hdu index") {
+    val path = tmp()
+    Fits.write(EzFrame(Seq((1L, "a"), (2L, "b")).toDF("id", "tag")), path)
+    Fits.append(EzFrame(Seq((10.0, 0.5f), (20.0, 1.5f), (30.0, 2.5f)).toDF("x", "y")), path)
+    assert(new java.io.File(path).length() % 2880 == 0)
+    val first = Fits.read(spark, path)
+    assert(first.columns == Seq("id", "tag") && first.count() == 2)
+    val second = Fits.read(spark, path, hdu = 2)
+    assert(second.columns == Seq("x", "y") && second.count() == 3)
+    assert(second.df.orderBy("x").collect().map(_.getDouble(0)).toSeq == Seq(10.0, 20.0, 30.0))
+    val err = intercept[IllegalArgumentException](Fits.readHeader(path, hdu = 3))
+    assert(err.getMessage.contains("no BINTABLE extension #3"))
+  }
+
+  test("append to a missing file creates it (primary + table)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_fits").resolve("new.fits").toString
+    Fits.append(EzFrame(Seq((1L, 2.0)).toDF("a", "b")), path)
+    val back = Fits.read(spark, path)
+    assert(back.count() == 1 && back.columns == Seq("a", "b"))
+  }
 }

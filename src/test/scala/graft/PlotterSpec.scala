@@ -145,4 +145,44 @@ class PlotterSpec extends SparkSpec {
     // deterministic: same call, same sample
     assert(pl.scatter("x", "y", maxPoints = 500).data == spec.data)
   }
+
+  test("violin aggregates a density curve per variable (never raw rows)") {
+    val spec = p.violin(Seq("x", "y"), bins = 10)
+    assert(spec.mark == "area")
+    val byVar = spec.data.groupBy(_("variable"))
+    assert(byVar.keySet == Set("x", "y"))
+    // each curve integrates to ~1 (probability density over the extent)
+    byVar.values.foreach { curve =>
+      assert(curve.length == 10)
+      val xs = curve.map(_("x").asInstanceOf[Double]).sorted
+      val width = xs(1) - xs(0)
+      val integral = curve.map(_("density").asInstanceOf[Double] * width).sum
+      assert(math.abs(integral - 1.0) < 1e-6, s"density integral $integral")
+    }
+  }
+
+  test("pivotPlot builds the 2-key facet grid with bounded cells") {
+    val df2 = Seq(
+      (1.0, "a", "u"), (2.0, "a", "v"), (3.0, "b", "u"), (4.0, "b", "v"), (5.0, "b", "v"))
+      .toDF("x", "k1", "k2")
+    val grid = Plotter(EzFrame(df2)).pivotPlot("k1", "k2",
+      cell => cell.hist("x", bins = 4, range = Some((0.0, 6.0))))
+    assert(grid.xKeys == Seq("a", "b") && grid.yKeys == Seq("u", "v"))
+    assert(grid.cells.size == 4)
+    // cell (b, v) holds rows x=4 and x=5 only
+    val bv = grid.cells(("b", "v"))
+    assert(bv.data.map(_("count").asInstanceOf[Long]).sum == 2L)
+    // cardinality guard
+    val big = spark.range(200).selectExpr("cast(id as double) x", "id % 20 k1", "id % 20 k2")
+    val err = intercept[IllegalArgumentException](
+      Plotter(EzFrame(big)).pivotPlot("k1", "k2", _.hist("x", 2), maxCells = 10))
+    assert(err.getMessage.contains("maxCells"))
+  }
+
+  test("apply hooks hand the frame to an arbitrary function") {
+    val n = p(_.count())
+    assert(n == 5L)
+    val perFacet = p.groupby("g")(_.count())
+    assert(perFacet.toMap == Map("g=a" -> 2L, "g=b" -> 3L))
+  }
 }
