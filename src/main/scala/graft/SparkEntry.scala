@@ -21,10 +21,16 @@ object SparkEntry {
 
   /** events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
     * nanos under this legacy flag, then we truncate to µs exactly like
-    * DuckDB's parquet reader does. */
+    * DuckDB's parquet reader does.
+    *
+    * The flag is a session-wide SQL conf (not a reader option), so it
+    * is set on an ISOLATED child session — same SparkContext, own
+    * SQLConf — instead of mutating the caller's session for every
+    * later query. */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    iso.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -66,6 +66,9 @@ object Colors {
     * (ezdata colorify defaults vmin/vmax to data extremes). */
   def colorify(df: org.apache.spark.sql.DataFrame, c: Column): Column = {
     val r = df.agg(min(c).cast("double"), max(c).cast("double")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      "colorify: column has no non-null values to derive vmin/vmax from " +
+        "(empty frame or all-null column) — pass vmin/vmax explicitly")
     colorify(c, lit(r.getDouble(0)), lit(r.getDouble(1)))
   }
 }

@@ -80,6 +80,9 @@ object Binned {
     * pass is a cheap column min/max aggregate (scan-only, no shuffle). */
   def extent(df: DataFrame, x: Column): (Double, Double) = {
     val r = df.agg(min(x).cast(DoubleType), max(x).cast(DoubleType)).head()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      "extent: column has no non-null values (empty frame or all-null " +
+        "column) — pass an explicit range")
     (r.getDouble(0), r.getDouble(1))
   }
 
@@ -87,12 +90,21 @@ object Binned {
     * guess_bins): dx = the smallest gap between consecutive distinct
     * values; edges run min−0.5dx to max+0.6dx (the +0.6 keeps the last
     * bin).  Distributed: distinct + one window lag — never collects the
-    * column.  Returns an Axis covering the guessed grid. */
+    * column.  Returns an Axis covering the guessed grid.
+    *
+    * Scale note: the unpartitioned `orderBy` window is a deliberate
+    * single-task global sort of the DISTINCT values — the smallest-gap
+    * semantics are inherently global.  Distinct cardinality, not row
+    * count, bounds the task (a measurement column with millions of
+    * distinct values should get an explicit Axis instead; that's also
+    * the reference's own guidance for continuous data). */
   def guessBins(df: DataFrame, x: Column, name: String = "x"): Axis = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
     val r = df.select(x.cast(DoubleType).as("_v")).where(col("_v").isNotNull).distinct()
       .select(col("_v"), (col("_v") - lag(col("_v"), 1).over(w)).as("_d"))
       .agg(min(col("_v")), max(col("_v")), min(col("_d"))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      "guessBins: column has no non-null values — pass an explicit Axis")
     val (lo, hi) = (r.getDouble(0), r.getDouble(1))
     val dx = if (r.isNullAt(2) || r.getDouble(2) <= 0) math.max(hi - lo, 1.0) else r.getDouble(2)
     val nBins = math.max(1, math.ceil(((hi + 0.6 * dx) - (lo - 0.5 * dx)) / dx - 1e-9).toInt)
@@ -155,11 +167,19 @@ object Binned {
     * the pivot is bounded and deterministic. */
   def rasterCat(df: DataFrame, x: Column, y: Column,
                 xlo: Double, xhi: Double, ylo: Double, yhi: Double,
-                widthPx: Int, heightPx: Int, cat: Column): DataFrame = {
+                widthPx: Int, heightPx: Int, cat: Column,
+                maxCategories: Int = 256): DataFrame = {
     val ax = Axis("px", x, xlo, xhi, widthPx)
     val ay = Axis("py", y, ylo, yhi, heightPx)
+    // bounded category pivot: count_cat semantics mean one output
+    // column per category — an unbounded distinct-collect on a
+    // high-cardinality column would OOM the driver (same guard as
+    // Plotter.groupby)
     val cats = df.select(cat.cast("string").as("c")).distinct()
-      .orderBy(col("c")).collect().map(_.getString(0)).toSeq
+      .orderBy(col("c")).limit(maxCategories + 1).collect().map(_.getString(0)).toSeq
+    require(cats.length <= maxCategories,
+      s"more than $maxCategories categories for count_cat; " +
+        "aggregate on a coarser key or raise maxCategories")
     df.filter(ax.inRange && ay.inRange)
       .groupBy(ax.bucket.as("px_bin"), ay.bucket.as("py_bin"))
       .pivot(cat.cast("string"), cats)

@@ -124,12 +124,16 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
   /** Deterministic bounded sample in ONE pass: hash-ordered top-k
     * (TakeOrderedAndProject — per-partition heap + merge, O(n log k)).
     * Replaces the count()-then-sample() pattern, which scanned the
-    * input twice per plot. Uniform because xxhash64 over the row
-    * content + a unique id is uniform in the key space. */
+    * input twice per plot.  The key is a PURE content hash — no
+    * monotonically_increasing_id, whose value depends on partition
+    * layout and changes on recompute/retry — so the selected set is
+    * stable across runs; hash ties are identical rows, so whichever
+    * copy wins, the sample content is the same.  The temp column name
+    * is uniquified against the frame's own columns. */
   private def sampleBounded(df: DataFrame, maxPoints: Int): DataFrame = {
-    val key = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*),
-      monotonically_increasing_id())
-    df.withColumn("_sk", key).orderBy(col("_sk")).limit(maxPoints).drop("_sk")
+    val sk = Iterator.from(0).map(i => s"_sk$i").find(n => !df.columns.contains(n)).get
+    val key = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+    df.withColumn(sk, key).orderBy(col(sk)).limit(maxPoints).drop(sk)
   }
 
   /** 1-D histogram (ezdata/plotter.py:877–896): binned count agg in

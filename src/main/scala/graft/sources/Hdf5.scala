@@ -57,6 +57,14 @@ object Hdf5 {
   final case class FixedString(size: Int) extends Dtype {
     def sparkType: DataType = StringType
   }
+  /** Variable-length string (HDF5 datatype class 9, type 1 — what h5py
+    * writes for `str` columns by default).  The in-dataset element is a
+    * (length u4, global-heap collection address, object index u4)
+    * reference; the bytes live in GCOL collections resolved at decode
+    * time via [[GlobalHeap]]. */
+  final case class VlenString(size: Int) extends Dtype {
+    def sparkType: DataType = StringType
+  }
   final case class ArrayOf(base: Dtype, dims: Seq[Int]) extends Dtype {
     val size: Int = base.size * dims.product
     def sparkType: DataType = ArrayType(base.sparkType, containsNull = false)
@@ -318,6 +326,13 @@ object Hdf5 {
         if (version == 2) (0 until rank).foreach(_ => u4(b)) // permutations
         val base = parseDatatype(b)
         ArrayOf(base, dims)
+      case 9 => // variable-length
+        val vtype = bf0 & 0x0f
+        parseDatatype(b) // base type: consume (compound members parse sequentially)
+        if (vtype == 1) VlenString(size)
+        else throw new IllegalArgumentException(
+          "unsupported HDF5 variable-length SEQUENCE datatype (only vlen " +
+            "strings are supported; re-write the column as a fixed-width array)")
       case c =>
         throw new IllegalArgumentException(
           s"unsupported HDF5 datatype class $c (v$version, size $size)")
@@ -604,7 +619,48 @@ object Hdf5 {
 
   // ============================================================ value decoding
 
-  private def decodeScalar(bb: java.nio.ByteBuffer, at: Int, dt: Dtype): Any = dt match {
+  /** Global-heap object resolver (HDF5 spec III.E): GCOL collections of
+    * 8-byte-aligned objects, loaded lazily and cached per collection
+    * address.  One instance per open file handle (executor task or
+    * driver-side compact decode). */
+  private final class GlobalHeap(raf: java.io.RandomAccessFile) {
+    private val cache = mutable.Map.empty[Long, Map[Int, Array[Byte]]]
+    def get(addr: Long, idx: Int): Array[Byte] =
+      cache.getOrElseUpdate(addr, load(addr)).getOrElse(idx,
+        throw new IllegalArgumentException(
+          s"no object $idx in global heap collection at $addr"))
+    private def load(addr: Long): Map[Int, Array[Byte]] = {
+      val hdr = new Array[Byte](16)
+      raf.seek(addr); raf.readFully(hdr)
+      val hb = java.nio.ByteBuffer.wrap(hdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](4); hb.get(magic)
+      require(magic.sameElements("GCOL".getBytes("US-ASCII")),
+        s"bad global heap collection signature at $addr")
+      require(u1(hb) == 1, s"unsupported global heap version at $addr")
+      hb.get(new Array[Byte](3)) // reserved
+      val collSize = u8(hb) // includes the 16-byte header
+      val body = new Array[Byte]((collSize - 16).toInt)
+      raf.readFully(body)
+      val bb = java.nio.ByteBuffer.wrap(body).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = mutable.Map.empty[Int, Array[Byte]]
+      var done = false
+      while (!done && bb.remaining >= 16) {
+        val idx = u2(bb); u2(bb); u4(bb) // index, ref count, reserved
+        val objSize = u8(bb)
+        if (idx == 0) done = true // object 0 = free space, terminates
+        else {
+          val data = new Array[Byte](objSize.toInt)
+          bb.get(data)
+          bb.position(bb.position() + ((8 - (objSize % 8)) % 8).toInt)
+          out(idx) = data
+        }
+      }
+      out.toMap
+    }
+  }
+
+  private def decodeScalar(bb: java.nio.ByteBuffer, at: Int, dt: Dtype,
+                           heap: GlobalHeap = null): Any = dt match {
     case FixedPoint(sz, signed, le) =>
       val order = if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN
       val b = bb.duplicate().order(order)
@@ -623,17 +679,29 @@ object Hdf5 {
       val b = bb.duplicate(); b.position(at); b.get(bytes)
       val end = bytes.indexOf(0.toByte)
       new String(bytes, 0, if (end >= 0) end else sz, "UTF-8")
+    case VlenString(_) =>
+      val b = bb.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val len = b.getInt(at)
+      val collAddr = b.getLong(at + 4)
+      val objIdx = b.getInt(at + 12)
+      if (collAddr == 0L || collAddr == Undef || objIdx == 0) ""
+      else {
+        require(heap != null, "vlen string decode requires a global heap reader")
+        val data = heap.get(collAddr, objIdx)
+        new String(data, 0, math.min(len, data.length), "UTF-8")
+      }
     case ArrayOf(base, dims) =>
       val n = dims.product
-      (0 until n).map(i => decodeScalar(bb, at + i * base.size, base))
+      (0 until n).map(i => decodeScalar(bb, at + i * base.size, base, heap))
     case Compound(members, _) =>
-      Row(members.map(m => decodeScalar(bb, at + m.offset, m.dtype)): _*)
+      Row(members.map(m => decodeScalar(bb, at + m.offset, m.dtype, heap)): _*)
   }
 
-  private def decodeRows(data: Array[Byte], dt: Compound, from: Int, n: Int): Iterator[Row] = {
+  private def decodeRows(data: Array[Byte], dt: Compound, from: Int, n: Int,
+                         heap: GlobalHeap = null): Iterator[Row] = {
     val bb = java.nio.ByteBuffer.wrap(data)
     (from until (from + n)).iterator.map { i =>
-      decodeScalar(bb, i * dt.size, dt).asInstanceOf[Row]
+      decodeScalar(bb, i * dt.size, dt, heap).asInstanceOf[Row]
     }
   }
 
@@ -696,8 +764,18 @@ object Hdf5 {
     }
   }
 
-  private def defaultParts(nRows: Long, partitions: Int): Int =
-    if (partitions > 0) partitions else math.max(1, math.min(64, nRows / 65536)).toInt
+  /** Partition count sized by BYTES, not a fixed cap: ~128 MiB of raw
+    * rows per task, so a 1.4 B-row × 100-byte compound splits into
+    * ~1100 partitions instead of 64 × 2 GiB buffers (which would
+    * overflow the per-partition Int allocation below). */
+  private def defaultParts(nRows: Long, rowBytes: Long, partitions: Int): Int = {
+    if (partitions > 0) partitions
+    else {
+      val target = 128L << 20
+      val byBytes = (nRows * rowBytes + target - 1) / target
+      math.max(1L, math.min(byBytes, 1 << 20)).toInt
+    }
+  }
 
   private def readCompound(spark: SparkSession, path: String, d: DatasetInfo,
                            partitions: Int): EzFrame = {
@@ -707,27 +785,37 @@ object Hdf5 {
     val rowSize = dt.size
     val rowsRdd = d.layout match {
       case Contiguous(addr, _) =>
-        val nParts = defaultParts(nRows, partitions)
+        val nParts = defaultParts(nRows, rowSize.toLong, partitions)
         spark.sparkContext.range(0L, nRows, 1L, nParts).mapPartitions { it =>
           val idx = it.toArray
           if (idx.isEmpty) Iterator.empty
           else {
+            val bytes = idx.length.toLong * rowSize
+            require(bytes <= Int.MaxValue,
+              s"partition spans $bytes bytes (> 2 GiB); pass a larger `partitions`")
             val raf = new java.io.RandomAccessFile(path, "r")
             Option(org.apache.spark.TaskContext.get())
               .foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
             // one sequential read for the partition's contiguous range
-            val data = new Array[Byte]((idx.length.toLong * rowSize).toInt)
+            val data = new Array[Byte](bytes.toInt)
             raf.seek(addr + idx.head * rowSize)
             raf.readFully(data)
-            decodeRows(data, dt, 0, idx.length)
+            decodeRows(data, dt, 0, idx.length, new GlobalHeap(raf))
           }
         }
       case Compact(data) =>
-        spark.sparkContext.parallelize(decodeRows(data, dt, 0, nRows.toInt).toSeq, 1)
+        // compact data is tiny and lives in the object header, but its
+        // vlen strings still reference the file's global heap — decode
+        // driver-side with a short-lived handle
+        val raf = new java.io.RandomAccessFile(path, "r")
+        val rows = try decodeRows(data, dt, 0, nRows.toInt, new GlobalHeap(raf)).toSeq
+          finally raf.close()
+        spark.sparkContext.parallelize(rows, 1)
       case Chunked(chunkDims, chunks, filters) =>
         require(chunkDims.length == 1, s"compound dataset rank ${chunkDims.length}")
         val chunkList = chunks.toArray
-        val nParts = math.max(1, math.min(chunkList.length, defaultParts(nRows, partitions)))
+        val nParts = math.max(1,
+          math.min(chunkList.length, defaultParts(nRows, rowSize.toLong, partitions)))
         spark.sparkContext.parallelize(chunkList.toSeq, nParts).flatMap { ch =>
           val raf = new java.io.RandomAccessFile(path, "r")
           try {
@@ -737,7 +825,7 @@ object Hdf5 {
             // last chunk may overhang the dataset extent
             val have = data.length / rowSize
             val valid = math.min(have.toLong, nRows - ch.offsets.head).toInt
-            decodeRows(data, dt, 0, valid).toVector
+            decodeRows(data, dt, 0, valid, new GlobalHeap(raf)).toVector
           } finally raf.close()
         }
     }
@@ -753,7 +841,11 @@ object Hdf5 {
       val full = if (c.dims.length > 1) ArrayType(t, containsNull = false) else t
       StructField(c.path, full)
     })
-    val nParts = defaultParts(nRows, partitions)
+    val tableRowBytes = cols.map { c =>
+      val w = if (c.dims.length > 1) c.dims.drop(1).product else 1L
+      w * c.dtype.size
+    }.sum
+    val nParts = defaultParts(nRows, math.max(1L, tableRowBytes), partitions)
     val colsB = spark.sparkContext.broadcast(cols.toArray)
     val rowsRdd = spark.sparkContext.range(0L, nRows, 1L, nParts).mapPartitions { it =>
       val idx = it.toArray
@@ -762,10 +854,11 @@ object Hdf5 {
         val raf = new java.io.RandomAccessFile(path, "r")
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
+        val heap = new GlobalHeap(raf)
         val lo = idx.head
         val n = idx.length
         val columns: Array[Array[Any]] = colsB.value.map { c =>
-          readColumnRange(raf, c, lo, n)
+          readColumnRange(raf, heap, c, lo, n)
         }
         (0 until n).iterator.map(i => Row(columns.map(_(i)).toIndexedSeq: _*))
       }
@@ -774,21 +867,24 @@ object Hdf5 {
   }
 
   /** Read rows [lo, lo+n) of a 1-D (or 2-D row-major) non-compound dataset. */
-  private def readColumnRange(raf: java.io.RandomAccessFile, c: DatasetInfo,
-                              lo: Long, n: Int): Array[Any] = {
+  private def readColumnRange(raf: java.io.RandomAccessFile, heap: GlobalHeap,
+                              c: DatasetInfo, lo: Long, n: Int): Array[Any] = {
     val rowWidth = if (c.dims.length > 1) c.dims.drop(1).product.toInt else 1
     val elemSize = c.dtype.size
     val rowBytes = rowWidth * elemSize
     def decode(data: Array[Byte], count: Int): Array[Any] = {
       val bb = java.nio.ByteBuffer.wrap(data)
       Array.tabulate[Any](count) { i =>
-        if (rowWidth == 1) decodeScalar(bb, i * elemSize, c.dtype)
-        else (0 until rowWidth).map(j => decodeScalar(bb, (i * rowWidth + j) * elemSize, c.dtype))
+        if (rowWidth == 1) decodeScalar(bb, i * elemSize, c.dtype, heap)
+        else (0 until rowWidth).map(j => decodeScalar(bb, (i * rowWidth + j) * elemSize, c.dtype, heap))
       }
     }
     c.layout match {
       case Contiguous(addr, _) =>
-        val data = new Array[Byte](n * rowBytes)
+        val bytes = n.toLong * rowBytes
+        require(bytes <= Int.MaxValue,
+          s"column range spans $bytes bytes (> 2 GiB); pass a larger `partitions`")
+        val data = new Array[Byte](bytes.toInt)
         raf.seek(addr + lo * rowBytes)
         raf.readFully(data)
         decode(data, n)

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.{coalesce, count, length, lit, max, size => asize}
+import org.apache.spark.sql.functions.{array_max, coalesce, count, length, lit, max, transform, size => asize}
 import org.apache.spark.sql.types._
 import scala.collection.mutable
 import graft.core.EzFrame
@@ -297,24 +297,41 @@ object Hdf5Write {
   // ---------------------------------------------------------------- width scan
 
   /** One aggregate pass: row count + max string/array widths. */
-  private def widths(df: DataFrame): (Long, Map[String, Int]) = {
+  /** One aggregate pass for everything the header needs up front: row
+    * count, per-column string width / array element count, and — for
+    * array-of-string columns — the widest string INSIDE the arrays
+    * (the element count must not double as the character width, or
+    * elements silently truncate). */
+  private def widths(df: DataFrame): (Long, Map[String, Int], Map[String, Int]) = {
     val aggs = df.schema.fields.flatMap { f =>
       f.dataType match {
-        case StringType => Some(coalesce(max(length(df(f.name))), lit(1)).as(s"w_${f.name}"))
-        case ArrayType(_, _) => Some(coalesce(max(asize(df(f.name))), lit(1)).as(s"w_${f.name}"))
-        case _ => None
+        case StringType =>
+          Seq(coalesce(max(length(df(f.name))), lit(1)).as(s"w_${f.name}"))
+        case ArrayType(StringType, _) =>
+          Seq(coalesce(max(asize(df(f.name))), lit(1)).as(s"w_${f.name}"),
+            coalesce(max(array_max(transform(df(f.name), e => length(e)))), lit(1))
+              .as(s"sw_${f.name}"))
+        case ArrayType(_, _) =>
+          Seq(coalesce(max(asize(df(f.name))), lit(1)).as(s"w_${f.name}"))
+        case _ => Nil
       }
     }
     val r = df.agg(count(lit(1)).as("n"), aggs.toIndexedSeq: _*).head()
     val n = r.getLong(r.fieldIndex("n"))
+    def get(name: String): Int = math.max(1, r.getAs[Number](name).intValue())
     val m = df.schema.fields.flatMap { f =>
       f.dataType match {
-        case StringType | ArrayType(_, _) =>
-          Some(f.name -> math.max(1, r.getAs[Number](s"w_${f.name}").intValue()))
+        case StringType | ArrayType(_, _) => Some(f.name -> get(s"w_${f.name}"))
         case _ => None
       }
     }.toMap
-    (n, m)
+    val inner = df.schema.fields.flatMap { f =>
+      f.dataType match {
+        case ArrayType(StringType, _) => Some(f.name -> get(s"sw_${f.name}"))
+        case _ => None
+      }
+    }.toMap
+    (n, m, inner)
   }
 
   // ---------------------------------------------------------------- public API
@@ -323,10 +340,14 @@ object Hdf5Write {
     * flavor).  Rows stream through `toLocalIterator`. */
   def write(ez: EzFrame, path: String): Unit = {
     val df = ez.df
-    val (nRows, w) = widths(df)
+    val (nRows, w, innerW) = widths(df)
     var offAcc = 0
     val members = df.schema.fields.map { f =>
-      val dt = dtypeOf(f.dataType, w.getOrElse(f.name, 1), w.getOrElse(f.name, 1))
+      val strW = f.dataType match {
+        case ArrayType(StringType, _) => innerW.getOrElse(f.name, 1)
+        case _ => w.getOrElse(f.name, 1)
+      }
+      val dt = dtypeOf(f.dataType, strW, w.getOrElse(f.name, 1))
       val m = Hdf5.Member(f.name, offAcc, dt)
       offAcc += dt.size
       m
@@ -363,14 +384,15 @@ object Hdf5Write {
     * memory stays O(one column partition). */
   def writeColumns(ez: EzFrame, path: String): Unit = {
     val df = ez.df
-    val (nRows, w) = widths(df)
+    val (nRows, w, innerW) = widths(df)
     val leafK = math.max(4, (df.schema.length + 1) / 2)
     val o = new Out(path)
     try writeSuperblockV0(o, leafK) { (o, patchRoot) =>
       val colGroups = df.schema.fields.map { f =>
         val width = w.getOrElse(f.name, 1)
         val (elemDt, dims) = f.dataType match {
-          case ArrayType(el, _) => (dtypeOf(el, width, 0), Seq(nRows, width.toLong))
+          case ArrayType(el, _) =>
+            (dtypeOf(el, innerW.getOrElse(f.name, width), 0), Seq(nRows, width.toLong))
           case other => (dtypeOf(other, width, 0), Seq(nRows))
         }
         val rowWidth = if (dims.length > 1) dims(1).toInt else 1
@@ -378,6 +400,7 @@ object Hdf5Write {
         val dataAddr = o.addr
         val bb = java.nio.ByteBuffer.allocate(rowBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         val it = df.select(df(f.name)).toLocalIterator()
+        var colRows = 0L
         while (it.hasNext) {
           val v = it.next().get(0)
           bb.clear()
@@ -387,7 +410,14 @@ object Hdf5Write {
             case _ => packValue(bb, elemDt, v)
           }
           o.put(bb.array())
+          colRows += 1
         }
+        // each column is a separate job over a separate scan: a retry or
+        // nondeterministic plan yielding a different count would declare
+        // dims=nRows over misaligned bytes — a silently corrupt file
+        require(colRows == nRows,
+          s"column '${f.name}' produced $colRows rows between the header pass " +
+            s"($nRows) and the data pass; the input plan must be deterministic")
         val dsOH = writeDatasetOH(o, dims, elemDt, dataAddr, nRows * rowBytes)
         val (bt, hp) = writeSymbolTable(o, Seq("data" -> dsOH), leafK)
         f.name -> writeGroupOH(o, bt, hp)

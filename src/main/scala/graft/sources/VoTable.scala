@@ -94,27 +94,34 @@ object VoTable {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
 
+  /** Streamed write: rows flow through `toLocalIterator` straight into
+    * the file writer, so driver memory stays O(one partition) — never
+    * O(table) (the sink is inherently single-file XML, same posture as
+    * Fits.write). */
   def write(ez: EzFrame, path: String): Unit = {
-    val sb = new StringBuilder
-    sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
-    sb ++= "<VOTABLE version=\"1.4\" xmlns=\"http://www.ivoa.net/xml/VOTable/v1.3\">\n"
-    ez.meta.header.get("DESCRIPTION").foreach(d => sb ++= s"  <DESCRIPTION>${esc(d)}</DESCRIPTION>\n")
-    sb ++= "  <RESOURCE>\n    <TABLE>\n"
-    ez.schema.fields.foreach { f =>
-      val unit = ez.meta.units.get(f.name).map(u => s""" unit="${esc(u)}"""").getOrElse("")
-      val arr = if (f.dataType == StringType) """ arraysize="*"""" else ""
-      sb ++= s"""      <FIELD name="${esc(f.name)}" datatype="${voType(f.dataType)}"$unit$arr/>\n"""
-    }
-    sb ++= "      <DATA>\n        <TABLEDATA>\n"
-    ez.df.collect().foreach { r =>
-      sb ++= "          <TR>"
-      ez.schema.fields.indices.foreach { i =>
-        val cell = if (r.isNullAt(i)) "" else esc(r.get(i).toString)
-        sb ++= s"<TD>$cell</TD>"
+    val out = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path))
+    try {
+      out.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+      out.write("<VOTABLE version=\"1.4\" xmlns=\"http://www.ivoa.net/xml/VOTable/v1.3\">\n")
+      ez.meta.header.get("DESCRIPTION").foreach(d => out.write(s"  <DESCRIPTION>${esc(d)}</DESCRIPTION>\n"))
+      out.write("  <RESOURCE>\n    <TABLE>\n")
+      ez.schema.fields.foreach { f =>
+        val unit = ez.meta.units.get(f.name).map(u => s""" unit="${esc(u)}"""").getOrElse("")
+        val arr = if (f.dataType == StringType) """ arraysize="*"""" else ""
+        out.write(s"""      <FIELD name="${esc(f.name)}" datatype="${voType(f.dataType)}"$unit$arr/>\n""")
       }
-      sb ++= "</TR>\n"
-    }
-    sb ++= "        </TABLEDATA>\n      </DATA>\n    </TABLE>\n  </RESOURCE>\n</VOTABLE>\n"
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+      out.write("      <DATA>\n        <TABLEDATA>\n")
+      val it = ez.df.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        out.write("          <TR>")
+        ez.schema.fields.indices.foreach { i =>
+          val cell = if (r.isNullAt(i)) "" else esc(r.get(i).toString)
+          out.write(s"<TD>$cell</TD>")
+        }
+        out.write("</TR>\n")
+      }
+      out.write("        </TABLEDATA>\n      </DATA>\n    </TABLE>\n  </RESOURCE>\n</VOTABLE>\n")
+    } finally out.close()
   }
 }

@@ -136,6 +136,158 @@ class Hdf5Spec extends SparkSpec {
   }
 
   // ================================================================
+  test("array-of-string columns keep full element width (not the array length)") {
+    // 2-element arrays of 7-char strings: the element width must come
+    // from string length, not be truncated to the array length (2)
+    val df = Seq(
+      (1L, Seq("alpha-1", "alpha-2")),
+      (2L, Seq("beta-01", "x"))).toDF("id", "tags")
+    val path = tmp()
+    Hdf5Write.write(EzFrame(df), path)
+    val back = Hdf5.read(spark, path).df.orderBy("id").collect()
+    assert(back(0).getSeq[String](1) == Seq("alpha-1", "alpha-2"))
+    assert(back(1).getSeq[String](1) == Seq("beta-01", "x"))
+    val path2 = tmp()
+    Hdf5Write.writeColumns(EzFrame(df), path2)
+    val back2 = Hdf5.read(spark, path2).df.orderBy("id").collect()
+    assert(back2(0).getSeq[String](1) == Seq("alpha-1", "alpha-2"))
+  }
+
+  test("vlen string dataset reads through the global heap (h5py str default)") {
+    val path = tmp()
+    val strings = Seq("alpha", "", "a much longer string that crosses 8-byte padding", "βeta")
+    writeVlenFixture(path, strings)
+    val ez = Hdf5.read(spark, path)
+    assert(ez.columns == Seq("d"))
+    assert(ez.schema("d").dataType == StringType)
+    assert(ez.df.collect().map(_.getString(0)).toSeq == strings)
+  }
+
+  test("vlen SEQUENCE datatype raises the documented error") {
+    val path = tmp()
+    writeVlenFixture(path, Seq("x"), vlenType = 0)
+    val err = intercept[Exception](Hdf5.read(spark, path))
+    assert(err.getMessage.contains("SEQUENCE"))
+  }
+
+  // ================================================================
+  // fixture: contiguous vlen-string dataset + GCOL global heap,
+  // assembled from the spec text (h5py's default layout for str
+  // columns — Hdf5Write never emits vlen, so this is hand-built)
+  // ================================================================
+  private def writeVlenFixture(path: String, strings: Seq[String], vlenType: Int = 1): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u1(v: Int): Unit = out.write(v & 0xff)
+    def u2(v: Int): Unit = { u1(v); u1(v >> 8) }
+    def u4(v: Long): Unit = { u1(v.toInt); u1((v >> 8).toInt); u1((v >> 16).toInt); u1((v >> 24).toInt) }
+    def u8(v: Long): Unit = { u4(v & 0xffffffffL); u4(v >>> 32) }
+    def undef(): Unit = u8(-1L)
+    def pad8(n: Int): Int = (n + 7) / 8 * 8
+
+    val utf8 = strings.map(_.getBytes("UTF-8"))
+    val nonEmpty = utf8.zipWithIndex.filter(_._1.nonEmpty)
+    val heapIdx: Map[Int, Int] = nonEmpty.map(_._2).zipWithIndex.map { case (r, i) => r -> (i + 1) }.toMap
+
+    // ---- layout plan
+    val sbSize = 96L
+    val rootOHAddr = sbSize
+    val rootOHSize = 16L + 8 + 16
+    val ohAddr = rootOHAddr + rootOHSize
+    val ohSize = (16L + 8) + (16 + 8) + (24 + 8) // dataspace, datatype(vlen), layout v3 contiguous
+    val gcolAddr = ohAddr + 16 + ohSize
+    val gcolObjBytes = nonEmpty.map { case (b, _) => 16 + pad8(b.length) }.sum
+    val collSize = 16L + gcolObjBytes + 16 // header + objects + free-space object
+    val heapAddr = gcolAddr + collSize
+    val heapDataSize = 16L
+    val snodAddr = heapAddr + 32 + heapDataSize
+    val snodSize = 8L + 8 * 40
+    val gBtreeAddr = snodAddr + snodSize
+    val gBtreeSize = 24L + 8 * (2 * 4) + 8 * (2 * 4 + 1)
+    val dataAddr = gBtreeAddr + gBtreeSize
+    val eof = dataAddr + 16L * strings.length
+
+    // ---- superblock v0
+    out.write(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    u1(0); u1(0); u1(0); u1(0); u1(0)
+    u1(8); u1(8); u1(0)
+    u2(4); u2(16)
+    u4(0)
+    u8(0L); undef(); u8(eof); undef()
+    u8(0L)
+    u8(rootOHAddr)
+    u4(1); u4(0)
+    u8(gBtreeAddr); u8(heapAddr)
+
+    // ---- root group object header (v1, one symbol-table message)
+    u1(1); u1(0); u2(1); u4(1); u4(24); u4(0)
+    u2(0x0011); u2(16); u4(0)
+    u8(gBtreeAddr); u8(heapAddr)
+
+    // ---- dataset object header (v1)
+    u1(1); u1(0)
+    u2(3)
+    u4(1)
+    u4(ohSize)
+    u4(0)
+    // dataspace v1 rank 1
+    u2(0x0001); u2(16); u4(0)
+    u1(1); u1(1); u1(0); (0 until 5).foreach(_ => u1(0))
+    u8(strings.length.toLong)
+    // datatype: class 9 (variable-length), type = vlenType (1 = string),
+    // base type = 1-byte string
+    u2(0x0003); u2(16); u4(0)
+    u1(0x19); u1(vlenType); u1(0); u1(0)
+    u4(16)
+    u1(0x13); u1(0); u1(0); u1(0); u4(1)
+    // layout v3 contiguous: 18 -> padded 24
+    u2(0x0008); u2(24); u4(0)
+    u1(3); u1(1)
+    u8(dataAddr); u8(16L * strings.length)
+    (0 until 6).foreach(_ => u1(0))
+
+    // ---- global heap collection
+    out.write("GCOL".getBytes("US-ASCII"))
+    u1(1); u1(0); u1(0); u1(0)
+    u8(collSize)
+    nonEmpty.foreach { case (bytes, row) =>
+      u2(heapIdx(row)); u2(1); u4(0)
+      u8(bytes.length.toLong)
+      out.write(bytes)
+      (bytes.length until pad8(bytes.length)).foreach(_ => u1(0))
+    }
+    u2(0); u2(0); u4(0); u8(16L) // free-space object terminates the walk
+
+    // ---- root group: heap, SNOD, btree (dataset name "d")
+    out.write("HEAP".getBytes("US-ASCII"))
+    u1(0); u1(0); u1(0); u1(0)
+    u8(heapDataSize)
+    undef()
+    u8(heapAddr + 32)
+    u8(0L)
+    out.write('d'); u1(0); (0 until 6).foreach(_ => u1(0))
+    out.write("SNOD".getBytes("US-ASCII"))
+    u1(1); u1(0)
+    u2(1)
+    u8(8L); u8(ohAddr); u4(0); u4(0); (0 until 16).foreach(_ => u1(0))
+    (0 until 7 * 40).foreach(_ => u1(0))
+    out.write("TREE".getBytes("US-ASCII"))
+    u1(0); u1(0)
+    u2(1)
+    undef(); undef()
+    u8(0L); u8(snodAddr); u8(8L)
+    (0 until (2 * 4 - 1) * 16).foreach(_ => u1(0))
+
+    // ---- vlen references (len u4, collection addr u8, object idx u4)
+    utf8.zipWithIndex.foreach { case (bytes, row) =>
+      if (bytes.isEmpty) { u4(0L); u8(0L); u4(0L) }
+      else { u4(bytes.length.toLong); u8(gcolAddr); u4(heapIdx(row).toLong) }
+    }
+
+    val bytes = out.toByteArray
+    assert(bytes.length == eof, s"fixture layout drift: ${bytes.length} != $eof")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
+
   // fixture builder: a minimal HDF5 file written from the spec text,
   // independent of Hdf5Write's code paths (different layout class,
   // chunked + filter pipeline + v1 chunk B-tree)

@@ -127,6 +127,17 @@ class PlotterSpec extends SparkSpec {
     assert(rc.count() == 2) // cells (0,a) and (1,b); x=5 upper edge joins bin 1
   }
 
+  test("rasterCat pivots bounded categories and rejects high cardinality") {
+    val rc = graft.operators.Binned.rasterCat(df, col("x"), col("y"),
+      0.0, 5.0, 0.0, 50.0, 2, 2, col("g"))
+    assert(rc.columns.toSet == Set("px_bin", "py_bin", "a", "b"))
+    val big = spark.range(1000).selectExpr("cast(id as double) x", "cast(id as double) y", "id g")
+    val err = intercept[IllegalArgumentException](
+      graft.operators.Binned.rasterCat(big, col("x"), col("y"),
+        0.0, 1000.0, 0.0, 1000.0, 2, 2, col("g"), maxCategories = 100))
+    assert(err.getMessage.contains("maxCategories"))
+  }
+
   test("groupby guards the driver against high-cardinality keys") {
     import org.apache.spark.sql.functions.expr
     val wide = spark.range(50).selectExpr("cast(id as double) as x",
