@@ -44,7 +44,15 @@ object TopKStrategy extends SparkStrategy {
   * shuffle (UnspecifiedDistribution) and bounds each partition's
   * output; the final instance requires clustering on the keys, which
   * EnsureRequirements satisfies with a hash exchange over the already
-  * -bounded rows. */
+  * -bounded rows.
+  *
+  * Memory bound (documented, no spill): each task holds at most 2k
+  * rows per DISTINCT KEY in its partition, so worst case is
+  * O(2k · keys-per-task) heap — a few MB in the intended regime
+  * (small k, moderate cardinality: "top 5 per group").  If k ×
+  * cardinality is large enough to need spilling, use the window
+  * formulation (row_number() <= k), which goes through Spark's
+  * spillable external sorter instead. */
 final case class TopKPerKeyExec(keys: Seq[Expression], order: SortOrder, k: Int,
                                 partial: Boolean, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
