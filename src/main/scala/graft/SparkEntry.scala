@@ -551,6 +551,25 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // §2.11 violin density aggregation (plotter.py:943–955): binned
+    // counts normalized to a probability density — the in-cluster curve
+    // behind Plotter.violin (only `bins` points reach the driver)
+    "q57_violin_density" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val h = Binned.histogram(li, dec2(col("l_quantity")).cast(DoubleType), 0.0, 60.0, 12)
+      val total = sum(col("value"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1)))
+      h.select(col("x_bin").as("bin"),
+        round(col("value").cast(DoubleType) / (total * 5.0), 6).as("density"))
+    }),
+
+    // M6 exact near-dup pairs: the brute-force oracle twin of the
+    // LSH-bucketed q49 (same semantics, O(n²) — verification scale only)
+    "q58_neardup_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      Similarity.exactPairs(e, "vec_id", "embedding", threshold = 0.2)
+    }),
+
     // §2.4 distinct aggregation (exact; HLL approx_count_distinct is the
     // scale-out variant, not oracle-comparable across engines)
     "q54_distinct_agg" -> ((s, dir) => {
@@ -921,5 +940,22 @@ object SparkEntry {
         |SELECT o_custkey, o_orderkey, o_totalprice,
         |row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
         |FROM orders) WHERE rn <= 3""".stripMargin.replace("\n", " "),
+
+    "q57_violin_density" ->
+      """WITH h AS (SELECT CASE WHEN l_quantity = 60 THEN 11
+        |ELSE CAST(floor(l_quantity / 5.0) AS BIGINT) END AS bin, count(*) AS cnt
+        |FROM lineitem WHERE l_quantity >= 0 AND l_quantity <= 60 GROUP BY 1),
+        |g AS (SELECT range AS bin FROM range(0, 12)),
+        |t AS (SELECT SUM(cnt) AS total FROM h)
+        |SELECT g.bin AS bin, round(COALESCE(h.cnt, 0) / (t.total * 5.0), 6) AS density
+        |FROM g LEFT JOIN h ON g.bin = h.bin CROSS JOIN t""".stripMargin.replace("\n", " "),
+
+    "q58_neardup_exact" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |FROM embeddings WHERE vec_id < 1000)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM v a, v b WHERE a.vec_id < b.vec_id
+        |AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.2""".stripMargin.replace("\n", " "),
   )
 }

@@ -6,8 +6,11 @@ import org.apache.spark.sql.types._
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`Array[Float]`).  Beyond-reference extension (SURVEY.md §7.2
-  * M6).  Dot products are `zip_with` + `aggregate` Column compositions
-  * (codegen'd, no UDF).
+  * M6).  Dot products go through [[graft.functions.VectorSim]] — a
+  * custom codegen'd Catalyst expression, because Spark's higher-order
+  * functions evaluate interpreted and the per-pair dot product IS the
+  * hot loop of every operator here (measured 28 s → 4 s on the exact
+  * all-pairs query at sf0.1).
   *
   * Scale posture: brute-force top-k is the *correctness baseline* (a
   * cartesian product — only for small probe sets or verification); the
@@ -17,22 +20,13 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Cosine similarity between two double-array columns (computed in
-    * double; cast float embeddings first for cross-engine stability). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
-    // a zero vector (failed encode / padding) must yield NaN, not an
-    // ANSI DIVIDE_BY_ZERO that kills the whole job
-    when(na * nb === 0.0, lit(Double.NaN)).otherwise(dot / (na * nb))
-  }
+  /** Cosine similarity between two array columns (computed in double;
+    * zero-norm input yields NaN, never an ANSI divide error). */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorSim.cosine(a, b)
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorSim.dot(a, b)
 
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+  def l2Distance(a: Column, b: Column): Column = graft.functions.VectorSim.l2(a, b)
 
   private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
 
@@ -128,6 +122,20 @@ object Similarity {
           round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
     }
     perTable.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact all-pairs cosine threshold (id_a < id_b): the brute-force
+    * ORACLE TWIN of [[lshPairs]]/embeddingNearDup — O(n²) dot products
+    * via a broadcast nested-loop self-join, for verification and small
+    * corpora only.  The scale path is lshPairs (bucketed); this exists
+    * so the near-dup semantics stay checkable against a SQL oracle. */
+  def exactPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                 threshold: Double): DataFrame = {
+    val v = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    v.alias("a").join(v.alias("b"), col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest
