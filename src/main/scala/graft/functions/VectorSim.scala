@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Codegen'd vector similarity kernels over `array<double>` columns.
   *
@@ -64,6 +64,31 @@ object VectorSim {
     math.sqrt(s)
   }
 
+  /** Count of positions where two long arrays agree — the MinHash
+    * full-signature agreement estimator's kernel (est_jaccard =
+    * agree / k).  A zip_with/filter/size composition is interpreted
+    * AND lands in join conditions and distinct grouping keys, where it
+    * runs once per band-collision row; an unrolled element_at tree
+    * keeps codegen but explodes the expression tree k-fold.  This is
+    * the tiny-tree + codegen middle path. */
+  def agreeCountData(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def agreeCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(ArrayAgreeCount(
+      GraftBridge.expression(a.cast(ArrayType(LongType))),
+      GraftBridge.expression(b.cast(ArrayType(LongType)))))
+  }
+
   private def lift(c: Column): Expression = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.expression(c.cast(ArrayType(DoubleType)))
@@ -112,6 +137,24 @@ case class VectorSimExpr(kind: String, left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.VectorSim.$method($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Agreement count over two `array<long>` columns (see
+  * [[VectorSim.agreeCountData]]). */
+case class ArrayAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "array_agree_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorSim.agreeCountData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorSim.agreeCountData($a, $b);")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

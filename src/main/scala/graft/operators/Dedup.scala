@@ -94,14 +94,14 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      // zip_with/filter/size evaluate interpreted (no codegen) in
-      // Spark 4, but measured FASTER here than an unrolled 2k-element_at
-      // expression tree: the est lands in the self-join condition and
-      // the distinct grouping key, and the giant unrolled tree blows up
-      // codegen/compile far beyond what interpreted eval costs at
-      // ~1 M collision rows (measured 6.5 s vs 4.5 s per LSH pass)
+      // full-signature agreement via a codegen'd kernel expression:
+      // this lands in the self-join condition and the distinct grouping
+      // key, evaluated once per band-collision row — an interpreted
+      // zip_with there costs ~µs/row, and an unrolled element_at tree
+      // keeps codegen but blows the expression tree up k-fold (both
+      // measured slower; see functions/VectorSim.scala)
       .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+        round(graft.functions.VectorSim.agreeCount(col("sig_a"), col("sig_b"))
           .cast(DoubleType) / lit(bands * rowsPerBand), 6))
       .select("id_a", "id_b", "est_jaccard")
       .distinct()

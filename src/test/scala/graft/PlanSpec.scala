@@ -104,4 +104,31 @@ class GroupedFnSpec extends SparkSpec {
       .collect().map(_.getInt(0))
     assert(n.toSeq == Seq(3, 2))
   }
+
+  test("vector kernels run as codegen'd expressions, not interpreted HOFs") {
+    import graft.functions.VectorSim
+    // range-based input: a local Seq would constant-fold the whole
+    // projection into a LocalTableScan and bypass codegen entirely
+    val df = spark.range(100).selectExpr(
+      "array(cast(id as double), cast(id + 1 as double)) as a",
+      "array(cast(id as double), cast(id + 1 as double)) as b",
+      "array(id, id) as sa", "array(id, id + 1) as sb")
+    val q = df.select(VectorSim.cosine(col("a"), col("b")).as("cs"),
+      VectorSim.agreeCount(col("sa"), col("sb")).as("agree"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the kernel expressions appear inside a whole-stage-codegen'd
+    // Project (the `*(n)` prefix) — no zip_with/aggregate lambda nodes
+    // anywhere in the plan
+    assert(plan.contains("*(1) Project"), plan)
+    assert(plan.contains("vector_cosine") && plan.contains("array_agree_count"), plan)
+    assert(!plan.contains("lambdafunction"), plan)
+    val rows = q.collect()
+    // identical vectors -> cosine 1; [id,id] vs [id,id+1] agree on 1 slot
+    assert(rows.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    assert(rows.forall(_.getLong(1) == 1L))
+    // zero-norm vector -> NaN, not an ANSI error
+    val z = spark.range(1).selectExpr("array(0.0d, 0.0d) as a", "array(1.0d, 1.0d) as b")
+      .select(VectorSim.cosine(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(z.isNaN)
+  }
 }
