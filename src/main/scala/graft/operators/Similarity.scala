@@ -62,8 +62,9 @@ object Similarity {
     val planeVecs = Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
     val v = asDouble(vec)
     (0 until planes).map { p =>
-      val pv = typedlit(planeVecs(p))
-      val proj = aggregate(zip_with(v, pv, (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+      // codegen'd dot kernel (VectorSim) — this runs once per plane per
+      // corpus row, exactly the place an interpreted HOF would tax
+      val proj = graft.functions.VectorSim.dot(v, typedlit(planeVecs(p)))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
