@@ -34,7 +34,13 @@ object Io {
       s"unknown table extension '$e' (path: $path)")
   }
 
-  def write(ez: EzFrame, path: String): Unit = ext(path) match {
+  /** `append = true` mirrors the reference's `write(append=True)`:
+    * supported for FITS (adds a BINTABLE HDU, readable via
+    * `Fits.read(..., hdu = n)`); other formats reject it loudly. */
+  def write(ez: EzFrame, path: String, append: Boolean = false): Unit = ext(path) match {
+    case "fits" | "fit" if append => Fits.append(ez, path)
+    case e if append => throw new IllegalArgumentException(
+      s"append is only supported for FITS, not '$e' (path: $path)")
     case "csv" => CommentedCsv.write(ez, path)
     case "tsv" => CommentedCsv.write(ez, path, delimiter = "\t")
     case "dat" | "txt" => CommentedCsv.write(ez, path, delimiter = " ")

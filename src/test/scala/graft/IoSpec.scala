@@ -161,4 +161,16 @@ class IoDispatchSpec extends SparkSpec {
   test("unknown extension raises") {
     intercept[IllegalArgumentException] { Io.read(spark, "/tmp/file.nope") }
   }
+
+  test("write(append = true) dispatches to FITS append; rejects other formats") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_io").resolve("t.fits").toString
+    Io.write(EzFrame(Seq((1L, "a")).toDF("id", "s")), p)
+    Io.write(EzFrame(Seq((2.5, 3.5)).toDF("x", "y")), p, append = true)
+    assert(graft.sources.Fits.read(spark, p, hdu = 2).columns == Seq("x", "y"))
+    val err = intercept[IllegalArgumentException] {
+      Io.write(EzFrame(Seq((1, 2)).toDF("a", "b")), "/tmp/t.csv", append = true)
+    }
+    assert(err.getMessage.contains("append"))
+  }
 }
