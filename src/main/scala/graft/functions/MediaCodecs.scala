@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types._
+
+/** REAL media decoding for the formats that are pure byte math —
+  * RIFF/WAVE PCM audio and uncompressed 24-bit BMP images — written
+  * from the published container specs (Microsoft/IBM RIFF WAVE, 1991;
+  * Windows BITMAPINFOHEADER).  No native codec library is required, so
+  * this runs anywhere the JVM runs, executor-side, inside whole-stage
+  * codegen.
+  *
+  * This is the demonstration that the multimodal pipeline's decode
+  * seam ([[graft.operators.Multimodal]]) carries REAL decoders
+  * end-to-end: payload bytes in a binary column → typed metadata +
+  * signal features out, one struct per row.  Compressed formats
+  * (JPEG/MP4/FLAC…) still need external codecs and stay behind the
+  * documented stub seam.
+  *
+  * Decoded struct (modality-specific fields null when not applicable):
+  * mime, width, height, channels, sample_rate, bits, n_samples,
+  * duration_s, rms, peak, mean_r, mean_g, mean_b, size_bytes.
+  */
+object MediaCodecs {
+
+  val mediaType: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_s", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("peak", DoubleType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  private def u2(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+  private def u4(b: Array[Byte], at: Int): Long =
+    (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) | ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+  private def i4(b: Array[Byte], at: Int): Int = u4(b, at).toInt
+
+  final case class WavMeta(channels: Int, sampleRate: Int, bits: Int,
+                           nSamples: Long, durationS: Double, rms: Double, peak: Double)
+
+  /** RIFF/WAVE parser: walks the chunk list for `fmt ` and `data`;
+    * PCM16 payloads also yield RMS and peak of the normalized signal.
+    * Returns None when the bytes are not a well-formed PCM WAV. */
+  def parseWav(b: Array[Byte]): Option[WavMeta] = {
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var at = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+    var data: Option[(Int, Int)] = None // offset, size
+    while (at + 8 <= b.length) {
+      val id = new String(b, at, 4, "US-ASCII")
+      val size = u4(b, at + 4).toInt
+      val body = at + 8
+      if (id == "fmt " && body + 16 <= b.length) {
+        val audioFormat = u2(b, body)
+        if (audioFormat != 1) return None // only uncompressed PCM
+        fmt = Some((u2(b, body + 2), u4(b, body + 4).toInt, u2(b, body + 14), u2(b, body + 12)))
+      } else if (id == "data") {
+        data = Some((body, math.min(size, b.length - body)))
+      }
+      at = body + size + (size & 1) // chunks are word-aligned
+    }
+    for ((channels, rate, bits, blockAlign) <- fmt; (off, size) <- data) yield {
+      val align = math.max(1, blockAlign)
+      val nSamples = size.toLong / align
+      val duration = if (rate > 0) nSamples.toDouble / rate else 0.0
+      var (sumSq, peak) = (0.0, 0.0)
+      var n = 0L
+      if (bits == 16) {
+        var i = off
+        val end = off + size - 1
+        while (i < end) {
+          val s = ((b(i) & 0xff) | (b(i + 1) << 8)).toShort / 32768.0
+          sumSq += s * s
+          val a = math.abs(s); if (a > peak) peak = a
+          n += 1; i += 2
+        }
+      }
+      val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
+      WavMeta(channels, rate, bits, nSamples, duration, rms, peak)
+    }
+  }
+
+  final case class BmpMeta(width: Int, height: Int,
+                           meanR: Double, meanG: Double, meanB: Double)
+
+  /** 24-bit uncompressed BMP (BITMAPINFOHEADER) parser: dimensions +
+    * per-channel pixel means.  Rows are 4-byte aligned, pixels BGR,
+    * bottom-up when height > 0. */
+  def parseBmp(b: Array[Byte]): Option[BmpMeta] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val pixelOff = u4(b, 10).toInt
+    val hdrSize = u4(b, 14).toInt
+    if (hdrSize < 40) return None
+    val w = i4(b, 18)
+    val hRaw = i4(b, 22)
+    val h = math.abs(hRaw)
+    val bpp = u2(b, 28)
+    val compression = u4(b, 30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (pixelOff + stride.toLong * h > b.length) return None
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    var row = 0
+    while (row < h) {
+      var x = 0
+      val base = pixelOff + row * stride
+      while (x < w) {
+        val p = base + x * 3
+        sb += (b(p) & 0xff); sg += (b(p + 1) & 0xff); sr += (b(p + 2) & 0xff)
+        x += 1
+      }
+      row += 1
+    }
+    val n = w.toDouble * h
+    Some(BmpMeta(w, h, sr / n, sg / n, sb / n))
+  }
+
+  /** Magic-byte dispatch → metadata struct row (static: called from
+    * both interpreted eval and generated code). */
+  def decodeRow(b: Array[Byte]): InternalRow = {
+    val size = b.length.toLong
+    parseWav(b) match {
+      case Some(w) =>
+        InternalRow(UTF8String.fromString("audio/wav"), null, null,
+          w.channels, w.sampleRate, w.bits, w.nSamples, w.durationS,
+          w.rms, w.peak, null, null, null, size)
+      case None => parseBmp(b) match {
+        case Some(m) =>
+          InternalRow(UTF8String.fromString("image/bmp"), m.width, m.height,
+            null, null, null, null, null, null, null,
+            m.meanR, m.meanG, m.meanB, size)
+        case None =>
+          InternalRow(UTF8String.fromString("application/octet-stream"),
+            null, null, null, null, null, null, null, null, null,
+            null, null, null, size)
+      }
+    }
+  }
+
+  /** Column surface: `decode(payload)` → metadata struct. */
+  def decode(payload: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(MediaDecodeExpr(
+      GraftBridge.expression(payload.cast(BinaryType))))
+  }
+}
+
+/** Codegen'd media decode: one static call per row, struct out. */
+case class MediaDecodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = MediaCodecs.mediaType
+  override def prettyName: String = "decode_media"
+
+  override def nullSafeEval(payload: Any): Any =
+    MediaCodecs.decodeRow(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, p =>
+      s"${ev.value} = graft.functions.MediaCodecs.decodeRow($p);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -7,13 +7,25 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing for training-data
   * pipelines.  Media payloads are opaque `binary` columns with a typed
   * metadata struct; the pipeline shape — schema, partitioning, batch
-  * processing, frame explode — is real and tested, while the codec
-  * step itself is a STUB (this environment has no image/audio codecs):
-  * `fakeDecodeMeta` derives deterministic pseudo-metadata from the
-  * payload hash, standing in for a libjpeg/ffmpeg call.  Swapping the
-  * stub for a real decoder keeps every Spark-side contract unchanged.
+  * processing, frame explode — is real and tested.
+  *
+  * Decoding comes in two tiers:
+  *  - [[decodeMedia]] is a REAL decoder for formats that are pure byte
+  *    math — RIFF/WAVE PCM audio and 24-bit BMP images — implemented
+  *    from the container specs in [[graft.functions.MediaCodecs]]
+  *    (codegen'd Expression, runs executor-side with no native libs);
+  *  - compressed formats (JPEG/MP4/FLAC…) need external codecs this
+  *    environment doesn't have, so `fakeDecodeMeta` remains the
+  *    documented stub seam with the same struct shape — swapping it
+  *    for a libjpeg/ffmpeg call changes no Spark-side contract.
   */
 object Multimodal {
+
+  /** Real magic-byte decode: WAV/BMP payloads yield true metadata +
+    * signal features (duration, RMS, pixel means); anything else
+    * degrades to mime `application/octet-stream` + size. */
+  def decodeMedia(payload: Column): Column =
+    graft.functions.MediaCodecs.decode(payload)
 
   /** Metadata struct carried next to each payload. */
   val mediaMetaType: StructType = StructType(Seq(

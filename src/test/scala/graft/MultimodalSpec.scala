@@ -65,4 +65,83 @@ class MultimodalSpec extends SparkSpec {
     val out2 = Multimodal.mapBatches(ds, Multimodal.stubDecode).collect()
     assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
   }
+
+  /** Minimal PCM16 mono WAV from a sample sequence (RIFF spec). */
+  private def wavBytes(samples: Seq[Short], rate: Int): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataSize); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2)
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes); bb.putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Minimal 24-bit BMP: rows of (r, g, b) pixels, bottom-up. */
+  private def bmpBytes(pixels: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels.head.length
+    val stride = ((w * 3 + 3) / 4) * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(54 + stride * h)
+    bb.putInt(0); bb.putInt(54)
+    bb.putInt(40); bb.putInt(w); bb.putInt(h)
+    bb.putShort(1); bb.putShort(24); bb.putInt(0); bb.putInt(stride * h)
+    bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+    // bottom-up: last pixel row first
+    pixels.reverse.foreach { row =>
+      row.foreach { case (r, g, b) =>
+        bb.put(b.toByte); bb.put(g.toByte); bb.put(r.toByte)
+      }
+      (w * 3 until stride).foreach(_ => bb.put(0.toByte))
+    }
+    bb.array()
+  }
+
+  test("decodeMedia really decodes WAV PCM: rate, duration, RMS, peak") {
+    // 0.1 s of a square wave at half amplitude: RMS = peak = 0.5
+    val rate = 8000
+    val samples = (0 until 800).map(i => (if (i % 2 == 0) 16384 else -16384).toShort)
+    val df = Seq((1L, wavBytes(samples, rate))).toDF("id", "payload")
+    val m = df.select(Multimodal.decodeMedia(col("payload")).as("m"))
+      .select(col("m.mime"), col("m.sample_rate"), col("m.channels"),
+        col("m.n_samples"), col("m.duration_s"), col("m.rms"), col("m.peak"))
+      .collect().head
+    assert(m.getString(0) == "audio/wav")
+    assert(m.getInt(1) == 8000 && m.getInt(2) == 1)
+    assert(m.getLong(3) == 800L)
+    assert(math.abs(m.getDouble(4) - 0.1) < 1e-9)
+    assert(math.abs(m.getDouble(5) - 0.5) < 1e-3) // RMS of ±0.5 square
+    assert(math.abs(m.getDouble(6) - 0.5) < 1e-3)
+  }
+
+  test("decodeMedia really decodes 24-bit BMP: dims and channel means") {
+    // 3x2: top row red, bottom row blue -> meanR = meanB = 127.5
+    val img = Seq(
+      Seq((255, 0, 0), (255, 0, 0), (255, 0, 0)),
+      Seq((0, 0, 255), (0, 0, 255), (0, 0, 255)))
+    val df = Seq((1L, bmpBytes(img))).toDF("id", "payload")
+    val m = df.select(Multimodal.decodeMedia(col("payload")).as("m"))
+      .select(col("m.mime"), col("m.width"), col("m.height"),
+        col("m.mean_r"), col("m.mean_g"), col("m.mean_b"))
+      .collect().head
+    assert(m.getString(0) == "image/bmp")
+    assert(m.getInt(1) == 3 && m.getInt(2) == 2)
+    assert(math.abs(m.getDouble(3) - 127.5) < 1e-9)
+    assert(m.getDouble(4) == 0.0)
+    assert(math.abs(m.getDouble(5) - 127.5) < 1e-9)
+  }
+
+  test("decodeMedia degrades unknown payloads to octet-stream with size") {
+    val df = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("id", "payload")
+    val m = df.select(Multimodal.decodeMedia(col("payload")).as("m"))
+      .select(col("m.mime"), col("m.size_bytes"), col("m.width")).collect().head
+    assert(m.getString(0) == "application/octet-stream")
+    assert(m.getLong(1) == 4L)
+    assert(m.isNullAt(2))
+  }
 }
