@@ -339,8 +339,12 @@ object SparkEntry {
     "q34_multimodal" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
       val m = operators.Multimodal.withMedia(d, col("text"), "text/plain")
+        // real magic-byte decode runs alongside the stubbed metadata:
+        // text payloads classify as octet-stream with their true size
+        .withColumn("dec", operators.Multimodal.decodeMedia(col("payload")))
       operators.Multimodal.explodeFrames(m, "payload", maxFrames = 4)
-        .groupBy(col("doc_id"), col("media.width").as("width"))
+        .groupBy(col("doc_id"), col("media.width").as("width"),
+          col("dec.mime").as("mime"), col("dec.size_bytes").as("payload_bytes"))
         .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("total_bytes"))
     }),
 
