@@ -163,6 +163,33 @@ class SimilaritySpec extends SparkSpec {
     assert(assign(1L) == 0L)
     assert(assign(2L) == 2L)
   }
+
+  test("lshPairs recall against exactPairs, and OR-amplification helps") {
+    // deterministic corpus: 40 cluster centers, 5 perturbed members each
+    // (seeded) — ground truth = exactPairs at the same threshold
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 40).flatMap { c =>
+      val center = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (0 until 5).map { m =>
+        val v = center.map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+        (c * 10L + m, v)
+      }
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val exact = Similarity.exactPairs(df, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    def recall(tables: Int): Double = {
+      val got = Similarity.lshPairs(df, "vec_id", "embedding", planes = 6, tables = tables)
+        .filter(col("cos_sim") >= 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.subsetOf(exact)) // LSH candidates are exact-scored: no false positives
+      got.size.toDouble / exact.size
+    }
+    val r1 = recall(1); val r3 = recall(3)
+    assert(r3 >= r1, s"OR-amplification reduced recall: $r1 -> $r3")
+    assert(r3 > 0.8, s"3-table recall $r3 too low on clustered data")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
