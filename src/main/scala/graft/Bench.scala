@@ -38,8 +38,11 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
+          // strip quotes/backslashes AND the whole control range — a
+          // message quoting binary data or ANSI escapes must not make
+          // the one-line JSON unparseable
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            .replaceAll("[\"\\\\\\x00-\\x1f]", " ").take(200)
           name -> -1.0
       }
     }

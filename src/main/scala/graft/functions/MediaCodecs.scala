@@ -64,16 +64,19 @@ object MediaCodecs {
     var data: Option[(Int, Int)] = None // offset, size
     while (at + 8 <= b.length) {
       val id = new String(b, at, 4, "US-ASCII")
-      val size = u4(b, at + 4).toInt
+      // a corrupt/adversarial size field >= 2^31 truncates negative —
+      // the decoder must DEGRADE, never loop or crash on bad bytes
+      val size = u4(b, at + 4)
+      if (size < 0 || size > Int.MaxValue - 8) return None
       val body = at + 8
       if (id == "fmt " && body + 16 <= b.length) {
         val audioFormat = u2(b, body)
         if (audioFormat != 1) return None // only uncompressed PCM
         fmt = Some((u2(b, body + 2), u4(b, body + 4).toInt, u2(b, body + 14), u2(b, body + 12)))
       } else if (id == "data") {
-        data = Some((body, math.min(size, b.length - body)))
+        data = Some((body, math.min(size, (b.length - body).toLong).toInt))
       }
-      at = body + size + (size & 1) // chunks are word-aligned
+      at = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
     for ((channels, rate, bits, blockAlign) <- fmt; (off, size) <- data) yield {
       val align = math.max(1, blockAlign)
@@ -104,22 +107,27 @@ object MediaCodecs {
     * bottom-up when height > 0. */
   def parseBmp(b: Array[Byte]): Option[BmpMeta] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
-    val pixelOff = u4(b, 10).toInt
-    val hdrSize = u4(b, 14).toInt
-    if (hdrSize < 40) return None
+    val pixelOff = u4(b, 10)
+    val hdrSizeL = u4(b, 14)
+    if (hdrSizeL < 40) return None
     val w = i4(b, 18)
     val hRaw = i4(b, 22)
     val h = math.abs(hRaw)
     val bpp = u2(b, 28)
     val compression = u4(b, 30)
+    // corrupt headers (negative/oversized offsets or dimensions whose
+    // stride overflows Int) must degrade to None, never index out of
+    // bounds inside the codegen'd expression
     if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return None
+    if (pixelOff < 54 || pixelOff > b.length || w > (Int.MaxValue - 3) / 3) return None
     val stride = ((w * 3 + 3) / 4) * 4
     if (pixelOff + stride.toLong * h > b.length) return None
+    val pixelOffI = pixelOff.toInt
     var (sr, sg, sb) = (0.0, 0.0, 0.0)
     var row = 0
     while (row < h) {
       var x = 0
-      val base = pixelOff + row * stride
+      val base = pixelOffI + row * stride
       while (x < w) {
         val p = base + x * 3
         sb += (b(p) & 0xff); sg += (b(p + 1) & 0xff); sr += (b(p + 2) & 0xff)

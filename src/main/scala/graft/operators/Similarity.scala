@@ -110,7 +110,14 @@ object Similarity {
     * of shipping 2·dim·8 bytes per pair through the dedup exchange. */
   def lshPairs(corpus: DataFrame, idCol: String, vecCol: String,
                planes: Int = 8, tables: Int = 2): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // empty corpus: no first row to probe dimensionality from — return
+    // an empty pair frame instead of throwing at plan-build time
+    val dimRow = corpus.select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty || dimRow.head.isNullAt(0))
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("cos_sim"))
+        .limit(0)
+    val dim = dimRow.head.getInt(0)
     val v = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val perTable = (0 until tables).map { tbl =>
       // identical projections on both sides -> the signature shuffle
@@ -122,7 +129,11 @@ object Similarity {
         .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
           round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
     }
+    // NaN cosine (zero-norm vector) sorts GREATER than every double in
+    // Spark, so it would pass any >= threshold filter downstream — a
+    // pair with no defined similarity is dropped, not reported
     perTable.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
+      .filter(!isnan(col("cos_sim")))
   }
 
   /** Exact all-pairs cosine threshold (id_a < id_b): the brute-force
@@ -136,7 +147,10 @@ object Similarity {
     v.alias("a").join(v.alias("b"), col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
         round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+      // NaN (zero-norm input) sorts greater than any double in Spark
+      // and would pass >= threshold; an undefined similarity is not a
+      // near-duplicate
+      .filter(col("cos_sim") >= threshold && !isnan(col("cos_sim")))
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest

@@ -124,16 +124,22 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
   /** Deterministic bounded sample in ONE pass: hash-ordered top-k
     * (TakeOrderedAndProject — per-partition heap + merge, O(n log k)).
     * Replaces the count()-then-sample() pattern, which scanned the
-    * input twice per plot.  The key is a PURE content hash — no
-    * monotonically_increasing_id, whose value depends on partition
-    * layout and changes on recompute/retry — so the selected set is
-    * stable across runs; hash ties are identical rows, so whichever
-    * copy wins, the sample content is the same.  The temp column name
-    * is uniquified against the frame's own columns. */
+    * input twice per plot.
+    *
+    * Ordering: primary key is the CONTENT hash (stable across runs,
+    * retries and partition layouts), with monotonically_increasing_id
+    * only as a TIEBREAK among identical rows — so duplicate-heavy data
+    * keeps proportional representation (each physical copy competes
+    * for a slot) while the tiebreak's layout-dependence is invisible:
+    * it only ever chooses between identical rows, so the sample
+    * CONTENT is still deterministic.  The temp column name is
+    * uniquified against the frame's own columns. */
   private def sampleBounded(df: DataFrame, maxPoints: Int): DataFrame = {
     val sk = Iterator.from(0).map(i => s"_sk$i").find(n => !df.columns.contains(n)).get
+    val tk = sk + "t"
     val key = xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
-    df.withColumn(sk, key).orderBy(col(sk)).limit(maxPoints).drop(sk)
+    df.withColumn(sk, key).withColumn(tk, monotonically_increasing_id())
+      .orderBy(col(sk), col(tk)).limit(maxPoints).drop(sk, tk)
   }
 
   /** 1-D histogram (ezdata/plotter.py:877–896): binned count agg in
@@ -224,9 +230,22 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
     * only `bins` points per variable ever reach the driver, at any
     * input scale. */
   def violin(columns: Seq[String], bins: Int = 40): PlotSpec = {
+    // ONE extent pass for every requested column (min/max pairs in a
+    // single aggregate), then one histogram job per column — N+1 scans
+    // instead of 2N
+    val extAggs = columns.flatMap { c =>
+      val cc = ez.get(c).cast("double")
+      Seq(min(cc), max(cc))
+    }
+    val extRow = ez.df.agg(extAggs.head, extAggs.tail: _*).collect().head
+    val extents = columns.zipWithIndex.map { case (c, i) =>
+      require(!extRow.isNullAt(2 * i) && !extRow.isNullAt(2 * i + 1),
+        s"violin: column '$c' has no non-null values")
+      c -> (extRow.getDouble(2 * i), extRow.getDouble(2 * i + 1))
+    }.toMap
     val rows = columns.flatMap { c =>
       val cc = ez.get(c)
-      val (lo, hi) = Binned.extent(ez.df, cc)
+      val (lo, hi) = extents(c)
       val h = Binned.histogram(ez.df, cc, lo, hi, bins).collect()
       val total = h.map(_.getAs[Number]("value").doubleValue()).sum
       val width = (hi - lo) / bins
@@ -258,8 +277,10 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
       s"more than $maxCells ($key1, $key2) cells; facet on coarser keys or raise maxCells")
     val cells = combos.toSeq.map { r =>
       val (v1, v2) = (r.get(0), r.get(1))
+      // null-safe <=>: a null facet key is a real cell (=== would make
+      // the cell's filter null out every row and crash the plot fn)
       val cell = new Plotter(
-        EzFrame(ez.df.filter(col(k1) === lit(v1) && col(k2) === lit(v2)), ez.meta),
+        EzFrame(ez.df.filter(col(k1) <=> lit(v1) && col(k2) <=> lit(v2)), ez.meta),
         s"$key1=$v1 | $key2=$v2")
       (String.valueOf(v1), String.valueOf(v2)) -> plotFn(cell)
     }

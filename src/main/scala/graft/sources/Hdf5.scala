@@ -907,8 +907,8 @@ object Hdf5 {
             while (r < until) {
               val inChunk = (r - c0).toInt
               out((r - lo).toInt) =
-                if (rowWidth == 1) decodeScalar(bb, inChunk * elemSize, c.dtype)
-                else (0 until rowWidth).map(j => decodeScalar(bb, (inChunk * rowWidth + j) * elemSize, c.dtype))
+                if (rowWidth == 1) decodeScalar(bb, inChunk * elemSize, c.dtype, heap)
+                else (0 until rowWidth).map(j => decodeScalar(bb, (inChunk * rowWidth + j) * elemSize, c.dtype, heap))
               r += 1
             }
           }

@@ -144,4 +144,31 @@ class MultimodalSpec extends SparkSpec {
     assert(m.getLong(1) == 4L)
     assert(m.isNullAt(2))
   }
+
+  test("decodeMedia degrades corrupt/adversarial headers, never hangs or crashes") {
+    // WAV with a chunk size field >= 2^31 (negative as Int): must
+    // terminate and classify as octet-stream, not loop re-reading the
+    // same chunk header
+    val evilWav = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evilWav.put("RIFF".getBytes); evilWav.putInt(56); evilWav.put("WAVE".getBytes)
+    evilWav.put("fmt ".getBytes); evilWav.putInt(0xFFFFFFF8)
+    // BMP with pixel offset 0x80000000 (negative as Int): must not
+    // index out of bounds from inside the codegen'd expression
+    val evilBmp = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evilBmp.put('B'.toByte); evilBmp.put('M'.toByte); evilBmp.putInt(64)
+    evilBmp.putInt(0); evilBmp.putInt(0x80000000)
+    evilBmp.putInt(40); evilBmp.putInt(1); evilBmp.putInt(1)
+    evilBmp.putShort(1); evilBmp.putShort(24); evilBmp.putInt(0)
+    // BMP whose width makes the stride overflow Int
+    val evilBmp2 = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evilBmp2.put('B'.toByte); evilBmp2.put('M'.toByte); evilBmp2.putInt(64)
+    evilBmp2.putInt(0); evilBmp2.putInt(54)
+    evilBmp2.putInt(40); evilBmp2.putInt(0x7fffffff); evilBmp2.putInt(1)
+    evilBmp2.putShort(1); evilBmp2.putShort(24); evilBmp2.putInt(0)
+    val df = Seq((1L, evilWav.array()), (2L, evilBmp.array()), (3L, evilBmp2.array()))
+      .toDF("id", "payload")
+    val mimes = df.select(Multimodal.decodeMedia(col("payload")).as("m"))
+      .select(col("m.mime")).collect().map(_.getString(0))
+    assert(mimes.forall(_ == "application/octet-stream"), mimes.toSeq)
+  }
 }
