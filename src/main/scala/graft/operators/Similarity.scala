@@ -84,12 +84,19 @@ object Similarity {
     val scored = a.join(b, Seq("sig"))
       .filter(col("probe_id") =!= col("corpus_id"))
       .withColumn("cos_sim", cosine(col("pvec"), col("cvec")))
+      .select(col("probe_id"), col("corpus_id"), round(col("cos_sim"), 6).as("cos_sim"))
+    // bound rows BELOW the shuffle with the custom TopKPerKey operator:
+    // a row_number window would shuffle and fully sort every scored
+    // pair; the two-phase operator ships at most k rows per probe per
+    // partition.  The rank column is recomputed over the ≤ k·|probes|
+    // survivors — a bounded, cheap window.
+    val top = graft.plans.TopK.perKeyOrdered(scored, Seq("probe_id"),
+      Seq("cos_sim" -> true, "corpus_id" -> false), k)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("corpus_id"), round(col("cos_sim"), 6).as("cos_sim"), col("rank"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("probe_id"), col("corpus_id"), col("cos_sim"), col("rank"))
   }
 
   /** All intra-bucket candidate pairs (id_a < id_b) with exact cosine,

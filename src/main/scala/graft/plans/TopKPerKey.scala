@@ -23,9 +23,10 @@ import org.apache.spark.sql.execution.SparkStrategy
   * survivors.  At 100 TB with small k this is the difference between
   * shuffling terabytes and shuffling megabytes.
   */
-final case class TopKPerKeyNode(keys: Seq[Expression], order: SortOrder, k: Int,
+final case class TopKPerKeyNode(keys: Seq[Expression], orders: Seq[SortOrder], k: Int,
                                 child: LogicalPlan) extends UnaryNode {
   require(k > 0, "k must be positive")
+  require(orders.nonEmpty, "at least one sort order")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
@@ -33,9 +34,9 @@ final case class TopKPerKeyNode(keys: Seq[Expression], order: SortOrder, k: Int,
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case TopKPerKeyNode(keys, orders, k, child) =>
+      TopKPerKeyExec(keys, orders, k, partial = false,
+        TopKPerKeyExec(keys, orders, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -53,7 +54,7 @@ object TopKStrategy extends SparkStrategy {
   * cardinality is large enough to need spilling, use the window
   * formulation (row_number() <= k), which goes through Spark's
   * spillable external sorter instead. */
-final case class TopKPerKeyExec(keys: Seq[Expression], order: SortOrder, k: Int,
+final case class TopKPerKeyExec(keys: Seq[Expression], orders: Seq[SortOrder], k: Int,
                                 partial: Boolean, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
@@ -64,12 +65,12 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: SortOrder, k: Int,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
-    val sortOrder = order
+    val sortOrders = orders
     val limit = k
     val childOutput = child.output
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val rowOrd = new LazilyGeneratedOrdering(Seq(sortOrder), childOutput)
+      val rowOrd = new LazilyGeneratedOrdering(sortOrders, childOutput)
       val buffers = scala.collection.mutable.LinkedHashMap.empty[InternalRow, scala.collection.mutable.ArrayBuffer[InternalRow]]
       it.foreach { row =>
         val key = keyProj(row)
@@ -102,14 +103,22 @@ object TopK {
     * Unevaluable).  Registers the strategy on the session
     * (idempotent). */
   def perKey(df: DataFrame, keyCols: Seq[String], orderBy: String, k: Int,
-             descending: Boolean = false): DataFrame = {
+             descending: Boolean = false): DataFrame =
+    perKeyOrdered(df, keyCols, Seq(orderBy -> descending), k)
+
+  /** Multi-column ordering variant: `orders` is (column, descending)
+    * pairs evaluated lexicographically — e.g. (score desc, id asc) for
+    * a deterministic tiebreak. */
+  def perKeyOrdered(df: DataFrame, keyCols: Seq[String],
+                    orders: Seq[(String, Boolean)], k: Int): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
     val keyExprs: Seq[Expression] = keyCols.map(n => UnresolvedAttribute.quotedString(n))
-    val order = SortOrder(UnresolvedAttribute.quotedString(orderBy),
-      if (descending) Descending else Ascending)
-    GraftBridge.ofRows(spark, TopKPerKeyNode(keyExprs, order, k, GraftBridge.logicalPlan(df)))
+    val sortOrders = orders.map { case (name, desc) =>
+      SortOrder(UnresolvedAttribute.quotedString(name), if (desc) Descending else Ascending)
+    }
+    GraftBridge.ofRows(spark, TopKPerKeyNode(keyExprs, sortOrders, k, GraftBridge.logicalPlan(df)))
   }
 }
