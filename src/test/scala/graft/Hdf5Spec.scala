@@ -170,12 +170,23 @@ class Hdf5Spec extends SparkSpec {
     assert(err.getMessage.contains("SEQUENCE"))
   }
 
+  test("CHUNKED vlen string dataset resolves the global heap too") {
+    // h5py chunks vlen datasets whenever compression/chunking is on —
+    // the chunked decode branch must thread the heap like contiguous
+    val path = tmp()
+    val strings = Seq("first", "second value", "", "third-π")
+    writeVlenFixture(path, strings, chunked = true)
+    val ez = Hdf5.read(spark, path)
+    assert(ez.df.collect().map(_.getString(0)).toSeq == strings)
+  }
+
   // ================================================================
   // fixture: contiguous vlen-string dataset + GCOL global heap,
   // assembled from the spec text (h5py's default layout for str
   // columns — Hdf5Write never emits vlen, so this is hand-built)
   // ================================================================
-  private def writeVlenFixture(path: String, strings: Seq[String], vlenType: Int = 1): Unit = {
+  private def writeVlenFixture(path: String, strings: Seq[String], vlenType: Int = 1,
+                               chunked: Boolean = false): Unit = {
     val out = new java.io.ByteArrayOutputStream()
     def u1(v: Int): Unit = out.write(v & 0xff)
     def u2(v: Int): Unit = { u1(v); u1(v >> 8) }
@@ -193,8 +204,12 @@ class Hdf5Spec extends SparkSpec {
     val rootOHAddr = sbSize
     val rootOHSize = 16L + 8 + 16
     val ohAddr = rootOHAddr + rootOHSize
-    val ohSize = (16L + 8) + (16 + 8) + (24 + 8) // dataspace, datatype(vlen), layout v3 contiguous
-    val gcolAddr = ohAddr + 16 + ohSize
+    // layout msg body: v3 contiguous 18 -> 24, v3 chunked rank-2 19 -> 24
+    val ohSize = (16L + 8) + (16 + 8) + (24 + 8) // dataspace, datatype(vlen), layout
+    // chunked: one full-size chunk + a 1-entry v1 B-tree between OH and GCOL
+    val btreeAddr = ohAddr + 16 + ohSize
+    val btreeSize = if (chunked) 24L + 2 * (8 + 8 * 2) + 8 else 0L
+    val gcolAddr = btreeAddr + btreeSize
     val gcolObjBytes = nonEmpty.map { case (b, _) => 16 + pad8(b.length) }.sum
     val collSize = 16L + gcolObjBytes + 16 // header + objects + free-space object
     val heapAddr = gcolAddr + collSize
@@ -239,11 +254,35 @@ class Hdf5Spec extends SparkSpec {
     u1(0x19); u1(vlenType); u1(0); u1(0)
     u4(16)
     u1(0x13); u1(0); u1(0); u1(0); u4(1)
-    // layout v3 contiguous: 18 -> padded 24
-    u2(0x0008); u2(24); u4(0)
-    u1(3); u1(1)
-    u8(dataAddr); u8(16L * strings.length)
-    (0 until 6).foreach(_ => u1(0))
+    if (chunked) {
+      // layout v3 chunked rank 2 (rows + element size): 19 -> padded 24
+      u2(0x0008); u2(24); u4(0)
+      u1(3); u1(2)
+      u1(2) // dimensionality = rank + 1
+      u8(btreeAddr)
+      u4(strings.length.toLong); u4(16L) // chunk dims + element size
+      (0 until 5).foreach(_ => u1(0))
+    } else {
+      // layout v3 contiguous: 18 -> padded 24
+      u2(0x0008); u2(24); u4(0)
+      u1(3); u1(1)
+      u8(dataAddr); u8(16L * strings.length)
+      (0 until 6).foreach(_ => u1(0))
+    }
+
+    // ---- chunk B-tree (type 1, level 0, single full chunk)
+    if (chunked) {
+      out.write("TREE".getBytes("US-ASCII"))
+      u1(1); u1(0)
+      u2(1)
+      undef(); undef()
+      u4(16L * strings.length) // stored chunk size (no filters)
+      u4(0L) // filter mask
+      u8(0L); u8(0L) // chunk offsets (row 0, elem 0)
+      u8(dataAddr)
+      // final key
+      u4(0L); u4(0L); u8(strings.length.toLong); u8(0L)
+    }
 
     // ---- global heap collection
     out.write("GCOL".getBytes("US-ASCII"))
