@@ -118,7 +118,10 @@ object MediaCodecs {
     // corrupt headers (negative/oversized offsets or dimensions whose
     // stride overflows Int) must degrade to None, never index out of
     // bounds inside the codegen'd expression
-    if (bpp != 24 || compression != 0 || w <= 0 || h == 0) return None
+    // h <= 0 (not == 0): math.abs(Int.MinValue) is still Int.MinValue,
+    // so a crafted height of 0x80000000 would otherwise slip past the
+    // stride*h bound (negative product) and return bogus metadata
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return None
     if (pixelOff < 54 || pixelOff > b.length || w > (Int.MaxValue - 3) / 3) return None
     val stride = ((w * 3 + 3) / 4) * 4
     if (pixelOff + stride.toLong * h > b.length) return None

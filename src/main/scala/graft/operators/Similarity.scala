@@ -75,8 +75,11 @@ object Similarity {
     * scale path, verified against [[bruteForceTopK]] in tests. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 8): DataFrame = {
-    // embedding dimensionality from one row (tiny driver-side probe)
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // embedding dimensionality from one NON-NULL row (tiny driver-side
+    // probe); an all-null/empty corpus has no pairs to rank
+    val dim = probeDim(corpus, vecCol).getOrElse(
+      return corpus.select(col(idCol).as("probe_id"), col(idCol).as("corpus_id"),
+        lit(0.0).as("cos_sim"), lit(0).as("rank")).limit(0))
     val sig = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("sig", lshSignature(col("v"), planes, dim))
     val a = sig.select(col("sig"), col("vid").as("probe_id"), col("v").as("pvec"))
@@ -117,14 +120,10 @@ object Similarity {
     * of shipping 2·dim·8 bytes per pair through the dedup exchange. */
   def lshPairs(corpus: DataFrame, idCol: String, vecCol: String,
                planes: Int = 8, tables: Int = 2): DataFrame = {
-    // empty corpus: no first row to probe dimensionality from — return
-    // an empty pair frame instead of throwing at plan-build time
-    val dimRow = corpus.select(size(col(vecCol))).limit(1).collect()
-    if (dimRow.isEmpty || dimRow.head.isNullAt(0))
-      return corpus.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("cos_sim"))
-        .limit(0)
-    val dim = dimRow.head.getInt(0)
+    // empty / all-null corpus: no row to probe dimensionality from —
+    // return an empty pair frame (with the REAL id dtype) instead of
+    // throwing at plan-build time
+    val dim = probeDim(corpus, vecCol).getOrElse(return emptyPairFrame(corpus, idCol))
     val v = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val perTable = (0 until tables).map { tbl =>
       // identical projections on both sides -> the signature shuffle
@@ -142,6 +141,24 @@ object Similarity {
     perTable.reduce(_ unionAll _).dropDuplicates("id_a", "id_b")
       .filter(!isnan(col("cos_sim")))
   }
+
+  /** Embedding dimensionality from one non-null row.  Filtering nulls
+    * BEFORE the limit matters: if the arbitrary first row's vector is
+    * null, `size()` is null and the caller would silently take the
+    * empty-corpus path even though the corpus has valid vectors.
+    * Returns None only when every vector is null (or the corpus is
+    * empty). */
+  private def probeDim(corpus: DataFrame, vecCol: String): Option[Int] = {
+    val row = corpus.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    row.headOption.collect { case r if !r.isNullAt(0) && r.getInt(0) >= 0 => r.getInt(0) }
+  }
+
+  /** Zero-row pair frame whose id columns keep the input's id dtype, so
+    * the empty edge case unions cleanly with the non-empty path. */
+  private def emptyPairFrame(corpus: DataFrame, idCol: String): DataFrame =
+    corpus.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+      lit(0.0).as("cos_sim")).limit(0)
 
   /** Exact all-pairs cosine threshold (id_a < id_b): the brute-force
     * ORACLE TWIN of [[lshPairs]]/embeddingNearDup — O(n²) dot products

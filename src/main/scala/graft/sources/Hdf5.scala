@@ -639,6 +639,11 @@ object Hdf5 {
       require(u1(hb) == 1, s"unsupported global heap version at $addr")
       hb.get(new Array[Byte](3)) // reserved
       val collSize = u8(hb) // includes the 16-byte header
+      // corrupt/hostile sizes must fail as the clean IllegalArgument
+      // the rest of the parser throws, not NegativeArraySizeException
+      // or a truncated-Int multi-GB allocation
+      require(collSize >= 16 && collSize - 16 <= Int.MaxValue,
+        s"bad global heap collection size $collSize at $addr")
       val body = new Array[Byte]((collSize - 16).toInt)
       raf.readFully(body)
       val bb = java.nio.ByteBuffer.wrap(body).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -649,6 +654,8 @@ object Hdf5 {
         val objSize = u8(bb)
         if (idx == 0) done = true // object 0 = free space, terminates
         else {
+          require(objSize >= 0 && objSize <= bb.remaining,
+            s"bad global heap object size $objSize (index $idx) at $addr")
           val data = new Array[Byte](objSize.toInt)
           bb.get(data)
           bb.position(bb.position() + ((8 - (objSize % 8)) % 8).toInt)

@@ -180,6 +180,34 @@ class Hdf5Spec extends SparkSpec {
     assert(ez.df.collect().map(_.getString(0)).toSeq == strings)
   }
 
+  test("corrupt global-heap sizes fail clean, not with a multi-GB allocation") {
+    // patch the GCOL collection size to a hostile value: the reader must
+    // throw the parser's IllegalArgumentException, not attempt the
+    // allocation (OOM) or NegativeArraySizeException
+    def corrupt(patch: java.nio.ByteBuffer => Unit): Exception = {
+      val path = tmp()
+      writeVlenFixture(path, Seq("alpha", "beta"))
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val gcol = bytes.indexOfSlice("GCOL".getBytes("US-ASCII"))
+      assert(gcol > 0)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(gcol); patch(bb)
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+      intercept[Exception](Hdf5.read(spark, path).df.collect())
+    }
+    // collection size below the 16-byte header -> negative body size
+    val e1 = corrupt(bb => bb.putLong(bb.position() + 8, 8L))
+    // collection size of several exabytes -> truncated-Int allocation
+    val e2 = corrupt(bb => bb.putLong(bb.position() + 8, 0x7fffffff0000L))
+    // object size larger than the remaining body
+    val e3 = corrupt(bb => bb.putLong(bb.position() + 16 + 8, 1L << 40))
+    Seq(e1, e2, e3).foreach { e =>
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("global heap"), s"unexpected failure: $msgs")
+    }
+  }
+
   // ================================================================
   // fixture: contiguous vlen-string dataset + GCOL global heap,
   // assembled from the spec text (h5py's default layout for str

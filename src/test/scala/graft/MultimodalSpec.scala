@@ -165,7 +165,15 @@ class MultimodalSpec extends SparkSpec {
     evilBmp2.putInt(0); evilBmp2.putInt(54)
     evilBmp2.putInt(40); evilBmp2.putInt(0x7fffffff); evilBmp2.putInt(1)
     evilBmp2.putShort(1); evilBmp2.putShort(24); evilBmp2.putInt(0)
-    val df = Seq((1L, evilWav.array()), (2L, evilBmp.array()), (3L, evilBmp2.array()))
+    // BMP with height = Int.MinValue: math.abs is still negative, so
+    // the h == 0 check alone would let it through with bogus metadata
+    val evilBmp3 = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evilBmp3.put('B'.toByte); evilBmp3.put('M'.toByte); evilBmp3.putInt(64)
+    evilBmp3.putInt(0); evilBmp3.putInt(54)
+    evilBmp3.putInt(40); evilBmp3.putInt(1); evilBmp3.putInt(0x80000000)
+    evilBmp3.putShort(1); evilBmp3.putShort(24); evilBmp3.putInt(0)
+    val df = Seq((1L, evilWav.array()), (2L, evilBmp.array()), (3L, evilBmp2.array()),
+        (4L, evilBmp3.array()))
       .toDF("id", "payload")
     val mimes = df.select(Multimodal.decodeMedia(col("payload")).as("m"))
       .select(col("m.mime")).collect().map(_.getString(0))

@@ -190,6 +190,32 @@ class SimilaritySpec extends SparkSpec {
     assert(r3 >= r1, s"OR-amplification reduced recall: $r1 -> $r3")
     assert(r3 > 0.8, s"3-table recall $r3 too low on clustered data")
   }
+
+  test("lshPairs survives a null vector in the first row (dim probe skips nulls)") {
+    // if the dimensionality probe samples the null row, size() is null
+    // and the whole query would silently take the empty-frame path
+    val df = Seq(
+      (0L, null.asInstanceOf[Array[Float]]),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.lshPairs(df, "vec_id", "embedding", planes = 2, tables = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"near-parallel pair lost to the null probe row: $got")
+    val topk = Similarity.lshTopK(df.where(col("embedding").isNotNull), "vec_id", "embedding", 1, planes = 2)
+    assert(topk.count() > 0)
+  }
+
+  test("empty / all-null corpus keeps the real id dtype in the empty pair frame") {
+    val empty = Seq.empty[(String, Array[Float])].toDF("vec_id", "embedding")
+    val p = Similarity.lshPairs(empty, "vec_id", "embedding")
+    assert(p.count() == 0)
+    assert(p.schema("id_a").dataType == org.apache.spark.sql.types.StringType)
+    assert(p.schema("id_b").dataType == org.apache.spark.sql.types.StringType)
+    // unions cleanly with a non-empty string-id result (schema agreement)
+    val allNull = Seq(("a", null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val p2 = Similarity.lshPairs(allNull, "vec_id", "embedding")
+    assert(p2.count() == 0 && p2.schema == p.schema)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
