@@ -561,10 +561,12 @@ object SparkEntry {
     "q57_violin_density" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").df
       val h = Binned.histogram(li, dec2(col("l_quantity")).cast(DoubleType), 0.0, 60.0, 12)
-      val total = sum(col("value"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1)))
-      h.select(col("x_bin").as("bin"),
-        round(col("value").cast(DoubleType) / (total * 5.0), 6).as("density"))
+      // grand total via a broadcast 1-row aggregate, NOT a
+      // partitionBy(lit) window: Catalyst folds the literal key away
+      // and plans a single-partition global window (WindowExec warns)
+      val total = h.agg(sum(col("value")).as("_total"))
+      h.crossJoin(broadcast(total)).select(col("x_bin").as("bin"),
+        round(col("value").cast(DoubleType) / (col("_total") * 5.0), 6).as("density"))
     }),
 
     // M6 exact near-dup pairs: the brute-force oracle twin of the
