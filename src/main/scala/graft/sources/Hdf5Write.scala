@@ -70,7 +70,80 @@ object Hdf5Write {
       raf.write(one, 0, 8)
       raf.seek(pos)
     }
+    def patchBytes(at: Long, b: Array[Byte]): Unit = {
+      raf.seek(at); raf.write(b); raf.seek(pos)
+    }
     def close(): Unit = raf.close()
+  }
+
+  /** Vlen-string staging for the global heap (spec III.E).  GCOL
+    * collections must not interleave with the contiguous dataset bytes,
+    * but the 16-byte references ARE the dataset bytes — so strings
+    * captured during the data stream spool to a temp file, and after the
+    * data region closes [[drainTo]] re-reads the spool, emits bounded
+    * GCOL collections, and back-patches each contributing row's
+    * reference slot (length u4, collection address u8, object index u4).
+    * Driver memory is O(one collection); the spool is disk.  Empty
+    * strings never touch the heap (their all-zero slot already decodes
+    * as "" — Hdf5.scala:694). */
+  private final class VlenSpool {
+    private var file: java.io.File = _
+    private var out: java.io.DataOutputStream = _
+    private var n = 0L
+    def add(slotAddr: Long, bytes: Array[Byte]): Unit = if (bytes.nonEmpty) {
+      if (out == null) {
+        file = java.io.File.createTempFile("graft_vlen", ".spool")
+        out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(file)))
+      }
+      out.writeLong(slotAddr); out.writeInt(bytes.length); out.write(bytes)
+      n += 1
+    }
+    def drainTo(o: Out, targetBytes: Int = 64 * 1024): Unit = {
+      if (out == null) return
+      out.close()
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(file)))
+      try {
+        var buf = new java.io.ByteArrayOutputStream()
+        val pending = mutable.ArrayBuffer.empty[(Long, Int, Int)] // slotAddr, idx, len
+        def flush(): Unit = if (pending.nonEmpty) {
+          val addr = o.addr
+          val collSize = 16L + buf.size + 16L // header + objects + free-space object
+          o.put("GCOL".getBytes("US-ASCII"))
+          o.u1(1); o.u1(0); o.u1(0); o.u1(0)
+          o.u8(collSize)
+          o.put(buf.toByteArray)
+          o.u2(0); o.u2(0); o.u4(0); o.u8(16L) // object 0 terminates the walk
+          val slot = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          pending.foreach { case (slotAddr, idx, len) =>
+            slot.clear()
+            slot.putInt(len); slot.putLong(addr); slot.putInt(idx)
+            o.patchBytes(slotAddr, slot.array())
+          }
+          buf = new java.io.ByteArrayOutputStream()
+          pending.clear()
+        }
+        var i = 0L
+        while (i < n) {
+          val slotAddr = in.readLong()
+          val len = in.readInt()
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          val idx = pending.length + 1
+          val hdr = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          hdr.putShort(idx.toShort); hdr.putShort(1); hdr.putInt(0)
+          hdr.putLong(len.toLong)
+          buf.write(hdr.array()); buf.write(bytes)
+          buf.write(new Array[Byte]((8 - (len % 8)) % 8))
+          pending += ((slotAddr, idx, len))
+          // u2 object index caps a collection at 65534 live objects
+          if (buf.size >= targetBytes || pending.length == 0xfffe) flush()
+          i += 1
+        }
+        flush()
+      } finally { in.close(); file.delete() }
+    }
   }
 
   // ---------------------------------------------------------------- dtypes
@@ -110,6 +183,12 @@ object Hdf5Write {
       o.u1(0) // null-terminated, ASCII
       o.u1(0); o.u1(0)
       o.u4(sz)
+    case Hdf5.VlenString(_) =>
+      o.u1(0x19) // v1, class 9 (variable-length)
+      o.u1(0x01) // type = string, null-terminate padding
+      o.u1(0); o.u1(0)
+      o.u4(16) // reference size: length u4 + heap address u8 + index u4
+      encodeDatatype(o, Hdf5.FixedString(1)) // base type: 1-byte string
     case Hdf5.ArrayOf(base, dims) =>
       o.u1(0x2a) // v2, class 10
       o.u1(0); o.u1(0); o.u1(0)
@@ -278,6 +357,10 @@ object Hdf5Write {
       val b = s.getBytes("UTF-8").take(sz)
       bb.put(b)
       (b.length until sz).foreach(_ => bb.put(0.toByte))
+    case Hdf5.VlenString(_) =>
+      // 16-byte placeholder reference; the VlenHeap back-patches it when
+      // the string's bytes land in a GCOL collection (empty stays zero)
+      bb.putInt(0); bb.putLong(0L); bb.putInt(0)
     case Hdf5.ArrayOf(base, dims) =>
       val want = dims.product
       val items: Seq[Any] = v match {
@@ -337,8 +420,14 @@ object Hdf5Write {
   // ---------------------------------------------------------------- public API
 
   /** Single compound-type dataset `data` at the root (pytables-table
-    * flavor).  Rows stream through `toLocalIterator`. */
-  def write(ez: EzFrame, path: String): Unit = {
+    * flavor).  Rows stream through `toLocalIterator`.
+    *
+    * `vlenStrings = true` writes top-level string columns as
+    * variable-length strings through a GCOL global heap — byte-exact
+    * with what h5py emits for `str` columns — instead of max-width
+    * fixed strings (no width scan, no padding; strings inside array
+    * columns stay fixed-width). */
+  def write(ez: EzFrame, path: String, vlenStrings: Boolean = false): Unit = {
     val df = ez.df
     val (nRows, w, innerW) = widths(df)
     var offAcc = 0
@@ -347,18 +436,25 @@ object Hdf5Write {
         case ArrayType(StringType, _) => innerW.getOrElse(f.name, 1)
         case _ => w.getOrElse(f.name, 1)
       }
-      val dt = dtypeOf(f.dataType, strW, w.getOrElse(f.name, 1))
+      val dt = f.dataType match {
+        case StringType if vlenStrings => Hdf5.VlenString(16)
+        case other => dtypeOf(other, strW, w.getOrElse(f.name, 1))
+      }
       val m = Hdf5.Member(f.name, offAcc, dt)
       offAcc += dt.size
       m
     }
     val compound = Hdf5.Compound(members.toIndexedSeq, offAcc)
     val rowSize = offAcc
+    val vlenMembers = members.zipWithIndex.collect {
+      case (m, i) if m.dtype.isInstanceOf[Hdf5.VlenString] => (m, i)
+    }
 
     val o = new Out(path)
     try writeSuperblockV0(o, leafK = 4) { (o, patchRoot) =>
       // data first (address needed by the dataset OH)
       val dataAddr = o.addr
+      val spool = new VlenSpool
       // stream rows straight into the buffer
       val bb = java.nio.ByteBuffer.allocate(rowSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val it = df.toLocalIterator()
@@ -366,10 +462,16 @@ object Hdf5Write {
       while (it.hasNext) {
         val r = it.next()
         bb.clear()
+        val rowAddr = o.addr
         members.zipWithIndex.foreach { case (m, i) => packValue(bb, m.dtype, r.get(i)) }
         o.put(bb.array())
+        vlenMembers.foreach { case (m, i) =>
+          val v = r.get(i)
+          if (v != null) spool.add(rowAddr + m.offset, v.toString.getBytes("UTF-8"))
+        }
         written += 1
       }
+      spool.drainTo(o) // GCOL collections land after the data region
       require(written == nRows, s"row count changed between passes: $nRows -> $written")
       val dsOH = writeDatasetOH(o, Seq(nRows), compound, dataAddr, nRows * rowSize)
       val (btree, heap) = writeSymbolTable(o, Seq("data" -> dsOH), leafK = 4)
@@ -382,7 +484,7 @@ object Hdf5Write {
     * dataset per column (ezdata dask/hdf5.py:377–458).  Column data is
     * fetched one column at a time (select + toLocalIterator), so driver
     * memory stays O(one column partition). */
-  def writeColumns(ez: EzFrame, path: String): Unit = {
+  def writeColumns(ez: EzFrame, path: String, vlenStrings: Boolean = false): Unit = {
     val df = ez.df
     val (nRows, w, innerW) = widths(df)
     val leafK = math.max(4, (df.schema.length + 1) / 2)
@@ -393,25 +495,31 @@ object Hdf5Write {
         val (elemDt, dims) = f.dataType match {
           case ArrayType(el, _) =>
             (dtypeOf(el, innerW.getOrElse(f.name, width), 0), Seq(nRows, width.toLong))
+          case StringType if vlenStrings => (Hdf5.VlenString(16): Hdf5.Dtype, Seq(nRows))
           case other => (dtypeOf(other, width, 0), Seq(nRows))
         }
         val rowWidth = if (dims.length > 1) dims(1).toInt else 1
         val rowBytes = rowWidth * elemDt.size
         val dataAddr = o.addr
+        val spool = new VlenSpool
+        val isVlen = elemDt.isInstanceOf[Hdf5.VlenString]
         val bb = java.nio.ByteBuffer.allocate(rowBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         val it = df.select(df(f.name)).toLocalIterator()
         var colRows = 0L
         while (it.hasNext) {
           val v = it.next().get(0)
           bb.clear()
+          val rowAddr = o.addr
           f.dataType match {
             case ArrayType(el, _) =>
               packValue(bb, Hdf5.ArrayOf(elemDt, Seq(rowWidth)), v)
             case _ => packValue(bb, elemDt, v)
           }
           o.put(bb.array())
+          if (isVlen && v != null) spool.add(rowAddr, v.toString.getBytes("UTF-8"))
           colRows += 1
         }
+        spool.drainTo(o)
         // each column is a separate job over a separate scan: a retry or
         // nondeterministic plan yielding a different count would declare
         // dims=nRows over misaligned bytes — a silently corrupt file

@@ -180,6 +180,28 @@ class Hdf5Spec extends SparkSpec {
     assert(ez.df.collect().map(_.getString(0)).toSeq == strings)
   }
 
+  test("vlen-string WRITE round-trips through the global heap (both layouts)") {
+    // h5py's default layout for str columns — now writable, not just
+    // readable.  Mixed lengths, empty, unicode, and one string past the
+    // 64 KiB collection target so the spool emits MULTIPLE collections.
+    val big = "x" * 70000
+    val strings = Seq("alpha", "", "βeta π", big, "tail-after-big")
+    val df = strings.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "name")
+    val path = tmp()
+    Hdf5Write.write(EzFrame(df), path, vlenStrings = true)
+    val back = Hdf5.read(spark, path).df.orderBy("id").collect()
+    assert(back.map(_.getString(1)).toSeq == strings)
+    // column layout too
+    val path2 = tmp()
+    Hdf5Write.writeColumns(EzFrame(df), path2, vlenStrings = true)
+    val back2 = Hdf5.read(spark, path2).df.orderBy("id").collect()
+    assert(back2.map(_.getString(1)).toSeq == strings)
+    // vlen files carry no width padding: the data region is 16 bytes/row
+    // regardless of string length (the 70k string lives in the heap)
+    assert(new java.io.File(path).length() <
+      new java.io.File({ val p = tmp(); Hdf5Write.write(EzFrame(df), p); p }).length() * 2)
+  }
+
   test("corrupt global-heap sizes fail clean, not with a multi-GB allocation") {
     // patch the GCOL collection size to a hostile value: the reader must
     // throw the parser's IllegalArgumentException, not attempt the
