@@ -16,11 +16,14 @@ import graft.core.{EzFrame, EzMeta}
   * Supported subset (covers what h5py/pytables/vaex write for tables):
   *  - superblock v0/v1 (symbol-table root) and v2/v3 (direct root OH)
   *  - object headers v1 and v2 ("OHDR"), incl. continuation blocks
-  *  - groups via v1 symbol tables (B-tree + local heap) and via v2
-  *    Link messages (hard links); dense (fractal-heap) groups are out
-  *    of scope and raise a descriptive error
+  *  - groups via v1 symbol tables (B-tree + local heap), v2 Link
+  *    messages (hard links), and dense storage (fractal heap + v2
+  *    B-tree name index, one indirect level — h5py past the compact
+  *    threshold or with track_order; deeper nesting raises a
+  *    descriptive error)
   *  - datatypes: fixed-point, IEEE float, fixed-length strings,
-  *    compound (v1–v3 member encodings), array (class 10)
+  *    vlen strings (global heap), compound (v1–v3 member encodings),
+  *    array (class 10)
   *  - data layouts: compact, contiguous, chunked (v1 B-tree index),
   *    layout messages v1/v2/v3
   *  - filters: deflate (via java.util.zip), shuffle, fletcher32 (crc
@@ -402,35 +405,42 @@ object Hdf5 {
           val btree = u8(b); val heap = u8(b)
           symbolTableLinks(r, btree, heap).foreach { case (k, v) => out(k) = v }
         case 0x0006 => // link message
-          val b = m.body
-          val ver = u1(b); require(ver == 1, s"link message v$ver")
-          val flags = u1(b)
-          val linkType = if ((flags & 0x08) != 0) u1(b) else 0
-          if ((flags & 0x04) != 0) u8(b) // creation order
-          if ((flags & 0x10) != 0) u1(b) // charset
-          val lenSize = 1 << (flags & 0x03)
-          val nameLen = lenSize match {
-            case 1 => u1(b).toLong
-            case 2 => u2(b).toLong
-            case 4 => u4(b)
-            case 8 => u8(b)
-          }
-          val nameBytes = new Array[Byte](nameLen.toInt); b.get(nameBytes)
-          val name = new String(nameBytes, "UTF-8")
-          if (linkType == 0) out(name) = u8(b) // hard link -> OH address
-        case 0x0002 => // link info: only tolerate when not dense
+          parseLinkMessage(m.body).foreach { case (name, oh) => out(name) = oh }
+        case 0x0002 => // link info: dense groups store links in a
+          // fractal heap indexed by a v2 B-tree (h5py past the compact
+          // threshold, or libver='latest' with track_order)
           val b = m.body
           u1(b)
           val flags = u1(b)
           if ((flags & 0x01) != 0) u8(b) // max creation index
           val fheap = u8(b)
+          val nameIndex = u8(b)
           if (fheap != Undef)
-            throw new IllegalArgumentException(
-              "dense (fractal-heap) group links are not supported")
+            denseLinks(r, fheap, nameIndex).foreach { case (k, v) => out(k) = v }
         case _ =>
       }
     }
     ListMap(out.toSeq: _*)
+  }
+
+  /** Hard-link message body (spec IV.A.2.g) → name -> OH address; soft /
+    * external links yield None. */
+  private def parseLinkMessage(b: java.nio.ByteBuffer): Option[(String, Long)] = {
+    val ver = u1(b); require(ver == 1, s"link message v$ver")
+    val flags = u1(b)
+    val linkType = if ((flags & 0x08) != 0) u1(b) else 0
+    if ((flags & 0x04) != 0) u8(b) // creation order
+    if ((flags & 0x10) != 0) u1(b) // charset
+    val lenSize = 1 << (flags & 0x03)
+    val nameLen = lenSize match {
+      case 1 => u1(b).toLong
+      case 2 => u2(b).toLong
+      case 4 => u4(b)
+      case 8 => u8(b)
+    }
+    val nameBytes = new Array[Byte](nameLen.toInt); b.get(nameBytes)
+    val name = new String(nameBytes, "UTF-8")
+    if (linkType == 0) Some(name -> u8(b)) else None
   }
 
   private def symbolTableLinks(r: Reader, btreeAddr: Long, heapAddr: Long): Seq[(String, Long)] = {
@@ -481,6 +491,188 @@ object Hdf5 {
     }
     walk(btreeAddr)
     out.toSeq
+  }
+
+  // ===================================================== dense (fractal-heap) links
+
+  /** Dense group links (spec III.G fractal heap + III.A.2 v2 B-tree):
+    * each link message is a managed fractal-heap object; the name-index
+    * v2 B-tree (record type 5: hash + heap ID) enumerates them.  The
+    * heap's managed space is resolved through the doubling table — a
+    * direct root block, or a root indirect block of direct children
+    * (one level: width × maxDirectRows blocks ≈ thousands of links;
+    * nested indirect blocks raise a descriptive error).  Driver-side
+    * only, like all other group metadata. */
+  private def denseLinks(r: Reader, fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+    val heap = new FractalHeap(r, fheapAddr)
+    val ids = btree2Records(r, btreeAddr)
+    ids.flatMap { rec =>
+      // record type 5: name hash u4, then the heap ID
+      val id = rec.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      id.position(id.position() + 4)
+      parseLinkMessage(heap.managedObject(id))
+    }
+  }
+
+  /** Managed-object reader over a fractal heap (spec III.G). */
+  private final class FractalHeap(r: Reader, addr: Long) {
+    private val hb = r.readAt(addr, 150)
+    private val magic = new Array[Byte](4); hb.get(magic)
+    require(magic.sameElements("FRHP".getBytes("US-ASCII")),
+      s"bad fractal heap signature at $addr")
+    require(u1(hb) == 0, "unsupported fractal heap version")
+    private val heapIdLen = u2(hb)
+    private val filterLen = u2(hb)
+    private val flags = u1(hb)
+    private val maxManagedSize = u4(hb) // max size of managed objects
+    u8(hb); u8(hb) // next huge id, huge v2 btree addr
+    u8(hb); u8(hb) // free space, free-space manager addr
+    u8(hb); u8(hb) // managed space, allocated managed space
+    u8(hb); u8(hb) // direct block iterator offset, n managed objects
+    u8(hb); u8(hb); u8(hb); u8(hb) // huge size/count, tiny size/count
+    private val tableWidth = u2(hb)
+    private val startBlockSize = u8(hb)
+    private val maxDirectBlockSize = u8(hb)
+    private val maxHeapSizeBits = u2(hb)
+    u2(hb) // starting # rows in root indirect block
+    private val rootBlockAddr = u8(hb)
+    private val rootRows = u2(hb) // 0 -> root is a direct block
+    require(filterLen == 0, "filtered fractal heap blocks are not supported")
+    private val offSize = (maxHeapSizeBits + 7) / 8
+    private val lenSize = bytesFor(maxManagedSize)
+    require(heapIdLen == 1 + offSize + lenSize,
+      s"fractal heap ID length $heapIdLen != 1+$offSize+$lenSize")
+
+    private def bytesFor(v: Long): Int = {
+      var n = 1; var x = v >>> 8
+      while (x != 0) { n += 1; x >>>= 8 }
+      n
+    }
+    private def readVar(b: java.nio.ByteBuffer, n: Int): Long = {
+      var v = 0L
+      (0 until n).foreach(i => v |= (b.get().toLong & 0xff) << (8 * i))
+      v
+    }
+
+    /** (heapOffset, blockSize, fileAddr) per direct block, offset-sorted. */
+    private lazy val directBlocks: Seq[(Long, Long, Long)] = {
+      if (rootRows == 0) Seq((0L, startBlockSize, rootBlockAddr))
+      else {
+        // root indirect block: header + rowsx width child addresses,
+        // rows 0-1 at startBlockSize, row n >= 2 at start*2^(n-1)
+        val maxDirectRows =
+          (63 - java.lang.Long.numberOfLeadingZeros(maxDirectBlockSize)) -
+            (63 - java.lang.Long.numberOfLeadingZeros(startBlockSize)) + 2
+        require(rootRows <= maxDirectRows,
+          s"nested indirect fractal-heap blocks are not supported " +
+            s"($rootRows rows > $maxDirectRows direct rows)")
+        val hdrLen = 4 + 1 + 8 + offSize
+        val ib = r.readAt(rootBlockAddr, hdrLen + rootRows * tableWidth * 8 + 4)
+        val m = new Array[Byte](4); ib.get(m)
+        require(m.sameElements("FHIB".getBytes("US-ASCII")),
+          s"bad fractal heap indirect block at $rootBlockAddr")
+        require(u1(ib) == 0, "unsupported FHIB version")
+        u8(ib) // heap header address
+        readVar(ib, offSize) // block offset
+        val out = mutable.ListBuffer.empty[(Long, Long, Long)]
+        var off = 0L
+        (0 until rootRows).foreach { row =>
+          val size = if (row < 2) startBlockSize else startBlockSize << (row - 1)
+          (0 until tableWidth).foreach { _ =>
+            val child = u8(ib)
+            if (child != Undef) out += ((off, size, child))
+            off += size
+          }
+        }
+        out.toSeq
+      }
+    }
+
+    /** Read the managed object a heap ID points at; returns a buffer
+      * positioned at the object's first byte. */
+    def managedObject(id: java.nio.ByteBuffer): java.nio.ByteBuffer = {
+      val vt = u1(id)
+      require((vt & 0x30) == 0, s"non-managed fractal heap object type ${(vt >> 4) & 3}")
+      val off = readVar(id, offSize)
+      val len = readVar(id, lenSize)
+      val (blockOff, blockSize, blockAddr) = directBlocks
+        .find { case (bo, bs, _) => off >= bo && off < bo + bs }
+        .getOrElse(throw new IllegalArgumentException(
+          s"fractal heap offset $off outside managed space"))
+      require(off - blockOff + len <= blockSize, s"fractal heap object crosses block end")
+      val db = r.readAt(blockAddr, (off - blockOff + len).toInt)
+      val m = new Array[Byte](4); db.get(m)
+      require(m.sameElements("FHDB".getBytes("US-ASCII")),
+        s"bad fractal heap direct block at $blockAddr")
+      require(u1(db) == 0, "unsupported FHDB version")
+      u8(db) // heap header address
+      readVar(db, offSize) // block offset
+      if ((flags & 0x02) != 0) u4(db) // checksummed blocks
+      // the heap offset is FILE-IMAGE absolute within the block: object
+      // data begins at blockAddr + (off - blockOff), which already
+      // includes the block header bytes in the offset arithmetic
+      val data = r.readAt(blockAddr + (off - blockOff), len.toInt)
+      data
+    }
+  }
+
+  /** All records of a v2 B-tree (spec III.A.2), depth <= 1: the header
+    * names the root; internal nodes (BTIN) point at leaves (BTLF).
+    * Returns each record as a buffer positioned at the record start. */
+  private def btree2Records(r: Reader, addr: Long): Seq[java.nio.ByteBuffer] = {
+    val hb = r.readAt(addr, 34)
+    val magic = new Array[Byte](4); hb.get(magic)
+    require(magic.sameElements("BTHD".getBytes("US-ASCII")),
+      s"bad v2 B-tree signature at $addr")
+    require(u1(hb) == 0, "unsupported v2 B-tree version")
+    u1(hb) // record type (5 = link name index)
+    val nodeSize = u4(hb)
+    val recSize = u2(hb)
+    val depth = u2(hb)
+    u1(hb); u1(hb) // split / merge percent
+    val rootAddr = u8(hb)
+    val rootNRec = u2(hb)
+    // leaf capacity bounds the per-child record-count field width
+    val leafMaxRec = (nodeSize - 10) / recSize
+    val nrecSize = { var n = 1; var x = leafMaxRec >>> 8; while (x != 0) { n += 1; x >>>= 8 }; n }
+    require(depth <= 1,
+      s"v2 B-tree depth $depth not supported (more than ~$leafMaxRec * node links)")
+
+    def leafRecords(a: Long, n: Int): Seq[java.nio.ByteBuffer] = {
+      val b = r.readAt(a, 6 + n * recSize)
+      val m = new Array[Byte](4); b.get(m)
+      require(m.sameElements("BTLF".getBytes("US-ASCII")), s"bad BTLF at $a")
+      u1(b); u1(b) // version, type
+      (0 until n).map { i =>
+        val rec = b.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        rec.position(6 + i * recSize)
+        rec
+      }
+    }
+    if (depth == 0) leafRecords(rootAddr, rootNRec)
+    else {
+      // BTIN: records, then rootNRec+1 child pointers (addr + nrec)
+      val b = r.readAt(rootAddr, 6 + rootNRec * recSize + (rootNRec + 1) * (8 + nrecSize))
+      val m = new Array[Byte](4); b.get(m)
+      require(m.sameElements("BTIN".getBytes("US-ASCII")), s"bad BTIN at $rootAddr")
+      u1(b); u1(b)
+      val internalRecs = (0 until rootNRec).map { i =>
+        val rec = b.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        rec.position(6 + i * recSize)
+        rec
+      }
+      b.position(6 + rootNRec * recSize)
+      val children = (0 to rootNRec).map { _ =>
+        val a = u8(b)
+        var n = 0L
+        (0 until nrecSize).foreach(i => n |= (b.get().toLong & 0xff) << (8 * i))
+        (a, n.toInt)
+      }
+      // interleave in key order: child0, rec0, child1, rec1, ...
+      children.zipWithIndex.flatMap { case ((a, n), i) =>
+        leafRecords(a, n) ++ (if (i < rootNRec) Seq(internalRecs(i)) else Nil)
+      }
+    }
   }
 
   // ============================================================ public metadata API

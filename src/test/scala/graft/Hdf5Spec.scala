@@ -230,6 +230,190 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("dense (fractal-heap) group links resolve: depth-0 name index") {
+    // h5py past the compact-link threshold (or track_order/libver
+    // latest): links live in a fractal heap indexed by a v2 B-tree
+    val path = tmp()
+    val names = (0 until 20).map(i => f"ds$i%02d")
+    writeDenseGroupFixture(path, names, depth1 = false)
+    val meta = Hdf5.scan(path)
+    assert(meta.datasets.map(_.path).toSet == names.map("/" + _).toSet)
+    assert(meta.datasets.forall(_.dims == Seq(2L)))
+    // values decode through the normal read path
+    val ez = Hdf5.read(spark, path)
+    assert(ez.columns.toSet == names.toSet)
+    val r0 = ez.df.orderBy(names.head).collect()
+    assert(r0.length == 2)
+  }
+
+  test("dense group links resolve through a depth-1 v2 B-tree (BTIN + leaves)") {
+    val path = tmp()
+    val names = (0 until 21).map(i => f"ds$i%02d")
+    writeDenseGroupFixture(path, names, depth1 = true)
+    val meta = Hdf5.scan(path)
+    assert(meta.datasets.map(_.path).toSet == names.map("/" + _).toSet)
+  }
+
+  // ================================================================
+  // fixture: dense-storage group — root OH carries a Link Info message
+  // (0x0002) pointing at an FRHP fractal heap (direct root block) whose
+  // managed objects are serialized link messages, indexed by a BTHD v2
+  // B-tree (record type 5).  Hand-assembled from spec III.G / III.A.2;
+  // name hashes are fake (the reader enumerates, never probes by hash).
+  // ================================================================
+  private def writeDenseGroupFixture(path: String, names: Seq[String],
+                                     depth1: Boolean): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u1(v: Int): Unit = out.write(v & 0xff)
+    def u2(v: Int): Unit = { u1(v); u1(v >> 8) }
+    def u4(v: Long): Unit = { u1(v.toInt); u1((v >> 8).toInt); u1((v >> 16).toInt); u1((v >> 24).toInt) }
+    def u8(v: Long): Unit = { u4(v & 0xffffffffL); u4(v >>> 32) }
+    def undef(): Unit = u8(-1L)
+
+    // ---- layout plan (sequential, addresses precomputed)
+    val sbSize = 96L
+    val dsStride = 16L + 96L // 2 int64 values + OH(v1, 3 messages)
+    def dataAddr(i: Int) = sbSize + i * dsStride
+    def ohAddr(i: Int) = dataAddr(i) + 16
+    val frhpAddr = sbSize + names.length * dsStride
+    val fhdbAddr = frhpAddr + 146
+    val blockSize = 512L
+    val bthdAddr = fhdbAddr + blockSize
+    val bthdSize = 38L
+    val recSize = 11 // hash u4 + heap ID (1 + offset u4 + length u2)
+    def btlfSize(n: Int) = 6L + n * recSize + 4
+    // depth-1 split: leaf1 + separator record + leaf2
+    val (leaf1N, leaf2N) = (names.length / 2, names.length - names.length / 2 - 1)
+    val btlf1Addr = bthdAddr + bthdSize
+    val btlf2Addr = btlf1Addr + btlfSize(if (depth1) leaf1N else names.length)
+    val btinAddr = btlf2Addr + (if (depth1) btlfSize(leaf2N) else 0L)
+    val btinSize = if (depth1) 6L + recSize + 2 * 9 + 4 else 0L
+    val rootOHAddr = btinAddr + btinSize
+    val eof = rootOHAddr + 16 + 32
+
+    // link message bytes: v1, flags 0 (1-byte name length), name, OH addr
+    def linkMsg(name: String, oh: Long): Array[Byte] = {
+      val nb = name.getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(3 + nb.length + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte); bb.put(0.toByte); bb.put(nb.length.toByte)
+      bb.put(nb); bb.putLong(oh)
+      bb.array()
+    }
+    val msgs = names.zipWithIndex.map { case (n, i) => linkMsg(n, ohAddr(i)) }
+    // heap offsets include the direct-block header (spec: offsets address
+    // the managed space, whose first bytes are the block header)
+    val fhdbHdr = 4 + 1 + 8 + 4 // sig + version + heap hdr addr + 4-byte block offset
+    val heapOffs = msgs.scanLeft(fhdbHdr.toLong)(_ + _.length)
+    require(heapOffs.last <= blockSize, "fixture: links overflow one direct block")
+
+    // ---- superblock v0 (root STE cache type 0: links come from the OH)
+    out.write(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    u1(0); u1(0); u1(0); u1(0); u1(0)
+    u1(8); u1(8); u1(0)
+    u2(4); u2(16)
+    u4(0)
+    u8(0L); undef(); u8(eof); undef()
+    u8(0L)
+    u8(rootOHAddr)
+    u4(0); u4(0) // cache type 0
+    undef(); undef()
+
+    // ---- datasets: 16 bytes of data + OH(dataspace, datatype int64, layout)
+    names.indices.foreach { i =>
+      u8(i.toLong); u8(i * 100L) // the two values
+      u1(1); u1(0); u2(3); u4(1); u4(80); u4(0)
+      u2(0x0001); u2(16); u4(0) // dataspace v1 rank 1, dim = 2
+      u1(1); u1(1); u1(0); (0 until 5).foreach(_ => u1(0))
+      u8(2L)
+      u2(0x0003); u2(16); u4(0) // datatype: int64 LE signed
+      u1(0x10); u1(0x08); u1(0); u1(0)
+      u4(8); u2(0); u2(64)
+      u4(0) // pad the 12-byte body to the declared 16
+      u2(0x0008); u2(24); u4(0) // layout v3 contiguous
+      u1(3); u1(1)
+      u8(dataAddr(i)); u8(16L)
+      (0 until 6).foreach(_ => u1(0))
+    }
+
+    // ---- FRHP header (heap ID len 7 = 1 + offset 4 + length 2)
+    out.write("FRHP".getBytes("US-ASCII"))
+    u1(0)
+    u2(7) // heap ID length
+    u2(0) // no I/O filters
+    u1(0) // flags: no checksummed blocks
+    u4(4096) // max size of managed objects -> 2-byte ID length field
+    u8(0L); undef() // next huge id, huge btree
+    u8(blockSize - heapOffs.last); undef() // free space, fs manager
+    u8(blockSize); u8(blockSize) // managed space, allocated
+    u8(heapOffs.last) // direct block iterator offset
+    u8(names.length.toLong) // managed objects
+    u8(0L); u8(0L); u8(0L); u8(0L) // huge/tiny sizes+counts
+    u2(4) // table width
+    u8(blockSize) // starting block size
+    u8(65536L) // maximum direct block size
+    u2(32) // maximum heap size (bits) -> 4-byte offsets
+    u2(1) // starting # rows in root indirect block
+    u8(fhdbAddr)
+    u2(0) // current rows = 0 -> root IS a direct block
+    u4(0) // checksum (unverified by the reader)
+
+    // ---- FHDB direct block: header + link messages, padded to 512
+    out.write("FHDB".getBytes("US-ASCII"))
+    u1(0)
+    u8(frhpAddr)
+    u4(0L) // block offset (4 bytes at 32-bit max heap size)
+    msgs.foreach(out.write)
+    (heapOffs.last until blockSize).foreach(_ => u1(0))
+
+    // ---- BTHD v2 B-tree header (type 5: link name index)
+    val rootNRec = if (depth1) 1 else names.length
+    val rootAddr = if (depth1) btinAddr else btlf1Addr
+    out.write("BTHD".getBytes("US-ASCII"))
+    u1(0); u1(5)
+    u4(512); u2(recSize)
+    u2(if (depth1) 1 else 0) // depth
+    u1(100); u1(40)
+    u8(rootAddr)
+    u2(rootNRec)
+    u8(names.length.toLong)
+    u4(0) // checksum
+
+    def record(i: Int): Unit = {
+      u4(i.toLong) // fake name hash (enumeration never probes)
+      u1(0) // heap ID: version 0, managed
+      u4(heapOffs(i)); u2(msgs(i).length)
+    }
+    def leaf(indices: Range): Unit = {
+      out.write("BTLF".getBytes("US-ASCII"))
+      u1(0); u1(5)
+      indices.foreach(record)
+      u4(0)
+    }
+    if (!depth1) leaf(names.indices)
+    else {
+      leaf(0 until leaf1N)
+      leaf((leaf1N + 1) until names.length)
+      out.write("BTIN".getBytes("US-ASCII"))
+      u1(0); u1(5)
+      record(leaf1N) // the separator record
+      u8(btlf1Addr); u1(leaf1N) // child pointers: addr + 1-byte nrec
+      u8(btlf2Addr); u1(leaf2N)
+      u4(0) // checksum
+    }
+
+    // ---- root group OH: one Link Info message (dense storage)
+    u1(1); u1(0); u2(1); u4(1); u4(32); u4(0)
+    u2(0x0002); u2(24); u4(0)
+    u1(0); u1(0) // version, flags (no creation order)
+    u8(frhpAddr); u8(bthdAddr)
+    (0 until 6).foreach(_ => u1(0))
+
+    val bytes = out.toByteArray
+    assert(bytes.length == eof, s"fixture layout drift: ${bytes.length} != $eof")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
+
   // ================================================================
   // fixture: contiguous vlen-string dataset + GCOL global heap,
   // assembled from the spec text (h5py's default layout for str
