@@ -29,6 +29,7 @@ object Io {
     case "fits" | "fit" => Fits.read(spark, path)
     case "vot" | "votable" | "xml" => VoTable.read(spark, path)
     case "hd5" | "hdf5" | "h5" => Hdf5.read(spark, path)
+    case "arrow" | "feather" | "ipc" => ArrowIpc.read(spark, path)
     case "parquet" | "pq" => EzFrame.readParquet(spark, path)
     case e => throw new IllegalArgumentException(
       s"unknown table extension '$e' (path: $path)")
@@ -47,6 +48,7 @@ object Io {
     case "ecsv" => Ecsv.write(ez, path)
     case "fits" | "fit" => Fits.write(ez, path)
     case "hd5" | "hdf5" | "h5" => Hdf5Write.write(ez, path)
+    case "arrow" | "feather" | "ipc" => ArrowIpc.write(ez, path)
     case "tex" =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         CommentedCsv.toLatex(ez).getBytes("UTF-8"))
