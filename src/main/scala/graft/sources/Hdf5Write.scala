@@ -540,6 +540,142 @@ object Hdf5Write {
     } finally o.close()
   }
 
+  /** Chunked + compressed variant of [[write]]: the single compound
+    * dataset `data`, split into `chunkRows`-row chunks, each run
+    * through (optional) byte-shuffle then deflate — the layout
+    * h5py/pytables emit with `compression='gzip'` (+`shuffle=True`),
+    * and what [[Hdf5.read]]'s chunked/filtered path consumes.  Chunks
+    * are indexed by a single level-0 v1 B-tree node, which bounds one
+    * file at 256 chunks — auto chunkRows targets ~4 MiB of raw rows
+    * per chunk, so the bound is ~1 GiB raw per file before callers
+    * must raise `chunkRows` (this is an export surface; the analytics
+    * path is parquet).  Vlen strings are not supported here (h5py
+    * never compresses the heap side either — use fixed widths). */
+  def writeChunked(ez: EzFrame, path: String, chunkRows: Int = 0,
+                   deflateLevel: Int = 6, shuffle: Boolean = true): Unit = {
+    val df = ez.df
+    val (nRows, w, innerW) = widths(df)
+    var offAcc = 0
+    val members = df.schema.fields.map { f =>
+      val strW = f.dataType match {
+        case ArrayType(StringType, _) => innerW.getOrElse(f.name, 1)
+        case _ => w.getOrElse(f.name, 1)
+      }
+      val dt = dtypeOf(f.dataType, strW, w.getOrElse(f.name, 1))
+      val m = Hdf5.Member(f.name, offAcc, dt)
+      offAcc += dt.size
+      m
+    }
+    val compound = Hdf5.Compound(members.toIndexedSeq, offAcc)
+    val rowSize = offAcc
+    val maxChunks = 256
+    val cr =
+      if (chunkRows > 0) chunkRows
+      else math.max(1L, math.max(4L * 1024 * 1024 / math.max(1, rowSize),
+        (nRows + maxChunks - 1) / maxChunks)).min(math.max(1L, nRows)).toInt
+    require((nRows + cr - 1) / math.max(1, cr) <= maxChunks,
+      s"$nRows rows at $cr rows/chunk exceed $maxChunks chunks (one B-tree " +
+        s"node); raise chunkRows")
+
+    def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(deflateLevel)
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val buf = new Array[Byte](65536)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    // byte-shuffle to plane-major (the exact inverse of Hdf5.defilter's
+    // de-interleave): plane i of the row bytes becomes contiguous
+    def shuffleBytes(data: Array[Byte]): Array[Byte] = {
+      val sz = rowSize
+      if (sz <= 1) data
+      else {
+        val n = data.length / sz
+        val out = new Array[Byte](data.length)
+        var i = 0
+        while (i < sz) {
+          var j = 0
+          while (j < n) { out(i * n + j) = data(j * sz + i); j += 1 }
+          i += 1
+        }
+        System.arraycopy(data, n * sz, out, n * sz, data.length - n * sz)
+        out
+      }
+    }
+
+    val o = new Out(path)
+    try writeSuperblockV0(o, leafK = 4) { (o, patchRoot) =>
+      val chunkBuf = java.nio.ByteBuffer.allocate(cr * rowSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val chunks = mutable.ListBuffer.empty[(Long, Long, Int)] // rowOff, addr, storedSize
+      def flushChunk(rowsIn: Int, rowOff: Long): Unit = if (rowsIn > 0) {
+        // chunks are always FULL size; the tail past nRows is zero fill
+        java.util.Arrays.fill(chunkBuf.array(), rowsIn * rowSize, cr * rowSize, 0.toByte)
+        val staged = if (shuffle) shuffleBytes(chunkBuf.array()) else chunkBuf.array()
+        val packed = deflate(staged)
+        chunks += ((rowOff, o.addr, packed.length))
+        o.put(packed)
+      }
+      val it = df.toLocalIterator()
+      var written = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (written % cr == 0) chunkBuf.clear()
+        members.zipWithIndex.foreach { case (m, i) => packValue(chunkBuf, m.dtype, r.get(i)) }
+        written += 1
+        if (written % cr == 0) flushChunk(cr, written - cr)
+      }
+      flushChunk((written % cr).toInt, written - written % cr)
+      require(written == nRows, s"row count changed between passes: $nRows -> $written")
+
+      // chunk index: one level-0 v1 B-tree node (type 1)
+      val btreeAddr = o.addr
+      o.put("TREE".getBytes("US-ASCII"))
+      o.u1(1); o.u1(0)
+      o.u2(chunks.length)
+      o.u8(Undef); o.u8(Undef)
+      chunks.foreach { case (rowOff, addr, size) =>
+        o.u4(size); o.u4(0) // stored size, filter mask
+        o.u8(rowOff); o.u8(0L) // chunk offsets (row, element)
+        o.u8(addr)
+      }
+      // final key: one past the last chunk's offsets
+      o.u4(0); o.u4(0)
+      o.u8(chunks.length.toLong * cr); o.u8(0L)
+
+      val dtSize = datatypeSize(compound)
+      val filterBody = 8 + (if (shuffle) 16 else 0) + 16
+      val dsOH = writeOHv1(o, Seq(
+        Msg(0x0001, out => {
+          out.u1(1); out.u1(1); out.u1(0)
+          out.zeros(5)
+          out.u8(nRows)
+        }, 16),
+        Msg(0x0003, out => encodeDatatype(out, compound), dtSize),
+        Msg(0x000B, out => { // filter pipeline v1, write order
+          out.u1(1); out.u1(if (shuffle) 2 else 1)
+          out.u2(0); out.u4(0)
+          if (shuffle) {
+            out.u2(2); out.u2(0); out.u2(0); out.u2(1) // shuffle, 1 value
+            out.u4(rowSize); out.u4(0) // element size + odd-count pad
+          }
+          out.u2(1); out.u2(0); out.u2(0); out.u2(1) // deflate, 1 value
+          out.u4(deflateLevel); out.u4(0)
+        }, filterBody),
+        Msg(0x0008, out => {
+          out.u1(3); out.u1(2) // v3, chunked
+          out.u1(2) // dimensionality = rank + 1
+          out.u8(btreeAddr)
+          out.u4(cr); out.u4(rowSize) // chunk dims + element size
+        }, 19)))
+      val (btree, heap) = writeSymbolTable(o, Seq("data" -> dsOH), leafK = 4)
+      val rootOH = writeGroupOH(o, btree, heap)
+      patchRoot(rootOH, btree, heap)
+    } finally o.close()
+  }
+
   // superblock v0 with patched root entry + EOF
   private def writeSuperblockV0(o: Out, leafK: Int)(
       body: (Out, (Long, Long, Long) => Unit) => Unit): Unit = {
