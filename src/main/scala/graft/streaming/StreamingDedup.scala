@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Streaming MinHash-LSH near-duplicate detection — the ingestion-time
+  * counterpart of [[graft.operators.Dedup.minhashLsh]] for a
+  * training-data pipeline: documents arriving on a stream are flagged
+  * against previously seen documents WITHOUT re-scanning the corpus.
+  *
+  * Shape: a row-local MinHash signature (one compiled pass per
+  * document — no aggregation, so the stateful stage remains the only
+  * stateful operator in the query), exploded into LSH band keys; each
+  * band bucket is a `flatMapGroupsWithState` group whose state holds
+  * the bucket's representative signatures.  A new document that agrees
+  * with a representative on ≥ `threshold` of signature positions is
+  * emitted as a hit (best match per band); otherwise it becomes a
+  * representative itself.
+  *
+  * Scale posture: state is per band-bucket, bounded by
+  * `maxPerBucket` representatives (FIFO eviction beyond — documented
+  * recall loss on pathological buckets); pass `stateTtl` to ALSO drop
+  * idle buckets via processing-time timeout.  The shuffle key is the
+  * band hash — uniformly distributed; no bucket ever sees the corpus.
+  * Semantics are at-least-once per pair (a pair colliding in several
+  * bands emits per band); sink-side `dropDuplicates(doc_id, dup_of)`
+  * tightens it.
+  *
+  * TTL caveat: processing-time timeouts make Spark schedule no-data
+  * micro-batches to fire them — with the default as-fast-as-possible
+  * trigger that is a busy loop of empty state-store commits.  Only set
+  * `stateTtl` together with a real `Trigger.ProcessingTime(...)` on
+  * the query; the default (None) uses NoTimeout and relies on the
+  * per-bucket FIFO bound alone.
+  *
+  * The signature formula matches the batch operator bit-for-bit
+  * (xxhash64 of the normalized 5-gram, re-hashed per permutation
+  * seed), so stream decisions agree with batch backfills over the same
+  * text. */
+object StreamingDedup {
+
+  final case class NearDupHit(doc_id: Long, dup_of: Long, est_jaccard: Double)
+
+  private val Seed = 42L
+
+  /** Batch-identical normalization (TextAnalysis.normalize). */
+  private def normalize(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+
+  /** Batch-identical MinHash signature: sig(i) = min over shingles of
+    * xxhash64(i, xxhash64(shingle)); null when the text yields no
+    * shingle (mirrors the batch groupBy dropping such docs). */
+  private[graft] def signature(text: String, shingleSize: Int, k: Int): Array[Long] = {
+    val norm = normalize(if (text == null) "" else text)
+    val nSh = norm.length - shingleSize + 1
+    if (nSh < 1) return null
+    val seeds = Array.tabulate(k)(i =>
+      XxHash64Function.hash(i, IntegerType, Seed))
+    val sig = Array.fill(k)(Long.MaxValue)
+    var p = 0
+    while (p < nSh) {
+      val h = XxHash64Function.hash(
+        UTF8String.fromString(norm.substring(p, p + shingleSize)), StringType, Seed)
+      var i = 0
+      while (i < k) {
+        val hi = XxHash64Function.hash(h, LongType, seeds(i))
+        if (hi < sig(i)) sig(i) = hi
+        i += 1
+      }
+      p += 1
+    }
+    sig
+  }
+
+  /** Batch-identical band key: xxhash64(sig slice ++ band index). */
+  private[graft] def bandKey(sig: Array[Long], band: Int, rowsPerBand: Int): Long = {
+    var h = Seed
+    var r = 0
+    while (r < rowsPerBand) {
+      h = XxHash64Function.hash(sig(band * rowsPerBand + r), LongType, h)
+      r += 1
+    }
+    XxHash64Function.hash(band, IntegerType, h)
+  }
+
+  /** @param docs streaming (or batch) frame with `idCol` (long) and
+    *             `textCol` (string)
+    * @return hits (doc_id, dup_of, est_jaccard), at-least-once per pair */
+  def nearDupHits(docs: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+                  threshold: Double = 0.7, maxPerBucket: Int = 64,
+                  stateTtl: Option[String] = None): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = bands * rowsPerBand
+    val sigUdf = udf((t: String) => signature(t, shingleSize, k))
+    val bandsUdf = udf((sig: Array[Long]) =>
+      Array.tabulate(bands)(b => bandKey(sig, b, rowsPerBand)))
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc_id"), sigUdf(col(textCol)).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"), explode(bandsUdf(col("sig"))).as("band_key"))
+      .as[(Long, Array[Long], Long)]
+
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    banded.groupByKey(_._3)
+      .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupHit](
+        OutputMode.Append(), timeoutConf) {
+        (_: Long, rows: Iterator[(Long, Array[Long], Long)],
+         state: GroupState[List[(Long, Array[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var reps = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[NearDupHit]
+            // deterministic order within a micro-batch
+            rows.toSeq.sortBy(_._1).foreach { case (id, sig, _) =>
+              var bestId = -1L
+              var bestAgree = -1
+              reps.foreach { case (repId, repSig) =>
+                if (repId != id) {
+                  var agree = 0
+                  var i = 0
+                  while (i < k) { if (sig(i) == repSig(i)) agree += 1; i += 1 }
+                  // unique-id tiebreak: lowest rep id wins equal agreement
+                  if (agree > bestAgree || (agree == bestAgree && repId < bestId)) {
+                    bestAgree = agree; bestId = repId
+                  }
+                }
+              }
+              if (bestAgree.toDouble / k >= threshold)
+                out += NearDupHit(id, bestId,
+                  math.rint(bestAgree.toDouble / k * 1e6) / 1e6)
+              else
+                // FIFO bound: newest rep appended, oldest evicted
+                reps = (reps :+ (id, sig)).takeRight(maxPerBucket)
+            }
+            state.update(reps)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.streaming.StreamingDedup
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+  private val docA2 = "the quick brown fox jumps over the lazy dog and runs far away into the wood" // near-dup
+  private val docB = "completely different content about spark streaming stateful processing engines"
+  private val docC = "yet another unrelated document on astronomical catalog cross matching"
+
+  test("row-local signature matches the batch minhashSignatures formula bit-for-bit") {
+    val df = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val batch = Dedup.minhashSignatures(df, col("text"), col("doc_id"), shingleSize = 5, k = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val s1 = StreamingDedup.signature(docA, 5, 32)
+    val s2 = StreamingDedup.signature(docB, 5, 32)
+    assert(s1.toSeq == batch(1L))
+    assert(s2.toSeq == batch(2L))
+    // degenerate text -> no shingles -> null (batch drops the doc)
+    assert(StreamingDedup.signature("ab", 5, 32) == null)
+  }
+
+  test("streaming near-dup flags arrivals against earlier representatives") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.nearDupHits(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+    val q = hits.toDF.writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, docA), (2L, docB)) // originals become representatives
+      q.processAllAvailable()
+      assert(spark.table("neardup_test").count() == 0) // nothing to collide with
+      input.addData((10L, docA2), (11L, docC)) // near-dup of 1 + a fresh doc
+      q.processAllAvailable()
+      val rows = spark.table("neardup_test")
+        .select("doc_id", "dup_of", "est_jaccard").distinct().collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getLong(0) == 10L && r.getLong(1) == 1L))
+      assert(rows.forall(_.getDouble(2) >= 0.5))
+      input.addData((20L, docC)) // exact copy of 11's text -> full agreement
+      q.processAllAvailable()
+      val c = spark.table("neardup_test").filter(col("doc_id") === 20L)
+        .select("dup_of", "est_jaccard").distinct().collect()
+      assert(c.map(_.getLong(0)).toSet == Set(11L))
+      assert(c.forall(_.getDouble(1) == 1.0))
+    } finally q.stop()
+  }
+
+  test("stream decisions agree with the batch minhashLsh candidates") {
+    // run the same corpus through both; every streamed hit pair must be
+    // a batch candidate pair at the same estimated jaccard
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, docA), (2L, docB), (3L, docC), (10L, docA2))
+    val batchPairs = Dedup.minhashLsh(corpus.toDF("doc_id", "text"),
+      col("text"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.nearDupHits(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+    val q = hits.toDF.writeStream.format("memory").queryName("neardup_parity")
+      .outputMode("append").start()
+    try {
+      corpus.foreach { d => input.addData(d); q.processAllAvailable() }
+      val streamed = spark.table("neardup_parity")
+        .select("doc_id", "dup_of", "est_jaccard").distinct().collect()
+      assert(streamed.nonEmpty)
+      streamed.foreach { r =>
+        val pair = (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1)))
+        assert(batchPairs.contains(pair), s"stream-only pair $pair")
+        assert(math.abs(batchPairs(pair) - r.getDouble(2)) < 1e-9)
+      }
+    } finally q.stop()
+  }
+}
