@@ -576,6 +576,18 @@ object SparkEntry {
       Similarity.exactPairs(e, "vec_id", "embedding", threshold = 0.2)
     }),
 
+    // M6 streaming MinHash-LSH near-dup, exercised in batch mode (one
+    // micro-batch over the corpus; state starts empty, per-bucket
+    // processing is id-sorted → deterministic).  Rows-only: stateful
+    // streaming semantics have no DuckDB equivalent.  distinct()
+    // collapses the documented at-least-once multi-band emissions.
+    "q59_stream_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.streaming.StreamingDedup.nearDupHits(
+          d.select(col("doc_id"), col("text")), "doc_id", "text", threshold = 0.5)
+        .toDF().distinct()
+    }),
+
     // §2.4 distinct aggregation (exact; HLL approx_count_distinct is the
     // scale-out variant, not oracle-comparable across engines)
     "q54_distinct_agg" -> ((s, dir) => {
