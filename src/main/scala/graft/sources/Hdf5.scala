@@ -516,7 +516,9 @@ object Hdf5 {
 
   /** Managed-object reader over a fractal heap (spec III.G). */
   private final class FractalHeap(r: Reader, addr: Long) {
-    private val hb = r.readAt(addr, 150)
+    // header is exactly 146 bytes (incl. checksum) — never read past
+    // it, a heap header can sit at EOF
+    private val hb = r.readAt(addr, 142)
     private val magic = new Array[Byte](4); hb.get(magic)
     require(magic.sameElements("FRHP".getBytes("US-ASCII")),
       s"bad fractal heap signature at $addr")
