@@ -142,6 +142,44 @@ object MediaCodecs {
     Some(BmpMeta(w, h, sr / n, sg / n, sb / n))
   }
 
+  /** Nearest-neighbor resize of a 24-bit uncompressed BMP to exactly
+    * (tw, th), re-encoded as BMP — the REAL resize tier of the
+    * multimodal pipeline (compressed formats stay behind the codec
+    * seam).  Pure byte math, executor-side; preserves the source's
+    * bottom-up/top-down row order by resampling in file coordinates.
+    * Returns None for anything [[parseBmp]] would reject. */
+  def resizeBmp(b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    if (tw <= 0 || th <= 0 || tw > (1 << 15) || th > (1 << 15)) return None
+    if (parseBmp(b).isEmpty) return None // full validation in one place
+    val pixelOff = u4(b, 10).toInt
+    val w = i4(b, 18)
+    val h = math.abs(i4(b, 22))
+    val stride = ((w * 3 + 3) / 4) * 4
+    val tStride = ((tw * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + tStride * th)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(out.length)
+    bb.putInt(0).putInt(54)
+    bb.putInt(40).putInt(tw)
+    bb.putInt(if (i4(b, 22) < 0) -th else th) // keep source orientation
+    bb.putShort(1).putShort(24).putInt(0).putInt(tStride * th)
+    bb.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var ty = 0
+    while (ty < th) {
+      val sy = ((ty.toLong * h) / th).toInt
+      var tx = 0
+      while (tx < tw) {
+        val sx = ((tx.toLong * w) / tw).toInt
+        val sp = pixelOff + sy * stride + sx * 3
+        val tp = 54 + ty * tStride + tx * 3
+        out(tp) = b(sp); out(tp + 1) = b(sp + 1); out(tp + 2) = b(sp + 2)
+        tx += 1
+      }
+      ty += 1
+    }
+    Some(out)
+  }
+
   /** Magic-byte dispatch → metadata struct row (static: called from
     * both interpreted eval and generated code). */
   def decodeRow(b: Array[Byte]): InternalRow = {

@@ -68,6 +68,19 @@ object Multimodal {
       .filter(length(col("frame")) > 0)
   }
 
+  /** Real resize for the decodable tier: 24-bit BMP payloads are
+    * nearest-neighbor resampled to exactly (w, h) and re-encoded as
+    * BMP; any other payload yields null (the compressed tier needs
+    * external codecs — the documented stub seam).  Runs executor-side
+    * per row; compose with [[decodeMedia]] downstream to verify the
+    * new dimensions. */
+  def resizeImage(payload: Column, w: Int, h: Int): Column = {
+    val f = udf((b: Array[Byte]) =>
+      if (b == null) null
+      else graft.functions.MediaCodecs.resizeBmp(b, w, h).orNull)
+    f(payload)
+  }
+
   /** Real feature extraction that needs no codec: the nibble histogram
     * of the payload — 16 counts over the hex expansion (2 hex digits
     * per byte), the per-item "embedding" of the binary modality.

@@ -136,6 +136,31 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(m.getDouble(5) - 127.5) < 1e-9)
   }
 
+  test("resizeImage really resamples a BMP; non-images yield null") {
+    // 4x4: left half red, right half blue -> 2x2 keeps the halves
+    val img = Seq.fill(4)(Seq((255, 0, 0), (255, 0, 0), (0, 0, 255), (0, 0, 255)))
+    val df = Seq((1L, bmpBytes(img)), (2L, Array[Byte](9, 9, 9))).toDF("id", "payload")
+    val resized = df.select(col("id"),
+      Multimodal.resizeImage(col("payload"), 2, 2).as("small"))
+    val rows = resized.orderBy("id").collect()
+    assert(rows(1).isNullAt(1)) // junk payload -> null, no crash
+    val small = rows(0).getAs[Array[Byte]]("small")
+    val m = Seq((0L, small)).toDF("id", "p")
+      .select(Multimodal.decodeMedia(col("p")).as("m"))
+      .select(col("m.mime"), col("m.width"), col("m.height"),
+        col("m.mean_r"), col("m.mean_b")).collect().head
+    assert(m.getString(0) == "image/bmp")
+    assert(m.getInt(1) == 2 && m.getInt(2) == 2)
+    // halves survive: mean over 2x2 = half red half blue
+    assert(math.abs(m.getDouble(3) - 127.5) < 1e-9)
+    assert(math.abs(m.getDouble(4) - 127.5) < 1e-9)
+    // upscale round-trips dimensions too
+    val big = graft.functions.MediaCodecs.resizeBmp(bmpBytes(img), 8, 6).get
+    val bm = graft.functions.MediaCodecs.parseBmp(big).get
+    assert(bm.width == 8 && bm.height == 6)
+    assert(math.abs(bm.meanR - 127.5) < 1e-9 && math.abs(bm.meanB - 127.5) < 1e-9)
+  }
+
   test("decodeMedia degrades unknown payloads to octet-stream with size") {
     val df = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("id", "payload")
     val m = df.select(Multimodal.decodeMedia(col("payload")).as("m"))
