@@ -5,10 +5,13 @@ import org.apache.spark.sql.types._
 import scala.collection.immutable.ListMap
 import graft.core.{EzFrame, EzMeta}
 
-/** VOTable (IVOA XML table format) reader/writer for the TABLEDATA
-  * serialization — the reference reads VOTables via astropy
-  * (ezdata/simpletable.py:1551–1565).  Implemented against the public
-  * IVOA VOTable 1.4 spec with the JDK DOM parser (no external deps).
+/** VOTable (IVOA XML table format) reader/writer — the reference reads
+  * VOTables via astropy (ezdata/simpletable.py:1551–1565).  Implemented
+  * against the public IVOA VOTable 1.4 spec with the JDK DOM parser
+  * (no external deps).  Reads all three row serializations the spec
+  * defines — TABLEDATA (XML cells), BINARY (base64 stream of
+  * big-endian records), and BINARY2 (BINARY + per-row null mask);
+  * writes TABLEDATA.
   *
   * VOTables are small-catalog interchange files; the parse is
   * driver-side, then the rows become a normal distributed DataFrame.
@@ -58,10 +61,16 @@ object VoTable {
     val table = elems(resource, "TABLE").headOption
       .getOrElse(throw new IllegalArgumentException(s"$path: no TABLE element"))
 
-    val fields = elems(table, "FIELD").map { f =>
+    val fieldElems = elems(table, "FIELD")
+    val fields = fieldElems.map { f =>
       (f.getAttribute("name"),
         sparkType(f.getAttribute("datatype")),
         Option(f.getAttribute("unit")).filter(_.nonEmpty))
+    }
+    // (datatype, arraysize) drive the BINARY record layout
+    val binTypes = fieldElems.map { f =>
+      (f.getAttribute("datatype"),
+        Option(f.getAttribute("arraysize")).filter(_.nonEmpty))
     }
     val schema = StructType(fields.map { case (n, t, _) => StructField(n, t) })
     val header = (elems(votable, "DESCRIPTION") ++ elems(table, "DESCRIPTION"))
@@ -85,10 +94,75 @@ object VoTable {
         }
       }: _*)
     }
-    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.length / 10000)), schema)
+    // BINARY / BINARY2: base64 STREAM of big-endian records (spec §5.5
+    // and §5.6; BINARY2 rows lead with a ceil(nFields/8)-byte null mask)
+    val binRows = data.toSeq.flatMap { d =>
+      elems(d, "BINARY").map(_ -> false) ++ elems(d, "BINARY2").map(_ -> true)
+    }.flatMap { case (bin, withMask) =>
+      val stream = elems(bin, "STREAM").headOption.getOrElse(
+        throw new IllegalArgumentException(s"$path: BINARY without STREAM"))
+      val enc = Option(stream.getAttribute("encoding")).filter(_.nonEmpty).getOrElse("base64")
+      require(enc == "base64", s"$path: unsupported STREAM encoding '$enc'")
+      val bytes = java.util.Base64.getMimeDecoder.decode(stream.getTextContent.trim)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+      val maskBytes = if (withMask) (binTypes.length + 7) / 8 else 0
+      val out = scala.collection.mutable.ListBuffer.empty[Row]
+      while (bb.remaining() > 0) {
+        val mask = new Array[Byte](maskBytes); bb.get(mask)
+        def isNull(i: Int): Boolean =
+          withMask && ((mask(i / 8) >> (7 - i % 8)) & 1) == 1
+        out += Row(binTypes.zipWithIndex.map { case ((dt, arraysize), i) =>
+          val v = readBinaryCell(bb, dt, arraysize, path)
+          if (isNull(i)) null else v
+        }: _*)
+      }
+      out.toSeq
+    }
+    val allRows = rows ++ binRows
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(allRows.toSeq, math.max(1, allRows.length / 10000)), schema)
     val meta = EzMeta(header = header,
       units = fields.flatMap { case (n, _, u) => u.map(n -> _) }.toMap)
     EzFrame(CommentedCsv.withFieldMetadata(df, meta), meta)
+  }
+
+  /** One BINARY-serialization cell, big-endian (spec §5.5): scalars by
+    * datatype width; char/unicodeChar strings with `arraysize` fixed
+    * length or "*" (4-byte count prefix); booleans as the ASCII
+    * 'T'/'F'/'?' byte.  The value must always be CONSUMED (even when a
+    * BINARY2 mask nulls it) to keep the record aligned. */
+  private def readBinaryCell(bb: java.nio.ByteBuffer, datatype: String,
+                             arraysize: Option[String], path: String): Any = {
+    def strLen(charBytes: Int): Int = arraysize match {
+      case None => charBytes // scalar char = one character
+      case Some("*") => bb.getInt
+      case Some(s) if s.forall(_.isDigit) => s.toInt * charBytes
+      case Some(other) => throw new IllegalArgumentException(
+        s"$path: unsupported arraysize '$other' for $datatype")
+    }
+    datatype match {
+      case "boolean" =>
+        (bb.get().toChar: @unchecked) match {
+          case 'T' | 't' | '1' => true
+          case 'F' | 'f' | '0' => false
+          case _ => null // '?', ' ', \0 = unknown
+        }
+      case "unsignedByte" => (bb.get() & 0xff).toShort
+      case "short" => bb.getShort
+      case "int" => bb.getInt
+      case "long" => bb.getLong
+      case "float" => bb.getFloat
+      case "double" => bb.getDouble
+      case "char" =>
+        val n = strLen(1)
+        val raw = new Array[Byte](n); bb.get(raw)
+        new String(raw, "US-ASCII").replaceAll("[\\u0000 ]+$", "")
+      case "unicodeChar" =>
+        val n = strLen(2)
+        val raw = new Array[Byte](n); bb.get(raw)
+        new String(raw, "UTF-16BE").replaceAll("[\\u0000 ]+$", "")
+      case other => throw new IllegalArgumentException(
+        s"$path: unsupported BINARY datatype '$other'")
+    }
   }
 
   private def esc(s: String): String =
