@@ -180,6 +180,48 @@ object MediaCodecs {
     Some(out)
   }
 
+  /** Nearest-sample rate conversion of a PCM16 WAV payload to
+    * `targetRate`, re-encoded as a minimal RIFF/WAVE file — the REAL
+    * audio resample tier (compressed audio stays behind the codec
+    * seam).  Multi-channel frames move together.  Returns None for
+    * anything [[parseWav]] rejects or non-16-bit payloads. */
+  def resampleWav(b: Array[Byte], targetRate: Int): Option[Array[Byte]] = {
+    if (targetRate <= 0 || targetRate > 1000000) return None
+    val meta = parseWav(b).getOrElse(return None)
+    if (meta.bits != 16 || meta.nSamples <= 0) return None
+    // locate the data chunk again (same walk as parseWav)
+    var off = 12
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length && dataOff < 0) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val sz = u4(b, off + 4).toInt
+      if (id == "data") { dataOff = off + 8; dataLen = math.min(sz, b.length - dataOff) }
+      off += 8 + sz + (sz & 1)
+    }
+    if (dataOff < 0) return None
+    val frameBytes = meta.channels * 2
+    val nIn = dataLen / frameBytes
+    val nOut = math.max(1, (nIn.toLong * targetRate / meta.sampleRate).toInt)
+    val outData = new Array[Byte](nOut * frameBytes)
+    var i = 0
+    while (i < nOut) {
+      val src = ((i.toLong * nIn) / nOut).toInt
+      System.arraycopy(b, dataOff + src * frameBytes, outData, i * frameBytes, frameBytes)
+      i += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + outData.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + outData.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(meta.channels.toShort)
+    bb.putInt(targetRate).putInt(targetRate * frameBytes)
+    bb.putShort(frameBytes.toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(outData.length)
+    bb.put(outData)
+    Some(bb.array())
+  }
+
   /** Magic-byte dispatch → metadata struct row (static: called from
     * both interpreted eval and generated code). */
   def decodeRow(b: Array[Byte]): InternalRow = {

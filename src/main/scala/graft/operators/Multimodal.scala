@@ -81,6 +81,16 @@ object Multimodal {
     f(payload)
   }
 
+  /** Real audio resample for the decodable tier: PCM16 WAV payloads
+    * are nearest-sample converted to `rate` Hz (channels preserved);
+    * other payloads yield null. */
+  def resampleAudio(payload: Column, rate: Int): Column = {
+    val f = udf((b: Array[Byte]) =>
+      if (b == null) null
+      else graft.functions.MediaCodecs.resampleWav(b, rate).orNull)
+    f(payload)
+  }
+
   /** Real feature extraction that needs no codec: the nibble histogram
     * of the payload — 16 counts over the hex expansion (2 hex digits
     * per byte), the per-item "embedding" of the binary modality.

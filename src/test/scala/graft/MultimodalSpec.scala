@@ -161,6 +161,23 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(bm.meanR - 127.5) < 1e-9 && math.abs(bm.meanB - 127.5) < 1e-9)
   }
 
+  test("resampleAudio halves the rate, keeps the duration and signal") {
+    val rate = 8000
+    val samples = (0 until 800).map(i => (if (i % 2 == 0) 16384 else -16384).toShort)
+    val df = Seq((1L, wavBytes(samples, rate)), (2L, Array[Byte](1, 2))).toDF("id", "payload")
+    val rows = df.select(col("id"),
+      Multimodal.resampleAudio(col("payload"), 4000).as("out")).orderBy("id").collect()
+    assert(rows(1).isNullAt(1)) // junk -> null
+    val m = Seq((0L, rows(0).getAs[Array[Byte]]("out"))).toDF("id", "p")
+      .select(Multimodal.decodeMedia(col("p")).as("m"))
+      .select(col("m.mime"), col("m.sample_rate"), col("m.n_samples"),
+        col("m.duration_s"), col("m.peak")).collect().head
+    assert(m.getString(0) == "audio/wav")
+    assert(m.getInt(1) == 4000 && m.getLong(2) == 400L)
+    assert(math.abs(m.getDouble(3) - 0.1) < 1e-9) // duration preserved
+    assert(math.abs(m.getDouble(4) - 0.5) < 1e-3) // amplitude preserved
+  }
+
   test("decodeMedia degrades unknown payloads to octet-stream with size") {
     val df = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("id", "payload")
     val m = df.select(Multimodal.decodeMedia(col("payload")).as("m"))
