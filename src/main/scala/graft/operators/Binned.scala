@@ -89,24 +89,48 @@ object Binned {
   /** Bin-width heuristic from the reference (ezdata/xarray.py:23–30
     * guess_bins): dx = the smallest gap between consecutive distinct
     * values; edges run min−0.5dx to max+0.6dx (the +0.6 keeps the last
-    * bin).  Distributed: distinct + one window lag — never collects the
-    * column.  Returns an Axis covering the guessed grid.
+    * bin).  Returns an Axis covering the guessed grid.
     *
-    * Scale note: the unpartitioned `orderBy` window is a deliberate
-    * single-task global sort of the DISTINCT values — the smallest-gap
-    * semantics are inherently global.  Distinct cardinality, not row
-    * count, bounds the task (a measurement column with millions of
-    * distinct values should get an explicit Axis instead; that's also
-    * the reference's own guidance for continuous data). */
+    * Scale design: the smallest-gap semantics are global, but a global
+    * single-task sort is not required — the distinct values are
+    * range-repartitioned (each partition owns a contiguous value
+    * range, sorted within), each task reports its local (min, max,
+    * min-gap) in one pass, and the driver folds the per-partition
+    * triples plus the gaps ACROSS partition boundaries (last of
+    * partition i to first of partition i+1).  Work per task is bounded
+    * by distinct-cardinality / partitions; nothing but a few triples
+    * reaches the driver. */
   def guessBins(df: DataFrame, x: Column, name: String = "x"): Axis = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
-    val r = df.select(x.cast(DoubleType).as("_v")).where(col("_v").isNotNull).distinct()
-      .select(col("_v"), (col("_v") - lag(col("_v"), 1).over(w)).as("_d"))
-      .agg(min(col("_v")), max(col("_v")), min(col("_d"))).head()
-    require(!r.isNullAt(0) && !r.isNullAt(1),
+    val distinctVals = df.select(x.cast(DoubleType).as("_v"))
+      .where(col("_v").isNotNull).distinct()
+    // (partitionIndex, min, max, minGap|NaN) per non-empty partition
+    val parts = distinctVals
+      .repartitionByRange(col("_v")).sortWithinPartitions(col("_v"))
+      .select(col("_v")).rdd.mapPartitionsWithIndex { (pi, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          var prev = it.next().getDouble(0)
+          val first = prev
+          var minGap = Double.NaN
+          while (it.hasNext) {
+            val v = it.next().getDouble(0)
+            val g = v - prev
+            if (minGap.isNaN || g < minGap) minGap = g
+            prev = v
+          }
+          Iterator((pi, first, prev, minGap))
+        }
+      }.collect().sortBy(_._1)
+    require(parts.nonEmpty,
       "guessBins: column has no non-null values — pass an explicit Axis")
-    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
-    val dx = if (r.isNullAt(2) || r.getDouble(2) <= 0) math.max(hi - lo, 1.0) else r.getDouble(2)
+    val lo = parts.head._2
+    val hi = parts.last._3
+    val boundaryGaps = parts.sliding(2).collect {
+      case Array(a, b) => b._2 - a._3 // first of next - last of prev
+    }
+    val gaps = (parts.iterator.map(_._4) ++ boundaryGaps).filterNot(_.isNaN).toSeq
+    val dx0 = if (gaps.isEmpty) Double.NaN else gaps.min
+    val dx = if (dx0.isNaN || dx0 <= 0) math.max(hi - lo, 1.0) else dx0
     val nBins = math.max(1, math.ceil(((hi + 0.6 * dx) - (lo - 0.5 * dx)) / dx - 1e-9).toInt)
     Axis(name, x, lo - 0.5 * dx, (lo - 0.5 * dx) + nBins * dx, nBins)
   }

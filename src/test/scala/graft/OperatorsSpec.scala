@@ -27,6 +27,27 @@ class BinnedSpec extends SparkSpec {
     assert(cube.count() == 4)
   }
 
+  test("guessBins: smallest gap drives the grid, across partition boundaries") {
+    // reference formula (xarray.py guess_bins): dx = min consecutive
+    // gap; edges min-0.5dx .. max+0.6dx
+    val ax = Binned.guessBins(Seq(1.0, 2.0, 4.0, 7.0).toDF("x"), col("x"))
+    assert(ax.lo == 0.5 && ax.n == 8 && math.abs(ax.width - 1.0) < 1e-12)
+    // the min gap must be found even when its two values land in
+    // DIFFERENT range partitions: 2000 values spaced 1.0 apart, one
+    // extra value 0.25 beyond a grid point
+    val vals = (0 until 2000).map(_.toDouble) :+ 1000.25
+    val ax2 = Binned.guessBins(spark.sparkContext.parallelize(vals, 16).toDF("x"), col("x"))
+    assert(math.abs(ax2.width - 0.25) < 1e-12, s"width ${ax2.width}")
+    assert(ax2.lo == -0.125)
+    // single distinct value: dx falls back to max(span, 1)
+    val ax3 = Binned.guessBins(Seq(5.0, 5.0).toDF("x"), col("x"))
+    assert(ax3.lo == 4.5 && ax3.n == 2)
+    // all-null raises the documented error
+    val err = intercept[IllegalArgumentException](
+      Binned.guessBins(Seq.empty[Double].toDF("x"), col("x")))
+    assert(err.getMessage.contains("explicit Axis"))
+  }
+
   test("axis edges: negative ranges, single bin, out-of-range drop") {
     val df = Seq(-5.0, -2.5, 0.0, 7.0).toDF("x")
     // negative-lo axis: [-5, 0] in 2 bins; 7.0 is out of range and dropped

@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Audit: no gated query may plan an unpartitioned window (a global
-  * single-task sort).  guessBins/lagplot keep theirs deliberately
-  * (documented: global semantics over bounded inputs) — the gate is
-  * the 58 driver queries. */
+  * single-task sort).  lagplot keeps its deliberately (documented:
+  * global lag over a sampled series); guessBins was rewritten to a
+  * range-repartitioned fold — the gate is the driver queries. */
 class WindowAuditSpec extends SparkSpec {
 
   test("no gated query plans an unpartitioned WindowExec") {
