@@ -193,4 +193,47 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vid"), col("centroid_id"), round(col("dist"), 6).as("dist"))
   }
+
+  /** IVF probe search — the query side of [[ivfAssign]]'s inverted-file
+    * layout: each probe scores ONLY the corpus vectors living in the
+    * `nprobe` cells whose centroids are nearest the probe.  Recall < 1
+    * by construction (a true neighbor can live in a cell the probe does
+    * not visit), rising with `nprobe`; verified against
+    * [[bruteForceTopK]] in tests.
+    *
+    * Scale: the corpus pays one centroid assignment (broadcast
+    * centroids, linear scan) and one shuffle on the cell id; probes ×
+    * nprobe cell visits bound the scored candidates at
+    * |corpus| · nprobe / |centroids| on balanced cells — never the
+    * |probes| · |corpus| cartesian of the exact baseline.  The top-k
+    * is bounded below the shuffle by the custom TopKPerKey operator,
+    * like [[lshTopK]]. */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val corpusCells = corpus
+      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
+      .join(ivfAssign(corpus, centroids, idCol, vecCol),
+        col("corpus_id") === col("vid"))
+      .select(col("centroid_id"), col("corpus_id"), col("cvec"))
+    val cents = centroids.select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cdist").asc, col("centroid_id").asc)
+    val probeCells = probes
+      .select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", l2Distance(col("pvec"), col("cv")))
+      .withColumn("crn", row_number().over(wp))
+      .filter(col("crn") <= nprobe)
+      .select(col("centroid_id"), col("probe_id"), col("pvec"))
+    val scored = probeCells.join(corpusCells, Seq("centroid_id"))
+      .filter(col("probe_id") =!= col("corpus_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        round(cosine(col("pvec"), col("cvec")), 6).as("cos_sim"))
+    val top = graft.plans.TopK.perKeyOrdered(scored, Seq("probe_id"),
+      Seq("cos_sim" -> true, "corpus_id" -> false), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("corpus_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("probe_id"), col("corpus_id"), col("cos_sim"), col("rank"))
+  }
 }

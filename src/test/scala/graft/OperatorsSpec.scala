@@ -185,6 +185,32 @@ class SimilaritySpec extends SparkSpec {
     assert(assign(2L) == 2L)
   }
 
+  test("ivfTopK recall vs brute force, and nprobe lifts it") {
+    // clustered corpus: 8 well-separated centers, 25 members each;
+    // centroids = the centers themselves
+    val rnd = new scala.util.Random(7)
+    val centers = (0 until 8).map { c =>
+      val u = Array.fill(16)(rnd.nextGaussian().toFloat * 4f)
+      (c.toLong * 1000, u)
+    }
+    val members = centers.flatMap { case (cid, u) =>
+      (1 to 25).map(m => (cid + m, u.map(x => x + 0.3f * rnd.nextGaussian().toFloat)))
+    }
+    val corpus = members.toDF("vec_id", "embedding")
+    val cents = centers.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") % 1000 === 1) // one probe per cluster
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("corpus_id"))).toSet
+    val exact = topSet(Similarity.bruteForceTopK(corpus, probes, "vec_id", "embedding", 5))
+    val ivf1 = topSet(Similarity.ivfTopK(corpus, cents, probes, "vec_id", "embedding", 5, nprobe = 1))
+    val ivf3 = topSet(Similarity.ivfTopK(corpus, cents, probes, "vec_id", "embedding", 5, nprobe = 3))
+    def recall(got: Set[(Long, Long)]) = (got intersect exact).size.toDouble / exact.size
+    // same-cluster neighbors dominate the top-5 -> even nprobe=1 is high
+    assert(recall(ivf1) > 0.8, s"nprobe=1 recall ${recall(ivf1)}")
+    assert(recall(ivf3) >= recall(ivf1))
+    assert(recall(ivf3) > 0.95, s"nprobe=3 recall ${recall(ivf3)}")
+  }
+
   test("lshPairs recall against exactPairs, and OR-amplification helps") {
     // deterministic corpus: 40 cluster centers, 5 perturbed members each
     // (seeded) — ground truth = exactPairs at the same threshold
