@@ -1,0 +1,208 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused single-pass MinHash signature kernel.
+  *
+  * The explode/groupBy formulation ([[graft.operators.Dedup.minhashSignatures]]
+  * r3) is linear, but it materializes one ROW per (doc, shingle) and
+  * shuffles all of them through a hash aggregate — at sf0.1 that is
+  * ~40M rows of (long, long) through an exchange just to compute k
+  * running minima per document.  At 100 TB that shuffle IS the
+  * candidate-generation cost.
+  *
+  * This expression computes the whole k-element signature in one pass
+  * over the text, inside whole-stage codegen, with zero shuffle: for
+  * each shingle position it hashes the n-char window once
+  * (`xxhash64(shingle)` semantics) and folds it into k running minima
+  * (`min(xxhash64(i, h))` semantics).  The ONLY shuffle left in
+  * MinHash-LSH is the band-key join itself.
+  *
+  * Bit-for-bit identical to the r3 pipeline (pinned by spec
+  * `MinHashFusedSpec`): shingle hash = `XXH64.hashUTF8String(sub, 42)`
+  * exactly as Spark's `xxhash64(col)`, permutation i =
+  * `XXH64.hashLong(h, XXH64.hashInt(i, 42))` exactly as
+  * `xxhash64(lit(i), col("h"))`.  Docs with no shingle (normalized
+  * length < n) return NULL, mirroring the groupBy formulation where
+  * such docs simply had no rows to aggregate.
+  *
+  * Reference semantics: candidate-pair MinHash per SURVEY.md §2.10
+  * (training-pipeline dedup tier); cf. Broder's shingling construction.
+  */
+object MinHash {
+
+  /** k per-permutation seeds: seed_i = XXH64.hashInt(i, 42) — the
+    * prefix Spark's XxHash64(lit(i), h) computes before folding h.
+    * Cached per k (tiny; k ≤ 512 in practice). */
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  private def seeds(k: Int): Array[Long] =
+    seedCache.computeIfAbsent(k, kk => Array.tabulate(kk)(i => XXH64.hashInt(i, 42L)))
+
+  /** Single-pass signature: min_i over shingles s of
+    * hashLong(hashUTF8String(s, 42), hashInt(i, 42)).
+    * Returns null when the text yields no shingle. */
+  def minhashData(norm: UTF8String, n: Int, k: Int): ArrayData = {
+    val nChars = norm.numChars()
+    val cnt = nChars - (n - 1)
+    if (cnt < 1) return null
+    val sd = seeds(k)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val ascii = norm.numBytes() == nChars
+    var pos = 0
+    while (pos < cnt) {
+      // xxhash64(substr(norm, pos+1, n)) — ASCII fast path hashes the
+      // byte window in place (no per-shingle allocation); multi-byte
+      // text falls back to the exact substringSQL the Column form uses
+      val h =
+        if (ascii)
+          XXH64.hashUnsafeBytes(norm.getBaseObject, norm.getBaseOffset + pos, n, 42L)
+        else
+          XXH64.hashUTF8String(norm.substringSQL(pos + 1, n), 42L)
+      var i = 0
+      while (i < k) {
+        val hi = XXH64.hashLong(h, sd(i))
+        if (hi < mins(i)) mins(i) = hi
+        i += 1
+      }
+      pos += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Column surface: `minhashSig(normalizedText, n, k)`. */
+  def minhashSig(text: Column, n: Int, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(MinHashSigExpr(GraftBridge.expression(text), n, k))
+  }
+
+  /** Sorted distinct shingle-hash SET of a (normalized) string — the
+    * exact-Jaccard verification primitive: set sizes are array sizes,
+    * set intersection is a merge walk ([[sortedIntersectCount]]).
+    * Null when the text yields no shingle (mirrors the exploded
+    * formulation, which produced no rows).  One pass + one sort per
+    * document, inside the scan stage — replaces exploding candidate
+    * docs into (pair, hash) rows through two hash aggregates.
+    *
+    * Memory bound: a document of L normalized chars yields ≤ L longs
+    * (8·L bytes) in ONE row — fine for web-scale documents (MBs);
+    * callers chunk pathological inputs upstream. */
+  def shingleHashSetData(norm: UTF8String, n: Int): ArrayData = {
+    val nChars = norm.numChars()
+    val cnt = nChars - (n - 1)
+    if (cnt < 1) return null
+    val hs = new Array[Long](cnt)
+    val ascii = norm.numBytes() == nChars
+    var pos = 0
+    while (pos < cnt) {
+      hs(pos) =
+        if (ascii)
+          XXH64.hashUnsafeBytes(norm.getBaseObject, norm.getBaseOffset + pos, n, 42L)
+        else
+          XXH64.hashUTF8String(norm.substringSQL(pos + 1, n), 42L)
+      pos += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedupe of the sorted run
+    var w = 1
+    var r = 1
+    while (r < cnt) {
+      if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == cnt) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** |A ∩ B| of two SORTED distinct long arrays via a merge walk. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def shingleHashSet(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(ShingleHashSetExpr(GraftBridge.expression(text), n))
+  }
+
+  def intersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(SortedIntersectCount(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+}
+
+/** `array<long>` MinHash signature of a (normalized) string column;
+  * null for texts shorter than the shingle width. */
+case class MinHashSigExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  require(n >= 1 && k >= 1, s"minhash_sig needs n >= 1 and k >= 1, got n=$n k=$k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(s: Any): Any =
+    MinHash.minhashData(s.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHash.minhashData($c, $n, $k);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sorted distinct `array<long>` shingle-hash set of a (normalized)
+  * string column; null for texts shorter than the shingle width. */
+case class ShingleHashSetExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle_hash_set needs n >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hash_set"
+
+  override def nullSafeEval(s: Any): Any =
+    MinHash.shingleHashSetData(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHash.shingleHashSetData($c, $n);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Merge-walk |A ∩ B| over two sorted distinct `array<long>` columns. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHash.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.MinHash.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -44,16 +44,28 @@ object Dedup {
       array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
     }: _*)
 
-  /** MinHash signatures via explode + single groupBy: one row per
-    * (doc, shingle), then k `min` aggregates (map-side partial agg).
-    * Linear work, one shuffle on doc id — the scale formulation.
+  /** MinHash signatures in ONE codegen'd pass — no explode, no
+    * shuffle: the fused [[graft.functions.MinHash]] kernel folds every
+    * shingle hash into k running minima inside the scan stage.  Docs
+    * shorter than the shingle width yield no signature (same contract
+    * as the r3 explode/groupBy formulation, which produced no rows for
+    * them); output is bit-for-bit identical (spec-pinned).
     *
-    * Each shingle is string-hashed ONCE (xxhash64); the k
-    * "permutations" re-hash that fixed-width long with the permutation
-    * index as seed — a few ALU ops each, no string traversal, and no
-    * overflow under ANSI mode (Spark 4 default). */
+    * Scale: candidate generation now reads the corpus once and shuffles
+    * only (doc_id, 256B signature) into the band join — the ~L rows per
+    * doc the r3 version pushed through a hash aggregate are gone. */
   def minhashSignatures(df: DataFrame, text: Column, id: Column,
-                        shingleSize: Int, k: Int): DataFrame = {
+                        shingleSize: Int, k: Int): DataFrame =
+    df.select(id.as("doc_id"),
+        graft.functions.MinHash.minhashSig(TextAnalysis.normalize(text), shingleSize, k).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** The r3 explode + single-groupBy formulation (one row per
+    * (doc, shingle), k `min` aggregates).  Kept as the independent
+    * reference implementation the fused kernel is spec-verified
+    * against. */
+  private[graft] def minhashSignaturesExploded(df: DataFrame, text: Column, id: Column,
+                                               shingleSize: Int, k: Int): DataFrame = {
     val exploded = TextAnalysis.shingleHashes(df, text, id, shingleSize)
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
     exploded.groupBy(col("doc_id"))
@@ -149,50 +161,84 @@ object Dedup {
     * overlap of (hashed) character shingles.  Meant to *verify* LSH
     * candidates, not to run all-pairs.
     *
-    * Single-pass formulation: each pair fans out into two (pair, doc,
-    * side) rows, which join the raw exploded shingle-hash stream ONCE
-    * on doc_id.  A first groupBy on (pair, h) dedupes shingles per doc
-    * as a side effect (max of the side flags — so the corpus-wide
-    * `distinct()` shuffle the r2 version paid is gone entirely), and a
-    * second groupBy on the pair folds |A|, |B| and |A∩B| out of the
-    * side flags in the same pass.
+    * Fused-kernel formulation: each candidate doc is reduced to its
+    * sorted distinct shingle-hash SET in one codegen'd pass
+    * ([[graft.functions.MinHash.shingleHashSetData]]), and each pair
+    * pays ONE merge-walk intersection.  The r3 version exploded every
+    * candidate doc into (pair, hash) rows and pushed them through two
+    * hash aggregates — millions of grouping keys just to compute set
+    * sizes; all of that is now a per-row kernel call.  Output is
+    * value-identical (spec-pinned against the exploded formulation).
     *
-    * Why this shape: only candidate docs are ever shingled (the corpus
-    * is semi-joined against the pair id set first — verification cost
-    * is proportional to the candidates, not the corpus), and nothing
-    * needs caching.  The r2 version referenced `pairs` (in q40, the
-    * whole MinHash-LSH pipeline) and the shingle set in 2–3 branches
-    * each and patched the re-execution with in-operator `persist`
-    * calls — which leaked cache blocks into the session and still
-    * re-optimized a 4x-duplicated tree.  Here `pairs` appears in two
-    * branches (members + the id set), but both share the pipeline's
-    * final exchange, so ReusedExchange computes it once; `docs` and
-    * the shingle stream appear exactly once.
+    * Scale shape: only candidate docs are ever shingled (semi-join
+    * against the pair id set first — verification cost is proportional
+    * to the candidates, not the corpus).  The `repartition(id)` before
+    * the per-doc kernel matters at every scale: candidate docs may
+    * live in a handful of input splits (locally: one small parquet
+    * file = ONE partition), and the shingle+sort pass is the heavy
+    * part.  `sets` is referenced by both the id_a and id_b joins, but
+    * the two probe exchanges hash the same key (sid) over the same
+    * child, so ReusedExchange computes the set pipeline once.
     *
-    * The explicit `repartition(id)` after the semi-join matters at
-    * every scale: the candidate docs may live in a handful of input
-    * splits (locally: one small parquet file = ONE partition), and
-    * without it the explode + the (pair, h) partial aggregation — the
-    * heavy part, millions of hash-map keys — run on that handful of
-    * cores (observed: a single 270 s task at sf0.1).  One tiny shuffle
-    * of the candidate texts buys a fully parallel verification stage. */
+    * Pairs where one side has no shingles (normalized text shorter
+    * than n, or id absent from `docs`) report jaccard 0; pairs where
+    * BOTH sides are empty/absent are dropped — exactly the exploded
+    * formulation's inner-join semantics. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, id: Column, text: Column,
                    n: Int = 5): DataFrame = {
-    // (id_a, id_b, doc_id, side): side 0 = left member, 1 = right member
+    // the r3 groupBy collapsed duplicate input pairs; keep that contract
+    val p = pairs.select(col("id_a"), col("id_b")).distinct()
+    val candIds = p
+      .select(explode(array(col("id_a"), col("id_b"))).as("cand_id")).distinct()
+    val sets = docs.join(candIds, id === col("cand_id"), "left_semi")
+      .repartition(id)
+      .select(id.as("sid"),
+        graft.functions.MinHash.shingleHashSet(TextAnalysis.normalize(text), n).as("hs"))
+      .filter(col("hs").isNotNull)
+    // reference `sets` exactly ONCE: melt each pair into two
+    // (pair, doc, side) rows, join the set pipeline a single time on
+    // doc_id, and fold the two sides' arrays back in one groupBy (at
+    // most one non-null per side per pair -> first(ignoreNulls) is
+    // deterministic).  A two-join formulation streams the heavy set
+    // pipeline twice (the tiny pair side broadcasts, so there is no
+    // exchange to reuse); this shape pays one pair-keyed shuffle of
+    // the candidate arrays instead.
+    val members = p.select(col("id_a"), col("id_b"),
+        explode(array(
+          struct(col("id_a").as("doc_id"), lit(0).as("side")),
+          struct(col("id_b").as("doc_id"), lit(1).as("side")))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.doc_id"), col("m.side"))
+    members.join(sets, col("doc_id") === col("sid"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(when(col("side") === 0, col("hs")), ignoreNulls = true).as("hs_a"),
+           first(when(col("side") === 1, col("hs")), ignoreNulls = true).as("hs_b"))
+      .withColumn("sz_a", coalesce(size(col("hs_a")), lit(0)).cast(LongType))
+      .withColumn("sz_b", coalesce(size(col("hs_b")), lit(0)).cast(LongType))
+      .withColumn("n_inter",
+        when(col("hs_a").isNotNull && col("hs_b").isNotNull,
+          graft.functions.MinHash.intersectCount(col("hs_a"), col("hs_b")))
+          .otherwise(lit(0L)))
+      .withColumn("jaccard", round(col("n_inter").cast(DoubleType) /
+        greatest(col("sz_a") + col("sz_b") - col("n_inter"), lit(1L)).cast(DoubleType), 6))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** The r3 explode + two-groupBy Jaccard (kept as the independent
+    * reference implementation the fused kernel is spec-verified
+    * against). */
+  private[graft] def ngramJaccardExploded(pairs: DataFrame, docs: DataFrame,
+                                          id: Column, text: Column,
+                                          n: Int = 5): DataFrame = {
     val members = pairs.select(col("id_a"), col("id_b"),
         explode(array(
           struct(col("id_a").as("doc_id"), lit(0).as("side")),
           struct(col("id_b").as("doc_id"), lit(1).as("side")))).as("m"))
       .select(col("id_a"), col("id_b"), col("m.doc_id"), col("m.side"))
-    // explode, not unionAll: a union would reference `pairs` (and its
-    // whole upstream pipeline) twice more in the logical plan
     val candIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("cand_id")).distinct()
     val candDocs = docs.join(candIds, id === col("cand_id"), "left_semi")
       .repartition(id)
     val sh = TextAnalysis.shingleHashes(candDocs, text, id, n)
-    // per (pair, shingle-hash): does each side contain it?  max() also
-    // collapses duplicate shingle occurrences (set semantics).
     val perHash = members.join(sh, Seq("doc_id"))
       .groupBy(col("id_a"), col("id_b"), col("h"))
       .agg(max(when(col("side") === 0, 1).otherwise(0)).as("in_a"),

@@ -117,6 +117,34 @@ class DedupSpec extends SparkSpec {
     assert(exact._3 == 1.0) // identical docs agree on every minhash
   }
 
+  test("fused minhash signatures are bit-for-bit the explode/groupBy formulation") {
+    // edge cases on top of the plain fixture: text exactly at/below the
+    // shingle width (no signature), punctuation-only (normalizes to
+    // empty), multi-byte text (non-ASCII kernel path), null text
+    val tricky = Seq(
+      (10L, "abcd"),                         // 4 norm chars < n=5 -> dropped
+      (11L, "abcde"),                        // exactly one shingle
+      (12L, "!!! ???"),                      // normalizes to empty -> dropped
+      (13L, "café au lait café au lait"), // multi-byte before normalize
+      (14L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val corpus = docs.unionByName(tricky)
+    val fused = Dedup.minhashSignatures(corpus, col("text"), col("doc_id"), 5, 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toList).toMap
+    val exploded = Dedup.minhashSignaturesExploded(corpus, col("text"), col("doc_id"), 5, 16)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toList).toMap
+    assert(fused.keySet == exploded.keySet)
+    assert(fused.keySet == Set(1L, 2L, 3L, 4L, 5L, 11L, 13L))
+    fused.keys.foreach(k => assert(fused(k) == exploded(k), s"doc $k"))
+    // and on real testdata documents
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val f2 = Dedup.minhashSignatures(real, col("text"), col("doc_id"), 5, 32)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toList).toMap
+    val e2 = Dedup.minhashSignaturesExploded(real, col("text"), col("doc_id"), 5, 32)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toList).toMap
+    assert(f2 == e2 && f2.nonEmpty)
+  }
+
   test("simhash: identical docs equal, near-dups close, unrelated far") {
     val fp = Dedup.simhash(docs, col("text"), col("doc_id"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
@@ -131,6 +159,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
     assert(j((1L, 2L)) == 1.0)
     assert(j((1L, 4L)) < 0.2)
+  }
+
+  test("fused ngram jaccard matches the exploded formulation, incl empty-side pairs") {
+    val tricky = Seq(
+      (10L, "abc"),                 // shorter than n=4 -> no shingles
+      (11L, "zzz qqq www abcd"))
+      .toDF("doc_id", "text")
+    val corpus = docs.unionByName(tricky)
+    // (1,2) identical; (1,4) unrelated; (1,10) one side empty;
+    // (10,10) both sides empty -> dropped; (1,99) right id absent;
+    // (98,99) both absent -> dropped; (1,2) duplicated -> collapsed
+    val pairs = Seq((1L, 2L), (1L, 4L), (1L, 10L), (10L, 10L),
+      (1L, 99L), (98L, 99L), (1L, 2L), (3L, 11L)).toDF("id_a", "id_b")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                org.apache.spark.sql.Column, org.apache.spark.sql.Column, Int) =>
+                org.apache.spark.sql.DataFrame) =
+      f(pairs, corpus, col("doc_id"), col("text"), 4)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+        .sortBy(_._1).toList
+    val fused = run(Dedup.ngramJaccard)
+    val exploded = run(Dedup.ngramJaccardExploded)
+    assert(fused == exploded)
+    assert(fused.map(_._1).toSet ==
+      Set((1L, 2L), (1L, 4L), (1L, 10L), (1L, 99L), (3L, 11L)))
+    assert(fused.toMap.apply((1L, 10L)) == 0.0 && fused.toMap.apply((1L, 99L)) == 0.0)
+    // and on real testdata: verify the q40 candidate pipeline end to end
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cands = Dedup.minhashLsh(real, col("text"), col("doc_id"))
+      .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+    val f2 = Dedup.ngramJaccard(cands, real, col("doc_id"), col("text"))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    val e2 = Dedup.ngramJaccardExploded(cands, real, col("doc_id"), col("text"))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(f2 == e2 && f2.nonEmpty)
   }
 
   test("embedding near-dup reports every pair of a large duplicate cluster (no k cap)") {
