@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import graft.core.EzFrame
 import graft.functions.Astro
 import graft.operators.{Binned, Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-runnable oracle where the semantics are
@@ -597,6 +598,61 @@ object SparkEntry {
           count_distinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n"))
     }),
+
+    // M6 sequence packing (concatenate-and-chunk into 512-token training
+    // sequences) — distributed prefix sum, no single-partition window
+    "q60_pack_bins" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.operators.Packing.packSummary(d, col("doc_id"),
+        TextAnalysis.tokenCount(col("text")), budget = 512L)
+    }),
+
+    // M6 TF-IDF top terms per document (rank on the rounded score so
+    // the float ordering is oracle-stable; term tiebreak)
+    "q61_tfidf_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val toks = d.select(col("doc_id"),
+          explode(split(TextAnalysis.normalize(col("text")), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val total = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(total))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+    }),
+
+    // M6 PII scan: deterministic synthetic PII injected per doc id, then
+    // regex match counts — gates cross-engine regex semantics end to end
+    "q62_pii_scan" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact support+"), col("doc_id").cast(StringType),
+            lit("@example-mail.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-01"),
+            lpad((col("doc_id") % 100).cast(StringType), 2, "0"),
+            lit(" today"))).otherwise(lit("")))
+      val sig = TextAnalysis.piiSignals(aug)
+      d.select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // M6 deterministic hash split (train/val/test by md5 of the doc id —
+    // stable under corpus growth, no RNG)
+    "q63_hash_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 6), 16, 10)
+        .cast(LongType) % 100
+      d.withColumn("split",
+          when(bucket < 80, lit("train")).when(bucket < 90, lit("val")).otherwise(lit("test")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -975,5 +1031,58 @@ object SparkEntry {
         |round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
         |FROM v a, v b WHERE a.vec_id < b.vec_id
         |AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.2""".stripMargin.replace("\n", " "),
+
+    "q60_pack_bins" ->
+      """WITH w AS (SELECT doc_id,
+        |CASE WHEN length(text) = 0 THEN 0
+        |ELSE CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) + 1 END AS n_tokens
+        |FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM w)
+        |SELECT CAST(floor(start_tok / 512.0) AS BIGINT) AS bin_id,
+        |count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "q61_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, term FROM (
+        |SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS term FROM documents)
+        |WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        |SELECT tf.doc_id, tf.term, tf.tf, d.df,
+        |round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf,
+        |row_number() OVER (PARTITION BY tf.doc_id
+        |ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) DESC, tf.term) AS rank
+        |FROM tf JOIN d USING (term) CROSS JOIN n) s
+        |WHERE rank <= 3""".stripMargin.replace("\n", " "),
+
+    "q62_pii_scan" ->
+      """WITH aug AS (SELECT doc_id, text
+        ||| CASE WHEN doc_id % 7 = 0
+        |THEN ' contact support+' || CAST(doc_id AS VARCHAR) || '@example-mail.com now'
+        |ELSE '' END
+        ||| CASE WHEN doc_id % 11 = 0
+        |THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today'
+        |ELSE '' END AS t FROM documents)
+        |SELECT doc_id,
+        |CAST(length(regexp_extract_all(lower(t), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |CAST(length(regexp_extract_all(lower(t), '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |(length(regexp_extract_all(lower(t), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) > 0
+        |OR length(regexp_extract_all(lower(t), '[0-9]{3}-[0-9]{4}')) > 0) AS has_pii
+        |FROM aug""".stripMargin.replace("\n", " "),
+
+    "q63_hash_split" ->
+      """WITH b AS (SELECT n_chars,
+        |('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket
+        |FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |ELSE 'test' END AS split,
+        |count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY 1""".stripMargin.replace("\n", " "),
   )
 }

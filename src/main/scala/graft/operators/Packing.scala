@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing for LLM training pipelines: documents ordered by a
+  * key are conceptually concatenated and sliced into fixed
+  * `budget`-token sequences; each document is assigned the sequence
+  * (bin) its first token lands in — the "concatenate and chunk"
+  * packing used to build fixed-length training batches.
+  *
+  * The naive formulation is a GLOBAL running sum
+  * (`sum(w) over (order by key)`), which Spark executes on a single
+  * partition — the classic scale cliff (WindowExec warns about it).
+  * This operator computes the same prefix sum distributed:
+  *
+  *  1. one row of min/max bounds of the numeric order key (tiny agg);
+  *  2. rows bucket by contiguous key range; per-bucket totals are a
+  *     map-side-combined aggregate of ≤ `buckets` rows, whose exclusive
+  *     prefix offsets are folded on the driver (≤ `buckets` values) and
+  *     broadcast-joined back;
+  *  3. the running sum is a window WITHIN each bucket only — every
+  *     partition works, nothing global.
+  *
+  * Deterministic (buckets derive from key values, not physical
+  * partitions) and exactly equal to the single-window formulation for
+  * a unique numeric order key (spec-pinned).
+  */
+object Packing {
+
+  /** Adds `bin_id` = floor(exclusive-prefix-sum(weight) / budget) under
+    * `order` (a numeric, unique key), plus the row's weight as
+    * `pack_weight`.  Null weights count as 0. */
+  def sequentialBins(df: DataFrame, order: Column, weight: Column, budget: Long,
+                     buckets: Int = 64): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val keyed = df.withColumn("pack_key", order.cast(LongType))
+      .withColumn("pack_weight", coalesce(weight.cast(LongType), lit(0L)))
+    val bounds = keyed.agg(min(col("pack_key")), max(col("pack_key"))).head()
+    if (bounds.isNullAt(0))
+      return keyed.drop("pack_key").withColumn("bin_id", lit(0L)).limit(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // ceil without overflow: span/buckets rounded up, at least 1
+    val width = math.max(1L, (hi - lo) / buckets + (if ((hi - lo) % buckets == 0) 0 else 1))
+    // key-lo >= 0 and spans beyond 2^53 would need `div`; doc keys are
+    // far below that, so double floor-division is exact here
+    val bucketed = keyed.withColumn("pack_bucket",
+      floor((col("pack_key") - lit(lo)) / lit(width)))
+    // per-bucket totals -> exclusive prefix offsets, folded on the
+    // driver (≤ buckets rows) and broadcast back as a tiny dim join
+    val totals = bucketed.groupBy(col("pack_bucket"))
+      .agg(sum(col("pack_weight")).as("bucket_total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, t)) => (b, acc + t)
+    }.sliding(2).map { case Array((_, prev), (b, _)) => (b, prev) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toDF("pack_bucket", "bucket_offset")
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col("pack_key"))
+    bucketed.join(broadcast(offsetDf), Seq("pack_bucket"))
+      .withColumn("bin_id",
+        floor((col("bucket_offset")
+          + sum(col("pack_weight")).over(w) - col("pack_weight")) / lit(budget)))
+      .drop("pack_bucket", "bucket_offset", "pack_key")
+  }
+
+  /** The single-partition global-window formulation — the semantic
+    * definition the distributed version is spec-verified against. */
+  private[graft] def sequentialBinsGlobal(df: DataFrame, order: Column, weight: Column,
+                                          budget: Long): DataFrame = {
+    val w = Window.orderBy(order.cast(LongType))
+    df.withColumn("pack_weight", coalesce(weight.cast(LongType), lit(0L)))
+      .withColumn("bin_id",
+        floor((coalesce(sum(col("pack_weight")).over(w), lit(0L)) - col("pack_weight"))
+          / lit(budget)))
+  }
+
+  /** Per-bin packing summary: how many docs and tokens landed in each
+    * fixed-budget training sequence. */
+  def packSummary(df: DataFrame, order: Column, weight: Column, budget: Long): DataFrame =
+    sequentialBins(df, order, weight, budget)
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("pack_weight")).as("sum_tokens"),
+           min(order).as("first_doc"),
+           max(order).as("last_doc"))
+}

@@ -119,4 +119,30 @@ object TextAnalysis {
           .otherwise(array().cast(ArrayType(IntegerType)))).as("pos"))
       .select(col("doc_id"), xxhash64(col("norm").substr(col("pos"), lit(n))).as("h"))
   }
+
+  /** PII patterns — the dialect-portable regex subset (no lookaround,
+    * no shorthand classes) so the DuckDB/RE2 oracle matches Java
+    * regex semantics exactly. */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** PII detection signals for pre-training scrubbing: match counts
+    * per pattern + an any-hit flag.  Counting (not extracting) keeps
+    * the output fixed-width; the redaction pass is [[scrubPii]]. */
+  def piiSignals(text: Column): Seq[(String, Column)] = {
+    val t = lower(text)
+    val emails = regexp_count(t, lit(emailPattern)).cast(LongType)
+    val phones = regexp_count(t, lit(phonePattern)).cast(LongType)
+    Seq(
+      "n_emails" -> emails,
+      "n_phones" -> phones,
+      "has_pii" -> (emails > 0 || phones > 0))
+  }
+
+  /** Redact PII in place (training-corpus scrub): emails and phone
+    * numbers collapse to fixed placeholder tokens. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
 }

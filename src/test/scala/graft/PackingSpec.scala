@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Packing, TextAnalysis}
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributed sequential bins equal the global-window formulation") {
+    // sparse, negative, shuffled keys across many partitions — bucket
+    // math must not depend on physical layout or key density
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((0 until 3000).map(i => (i * 17L - 9000L, rnd.nextInt(400).toLong)))
+    val df = spark.sparkContext.parallelize(rows, 16).toDF("k", "w")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("bin_id")).toMap
+    val dist = m(Packing.sequentialBins(df, col("k"), col("w"), budget = 1000L))
+    val global = m(Packing.sequentialBinsGlobal(df, col("k"), col("w"), budget = 1000L))
+    assert(dist.size == 3000 && dist == global)
+    // bins are contiguous, start at 0, and non-decreasing in key order
+    val inOrder = dist.toSeq.sortBy(_._1).map(_._2)
+    assert(inOrder.head == 0L)
+    assert(inOrder.sliding(2).forall { case Seq(a, b) => b >= a && b - a >= 0 })
+  }
+
+  test("packing semantics: doc bin is where its first token lands") {
+    // budget 10; weights 4,4,4 -> doc 3 starts at token 8 -> bin 0;
+    // an oversized doc (25) starts in bin 1 and pushes the next to bin 3
+    val df = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 25L), (5L, 2L))
+      .toDF("k", "w")
+    val bins = Packing.sequentialBins(df, col("k"), col("w"), budget = 10L)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("bin_id")).toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 3L))
+    // null weight counts 0; empty frame returns empty with the schema
+    val withNull = Seq((1L, Some(4L)), (2L, None)).toDF("k", "w")
+    val b2 = Packing.sequentialBins(withNull, col("k"), col("w"), budget = 10L)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("bin_id")).toMap
+    assert(b2 == Map(1L -> 0L, 2L -> 0L))
+    val empty = Packing.sequentialBins(Seq.empty[(Long, Long)].toDF("k", "w"),
+      col("k"), col("w"), budget = 10L)
+    assert(empty.columns.contains("bin_id") && empty.count() == 0)
+  }
+
+  test("packSummary folds docs and tokens per training sequence") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s = Packing.packSummary(docs, col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), budget = 512L)
+    val rows = s.orderBy("bin_id").collect()
+    assert(rows.nonEmpty)
+    // every doc lands in exactly one bin; token totals conserve
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val totalTokens = docs.select(sum(TextAnalysis.tokenCount(col("text"))))
+      .head().getLong(0)
+    assert(rows.map(_.getAs[Long]("sum_tokens")).sum == totalTokens)
+    // bins are the contiguous prefix 0..max
+    assert(rows.map(_.getAs[Long]("bin_id")).toSeq ==
+      (0L until rows.length.toLong))
+  }
+
+  test("no single-partition global window in the distributed plan") {
+    val df = Seq((1L, 4L), (2L, 4L)).toDF("k", "w")
+    val plan = Packing.sequentialBins(df, col("k"), col("w"), budget = 10L)
+      .queryExecution.executedPlan.toString
+    // the window must be partitioned by the range bucket, never empty
+    assert(!plan.contains("Window [") || plan.contains("pack_bucket"))
+  }
+}
+
+class PiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "reach me at john.doe+spam@mail-host.org or 555-0123 anytime"),
+    (2L, "two mails a@b.io c@d.co one phone 123-4567"),
+    (3L, "clean document with no contact information at all"))
+    .toDF("doc_id", "text")
+
+  test("piiSignals counts emails and phones; has_pii flags any hit") {
+    val sig = TextAnalysis.piiSignals(col("text"))
+    val out = docs.select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"), r.getAs[Boolean]("has_pii")))).toMap
+    assert(out(1L) == ((1L, 1L, true)))
+    assert(out(2L) == ((2L, 1L, true)))
+    assert(out(3L) == ((0L, 0L, false)))
+  }
+
+  test("scrubPii redacts in place") {
+    val scrubbed = docs.select(TextAnalysis.scrubPii(col("text")).as("t"))
+      .collect().map(_.getString(0))
+    assert(scrubbed(0).contains("<EMAIL>") && scrubbed(0).contains("<PHONE>"))
+    assert(!scrubbed(0).contains("@") && !scrubbed(1).contains("@"))
+    assert(scrubbed(2) == "clean document with no contact information at all")
+  }
+}
