@@ -642,6 +642,27 @@ object SparkEntry {
       d.select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
     }),
 
+    // M6 document chunking (RAG/training windows: 500 chars, stride 400)
+    // with per-chunk fingerprints for chunk-level dedup
+    "q64_chunking" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.operators.Chunking.chunkFingerprints(d, col("doc_id"), col("text"),
+        width = 500, stride = 400)
+    }),
+
+    // M6 benchmark-contamination check: n-gram containment of (synthetic)
+    // eval items — prefixes of every 97th doc — against the whole corpus;
+    // bench shingle sets broadcast, corpus never shuffles
+    "q65_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val bench = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bid"),
+          substring(TextAnalysis.normalize(col("text")), 1, 120).as("btext"))
+      graft.operators.Contamination.containment(
+        d, col("doc_id"), col("text"), bench, col("bid"), col("btext"),
+        n = 5, threshold = 0.8)
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1084,5 +1105,33 @@ object SparkEntry {
         |ELSE 'test' END AS split,
         |count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM b GROUP BY 1""".stripMargin.replace("\n", " "),
+
+    "q64_chunking" ->
+      """WITH e AS (SELECT doc_id, text,
+        |unnest(generate_series(0, (greatest(length(text) - 500, 0) + 399) // 400)) AS chunk_id
+        |FROM documents)
+        |SELECT doc_id, chunk_id, chunk_id * 400 AS chunk_start,
+        |CAST(length(substr(text, CAST(chunk_id * 400 + 1 AS INTEGER), 500)) AS BIGINT) AS chunk_len,
+        |md5(substr(text, CAST(chunk_id * 400 + 1 AS INTEGER), 500)) AS fp
+        |FROM e""".stripMargin.replace("\n", " "),
+
+    "q65_contamination" ->
+      """WITH nd AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt FROM documents),
+        |dsh AS (SELECT DISTINCT doc_id, sh FROM (
+        |SELECT doc_id, substr(nt, CAST(i AS INTEGER), 5) AS sh FROM (
+        |SELECT doc_id, nt, unnest(generate_series(1, length(nt) - 4)) AS i FROM nd) x) y),
+        |bench AS (SELECT doc_id AS bench_id, trim(substr(nt, 1, 120)) AS bt
+        |FROM nd WHERE doc_id % 97 = 0),
+        |bsh AS (SELECT DISTINCT bench_id, sh FROM (
+        |SELECT bench_id, substr(bt, CAST(i AS INTEGER), 5) AS sh FROM (
+        |SELECT bench_id, bt, unnest(generate_series(1, length(bt) - 4)) AS i FROM bench) x) y),
+        |bsz AS (SELECT bench_id, count(*) AS sz FROM bsh GROUP BY 1),
+        |ov AS (SELECT d.doc_id, b.bench_id, count(*) AS n_overlap
+        |FROM dsh d JOIN bsh b USING (sh) GROUP BY 1, 2)
+        |SELECT ov.doc_id, ov.bench_id, ov.n_overlap,
+        |round(ov.n_overlap / CAST(bsz.sz AS DOUBLE), 6) AS containment
+        |FROM ov JOIN bsz USING (bench_id)
+        |WHERE ov.n_overlap / CAST(bsz.sz AS DOUBLE) >= 0.8""".stripMargin.replace("\n", " "),
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunking, Contamination, TextAnalysis}
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk boundaries: coverage, overlap, tail, empty and null text") {
+    val df = Seq(
+      (1L, "a" * 1000),   // 1000 chars, width 500 stride 400 -> starts 0,400,800 (wait: ceil(500/400)=2 -> 3 chunks)
+      (2L, "b" * 500),    // exactly one window
+      (3L, "c" * 501),    // one char past -> 2 chunks
+      (4L, ""),           // empty -> one empty chunk
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val c = Chunking.chunk(df, col("doc_id"), col("text"), width = 500, stride = 400)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_len")))
+    val byDoc = c.groupBy(_._1)
+    assert(byDoc(1L).map(x => (x._3, x._4)).sorted.toSeq == Seq((0L, 500L), (400L, 500L), (800L, 200L)))
+    assert(byDoc(2L).map(x => (x._3, x._4)).toSeq == Seq((0L, 500L)))
+    assert(byDoc(3L).map(x => (x._3, x._4)).sorted.toSeq == Seq((0L, 500L), (400L, 101L)))
+    assert(byDoc(4L).map(x => (x._3, x._4)).toSeq == Seq((0L, 0L)))
+    assert(!byDoc.contains(5L))
+    // every char of doc 1 is covered by at least one chunk
+    val covered = byDoc(1L).flatMap(x => x._3 until (x._3 + x._4)).toSet
+    assert(covered == (0L until 1000L).toSet)
+  }
+
+  test("chunk fingerprints dedupe identical windows") {
+    val df = Seq((1L, "xyz" * 200), (2L, "xyz" * 200)).toDF("doc_id", "text")
+    val fp = Chunking.chunkFingerprints(df, col("doc_id"), col("text"), 300, 300)
+    val groups = fp.groupBy("chunk_id", "fp").count().collect()
+    assert(groups.forall(_.getAs[Long]("count") == 2L)) // same window -> same fp across docs
+  }
+
+  test("contamination: planted benchmark prefix scores 1.0, unrelated low") {
+    val docs = Seq(
+      (1L, "the solar wind carries charged particles outward from the corona into interplanetary space all year"),
+      (2L, "completely different musings about database engines and columnar storage formats and shuffles"),
+      (3L, "the solar wind carries charged particles outward plus extra trailing words beyond the prefix"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the solar wind carries charged particles outward"))
+      .toDF("bid", "btext")
+    val out = Contamination.containment(docs, col("doc_id"), col("text"),
+        bench, col("bid"), col("btext"), n = 5, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Double]("containment"))).toList
+    val byDoc = out.map(x => x._1 -> x._3).toMap
+    assert(byDoc(1L) == 1.0)          // full benchmark text inside doc 1
+    assert(byDoc(3L) == 1.0)          // and inside doc 3
+    assert(!byDoc.contains(2L))       // unrelated doc below threshold
+    assert(out.forall(_._2 == 100L))
+  }
+}
