@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Streaming MinHash-LSH near-duplicate detection — the ingestion-time
@@ -54,27 +54,14 @@ object StreamingDedup {
 
   /** Batch-identical MinHash signature: sig(i) = min over shingles of
     * xxhash64(i, xxhash64(shingle)); null when the text yields no
-    * shingle (mirrors the batch groupBy dropping such docs). */
+    * shingle (mirrors the batch formulation dropping such docs).
+    * Delegates to the fused batch kernel
+    * ([[graft.functions.MinHash.minhashData]]) — one implementation,
+    * so stream decisions agree with batch backfills by construction. */
   private[graft] def signature(text: String, shingleSize: Int, k: Int): Array[Long] = {
     val norm = normalize(if (text == null) "" else text)
-    val nSh = norm.length - shingleSize + 1
-    if (nSh < 1) return null
-    val seeds = Array.tabulate(k)(i =>
-      XxHash64Function.hash(i, IntegerType, Seed))
-    val sig = Array.fill(k)(Long.MaxValue)
-    var p = 0
-    while (p < nSh) {
-      val h = XxHash64Function.hash(
-        UTF8String.fromString(norm.substring(p, p + shingleSize)), StringType, Seed)
-      var i = 0
-      while (i < k) {
-        val hi = XxHash64Function.hash(h, LongType, seeds(i))
-        if (hi < sig(i)) sig(i) = hi
-        i += 1
-      }
-      p += 1
-    }
-    sig
+    val arr = graft.functions.MinHash.minhashData(UTF8String.fromString(norm), shingleSize, k)
+    if (arr == null) null else arr.toLongArray()
   }
 
   /** Batch-identical band key: xxhash64(sig slice ++ band index). */

@@ -78,3 +78,35 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingTextSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("clean-ingest stream: quality gate, lang filter, PII scrub, watermark dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, Long, String)]
+    val out = graft.streaming.StreamingText.cleanIngest(
+      input.toDF.toDF("ts", "doc_id", "text"),
+      ts = "ts", watermark = "10 minutes", minTokens = 5, langs = Seq("en"))
+    val q = out.writeStream.format("memory").queryName("clean_ingest")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(1), 1L, "the quick brown fox and the lazy dog wrote to fox@mail.example.org"),
+        (ts(2), 2L, "too short"),                                     // quality gate
+        (ts(3), 3L, "el rapido zorro marron y el perro la los el"),   // not en
+        (ts(4), 4L, "the quick brown fox and the lazy dog wrote to fox@mail.example.org"), // dup of 1
+        (ts(5), 5L, "the second clean document and the readable text of it"))
+      q.processAllAvailable()
+      val rows = spark.table("clean_ingest").collect()
+      val ids = rows.map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(ids == Seq(1L, 5L), s"got $ids")
+      val t1 = rows.find(_.getAs[Long]("doc_id") == 1L).get.getAs[String]("text")
+      assert(t1.contains("<EMAIL>") && !t1.contains("@"))
+      assert(rows.forall(_.getAs[String]("lang_pred") == "en"))
+    } finally q.stop()
+  }
+}
