@@ -68,6 +68,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(l_quantity,10.0)") &&
       plan.contains("LessThanOrEqual(l_quantity,20.0)"), s"range not pushed:\n$plan")
   }
+  test("minhash signatures compute in the scan stage: no exchange, no aggregate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.Dedup.minhashSignatures(
+      docs, col("text"), col("doc_id"), 5, 32))
+    assert(plan.contains("minhash_sig"), s"fused kernel missing:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("HashAggregate"),
+      s"signature pipeline shuffles or aggregates:\n$plan")
+  }
+
+  test("chunking is shuffle-free: scan -> generate -> project") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.Chunking.chunkFingerprints(
+      docs, col("doc_id"), col("text"), 500, 400))
+    assert(!plan.contains("Exchange"), s"chunking shuffles:\n$plan")
+  }
+
+  test("contamination broadcasts the bench side; the corpus never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bid"), col("text").as("btext"))
+    val plan = planOf(graft.operators.Contamination.containment(
+      docs, col("doc_id"), col("text"), bench, col("bid"), col("btext")))
+    assert(plan.contains("BroadcastExchange"), s"bench side not broadcast:\n$plan")
+    // the only exchange is the broadcast of the tiny bench side
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Exchange rangepartitioning"),
+      s"corpus shuffles:\n$plan")
+  }
 }
 
 class GroupedFnSpec extends SparkSpec {
