@@ -1109,7 +1109,7 @@ object SparkEntry {
     "q64_chunking" ->
       """WITH e AS (SELECT doc_id, text,
         |unnest(generate_series(0, (greatest(length(text) - 500, 0) + 399) // 400)) AS chunk_id
-        |FROM documents)
+        |FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id, chunk_id, chunk_id * 400 AS chunk_start,
         |CAST(length(substr(text, CAST(chunk_id * 400 + 1 AS INTEGER), 500)) AS BIGINT) AS chunk_len,
         |md5(substr(text, CAST(chunk_id * 400 + 1 AS INTEGER), 500)) AS fp

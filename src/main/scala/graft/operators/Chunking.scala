@@ -26,7 +26,7 @@ object Chunking {
     val len = length(text).cast(LongType)
     val nChunks = lit(1L) +
       floor((greatest(len - width, lit(0L)) + lit(stride - 1L)) / lit(stride.toLong))
-    df.select(id.as("doc_id"), text.as("_t"), len.as("_len"),
+    df.select(id.as("doc_id"), text.as("_t"),
         // greatest() ignores nulls, so gate explicitly: null text -> no rows
         explode(when(text.isNotNull, sequence(lit(0L), nChunks - 1))).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),

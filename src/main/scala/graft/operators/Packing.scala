@@ -38,9 +38,13 @@ object Packing {
     require(budget > 0, s"budget must be positive, got $budget")
     val keyed = df.withColumn("pack_key", order.cast(LongType))
       .withColumn("pack_weight", coalesce(weight.cast(LongType), lit(0L)))
-    val bounds = keyed.agg(min(col("pack_key")), max(col("pack_key"))).head()
+    val bounds = keyed.agg(min(col("pack_key")), max(col("pack_key")),
+      sum(when(col("pack_key").isNull, 1L).otherwise(0L))).head()
     if (bounds.isNullAt(0))
       return keyed.drop("pack_key").withColumn("bin_id", lit(0L)).limit(0)
+    require(bounds.getLong(2) == 0L,
+      "sequentialBins: order key contains nulls — packing order is undefined; " +
+        "filter or impute the key column first")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     // ceil without overflow: span/buckets rounded up, at least 1
     val width = math.max(1L, (hi - lo) / buckets + (if ((hi - lo) % buckets == 0) 0 else 1))

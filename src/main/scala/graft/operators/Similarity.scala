@@ -201,21 +201,29 @@ object Similarity {
     * not visit), rising with `nprobe`; verified against
     * [[bruteForceTopK]] in tests.
     *
-    * Scale: the corpus pays one centroid assignment (broadcast
-    * centroids, linear scan) and one shuffle on the cell id; probes ×
-    * nprobe cell visits bound the scored candidates at
-    * |corpus| · nprobe / |centroids| on balanced cells — never the
-    * |probes| · |corpus| cartesian of the exact baseline.  The top-k
-    * is bounded below the shuffle by the custom TopKPerKey operator,
-    * like [[lshTopK]]. */
+    * Scale: the corpus is scanned ONCE — assignment carries the vector
+    * through the argmin window (broadcast centroids, one exchange on
+    * the corpus' own unique id), then one shuffle on the cell id joins
+    * the probe cells; probes × nprobe cell visits bound the scored
+    * candidates at |corpus| · nprobe / |centroids| on balanced cells —
+    * never the |probes| · |corpus| cartesian of the exact baseline.
+    * The top-k is bounded below the shuffle by the custom TopKPerKey
+    * operator, like [[lshTopK]]. */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame,
               idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = centroids.select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
+    // same assignment semantics as ivfAssign (l2 argmin, centroid_id
+    // tiebreak) but computed inline so cvec rides along — a join back
+    // against ivfAssign would rescan and reshuffle the whole corpus
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("corpus_id")).orderBy(col("cdist0").asc, col("centroid_id").asc)
     val corpusCells = corpus
       .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
-      .join(ivfAssign(corpus, centroids, idCol, vecCol),
-        col("corpus_id") === col("vid"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist0", l2Distance(col("cvec"), col("cv")))
+      .withColumn("crn0", row_number().over(wc))
+      .filter(col("crn0") === 1)
       .select(col("centroid_id"), col("corpus_id"), col("cvec"))
-    val cents = centroids.select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("cdist").asc, col("centroid_id").asc)
     val probeCells = probes

@@ -140,9 +140,12 @@ object TextAnalysis {
   }
 
   /** Redact PII in place (training-corpus scrub): emails and phone
-    * numbers collapse to fixed placeholder tokens. */
+    * numbers collapse to fixed placeholder tokens.  Case-insensitive —
+    * detection lowercases before matching, so the scrub must catch
+    * Mixed.Case@Mail.COM too (a case-sensitive scrub would flag PII in
+    * [[piiSignals]] yet leak it through the cleaned text). */
   def scrubPii(text: Column): Column =
     regexp_replace(
-      regexp_replace(text, emailPattern, "<EMAIL>"),
+      regexp_replace(text, "(?i)" + emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 }

@@ -61,8 +61,23 @@ class PackingSpec extends SparkSpec {
     val df = Seq((1L, 4L), (2L, 4L)).toDF("k", "w")
     val plan = Packing.sequentialBins(df, col("k"), col("w"), budget = 10L)
       .queryExecution.executedPlan.toString
-    // the window must be partitioned by the range bucket, never empty
-    assert(!plan.contains("Window [") || plan.contains("pack_bucket"))
+    // every Window node must carry pack_bucket in its PARTITION spec
+    // (the node prints as `Window [aggs], [partitionSpec], [orderSpec]`);
+    // matching the whole plan string would pass on any join/project
+    // that merely mentions the column
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, s"expected a bucket-partitioned window:\n$plan")
+    windows.foreach { w =>
+      assert("""Window \[[^\]]*\], \[pack_bucket#\d+""".r.findFirstIn(w).isDefined,
+        s"window not partitioned by pack_bucket: $w")
+    }
+  }
+
+  test("null order keys are rejected with a clear error") {
+    val df = Seq((Some(1L), 4L), (None, 4L)).toDF("k", "w")
+    val err = intercept[IllegalArgumentException](
+      Packing.sequentialBins(df, col("k"), col("w"), budget = 10L))
+    assert(err.getMessage.contains("order key contains nulls"))
   }
 }
 
@@ -83,6 +98,17 @@ class PiiSpec extends SparkSpec {
     assert(out(1L) == ((1L, 1L, true)))
     assert(out(2L) == ((2L, 1L, true)))
     assert(out(3L) == ((0L, 0L, false)))
+  }
+
+  test("scrubPii redacts mixed-case PII that detection flagged") {
+    val mixed = Seq((1L, "Reach John.Doe+x@Gmail.COM or JOHNdoe@Example.org now"))
+      .toDF("doc_id", "text")
+    val sig = TextAnalysis.piiSignals(col("text"))
+    val flagged = mixed.select(sig.map { case (n, c) => c.as(n) }: _*).head()
+    assert(flagged.getAs[Long]("n_emails") == 2L && flagged.getAs[Boolean]("has_pii"))
+    val scrubbed = mixed.select(TextAnalysis.scrubPii(col("text")).as("t")).head().getString(0)
+    assert(!scrubbed.contains("@"), s"leaked: $scrubbed")
+    assert(scrubbed == "Reach <EMAIL> or <EMAIL> now", scrubbed)
   }
 
   test("scrubPii redacts in place") {
