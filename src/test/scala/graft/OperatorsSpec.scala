@@ -439,3 +439,51 @@ class AstroSpec extends SparkSpec {
     }
   }
 }
+
+/** Property pinning of the fused text kernels: on ARBITRARY strings
+  * (unicode, emoji, controls, nulls mixed in) the one-pass codegen
+  * kernels must agree bit-for-bit with the r3 explode/groupBy
+  * formulations they replaced.  Deterministic seeded sampling straight
+  * from the ScalaCheck Gen (offline stand-in for scalatestplus). */
+class MinHashPropertySpec extends SparkSpec {
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  private val genText: Gen[String] = Gen.frequency(
+    4 -> Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.const(" "),
+      1 -> Gen.oneOf("é", "ß", "中", "🦑", "\t", ".", ","))).map(_.mkString),
+    1 -> Gen.const(""),
+    1 -> Gen.const(null: String))
+
+  test("fused signature and hash-set kernels equal the exploded formulations on arbitrary text") {
+    val texts = (0 until 200).map(i =>
+      (i.toLong, genText.pureApply(Gen.Parameters.default.withSize(60), Seed(i.toLong))))
+    val df = texts.toDF("doc_id", "text")
+    val fusedSig = Dedup.minhashSignatures(df, col("text"), col("doc_id"), 4, 12)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val explSig = Dedup.minhashSignaturesExploded(df, col("text"), col("doc_id"), 4, 12)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(fusedSig == explSig)
+    // hash-set kernel vs distinct exploded shingle hashes
+    val fusedSet = df.select(col("doc_id"),
+        graft.functions.MinHash.shingleHashSet(
+          graft.operators.TextAnalysis.normalize(col("text")), 4).as("hs"))
+      .filter(col("hs").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val explSet = graft.operators.TextAnalysis.shingleHashes(df, col("text"), col("doc_id"), 4)
+      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fusedSet == explSet)
+    // sorted-set invariant the merge-walk intersection relies on
+    df.select(graft.functions.MinHash.shingleHashSet(
+        graft.operators.TextAnalysis.normalize(col("text")), 4).as("hs"))
+      .filter(col("hs").isNotNull).collect().foreach { r =>
+        val a = r.getSeq[Long](0)
+        assert(a == a.sorted && a.distinct.size == a.size)
+      }
+  }
+}
