@@ -663,6 +663,13 @@ object SparkEntry {
         n = 5, threshold = 0.8)
     }),
 
+    // M6 flagship composition: quality gate -> PII scrub -> exact dedup
+    // -> chunk -> pack, ONE Catalyst plan, oracle-verified end to end
+    "q66_corpus_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.operators.Pipeline.pretrainCorpus(d, col("doc_id"), col("text"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1133,5 +1140,41 @@ object SparkEntry {
         |round(ov.n_overlap / CAST(bsz.sz AS DOUBLE), 6) AS containment
         |FROM ov JOIN bsz USING (bench_id)
         |WHERE ov.n_overlap / CAST(bsz.sz AS DOUBLE) >= 0.8""".stripMargin.replace("\n", " "),
+
+    "q66_corpus_pipeline" ->
+      """WITH q AS (SELECT doc_id, text,
+        |CASE WHEN length(text) = 0 THEN 0
+        |ELSE CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) + 1 END AS n_tokens,
+        |round((CAST((length(text) - length(replace(text, '.', ''))) AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, ',', ''))) AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, '!', ''))) AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, '?', ''))) AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, ';', ''))) AS BIGINT)
+        |+ CAST((length(text) - length(replace(text, ':', ''))) AS BIGINT))
+        |/ CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio
+        |FROM documents),
+        |f AS (SELECT doc_id,
+        |regexp_replace(regexp_replace(text,
+        |'(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |'[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text
+        |FROM q WHERE n_tokens >= 50 AND punct_ratio <= 0.1),
+        |d AS (SELECT * FROM f WHERE doc_id IN
+        |(SELECT min(doc_id) FROM f GROUP BY md5(text))),
+        |e AS (SELECT doc_id, text,
+        |unnest(generate_series(0, (greatest(length(text) - 500, 0) + 399) // 400)) AS chunk_id
+        |FROM d WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, chunk_id,
+        |substr(text, CAST(chunk_id * 400 + 1 AS INTEGER), 500) AS ct FROM e),
+        |tk AS (SELECT doc_id, chunk_id,
+        |CASE WHEN length(ct) = 0 THEN 0
+        |ELSE CAST(length(ct) - length(replace(ct, ' ', '')) AS BIGINT) + 1 END AS chunk_tokens
+        |FROM c),
+        |p AS (SELECT doc_id, chunk_tokens,
+        |COALESCE(SUM(chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM tk)
+        |SELECT CAST(floor(start_tok / 512.0) AS BIGINT) AS bin_id,
+        |count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+        |CAST(sum(chunk_tokens) AS BIGINT) AS sum_tokens, min(doc_id) AS first_doc
+        |FROM p GROUP BY 1""".stripMargin.replace("\n", " "),
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end pretraining-corpus preparation — the composition the
+  * individual operators exist for, as one declarative plan:
+  *
+  *   quality gate → PII scrub → exact dedup → chunk → pack
+  *
+  * Every stage is a Column/operator composition, so Catalyst sees ONE
+  * logical plan across the whole pipeline: the quality predicates and
+  * the dedup semi-join prune before the chunk explode multiplies rows,
+  * and the only shuffles are the dedup hash groupBy and the packing
+  * bucket window.  The near-dup (MinHash-LSH) and contamination
+  * stages are deliberately separate passes in practice — they are
+  * candidate-generation + verification jobs of their own (see
+  * [[Dedup.minhashLsh]], [[Contamination.containment]]); this
+  * deterministic core is what a DuckDB oracle can verify end to end.
+  *
+  * Ordering contract for packing: chunks pack in (doc, chunk) order
+  * via the synthetic key `doc_id · 2^20 + chunk_id` — exact as long as
+  * chunk counts stay below 2^20 per document; a 500-wide/400-stride
+  * chunker would need a ~420 M-char document to break that, beyond
+  * any realistic web document (and near Spark's 2 GB string ceiling).
+  */
+object Pipeline {
+
+  val ChunkKeyShift = 20
+
+  /** Per-packed-sequence summary of the cleaned, deduped, chunked,
+    * packed corpus. */
+  def pretrainCorpus(docs: DataFrame, id: Column, text: Column,
+                     minTokens: Long = 50, maxPunctRatio: Double = 0.1,
+                     width: Int = 500, stride: Int = 400,
+                     budget: Long = 512): DataFrame = {
+    val sig = TextAnalysis.qualitySignals(text).toMap
+    // 1–2: quality gate, then scrub (scrub AFTER the gate: ratios are
+    // judged on the original text, and <EMAIL> tokens must not skew them)
+    val clean = docs
+      .filter(sig("n_tokens") >= minTokens && sig("punct_ratio") <= maxPunctRatio)
+      .select(id.as("doc_id"), TextAnalysis.scrubPii(text).as("text"))
+    // 3: exact dedup — keep the lowest doc id of each content group
+    val deduped = Dedup.deduplicated(clean, col("text"), col("doc_id"))
+    // 4: overlapping chunks with whitespace token counts
+    val chunks = Chunking.chunk(deduped, col("doc_id"), col("text"), width, stride)
+      .withColumn("chunk_tokens", TextAnalysis.tokenCount(col("chunk_text")))
+    // 5: pack chunks into fixed token budgets, in (doc, chunk) order
+    val keyed = chunks.withColumn("pack_order",
+      col("doc_id") * (1L << ChunkKeyShift) + col("chunk_id"))
+    val binned = Packing.sequentialBins(
+      keyed, col("pack_order"), col("chunk_tokens"), budget)
+    binned.groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           count_distinct(col("doc_id")).as("n_docs"),
+           sum(col("chunk_tokens")).as("sum_tokens"),
+           min(col("doc_id")).as("first_doc"))
+  }
+}

@@ -54,3 +54,37 @@ class ChunkingSpec extends SparkSpec {
     assert(out.forall(_._2 == 100L))
   }
 }
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Pipeline
+
+  test("pretrainCorpus: every gate drops what it should, packing conserves tokens") {
+    val words = (1 to 60).map(i => s"word$i").mkString(" ")   // 60 tokens, no punct
+    val docs = Seq(
+      (1L, words),
+      (2L, words),                                      // exact dup of 1 -> dropped
+      (3L, "too short to pass the gate"),               // < 50 tokens -> dropped
+      (4L, (1 to 60).map(_ => "x.").mkString(" ")),     // punct_ratio 1/3 -> dropped
+      (5L, words + " mail me at A.B@c-d.ORG today now")) // passes; email scrubbed
+      .toDF("doc_id", "text")
+    val out = Pipeline.pretrainCorpus(docs, col("doc_id"), col("text"),
+      minTokens = 50, maxPunctRatio = 0.1, width = 100, stride = 80, budget = 64)
+    val rows = out.orderBy("bin_id").collect()
+    // survivors: docs 1 and 5 only
+    assert(rows.map(_.getAs[Long]("first_doc")).min == 1L)
+    val totalTokens = rows.map(_.getAs[Long]("sum_tokens")).sum
+    // chunk overlap re-counts boundary tokens, so total >= the two
+    // docs' own counts and every bin is nonempty
+    assert(totalTokens >= 60 + 67 && rows.forall(_.getAs[Long]("n_chunks") > 0))
+    // the scrub happened BEFORE chunking: no chunk of doc 5 contains '@'
+    val chunks = graft.operators.Chunking.chunk(
+      graft.operators.Dedup.deduplicated(
+        docs.filter(col("doc_id").isin(1L, 5L))
+          .select(col("doc_id"), graft.operators.TextAnalysis.scrubPii(col("text")).as("text")),
+        col("text"), col("doc_id")),
+      col("doc_id"), col("text"), 100, 80)
+    assert(chunks.filter(col("chunk_text").contains("@")).count() == 0)
+    assert(chunks.filter(col("chunk_text").contains("<EMAIL>")).count() >= 1)
+  }
+}
