@@ -307,16 +307,17 @@ object SparkEntry {
     "q31_stats_extended" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").df
       val c = col("l_extendedprice")
-      // one array-percentile aggregate: exact percentile buffers every
-      // value per aggregate expression, so three scalar calls would keep
-      // three copies and triple the single-reduce merge cost
-      li.agg(
-        round(var_samp(c), 6).as("variance"),
-        expr("percentile(l_extendedprice, array(0.16D, 0.5D, 0.84D))").as("ps"))
+      // exact percentiles via distributed sort + rank selection
+      // (Quantiles.exact): the built-in exact `percentile` aggregate
+      // merges a value->count map of the WHOLE column into one buffer —
+      // a single-task memory cliff on mostly-distinct doubles at scale
+      // (and ~2 s of merge time here); results are bit-for-bit equal
+      val qs = graft.operators.Quantiles.exact(li, c, Seq(0.16, 0.5, 0.84))
+      li.agg(round(var_samp(c), 6).as("variance"))
         .select(col("variance"),
-          round(element_at(col("ps"), 1), 6).as("p16"),
-          round(element_at(col("ps"), 2), 6).as("p50"),
-          round(element_at(col("ps"), 3), 6).as("p84"))
+          round(lit(qs(0)), 6).as("p16"),
+          round(lit(qs(1)), 6).as("p50"),
+          round(lit(qs(2)), 6).as("p84"))
     }),
 
     // §2.4 healpix-cell aggregation via the custom Catalyst Expression

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Exact quantiles at scale via distributed sort + rank selection.
+  *
+  * Spark's exact `percentile` aggregate buffers a (value → count) map
+  * per partition and merges ALL of them into one final buffer — memory
+  * proportional to the number of DISTINCT values in a single task.  On
+  * a mostly-distinct double column at 100 TB that buffer IS the
+  * dataset; the aggregate is a scale cliff (and the single merge
+  * dominates wall time long before it OOMs).
+  *
+  * This operator uses the classic alternative: range-shuffle sort the
+  * column, then select the O(|ps|) global ranks each percentile needs
+  * and interpolate.  Two jobs run over the same sorted RDD — the sort
+  * SHUFFLE is computed once and reused by the second job (stage
+  * skipping), so the column is shuffled exactly once; per-task memory
+  * is one partition of plain doubles, never a value map.
+  *
+  * Interpolation mirrors Spark's `Percentile.getPercentile`
+  * weighted-average arithmetic so results are bit-for-bit the
+  * built-in aggregate's (spec-pinned).  Nulls and NaNs are excluded
+  * exactly like the aggregate excludes them.
+  */
+object Quantiles {
+
+  /** Exact percentiles of `c` at `ps` (each in [0, 1]); NaN for an
+    * empty/all-null input. Driver-side result — the percentile values
+    * themselves are O(|ps|) scalars, like guessBins' axis fold. */
+  def exact(df: DataFrame, c: Column, ps: Seq[Double]): Seq[Double] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must lie in [0,1], got $ps")
+    val vals = df.select(c.cast(DoubleType).as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+    val sorted = vals.sort("v").select("v").rdd.map(_.getDouble(0))
+    sorted.cache() // scoped: unpersisted below, never escapes the call
+    try {
+      val sizes = sorted.mapPartitions(it => Iterator(it.length), preservesPartitioning = true)
+        .collect()
+      val n = sizes.map(_.toLong).sum
+      if (n == 0) return ps.map(_ => Double.NaN)
+      val offsets = sizes.map(_.toLong).scanLeft(0L)(_ + _)
+      val targets = ps.flatMap { p =>
+        val pos = p * (n - 1)
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }.toSet
+      val picked = sorted.mapPartitionsWithIndex { (pid, it) =>
+        val off = offsets(pid)
+        it.zipWithIndex.collect { case (v, i) if targets(off + i) => (off + i, v) }
+      }.collect().toMap
+      ps.map { p =>
+        val pos = p * (n - 1)
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        // EXACT Percentile.getPercentile arithmetic: the weighted-
+        // average form, not lo + (hi-lo)*frac — they differ in the
+        // last ulp and the oracle gate compares hashes
+        if (lo == hi) picked(lo)
+        else (hi - pos) * picked(lo) + (pos - lo) * picked(hi)
+      }
+    } finally sorted.unpersist(blocking = false)
+  }
+}

@@ -119,3 +119,37 @@ class PiiSpec extends SparkSpec {
     assert(scrubbed(2) == "clean document with no contact information at all")
   }
 }
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Quantiles
+
+  test("sort-based exact quantiles are bit-for-bit Spark's percentile aggregate") {
+    val rnd = new scala.util.Random(3)
+    // duplicates, negatives, NaN and null mixed in, many partitions
+    val vals: Seq[java.lang.Double] = (0 until 5000).map {
+      case i if i % 97 == 0 => null
+      case i if i % 101 == 0 => java.lang.Double.valueOf(Double.NaN)
+      case i if i % 5 == 0 => java.lang.Double.valueOf((i % 37).toDouble)
+      case _ => java.lang.Double.valueOf(rnd.nextGaussian() * 100)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vals.map(org.apache.spark.sql.Row(_)), 13),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType, true))))
+    val ps = Seq(0.0, 0.16, 0.5, 0.84, 0.99, 1.0)
+    val mine = Quantiles.exact(df, col("v"), ps)
+    val ref = df.where(!isnan(col("v")) || col("v").isNull)
+      .agg(expr(s"percentile(v, array(${ps.mkString("D,")}D))")).head().getSeq[Double](0)
+    assert(mine == ref.toList, s"\nmine $mine\nref  $ref")
+    // lineitem real data
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val m2 = Quantiles.exact(li, col("l_extendedprice"), Seq(0.16, 0.5, 0.84))
+    val r2 = li.agg(expr("percentile(l_extendedprice, array(0.16D,0.5D,0.84D))"))
+      .head().getSeq[Double](0)
+    assert(m2 == r2.toList)
+    // empty input -> NaN per requested percentile
+    val empty = Quantiles.exact(df.limit(0), col("v"), Seq(0.5))
+    assert(empty.length == 1 && empty.head.isNaN)
+  }
+}
