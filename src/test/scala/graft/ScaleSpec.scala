@@ -63,3 +63,45 @@ class ScaleSpec extends SparkSpec {
     assert(n == 15L)
   }
 }
+
+/** Approximate-sketch scale variants of the exact gate queries: HLL++
+  * distinct counts (q54's scale-out form) and quantile sketches (q31's)
+  * run in constant memory per group where the exact forms buffer or
+  * shuffle the column.  Cross-engine oracle comparison is impossible
+  * (sketch internals differ), so these pin ERROR BOUNDS instead. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+  test("approx_count_distinct tracks exact within the configured rsd") {
+    val r = li.agg(
+      count_distinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.06,
+      s"approx $approx vs exact $exact")  // 3x rsd margin
+  }
+
+  test("approx_percentile lands within accuracy-bound rank distance of the exact quantile") {
+    val ps = Seq(0.16, 0.5, 0.84)
+    val exact = graft.operators.Quantiles.exact(li, col("l_extendedprice"), ps)
+    val acc = 1000 // rank error <= n/acc
+    val approx = li.agg(percentile_approx(col("l_extendedprice"),
+      array(ps.map(lit(_)): _*), lit(acc))).head().getSeq[Double](0)
+    val n = li.count()
+    val sorted = li.select(col("l_extendedprice").cast("double")).orderBy("l_extendedprice")
+      .collect().map(_.getDouble(0))
+    ps.indices.foreach { i =>
+      // translate the sketch's rank guarantee into a value bound:
+      // the approx value must lie between the exact values at
+      // rank +/- 2*n/acc (slack for interpolation at the edges)
+      val rank = (ps(i) * (n - 1)).toLong
+      val slack = math.max(2 * n / acc, 2L)
+      val lo = sorted(math.max(0, rank - slack).toInt)
+      val hi = sorted(math.min(n - 1, rank + slack).toInt)
+      assert(approx(i) >= lo && approx(i) <= hi,
+        s"p=${ps(i)}: approx ${approx(i)} outside [$lo, $hi] (exact ${exact(i)})")
+    }
+  }
+}
