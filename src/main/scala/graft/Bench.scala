@@ -52,6 +52,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // totals-only line LAST: the driver keeps only the TAIL of stdout
+    // (BENCH_r04's capture cut the HEAD of the big line above, losing
+    // the recorded total), so the exact total is repeated in a short
+    // final line that always survives a tail capture
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -120,9 +120,26 @@ object Dedup {
   }
 
   /** SimHash (64-bit): per-token hash votes on each bit; the sign of
-    * the per-bit sum forms the fingerprint.  Implemented as explode +
-    * single groupBy — one shuffle on doc id. */
-  def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
+    * the per-bit sum forms the fingerprint.
+    *
+    * Fused one-pass formulation: the whole fingerprint is computed by a
+    * codegen'd kernel ([[graft.functions.SimHash]]) inside the scan
+    * stage — ZERO shuffle.  The r4 explode + 64-aggregate groupBy
+    * ([[simhashExploded]], kept as the spec twin) pushed one row per
+    * token through a hash aggregate just to sum bit votes; at 100 TB
+    * that shuffle IS the fingerprinting cost.  Output is bit-for-bit
+    * identical (spec-pinned); docs whose normalized text has no token
+    * yield no row, exactly as the groupBy formulation. */
+  def simhash(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        graft.functions.SimHash.simhash64(TextAnalysis.normalize(text)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The r4 explode + single-groupBy formulation (one row per
+    * (doc, token), 64 vote-sum aggregates).  Kept as the independent
+    * reference implementation the fused kernel is spec-verified
+    * against. */
+  private[graft] def simhashExploded(df: DataFrame, text: Column, id: Column): DataFrame = {
     val tokens = df.select(id.as("doc_id"),
       explode(split(TextAnalysis.normalize(text), " ")).as("tok"))
       .filter(length(col("tok")) > 0)

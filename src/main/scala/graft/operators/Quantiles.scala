@@ -36,7 +36,12 @@ object Quantiles {
     val vals = df.select(c.cast(DoubleType).as("v"))
       .where(col("v").isNotNull && !isnan(col("v")))
     val sorted = vals.sort("v").select("v").rdd.map(_.getDouble(0))
-    sorted.cache() // scoped: unpersisted below, never escapes the call
+    // MEMORY_AND_DISK_SER, not MEMORY_ONLY: this is a two-pass scan over
+    // a shuffle output — an evicted partition would recompute the whole
+    // sort, and at scale the cache competes with the sort for memory.
+    // Serialized spill keeps both passes cheap.  Scoped: unpersisted
+    // below, never escapes the call.
+    sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
       val sizes = sorted.mapPartitions(it => Iterator(it.length), preservesPartitioning = true)
         .collect()

@@ -153,6 +153,36 @@ class DedupSpec extends SparkSpec {
     assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(5L)))
   }
 
+  test("fused simhash is bit-for-bit the explode/groupBy formulation") {
+    // edge cases beyond the plain fixture: punctuation-only (normalizes
+    // to empty -> dropped like the exploded no-rows case), single
+    // token, repeated token (votes accumulate per occurrence), multi-
+    // byte text (normalizer strips it, but the raw input exercises the
+    // full path), null text
+    val tricky = Seq(
+      (10L, "!!! ???"),
+      (11L, "solo"),
+      (12L, "word word word other"),
+      (13L, "café au lait café au lait"),
+      (14L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val corpus = docs.unionByName(tricky)
+    val fused = Dedup.simhash(corpus, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exploded = Dedup.simhashExploded(corpus, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused.keySet == exploded.keySet)
+    assert(!fused.keySet.contains(10L) && !fused.keySet.contains(14L))
+    fused.keys.foreach(k => assert(fused(k) == exploded(k), s"doc $k"))
+    // and on real testdata documents
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val f2 = Dedup.simhash(real, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e2 = Dedup.simhashExploded(real, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f2 == e2 && f2.nonEmpty)
+  }
+
   test("ngram jaccard verifies candidate pairs") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(pairs, docs, col("doc_id"), col("text"), n = 4)
@@ -485,5 +515,11 @@ class MinHashPropertySpec extends SparkSpec {
         val a = r.getSeq[Long](0)
         assert(a == a.sorted && a.distinct.size == a.size)
       }
+    // fused simhash kernel vs the exploded vote-sum formulation
+    val fusedSh = Dedup.simhash(df, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val explSh = Dedup.simhashExploded(df, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fusedSh == explSh)
   }
 }
