@@ -671,6 +671,13 @@ object SparkEntry {
       graft.operators.Pipeline.pretrainCorpus(d, col("doc_id"), col("text"))
     }),
 
+    // M6 SimHash bit-band near-dup pairs (exact recall for hamming <=
+    // bands-1 by pigeonhole; rows-only — fingerprints need xxhash64)
+    "q67_simhash_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      Dedup.simhashNearDup(d, col("text"), col("doc_id"), bands = 4, maxHamming = 3)
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {

@@ -159,6 +159,48 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash bit-band LSH near-dup pairs: the 64-bit fingerprint splits
+    * into `bands` contiguous bit bands; docs sharing ANY band's exact
+    * bits become candidates, verified by full hamming distance ≤
+    * `maxHamming`.  The band key is EXACT (band index in the high bits,
+    * band bits below — no hashing), so by pigeonhole a pair within
+    * hamming d < bands differs in at most d bands and MUST agree on at
+    * least one: recall is exact for `maxHamming ≤ bands - 1` (the
+    * defaults), spec-verified against brute-force hamming.
+    *
+    * Scale shape mirrors [[minhashLsh]]: fingerprints are a zero-shuffle
+    * codegen'd kernel in the scan stage, the explode is `bands` rows per
+    * doc (small constant), the ONLY data shuffle is the band-key
+    * self-join (a long key — hash-joinable, uniformly distributed for
+    * non-degenerate corpora), and the O(|bucket|²) expansion happens
+    * only inside band-collision buckets.  The self-join canonicalizes
+    * equal on both sides so ReusedExchange computes the fingerprint
+    * pipeline once.
+    *
+    * @return candidate pairs (id_a < id_b) with their full hamming
+    *         distance, deduplicated across bands.
+    */
+  def simhashNearDup(df: DataFrame, text: Column, id: Column,
+                     bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must be a divisor of 64 in [2, 32], got $bands")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val width = 64 / bands
+    val mask = (1L << width) - 1L // width <= 32, no overflow
+    val fps = simhash(df, text, id)
+    val banded = fps.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        lit(b.toLong << width) +
+          shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))
+      }: _*)).as("band_key"))
+    banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).cast(IntegerType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine
     * similarity ≥ threshold.  Scale path is LSH-bucketed (only
     * intra-bucket pairs are ever scored) with OR-amplification across
@@ -166,9 +208,14 @@ object Dedup {
     * pair is scored and threshold-filtered directly — no top-k window,
     * so a duplicate cluster of any size reports ALL its pairs.  Exact
     * brute force is available via [[Similarity.bruteForceTopK]] for
-    * verification. */
+    * verification.
+    *
+    * `planes = 0` (default) derives the plane count from the corpus
+    * count ([[Similarity.planesFor]]) so bucket population stays
+    * bounded at any corpus scale; pass a positive value to pin the
+    * geometry. */
   def embeddingNearDup(corpus: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double = 0.95, planes: Int = 6,
+                       threshold: Double = 0.95, planes: Int = 0,
                        tables: Int = 2): DataFrame =
     Similarity.lshPairs(corpus, idCol, vecCol, planes = planes, tables = tables)
       .filter(col("cos_sim") >= threshold)

@@ -32,10 +32,19 @@ object Packing {
 
   /** Adds `bin_id` = floor(exclusive-prefix-sum(weight) / budget) under
     * `order` (a numeric, unique key), plus the row's weight as
-    * `pack_weight`.  Null weights count as 0. */
+    * `pack_weight`.  Null weights count as 0.
+    *
+    * `buckets = 0` (default) derives the bucket count as
+    * `max(64, input partitions)`: each bucket's running sum is ONE
+    * window partition = one task, so a fixed 64 caps the sort
+    * parallelism at 1/64th of the data per task at scale (the r4
+    * review's hazard #3).  Results are bucket-count-invariant
+    * (spec-pinned), so the knob only moves parallelism, never values. */
   def sequentialBins(df: DataFrame, order: Column, weight: Column, budget: Long,
-                     buckets: Int = 64): DataFrame = {
+                     buckets: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    val nBuckets = if (buckets > 0) buckets
+      else math.max(64, df.rdd.getNumPartitions)
     val keyed = df.withColumn("pack_key", order.cast(LongType))
       .withColumn("pack_weight", coalesce(weight.cast(LongType), lit(0L)))
     val bounds = keyed.agg(min(col("pack_key")), max(col("pack_key")),
@@ -47,7 +56,7 @@ object Packing {
         "filter or impute the key column first")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     // ceil without overflow: span/buckets rounded up, at least 1
-    val width = math.max(1L, (hi - lo) / buckets + (if ((hi - lo) % buckets == 0) 0 else 1))
+    val width = math.max(1L, (hi - lo) / nBuckets + (if ((hi - lo) % nBuckets == 0) 0 else 1))
     // key-lo >= 0 and spans beyond 2^53 would need `div`; doc keys are
     // far below that, so double floor-division is exact here
     val bucketed = keyed.withColumn("pack_bucket",

@@ -69,19 +69,47 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** planes for a target expected bucket population: each table has
+    * 2^planes cells, so `planes = ceil(log2(n / targetBucket))` keeps
+    * the expected cell population in (targetBucket/2, targetBucket] at
+    * ANY corpus size — the r4 review's scale hazard was fixed
+    * small-corpus defaults (planes=6..8 → 64–256 cells), whose
+    * quadratic intra-bucket pairing explodes when the corpus grows
+    * 100×.  Clamped to [4, 30]: fewer than 16 cells makes every bucket
+    * quadratic-huge anyway, and 30 planes (2^30 cells — cells are join
+    * keys, never materialized; the per-row cost is `planes` dot
+    * products) covers a ~10^11-document corpus at target 256. */
+  private[graft] def planesFor(n: Long, targetBucket: Long = 256L): Int = {
+    val cells = math.max(1.0, n.toDouble / targetBucket)
+    val p = math.ceil(math.log(cells) / math.log(2.0)).toInt
+    math.min(30, math.max(4, p))
+  }
+
+  /** planes <= 0 (the defaults) derives the plane count from a corpus
+    * count so bucket population stays bounded at any scale; an explicit
+    * positive value pins the geometry exactly (the snapshot gates do). */
+  private def resolvePlanes(corpus: DataFrame, planes: Int): Int =
+    if (planes > 0) planes else planesFor(corpus.count())
+
   /** LSH-bucketed ANN: score only pairs sharing a signature cell.
     * One shuffle on the signature; bucket sizes ~ n / 2^planes keep the
     * intra-bucket pairing bounded.  Recall < 1 by construction — the
-    * scale path, verified against [[bruteForceTopK]] in tests. */
+    * scale path, verified against [[bruteForceTopK]] in tests.
+    *
+    * `planes = 0` (default) derives the plane count from the corpus
+    * count ([[planesFor]]: expected bucket population ≤ 256 at any
+    * scale, one extra count job); pass a positive value to pin the
+    * geometry. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, planes: Int = 8): DataFrame = {
+              k: Int, planes: Int = 0): DataFrame = {
     // embedding dimensionality from one NON-NULL row (tiny driver-side
     // probe); an all-null/empty corpus has no pairs to rank
     val dim = probeDim(corpus, vecCol).getOrElse(
       return corpus.select(col(idCol).as("probe_id"), col(idCol).as("corpus_id"),
         lit(0.0).as("cos_sim"), lit(0).as("rank")).limit(0))
+    val nPlanes = resolvePlanes(corpus, planes)
     val sig = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-      .withColumn("sig", lshSignature(col("v"), planes, dim))
+      .withColumn("sig", lshSignature(col("v"), nPlanes, dim))
     val a = sig.select(col("sig"), col("vid").as("probe_id"), col("v").as("pvec"))
     val b = sig.select(col("sig"), col("vid").as("corpus_id"), col("v").as("cvec"))
     val scored = a.join(b, Seq("sig"))
@@ -117,19 +145,25 @@ object Similarity {
     * so the cross-table dedup shuffle carries only (id_a, id_b,
     * cos_sim) — never the vectors.  A pair colliding in several tables
     * pays the dot product once per collision (cheap ALU work) instead
-    * of shipping 2·dim·8 bytes per pair through the dedup exchange. */
+    * of shipping 2·dim·8 bytes per pair through the dedup exchange.
+    *
+    * `planes = 0` (default) derives the plane count from the corpus
+    * count ([[planesFor]]) so bucket population — and with it the
+    * quadratic intra-bucket expansion — stays bounded when the corpus
+    * grows; pass a positive value to pin the geometry. */
   def lshPairs(corpus: DataFrame, idCol: String, vecCol: String,
-               planes: Int = 8, tables: Int = 2): DataFrame = {
+               planes: Int = 0, tables: Int = 2): DataFrame = {
     // empty / all-null corpus: no row to probe dimensionality from —
     // return an empty pair frame (with the REAL id dtype) instead of
     // throwing at plan-build time
     val dim = probeDim(corpus, vecCol).getOrElse(return emptyPairFrame(corpus, idCol))
+    val nPlanes = resolvePlanes(corpus, planes)
     val v = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val perTable = (0 until tables).map { tbl =>
       // identical projections on both sides -> the signature shuffle
       // canonicalizes equal and is computed once per table
       val sig = v.select(col("vid"), col("v"),
-        lshSignature(col("v"), planes, dim, seed = 42 + tbl).as("sig"))
+        lshSignature(col("v"), nPlanes, dim, seed = 42 + tbl).as("sig"))
       sig.alias("a").join(sig.alias("b"), Seq("sig"))
         .filter(col("a.vid") < col("b.vid"))
         .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),

@@ -183,6 +183,29 @@ class DedupSpec extends SparkSpec {
     assert(f2 == e2 && f2.nonEmpty)
   }
 
+  test("simhash bit-band near-dup equals brute-force hamming for d <= bands-1") {
+    // real corpus: brute-force all-pairs hamming over the fingerprints
+    // is the ground truth; with maxHamming = bands - 1 the pigeonhole
+    // guarantee makes band recall EXACT, so the sets must be equal
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fp = Dedup.simhash(real, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def brute(maxHam: Int): Set[(Long, Long, Int)] = (for {
+      (ia, ha) <- fp; (ib, hb) <- fp if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= maxHam
+    } yield (ia, ib, d)).toSet
+    def banded(bands: Int, maxHam: Int): Set[(Long, Long, Int)] =
+      Dedup.simhashNearDup(real, col("text"), col("doc_id"), bands, maxHam)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b4 = banded(4, 3)
+    assert(b4 == brute(3), "bands=4 maxHamming=3 must have exact recall")
+    assert(b4.nonEmpty, "fixture corpus should contain near-dup pairs")
+    // beyond the guarantee the banded set can only under-report
+    assert(banded(4, 6).subsetOf(brute(6)))
+    // other band widths keep the guarantee too
+    assert(banded(8, 7) == brute(7))
+  }
+
   test("ngram jaccard verifies candidate pairs") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(pairs, docs, col("doc_id"), col("text"), n = 4)
@@ -328,6 +351,36 @@ class SimilaritySpec extends SparkSpec {
     val r1 = recall(1); val r3 = recall(3)
     assert(r3 >= r1, s"OR-amplification reduced recall: $r1 -> $r3")
     assert(r3 > 0.8, s"3-table recall $r3 too low on clustered data")
+  }
+
+  test("derived planes keep expected bucket population bounded across 100x growth") {
+    // the r4 hazard: fixed planes => bucket population n / 2^planes
+    // grows linearly with the corpus and the intra-bucket self-join is
+    // quadratic in it.  planesFor must hold population in
+    // (target/2, target] at ANY n outside the clamp region.
+    for (n <- Seq(10_000L, 1_000_000L, 100_000_000L, 10_000_000_000L)) {
+      val p = Similarity.planesFor(n)
+      val pop = n.toDouble / (1L << p)
+      assert(pop <= 256.0, s"n=$n planes=$p population $pop > target")
+      assert(pop > 128.0, s"n=$n planes=$p population $pop — overshot (wasted cells)")
+    }
+    // clamps: tiny corpora floor at 4 planes, absurd ones cap at 30
+    assert(Similarity.planesFor(10L) == 4)
+    assert(Similarity.planesFor(Long.MaxValue) == 30)
+    // monotone: growing the corpus never decreases the plane count
+    val ps = Seq(1L, 1000L, 100_000L, 10_000_000L, 1_000_000_000L).map(Similarity.planesFor(_))
+    assert(ps == ps.sorted)
+    // auto-derive plumbing: planes=0 (default) must equal the explicit
+    // planesFor(count) geometry end to end
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 400L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val auto = Similarity.lshPairs(df, "vec_id", "embedding", tables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Similarity.lshPairs(df, "vec_id", "embedding",
+        planes = Similarity.planesFor(400L), tables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit)
   }
 
   test("lshPairs survives a null vector in the first row (dim probe skips nulls)") {

@@ -17,6 +17,11 @@ class PackingSpec extends SparkSpec {
     val dist = m(Packing.sequentialBins(df, col("k"), col("w"), budget = 1000L))
     val global = m(Packing.sequentialBinsGlobal(df, col("k"), col("w"), budget = 1000L))
     assert(dist.size == 3000 && dist == global)
+    // bucket-count invariance: buckets only moves parallelism, never
+    // values — the auto default (max(64, input partitions)) and two
+    // explicit counts must all agree with the global definition
+    assert(m(Packing.sequentialBins(df, col("k"), col("w"), 1000L, buckets = 7)) == global)
+    assert(m(Packing.sequentialBins(df, col("k"), col("w"), 1000L, buckets = 500)) == global)
     // bins are contiguous, start at 0, and non-decreasing in key order
     val inOrder = dist.toSeq.sortBy(_._1).map(_._2)
     assert(inOrder.head == 0L)
