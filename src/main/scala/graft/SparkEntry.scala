@@ -678,6 +678,17 @@ object SparkEntry {
       Dedup.simhashNearDup(d, col("text"), col("doc_id"), bands = 4, maxHamming = 3)
     }),
 
+    // §2.8 euler frame transform, FK4/B1950 equinox (the reference's
+    // b1950 flag, simpletable.py:1291-1300)
+    "q68_euler_b1950" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+        .withColumn("ra", (col("l_orderkey") % 360).cast(DoubleType))
+        .withColumn("dec", ((col("l_partkey") % 181) - 90).cast(DoubleType))
+      val (l, b) = Astro.euler(col("ra"), col("dec"), select = 1, b1950 = true)
+      li.select(col("l_orderkey"), col("l_partkey"), col("ra"), col("dec"),
+        round(l, 6).as("gal_l"), round(b, 6).as("gal_b"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -907,6 +918,24 @@ object SparkEntry {
       // mirror Astro.euler J2000 select=1 constants and operation order
       val psi = "0.574770433"; val st = "0.88998808748"; val ct = "0.45598377618"
       val phi = "4.9368292465"; val twopi = "6.283185307179586"
+      s"""WITH c AS (SELECT l_orderkey, l_partkey,
+         |CAST(l_orderkey % 360 AS DOUBLE) AS ra,
+         |CAST((l_partkey % 181) - 90 AS DOUBLE) AS dec FROM lineitem),
+         |m AS (SELECT l_orderkey, l_partkey, ra, dec,
+         |radians(ra) - $phi AS a, radians(dec) AS b FROM c),
+         |n AS (SELECT *, cos(b) * sin(a) AS cbsa, sin(b) AS sb, cos(b) AS cb FROM m),
+         |o AS (SELECT *,
+         |asin(least(-($st) * cbsa + $ct * sb, 1.0)) AS bo,
+         |atan2($ct * cbsa + $st * sb, cb * cos(a)) + $psi + $twopi AS aorad FROM n)
+         |SELECT l_orderkey, l_partkey, ra, dec,
+         |round(degrees(aorad - floor(aorad / $twopi) * $twopi), 6) AS gal_l,
+         |round(degrees(bo), 6) AS gal_b FROM o""".stripMargin.replace("\n", " ")
+    },
+
+    "q68_euler_b1950" -> {
+      // mirror Astro.euler FK4/B1950 select=1 constants and operation order
+      val psi = "0.57595865315"; val st = "0.88781538514"; val ct = "0.46019978478"
+      val phi = "4.9261918136"; val twopi = "6.283185307179586"
       s"""WITH c AS (SELECT l_orderkey, l_partkey,
          |CAST(l_orderkey % 360 AS DOUBLE) AS ra,
          |CAST((l_partkey % 181) - 90 AS DOUBLE) AS dec FROM lineitem),

@@ -139,17 +139,27 @@ object Astro {
   def nside2npix(nside: Int): Long = 12L * nside * nside
 
   /** Galactic/celestial/ecliptic frame transform, the reference's
-    * `euler` (ezdata/simpletable.py:1216–1335), J2000 constants.
+    * `euler` (ezdata/simpletable.py:1216–1335).
     * select ∈ 1..6: 1 RA-Dec→Gal, 2 Gal→RA-Dec, 3 RA-Dec→Ecl,
-    * 4 Ecl→RA-Dec, 5 Ecl→Gal, 6 Gal→Ecl.  Pure trig Columns. */
-  def euler(aiDeg: Column, biDeg: Column, select: Int): (Column, Column) = {
+    * 4 Ecl→RA-Dec, 5 Ecl→Gal, 6 Gal→Ecl.  `b1950 = true` switches the
+    * constant tables from J2000 (Hipparcos) to the FK4/B1950 equinox
+    * (simpletable.py:1291–1300).  Pure trig Columns. */
+  def euler(aiDeg: Column, biDeg: Column, select: Int,
+            b1950: Boolean = false): (Column, Column) = {
     require(select >= 1 && select <= 6, "euler select in 1..6")
     val twopi = 2.0 * math.Pi
-    // J2000 psi/stheta/ctheta/phi tables (simpletable.py:1289–1300)
-    val psiT    = Array(0.57477043300, 4.9368292465, 0.00000000000, 0.0000000000, 0.11142137093, 4.71279419371)
-    val sthetaT = Array(0.88998808748, -0.88998808748, 0.39777715593, -0.39777715593, 0.86766622025, -0.86766622025)
-    val cthetaT = Array(0.45598377618, 0.45598377618, 0.91748206207, 0.91748206207, 0.49714719172, 0.49714719172)
-    val phiT    = Array(4.9368292465, 0.57477043300, 0.0000000000, 0.00000000000, 4.71279419371, 0.11142137093)
+    // psi/stheta/ctheta/phi tables (simpletable.py:1289–1322)
+    val (psiT, sthetaT, cthetaT, phiT) =
+      if (b1950) (
+        Array(0.57595865315, 4.9261918136, 0.00000000000, 0.0000000000, 0.11129056012, 4.7005372834),
+        Array(0.88781538514, -0.88781538514, 0.39788119938, -0.39788119938, 0.86766174755, -0.86766174755),
+        Array(0.46019978478, 0.46019978478, 0.91743694670, 0.91743694670, 0.49715499774, 0.49715499774),
+        Array(4.9261918136, 0.57595865315, 0.0000000000, 0.00000000000, 4.7005372834, 0.11129056012))
+      else (
+        Array(0.57477043300, 4.9368292465, 0.00000000000, 0.0000000000, 0.11142137093, 4.71279419371),
+        Array(0.88998808748, -0.88998808748, 0.39777715593, -0.39777715593, 0.86766622025, -0.86766622025),
+        Array(0.45598377618, 0.45598377618, 0.91748206207, 0.91748206207, 0.49714719172, 0.49714719172),
+        Array(4.9368292465, 0.57477043300, 0.0000000000, 0.00000000000, 4.71279419371, 0.11142137093))
     val i = select - 1
     val (psi, stheta, ctheta, phi) = (psiT(i), sthetaT(i), cthetaT(i), phiT(i))
     val a = radians(aiDeg) - lit(phi)

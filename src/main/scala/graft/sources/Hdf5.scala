@@ -68,6 +68,15 @@ object Hdf5 {
   final case class VlenString(size: Int) extends Dtype {
     def sparkType: DataType = StringType
   }
+  /** Enumeration (HDF5 datatype class 8): fixed-point codes → names.
+    * Read as the decoded STRING column — the Spark-native equivalent of
+    * the reference restoring a pandas Categorical from the codes
+    * (dask/hdf5.py:58–72, 102–107; pytables writes these for
+    * categorical columns).  Codes absent from the map decode to null. */
+  final case class EnumOf(base: FixedPoint, mapping: Map[Long, String]) extends Dtype {
+    val size: Int = base.size
+    def sparkType: DataType = StringType
+  }
   final case class ArrayOf(base: Dtype, dims: Seq[Int]) extends Dtype {
     val size: Int = base.size * dims.product
     def sparkType: DataType = ArrayType(base.sparkType, containsNull = false)
@@ -329,6 +338,30 @@ object Hdf5 {
         if (version == 2) (0 until rank).foreach(_ => u4(b)) // permutations
         val base = parseDatatype(b)
         ArrayOf(base, dims)
+      case 8 => // enumeration: base fixed-point codes -> member names
+        val nMembers = bf0 | (bf8 << 8)
+        val base = parseDatatype(b) match {
+          case f: FixedPoint => f
+          case other => throw new IllegalArgumentException(
+            s"HDF5 enum base type must be fixed-point, got $other")
+        }
+        val names = (0 until nMembers).map { _ =>
+          // v1/2 names are nul-terminated padded to 8; v3 unpadded
+          readCString(b, pad = if (version == 3) 0 else 8)
+        }
+        val values = (0 until nMembers).map { _ =>
+          val raw = new Array[Byte](base.size)
+          (0 until base.size).foreach(i => raw(i) = u1(b).toByte)
+          val be = if (base.le) raw.reverse else raw
+          var v = 0L
+          be.foreach(byte => v = (v << 8) | (byte & 0xffL))
+          if (base.signed && base.size < 8) {
+            val sh = 64 - 8 * base.size
+            v = (v << sh) >> sh
+          }
+          v
+        }
+        EnumOf(base, values.zip(names).toMap)
       case 9 => // variable-length
         val vtype = bf0 & 0x0f
         parseDatatype(b) // base type: consume (compound members parse sequentially)
@@ -891,6 +924,9 @@ object Hdf5 {
         val data = heap.get(collAddr, objIdx)
         new String(data, 0, math.min(len, data.length), "UTF-8")
       }
+    case EnumOf(base, mapping) =>
+      val code = decodeScalar(bb, at, base, heap).asInstanceOf[Number].longValue()
+      mapping.get(code).orNull
     case ArrayOf(base, dims) =>
       val n = dims.product
       (0 until n).map(i => decodeScalar(bb, at + i * base.size, base, heap))

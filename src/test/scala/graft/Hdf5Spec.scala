@@ -163,6 +163,20 @@ class Hdf5Spec extends SparkSpec {
     assert(ez.df.collect().map(_.getString(0)).toSeq == strings)
   }
 
+  test("enum datatype (class 8) decodes codes to category strings") {
+    // codes deliberately non-contiguous; row with code 7 has no member
+    // -> null (reference restores a pandas Categorical from the codes;
+    // unknown codes have no category)
+    val path = tmp()
+    writeEnumFixture(path,
+      members = Seq("low" -> 2L, "mid" -> 5L, "high" -> 9L),
+      codes = Seq(5, 2, 9, 7, 2))
+    val back = Hdf5.read(spark, path, key = "/d")
+    assert(back.schema("d").dataType == org.apache.spark.sql.types.StringType)
+    val got = back.df.collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(Some("mid"), Some("low"), Some("high"), None, Some("low")))
+  }
+
   test("vlen SEQUENCE datatype raises the documented error") {
     val path = tmp()
     writeVlenFixture(path, Seq("x"), vlenType = 0)
@@ -438,6 +452,110 @@ class Hdf5Spec extends SparkSpec {
   // assembled from the spec text (h5py's default layout for str
   // columns — Hdf5Write never emits vlen, so this is hand-built)
   // ================================================================
+  // fixture: contiguous int8-based ENUM dataset (datatype class 8, v1
+  // encoding: base type, nul-terminated names padded to 8, then packed
+  // code values) — what pytables emits for categorical columns
+  private def writeEnumFixture(path: String, members: Seq[(String, Long)],
+                               codes: Seq[Int]): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u1(v: Int): Unit = out.write(v & 0xff)
+    def u2(v: Int): Unit = { u1(v); u1(v >> 8) }
+    def u4(v: Long): Unit = { u1(v.toInt); u1((v >> 8).toInt); u1((v >> 16).toInt); u1((v >> 24).toInt) }
+    def u8(v: Long): Unit = { u4(v & 0xffffffffL); u4(v >>> 32) }
+    def undef(): Unit = u8(-1L)
+    def pad8(n: Int): Int = (n + 7) / 8 * 8
+
+    val namesBytes = members.map(_._1.getBytes("US-ASCII"))
+    val dtBodyRaw = 8 + 12 + namesBytes.map(b => pad8(b.length + 1)).sum + members.size
+    val dtBody = pad8(dtBodyRaw)
+
+    // ---- layout plan
+    val sbSize = 96L
+    val rootOHAddr = sbSize
+    val rootOHSize = 16L + 8 + 16
+    val ohAddr = rootOHAddr + rootOHSize
+    val ohSize = (16L + 8) + (8 + dtBody) + (24 + 8) // dataspace, datatype(enum), layout
+    val heapAddr = ohAddr + 16 + ohSize
+    val heapDataSize = 16L
+    val snodAddr = heapAddr + 32 + heapDataSize
+    val snodSize = 8L + 8 * 40
+    val gBtreeAddr = snodAddr + snodSize
+    val gBtreeSize = 24L + 8 * (2 * 4) + 8 * (2 * 4 + 1)
+    val dataAddr = gBtreeAddr + gBtreeSize
+    val eof = dataAddr + codes.length
+
+    // ---- superblock v0
+    out.write(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    u1(0); u1(0); u1(0); u1(0); u1(0)
+    u1(8); u1(8); u1(0)
+    u2(4); u2(16)
+    u4(0)
+    u8(0L); undef(); u8(eof); undef()
+    u8(0L)
+    u8(rootOHAddr)
+    u4(1); u4(0)
+    u8(gBtreeAddr); u8(heapAddr)
+
+    // ---- root group object header (v1, one symbol-table message)
+    u1(1); u1(0); u2(1); u4(1); u4(24); u4(0)
+    u2(0x0011); u2(16); u4(0)
+    u8(gBtreeAddr); u8(heapAddr)
+
+    // ---- dataset object header (v1)
+    u1(1); u1(0)
+    u2(3)
+    u4(1)
+    u4(ohSize)
+    u4(0)
+    // dataspace v1 rank 1
+    u2(0x0001); u2(16); u4(0)
+    u1(1); u1(1); u1(0); (0 until 5).foreach(_ => u1(0))
+    u8(codes.length.toLong)
+    // datatype: class 8 (enum v1), base = int8 signed LE
+    u2(0x0003); u2(dtBody); u4(0)
+    u1(0x18); u1(members.size & 0xff); u1(members.size >> 8); u1(0)
+    u4(1) // enum element size = base size
+    u1(0x10); u1(0x08); u1(0); u1(0); u4(1); u2(0); u2(8) // base int8
+    namesBytes.foreach { nb =>
+      out.write(nb); u1(0)
+      (nb.length + 1 until pad8(nb.length + 1)).foreach(_ => u1(0))
+    }
+    members.foreach { case (_, v) => u1(v.toInt) }
+    (dtBodyRaw until dtBody).foreach(_ => u1(0))
+    // layout v3 contiguous: 18 -> padded 24
+    u2(0x0008); u2(24); u4(0)
+    u1(3); u1(1)
+    u8(dataAddr); u8(codes.length.toLong)
+    (0 until 6).foreach(_ => u1(0))
+
+    // ---- root group: heap, SNOD, btree (dataset name "d")
+    out.write("HEAP".getBytes("US-ASCII"))
+    u1(0); u1(0); u1(0); u1(0)
+    u8(heapDataSize)
+    undef()
+    u8(heapAddr + 32)
+    u8(0L)
+    out.write('d'); u1(0); (0 until 6).foreach(_ => u1(0))
+    out.write("SNOD".getBytes("US-ASCII"))
+    u1(1); u1(0)
+    u2(1)
+    u8(8L); u8(ohAddr); u4(0); u4(0); (0 until 16).foreach(_ => u1(0))
+    (0 until 7 * 40).foreach(_ => u1(0))
+    out.write("TREE".getBytes("US-ASCII"))
+    u1(0); u1(0)
+    u2(1)
+    undef(); undef()
+    u8(0L); u8(snodAddr); u8(8L)
+    (0 until (2 * 4 - 1) * 16).foreach(_ => u1(0))
+
+    // ---- data: one int8 code per row
+    codes.foreach(u1)
+
+    val bytes = out.toByteArray
+    assert(bytes.length == eof, s"fixture layout drift: ${bytes.length} != $eof")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+  }
+
   private def writeVlenFixture(path: String, strings: Seq[String], vlenType: Int = 1,
                                chunked: Boolean = false): Unit = {
     val out = new java.io.ByteArrayOutputStream()

@@ -480,6 +480,29 @@ class AstroSpec extends SparkSpec {
     assert(math.abs(rp.getDouble(0) - 90.0) < 0.001)
   }
 
+  test("euler b1950 equinox: FK4 pole anchor and round trip") {
+    // the FK4 galactic north pole is DEFINED at B1950 RA 192.25,
+    // Dec 27.4 -> b = +90 exactly under the b1950 tables
+    val (_, b50) = Astro.euler(col("ra"), col("dec"), select = 1, b1950 = true)
+    val pole = Seq((192.25, 27.4)).toDF("ra", "dec")
+    assert(math.abs(pole.select(b50.as("b")).collect().head.getDouble(0) - 90.0) < 0.001)
+    // the J2000 tables put that direction visibly off the pole
+    val (_, b20) = Astro.euler(col("ra"), col("dec"), select = 1)
+    assert(math.abs(pole.select(b20.as("b")).collect().head.getDouble(0) - 90.0) > 0.1)
+    // round trip: RA-Dec -> Gal -> RA-Dec under b1950 returns the input
+    val pts = Seq((10.0, 20.0), (250.5, -60.25), (359.9, 89.0)).toDF("ra", "dec")
+    val (gl, gb) = Astro.euler(col("ra"), col("dec"), select = 1, b1950 = true)
+    val fwd = pts.select(col("ra"), col("dec"), gl.as("l"), gb.as("b"))
+    val (ra2, dec2) = Astro.euler(col("l"), col("b"), select = 2, b1950 = true)
+    fwd.select(col("ra"), col("dec"), ra2.as("ra2"), dec2.as("dec2"))
+      .collect().foreach { r =>
+        // the published 11-digit constant tables limit inversion to
+        // ~5e-9 deg; 1e-6 deg is still sub-milliarcsecond
+        assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-6, "ra round trip")
+        assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-6, "dec round trip")
+      }
+  }
+
   test("gaia healpix level rescale") {
     val df = Seq(34359738368L * 7 + 123L).toDF("source_id")
     val cell = df.select(Astro.gaiaHealpix(col("source_id"), 12).as("c")).collect().head.getLong(0)
