@@ -689,6 +689,35 @@ object SparkEntry {
         round(l, 6).as("gal_l"), round(b, 6).as("gal_b"))
     }),
 
+    // M6 connected components over the exact cosine near-dup pair graph
+    // (threshold 0.35 yields multi-hop clusters at sf0.01 — max
+    // component 59 nodes, far beyond any single candidate pair, so the
+    // transitive closure is genuinely exercised); component = min
+    // reachable id, singleton nodes included as their own component
+    "q69_dedup_components" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      val pairs = Similarity.exactPairs(e, "vec_id", "embedding", threshold = 0.35)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(e.select(col("vec_id").as("nid")), "nid", pairs)
+    }),
+
+    // M6 end-to-end near-dup dedup: LSH candidates -> Jaccard verify ->
+    // connected components -> keep min-id winner per cluster.  Rows-only
+    // (MinHash needs xxhash64); snapshot-pinned at sf0.01.  Text column
+    // dropped from the output so the fixture stays small.
+    "q70_neardup_corpus" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      Dedup.nearDedupCorpus(d, col("text"), col("doc_id"), minJaccard = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // M6 Gopher-style repetition quality filters: duplicate-token,
+    // duplicate-2-gram, and top-token frequency ratios per document
+    "q71_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      TextAnalysis.repetitionSignals(d, col("doc_id"), col("text"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1096,6 +1125,34 @@ object SparkEntry {
         |round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
         |FROM v a, v b WHERE a.vec_id < b.vec_id
         |AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.2""".stripMargin.replace("\n", " "),
+
+    "q69_dedup_components" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |FROM embeddings WHERE vec_id < 1000),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a, v b
+        |WHERE a.vec_id < b.vec_id
+        |AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT vec_id AS node, vec_id AS reach FROM v
+        |UNION
+        |SELECT r.node, e.dst FROM r JOIN e ON r.reach = e.src)
+        |SELECT node, min(reach) AS component FROM r GROUP BY node""".stripMargin.replace("\n", " "),
+
+    "q71_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (SELECT doc_id, l,
+        |CASE WHEN len(l) >= 2
+        |THEN 1.0 - len(list_distinct(list_transform(range(1, len(l)),
+        |i -> l[i] || ' ' || l[i+1])))::DOUBLE / (len(l) - 1)
+        |ELSE 0.0 END AS d2raw FROM t),
+        |ex AS (SELECT doc_id, d2raw, unnest(l) AS token FROM b),
+        |g1 AS (SELECT doc_id, d2raw, token, count(*) AS cnt FROM ex GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |round(1.0 - count(*)::DOUBLE / sum(cnt), 6) AS dup_token_ratio,
+        |round(min(d2raw), 6) AS dup_2gram_ratio,
+        |round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_token_ratio
+        |FROM g1 GROUP BY doc_id""".stripMargin.replace("\n", " "),
 
     "q60_pack_bins" ->
       """WITH w AS (SELECT doc_id,

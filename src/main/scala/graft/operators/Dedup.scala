@@ -287,6 +287,106 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components of the near-dup pair graph by iterative
+    * min-label propagation: every node starts labeled with its own id;
+    * each round a node takes the minimum label among itself and its
+    * neighbors; at the fixpoint every node carries the minimum id of
+    * its component (labels only ever decrease, so the fixpoint is
+    * exact, not approximate).  This is the step that turns PAIRS
+    * (minhashLsh / simhashNearDup / embeddingNearDup output) into
+    * dedup decisions — transitive duplicates (a~b, b~c) land in one
+    * cluster even when a~c was never a candidate pair.
+    *
+    * Scale posture: each round is one shuffle of (node, label) on the
+    * node key — label propagation over edges, never materializing a
+    * component's member list anywhere; round count is bounded by the
+    * graph diameter, and near-dup graphs are unions of small clusters
+    * (diameter ≪ 10 in practice).  `localCheckpoint` after every round
+    * cuts the lineage so round N's plan does not replay rounds 1..N-1
+    * (superseded checkpoint blocks are dropped by the context cleaner
+    * once unreferenced).  For adversarial long-chain graphs the
+    * round-halving alternative is Kiveris et al.'s large-star /
+    * small-star; a dedup pipeline does not need it.
+    *
+    * `nodes` should be the full corpus id set — ids appearing only in
+    * `pairs` are unioned in defensively, and ids in no pair stay
+    * singleton components (their own label).  Convergence detection is
+    * exact (a changed-label probe join, not a checksum) and works for
+    * any orderable id type.
+    *
+    * @param nodes  one row per corpus id (extra columns ignored)
+    * @param idCol  id column name in `nodes`
+    * @param pairs  undirected edges as columns `id_a`, `id_b`
+    * @return (node, component) — component is the min id reachable
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val ids = nodes.select(col(idCol).as("node"))
+      .union(pairs.select(col("id_a").as("node")))
+      .union(pairs.select(col("id_b").as("node")))
+      .distinct()
+    // symmetrized edges + a self-loop per node (the self-loop carries a
+    // node's own label through the min-aggregate, so isolated nodes
+    // survive every round); reused each round -> persist serialized
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(ids.select(col("node").as("src"), col("node").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      var labels = ids.select(col("node"), col("node").as("comp")).localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val next = edges.join(labels, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(min(col("comp")).as("comp"))
+          .select(col("dst").as("node"), col("comp"))
+          .localCheckpoint(true)
+        // exact fixpoint probe: any node whose label still moved?
+        // (labels only decrease, so "no change this round" IS the
+        // global fixpoint, not a local stall)
+        converged = next.alias("n")
+          .join(labels.alias("o"), col("n.node") === col("o.node"))
+          .filter(col("n.comp") =!= col("o.comp"))
+          .limit(1).count() == 0L
+        labels = next
+        iter += 1
+      }
+      labels.select(col("node"), col("comp").as("component"))
+    } finally { edges.unpersist(); () }
+  }
+
+  /** Keeps exactly one canonical row per duplicate cluster: the
+    * component label IS the minimum member id
+    * ([[connectedComponents]]'s fixpoint), so the winners are the rows
+    * whose id equals their component — a semi join, no row data ever
+    * enters the clustering. */
+  def keepComponentWinners(df: DataFrame, id: Column, components: DataFrame): DataFrame = {
+    val winners = components
+      .filter(col("node") === col("component"))
+      .select(col("node").as("win_id"))
+    df.join(winners, id === col("win_id"), "left_semi")
+  }
+
+  /** End-to-end near-duplicate dedup: MinHash-LSH candidates → exact
+    * n-gram Jaccard verification ≥ `minJaccard` → connected components
+    * over the verified pair graph → keep the min-id winner per cluster.
+    * Composes the scale-shaped pieces above: candidate generation reads
+    * the corpus once, verification cost is proportional to candidates,
+    * clustering shuffles only (id, label) rows, and the final keep is a
+    * semi join. */
+  def nearDedupCorpus(df: DataFrame, text: Column, id: Column,
+                      shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+                      minJaccard: Double = 0.8): DataFrame = {
+    val cand = minhashLsh(df, text, id, shingleSize, bands, rowsPerBand)
+    val verified = ngramJaccard(cand, df, id, text, n = shingleSize)
+      .filter(col("jaccard") >= minJaccard)
+    val comps = connectedComponents(df.select(id.as("nid")), "nid", verified)
+    keepComponentWinners(df, id, comps)
+  }
+
   /** The r3 explode + two-groupBy Jaccard (kept as the independent
     * reference implementation the fused kernel is spec-verified
     * against). */

@@ -74,6 +74,53 @@ object TextAnalysis {
     }
   }
 
+  /** Repetition signals (Gopher-style quality filters): per-document
+    * duplicate-token ratio, duplicate-2-gram ratio, and top-token
+    * frequency ratio — the filters that catch boilerplate and
+    * degenerate repetition exact-dedup misses.
+    *
+    * Shape: the 2-gram ratio is a pure per-row array computation (no
+    * shuffle; the `transform` lambda is interpreted but linear and
+    * runs once per row on the already-split array).  The token ratios
+    * need a per-(doc, token) count, so ONE explode feeds a two-level
+    * aggregate whose map-side combine collapses to distinct tokens per
+    * doc before anything shuffles; the per-row ratio rides through as
+    * a `min` aggregate (constant within a doc).  Everything is
+    * mirrored 1:1 by a DuckDB unnest/group-by oracle.
+    *
+    * @return (doc_id, n_tokens, dup_token_ratio, dup_2gram_ratio,
+    *         top_token_ratio) */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, id: Column,
+                        text: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(id.as("doc_id"), split(text, " ").as("toks"))
+    // sequence(0, -1) generates a DESCENDING [0, -1] — guard 1-token rows
+    val bigrams = when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat(element_at(col("toks"), i + 1), lit(" "),
+                      element_at(col("toks"), i + 2))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val perRow = toks.select(col("doc_id"), col("toks"),
+      when(size(bigrams) > 0,
+          lit(1.0) - size(array_distinct(bigrams)).cast(DoubleType) /
+            size(bigrams).cast(DoubleType))
+        .otherwise(lit(0.0)).as("d2raw"))
+    perRow
+      .select(col("doc_id"), col("d2raw"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"), min(col("d2raw")).as("d2raw"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+           count(lit(1)).as("n_distinct"),
+           max(col("cnt")).as("top_cnt"),
+           min(col("d2raw")).as("d2raw"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("dup_token_ratio"),
+        round(col("d2raw"), 6).as("dup_2gram_ratio"),
+        round(col("top_cnt").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("top_token_ratio"))
+  }
+
   /** Normalize text for fingerprinting: lowercase, strip all but
     * [a-z0-9 ], squeeze repeated spaces, trim. */
   def normalize(text: Column): Column =

@@ -263,6 +263,61 @@ class DedupSpec extends SparkSpec {
     assert(inCluster.length == 300, s"expected all 300 cluster pairs, got ${inCluster.length}")
     assert(pairs.forall { case (a, b) => a < b })
   }
+
+  test("connectedComponents: chain, clique, singleton, pair-only node") {
+    // chain 1-2-3 (transitive: 1~3 never a pair), clique 10-11-12,
+    // singleton 20, and node 30 appearing ONLY in pairs (not in nodes)
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 31L).toDF("nid")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+      (30L, 31L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "nid", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("connectedComponents: long path needs diameter rounds, matches union-find") {
+    // a 40-node path is the adversarial diameter case for label
+    // propagation; plus seeded random edges, verified against an
+    // in-test union-find ground truth
+    val rnd = new scala.util.Random(7)
+    val n = 120
+    val path = (0 until 39).map(i => (i.toLong, (i + 1).toLong))
+    val random = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = path ++ random
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map { i =>
+      // min id of i's component
+      val root = find(i)
+      i.toLong -> (0 until n).filter(find(_) == root).min.toLong
+    }.toMap
+    val got = Dedup.connectedComponents(
+        (0 until n).map(_.toLong).toDF("nid"), "nid", edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("keepComponentWinners / nearDedupCorpus collapse transitive duplicate chains") {
+    // a~b and b~c are near-dups (one-token edits) but a~c may be a
+    // weaker pair: the component must still collapse all three
+    // zz-prefixed edit tokens are substrings of nothing else in base
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      1L -> base,
+      2L -> base.replace("tok29", "zzaa"),
+      3L -> base.replace("tok29", "zzaa").replace("tok28", "zzbb"),
+      9L -> (100 until 130).map(i => s"w$i").mkString(" ")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.nearDedupCorpus(docs, col("text"), col("doc_id"), minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 9L), s"expected min-id winner per cluster, got $kept")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -412,6 +467,27 @@ class SimilaritySpec extends SparkSpec {
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("repetitionSignals: hand-computed ratios, 1-token and all-same edges") {
+    val docs = Seq(
+      // tokens: a a b c  -> 4 tokens, 3 distinct, top=2
+      // bigrams: "a a","a b","b c" -> 3 distinct of 3
+      1L -> "a a b c",
+      // a b a b a -> 5 tokens, 2 distinct, top=3
+      // bigrams: "a b","b a","a b","b a" -> 2 distinct of 4
+      2L -> "a b a b a",
+      // single token: no bigrams -> dup_2gram_ratio 0 by definition
+      3L -> "solo",
+      // degenerate full repetition: 3 bigrams all "x x" -> 1 - 1/3
+      4L -> "x x x x").toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((4L, 0.25, 0.0, 0.5)))
+    assert(got(2L) == ((5L, 0.6, 0.5, 0.6)))
+    assert(got(3L) == ((1L, 0.0, 0.0, 1.0)))
+    assert(got(4L) == ((4L, 0.75, 0.666667, 1.0)))
+  }
 
   test("token count / quality signals") {
     val df = Seq("one two three", "").toDF("text")
