@@ -718,6 +718,17 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(d, col("doc_id"), col("text"))
     }),
 
+    // M6 k-means centroid training (Lloyd's, 2 rounds, deterministic
+    // md5-order init, lowest-cid argmin tiebreak) — trains the IVF
+    // coarse quantizer; output unpivoted to (centroid_id, dim, coord)
+    "q72_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      Similarity.kmeansFit(e, "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("centroid_id"), col("n_members"), posexplode(col("centroid")))
+        .select(col("centroid_id"), col("pos").cast(LongType).as("dim"),
+          round(col("col"), 6).as("coord"), col("n_members"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1153,6 +1164,26 @@ object SparkEntry {
         |round(min(d2raw), 6) AS dup_2gram_ratio,
         |round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_token_ratio
         |FROM g1 GROUP BY doc_id""".stripMargin.replace("\n", " "),
+
+    "q72_kmeans" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM v
+        |ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,6))::BIGINT, vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, v, cid,
+        |row_number() OVER (PARTITION BY vec_id ORDER BY list_distance(v, cv), cid) AS rn
+        |FROM v CROSS JOIN c0),
+        |s1 AS (SELECT cid, i, avg(x) AS m FROM
+        |(SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i FROM a1 WHERE rn = 1)
+        |GROUP BY cid, i),
+        |c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM s1 GROUP BY cid),
+        |a2 AS (SELECT vec_id, v, cid,
+        |row_number() OVER (PARTITION BY vec_id ORDER BY list_distance(v, cv), cid) AS rn
+        |FROM v CROSS JOIN c1),
+        |s2 AS (SELECT cid, i, avg(x) AS m, count(*) AS n FROM
+        |(SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i FROM a2 WHERE rn = 1)
+        |GROUP BY cid, i)
+        |SELECT cid AS centroid_id, i AS dim, round(m, 6) AS coord, n AS n_members
+        |FROM s2""".stripMargin.replace("\n", " "),
 
     "q60_pack_bins" ->
       """WITH w AS (SELECT doc_id,

@@ -297,16 +297,18 @@ object Dedup {
     * dedup decisions — transitive duplicates (a~b, b~c) land in one
     * cluster even when a~c was never a candidate pair.
     *
-    * Scale posture: each round is one shuffle of (node, label) on the
-    * node key — label propagation over edges, never materializing a
-    * component's member list anywhere; round count is bounded by the
-    * graph diameter, and near-dup graphs are unions of small clusters
-    * (diameter ≪ 10 in practice).  `localCheckpoint` after every round
-    * cuts the lineage so round N's plan does not replay rounds 1..N-1
-    * (superseded checkpoint blocks are dropped by the context cleaner
-    * once unreferenced).  For adversarial long-chain graphs the
-    * round-halving alternative is Kiveris et al.'s large-star /
-    * small-star; a dedup pipeline does not need it.
+    * Scale posture: each round shuffles only (node, label) rows —
+    * label propagation over edges, never materializing a component's
+    * member list anywhere — and ends with a POINTER JUMP
+    * (label(v) := label(label(v)), valid because every label is itself
+    * a node id), which cuts the round count from the graph diameter to
+    * ~log(diameter), the same doubling that makes Kiveris et al.'s
+    * large-star/small-star converge fast.  `localCheckpoint` after
+    * every round cuts the lineage so round N's plan does not replay
+    * rounds 1..N-1 (superseded checkpoint blocks are dropped by the
+    * context cleaner once unreferenced); the convergence probe is a
+    * scan of the round's already-checkpointed frame, not an extra
+    * join.
     *
     * `nodes` should be the full corpus id set — ids appearing only in
     * `pairs` are unioned in defensively, and ids in no pair stay
@@ -326,12 +328,10 @@ object Dedup {
       .union(pairs.select(col("id_a").as("node")))
       .union(pairs.select(col("id_b").as("node")))
       .distinct()
-    // symmetrized edges + a self-loop per node (the self-loop carries a
-    // node's own label through the min-aggregate, so isolated nodes
-    // survive every round); reused each round -> persist serialized
+    // symmetrized edges, reused each round -> persist serialized (the
+    // left join below keeps every node, so no self-loops are needed)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .union(ids.select(col("node").as("src"), col("node").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     try {
@@ -339,19 +339,27 @@ object Dedup {
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
-        val next = edges.join(labels, col("src") === col("node"))
+        // min label among real neighbors
+        val nbrMin = edges.join(labels, col("src") === col("node"))
           .groupBy(col("dst"))
-          .agg(min(col("comp")).as("comp"))
-          .select(col("dst").as("node"), col("comp"))
+          .agg(min(col("comp")).as("nmin"))
+        // merge with own label (left join: isolated nodes survive)
+        val merged = labels.join(nbrMin, col("node") === col("dst"), "left")
+          .select(col("node"), col("comp"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("c2"))
+        // pointer jump: c3 = label(c2).  Every label IS a node id and
+        // label(x) <= x always (labels start at the id and only
+        // decrease), so the jump is monotone and halves the remaining
+        // propagation depth each round.
+        val reps = labels.select(col("node").as("rnode"), col("comp").as("rcomp"))
+        val jumped = merged.join(reps, col("c2") === col("rnode"), "left")
+          .select(col("node"), col("comp"),
+            least(col("c2"), coalesce(col("rcomp"), col("c2"))).as("c3"))
           .localCheckpoint(true)
-        // exact fixpoint probe: any node whose label still moved?
-        // (labels only decrease, so "no change this round" IS the
-        // global fixpoint, not a local stall)
-        converged = next.alias("n")
-          .join(labels.alias("o"), col("n.node") === col("o.node"))
-          .filter(col("n.comp") =!= col("o.comp"))
-          .limit(1).count() == 0L
-        labels = next
+        // exact fixpoint probe on the checkpointed frame: labels only
+        // decrease, so "no change this round" IS the global fixpoint
+        converged = jumped.filter(col("c3") =!= col("comp")).limit(1).count() == 0L
+        labels = jumped.select(col("node"), col("c3").as("comp"))
         iter += 1
       }
       labels.select(col("node"), col("comp").as("component"))

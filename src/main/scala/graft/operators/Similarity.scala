@@ -211,10 +211,79 @@ object Similarity {
       .filter(col("cos_sim") >= threshold && !isnan(col("cos_sim")))
   }
 
+  /** Lloyd's k-means over the embedding column — trains the coarse
+    * centroids [[ivfAssign]]/[[ivfTopK]] quantize against (sampled-id
+    * centroids are the zero-training fallback; trained cells are
+    * tighter, so recall at a given nprobe is higher).
+    *
+    * Deterministic throughout: initial centroids are the `k` rows
+    * first in (md5(id), id) order — a seedless pseudo-random draw that
+    * is stable under corpus growth and SQL-mirrorable — and ties in
+    * the assignment argmin break toward the lowest centroid id.
+    *
+    * Scale shape (the MLlib pattern): centroids live on the driver
+    * between rounds — k·dim doubles, BOUNDED state like the packing
+    * offset fold — so each round's assignment is a pure projection (k
+    * codegen'd l2 kernels + an argmin case chain, ZERO shuffle), and
+    * the only shuffle is the mean aggregate, whose map-side combine
+    * collapses to k·dim skinny rows per partition before anything
+    * moves.  The corpus projection is persisted across rounds.
+    *
+    * A cell that loses every member keeps its previous centroid with
+    * n_members = 0 (no respawn — deterministic).
+    *
+    * @return (centroid_id = seed row id, centroid Array[Double],
+    *         n_members of the assignment that produced the final mean)
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k and iters must be >= 1, got k=$k iters=$iters")
+    import org.apache.spark.storage.StorageLevel
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = corpus.select(col(idCol).cast(LongType).as("vid"), asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val seedKey = conv(substring(md5(col("vid").cast(StringType)), 1, 6), 16, 10)
+        .cast(LongType)
+      var cents: Seq[(Long, Seq[Double])] = v
+        .orderBy(seedKey.asc, col("vid").asc).limit(k)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
+        .sortBy(_._1)
+      var lastCounts: Map[Long, Long] = Map.empty
+      for (_ <- 0 until iters) {
+        // argmin over k literal centroids; first match in ascending-cid
+        // order = lowest-cid tiebreak, mirroring ivfAssign's window
+        val dists = cents.map { case (cid, c) =>
+          cid -> graft.functions.VectorSim.l2(col("v"), typedlit(c)) }
+        val minD = dists.map(_._2).reduce(least(_, _))
+        val cidExpr = dists.foldRight(lit(-1L): Column) {
+          case ((cid, d), acc) => when(d === minD, lit(cid)).otherwise(acc) }
+        val stats = v.withColumn("cid", cidExpr)
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+          .collect()
+        val byCid = stats.groupBy(_.getLong(0))
+        cents = cents.map { case (cid, old) =>
+          byCid.get(cid) match {
+            case Some(rows) => cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toList
+            case None       => cid -> old
+          }
+        }
+        lastCounts = byCid.view.mapValues(_.head.getLong(3)).toMap
+      }
+      cents.map { case (cid, c) => (cid, c, lastCounts.getOrElse(cid, 0L)) }
+        .toDF("centroid_id", "centroid", "n_members")
+    } finally { v.unpersist(); () }
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `centroids` (small, broadcast), so queries probe only matching
-    * cells.  Centroid set is provided (e.g. sampled ids) — training a
-    * full k-means is out of scope for the engine core. */
+    * cells.  Centroid set is provided (e.g. sampled ids or
+    * [[kmeansFit]] output), making training an explicit, separate
+    * step. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))

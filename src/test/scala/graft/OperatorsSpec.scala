@@ -438,6 +438,45 @@ class SimilaritySpec extends SparkSpec {
     assert(auto == explicit)
   }
 
+  test("kmeansFit recovers well-separated blobs; deterministic; feeds ivfTopK") {
+    val rnd = new scala.util.Random(3)
+    // three tight blobs far apart in 4-d; ids interleaved so the
+    // md5-order seeds land in different blobs with high probability
+    val blobs = Seq(Array(10.0, 0, 0, 0), Array(0.0, 10, 0, 0), Array(0.0, 0, 10, 0))
+    val data = (0 until 90).map { i =>
+      val c = blobs(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val fit = Similarity.kmeansFit(df, "vec_id", "embedding", k = 3, iters = 5)
+    val rows = fit.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(2)).sum == 90L, "every vector assigned")
+    // with 5 rounds on separated blobs, each centroid sits on one blob
+    // mean (within noise) and holds exactly a third of the data
+    assert(rows.forall(_.getLong(2) == 30L),
+      s"expected 30 members each, got ${rows.map(_.getLong(2)).toSeq}")
+    val recovered = rows.map(_.getSeq[Double](1).toArray)
+    for (b <- blobs)
+      assert(recovered.exists(c => math.sqrt(c.zip(b).map { case (x, y) =>
+        (x - y) * (x - y) }.sum) < 0.1), s"no centroid near blob ${b.toSeq}")
+    // deterministic end to end
+    val again = Similarity.kmeansFit(df, "vec_id", "embedding", k = 3, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSet)
+    // trained centroids drop straight into the IVF probe path
+    val cents = fit.select(col("centroid_id").as("vec_id"), col("centroid").as("embedding"))
+    val probes = df.limit(5)
+    val hits = Similarity.ivfTopK(df, cents, probes, "vec_id", "embedding",
+      k = 3, nprobe = 1)
+    // nprobe=1 on perfectly separated blobs: every top-3 neighbor of a
+    // probe lives in the probe's own blob, so recall vs brute force is 1
+    val brute = Similarity.bruteForceTopK(df, probes, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = hits.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, "nprobe=1 trained-cell recall must be exact on separated blobs")
+  }
+
   test("lshPairs survives a null vector in the first row (dim probe skips nulls)") {
     // if the dimensionality probe samples the null row, size() is null
     // and the whole query would silently take the empty-frame path
