@@ -729,6 +729,16 @@ object SparkEntry {
           round(col("col"), 6).as("coord"), col("n_members"))
     }),
 
+    // M6 deterministic stratified sampling: downsample dominant 'en' to
+    // 300 permille, 'de' to 500, keep tail languages whole — a pure
+    // filter with the stable md5-bucket contract (no RNG)
+    "q73_stratified_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.operators.Scale.sampleStratified(d, col("doc_id"), col("lang"),
+          Map("en" -> 300, "de" -> 500))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1184,6 +1194,11 @@ object SparkEntry {
         |GROUP BY cid, i)
         |SELECT cid AS centroid_id, i AS dim, round(m, 6) AS coord, n AS n_members
         |FROM s2""".stripMargin.replace("\n", " "),
+
+    "q73_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000 <
+        |CASE WHEN lang = 'en' THEN 300 WHEN lang = 'de' THEN 500 ELSE 1000 END""".stripMargin.replace("\n", " "),
 
     "q60_pack_bins" ->
       """WITH w AS (SELECT doc_id,

@@ -84,21 +84,29 @@ object Dedup {
     * @return candidate pairs (id_a < id_b) with estimated jaccard from
     *         full-signature agreement.
     */
-  def minhashLsh(df: DataFrame, text: Column, id: Column,
-                 shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val k = bands * rowsPerBand
-    val sigs = minhashSignatures(df, text, id, shingleSize, k)
-    // Fold each band's slice into ONE long key (band index mixed in):
-    // an array-typed join key cannot hash-join (Spark falls back to a
-    // nested-loop — observed 5x wall time); a long key shuffles and
-    // hash-joins normally.  Hash collisions only add candidates, which
-    // the jaccard verification stage filters anyway.
-    val banded = sigs.select(
+  /** Signatures + exploded band keys — the shared candidate-generation
+    * shape behind [[minhashLsh]] (self-join) and the incremental
+    * [[minhashBandIndex]]/[[minhashLshAgainstIndex]] pair.
+    *
+    * Each band's signature slice folds into ONE long key (band index
+    * mixed in): an array-typed join key cannot hash-join (Spark falls
+    * back to a nested-loop — observed 5x wall time); a long key
+    * shuffles and hash-joins normally.  Hash collisions only add
+    * candidates, which the jaccard verification stage filters anyway. */
+  private def mhBanded(df: DataFrame, text: Column, id: Column,
+                       shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignatures(df, text, id, shingleSize, bands * rowsPerBand)
+    sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         xxhash64(((0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
           :+ lit(b)): _*)
       }: _*)).as("band_key"))
+  }
+
+  def minhashLsh(df: DataFrame, text: Column, id: Column,
+                 shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val banded = mhBanded(df, text, id, shingleSize, bands, rowsPerBand)
     // true self-join (identical projections on both sides) so the
     // shuffle below the join canonicalizes equal and ReusedExchange
     // computes the whole signature pipeline once, not twice
@@ -116,6 +124,42 @@ object Dedup {
         round(graft.functions.VectorSim.agreeCount(col("sig_a"), col("sig_b"))
           .cast(DoubleType) / lit(bands * rowsPerBand), 6))
       .select("id_a", "id_b", "est_jaccard")
+      .distinct()
+  }
+
+  /** MinHash band-key index of an existing corpus, for INCREMENTAL
+    * dedup: compute once per corpus generation and save (bucketed by
+    * `band_key` via [[Scale.writeBucketed]] to make the daily-batch
+    * join exchange-free on the index side), then each new batch joins
+    * against it with [[minhashLshAgainstIndex]] — the historical
+    * corpus text is never re-read, only its (id, signature, band key)
+    * rows.  Geometry (shingleSize/bands/rowsPerBand) must match
+    * between index and query — enforced by carrying the signature
+    * length through. */
+  def minhashBandIndex(df: DataFrame, text: Column, id: Column,
+                       shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    mhBanded(df, text, id, shingleSize, bands, rowsPerBand)
+      .select(col("doc_id").as("index_id"), col("sig").as("index_sig"), col("band_key"))
+
+  /** Near-dup candidates of a NEW batch against an existing
+    * [[minhashBandIndex]]: the batch pays signature computation and
+    * one band-key join; the index side is pre-computed.  Returns
+    * (batch_id, index_id) candidate pairs with estimated jaccard —
+    * batch docs also present in the index match themselves, so filter
+    * `batch_id =!= index_id` when querying a corpus against its own
+    * index.  Verification against full text (ngramJaccard) remains
+    * the caller's second stage, exactly as with [[minhashLsh]]. */
+  def minhashLshAgainstIndex(batch: DataFrame, text: Column, id: Column,
+                             index: DataFrame, shingleSize: Int = 5,
+                             bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val b = mhBanded(batch, text, id, shingleSize, bands, rowsPerBand)
+    b.join(index, Seq("band_key"))
+      .select(col("doc_id").as("batch_id"), col("index_id"),
+        col("sig"), col("index_sig"))
+      .withColumn("est_jaccard",
+        round(graft.functions.VectorSim.agreeCount(col("sig"), col("index_sig"))
+          .cast(DoubleType) / lit(bands * rowsPerBand), 6))
+      .select(col("batch_id"), col("index_id"), col("est_jaccard"))
       .distinct()
   }
 
@@ -376,6 +420,24 @@ object Dedup {
       .filter(col("node") === col("component"))
       .select(col("node").as("win_id"))
     df.join(winners, id === col("win_id"), "left_semi")
+  }
+
+  /** Like [[keepComponentWinners]] but with a caller-chosen canonical
+    * row per cluster (e.g. keep the LONGEST document, not the lowest
+    * id): rows join their component label and a window partitioned by
+    * component ranks them by `order` (ties broken by id for
+    * determinism).  One extra shuffle on the component key versus the
+    * min-id semi join — use when the canonical-choice policy matters
+    * more than the cheapest plan. */
+  def keepComponentWinnersBy(df: DataFrame, id: Column, components: DataFrame,
+                             order: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(order :+ id.asc: _*)
+    df.join(components, id === col("node"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("node", "component", "_rn")
   }
 
   /** End-to-end near-duplicate dedup: MinHash-LSH candidates → exact

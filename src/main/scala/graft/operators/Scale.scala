@@ -54,6 +54,34 @@ object Scale {
     f.join(d, Seq(key, "_salt"), how).drop("_salt")
   }
 
+  /** Deterministic hash sampling: keeps rows whose md5-bucket of the
+    * id falls below `permille`/1000.  No RNG, no seed plumbing: the
+    * same row is in or out on every run, on every executor count, and
+    * under corpus growth — the property a held-out eval split needs
+    * (the same contract as the q63 hash split; `rand()`-based sampling
+    * re-draws per task retry).  Pure filter: pushes down, no shuffle. */
+  def sampleByHash(df: DataFrame, id: Column, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"permille in [0,1000], got $permille")
+    df.filter(hashBucket(id) < permille)
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep rates (e.g.
+    * downsample dominant languages, keep the tail whole).  Strata
+    * absent from `rates` keep `defaultPermille`.  Same hash contract
+    * as [[sampleByHash]] — still a pure filter. */
+  def sampleStratified(df: DataFrame, id: Column, stratum: Column,
+                       rates: Map[String, Int], defaultPermille: Int = 1000): DataFrame = {
+    require((rates.values.toSeq :+ defaultPermille).forall(p => p >= 0 && p <= 1000),
+      "every permille must be in [0,1000]")
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (s, p)) =>
+      when(stratum === s, lit(p)).otherwise(acc) }
+    df.filter(hashBucket(id) < rate)
+  }
+
+  private def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast(org.apache.spark.sql.types.StringType)), 1, 6), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType) % 1000
+
   /** Write a table bucketed+sorted by join keys so subsequent equi
     * joins on those keys are exchange-free (co-located).  Bucket count
     * should match the expected parallelism of the join at target

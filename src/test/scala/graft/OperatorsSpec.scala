@@ -303,6 +303,44 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("incremental index dedup: batch-vs-index equals the self-join LSH") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // a corpus queried against its own index must reproduce minhashLsh
+    // exactly (modulo self-matches and pair orientation)
+    val index = Dedup.minhashBandIndex(docs, col("text"), col("doc_id"))
+    val inc = Dedup.minhashLshAgainstIndex(docs, col("text"), col("doc_id"), index)
+      .filter(col("batch_id") =!= col("index_id"))
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                 math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    val self = Dedup.minhashLsh(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == self, "index path must agree with the self-join path")
+    assert(self.nonEmpty)
+    // a genuinely new near-dup batch doc hits its index original
+    val batch = docs.filter(col("doc_id") === 7)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val hits = Dedup.minhashLshAgainstIndex(batch, col("text"), col("doc_id"), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.exists { case (b, i, j) => b == 100007L && i == 7L && j == 1.0 },
+      s"batch copy of doc 7 must match its original, got ${hits.toSeq}")
+  }
+
+  test("keepComponentWinnersBy keeps the longest doc per cluster") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b c d e"), (3L, "a b c"), // one cluster, 2 is longest
+      (9L, "zz")).toDF("doc_id", "text")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)).toDF("node", "component")
+    val kept = Dedup.keepComponentWinnersBy(docs, col("doc_id"), comps,
+        Seq(length(col("text")).desc))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L))
+    // schema untouched apart from the dedup
+    val cols = Dedup.keepComponentWinnersBy(docs, col("doc_id"), comps,
+      Seq(length(col("text")).desc)).columns.toSeq
+    assert(cols == Seq("doc_id", "text"))
+  }
+
   test("keepComponentWinners / nearDedupCorpus collapse transitive duplicate chains") {
     // a~b and b~c are near-dups (one-token edits) but a~c may be a
     // weaker pair: the component must still collapse all three

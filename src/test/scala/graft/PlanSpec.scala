@@ -84,6 +84,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking shuffles:\n$plan")
   }
 
+  test("repetition signals: one generate, two-level agg, exactly two exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.TextAnalysis.repetitionSignals(
+      docs, col("doc_id"), col("text")))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected only the (doc,token) and doc agg exchanges:\n$plan")
+    val generates = plan.linesIterator.count(_.contains("Generate"))
+    assert(generates == 1, s"expected a single explode:\n$plan")
+    assert(plan.contains("partial_"), s"map-side combine missing:\n$plan")
+  }
+
+  test("hash sampling stays a scan-stage filter: no exchange, no aggregate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.Scale.sampleStratified(
+      docs, col("doc_id"), col("lang"), Map("en" -> 300)))
+    assert(!plan.contains("Exchange") && !plan.contains("HashAggregate"),
+      s"sampling should be a pure filter:\n$plan")
+  }
+
   test("contamination broadcasts the bench side; the corpus never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bench = docs.filter(col("doc_id") % 97 === 0)

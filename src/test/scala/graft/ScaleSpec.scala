@@ -55,6 +55,48 @@ class ScaleSpec extends SparkSpec {
     assert(salted("one") > 4000L) // the hot key really is hot
   }
 
+  test("hash sampling: stable, rate-accurate, monotone under corpus growth") {
+    val small = spark.range(0, 2000).toDF("id")
+    val s300 = Scale.sampleByHash(small, col("id"), 300)
+      .collect().map(_.getLong(0)).toSet
+    // stability: identical on a second run and per-row independent of
+    // partitioning
+    val again = Scale.sampleByHash(small.repartition(7), col("id"), 300)
+      .collect().map(_.getLong(0)).toSet
+    assert(s300 == again)
+    // rate within binomial noise (p=0.3, n=2000 -> sd ~20)
+    assert(math.abs(s300.size - 600) < 80, s"rate off: ${s300.size}/2000")
+    // growing the corpus never flips an existing row's membership
+    val grown = Scale.sampleByHash(spark.range(0, 4000).toDF("id"), col("id"), 300)
+      .collect().map(_.getLong(0)).toSet
+    assert(grown.filter(_ < 2000) == s300)
+    // nested rates: a 100-permille sample is a subset of the 300 one
+    val s100 = Scale.sampleByHash(small, col("id"), 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(s100.subsetOf(s300))
+    assert(Scale.sampleByHash(small, col("id"), 0).count() == 0L)
+    assert(Scale.sampleByHash(small, col("id"), 1000).count() == 2000L)
+  }
+
+  test("stratified sampling applies per-stratum rates, default keeps whole") {
+    val df = spark.range(0, 3000)
+      .withColumn("lang", when(col("id") % 3 === 0, "en")
+        .when(col("id") % 3 === 1, "de").otherwise("fr"))
+    val kept = Scale.sampleStratified(df, col("id"), col("lang"),
+        Map("en" -> 200, "de" -> 500))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("en") - 200) < 60, s"en rate off: ${kept("en")}/1000")
+    assert(math.abs(kept("de") - 500) < 60, s"de rate off: ${kept("de")}/1000")
+    assert(kept("fr") == 1000L, "default stratum must be kept whole")
+    // consistent with the unstratified sampler at the same rate
+    val viaPlain = Scale.sampleByHash(df.filter(col("lang") === "en"), col("id"), 200)
+      .collect().map(_.getLong(0)).toSet
+    val viaStrat = Scale.sampleStratified(df, col("id"), col("lang"), Map("en" -> 200, "de" -> 0, "fr" -> 0))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaStrat == viaPlain)
+  }
+
   test("multi-file glob scan unions transparently") {
     val dir = java.nio.file.Files.createTempDirectory("graft_glob").toString
     spark.range(10).write.parquet(s"$dir/part1.parquet")
