@@ -368,16 +368,23 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val ids = nodes.select(col(idCol).as("node"))
-      .union(pairs.select(col("id_a").as("node")))
-      .union(pairs.select(col("id_b").as("node")))
-      .distinct()
+    // Materialize the caller's pair pipeline ONCE: pairs is typically
+    // an expensive plan (LSH candidates + Jaccard verification), and
+    // it is referenced by both edge directions and the node set — four
+    // unpersisted references would re-run the whole pipeline four
+    // times (observed 4x wall time on the end-to-end near-dedup).
+    val p0 = pairs.select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // symmetrized edges, reused each round -> persist serialized (the
     // left join below keeps every node, so no self-loops are needed)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // src of the symmetrized edges covers every pair endpoint
+    val ids = nodes.select(col(idCol).as("node"))
+      .union(edges.select(col("src").as("node")))
+      .distinct()
     try {
       var labels = ids.select(col("node"), col("node").as("comp")).localCheckpoint(true)
       var converged = false
@@ -407,7 +414,7 @@ object Dedup {
         iter += 1
       }
       labels.select(col("node"), col("comp").as("component"))
-    } finally { edges.unpersist(); () }
+    } finally { edges.unpersist(); p0.unpersist(); () }
   }
 
   /** Keeps exactly one canonical row per duplicate cluster: the
