@@ -739,6 +739,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // M6 tokenizer-vocabulary extraction: exact global top-50 terms by
+    // frequency with a deterministic term tiebreak (TakeOrdered top-k,
+    // no global sort)
+    "q74_vocab_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      TextAnalysis.topTerms(d, col("text"), k = 50)
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1194,6 +1202,12 @@ object SparkEntry {
         |GROUP BY cid, i)
         |SELECT cid AS centroid_id, i AS dim, round(m, 6) AS coord, n AS n_members
         |FROM s2""".stripMargin.replace("\n", " "),
+
+    "q74_vocab_topk" ->
+      """SELECT term, count(*) AS n FROM
+        |(SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |WHERE length(term) > 0
+        |GROUP BY term ORDER BY n DESC, term ASC LIMIT 50""".stripMargin.replace("\n", " "),
 
     "q73_stratified_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -121,6 +121,21 @@ object TextAnalysis {
           col("n_tokens").cast(DoubleType), 6).as("top_token_ratio"))
   }
 
+  /** Corpus vocabulary: exact global top-k terms by frequency
+    * (deterministic term-asc tiebreak) — the frequency pass behind
+    * tokenizer-vocab extraction.  One explode into a partial+final
+    * count aggregate; the bounded top-k compiles to
+    * TakeOrderedAndProject (no global sort), so the only full shuffle
+    * is the term count. */
+  def topTerms(df: org.apache.spark.sql.DataFrame, text: Column,
+               k: Int = 1000): org.apache.spark.sql.DataFrame =
+    df.select(explode(split(text, " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k)
+
   /** Normalize text for fingerprinting: lowercase, strip all but
     * [a-z0-9 ], squeeze repeated spaces, trim. */
   def normalize(text: Column): Column =

@@ -566,6 +566,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == ((4L, 0.75, 0.666667, 1.0)))
   }
 
+  test("topTerms: exact counts, deterministic tie order, k bound") {
+    val docs = Seq("a b b c", "b c d", "x").toDF("text")
+    val got = TextAnalysis.topTerms(docs, col("text"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // b=3; c=2; a,d,x=1 -> tie at n=1 broken term-asc: 'a'
+    assert(got.toSeq == Seq(("b", 3L), ("c", 2L), ("a", 1L)))
+  }
+
   test("token count / quality signals") {
     val df = Seq("one two three", "").toDF("text")
     val r = df.select(TextAnalysis.tokenCount(col("text")).as("n")).collect().map(_.getLong(0))

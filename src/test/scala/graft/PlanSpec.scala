@@ -95,6 +95,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"map-side combine missing:\n$plan")
   }
 
+  test("vocab top-k compiles to TakeOrderedAndProject over the count agg") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.TextAnalysis.topTerms(docs, col("text"), 50))
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort instead of top-k:\n$plan")
+    assert(plan.contains("partial_count"), s"map-side combine missing:\n$plan")
+  }
+
   test("hash sampling stays a scan-stage filter: no exchange, no aggregate") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.operators.Scale.sampleStratified(
