@@ -747,6 +747,17 @@ object SparkEntry {
       TextAnalysis.topTerms(d, col("text"), k = 50)
     }),
 
+    // M6 embedding mean-pooling per label (chunk->document pooling
+    // shape); unpivoted for the oracle like q72
+    "q75_mean_pool" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      Similarity.meanPool(e, col("label"), col("embedding"))
+        .select(col("group_id"), col("n_members"), posexplode(col("vec")))
+        .select(col("group_id").cast(LongType).as("group_id"),
+          col("pos").cast(LongType).as("dim"),
+          round(col("col"), 6).as("coord"), col("n_members"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1202,6 +1213,13 @@ object SparkEntry {
         |GROUP BY cid, i)
         |SELECT cid AS centroid_id, i AS dim, round(m, 6) AS coord, n AS n_members
         |FROM s2""".stripMargin.replace("\n", " "),
+
+    "q75_mean_pool" ->
+      """SELECT CAST(label AS BIGINT) AS group_id, i AS dim, round(avg(x), 6) AS coord,
+        |count(*) AS n_members FROM
+        |(SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |unnest(range(len(embedding))) AS i FROM embeddings WHERE embedding IS NOT NULL)
+        |GROUP BY label, i""".stripMargin.replace("\n", " "),
 
     "q74_vocab_topk" ->
       """SELECT term, count(*) AS n FROM

@@ -211,6 +211,43 @@ object Similarity {
       .filter(col("cos_sim") >= threshold && !isnan(col("cos_sim")))
   }
 
+  /** L2-normalize a vector column in place (zero vectors stay zero
+    * rather than dividing to NaN) — cosine against normalized vectors
+    * reduces to the cheaper dot product.  DataFrame-level on purpose:
+    * the norm must be a materialized attribute before the per-element
+    * division, because a higher-order-function lambda that captures a
+    * non-attribute subtree re-evaluates it PER ELEMENT (the O(len²)
+    * hazard documented at TextAnalysis.shinglesRaw) — as an attribute
+    * it is computed once per row. */
+  def l2Normalized(df: DataFrame, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    df.withColumn("_norm", sqrt(graft.functions.VectorSim.dot(v, v)))
+      .withColumn(vecCol,
+        when(col("_norm") === 0.0, v)
+          .otherwise(transform(v, x => x / col("_norm"))))
+      .drop("_norm")
+  }
+
+  /** Element-wise mean of vectors per group — the pooling step that
+    * turns chunk embeddings into document embeddings (or members into
+    * a cluster centroid).  Same aggregate shape as a k-means mean
+    * round: posexplode feeds a (group, dim) average whose map-side
+    * combine collapses to groups x dim rows per partition before the
+    * shuffle; the per-group array is reassembled from at most `dim`
+    * elements.  Null vectors are excluded.
+    *
+    * @return (group_id, vec, n_members) */
+  def meanPool(df: DataFrame, key: Column, vecCol: Column): DataFrame =
+    df.filter(vecCol.isNotNull)
+      .select(key.as("group_id"), posexplode(asDouble(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("group_id"), col("dim"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+      .groupBy(col("group_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e("m")).as("vec"),
+        max(col("n")).as("n_members"))
+
   /** Lloyd's k-means over the embedding column — trains the coarse
     * centroids [[ivfAssign]]/[[ivfTopK]] quantize against (sampled-id
     * centroids are the zero-training fallback; trained cells are

@@ -476,6 +476,23 @@ class SimilaritySpec extends SparkSpec {
     assert(auto == explicit)
   }
 
+  test("meanPool pools per group; l2Normalize makes cosine a dot product") {
+    val df = Seq(
+      (1, Array(1.0f, 3.0f)), (1, Array(3.0f, 5.0f)),
+      (2, Array(2.0f, 2.0f)),
+      (3, null.asInstanceOf[Array[Float]])).toDF("label", "embedding")
+    val pooled = Similarity.meanPool(df, col("label"), col("embedding"))
+      .collect().map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
+    assert(pooled(1) == ((Seq(2.0, 4.0), 2L)))
+    assert(pooled(2) == ((Seq(2.0, 2.0), 1L)))
+    assert(!pooled.contains(3), "all-null group has no pooled vector")
+    val v = Similarity.l2Normalized(
+        Seq((1, Array(3.0f, 4.0f)), (2, Array(0.0f, 0.0f))).toDF("id", "v"), "v")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(v(1) == Seq(0.6, 0.8))
+    assert(v(2) == Seq(0.0, 0.0), "zero vector survives normalization")
+  }
+
   test("kmeansFit recovers well-separated blobs; deterministic; feeds ivfTopK") {
     val rnd = new scala.util.Random(3)
     // three tight blobs far apart in 4-d; ids interleaved so the
