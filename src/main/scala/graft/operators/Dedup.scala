@@ -454,14 +454,18 @@ object Dedup {
     * the corpus once, verification cost is proportional to candidates,
     * clustering shuffles only (id, label) rows, and the final keep is a
     * semi join. */
+  /** `keepBy` selects the canonical row per cluster (e.g.
+    * `Seq(length(col("text")).desc)` keeps the longest); empty (the
+    * default) keeps the min id via the cheaper semi join. */
   def nearDedupCorpus(df: DataFrame, text: Column, id: Column,
                       shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
-                      minJaccard: Double = 0.8): DataFrame = {
+                      minJaccard: Double = 0.8, keepBy: Seq[Column] = Nil): DataFrame = {
     val cand = minhashLsh(df, text, id, shingleSize, bands, rowsPerBand)
     val verified = ngramJaccard(cand, df, id, text, n = shingleSize)
       .filter(col("jaccard") >= minJaccard)
     val comps = connectedComponents(df.select(id.as("nid")), "nid", verified)
-    keepComponentWinners(df, id, comps)
+    if (keepBy.isEmpty) keepComponentWinners(df, id, comps)
+    else keepComponentWinnersBy(df, id, comps, keepBy)
   }
 
   /** The r3 explode + two-groupBy Jaccard (kept as the independent

@@ -355,6 +355,20 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.nearDedupCorpus(docs, col("text"), col("doc_id"), minJaccard = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 9L), s"expected min-id winner per cluster, got $kept")
+    // policy winner: doc 3 has the most distinct content of its cluster
+    // under a custom ordering (here: highest id as a stand-in policy)
+    val keptBy = Dedup.nearDedupCorpus(docs, col("text"), col("doc_id"),
+        minJaccard = 0.5, keepBy = Seq(col("doc_id").desc))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBy == Set(3L, 9L), s"expected max-id winner per cluster, got $keptBy")
+  }
+
+  test("kmeansFit edge cases: k exceeding corpus, single iteration") {
+    val df = Seq((1L, Array(1.0f, 0f)), (2L, Array(0f, 1.0f))).toDF("vec_id", "embedding")
+    val fit = Similarity.kmeansFit(df, "vec_id", "embedding", k = 5, iters = 1)
+      .collect()
+    assert(fit.length == 2, "k clamps to the corpus size")
+    assert(fit.map(_.getLong(2)).sum == 2L)
   }
 }
 
