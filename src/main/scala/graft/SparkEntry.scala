@@ -758,6 +758,27 @@ object SparkEntry {
           round(col("col"), 6).as("coord"), col("n_members"))
     }),
 
+    // M6 per-domain cap (corpus-bias control: at most 15 docs per
+    // source, deterministic md5-order pick, bounded below the shuffle
+    // by the custom TopKPerKey operator)
+    "q76_cap_per_key" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.operators.Scale.capPerKey(d, "source", col("doc_id"), n = 15)
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
+    // M6 duplicate-cluster size distribution over the q69 component
+    // graph: how many clusters of each size the near-dup graph contains
+    "q77_cluster_sizes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      val pairs = Similarity.exactPairs(e, "vec_id", "embedding", threshold = 0.35)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(e.select(col("vec_id").as("nid")), "nid", pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1220,6 +1241,28 @@ object SparkEntry {
         |(SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
         |unnest(range(len(embedding))) AS i FROM embeddings WHERE embedding IS NOT NULL)
         |GROUP BY label, i""".stripMargin.replace("\n", " "),
+
+    "q76_cap_per_key" ->
+      """WITH r AS (SELECT doc_id, source, lang,
+        |row_number() OVER (PARTITION BY source
+        |ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, doc_id) AS rn
+        |FROM documents)
+        |SELECT doc_id, source, lang FROM r WHERE rn <= 15""".stripMargin.replace("\n", " "),
+
+    "q77_cluster_sizes" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |FROM embeddings WHERE vec_id < 1000),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a, v b
+        |WHERE a.vec_id < b.vec_id
+        |AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT vec_id AS node, vec_id AS reach FROM v
+        |UNION
+        |SELECT r.node, e.dst FROM r JOIN e ON r.reach = e.src),
+        |comp AS (SELECT node, min(reach) AS component FROM r GROUP BY node),
+        |sz AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters FROM sz GROUP BY sz""".stripMargin.replace("\n", " "),
 
     "q74_vocab_topk" ->
       """SELECT term, count(*) AS n FROM

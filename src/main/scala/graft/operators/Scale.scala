@@ -78,6 +78,26 @@ object Scale {
     df.filter(hashBucket(id) < rate)
   }
 
+  /** Cap rows per key — the corpus-bias control ("at most n documents
+    * per domain").  The pick is deterministic: rows rank by the
+    * md5-bucket of their id (a seedless stable "random" order, same
+    * contract as [[sampleByHash]]) with the id itself as tiebreak.
+    * Runs on the custom TopKPerKey operator, so candidates are bounded
+    * to n per key BELOW the shuffle (partial top-k per partition) — a
+    * hot domain never lands its full row set on one reducer, which is
+    * exactly the skew a `row_number` window would suffer. */
+  def capPerKey(df: DataFrame, key: String, id: Column, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val withOrd = df
+      .withColumn("_cap_ord",
+        conv(substring(md5(id.cast(org.apache.spark.sql.types.StringType)), 1, 12), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType))
+      .withColumn("_cap_id", id)
+    graft.plans.TopK.perKeyOrdered(withOrd, Seq(key),
+        Seq("_cap_ord" -> false, "_cap_id" -> false), n)
+      .drop("_cap_ord", "_cap_id")
+  }
+
   private def hashBucket(id: Column): Column =
     conv(substring(md5(id.cast(org.apache.spark.sql.types.StringType)), 1, 6), 16, 10)
       .cast(org.apache.spark.sql.types.LongType) % 1000

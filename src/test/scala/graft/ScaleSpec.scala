@@ -97,6 +97,24 @@ class ScaleSpec extends SparkSpec {
     assert(viaStrat == viaPlain)
   }
 
+  test("capPerKey equals the window formulation and binds the cap") {
+    val df = spark.range(0, 500).toDF("id")
+      .withColumn("grp", (col("id") % 7).cast("string"))
+    val capped = Scale.capPerKey(df, "grp", col("id"), 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // ground truth: row_number window over the same deterministic order
+    val ord = conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(ord.asc, col("id").asc)
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(capped == expected)
+    assert(capped.groupBy(_._2).forall(_._2.size == 10), "every group capped at 10")
+    // n above the group size keeps everything
+    assert(Scale.capPerKey(df, "grp", col("id"), 1000).count() == 500L)
+  }
+
   test("multi-file glob scan unions transparently") {
     val dir = java.nio.file.Files.createTempDirectory("graft_glob").toString
     spark.range(10).write.parquet(s"$dir/part1.parquet")
