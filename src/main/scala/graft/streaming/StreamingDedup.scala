@@ -134,4 +134,40 @@ object StreamingDedup {
           }
       }
   }
+
+  /** Streaming documents flagged against a STATIC, precomputed band
+    * index ([[graft.operators.Dedup.minhashBandIndex]] of yesterday's
+    * corpus): a stateless stream-static equi join on the band key —
+    * no state store at all, so it composes freely with downstream
+    * stateful stages.  Chain with [[nearDupHits]] to dedup an ingest
+    * stream against BOTH the historical corpus and itself.
+    *
+    * The stream side's band keys are computed by the same row-local
+    * kernel as [[nearDupHits]] (bit-identical to the batch
+    * `mhBanded`), so stream hits agree with a batch
+    * `minhashLshAgainstIndex` backfill by construction.  At-least-once
+    * per band — sink-side `dropDuplicates(doc_id, dup_of)` tightens
+    * it (kept out of this operator: an unwatermarked streaming
+    * dropDuplicates would grow state forever).
+    *
+    * @return (doc_id, dup_of, est_jaccard) hits with est ≥ threshold */
+  def nearDupHitsAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
+                              index: DataFrame,
+                              shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+                              threshold: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigUdf = udf((t: String) => signature(t, shingleSize, k))
+    val bandsUdf = udf((sig: Array[Long]) =>
+      Array.tabulate(bands)(b => bandKey(sig, b, rowsPerBand)))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), sigUdf(col(textCol)).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"), explode(bandsUdf(col("sig"))).as("band_key"))
+      .join(index, Seq("band_key"))
+      .filter(col("doc_id") =!= col("index_id"))
+      .select(col("doc_id"), col("index_id").as("dup_of"),
+        round(graft.functions.VectorSim.agreeCount(col("sig"), col("index_sig"))
+          .cast("double") / lit(k), 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
 }

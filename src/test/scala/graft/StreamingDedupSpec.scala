@@ -110,3 +110,42 @@ class StreamingTextSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class StreamingIndexDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+  private val docA2 = "the quick brown fox jumps over the lazy dog and runs far away into the wood"
+  private val docB = "completely different content about spark streaming stateful processing engines"
+  private val docC = "yet another unrelated document on astronomical catalog cross matching"
+
+  test("stream-vs-index hits match the batch against-index backfill") {
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(history, col("text"), col("doc_id"))
+      .cache() // static side of the stream-static join
+    val batchDocs = Seq((10L, docA2), (11L, docC), (12L, "fresh unseen totally novel writing"))
+    // batch backfill ground truth at the same threshold
+    val backfill = Dedup.minhashLshAgainstIndex(
+        batchDocs.toDF("doc_id", "text"), col("text"), col("doc_id"), index)
+      .filter(col("est_jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.nearDupHitsAgainstIndex(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", index, threshold = 0.5)
+    val q = hits.writeStream.format("memory").queryName("index_dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(batchDocs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("index_dedup_test").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == backfill, "stream hits must equal the batch backfill")
+      assert(streamed.exists { case (d, o, _) => d == 10L && o == 1L },
+        "near-dup of an indexed doc must be flagged")
+      assert(streamed.exists { case (d, o, j) => d == 11L && o == 3L && j == 1.0 },
+        "exact copy must match at est_jaccard 1.0")
+      assert(!streamed.exists(_._1 == 12L), "novel doc must pass")
+    } finally q.stop()
+  }
+}
