@@ -790,4 +790,51 @@ class MinHashPropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fusedSh == explSh)
   }
+
+  test("repetition signals and topTerms match a Scala reference on arbitrary text") {
+    // non-null, non-empty texts: both operators are defined over the
+    // split-on-space token list, mirrored here in plain Scala
+    val texts = (0 until 150).map(i =>
+      (i.toLong, genText.pureApply(Gen.Parameters.default.withSize(50), Seed(1000L + i))))
+      .map { case (i, t) => (i, if (t == null) "" else t) }
+      .filter(_._2.nonEmpty)
+    val df = texts.toDF("doc_id", "text")
+    def round6(d: Double): Double = math.rint(d * 1e6) / 1e6
+    val expected = texts.map { case (id, t) =>
+      val toks = t.split(" ", -1).toSeq
+      val n = toks.size
+      val counts = toks.groupBy(identity).view.mapValues(_.size)
+      val bigrams = if (n >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq else Nil
+      id -> ((n.toLong,
+        round6(1.0 - counts.size.toDouble / n),
+        if (bigrams.nonEmpty) round6(1.0 - bigrams.distinct.size.toDouble / bigrams.size) else 0.0,
+        round6(counts.values.max.toDouble / n)))
+    }.toMap
+    val got = graft.operators.TextAnalysis.repetitionSignals(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expected)
+    // topTerms vs a Scala frequency count with the same tiebreak.
+    // Spark compares strings by UTF-8 BYTES; Scala's default String
+    // ordering is UTF-16 code units — they disagree beyond the BMP
+    // (the generator emits an astral emoji), so mirror byte order.
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val allCounts = texts.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expTop = allCounts.sortWith { case ((t1, c1), (t2, c2)) =>
+      c1 > c2 || (c1 == c2 && utf8Lt(t1, t2)) }.take(20)
+    val gotTop = graft.operators.TextAnalysis.topTerms(df, col("text"), 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gotTop == expTop)
+  }
 }
