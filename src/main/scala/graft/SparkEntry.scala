@@ -779,6 +779,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clusters"))
     }),
 
+    // M6 corpus-relative length gate: keep docs inside the exact
+    // [p10, p90] n_chars band (data-derived thresholds, scan-stage
+    // predicate; exact quantiles via sort + rank selection)
+    "q78_quantile_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.operators.Quantiles.filterByQuantile(d, col("n_chars"), 0.1, 0.9)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1241,6 +1250,11 @@ object SparkEntry {
         |(SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
         |unnest(range(len(embedding))) AS i FROM embeddings WHERE embedding IS NOT NULL)
         |GROUP BY label, i""".stripMargin.replace("\n", " "),
+
+    "q78_quantile_gate" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.1) FROM documents)
+        |AND n_chars <= (SELECT quantile_cont(n_chars, 0.9) FROM documents)""".stripMargin.replace("\n", " "),
 
     "q76_cap_per_key" ->
       """WITH r AS (SELECT doc_id, source, lang,

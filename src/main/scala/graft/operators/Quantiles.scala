@@ -68,4 +68,16 @@ object Quantiles {
       }
     } finally sorted.unpersist(blocking = false)
   }
+
+  /** Corpus-relative quality gate: keep rows whose `c` lies inside the
+    * corpus' exact [pLo, pHi] quantile band — the "drop the shortest
+    * and longest tails" document filter, with thresholds derived from
+    * the data instead of hand-tuned constants.  The thresholds are two
+    * driver scalars (the same bounded-fold contract as [[exact]]); the
+    * gate itself is a pure scan-stage predicate. */
+  def filterByQuantile(df: DataFrame, c: Column, pLo: Double, pHi: Double): DataFrame = {
+    require(pLo <= pHi, s"pLo must be <= pHi, got $pLo > $pHi")
+    val Seq(lo, hi) = exact(df, c, Seq(pLo, pHi))
+    df.filter(c.cast(DoubleType) >= lo && c.cast(DoubleType) <= hi)
+  }
 }

@@ -363,6 +363,17 @@ class DedupSpec extends SparkSpec {
     assert(keptBy == Set(3L, 9L), s"expected max-id winner per cluster, got $keptBy")
   }
 
+  test("filterByQuantile keeps the exact p-band (fencepost check)") {
+    val df = spark.range(0, 101).toDF("v") // 0..100: p10=10.0, p90=90.0
+    val kept = graft.operators.Quantiles.filterByQuantile(df, col("v"), 0.1, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (10L to 90L).toSet)
+    // degenerate band keeps only the median
+    val med = graft.operators.Quantiles.filterByQuantile(df, col("v"), 0.5, 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(med == Set(50L))
+  }
+
   test("kmeansFit edge cases: k exceeding corpus, single iteration") {
     val df = Seq((1L, Array(1.0f, 0f)), (2L, Array(0f, 1.0f))).toDF("vec_id", "embedding")
     val fit = Similarity.kmeansFit(df, "vec_id", "embedding", k = 5, iters = 1)
