@@ -788,6 +788,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // M6 exact-substring dedup signal: 60-char normalized windows
+    // repeated across >= 2 distinct documents (one explode into one
+    // hash aggregate on the span md5)
+    "q79_repeated_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      Dedup.repeatedSpans(d, col("text"), col("doc_id"), width = 60, minDocs = 2,
+        portableHash = true)
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1255,6 +1264,16 @@ object SparkEntry {
       """SELECT doc_id, n_chars FROM documents
         |WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.1) FROM documents)
         |AND n_chars <= (SELECT quantile_cont(n_chars, 0.9) FROM documents)""".stripMargin.replace("\n", " "),
+
+    "q79_repeated_spans" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, length(t) - 58)) AS p
+        |FROM norm WHERE length(t) >= 60),
+        |spans AS (SELECT doc_id, md5(substr(t, p, 60)) AS h FROM pos)
+        |SELECT h AS span_hash, count(DISTINCT doc_id) AS n_docs,
+        |count(*) AS n_occurrences, min(doc_id) AS first_doc
+        |FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2""".stripMargin.replace("\n", " "),
 
     "q76_cap_per_key" ->
       """WITH r AS (SELECT doc_id, source, lang,

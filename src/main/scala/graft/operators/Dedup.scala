@@ -331,6 +331,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-document repeated substring spans — the exact-substring
+    * dedup signal (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): every width-`width` character window of
+    * the normalized text that appears in at least `minDocs` distinct
+    * documents, summarized per span.  The removal policy (cut the
+    * span, keep the first doc's copy) is the caller's — this operator
+    * produces the evidence.
+    *
+    * Scale shape: one explode (length − width + 1 rows per doc, the
+    * inherent cost of exact-substring analysis) into ONE hash
+    * aggregate keyed by the span md5 — uniformly distributed, map-side
+    * combined; output is only the repeated spans, never the position
+    * list.  A suffix-array formulation finds arbitrary-length repeats
+    * but needs a global sort of every suffix; fixed-width windows keep
+    * the pass embarrassingly shuffle-friendly and are how the signal
+    * is deployed in practice (pick width = the minimum span worth
+    * cutting).
+    *
+    * `portableHash = false` (default) hashes spans with xxhash64 —
+    * the fast production path; `true` uses md5 hex so a SQL oracle can
+    * mirror the hash (the correctness gate's choice; ~10x more hash
+    * cost at the same semantics).
+    *
+    * @return (span_hash, n_docs, n_occurrences, first_doc) */
+  def repeatedSpans(df: DataFrame, text: Column, id: Column,
+                    width: Int = 60, minDocs: Int = 2,
+                    portableHash: Boolean = false): DataFrame = {
+    require(width >= 1 && minDocs >= 1, s"width/minDocs must be >= 1")
+    val normed = df.select(id.as("doc_id"), TextAnalysis.normalize(text).as("norm"))
+    val cnt = length(col("norm")) - lit(width - 1)
+    val span = col("norm").substr(col("pos"), lit(width))
+    val hashed = if (portableHash) md5(span.cast(BinaryType)) else xxhash64(span)
+    normed.filter(cnt >= 1)
+      .select(col("doc_id"), col("norm"), explode(sequence(lit(1), cnt)).as("pos"))
+      .select(col("doc_id"), hashed.as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occurrences"),
+           min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Connected components of the near-dup pair graph by iterative
     * min-label propagation: every node starts labeled with its own id;
     * each round a node takes the minimum label among itself and its

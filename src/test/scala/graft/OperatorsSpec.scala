@@ -264,6 +264,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("repeatedSpans finds exactly the shared windows") {
+    // docs 1 and 2 share a 30-char run ("the common shared span here x2"
+    // normalized); doc 3 is disjoint
+    val shared = "the common shared span here xyz"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"other beginning $shared different tail"),
+      (3L, "completely unrelated text with nothing repeated at all here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, col("text"), col("doc_id"),
+        width = 20, minDocs = 2, portableHash = true)
+      .collect()
+    assert(spans.nonEmpty, "shared windows must be reported")
+    // every reported span is in both docs 1 and 2 -> first_doc = 1
+    assert(spans.forall(r => r.getLong(1) == 2L && r.getLong(3) == 1L))
+    // exactly the sliding windows inside the shared run appear in both;
+    // the run is bounded by identical spaces on each side, so the
+    // effective common run is 1 + 31 + 1 = 33 chars -> 14 windows
+    assert(spans.length == 14, s"expected 14 shared windows, got ${spans.length}")
+    // a doc repeating a span internally does NOT cross the minDocs bar
+    val selfRep = Seq((9L, ("zz " * 30) + "unique")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(selfRep, col("text"), col("doc_id"),
+      width = 10, minDocs = 2).count() == 0L)
+    // fast xxhash64 path groups identically to the portable md5 path
+    val fast = Dedup.repeatedSpans(docs, col("text"), col("doc_id"), 20, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val portable = spans.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(fast == portable)
+  }
+
   test("connectedComponents: chain, clique, singleton, pair-only node") {
     // chain 1-2-3 (transitive: 1~3 never a pair), clique 10-11-12,
     // singleton 20, and node 30 appearing ONLY in pairs (not in nodes)
