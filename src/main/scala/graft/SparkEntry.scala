@@ -1233,6 +1233,9 @@ object SparkEntry {
         |round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_token_ratio
         |FROM g1 GROUP BY doc_id""".stripMargin.replace("\n", " "),
 
+    // mirrors kmeansFit's empty-cell contract too: a centroid that
+    // loses every member keeps its previous position (c1's UNION ALL
+    // fallback) and reports n_members = 0 (the `kept` branch)
     "q72_kmeans" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c0 AS (SELECT vec_id AS cid, v AS cv FROM v
@@ -1243,15 +1246,21 @@ object SparkEntry {
         |s1 AS (SELECT cid, i, avg(x) AS m FROM
         |(SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i FROM a1 WHERE rn = 1)
         |GROUP BY cid, i),
-        |c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM s1 GROUP BY cid),
+        |c1m AS (SELECT cid, list(m ORDER BY i) AS cv FROM s1 GROUP BY cid),
+        |c1 AS (SELECT cid, cv FROM c1m UNION ALL
+        |SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cid FROM c1m)),
         |a2 AS (SELECT vec_id, v, cid,
         |row_number() OVER (PARTITION BY vec_id ORDER BY list_distance(v, cv), cid) AS rn
         |FROM v CROSS JOIN c1),
         |s2 AS (SELECT cid, i, avg(x) AS m, count(*) AS n FROM
         |(SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i FROM a2 WHERE rn = 1)
-        |GROUP BY cid, i)
-        |SELECT cid AS centroid_id, i AS dim, round(m, 6) AS coord, n AS n_members
-        |FROM s2""".stripMargin.replace("\n", " "),
+        |GROUP BY cid, i),
+        |out2 AS (SELECT cid AS centroid_id, i AS dim, round(m, 6) AS coord, n AS n_members FROM s2),
+        |kept AS (SELECT cid AS centroid_id, i AS dim, round(x, 6) AS coord,
+        |CAST(0 AS BIGINT) AS n_members
+        |FROM (SELECT cid, unnest(cv) AS x, unnest(range(len(cv))) AS i FROM c1
+        |WHERE cid NOT IN (SELECT DISTINCT cid FROM s2)))
+        |SELECT * FROM out2 UNION ALL SELECT * FROM kept""".stripMargin.replace("\n", " "),
 
     "q75_mean_pool" ->
       """SELECT CAST(label AS BIGINT) AS group_id, i AS dim, round(avg(x), 6) AS coord,
@@ -1260,10 +1269,23 @@ object SparkEntry {
         |unnest(range(len(embedding))) AS i FROM embeddings WHERE embedding IS NOT NULL)
         |GROUP BY label, i""".stripMargin.replace("\n", " "),
 
+    // mirrors Quantiles.exact's Percentile.getPercentile arithmetic —
+    // the weighted-average form ((hi-pos)*vlo + (pos-flo)*vhi), NOT
+    // quantile_cont's lo + frac*(hi-lo): they differ in the last ulp,
+    // and a threshold over integer n_chars flips row membership on it
     "q78_quantile_gate" ->
-      """SELECT doc_id, n_chars FROM documents
-        |WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.1) FROM documents)
-        |AND n_chars <= (SELECT quantile_cont(n_chars, 0.9) FROM documents)""".stripMargin.replace("\n", " "),
+      """WITH ordv AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |row_number() OVER (ORDER BY n_chars) - 1 AS rk FROM documents),
+        |cnt AS (SELECT count(*) AS n FROM documents),
+        |pp AS (SELECT unnest([0.1, 0.9]) AS p, unnest([0.1, 0.9]) * (n - 1) AS pos FROM cnt),
+        |th AS (SELECT p, CASE WHEN flo = chi THEN vlo
+        |ELSE (chi - pos) * vlo + (pos - flo) * vhi END AS t
+        |FROM (SELECT p, pos, floor(pos)::BIGINT AS flo, ceil(pos)::BIGINT AS chi,
+        |(SELECT v FROM ordv WHERE rk = floor(pos)::BIGINT) AS vlo,
+        |(SELECT v FROM ordv WHERE rk = ceil(pos)::BIGINT) AS vhi FROM pp))
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars >= (SELECT t FROM th WHERE p = 0.1)
+        |AND n_chars <= (SELECT t FROM th WHERE p = 0.9)""".stripMargin.replace("\n", " "),
 
     "q79_repeated_spans" ->
       """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),

@@ -134,8 +134,8 @@ object Dedup {
     * against it with [[minhashLshAgainstIndex]] — the historical
     * corpus text is never re-read, only its (id, signature, band key)
     * rows.  Geometry (shingleSize/bands/rowsPerBand) must match
-    * between index and query — enforced by carrying the signature
-    * length through. */
+    * between index and query; [[minhashLshAgainstIndex]] fails fast on
+    * the first joined row whose signature lengths disagree. */
   def minhashBandIndex(df: DataFrame, text: Column, id: Column,
                        shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
     mhBanded(df, text, id, shingleSize, bands, rowsPerBand)
@@ -156,9 +156,19 @@ object Dedup {
     b.join(index, Seq("band_key"))
       .select(col("doc_id").as("batch_id"), col("index_id"),
         col("sig"), col("index_sig"))
+      // geometry guard: a mismatched index (different k) would survive
+      // the band join only on hash coincidence and then divide a
+      // min-length agree count by the wrong k — silently near-empty
+      // WRONG results.  Fail loudly on the first joined row instead;
+      // the assert is folded INTO the kept expression (a standalone
+      // dropped column would be pruned and never evaluate).
       .withColumn("est_jaccard",
-        round(graft.functions.VectorSim.agreeCount(col("sig"), col("index_sig"))
-          .cast(DoubleType) / lit(bands * rowsPerBand), 6))
+        when(assert_true(size(col("sig")) === size(col("index_sig")),
+            lit(s"minhash index geometry mismatch: batch k=${bands * rowsPerBand} " +
+              "!= index signature length — rebuild the index with the same " +
+              "shingleSize/bands/rowsPerBand")).isNull,
+          round(graft.functions.VectorSim.agreeCount(col("sig"), col("index_sig"))
+            .cast(DoubleType) / lit(bands * rowsPerBand), 6)))
       .select(col("batch_id"), col("index_id"), col("est_jaccard"))
       .distinct()
   }
@@ -226,7 +236,7 @@ object Dedup {
     */
   def simhashNearDup(df: DataFrame, text: Column, id: Column,
                      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    require(bands >= 2 && 64 % bands == 0,
+    require(bands >= 2 && bands <= 32 && 64 % bands == 0,
       s"bands must be a divisor of 64 in [2, 32], got $bands")
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val width = 64 / bands
@@ -260,8 +270,9 @@ object Dedup {
     * geometry. */
   def embeddingNearDup(corpus: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.95, planes: Int = 0,
-                       tables: Int = 2): DataFrame =
-    Similarity.lshPairs(corpus, idCol, vecCol, planes = planes, tables = tables)
+                       tables: Int = 2, corpusCount: Long = -1L): DataFrame =
+    Similarity.lshPairs(corpus, idCol, vecCol, planes = planes, tables = tables,
+        corpusCount = corpusCount)
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
 
@@ -352,7 +363,12 @@ object Dedup {
     * `portableHash = false` (default) hashes spans with xxhash64 —
     * the fast production path; `true` uses md5 hex so a SQL oracle can
     * mirror the hash (the correctness gate's choice; ~10x more hash
-    * cost at the same semantics).
+    * cost at the same semantics).  COLLISION BOUND: with a 64-bit
+    * hash, false merges become likely past the birthday bound (~10⁹
+    * distinct windows, i.e. a few TB of text); beyond that use
+    * `portableHash = true` — md5's 128 bits push the bound past any
+    * real corpus — since a collision here manufactures dedup evidence
+    * that the hash-only output cannot reveal.
     *
     * @return (span_hash, n_docs, n_occurrences, first_doc) */
   def repeatedSpans(df: DataFrame, text: Column, id: Column,
@@ -455,6 +471,14 @@ object Dedup {
         labels = jumped.select(col("node"), col("c3").as("comp"))
         iter += 1
       }
+      // returning a half-propagated labeling would silently split real
+      // clusters (and keepComponentWinners would then keep duplicate
+      // docs) — refuse instead.  With pointer jumping, rounds scale
+      // with log(diameter), so the default 50 covers any real graph.
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
+            "raise maxIter (rounds needed ~ log2 of the graph diameter)")
       labels.select(col("node"), col("comp").as("component"))
     } finally { edges.unpersist(); p0.unpersist(); () }
   }
@@ -495,8 +519,9 @@ object Dedup {
     * Composes the scale-shaped pieces above: candidate generation reads
     * the corpus once, verification cost is proportional to candidates,
     * clustering shuffles only (id, label) rows, and the final keep is a
-    * semi join. */
-  /** `keepBy` selects the canonical row per cluster (e.g.
+    * semi join.
+    *
+    * `keepBy` selects the canonical row per cluster (e.g.
     * `Seq(length(col("text")).desc)` keeps the longest); empty (the
     * default) keeps the min id via the cheaper semi join. */
   def nearDedupCorpus(df: DataFrame, text: Column, id: Column,

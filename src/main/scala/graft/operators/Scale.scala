@@ -89,18 +89,27 @@ object Scale {
   def capPerKey(df: DataFrame, key: String, id: Column, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val withOrd = df
-      .withColumn("_cap_ord",
-        conv(substring(md5(id.cast(org.apache.spark.sql.types.StringType)), 1, 12), 16, 10)
-          .cast(org.apache.spark.sql.types.LongType))
+      .withColumn("_cap_ord", md5Key(id, 12))
       .withColumn("_cap_id", id)
     graft.plans.TopK.perKeyOrdered(withOrd, Seq(key),
         Seq("_cap_ord" -> false, "_cap_id" -> false), n)
       .drop("_cap_ord", "_cap_id")
   }
 
-  private def hashBucket(id: Column): Column =
-    conv(substring(md5(id.cast(org.apache.spark.sql.types.StringType)), 1, 6), 16, 10)
-      .cast(org.apache.spark.sql.types.LongType) % 1000
+  /** The shared md5-prefix key: first `hexChars` hex digits of
+    * md5(id as string) as a long.  ONE definition for every
+    * deterministic-hash contract in the engine (sampling buckets,
+    * per-key cap ordering, k-means seed order) so the SQL-oracle
+    * mirrors — `('0x' || substr(md5(...), 1, N))::BIGINT` — can never
+    * drift from a stray local copy.  `hexChars` ≤ 15 keeps the value
+    * inside a signed long. */
+  private[operators] def md5Key(id: Column, hexChars: Int): Column = {
+    require(hexChars >= 1 && hexChars <= 15, s"hexChars in [1,15], got $hexChars")
+    conv(substring(md5(id.cast(org.apache.spark.sql.types.StringType)), 1, hexChars), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+  }
+
+  private def hashBucket(id: Column): Column = md5Key(id, 6) % 1000
 
   /** Write a table bucketed+sorted by join keys so subsequent equi
     * joins on those keys are exchange-free (co-located).  Bucket count

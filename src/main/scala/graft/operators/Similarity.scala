@@ -87,9 +87,14 @@ object Similarity {
 
   /** planes <= 0 (the defaults) derives the plane count from a corpus
     * count so bucket population stays bounded at any scale; an explicit
-    * positive value pins the geometry exactly (the snapshot gates do). */
-  private def resolvePlanes(corpus: DataFrame, planes: Int): Int =
-    if (planes > 0) planes else planesFor(corpus.count())
+    * positive value pins the geometry exactly (the snapshot gates do).
+    * The count job re-executes the corpus' upstream plan — callers who
+    * already know the size (or whose corpus is an expensive derived
+    * frame, or a stream, where count() is illegal) pass it via
+    * `corpusCount` and pay nothing. */
+  private def resolvePlanes(corpus: DataFrame, planes: Int, knownCount: Long): Int =
+    if (planes > 0) planes
+    else planesFor(if (knownCount > 0) knownCount else corpus.count())
 
   /** LSH-bucketed ANN: score only pairs sharing a signature cell.
     * One shuffle on the signature; bucket sizes ~ n / 2^planes keep the
@@ -101,13 +106,13 @@ object Similarity {
     * scale, one extra count job); pass a positive value to pin the
     * geometry. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, planes: Int = 0): DataFrame = {
+              k: Int, planes: Int = 0, corpusCount: Long = -1L): DataFrame = {
     // embedding dimensionality from one NON-NULL row (tiny driver-side
     // probe); an all-null/empty corpus has no pairs to rank
     val dim = probeDim(corpus, vecCol).getOrElse(
       return corpus.select(col(idCol).as("probe_id"), col(idCol).as("corpus_id"),
         lit(0.0).as("cos_sim"), lit(0).as("rank")).limit(0))
-    val nPlanes = resolvePlanes(corpus, planes)
+    val nPlanes = resolvePlanes(corpus, planes, corpusCount)
     val sig = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("sig", lshSignature(col("v"), nPlanes, dim))
     val a = sig.select(col("sig"), col("vid").as("probe_id"), col("v").as("pvec"))
@@ -152,12 +157,12 @@ object Similarity {
     * quadratic intra-bucket expansion — stays bounded when the corpus
     * grows; pass a positive value to pin the geometry. */
   def lshPairs(corpus: DataFrame, idCol: String, vecCol: String,
-               planes: Int = 0, tables: Int = 2): DataFrame = {
+               planes: Int = 0, tables: Int = 2, corpusCount: Long = -1L): DataFrame = {
     // empty / all-null corpus: no row to probe dimensionality from —
     // return an empty pair frame (with the REAL id dtype) instead of
     // throwing at plan-build time
     val dim = probeDim(corpus, vecCol).getOrElse(return emptyPairFrame(corpus, idCol))
-    val nPlanes = resolvePlanes(corpus, planes)
+    val nPlanes = resolvePlanes(corpus, planes, corpusCount)
     val v = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val perTable = (0 until tables).map { tbl =>
       // identical projections on both sides -> the signature shuffle
@@ -282,8 +287,7 @@ object Similarity {
       .filter(col("v").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     try {
-      val seedKey = conv(substring(md5(col("vid").cast(StringType)), 1, 6), 16, 10)
-        .cast(LongType)
+      val seedKey = Scale.md5Key(col("vid"), 6)
       var cents: Seq[(Long, Seq[Double])] = v
         .orderBy(seedKey.asc, col("vid").asc).limit(k)
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList

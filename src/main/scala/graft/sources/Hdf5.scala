@@ -79,7 +79,10 @@ object Hdf5 {
   }
   final case class ArrayOf(base: Dtype, dims: Seq[Int]) extends Dtype {
     val size: Int = base.size * dims.product
-    def sparkType: DataType = ArrayType(base.sparkType, containsNull = false)
+    // enum elements decode unknown codes to null — the array schema
+    // must admit that, or row conversion throws on the first bad code
+    def sparkType: DataType =
+      ArrayType(base.sparkType, containsNull = base.isInstanceOf[EnumOf])
   }
   final case class Member(name: String, offset: Int, dtype: Dtype)
   final case class Compound(members: Seq[Member], size: Int) extends Dtype {
@@ -1075,7 +1078,11 @@ object Hdf5 {
     val schema = StructType(cols.map { c =>
       val t = c.dtype.sparkType
       // a 2-D columnar dataset (n, m) is an array column of width m
-      val full = if (c.dims.length > 1) ArrayType(t, containsNull = false) else t
+      // (nullable elements when the dtype is an enum — unknown codes
+      // decode to null)
+      val full =
+        if (c.dims.length > 1) ArrayType(t, containsNull = c.dtype.isInstanceOf[EnumOf])
+        else t
       StructField(c.path, full)
     })
     val tableRowBytes = cols.map { c =>

@@ -165,9 +165,15 @@ object StreamingDedup {
       .select(col("doc_id"), col("sig"), explode(bandsUdf(col("sig"))).as("band_key"))
       .join(index, Seq("band_key"))
       .filter(col("doc_id") =!= col("index_id"))
+      // same fail-fast geometry guard as the batch operator (folded
+      // into the kept expression so column pruning can't drop it)
       .select(col("doc_id"), col("index_id").as("dup_of"),
-        round(graft.functions.VectorSim.agreeCount(col("sig"), col("index_sig"))
-          .cast("double") / lit(k), 6).as("est_jaccard"))
+        when(assert_true(size(col("sig")) === size(col("index_sig")),
+            lit(s"minhash index geometry mismatch: stream k=$k != index " +
+              "signature length — rebuild the index with the same " +
+              "shingleSize/bands/rowsPerBand")).isNull,
+          round(graft.functions.VectorSim.agreeCount(col("sig"), col("index_sig"))
+            .cast("double") / lit(k), 6)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 }

@@ -356,6 +356,22 @@ class DedupSpec extends SparkSpec {
       s"batch copy of doc 7 must match its original, got ${hits.toSeq}")
   }
 
+  test("minhashLshAgainstIndex fails fast when index signature length mismatches") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // real band keys, truncated signatures: the join matches but the
+    // geometry differs — exactly the silent-wrong-results case the
+    // guard must turn into a loud error
+    val badIndex = Dedup.minhashBandIndex(docs, col("text"), col("doc_id"))
+      .withColumn("index_sig", slice(col("index_sig"), 1, 16))
+    val ex = intercept[Exception] {
+      Dedup.minhashLshAgainstIndex(docs, col("text"), col("doc_id"), badIndex).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("geometry mismatch")),
+      s"expected the geometry guard, got: $ex")
+  }
+
   test("keepComponentWinnersBy keeps the longest doc per cluster") {
     val docs = Seq(
       (1L, "a b"), (2L, "a b c d e"), (3L, "a b c"), // one cluster, 2 is longest
@@ -410,6 +426,22 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert(fit.length == 2, "k clamps to the corpus size")
     assert(fit.map(_.getLong(2)).sum == 2L)
+  }
+
+  test("kmeansFit empty cell keeps its previous centroid with n_members 0") {
+    // three identical vectors, k=2: ties break to the lowest centroid
+    // id, so the other seed's cell empties in round 1 and must survive
+    // at its initial position with zero members (the contract the q72
+    // oracle's UNION ALL fallback mirrors)
+    val df = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f)),
+      (3L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val fit = Similarity.kmeansFit(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
+    assert(fit.size == 2)
+    val (winner, loser) = (fit.minBy(_._1), fit.maxBy(_._1))
+    assert(winner._2._2 == 3L, s"lowest cid takes all on ties: $fit")
+    assert(loser._2._2 == 0L, s"empty cell must report 0 members: $fit")
+    assert(loser._2._1 == Seq(1.0, 2.0), "empty cell keeps its seed position")
   }
 }
 
