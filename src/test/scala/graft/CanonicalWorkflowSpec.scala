@@ -52,4 +52,46 @@ class CanonicalWorkflowSpec extends SparkSpec {
     val normed = facets.facets.head._2.normalized("count", "log")
     assert(normed.data.nonEmpty)
   }
+
+  test("training-corpus slice: sample -> gate -> near-dedup clusters -> cap -> pack -> vocab") {
+    // the round-5 pipeline surface composed end to end on the real
+    // sf0.001 corpus: every stage is the operator a 100 TB run would
+    // use, and each invariant below would catch a composition break
+    import graft.operators.{Dedup, Packing, Scale, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val total = docs.count()
+
+    // deterministic subsample + quality/repetition gate
+    val sampled = Scale.sampleByHash(docs, col("doc_id"), 900)
+    val rep = TextAnalysis.repetitionSignals(sampled, col("doc_id"), col("text"))
+      .filter(col("dup_token_ratio") < 0.95)
+      .select(col("doc_id").as("rid"))
+    val gated = sampled.join(rep, col("doc_id") === col("rid"), "left_semi")
+    assert(gated.count() > 0 && gated.count() <= total)
+
+    // near-dup pairs -> transitive clusters -> keep longest per cluster
+    val deduped = Dedup.nearDedupCorpus(gated, col("text"), col("doc_id"),
+      minJaccard = 0.5, keepBy = Seq(length(col("text")).desc))
+    val nDeduped = deduped.count()
+    assert(nDeduped > 0 && nDeduped <= gated.count())
+
+    // per-source cap, then pack into 512-token bins (a doc lands in
+    // the bin of its starting offset, so a bin can overshoot by at
+    // most one document's tokens minus one)
+    val capped = Scale.capPerKey(deduped, "source", col("doc_id"), n = 20)
+    val packed = Packing.sequentialBins(capped, col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), budget = 512L)
+    val binTotals = packed.groupBy(col("bin_id"))
+      .agg(sum(col("pack_weight")).as("tok")).collect().map(_.getLong(1))
+    val maxDoc = packed.agg(max(col("pack_weight"))).head().getLong(0)
+    assert(binTotals.nonEmpty)
+    assert(binTotals.forall(_ <= 512L + maxDoc - 1),
+      "bins bounded by budget plus one straddling document")
+    assert(binTotals.sum == packed.agg(sum(col("pack_weight"))).head().getLong(0))
+
+    // corpus vocabulary off the final kept set
+    val vocab = TextAnalysis.topTerms(capped, col("text"), k = 10).collect()
+    assert(vocab.length == 10)
+    assert(vocab.map(_.getLong(1)).toSeq == vocab.map(_.getLong(1)).sortBy(-_).toSeq)
+  }
 }
