@@ -110,6 +110,30 @@ class PlanSpec extends SparkSpec {
       s"sampling should be a pure filter:\n$plan")
   }
 
+  test("repeated spans: one generate, two-level distinct agg, two exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.Dedup.repeatedSpans(
+      docs, col("text"), col("doc_id")))
+    assert(plan.linesIterator.count(_.contains("Generate")) == 1,
+      s"expected a single explode:\n$plan")
+    // count(distinct doc_id) plans as a (hash, doc_id) partial level
+    // then the hash level — exactly two exchanges, both behind
+    // map-side partial aggregation
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"unexpected exchange count:\n$plan")
+    assert(plan.contains("partial_count"), s"map-side combine missing:\n$plan")
+  }
+
+  test("capPerKey bounds rows below the shuffle via the partial TopKPerKey") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.Scale.capPerKey(
+      docs, "source", col("doc_id"), 5))
+    assert(plan.linesIterator.count(_.contains("TopKPerKey")) == 2,
+      s"expected partial+final TopKPerKey instances:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly the key exchange:\n$plan")
+  }
+
   test("contamination broadcasts the bench side; the corpus never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bench = docs.filter(col("doc_id") % 97 === 0)
