@@ -797,6 +797,28 @@ object SparkEntry {
         portableHash = true)
     }),
 
+    // M6 corpus snapshot diff (dataset versioning): synthesize a new
+    // generation (removals, text revisions, additions) and classify
+    // every doc by fingerprint — added/removed/changed/unchanged
+    "q80_corpus_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val newGen = d.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" revised"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.corpusDiff(d, newGen, col("doc_id"), col("text"))
+    }),
+
+    // M6 quality-weighted deterministic sampling: keep probability
+    // proportional to doc length (capped at 1) — no RNG, stable rows
+    "q81_weighted_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.operators.Scale.sampleByWeight(d, col("doc_id"),
+          least(lit(1.0), col("n_chars").cast(DoubleType) / 400.0))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1286,6 +1308,27 @@ object SparkEntry {
         |SELECT doc_id, n_chars FROM documents
         |WHERE n_chars >= (SELECT t FROM th WHERE p = 0.1)
         |AND n_chars <= (SELECT t FROM th WHERE p = 0.9)""".stripMargin.replace("\n", " "),
+
+    "q80_corpus_diff" -> {
+      val fp = "md5(trim(regexp_replace(regexp_replace(lower(text)," +
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+      s"""WITH newg AS (
+         |SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' revised' ELSE text END AS text
+         |FROM documents WHERE doc_id % 17 <> 0
+         |UNION ALL
+         |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 19 = 0),
+         |ofp AS (SELECT doc_id, $fp AS fp FROM documents),
+         |nfp AS (SELECT doc_id, $fp AS fp FROM newg)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |CASE WHEN o.fp IS NULL THEN 'added' WHEN n.fp IS NULL THEN 'removed'
+         |WHEN o.fp = n.fp THEN 'unchanged' ELSE 'changed' END AS status
+         |FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id""".stripMargin.replace("\n", " ")
+    },
+
+    "q81_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000 AS DOUBLE)
+        |< greatest(0.0, least(1.0, CAST(n_chars AS DOUBLE) / 400.0)) * 1000.0""".stripMargin.replace("\n", " "),
 
     "q79_repeated_spans" ->
       """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),

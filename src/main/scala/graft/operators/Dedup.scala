@@ -342,6 +342,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Snapshot diff for dataset versioning: classify every document as
+    * added / removed / changed / unchanged between two corpus
+    * generations by content fingerprint (normalized md5) — the audit a
+    * training-data pipeline runs between crawls before deciding what
+    * to re-process.  One fingerprint projection per side (computed in
+    * the scan stage) and a single full outer join on the id; row text
+    * never crosses the shuffle, only (id, 32-byte fingerprint).
+    *
+    * @return (doc_id, status) with status in
+    *         {added, removed, changed, unchanged} */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, id: Column, text: Column): DataFrame = {
+    val o = oldDf.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("old_fp"))
+    val n = newDf.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed"))
+      .select(col("doc_id"), col("status"))
+  }
+
   /** Cross-document repeated substring spans — the exact-substring
     * dedup signal (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better"): every width-`width` character window of

@@ -78,6 +78,19 @@ object Scale {
     df.filter(hashBucket(id) < rate)
   }
 
+  /** Deterministic WEIGHTED sampling: keep each row with probability
+    * `keepProb` (a per-row Column in [0, 1], e.g. a quality score) —
+    * quality-proportional downsampling with the same md5-bucket
+    * stability contract as [[sampleByHash]]: no RNG, membership
+    * per-row stable under reruns, partitioning, and corpus growth.
+    * Still a pure scan-stage filter.  keepProb is clamped to [0, 1]
+    * (out-of-range scores behave as certain-keep / certain-drop, not
+    * as an error at row 10⁹). */
+  def sampleByWeight(df: DataFrame, id: Column, keepProb: Column): DataFrame = {
+    val p = greatest(lit(0.0), least(lit(1.0), keepProb.cast(org.apache.spark.sql.types.DoubleType)))
+    df.filter(hashBucket(id).cast(org.apache.spark.sql.types.DoubleType) < p * 1000.0)
+  }
+
   /** Cap rows per key — the corpus-bias control ("at most n documents
     * per domain").  The pick is deterministic: rows rank by the
     * md5-bucket of their id (a seedless stable "random" order, same

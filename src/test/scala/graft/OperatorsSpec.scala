@@ -294,6 +294,21 @@ class DedupSpec extends SparkSpec {
     assert(fast == portable)
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    val oldGen = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
+      .toDF("doc_id", "text")
+    val newGen = Seq((1L, "alpha text"), (2L, "beta REVISED"), (4L, "delta text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(oldGen, newGen, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // fingerprint semantics: punctuation/case-only edits are unchanged
+    val fuzz = Dedup.corpusDiff(oldGen,
+        Seq((1L, "ALPHA, text!")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fuzz(1L) == "unchanged")
+  }
+
   test("connectedComponents: chain, clique, singleton, pair-only node") {
     // chain 1-2-3 (transitive: 1~3 never a pair), clique 10-11-12,
     // singleton 20, and node 30 appearing ONLY in pairs (not in nodes)

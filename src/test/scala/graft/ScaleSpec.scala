@@ -97,6 +97,22 @@ class ScaleSpec extends SparkSpec {
     assert(viaStrat == viaPlain)
   }
 
+  test("sampleByWeight: constant weight equals sampleByHash, clamped, monotone") {
+    val df = spark.range(0, 2000).toDF("id")
+    // constant p = 0.3 must select exactly the permille-300 sample
+    val w = Scale.sampleByWeight(df, col("id"), lit(0.3))
+      .collect().map(_.getLong(0)).toSet
+    val h = Scale.sampleByHash(df, col("id"), 300)
+      .collect().map(_.getLong(0)).toSet
+    assert(w == h)
+    // clamping: p > 1 keeps everything, p < 0 keeps nothing
+    assert(Scale.sampleByWeight(df, col("id"), lit(7.5)).count() == 2000L)
+    assert(Scale.sampleByWeight(df, col("id"), lit(-1.0)).count() == 0L)
+    // monotone: a row kept at p is kept at any p' >= p
+    val lo = Scale.sampleByWeight(df, col("id"), lit(0.2)).collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(w))
+  }
+
   test("capPerKey equals the window formulation and binds the cap") {
     val df = spark.range(0, 500).toDF("id")
       .withColumn("grp", (col("id") % 7).cast("string"))
