@@ -57,4 +57,47 @@ object Pipeline {
            sum(col("chunk_tokens")).as("sum_tokens"),
            min(col("doc_id")).as("first_doc"))
   }
+
+  /** [[pretrainCorpus]] with OBSERVABILITY: the same single plan, with
+    * `CollectMetrics` (df.observe) nodes riding the stage boundaries
+    * so one execution reports how many documents survived the quality
+    * gate and the dedup, and how many chunks/tokens were packed — at
+    * 100 TB an extra count() per stage would re-run the whole
+    * upstream plan; observed metrics are aggregated by the existing
+    * tasks for free.
+    *
+    * Usage: run ONE action on the result, then read
+    * `df.queryExecution.observedMetrics` — a Map of
+    * "gate" → [n_gated], "dedup" → [n_deduped],
+    * "chunks" → [n_chunks, n_tokens] Rows FROM THAT execution.
+    * (Listener-style `Observation` objects are deliberately not used:
+    * the packing stage bootstraps its bucket offsets with small
+    * internal queries over the same plan, and a listener hands back
+    * whichever execution finishes first — the per-execution
+    * observedMetrics map is the authoritative read.) */
+  def pretrainCorpusObserved(docs: DataFrame, id: Column, text: Column,
+                             minTokens: Long = 50, maxPunctRatio: Double = 0.1,
+                             width: Int = 500, stride: Int = 400,
+                             budget: Long = 512): DataFrame = {
+    val sig = TextAnalysis.qualitySignals(text).toMap
+    val clean = docs
+      .filter(sig("n_tokens") >= minTokens && sig("punct_ratio") <= maxPunctRatio)
+      .select(id.as("doc_id"), TextAnalysis.scrubPii(text).as("text"))
+      .observe("gate", count(lit(1)).as("n_gated"))
+    val deduped = Dedup.deduplicated(clean, col("text"), col("doc_id"))
+      .observe("dedup", count(lit(1)).as("n_deduped"))
+    val chunks = Chunking.chunk(deduped, col("doc_id"), col("text"), width, stride)
+      .withColumn("chunk_tokens", TextAnalysis.tokenCount(col("chunk_text")))
+      .observe("chunks", count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("n_tokens"))
+    val keyed = chunks.withColumn("pack_order",
+      col("doc_id") * (1L << ChunkKeyShift) + col("chunk_id"))
+    val binned = Packing.sequentialBins(
+      keyed, col("pack_order"), col("chunk_tokens"), budget)
+    binned.groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           count_distinct(col("doc_id")).as("n_docs"),
+           sum(col("chunk_tokens")).as("sum_tokens"),
+           min(col("doc_id")).as("first_doc"))
+  }
 }

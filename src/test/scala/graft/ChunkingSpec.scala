@@ -87,4 +87,27 @@ class PipelineSpec extends SparkSpec {
     assert(chunks.filter(col("chunk_text").contains("@")).count() == 0)
     assert(chunks.filter(col("chunk_text").contains("<EMAIL>")).count() >= 1)
   }
+
+  test("observed pipeline: same result, stage counters ride the one plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Pipeline.pretrainCorpusObserved(docs, col("doc_id"), col("text"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+    val plain = Pipeline.pretrainCorpus(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(rows == plain, "observe nodes must not change the result")
+    // counters agree with independently computed stage counts
+    val m = out.queryExecution.observedMetrics
+    val sig = graft.operators.TextAnalysis.qualitySignals(col("text")).toMap
+    val nGated = docs.filter(sig("n_tokens") >= 50 && sig("punct_ratio") <= 0.1).count()
+    assert(m("gate").getAs[Long]("n_gated") == nGated)
+    val nDeduped = m("dedup").getAs[Long]("n_deduped")
+    assert(nDeduped > 0 && nDeduped <= nGated)
+    val nChunks = m("chunks").getAs[Long]("n_chunks")
+    assert(nChunks >= nDeduped, "every surviving doc yields at least one chunk")
+    assert(rows.toSeq.map(_._2).sum == nChunks, "packed chunks are exactly the observed chunks")
+    assert(m("chunks").getAs[Long]("n_tokens") ==
+      rows.toSeq.map(_._4).sum, "token totals conserved through packing")
+  }
 }
