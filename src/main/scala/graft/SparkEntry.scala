@@ -819,6 +819,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // M6 per-language tail trim: keep each lang's own [p10, p90]
+    // percent_rank band of n_chars (rank-based, no float hazard)
+    "q82_quantile_gate_grouped" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.operators.Quantiles.filterByQuantilePerGroup(
+          d, col("lang"), col("n_chars"), 0.1, 0.9)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1308,6 +1317,12 @@ object SparkEntry {
         |SELECT doc_id, n_chars FROM documents
         |WHERE n_chars >= (SELECT t FROM th WHERE p = 0.1)
         |AND n_chars <= (SELECT t FROM th WHERE p = 0.9)""".stripMargin.replace("\n", " "),
+
+    "q82_quantile_gate_grouped" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr FROM documents)
+        |SELECT doc_id, lang, n_chars FROM r
+        |WHERE pr >= 0.1 AND pr <= 0.9""".stripMargin.replace("\n", " "),
 
     "q80_corpus_diff" -> {
       val fp = "md5(trim(regexp_replace(regexp_replace(lower(text)," +

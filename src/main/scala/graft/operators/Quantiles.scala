@@ -80,4 +80,21 @@ object Quantiles {
     val Seq(lo, hi) = exact(df, c, Seq(pLo, pHi))
     df.filter(c.cast(DoubleType) >= lo && c.cast(DoubleType) <= hi)
   }
+
+  /** Per-GROUP tail trim: keep rows whose `c` sits inside the
+    * [pLo, pHi] percent_rank band WITHIN its group — "drop each
+    * language's own length tails", where a global threshold would
+    * gut low-resource groups whose distribution differs.  Rank-based
+    * (percent_rank = (rank-1)/(n-1), ties share a rank) rather than
+    * interpolated, so membership is exact integer arithmetic — no
+    * cross-engine float hazard.  One partitioned window (shuffle on
+    * the group key); a single-row group has percent_rank 0. */
+  def filterByQuantilePerGroup(df: DataFrame, group: Column, c: Column,
+                               pLo: Double, pHi: Double): DataFrame = {
+    require(pLo <= pHi, s"pLo must be <= pHi, got $pLo > $pHi")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(group).orderBy(c.asc)
+    df.withColumn("_pr", percent_rank().over(w))
+      .filter(col("_pr") >= pLo && col("_pr") <= pHi)
+      .drop("_pr")
+  }
 }

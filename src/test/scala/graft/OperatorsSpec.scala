@@ -435,6 +435,26 @@ class DedupSpec extends SparkSpec {
     assert(med == Set(50L))
   }
 
+  test("filterByQuantilePerGroup trims each group's own tails") {
+    val df = ((0 until 100).map(i => ("a", i)) ++ (0 until 10).map(i => ("b", i * 1000)))
+      .toDF("grp", "v")
+    val kept = graft.operators.Quantiles.filterByQuantilePerGroup(
+        df, col("grp"), col("v"), 0.1, 0.9)
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val a = kept.filter(_._1 == "a").map(_._2).sorted
+    val b = kept.filter(_._1 == "b").map(_._2).sorted
+    // group a: percent_rank = i/99 -> keep ceil(9.9)=10 .. floor(89.1)=89
+    assert(a.toSeq == (10 to 89).map(identity), s"got ${a.toSeq}")
+    // group b: rank i/9 -> keep i in 1..8 (0.111.. to 0.888..)
+    assert(b.toSeq == (1 to 8).map(_ * 1000), s"got ${b.toSeq}")
+    // a single-row group has percent_rank 0: kept only when pLo == 0
+    val single = Seq(("s", 7)).toDF("grp", "v")
+    assert(graft.operators.Quantiles.filterByQuantilePerGroup(
+      single, col("grp"), col("v"), 0.0, 0.9).count() == 1L)
+    assert(graft.operators.Quantiles.filterByQuantilePerGroup(
+      single, col("grp"), col("v"), 0.1, 0.9).count() == 0L)
+  }
+
   test("kmeansFit edge cases: k exceeding corpus, single iteration") {
     val df = Seq((1L, Array(1.0f, 0f)), (2L, Array(0f, 1.0f))).toDF("vec_id", "embedding")
     val fit = Similarity.kmeansFit(df, "vec_id", "embedding", k = 5, iters = 1)
