@@ -57,8 +57,27 @@ object Fits {
 
   private def pad(n: Long): Int = ((Block - (n % Block)) % Block).toInt
 
+  /** ASCII-table (XTENSION='TABLE') column: fixed-width character
+    * field at 1-based start column `tbcol`, format like A10 / I8 /
+    * F12.4 / E15.7 / D25.17 (FITS 4.0 §7.2). */
+  final case class AsciiCol(name: String, tform: String, unit: Option[String], tbcol: Int) {
+    val (code, width): (Char, Int) = {
+      val m = "([AIFED])([0-9]+)".r.findFirstMatchIn(tform.trim)
+        .getOrElse(throw new IllegalArgumentException(s"unsupported ASCII TFORM '$tform'"))
+      (m.group(1).head, m.group(2).toInt)
+    }
+    def sparkType: DataType = code match {
+      case 'A' => StringType
+      case 'I' => LongType
+      case _   => DoubleType // F, E, D — all fixed/floating decimal text
+    }
+  }
+
   final case class TableHeader(cols: Seq[Col], nRows: Long, rowBytes: Int,
-                               dataStart: Long, header: ListMap[String, String])
+                               dataStart: Long, header: ListMap[String, String],
+                               asciiCols: Seq[AsciiCol] = Nil) {
+    def isAscii: Boolean = asciiCols.nonEmpty
+  }
 
   /** Driver-side header scan: walk HDUs until the `hdu`-th BINTABLE
     * (1-based — appended tables are addressed as hdu = 2, 3, …). */
@@ -102,30 +121,49 @@ object Fits {
           rawValue(key).map(_.stripPrefix("'").stripSuffix("'").reverse.dropWhile(_ == ' ').reverse.trim)
         val dataStart = offset + hdrBlocks.toLong * Block
         val isBintable = strValue("XTENSION").contains("BINTABLE")
+        // ASCII tables (XTENSION='TABLE') count as table HDUs too —
+        // astropy reads both transparently, so the hdu index must see
+        // them (a file whose first table is ASCII would otherwise be
+        // unaddressable)
+        val isAsciiTable = strValue("XTENSION").contains("TABLE") && !isBintable
         val naxis1 = value("NAXIS1").map(_.toInt).getOrElse(0)
         val naxis2 = value("NAXIS2").map(_.toLong).getOrElse(0L)
-        if (isBintable && { seen += 1; seen == hdu }) {
+        if ((isBintable || isAsciiTable) && { seen += 1; seen == hdu }) {
           val nFields = value("TFIELDS").map(_.toInt).getOrElse(0)
-          val cols = (1 to nFields).map { i =>
-            Col(
-              strValue(s"TTYPE$i").getOrElse(s"col$i"),
-              strValue(s"TFORM$i").getOrElse(throw new IllegalArgumentException(s"missing TFORM$i")),
-              strValue(s"TUNIT$i"))
-          }
           val meta = cards
-            .filter(c => !c.startsWith("TTYPE") && !c.startsWith("TFORM") && !c.startsWith("TUNIT"))
+            .filter(c => !c.startsWith("TTYPE") && !c.startsWith("TFORM") &&
+              !c.startsWith("TUNIT") && !c.startsWith("TBCOL"))
             .flatMap { c =>
               val key = c.take(8).trim
               if (Set("XTENSION", "BITPIX", "NAXIS", "NAXIS1", "NAXIS2", "PCOUNT",
                 "GCOUNT", "TFIELDS", "SIMPLE", "EXTEND", "COMMENT", "").contains(key)) None
               else strValue(key).orElse(Some(c.drop(10).split("/")(0).trim)).map(key -> _)
             }
-          result = Some(TableHeader(cols, naxis2, naxis1, dataStart, ListMap(meta.toSeq: _*)))
+          if (isAsciiTable) {
+            val acols = (1 to nFields).map { i =>
+              AsciiCol(
+                strValue(s"TTYPE$i").getOrElse(s"col$i"),
+                strValue(s"TFORM$i").getOrElse(throw new IllegalArgumentException(s"missing TFORM$i")),
+                strValue(s"TUNIT$i"),
+                value(s"TBCOL$i").map(_.toInt)
+                  .getOrElse(throw new IllegalArgumentException(s"missing TBCOL$i")))
+            }
+            result = Some(TableHeader(Nil, naxis2, naxis1, dataStart,
+              ListMap(meta.toSeq: _*), asciiCols = acols))
+          } else {
+            val cols = (1 to nFields).map { i =>
+              Col(
+                strValue(s"TTYPE$i").getOrElse(s"col$i"),
+                strValue(s"TFORM$i").getOrElse(throw new IllegalArgumentException(s"missing TFORM$i")),
+                strValue(s"TUNIT$i"))
+            }
+            result = Some(TableHeader(cols, naxis2, naxis1, dataStart, ListMap(meta.toSeq: _*)))
+          }
         } else {
-          // skip this HDU's data: a passed-over BINTABLE spans
+          // skip this HDU's data: a passed-over table spans
           // NAXIS1*NAXIS2 (+ PCOUNT heap) bytes; other HDUs span
           // BITPIX*prod(NAXIS)/8 (primary: usually 0)
-          val dataBytes = if (isBintable) {
+          val dataBytes = if (isBintable || isAsciiTable) {
             naxis1.toLong * naxis2 + value("PCOUNT").map(_.toLong).getOrElse(0L)
           } else {
             val bitpix = math.abs(value("BITPIX").map(_.toInt).getOrElse(8))
@@ -137,7 +175,7 @@ object Fits {
           offset = dataStart + dataBytes + pad(dataBytes)
           if (offset >= raf.length())
             throw new IllegalArgumentException(
-              s"$path has no BINTABLE extension #$hdu (found $seen)")
+              s"$path has no table extension #$hdu (found $seen)")
         }
       }
       result.get
@@ -149,6 +187,7 @@ object Fits {
     * tables live at hdu = 2, 3, …). */
   def read(spark: SparkSession, path: String, partitions: Int = 0, hdu: Int = 1): EzFrame = {
     val h = readHeader(path, hdu)
+    if (h.isAscii) return readAsciiData(spark, path, h, partitions)
     val schema = StructType(h.cols.map(c =>
       StructField(c.name, if (c.code != 'A' && c.repeat > 1) ArrayType(c.sparkType) else c.sparkType)))
     val nParts = if (partitions > 0) partitions
@@ -179,6 +218,59 @@ object Fits {
       header = h.header,
       units = h.cols.flatMap(c => c.unit.map(c.name -> _)).toMap)
     EzFrame(CommentedCsv.withFieldMetadata(df, meta), meta)
+  }
+
+  /** ASCII-table data read: the same offset-partitioned shape as the
+    * binary path (fixed NAXIS1-char rows), decoded by TBCOL/TFORM
+    * substring + parse.  Blank fields read as null; Fortran 'D'
+    * exponents parse as doubles. */
+  private def readAsciiData(spark: SparkSession, path: String, h: TableHeader,
+                            partitions: Int): EzFrame = {
+    val schema = StructType(h.asciiCols.map(c => StructField(c.name, c.sparkType)))
+    val nParts = if (partitions > 0) partitions
+      else math.max(1, math.min(64, h.nRows / 65536)).toInt
+    val cols = h.asciiCols
+    val rowBytes = h.rowBytes
+    val dataStart = h.dataStart
+    val rowsRdd = spark.sparkContext.range(0L, h.nRows, 1L, nParts)
+      .mapPartitions { it =>
+        val idx = it.toArray
+        if (idx.isEmpty) Iterator.empty
+        else {
+          val raf = new java.io.RandomAccessFile(path, "r")
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => raf.close()))
+          val buf = new Array[Byte](rowBytes)
+          idx.iterator.map { i =>
+            raf.seek(dataStart + i * rowBytes)
+            raf.readFully(buf)
+            decodeAsciiRow(new String(buf, "US-ASCII"), cols)
+          }
+        }
+      }
+    val df = spark.createDataFrame(rowsRdd.map(identity), schema)
+    val meta = EzMeta(
+      header = h.header,
+      units = cols.flatMap(c => c.unit.map(c.name -> _)).toMap)
+    EzFrame(CommentedCsv.withFieldMetadata(df, meta), meta)
+  }
+
+  private[sources] def decodeAsciiRow(line: String, cols: Seq[AsciiCol]): Row = {
+    val values = cols.map { c =>
+      val start = c.tbcol - 1
+      val end = math.min(start + c.width, line.length)
+      val raw = if (start >= line.length) "" else line.substring(start, end)
+      val field = raw.trim
+      if (field.isEmpty) null
+      else c.code match {
+        // strings keep leading spaces inside the field, strip trailing
+        // pad (the astropy read convention)
+        case 'A' => raw.reverse.dropWhile(_ == ' ').reverse
+        case 'I' => java.lang.Long.parseLong(field)
+        case _   => java.lang.Double.parseDouble(field.replace('D', 'E').replace('d', 'e'))
+      }
+    }
+    Row(values: _*)
   }
 
   private def decodeRow(buf: Array[Byte], cols: Seq[Col]): Row = {

@@ -80,7 +80,7 @@ class FitsSpec extends SparkSpec {
     assert(second.columns == Seq("x", "y") && second.count() == 3)
     assert(second.df.orderBy("x").collect().map(_.getDouble(0)).toSeq == Seq(10.0, 20.0, 30.0))
     val err = intercept[IllegalArgumentException](Fits.readHeader(path, hdu = 3))
-    assert(err.getMessage.contains("no BINTABLE extension #3"))
+    assert(err.getMessage.contains("no table extension #3"))
   }
 
   test("append to a missing file creates it (primary + table)") {
@@ -88,5 +88,65 @@ class FitsSpec extends SparkSpec {
     Fits.append(EzFrame(Seq((1L, 2.0)).toDF("a", "b")), path)
     val back = Fits.read(spark, path)
     assert(back.count() == 1 && back.columns == Seq("a", "b"))
+  }
+
+  test("ASCII table (XTENSION='TABLE'): hand-built fixture reads typed columns") {
+    // hand-built per FITS 4.0 §7.2: empty primary HDU, then an ASCII
+    // table with TBCOL/TFORM fixed-width text fields — name A8 at 1,
+    // count I6 at 10, flux E12.4 at 17 (with a Fortran D exponent and
+    // a blank field -> null)
+    def card80(s: String) = s.padTo(80, ' ')
+    def block(cards: Seq[String]): Array[Byte] = {
+      val text = cards.map(card80).mkString
+      val padded = text.padTo(((text.length + 2879) / 2880) * 2880, ' ')
+      padded.getBytes("US-ASCII")
+    }
+    val primary = block(Seq(
+      "SIMPLE  =                    T",
+      "BITPIX  =                    8",
+      "NAXIS   =                    0",
+      "EXTEND  =                    T",
+      "END"))
+    val rows = Seq(
+      "alpha       42   1.5000E+00 ",
+      "beta       -07   2.5000D+03 ",
+      "gamma            3.1250E-01 ") // blank count -> null
+    val rowLen = rows.head.length
+    assert(rows.forall(_.length == rowLen))
+    val tableHdr = block(Seq(
+      "XTENSION= 'TABLE   '",
+      "BITPIX  =                    8",
+      "NAXIS   =                    2",
+      f"NAXIS1  = $rowLen%20d",
+      "NAXIS2  =                    3",
+      "PCOUNT  =                    0",
+      "GCOUNT  =                    1",
+      "TFIELDS =                    3",
+      "TTYPE1  = 'name    '",
+      "TFORM1  = 'A8      '",
+      "TBCOL1  =                    1",
+      "TTYPE2  = 'count   '",
+      "TFORM2  = 'I6      '",
+      "TBCOL2  =                   10",
+      "TTYPE3  = 'flux    '",
+      "TFORM3  = 'E12.4   '",
+      "TBCOL3  =                   17",
+      "TUNIT3  = 'Jy      '",
+      "END"))
+    val data = rows.mkString.getBytes("US-ASCII")
+    val dataPadded = data ++ Array.fill(((data.length + 2879) / 2880) * 2880 - data.length)(' '.toByte)
+    val path = tmp()
+    val out = new java.io.FileOutputStream(path)
+    out.write(primary); out.write(tableHdr); out.write(dataPadded); out.close()
+
+    val back = Fits.read(spark, path)
+    assert(back.columns == Seq("name", "count", "flux"))
+    assert(back.df.schema.map(_.dataType) == Seq(StringType, LongType, DoubleType))
+    val got = back.df.orderBy("name").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("alpha", "beta", "gamma"))
+    assert(got(0).getLong(1) == 42L && got(1).getLong(1) == -7L && got(2).isNullAt(1))
+    assert(got(0).getDouble(2) == 1.5 && got(1).getDouble(2) == 2500.0
+      && got(2).getDouble(2) == 0.3125)
+    assert(back.meta.units("flux") == "Jy")
   }
 }
