@@ -1268,7 +1268,8 @@ object SparkEntry {
     // loses every member keeps its previous position (c1's UNION ALL
     // fallback) and reports n_members = 0 (the `kept` branch)
     "q72_kmeans" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |WHERE embedding IS NOT NULL),
         |c0 AS (SELECT vec_id AS cid, v AS cv FROM v
         |ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,6))::BIGINT, vec_id LIMIT 8),
         |a1 AS (SELECT vec_id, v, cid,
@@ -1332,11 +1333,11 @@ object SparkEntry {
          |FROM documents WHERE doc_id % 17 <> 0
          |UNION ALL
          |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 19 = 0),
-         |ofp AS (SELECT doc_id, $fp AS fp FROM documents),
-         |nfp AS (SELECT doc_id, $fp AS fp FROM newg)
+         |ofp AS (SELECT doc_id, $fp AS fp, TRUE AS in_old FROM documents),
+         |nfp AS (SELECT doc_id, $fp AS fp, TRUE AS in_new FROM newg)
          |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-         |CASE WHEN o.fp IS NULL THEN 'added' WHEN n.fp IS NULL THEN 'removed'
-         |WHEN o.fp = n.fp THEN 'unchanged' ELSE 'changed' END AS status
+         |CASE WHEN o.in_old IS NULL THEN 'added' WHEN n.in_new IS NULL THEN 'removed'
+         |WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged' ELSE 'changed' END AS status
          |FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id""".stripMargin.replace("\n", " ")
     },
 

@@ -350,16 +350,25 @@ object Dedup {
     * the scan stage) and a single full outer join on the id; row text
     * never crosses the shuffle, only (id, 32-byte fingerprint).
     *
+    * Row presence is carried by EXPLICIT flags, never inferred from
+    * fingerprint nullness: a NULL-text document fingerprints to NULL,
+    * and treating that as "row absent" would classify a doc present in
+    * both generations as 'added' (and a null→non-null text edit as
+    * 'added' instead of 'changed').  Fingerprints compare null-safely
+    * (<=>), so two NULL-text generations of a doc are 'unchanged'.
+    *
     * @return (doc_id, status) with status in
     *         {added, removed, changed, unchanged} */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, id: Column, text: Column): DataFrame = {
-    val o = oldDf.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("old_fp"))
-    val n = newDf.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("new_fp"))
+    val o = oldDf.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("old_fp"),
+      lit(true).as("in_old"))
+    val n = newDf.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("new_fp"),
+      lit(true).as("in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("old_fp").isNull, "added")
-          .when(col("new_fp").isNull, "removed")
-          .when(col("old_fp") === col("new_fp"), "unchanged")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(col("old_fp") <=> col("new_fp"), "unchanged")
           .otherwise("changed"))
       .select(col("doc_id"), col("status"))
   }

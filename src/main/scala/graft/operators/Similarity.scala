@@ -241,7 +241,12 @@ object Similarity {
     * shuffle; the per-group array is reassembled from at most `dim`
     * elements.  Null vectors are excluded.
     *
-    * @return (group_id, vec, n_members) */
+    * UNIFORM-LENGTH CONTRACT: all vectors within a group must share
+    * one dimensionality.  With ragged lengths the tail dims would be
+    * averaged over fewer members while n_members (= the per-dim count)
+    * overstates their support — instead of returning that silently
+    * misleading frame, the per-group min(n)/max(n) probe (one cheap
+    * extra aggregate) fails the job loudly. */
   def meanPool(df: DataFrame, key: Column, vecCol: Column): DataFrame =
     df.filter(vecCol.isNotNull)
       .select(key.as("group_id"), posexplode(asDouble(vecCol)).as(Seq("dim", "x")))
@@ -251,7 +256,12 @@ object Similarity {
       .agg(
         transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           e => e("m")).as("vec"),
-        max(col("n")).as("n_members"))
+        // the assert is folded INTO the kept column (a standalone
+        // dropped column would be pruned and never evaluate)
+        when(assert_true(min(col("n")) === max(col("n")),
+            lit("meanPool: ragged vector lengths within a group — all members " +
+              "of a group must share one embedding dimensionality")).isNull,
+          max(col("n"))).as("n_members"))
 
   /** Lloyd's k-means over the embedding column — trains the coarse
     * centroids [[ivfAssign]]/[[ivfTopK]] quantize against (sampled-id
@@ -292,6 +302,10 @@ object Similarity {
         .orderBy(seedKey.asc, col("vid").asc).limit(k)
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
         .sortBy(_._1)
+      // an empty / all-null-vector corpus yields no seeds, and the
+      // argmin fold below would die in an obscure empty.reduceLeft —
+      // fail with the actual contract violation instead
+      require(cents.nonEmpty, "kmeansFit: corpus has no non-null vectors")
       var lastCounts: Map[Long, Long] = Map.empty
       for (_ <- 0 until iters) {
         // argmin over k literal centroids; first match in ascending-cid

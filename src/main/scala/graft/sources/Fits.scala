@@ -62,9 +62,15 @@ object Fits {
     * F12.4 / E15.7 / D25.17 (FITS 4.0 §7.2). */
   final case class AsciiCol(name: String, tform: String, unit: Option[String], tbcol: Int) {
     val (code, width): (Char, Int) = {
-      val m = "([AIFED])([0-9]+)".r.findFirstMatchIn(tform.trim)
-        .getOrElse(throw new IllegalArgumentException(s"unsupported ASCII TFORM '$tform'"))
-      (m.group(1).head, m.group(2).toInt)
+      // anchored full match (a Regex extractor matches the WHOLE
+      // string) — an unanchored find would accept malformed TFORMs
+      // like 'XA10' via their valid substring; the optional fraction
+      // covers F12.4 / E15.7 / D25.17
+      val re = "([AIFED])([0-9]+)(?:\\.[0-9]+)?".r
+      tform.trim match {
+        case re(c, w) => (c.head, w.toInt)
+        case _ => throw new IllegalArgumentException(s"unsupported ASCII TFORM '$tform'")
+      }
     }
     def sparkType: DataType = code match {
       case 'A' => StringType

@@ -149,4 +149,14 @@ class FitsSpec extends SparkSpec {
       && got(2).getDouble(2) == 0.3125)
     assert(back.meta.units("flux") == "Jy")
   }
+
+  test("ASCII TFORM parsing: anchored — malformed codes rejected loudly") {
+    // valid forms, including fractional widths
+    assert(Fits.AsciiCol("c", "A10", None, 1).code == 'A')
+    assert(Fits.AsciiCol("c", "F12.4", None, 1) .width == 12)
+    assert(Fits.AsciiCol("c", "D25.17", None, 1).code == 'D')
+    // malformed TFORMs must NOT silently parse via a valid substring
+    for (bad <- Seq("XA10", "I", "10A", "A10X", "F12.", "AI10"))
+      intercept[IllegalArgumentException] { Fits.AsciiCol("c", bad, None, 1) }
+  }
 }

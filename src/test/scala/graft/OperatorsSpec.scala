@@ -309,6 +309,20 @@ class DedupSpec extends SparkSpec {
     assert(fuzz(1L) == "unchanged")
   }
 
+  test("corpusDiff: NULL text is a present row, not an absent one") {
+    // doc 1: NULL text both sides -> unchanged (null-safe fp compare);
+    // doc 2: null -> non-null edit -> changed (NOT 'added' — the row
+    // was present in the old generation); doc 3: non-null -> null ->
+    // changed (NOT 'removed')
+    val oldGen = Seq((1L, null), (2L, null), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val newGen = Seq((1L, null), (2L, "beta now real"), (3L, null))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(oldGen, newGen, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed"))
+  }
+
   test("connectedComponents: chain, clique, singleton, pair-only node") {
     // chain 1-2-3 (transitive: 1~3 never a pair), clique 10-11-12,
     // singleton 20, and node 30 appearing ONLY in pairs (not in nodes)
@@ -453,6 +467,15 @@ class DedupSpec extends SparkSpec {
       single, col("grp"), col("v"), 0.0, 0.9).count() == 1L)
     assert(graft.operators.Quantiles.filterByQuantilePerGroup(
       single, col("grp"), col("v"), 0.1, 0.9).count() == 0L)
+  }
+
+  test("kmeansFit refuses an empty / all-null-vector corpus loudly") {
+    val allNull = Seq((1L, null.asInstanceOf[Array[Float]]),
+      (2L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.kmeansFit(allNull, "vec_id", "embedding", k = 2)
+    }
+    assert(ex.getMessage.contains("no non-null vectors"))
   }
 
   test("kmeansFit edge cases: k exceeding corpus, single iteration") {
@@ -613,6 +636,16 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     assert(v(1) == Seq(0.6, 0.8))
     assert(v(2) == Seq(0.0, 0.0), "zero vector survives normalization")
+    // ragged vector lengths within one group violate the uniform-
+    // dimensionality contract: tail dims would average over fewer
+    // members — the per-group min(n)==max(n) probe fails the job
+    // instead of returning a silently misleading frame
+    val ragged = Seq((1, Array(1.0f, 2.0f)), (1, Array(3.0f))).toDF("label", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.meanPool(ragged, col("label"), col("embedding")).collect()
+    }
+    assert(ex.getMessage.contains("ragged") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ragged")))
   }
 
   test("kmeansFit recovers well-separated blobs; deterministic; feeds ivfTopK") {
