@@ -392,14 +392,21 @@ object Dedup {
     * cutting).
     *
     * `portableHash = false` (default) hashes spans with xxhash64 —
-    * the fast production path; `true` uses md5 hex so a SQL oracle can
-    * mirror the hash (the correctness gate's choice; ~10x more hash
-    * cost at the same semantics).  COLLISION BOUND: with a 64-bit
-    * hash, false merges become likely past the birthday bound (~10⁹
-    * distinct windows, i.e. a few TB of text); beyond that use
-    * `portableHash = true` — md5's 128 bits push the bound past any
-    * real corpus — since a collision here manufactures dedup evidence
-    * that the hash-only output cannot reveal.
+    * the fast production path; `true` reports md5 hex so a SQL oracle
+    * can mirror the hash.  COLLISION BOUND: with a 64-bit hash, false
+    * merges become likely past the birthday bound (~10⁹ distinct
+    * windows, i.e. a few TB of text); beyond that use
+    * `portableHash = true` — since a collision here manufactures dedup
+    * evidence that the hash-only output cannot reveal.
+    *
+    * The portable path is TWO-PHASE: windows group on a cheap 128-bit
+    * key (two independent xxhash64 seeds — collision bound D²/2¹²⁸,
+    * beyond any corpus), and only the few SURVIVING spans pay the md5:
+    * each group keeps its minimal (doc, pos) exemplar, and a second
+    * bounded pass re-extracts those spans and md5s them.  md5-hexing
+    * every window (and shuffling 32-char hex keys) cost ~5× the whole
+    * query; the exemplar re-extraction is proportional to the
+    * *repeated* spans only.
     *
     * @return (span_hash, n_docs, n_occurrences, first_doc) */
   def repeatedSpans(df: DataFrame, text: Column, id: Column,
@@ -409,15 +416,36 @@ object Dedup {
     val normed = df.select(id.as("doc_id"), TextAnalysis.normalize(text).as("norm"))
     val cnt = length(col("norm")) - lit(width - 1)
     val span = col("norm").substr(col("pos"), lit(width))
-    val hashed = if (portableHash) md5(span.cast(BinaryType)) else xxhash64(span)
-    normed.filter(cnt >= 1)
+    val windows = normed.filter(cnt >= 1)
       .select(col("doc_id"), col("norm"), explode(sequence(lit(1), cnt)).as("pos"))
-      .select(col("doc_id"), hashed.as("span_hash"))
-      .groupBy(col("span_hash"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-           count(lit(1)).as("n_occurrences"),
-           min(col("doc_id")).as("first_doc"))
-      .filter(col("n_docs") >= minDocs)
+    if (!portableHash) {
+      windows
+        .select(col("doc_id"), xxhash64(span).as("span_hash"))
+        .groupBy(col("span_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_occurrences"),
+             min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= minDocs)
+    } else {
+      val survivors = windows
+        .select(col("doc_id"), col("pos"),
+          xxhash64(span).as("h1"), xxhash64(lit(1), span).as("h2"))
+        .groupBy(col("h1"), col("h2"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+             count(lit(1)).as("n_occurrences"),
+             min(col("doc_id")).as("first_doc"),
+             min(struct(col("doc_id"), col("pos"))).as("ex"))
+        .filter(col("n_docs") >= minDocs)
+      // bounded second pass: re-extract each surviving span from its
+      // exemplar doc and md5 it — survivors are few, so they broadcast
+      // and the corpus scan streams past without shuffling
+      survivors
+        .join(normed.select(col("doc_id").as("ex_doc"), col("norm")),
+          col("ex.doc_id") === col("ex_doc"))
+        .select(
+          md5(col("norm").substr(col("ex.pos"), lit(width)).cast(BinaryType)).as("span_hash"),
+          col("n_docs"), col("n_occurrences"), col("first_doc"))
+    }
   }
 
   /** Connected components of the near-dup pair graph by iterative
@@ -487,15 +515,20 @@ object Dedup {
         val merged = labels.join(nbrMin, col("node") === col("dst"), "left")
           .select(col("node"), col("comp"),
             least(col("comp"), coalesce(col("nmin"), col("comp"))).as("c2"))
-        // pointer jump: c3 = label(c2).  Every label IS a node id and
-        // label(x) <= x always (labels start at the id and only
-        // decrease), so the jump is monotone and halves the remaining
-        // propagation depth each round.
-        val reps = labels.select(col("node").as("rnode"), col("comp").as("rcomp"))
-        val jumped = merged.join(reps, col("c2") === col("rnode"), "left")
+        // pointer jump: c3 = c2-label-of-c2 THROUGH THE MERGED labeling
+        // (not the stale pre-merge one — jumping through `labels` was
+        // measured to double the round count: it misses everything this
+        // round's neighbor-min just learned).  Every label IS a node id
+        // and labels only decrease, so the jump is monotone and exact.
+        val reps = merged.select(col("node").as("rnode"), col("c2").as("rcomp"))
+        val jumped0 = merged.join(reps, col("c2") === col("rnode"), "left")
           .select(col("node"), col("comp"),
             least(col("c2"), coalesce(col("rcomp"), col("c2"))).as("c3"))
-          .localCheckpoint(true)
+        // LAZY checkpoint: the convergence probe right below is the
+        // round's first action, so it both materializes the checkpoint
+        // and answers the fixpoint question in ONE job (an eager
+        // checkpoint spent a separate job per round just materializing)
+        val jumped = jumped0.localCheckpoint(false)
         // exact fixpoint probe on the checkpointed frame: labels only
         // decrease, so "no change this round" IS the global fixpoint
         converged = jumped.filter(col("c3") =!= col("comp")).limit(1).count() == 0L

@@ -308,13 +308,13 @@ object Similarity {
       require(cents.nonEmpty, "kmeansFit: corpus has no non-null vectors")
       var lastCounts: Map[Long, Long] = Map.empty
       for (_ <- 0 until iters) {
-        // argmin over k literal centroids; first match in ascending-cid
-        // order = lowest-cid tiebreak, mirroring ivfAssign's window
-        val dists = cents.map { case (cid, c) =>
-          cid -> graft.functions.VectorSim.l2(col("v"), typedlit(c)) }
-        val minD = dists.map(_._2).reduce(least(_, _))
-        val cidExpr = dists.foldRight(lit(-1L): Column) {
-          case ((cid, d), acc) => when(d === minD, lit(cid)).otherwise(acc) }
+        // argmin over k literal centroids: lexicographic struct-min on
+        // (dist, cid) evaluates each l2 kernel ONCE and breaks ties
+        // toward the lowest centroid id — identical semantics to the
+        // `first cid where d == min(d)` fold, at half the kernel evals
+        val cidExpr = array_min(array(cents.map { case (cid, c) =>
+          struct(graft.functions.VectorSim.l2(col("v"), typedlit(c)).as("d"),
+            lit(cid).as("cid")) }: _*)).getField("cid")
         val stats = v.withColumn("cid", cidExpr)
           .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
           .groupBy(col("cid"), col("dim"))

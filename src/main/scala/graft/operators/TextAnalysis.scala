@@ -79,19 +79,38 @@ object TextAnalysis {
     * frequency ratio — the filters that catch boilerplate and
     * degenerate repetition exact-dedup misses.
     *
-    * Shape: the 2-gram ratio is a pure per-row array computation (no
-    * shuffle; the `transform` lambda is interpreted but linear and
-    * runs once per row on the already-split array).  The token ratios
-    * need a per-(doc, token) count, so ONE explode feeds a two-level
-    * aggregate whose map-side combine collapses to distinct tokens per
-    * doc before anything shuffles; the per-row ratio rides through as
-    * a `min` aggregate (constant within a doc).  Everything is
-    * mirrored 1:1 by a DuckDB unnest/group-by oracle.
+    * Fused one-pass formulation: all four counters come from a single
+    * codegen'd kernel over the split token array
+    * ([[graft.functions.TokenStats]]) — ZERO shuffle; the whole query
+    * is one scan-stage projection.  The r5 explode + two-level groupBy
+    * ([[repetitionSignalsExploded]], kept as the spec twin) pushed one
+    * row per (doc, token) through a hash aggregate just to count
+    * multiplicities; at 100 TB that shuffle IS the filter's cost.
+    * Output is bit-for-bit identical (spec-pinned) and mirrored 1:1 by
+    * the same DuckDB unnest/group-by oracle.
     *
     * @return (doc_id, n_tokens, dup_token_ratio, dup_2gram_ratio,
     *         top_token_ratio) */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, id: Column,
-                        text: Column): org.apache.spark.sql.DataFrame = {
+                        text: Column): org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"),
+        graft.functions.TokenStats.tokenStats(split(text, " ")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"),
+        col("s.n_tokens").as("n_tokens"),
+        round(lit(1.0) - col("s.n_distinct").cast(DoubleType) /
+          col("s.n_tokens").cast(DoubleType), 6).as("dup_token_ratio"),
+        round(col("s.d2raw"), 6).as("dup_2gram_ratio"),
+        round(col("s.top_cnt").cast(DoubleType) /
+          col("s.n_tokens").cast(DoubleType), 6).as("top_token_ratio"))
+
+  /** The r5 explode + two-level-groupBy formulation (one row per
+    * (doc, token), multiplicity counts via hash aggregates).  Kept as
+    * the independent reference implementation the fused kernel is
+    * spec-verified against. */
+  private[graft] def repetitionSignalsExploded(df: org.apache.spark.sql.DataFrame,
+                                               id: Column,
+                                               text: Column): org.apache.spark.sql.DataFrame = {
     val toks = df.select(id.as("doc_id"), split(text, " ").as("toks"))
     // sequence(0, -1) generates a DESCENDING [0, -1] — guard 1-token rows
     val bigrams = when(size(col("toks")) >= 2,

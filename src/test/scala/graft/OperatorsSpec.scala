@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 import graft.operators.{Binned, Dedup, Similarity, TextAnalysis}
 import graft.functions.Astro
 
@@ -977,5 +978,54 @@ class MinHashPropertySpec extends SparkSpec {
     val gotTop = graft.operators.TextAnalysis.topTerms(df, col("text"), 20)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(gotTop == expTop)
+  }
+
+  test("fused repetition kernel is bit-identical to the exploded twin") {
+    // tricky shapes: consecutive/leading/trailing spaces (empty
+    // tokens), single token, all-identical tokens, unicode incl. an
+    // astral pair, empty text, null text (dropped by both)
+    val tricky = Seq(
+      (1L, "a  b   a  b"), (2L, " leading"), (3L, "trailing "),
+      (4L, "solo"), (5L, "x x x x x"), (6L, ""),
+      (7L, "café nós café nós 😀 😀"),
+      (8L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(tricky, real)) {
+      val fused = graft.operators.TextAnalysis
+        .repetitionSignals(df, col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val exploded = graft.operators.TextAnalysis
+        .repetitionSignalsExploded(df, col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(fused == exploded && fused.nonEmpty)
+    }
+  }
+
+  test("repeatedSpans portable two-phase path equals direct per-window md5") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val twoPhase = Dedup.repeatedSpans(real, col("text"), col("doc_id"),
+        width = 30, minDocs = 2, portableHash = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    // direct formulation: md5-hex every window, group on the hex
+    val normed = real.select(col("doc_id"),
+      graft.operators.TextAnalysis.normalize(col("text")).as("norm"))
+    val cnt = length(col("norm")) - lit(29)
+    val direct = normed.filter(cnt >= 1)
+      .select(col("doc_id"), col("norm"), explode(sequence(lit(1), cnt)).as("pos"))
+      .select(col("doc_id"),
+        md5(col("norm").substr(col("pos"), lit(30)).cast(BinaryType)).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occurrences"),
+           min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(twoPhase == direct && twoPhase.nonEmpty)
   }
 }

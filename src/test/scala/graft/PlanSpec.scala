@@ -84,15 +84,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking shuffles:\n$plan")
   }
 
-  test("repetition signals: one generate, two-level agg, exactly two exchanges") {
+  test("repetition signals: fused kernel — zero exchanges, zero generates") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.operators.TextAnalysis.repetitionSignals(
       docs, col("doc_id"), col("text")))
-    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges == 2, s"expected only the (doc,token) and doc agg exchanges:\n$plan")
-    val generates = plan.linesIterator.count(_.contains("Generate"))
-    assert(generates == 1, s"expected a single explode:\n$plan")
-    assert(plan.contains("partial_"), s"map-side combine missing:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"fused token_stats must be a scan-stage projection (no shuffle):\n$plan")
+    assert(!plan.contains("Generate"),
+      s"fused token_stats must not explode tokens:\n$plan")
+    assert(plan.contains("token_stats"), s"kernel expression missing:\n$plan")
   }
 
   test("vocab top-k compiles to TakeOrderedAndProject over the count agg") {
