@@ -828,6 +828,53 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // M6 temperature-based data-mixing weights: source s gets
+    // n_s^alpha / sum_t n_t^alpha (alpha = 0.5 — the multilingual
+    // flattening temperature); one count agg + a broadcast total
+    "q83_mix_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.operators.Scale.mixtureWeights(d, col("source"), alpha = 0.5)
+    }),
+
+    // M6 curriculum buckets: n_chars decile within each language
+    // (deterministic ntile — doc_id tiebreak), the difficulty-binning
+    // step of staged training
+    "q84_quality_buckets" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.operators.Quantiles.ntileBuckets(
+          d, col("lang"), col("n_chars"), col("doc_id"), n = 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("bucket").cast(LongType).as("bucket"))
+    }),
+
+    // M6 token-entropy quality signal (fused TokenStats kernel —
+    // scan-stage, zero shuffle): low entropy = boilerplate/degenerate
+    // repetition, the distribution view of the q71 ratio filters
+    "q85_token_entropy" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      TextAnalysis.tokenEntropy(d, col("doc_id"), col("text"))
+    }),
+
+    // M6 INCREMENTAL near-dup: a daily batch (doc_id % 10 == 0) LSH-joins
+    // a precomputed band index of the full corpus — the historical text
+    // is never re-read.  Self-matches filtered (batch ⊂ corpus).
+    // Rows-only (xxhash band keys); snapshot-pinned at sf0.01.
+    "q86_minhash_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val idx = Dedup.minhashBandIndex(d, col("text"), col("doc_id"))
+      Dedup.minhashLshAgainstIndex(
+          d.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"), idx)
+        .filter(col("batch_id") =!= col("index_id"))
+    }),
+
+    // M6 product-quantization encode (m=4 subspaces, k=8 seed
+    // codewords): the vector-compression companion to q47's IVF —
+    // assignment is a pure projection over literal codewords
+    "q87_pq_encode" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      Similarity.pqEncode(e, "vec_id", "embedding", m = 4, k = 8)
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1388,6 +1435,46 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000 <
         |CASE WHEN lang = 'en' THEN 300 WHEN lang = 'de' THEN 500 ELSE 1000 END""".stripMargin.replace("\n", " "),
+
+    "q83_mix_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |t AS (SELECT sum(power(CAST(n_docs AS DOUBLE), 0.5)) AS ptot FROM c)
+        |SELECT source, n_docs,
+        |round(power(CAST(n_docs AS DOUBLE), 0.5) / ptot, 6) AS weight
+        |FROM c, t""".stripMargin.replace("\n", " "),
+
+    "q84_quality_buckets" ->
+      """SELECT doc_id, lang, n_chars,
+        |CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS bucket
+        |FROM documents""".stripMargin.replace("\n", " "),
+
+    // mirrors the TokenStats kernel's algebraic form term-for-term:
+    // entropy = ln(n)/ln(2) - sum(cnt * ln(cnt)/ln(2)) / n
+    "q85_token_entropy" ->
+      """WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |g AS (SELECT doc_id, token, count(*) AS cnt FROM ex GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |sum(cnt * (ln(cnt) / ln(2))) AS sclc FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |round(ln(n_tokens) / ln(2) - sclc / n_tokens, 6) AS token_entropy
+        |FROM d""".stripMargin.replace("\n", " "),
+
+    // mirrors pqEncode: same md5-order seed draw as q72, list slicing
+    // per subspace, l2 argmin with the lowest-cid tiebreak
+    "q87_pq_encode" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |WHERE embedding IS NOT NULL),
+        |seeds AS (SELECT vec_id AS cid, v AS cv FROM v
+        |ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,6))::BIGINT, vec_id LIMIT 8),
+        |subs AS (SELECT unnest(range(4)) AS sub),
+        |pairs AS (SELECT t.vec_id, s.sub, c.cid,
+        |list_distance(t.v[CAST(s.sub*16+1 AS BIGINT):CAST(s.sub*16+16 AS BIGINT)],
+        |c.cv[CAST(s.sub*16+1 AS BIGINT):CAST(s.sub*16+16 AS BIGINT)]) AS d
+        |FROM v t CROSS JOIN subs s CROSS JOIN seeds c),
+        |r AS (SELECT vec_id, sub, cid, d,
+        |row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM pairs)
+        |SELECT vec_id, CAST(sub AS BIGINT) AS sub_id, cid AS code_cid,
+        |round(d, 6) AS dist FROM r WHERE rn = 1""".stripMargin.replace("\n", " "),
 
     "q60_pack_bins" ->
       """WITH w AS (SELECT doc_id,

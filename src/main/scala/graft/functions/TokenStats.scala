@@ -42,7 +42,8 @@ object TokenStats {
     StructField("n_tokens", LongType, nullable = false),
     StructField("n_distinct", LongType, nullable = false),
     StructField("top_cnt", LongType, nullable = false),
-    StructField("d2raw", DoubleType, nullable = false)))
+    StructField("d2raw", DoubleType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
 
   private val SpaceUtf8 = UTF8String.fromString(" ")
 
@@ -77,7 +78,21 @@ object TokenStats {
     // is one IEEE op — bit-identical to the Column formulation
     val d2raw =
       if (n >= 2) 1.0 - distinctBigrams.toDouble / (n - 1).toDouble else 0.0
-    new GenericInternalRow(Array[Any](n.toLong, counts.size.toLong, top.toLong, d2raw))
+    // Shannon token entropy, in the algebraic form log2(n) - Σc·log2(c)/n
+    // that a SQL oracle mirrors term-for-term (c = 1 contributes 0, so
+    // the sum runs only over repeated tokens).  Summation order differs
+    // from a SQL engine's — both sides round to 6 decimals downstream.
+    var sumCLog2C = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().intValue()
+      if (c > 1) sumCLog2C += c * (Math.log(c) / Math.log(2.0))
+    }
+    val entropy =
+      if (n == 0) 0.0
+      else Math.log(n) / Math.log(2.0) - sumCLog2C / n
+    new GenericInternalRow(Array[Any](n.toLong, counts.size.toLong, top.toLong,
+      d2raw, entropy))
   }
 
   /** Column surface: `tokenStats(split(text, " "))`. */

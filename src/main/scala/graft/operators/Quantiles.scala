@@ -97,4 +97,22 @@ object Quantiles {
       .filter(col("_pr") >= pLo && col("_pr") <= pHi)
       .drop("_pr")
   }
+
+  /** Equal-population quantile buckets per group (curriculum /
+    * difficulty binning: "decile of n_chars within each language").
+    * `ntile(n)` over a window ordered by (value, tiebreak) — the
+    * explicit tiebreak makes the assignment DETERMINISTIC for tied
+    * values (a bare ORDER BY value leaves ties partition-order
+    * dependent, which a hash-gated pipeline cannot tolerate).  One
+    * shuffle on the group key; skewed groups are bounded by the
+    * group's own row count, exactly like the percent_rank gate above.
+    *
+    * @return input rows + `bucket` in [1, n] */
+  def ntileBuckets(df: DataFrame, group: Column, value: Column,
+                   tiebreak: Column, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(value.asc, tiebreak.asc)
+    df.withColumn("bucket", ntile(n).over(w))
+  }
 }

@@ -124,6 +124,24 @@ object Scale {
 
   private def hashBucket(id: Column): Column = md5Key(id, 6) % 1000
 
+  /** Temperature-based mixture weights over a grouping key — the
+    * data-mixing step of a multi-source training run: source s gets
+    * weight n_s^α / Σ_t n_t^α (equivalently (n_s/N)^α renormalized —
+    * the N^α cancels).  α = 1 reproduces natural proportions, α → 0
+    * flattens toward uniform; α ≈ 0.3–0.7 is the usual multilingual /
+    * multi-domain temperature.  Shape: one count aggregate to ~|sources|
+    * rows, then a broadcast of the 1-row total — nothing else moves.
+    *
+    * @return (source, n_docs, weight) with Σ weight = 1 */
+  def mixtureWeights(df: DataFrame, key: Column, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    val counts = df.groupBy(key.as("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("p", pow(col("n_docs").cast(org.apache.spark.sql.types.DoubleType), lit(alpha)))
+    val tot = counts.agg(sum(col("p")).as("ptot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), round(col("p") / col("ptot"), 6).as("weight"))
+  }
+
   /** Write a table bucketed+sorted by join keys so subsequent equi
     * joins on those keys are exchange-free (co-located).  Bucket count
     * should match the expected parallelism of the join at target

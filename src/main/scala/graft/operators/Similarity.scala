@@ -334,6 +334,57 @@ object Similarity {
     } finally { v.unpersist(); () }
   }
 
+  /** Product-quantization encode — the residual-compression companion
+    * to [[ivfAssign]] in the standard 100 TB ANN recipe (IVF for the
+    * coarse cells, PQ for the in-cell codes): the vector splits into
+    * `m` contiguous subspaces and each sub-vector is quantized to the
+    * nearest of `k` codewords in that subspace's codebook, so a
+    * dim-dimensional float vector compresses to m code ids (~m bytes
+    * at k ≤ 256 — a 64-dim float32 embedding becomes 4 bytes at
+    * m=4/k=256, a 64× reduction of what the candidate-scoring pass
+    * has to read).
+    *
+    * Codebooks here are SEED codebooks: the sub-vectors of the `k`
+    * rows first in (md5(id), id) order — the same deterministic,
+    * SQL-mirrorable draw [[kmeansFit]] seeds from (train tighter
+    * codebooks by running kmeansFit per subspace and passing its
+    * centroids through the same literal-argmin shape if recall needs
+    * it).  Assignment is a pure projection: k·m codegen'd l2 kernels
+    * over literal codewords + a lexicographic struct-min argmin —
+    * ZERO shuffle beyond the tiny seed sort, exactly the kmeansFit
+    * assignment shape.
+    *
+    * @return (vec_id, sub_id, code_cid, dist) — one row per vector
+    *         per subspace, dist = l2 of the chosen codeword, ties
+    *         broken toward the lowest codeword id */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int, k: Int): DataFrame = {
+    require(m >= 1 && k >= 1, s"m and k must be >= 1, got m=$m k=$k")
+    val v = corpus.select(col(idCol).cast(LongType).as("vid"), asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+    val dim = probeDim(corpus, vecCol).getOrElse(
+      throw new IllegalArgumentException("pqEncode: corpus has no non-null vectors"))
+    require(dim % m == 0, s"pqEncode: dim=$dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val seedKey = Scale.md5Key(col("vid"), 6)
+    val seeds: Seq[(Long, Seq[Double])] = v
+      .orderBy(seedKey.asc, col("vid").asc).limit(k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
+      .sortBy(_._1)
+    val perSub = (0 until m).map { s =>
+      val svec = slice(col("v"), s * sub + 1, sub)
+      val arg = array_min(array(seeds.map { case (cid, c) =>
+        struct(graft.functions.VectorSim.l2(svec,
+            typedlit(c.slice(s * sub, (s + 1) * sub))).as("d"),
+          lit(cid).as("cid")) }: _*))
+      struct(lit(s.toLong).as("sub_id"), arg.getField("cid").as("code_cid"),
+        round(arg.getField("d"), 6).as("dist"))
+    }
+    v.select(col("vid").as("vec_id"), explode(array(perSub: _*)).as("e"))
+      .select(col("vec_id"), col("e.sub_id").as("sub_id"),
+        col("e.code_cid").as("code_cid"), col("e.dist").as("dist"))
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `centroids` (small, broadcast), so queries probe only matching
     * cells.  Centroid set is provided (e.g. sampled ids or

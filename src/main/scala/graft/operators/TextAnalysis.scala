@@ -104,6 +104,23 @@ object TextAnalysis {
         round(col("s.top_cnt").cast(DoubleType) /
           col("s.n_tokens").cast(DoubleType), 6).as("top_token_ratio"))
 
+  /** Shannon token entropy per document — the complexity side of the
+    * quality panel: boilerplate and degenerate repetition score LOW
+    * (repetitionSignals catches the ratio view; entropy catches the
+    * distribution view in one number).  Computed by the same fused
+    * [[graft.functions.TokenStats]] kernel — scan-stage projection,
+    * ZERO shuffle — in the algebraic form log2(n) − Σ c·log2(c) / n
+    * that a SQL oracle mirrors term-for-term.
+    *
+    * @return (doc_id, n_tokens, token_entropy) */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, id: Column,
+                   text: Column): org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"),
+        graft.functions.TokenStats.tokenStats(split(text, " ")).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s.n_tokens").as("n_tokens"),
+        round(col("s.entropy"), 6).as("token_entropy"))
+
   /** The r5 explode + two-level-groupBy formulation (one row per
     * (doc, token), multiplicity counts via hash aggregates).  Kept as
     * the independent reference implementation the fused kernel is

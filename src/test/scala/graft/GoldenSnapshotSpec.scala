@@ -50,7 +50,8 @@ class GoldenSnapshotSpec extends SparkSpec {
   private val snapshotQueries = Seq(
     "q26_minhash_lsh", "q27_simhash", "q28_ann_lsh", "q32_healpix_agg",
     "q34_multimodal", "q40_dedup_verified", "q49_embedding_neardup",
-    "q59_stream_neardup", "q67_simhash_neardup", "q70_neardup_corpus")
+    "q59_stream_neardup", "q67_simhash_neardup", "q70_neardup_corpus",
+    "q86_minhash_index")
 
   for (name <- snapshotQueries) {
     test(s"$name matches its committed sf0.01 golden snapshot") {

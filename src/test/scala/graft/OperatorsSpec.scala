@@ -470,6 +470,23 @@ class DedupSpec extends SparkSpec {
       single, col("grp"), col("v"), 0.1, 0.9).count() == 0L)
   }
 
+  test("ntileBuckets: deterministic equal-population deciles per group") {
+    val df = ((0 until 100).map(i => ("a", i)) ++ (0 until 7).map(i => ("b", 5)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "v")
+    val got = graft.operators.Quantiles.ntileBuckets(
+        df, col("grp"), col("v"), col("id"), n = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    val a = got.filter(_._2 == "a")
+    // 100 rows into 4 buckets: 25 each, ordered by v
+    assert(a.groupBy(_._4).view.mapValues(_.size).toMap ==
+      Map(1 -> 25, 2 -> 25, 3 -> 25, 4 -> 25))
+    assert(a.filter(_._4 == 1).map(_._3).max < a.filter(_._4 == 2).map(_._3).min)
+    // all-tied group: the id tiebreak makes the assignment deterministic
+    val b = got.filter(_._2 == "b").sortBy(_._1).map(_._4).toSeq
+    assert(b == Seq(1, 1, 2, 2, 3, 3, 4), s"got $b")
+  }
+
   test("kmeansFit refuses an empty / all-null-vector corpus loudly") {
     val allNull = Seq((1L, null.asInstanceOf[Array[Float]]),
       (2L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
@@ -622,6 +639,42 @@ class SimilaritySpec extends SparkSpec {
     assert(auto == explicit)
   }
 
+  test("pqEncode: codes equal brute-force per-subspace argmin; pure projection") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 4; val k = 8
+    val got = Similarity.pqEncode(e, "vec_id", "embedding", m, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // Scala reference: same md5-order seed draw, same slicing, same argmin
+    val vecs = e.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    val md5Key = e.sparkSession.createDataFrame(
+        vecs.keys.toSeq.map(Tuple1(_))).toDF("id")
+      .select(col("id"), conv(substring(md5(col("id").cast("string")), 1, 6), 16, 10)
+        .cast("long").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeds = vecs.keys.toSeq.sortBy(id => (md5Key(id), id)).take(k).sorted
+    val dim = vecs.values.head.size; val sub = dim / m
+    for (((vid, s), (code, dist)) <- got) {
+      val sl = vecs(vid).slice(s.toInt * sub, (s.toInt + 1) * sub)
+      val best = seeds.map { cid =>
+        val cs = vecs(cid).slice(s.toInt * sub, (s.toInt + 1) * sub)
+        (math.sqrt(sl.zip(cs).map { case (x, y) => (x - y) * (x - y) }.sum), cid)
+      }.min
+      assert(code == best._2, s"vec $vid sub $s: code $code vs ${best._2}")
+      assert(math.abs(dist - best._1) <= 1e-6)
+    }
+    assert(got.size == vecs.size * m)
+    // rows per vector per subspace; no shuffle beyond the seed sort —
+    // the encode itself is a scan-stage projection (explode over m
+    // literal-codebook structs; no Exchange in the encode plan)
+    val plan = Similarity.pqEncode(e, "vec_id", "embedding", m, k)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(e, "vec_id", "embedding", m = 7, k = 4) } // 64 % 7 != 0
+  }
+
   test("meanPool pools per group; l2Normalize makes cosine a dot product") {
     val df = Seq(
       (1, Array(1.0f, 3.0f)), (1, Array(3.0f, 5.0f)),
@@ -717,6 +770,38 @@ class SimilaritySpec extends SparkSpec {
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("tokenEntropy: hand-computed cases + Scala reference on real docs") {
+    val docs = Seq(
+      1L -> "a a a a",        // uniform single token -> entropy 0
+      2L -> "a b c d",        // uniform distinct -> log2(4) = 2
+      3L -> "a a b b",        // two tokens equally -> 1 bit
+      4L -> "solo",           // single token -> 0
+      5L -> "a a a b").toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.tokenEntropy(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((4L, 0.0)))
+    assert(got(2L) == ((4L, 2.0)))
+    assert(got(3L) == ((4L, 1.0)))
+    assert(got(4L) == ((1L, 0.0)))
+    // 3/4 and 1/4: H = 2 - (3 log2 3)/4 = 0.811278
+    assert(got(5L)._2 == 0.811278)
+    // Scala reference over real corpus text
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+      .select(col("doc_id"), col("text"))
+    val ref = real.collect().map { r =>
+      val toks = r.getString(1).split(" ", -1).toSeq
+      val n = toks.size.toDouble
+      val h = math.log(n) / math.log(2.0) -
+        toks.groupBy(identity).values.map(_.size)
+          .map(c => c * (math.log(c) / math.log(2.0))).sum / n
+      r.getLong(0) -> (math.rint(h * 1e6) / 1e6)
+    }.toMap
+    val gotReal = graft.operators.TextAnalysis.tokenEntropy(real, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    gotReal.foreach { case (id, h) =>
+      assert(math.abs(h - ref(id)) <= 1e-6, s"doc $id: $h vs ${ref(id)}") }
+  }
 
   test("repetitionSignals: hand-computed ratios, 1-token and all-same edges") {
     val docs = Seq(

@@ -131,6 +131,26 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.capPerKey(df, "grp", col("id"), 1000).count() == 500L)
   }
 
+  test("mixtureWeights: temperature flattening matches a Scala reference") {
+    val df = (Seq.fill(80)("en") ++ Seq.fill(16)("de") ++ Seq.fill(4)("fr"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "src")
+    val got = Scale.mixtureWeights(df, col("src"), alpha = 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val counts = Map("en" -> 80L, "de" -> 16L, "fr" -> 4L)
+    val ptot = counts.values.map(n => math.pow(n.toDouble, 0.5)).sum
+    counts.foreach { case (s, n) =>
+      assert(got(s)._1 == n)
+      assert(math.abs(got(s)._2 - math.pow(n.toDouble, 0.5) / ptot) < 1e-6, s"$s: ${got(s)}")
+    }
+    // alpha = 1 reproduces natural proportions exactly
+    val nat = Scale.mixtureWeights(df, col("src"), alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(nat("en") - 0.8) < 1e-6 && math.abs(nat("fr") - 0.04) < 1e-6)
+    // weights always renormalize to 1
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-5)
+    intercept[IllegalArgumentException] { Scale.mixtureWeights(df, col("src"), 0.0) }
+  }
+
   test("multi-file glob scan unions transparently") {
     val dir = java.nio.file.Files.createTempDirectory("graft_glob").toString
     spark.range(10).write.parquet(s"$dir/part1.parquet")
