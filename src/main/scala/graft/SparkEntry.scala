@@ -875,6 +875,26 @@ object SparkEntry {
       Similarity.pqEncode(e, "vec_id", "embedding", m = 4, k = 8)
     }),
 
+    // M6 exact-substring dedup ACTION (Lee et al. removal policy): cut
+    // cross-document repeated 60-char spans from every non-first doc.
+    // Rows-only (xxhash span matching); snapshot-pinned; the cleaned
+    // text reduces to its length to keep the fixture small.
+    "q88_span_removal" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      Dedup.removeRepeatedSpans(d, col("text"), col("doc_id"), width = 60, minDocs = 2)
+        .select(col("doc_id"), length(col("text_clean")).cast(LongType).as("n_chars_clean"),
+          col("n_spans_cut"))
+    }),
+
+    // M6 PQ ADC top-k search (probes = 3 corpus vectors): per-probe
+    // lookup tables over the q87 codebook, corpus scored by summing m
+    // table entries — no vector math in the corpus scan
+    "q89_pq_adc_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        m = 4, k = 8, topK = 5)
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1458,6 +1478,47 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |round(ln(n_tokens) / ln(2) - sclc / n_tokens, 6) AS token_entropy
         |FROM d""".stripMargin.replace("\n", " "),
+
+    // mirrors pqTopK term-for-term: the q87 code assignment, per-probe
+    // LUT d² = pow(list_distance, 2) (sqrt-then-square, exactly the
+    // Spark side's arithmetic), and the FIXED fold ((d²0+d²1)+d²2)+d²3
+    // — a grouped SUM would sum in engine order and could flip
+    // equal-code ties by an ulp
+    "q89_pq_adc_topk" -> {
+      val sl = (a: String) =>
+        s"$a[CAST(s.sub*16+1 AS BIGINT):CAST(s.sub*16+16 AS BIGINT)]"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |WHERE embedding IS NOT NULL),
+         |seeds AS (SELECT vec_id AS cid, v AS cv FROM v
+         |ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,6))::BIGINT, vec_id LIMIT 8),
+         |subs AS (SELECT unnest(range(4)) AS sub),
+         |asg AS MATERIALIZED (SELECT vec_id, sub, cid AS code FROM (
+         |SELECT t.vec_id, s.sub, c.cid,
+         |row_number() OVER (PARTITION BY t.vec_id, s.sub
+         |ORDER BY list_distance(${sl("t.v")}, ${sl("c.cv")}), c.cid) AS rn
+         |FROM v t CROSS JOIN subs s CROSS JOIN seeds c) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM v WHERE vec_id < 3),
+         |lut AS MATERIALIZED (SELECT p.probe_id, s.sub, c.cid,
+         |pow(list_distance(${sl("p.pv")}, ${sl("c.cv")}), 2) AS d2
+         |FROM probes p CROSS JOIN subs s CROSS JOIN seeds c),
+         |a0 AS (SELECT vec_id, code FROM asg WHERE sub = 0),
+         |a1 AS (SELECT vec_id, code FROM asg WHERE sub = 1),
+         |a2 AS (SELECT vec_id, code FROM asg WHERE sub = 2),
+         |a3 AS (SELECT vec_id, code FROM asg WHERE sub = 3),
+         |scored AS (SELECT l0.probe_id, a0.vec_id AS corpus_id,
+         |((l0.d2 + l1.d2) + l2.d2) + l3.d2 AS adc2
+         |FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
+         |JOIN lut l0 ON l0.sub = 0 AND l0.cid = a0.code
+         |JOIN lut l1 ON l1.sub = 1 AND l1.cid = a1.code AND l1.probe_id = l0.probe_id
+         |JOIN lut l2 ON l2.sub = 2 AND l2.cid = a2.code AND l2.probe_id = l0.probe_id
+         |JOIN lut l3 ON l3.sub = 3 AND l3.cid = a3.code AND l3.probe_id = l0.probe_id
+         |WHERE a0.vec_id <> l0.probe_id),
+         |r AS (SELECT probe_id, corpus_id, adc2,
+         |row_number() OVER (PARTITION BY probe_id ORDER BY adc2, corpus_id) AS rank
+         |FROM scored)
+         |SELECT probe_id, corpus_id, round(sqrt(adc2), 6) AS adc_dist,
+         |CAST(rank AS INT) AS rank FROM r WHERE rank <= 5""".stripMargin.replace("\n", " ")
+    },
 
     // mirrors pqEncode: same md5-order seed draw as q72, list slicing
     // per subspace, l2 argmin with the lowest-cid tiebreak

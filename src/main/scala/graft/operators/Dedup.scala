@@ -448,6 +448,62 @@ object Dedup {
     }
   }
 
+  /** Exact-substring dedup REMOVAL — the action [[repeatedSpans]]
+    * produces evidence for (Lee et al.: cut the repeated span, keep
+    * the FIRST document's copy): every width-`width` normalized-text
+    * window appearing in ≥ `minDocs` distinct documents is cut from
+    * every document except the span's first (minimum-id) one;
+    * overlapping cut windows merge into one range.
+    *
+    * Returns the cleaned NORMALIZED text (the span definition lives on
+    * the normalized form; cutting raw text would need a char-alignment
+    * map the normalizer does not keep).  Docs with nothing to cut pass
+    * through with their normalized text intact.
+    *
+    * Scale shape: ONE window explode feeds a per-(span, doc) position
+    * pre-aggregate, and the span evidence (distinct-doc count, first
+    * doc) comes from a WINDOW over the span hash on that same frame —
+    * the explode pipeline is referenced exactly once, so nothing is
+    * computed twice (a rollup + self-join formulation loses the shared
+    * exchange to column pruning; plan-gated in the spec).  Per-doc
+    * surgery is one sorted position list into the codegen'd
+    * [[graft.functions.SpanCut]] kernel.  A boilerplate span present
+    * in most documents makes its span-hash window partition large —
+    * the same key skew the equivalent join would have; the rows are
+    * (hash, doc, positions) only, never text.  Span matching uses the
+    * xxhash64 fast path (the 64-bit collision bound at
+    * [[repeatedSpans]] applies — a false merge would cut a
+    * non-repeated span).
+    *
+    * @return (doc_id, text_clean, n_spans_cut) */
+  def removeRepeatedSpans(df: DataFrame, text: Column, id: Column,
+                          width: Int = 60, minDocs: Int = 2): DataFrame = {
+    require(width >= 1 && minDocs >= 2, s"width >= 1 and minDocs >= 2 required")
+    val normed = df.select(id.as("doc_id"), TextAnalysis.normalize(text).as("norm"))
+    val cnt = length(col("norm")) - lit(width - 1)
+    val windows = normed.filter(cnt >= 1)
+      .select(col("doc_id"), col("norm"), explode(sequence(lit(1), cnt)).as("pos"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        xxhash64(col("norm").substr(col("pos"), lit(width))).as("h"))
+    val perDoc = windows
+      .groupBy(col("h"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("poss"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val hits = perDoc
+      .withColumn("n_docs", count(lit(1)).over(wh))
+      .withColumn("first_doc", min(col("doc_id")).over(wh))
+      .filter(col("n_docs") >= minDocs && col("doc_id") =!= col("first_doc"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(flatten(collect_list(col("poss")))).as("cut_positions"),
+           sum(size(col("poss"))).cast(LongType).as("n_spans_cut"))
+    normed.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cut_positions").isNotNull,
+            graft.functions.SpanCut.cutSpans(col("norm"), col("cut_positions"), width))
+          .otherwise(col("norm")).as("text_clean"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"))
+  }
+
   /** Connected components of the near-dup pair graph by iterative
     * min-label propagation: every node starts labeled with its own id;
     * each round a node takes the minimum label among itself and its

@@ -360,29 +360,102 @@ object Similarity {
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                m: Int, k: Int): DataFrame = {
     require(m >= 1 && k >= 1, s"m and k must be >= 1, got m=$m k=$k")
-    val v = corpus.select(col(idCol).cast(LongType).as("vid"), asDouble(col(vecCol)).as("v"))
-      .filter(col("v").isNotNull)
-    val dim = probeDim(corpus, vecCol).getOrElse(
-      throw new IllegalArgumentException("pqEncode: corpus has no non-null vectors"))
-    require(dim % m == 0, s"pqEncode: dim=$dim not divisible by m=$m subspaces")
-    val sub = dim / m
-    val seedKey = Scale.md5Key(col("vid"), 6)
-    val seeds: Seq[(Long, Seq[Double])] = v
-      .orderBy(seedKey.asc, col("vid").asc).limit(k)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
-      .sortBy(_._1)
+    val (v, seeds, sub) = pqSetup(corpus, idCol, vecCol, m, k)
     val perSub = (0 until m).map { s =>
-      val svec = slice(col("v"), s * sub + 1, sub)
-      val arg = array_min(array(seeds.map { case (cid, c) =>
-        struct(graft.functions.VectorSim.l2(svec,
-            typedlit(c.slice(s * sub, (s + 1) * sub))).as("d"),
-          lit(cid).as("cid")) }: _*))
+      val arg = pqArgmin(col("v"), seeds, s, sub)
       struct(lit(s.toLong).as("sub_id"), arg.getField("cid").as("code_cid"),
         round(arg.getField("d"), 6).as("dist"))
     }
     v.select(col("vid").as("vec_id"), explode(array(perSub: _*)).as("e"))
       .select(col("vec_id"), col("e.sub_id").as("sub_id"),
         col("e.code_cid").as("code_cid"), col("e.dist").as("dist"))
+  }
+
+  /** Shared PQ setup: non-null corpus projection, the deterministic
+    * md5-order seed codebook, and the subspace width. */
+  private def pqSetup(corpus: DataFrame, idCol: String, vecCol: String,
+                      m: Int, k: Int): (DataFrame, Seq[(Long, Seq[Double])], Int) = {
+    val v = corpus.select(col(idCol).cast(LongType).as("vid"), asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+    val dim = probeDim(corpus, vecCol).getOrElse(
+      throw new IllegalArgumentException("pq: corpus has no non-null vectors"))
+    require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m subspaces")
+    val seedKey = Scale.md5Key(col("vid"), 6)
+    val seeds: Seq[(Long, Seq[Double])] = v
+      .orderBy(seedKey.asc, col("vid").asc).limit(k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
+      .sortBy(_._1)
+    (v, seeds, dim / m)
+  }
+
+  /** Lexicographic (l2, cid) argmin of subspace `s` against the
+    * literal codebook — the pqEncode/kmeansFit assignment shape. */
+  private def pqArgmin(vec: Column, seeds: Seq[(Long, Seq[Double])],
+                       s: Int, sub: Int): Column =
+    array_min(array(seeds.map { case (cid, c) =>
+      struct(graft.functions.VectorSim.l2(slice(vec, s * sub + 1, sub),
+          typedlit(c.slice(s * sub, (s + 1) * sub))).as("d"),
+        lit(cid).as("cid")) }: _*))
+
+  /** ADC (asymmetric-distance) top-k over PQ codes — the query side of
+    * [[pqEncode]], and the reason PQ exists at 100 TB: each probe
+    * precomputes a k×m lookup table of squared subspace distances to
+    * the codewords ONCE (driver-side — k·m doubles per probe, bounded
+    * like the kmeansFit centroid state), and every corpus vector is
+    * then scored by summing m table entries selected by its code ids —
+    * NO vector arithmetic in the corpus scan, which only reads the m
+    * code columns (the 64× compression is also a 64× scan-bandwidth
+    * cut when codes are stored columnar).  Encoding is inlined so the
+    * corpus is scanned once; candidates are bounded below the shuffle
+    * by TopKPerKey exactly like [[lshTopK]]/[[ivfTopK]].
+    *
+    * Distance is approximate by construction (vector ≈ its codewords);
+    * recall rises with m·k.  Probes must be small (collected).  The
+    * ADC sum is the fixed fold ((d²₀+d²₁)+…) so a SQL oracle can
+    * mirror it term-for-term.
+    *
+    * @return (probe_id, corpus_id, adc_dist, rank) — adc_dist =
+    *         √Σ d²(sub), ties toward the lower corpus id */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+             m: Int, k: Int, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val (v, seeds, sub) = pqSetup(corpus, idCol, vecCol, m, k)
+    val enc = v.select(col("vid") +:
+      (0 until m).map(s => pqArgmin(col("v"), seeds, s, sub).getField("cid").as(s"c$s")): _*)
+    val probeRows: Seq[(Long, Seq[Double])] = probes
+      .select(col(idCol).cast(LongType).as("pid"), asDouble(col(vecCol)).as("pv"))
+      .filter(col("pv").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
+      .sortBy(_._1)
+    require(probeRows.nonEmpty, "pqTopK: probe set has no non-null vectors")
+    // per-probe LUT: d²(s, cid) with EXACTLY the codegen kernel's
+    // arithmetic (left-to-right squared-diff sum, sqrt, then square —
+    // so the oracle's pow(list_distance, 2) is bit-identical)
+    def d2(p: Seq[Double], c: Seq[Double], s: Int): Double = {
+      var acc = 0.0
+      var i = s * sub
+      while (i < (s + 1) * sub) { val d = p(i) - c(i); acc += d * d; i += 1 }
+      val l2 = math.sqrt(acc)
+      l2 * l2
+    }
+    val perProbe = probeRows.map { case (pid, pv) =>
+      val adc2 = (0 until m).map { s =>
+        val lut = seeds.map { case (cid, c) => cid -> d2(pv, c, s) }.toMap
+        element_at(typedlit(lut), col(s"c$s"))
+      }.reduce(_ + _)
+      struct(lit(pid).as("probe_id"), adc2.as("adc2"))
+    }
+    val scored = enc
+      .select(col("vid").as("corpus_id"), explode(array(perProbe: _*)).as("p"))
+      .select(col("p.probe_id").as("probe_id"), col("corpus_id"), col("p.adc2").as("adc2"))
+      .filter(col("probe_id") =!= col("corpus_id"))
+    val top = graft.plans.TopK.perKeyOrdered(scored, Seq("probe_id"),
+      Seq("adc2" -> false, "corpus_id" -> false), topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("adc2").asc, col("corpus_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("probe_id"), col("corpus_id"),
+        round(sqrt(col("adc2")), 6).as("adc_dist"), col("rank"))
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest

