@@ -895,6 +895,20 @@ object SparkEntry {
         m = 4, k = 8, topK = 5)
     }),
 
+    // M6 Bloom-sketch contamination prefilter (the zero-join tier
+    // before q65's exact containment): benchmark = 80-char prefixes of
+    // docs 3 and 17; threshold-derived suspect cut.  Rows-only
+    // (sketch membership); snapshot-pinned at sf0.01.
+    "q90_bloom_prefilter" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val bench = d.filter(col("doc_id").isin(3L, 17L))
+        .select((col("doc_id") + 100000L).as("bid"),
+          substring(col("text"), 1, 80).as("btext"))
+      graft.operators.Contamination.bloomPrefilter(
+        d, col("doc_id"), col("text"), bench, col("btext"),
+        n = 20, threshold = 0.8, fpp = 0.01)
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {

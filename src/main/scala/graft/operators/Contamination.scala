@@ -44,4 +44,55 @@ object Contamination {
       .filter(col("n_overlap").cast(DoubleType) / size(col("bhs")).cast(DoubleType) >= threshold)
       .select(col("doc_id"), col("bench_id"), col("n_overlap"), col("containment"))
   }
+
+  /** Bloom-sketch contamination PREFILTER — the tier before
+    * [[containment]] when the benchmark suite is too large to pay a
+    * per-(doc, bench) merge walk for every document: ONE Bloom filter
+    * over ALL benchmark shingle hashes (a driver-bounded sketch,
+    * ~1.2 MB at a million shingles / 1% fpp) and one codegen'd
+    * membership count per document — zero joins, zero shuffle, and the
+    * overwhelmingly-clean corpus majority drops out before the exact
+    * pairwise stage runs on the survivors.
+    *
+    * NO FALSE NEGATIVES vs the `threshold` containment gate: a doc
+    * with containment ≥ threshold against SOME benchmark item carries
+    * at least threshold·|that item's shingle set| of the filter's true
+    * members, and a Bloom filter never misses a member — so the keep
+    * cut `n_suspect ≥ ⌊threshold · min_item_set_size⌋` can only
+    * over-keep.  The cut must be well above 1: per-shingle false
+    * positives compound per document (a 300-shingle doc at fpp 1% has
+    * a ~95% chance of ≥1 spurious hit), so an any-hit prefilter keeps
+    * everything — the threshold-derived cut is what makes the tier
+    * filter at all (spec-verified against the exact stage).
+    *
+    * @return surviving docs: (doc_id, n_shingles, n_suspect) */
+  def bloomPrefilter(docs: DataFrame, docId: Column, docText: Column,
+                     bench: DataFrame, benchText: Column,
+                     n: Int = 5, threshold: Double = 0.8,
+                     fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp in (0,1), got $fpp")
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val benchSets = bench
+      .select(graft.functions.MinHash.shingleHashSet(
+        TextAnalysis.normalize(benchText), n).as("bhs"))
+      .filter(col("bhs").isNotNull)
+    val benchHashes = benchSets.select(explode(col("bhs")).as("h")).distinct()
+    // expected-item count from the actual benchmark (small by
+    // contract); max(1, ...) keeps the sketch constructor legal on an
+    // empty suite (the filter then matches nothing — correct)
+    val nItems = math.max(1L, benchHashes.count())
+    val bf = benchHashes.stat.bloomFilter("h", nItems, fpp)
+    val minItem = benchSets.agg(min(size(col("bhs")))).collect()(0)
+    val minSuspect =
+      if (minItem.isNullAt(0)) Long.MaxValue // no benchmark shingles: keep nothing
+      else math.max(1L, math.floor(threshold * minItem.getInt(0)).toLong)
+    docs
+      .select(docId.as("doc_id"),
+        graft.functions.MinHash.shingleHashSet(
+          TextAnalysis.normalize(docText), n).as("dhs"))
+      .filter(col("dhs").isNotNull)
+      .select(col("doc_id"), size(col("dhs")).cast(LongType).as("n_shingles"),
+        graft.functions.BloomGate.bloomHitCount(col("dhs"), bf).as("n_suspect"))
+      .filter(col("n_suspect") >= minSuspect)
+  }
 }

@@ -358,11 +358,13 @@ object Similarity {
     *         per subspace, dist = l2 of the chosen codeword, ties
     *         broken toward the lowest codeword id */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               m: Int, k: Int): DataFrame = {
-    require(m >= 1 && k >= 1, s"m and k must be >= 1, got m=$m k=$k")
+               m: Int, k: Int, iters: Int = 0): DataFrame = {
+    require(m >= 1 && k >= 1 && iters >= 0,
+      s"m, k >= 1 and iters >= 0 required, got m=$m k=$k iters=$iters")
     val (v, seeds, sub) = pqSetup(corpus, idCol, vecCol, m, k)
+    val book = pqRefine(v, pqSlicedBook(seeds, m, sub), sub, iters)
     val perSub = (0 until m).map { s =>
-      val arg = pqArgmin(col("v"), seeds, s, sub)
+      val arg = pqArgminSub(col("v"), book(s), s, sub)
       struct(lit(s.toLong).as("sub_id"), arg.getField("cid").as("code_cid"),
         round(arg.getField("d"), 6).as("dist"))
     }
@@ -370,6 +372,64 @@ object Similarity {
       .select(col("vec_id"), col("e.sub_id").as("sub_id"),
         col("e.code_cid").as("code_cid"), col("e.dist").as("dist"))
   }
+
+  /** Seed codebook as per-subspace sub-vectors. */
+  private def pqSlicedBook(seeds: Seq[(Long, Seq[Double])], m: Int,
+                           sub: Int): IndexedSeq[Seq[(Long, Seq[Double])]] =
+    (0 until m).map(s => seeds.map { case (cid, c) =>
+      cid -> c.slice(s * sub, (s + 1) * sub) })
+
+  /** Lloyd refinement of the per-subspace codebooks (`iters` rounds;
+    * 0 = the raw seed codebook).  All m subspaces train in the SAME
+    * corpus pass per round: the per-row assignment adds one argmin
+    * column per subspace, a posexplode feeds a (code-of-dim, dim)
+    * mean aggregate whose map-side combine collapses to m·k·subWidth
+    * skinny rows per partition, and the updated codebooks live on the
+    * driver between rounds — bounded state, exactly the kmeansFit
+    * shape.  A codeword that loses every member keeps its position
+    * (deterministic, like kmeansFit's empty-cell contract). */
+  private def pqRefine(v: DataFrame, book0: IndexedSeq[Seq[(Long, Seq[Double])]],
+                       sub: Int, iters: Int): IndexedSeq[Seq[(Long, Seq[Double])]] = {
+    if (iters == 0) return book0
+    import org.apache.spark.storage.StorageLevel
+    val m = book0.size
+    val vp = v.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      var book = book0
+      for (_ <- 0 until iters) {
+        val cidCols = (0 until m).map(s =>
+          pqArgminSub(col("v"), book(s), s, sub).getField("cid"))
+        val stats = vp
+          .select(array(cidCols: _*).as("cids"), posexplode(col("v")).as(Seq("dim", "x")))
+          .select(element_at(col("cids"), (col("dim") / sub).cast(IntegerType) + 1).as("cid"),
+            col("dim"), col("x"))
+          .groupBy(col("cid"), col("dim"))
+          .agg(avg(col("x")).as("mu"))
+          .collect()
+        // stats rows: (cid, absolute dim, mean) — regroup per subspace
+        val bySubCid = stats.groupBy(r => (r.getInt(1) / sub, r.getLong(0)))
+        book = (0 until m).map { s =>
+          book(s).map { case (cid, old) =>
+            bySubCid.get((s, cid)) match {
+              case Some(rows) =>
+                cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toList
+              case None => cid -> old
+            }
+          }
+        }
+      }
+      book
+    } finally { vp.unpersist(); () }
+  }
+
+  /** Lexicographic (l2, cid) argmin of subspace `s` against explicit
+    * per-subspace codewords. */
+  private def pqArgminSub(vec: Column, codes: Seq[(Long, Seq[Double])],
+                          s: Int, sub: Int): Column =
+    array_min(array(codes.map { case (cid, cvec) =>
+      struct(graft.functions.VectorSim.l2(slice(vec, s * sub + 1, sub),
+          typedlit(cvec)).as("d"),
+        lit(cid).as("cid")) }: _*))
 
   /** Shared PQ setup: non-null corpus projection, the deterministic
     * md5-order seed codebook, and the subspace width. */
@@ -387,15 +447,6 @@ object Similarity {
       .sortBy(_._1)
     (v, seeds, dim / m)
   }
-
-  /** Lexicographic (l2, cid) argmin of subspace `s` against the
-    * literal codebook — the pqEncode/kmeansFit assignment shape. */
-  private def pqArgmin(vec: Column, seeds: Seq[(Long, Seq[Double])],
-                       s: Int, sub: Int): Column =
-    array_min(array(seeds.map { case (cid, c) =>
-      struct(graft.functions.VectorSim.l2(slice(vec, s * sub + 1, sub),
-          typedlit(c.slice(s * sub, (s + 1) * sub))).as("d"),
-        lit(cid).as("cid")) }: _*))
 
   /** ADC (asymmetric-distance) top-k over PQ codes — the query side of
     * [[pqEncode]], and the reason PQ exists at 100 TB: each probe
@@ -420,8 +471,9 @@ object Similarity {
              m: Int, k: Int, topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val (v, seeds, sub) = pqSetup(corpus, idCol, vecCol, m, k)
+    val book = pqSlicedBook(seeds, m, sub)
     val enc = v.select(col("vid") +:
-      (0 until m).map(s => pqArgmin(col("v"), seeds, s, sub).getField("cid").as(s"c$s")): _*)
+      (0 until m).map(s => pqArgminSub(col("v"), book(s), s, sub).getField("cid").as(s"c$s")): _*)
     val probeRows: Seq[(Long, Seq[Double])] = probes
       .select(col(idCol).cast(LongType).as("pid"), asDouble(col(vecCol)).as("pv"))
       .filter(col("pv").isNotNull)

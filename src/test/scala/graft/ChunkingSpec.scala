@@ -53,6 +53,42 @@ class ChunkingSpec extends SparkSpec {
     assert(!byDoc.contains(2L))       // unrelated doc below threshold
     assert(out.forall(_._2 == 100L))
   }
+
+  test("bloomPrefilter: no false negatives vs exact overlap; fpp-bounded extras") {
+    // controlled corpus: 300 docs of unique seeded words; the
+    // benchmark sentence is planted verbatim into 5 of them
+    val rnd = new scala.util.Random(7)
+    val benchSentence = "planted benchmark item that must always be caught verbatim"
+    val docs = (0 until 300).map { i =>
+      val body = Seq.fill(30)(f"w${rnd.nextInt(1000000)}%06d t$i").mkString(" ")
+      val text = if (i % 60 == 0) s"$body $benchSentence $body" else body
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val planted = (0 until 300 by 60).map(_.toLong).toSet
+    val bench = Seq((1L, benchSentence)).toDF("bid", "btext")
+    val kept = Contamination.bloomPrefilter(docs, col("doc_id"), col("text"),
+        bench, col("btext"), n = 20, threshold = 0.8, fpp = 0.01)
+      .collect().map(_.getLong(0)).toSet
+    // exact ground truth: docs the containment gate itself would flag
+    val exact = Contamination.containment(docs, col("doc_id"), col("text"),
+        bench, col("bid"), col("btext"), n = 20, threshold = 0.8)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == planted, s"ground truth should be the planted docs: $exact")
+    assert(exact.subsetOf(kept),
+      s"bloom prefilter lost contaminated docs: ${exact.diff(kept)}")
+    // the threshold-derived cut actually filters: spurious survivors
+    // need ~0.8*|bench set| independent FP hits — essentially none
+    assert(kept.size <= exact.size + 5,
+      s"prefilter kept ${kept.size} vs exact ${exact.size}")
+    // composing prefilter -> exact stage loses nothing
+    val surv = docs.join(Seq(kept.toSeq: _*).toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val composed = Contamination.containment(surv, col("doc_id"), col("text"),
+        bench, col("bid"), col("btext"), n = 20, threshold = 0.8)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(composed == exact)
+  }
 }
 
 class PipelineSpec extends SparkSpec {

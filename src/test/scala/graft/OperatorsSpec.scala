@@ -723,6 +723,23 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqEncode(e, "vec_id", "embedding", m = 7, k = 4) } // 64 % 7 != 0
   }
 
+  test("pqEncode trained codebooks: error never worse than seeds; deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def totalDist(iters: Int): Double =
+      Similarity.pqEncode(e, "vec_id", "embedding", m = 4, k = 8, iters = iters)
+        .agg(sum(col("dist"))).collect()(0).getDouble(0)
+    val seedErr = totalDist(0)
+    val trainedErr = totalDist(2)
+    assert(trainedErr <= seedErr + 1e-9,
+      s"Lloyd refinement must not increase quantization error: $trainedErr vs $seedErr")
+    // two runs are bit-identical (deterministic seeds + argmin)
+    val a = Similarity.pqEncode(e, "vec_id", "embedding", 4, 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = Similarity.pqEncode(e, "vec_id", "embedding", 4, 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a == b)
+  }
+
   test("pqTopK: ADC scores equal a Scala reference over the encoded corpus") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val m = 4; val k = 8; val topK = 5
