@@ -909,6 +909,19 @@ object SparkEntry {
         n = 20, threshold = 0.8, fpp = 0.01)
     }),
 
+    // M6 composed IVF+PQ search (the billion-scale recipe): coarse
+    // cells from 4 md5-order sampled centroids, nprobe=2, ADC scoring
+    // over the q87 codebook — corpus scanned once for cells + codes
+    "q91_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      val key = conv(substring(md5(col("vec_id").cast(StringType)), 1, 6), 16, 10)
+        .cast(LongType)
+      val cents = e.filter(col("embedding").isNotNull)
+        .orderBy(key.asc, col("vec_id").asc).limit(4)
+      Similarity.ivfPqTopK(e, cents, e.filter(col("vec_id") < 3),
+        "vec_id", "embedding", m = 4, k = 8, topK = 5, nprobe = 2)
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1523,6 +1536,59 @@ object SparkEntry {
          |((l0.d2 + l1.d2) + l2.d2) + l3.d2 AS adc2
          |FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
          |JOIN lut l0 ON l0.sub = 0 AND l0.cid = a0.code
+         |JOIN lut l1 ON l1.sub = 1 AND l1.cid = a1.code AND l1.probe_id = l0.probe_id
+         |JOIN lut l2 ON l2.sub = 2 AND l2.cid = a2.code AND l2.probe_id = l0.probe_id
+         |JOIN lut l3 ON l3.sub = 3 AND l3.cid = a3.code AND l3.probe_id = l0.probe_id
+         |WHERE a0.vec_id <> l0.probe_id),
+         |r AS (SELECT probe_id, corpus_id, adc2,
+         |row_number() OVER (PARTITION BY probe_id ORDER BY adc2, corpus_id) AS rank
+         |FROM scored)
+         |SELECT probe_id, corpus_id, round(sqrt(adc2), 6) AS adc_dist,
+         |CAST(rank AS INT) AS rank FROM r WHERE rank <= 5""".stripMargin.replace("\n", " ")
+    },
+
+    // q89's fixed-fold ADC restricted to nprobe=2 coarse cells from 4
+    // md5-order sampled centroids (full-vector argmin assignment,
+    // centroid-id tiebreaks — mirrors ivfPqTopK)
+    "q91_ivfpq_topk" -> {
+      val sl = (a: String) =>
+        s"$a[CAST(s.sub*16+1 AS BIGINT):CAST(s.sub*16+16 AS BIGINT)]"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |WHERE embedding IS NOT NULL),
+         |seeds AS (SELECT vec_id AS cid, v AS cv FROM v
+         |ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,6))::BIGINT, vec_id LIMIT 8),
+         |cents AS (SELECT vec_id AS centroid_id, v AS cent FROM v
+         |ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,6))::BIGINT, vec_id LIMIT 4),
+         |subs AS (SELECT unnest(range(4)) AS sub),
+         |ccells AS MATERIALIZED (SELECT vec_id, centroid_id FROM (
+         |SELECT t.vec_id, c.centroid_id,
+         |row_number() OVER (PARTITION BY t.vec_id
+         |ORDER BY list_distance(t.v, c.cent), c.centroid_id) AS rn
+         |FROM v t CROSS JOIN cents c) WHERE rn = 1),
+         |pcells AS MATERIALIZED (SELECT probe_id, centroid_id FROM (
+         |SELECT p.vec_id AS probe_id, c.centroid_id,
+         |row_number() OVER (PARTITION BY p.vec_id
+         |ORDER BY list_distance(p.v, c.cent), c.centroid_id) AS rn
+         |FROM v p CROSS JOIN cents c WHERE p.vec_id < 3) WHERE rn <= 2),
+         |asg AS MATERIALIZED (SELECT vec_id, sub, cid AS code FROM (
+         |SELECT t.vec_id, s.sub, c.cid,
+         |row_number() OVER (PARTITION BY t.vec_id, s.sub
+         |ORDER BY list_distance(${sl("t.v")}, ${sl("c.cv")}), c.cid) AS rn
+         |FROM v t CROSS JOIN subs s CROSS JOIN seeds c) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM v WHERE vec_id < 3),
+         |lut AS MATERIALIZED (SELECT p.probe_id, s.sub, c.cid,
+         |pow(list_distance(${sl("p.pv")}, ${sl("c.cv")}), 2) AS d2
+         |FROM probes p CROSS JOIN subs s CROSS JOIN seeds c),
+         |a0 AS (SELECT vec_id, code FROM asg WHERE sub = 0),
+         |a1 AS (SELECT vec_id, code FROM asg WHERE sub = 1),
+         |a2 AS (SELECT vec_id, code FROM asg WHERE sub = 2),
+         |a3 AS (SELECT vec_id, code FROM asg WHERE sub = 3),
+         |scored AS (SELECT l0.probe_id, a0.vec_id AS corpus_id,
+         |((l0.d2 + l1.d2) + l2.d2) + l3.d2 AS adc2
+         |FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
+         |JOIN ccells cc USING (vec_id)
+         |JOIN lut l0 ON l0.sub = 0 AND l0.cid = a0.code
+         |JOIN pcells pc ON pc.centroid_id = cc.centroid_id AND pc.probe_id = l0.probe_id
          |JOIN lut l1 ON l1.sub = 1 AND l1.cid = a1.code AND l1.probe_id = l0.probe_id
          |JOIN lut l2 ON l2.sub = 2 AND l2.cid = a2.code AND l2.probe_id = l0.probe_id
          |JOIN lut l3 ON l3.sub = 3 AND l3.cid = a3.code AND l3.probe_id = l0.probe_id

@@ -422,6 +422,18 @@ object Similarity {
     } finally { vp.unpersist(); () }
   }
 
+  /** Per-probe LUT entry: d²(subspace s, codeword c) with EXACTLY the
+    * codegen kernel's arithmetic (left-to-right squared-diff sum,
+    * sqrt, then square — so an oracle's pow(list_distance, 2) is
+    * bit-identical). */
+  private def pqD2(p: Seq[Double], c: Seq[Double], s: Int, sub: Int): Double = {
+    var acc = 0.0
+    var i = s * sub
+    while (i < (s + 1) * sub) { val d = p(i) - c(i); acc += d * d; i += 1 }
+    val l2 = math.sqrt(acc)
+    l2 * l2
+  }
+
   /** Lexicographic (l2, cid) argmin of subspace `s` against explicit
     * per-subspace codewords. */
   private def pqArgminSub(vec: Column, codes: Seq[(Long, Seq[Double])],
@@ -480,19 +492,9 @@ object Similarity {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
       .sortBy(_._1)
     require(probeRows.nonEmpty, "pqTopK: probe set has no non-null vectors")
-    // per-probe LUT: d²(s, cid) with EXACTLY the codegen kernel's
-    // arithmetic (left-to-right squared-diff sum, sqrt, then square —
-    // so the oracle's pow(list_distance, 2) is bit-identical)
-    def d2(p: Seq[Double], c: Seq[Double], s: Int): Double = {
-      var acc = 0.0
-      var i = s * sub
-      while (i < (s + 1) * sub) { val d = p(i) - c(i); acc += d * d; i += 1 }
-      val l2 = math.sqrt(acc)
-      l2 * l2
-    }
     val perProbe = probeRows.map { case (pid, pv) =>
       val adc2 = (0 until m).map { s =>
-        val lut = seeds.map { case (cid, c) => cid -> d2(pv, c, s) }.toMap
+        val lut = seeds.map { case (cid, c) => cid -> pqD2(pv, c, s, sub) }.toMap
         element_at(typedlit(lut), col(s"c$s"))
       }.reduce(_ + _)
       struct(lit(pid).as("probe_id"), adc2.as("adc2"))
@@ -501,6 +503,76 @@ object Similarity {
       .select(col("vid").as("corpus_id"), explode(array(perProbe: _*)).as("p"))
       .select(col("p.probe_id").as("probe_id"), col("corpus_id"), col("p.adc2").as("adc2"))
       .filter(col("probe_id") =!= col("corpus_id"))
+    val top = graft.plans.TopK.perKeyOrdered(scored, Seq("probe_id"),
+      Seq("adc2" -> false, "corpus_id" -> false), topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("adc2").asc, col("corpus_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("probe_id"), col("corpus_id"),
+        round(sqrt(col("adc2")), 6).as("adc_dist"), col("rank"))
+  }
+
+  /** IVF + PQ composed search — the standard billion-scale ANN recipe
+    * in one operator: the corpus is scanned ONCE computing both its
+    * coarse cell (argmin over broadcast `centroids`, as [[ivfAssign]])
+    * and its PQ codes (literal-codebook argmin, as [[pqEncode]]);
+    * each probe visits its `nprobe` nearest cells and ADC-scores ONLY
+    * the in-cell candidates by summing per-probe lookup-table entries
+    * selected by code ids — the candidate set is bounded by
+    * |corpus|·nprobe/|centroids| on balanced cells AND each candidate
+    * costs m map lookups instead of a dim-wide dot product.
+    *
+    * This is the non-residual (IVFFlat-PQ) variant: codes quantize the
+    * raw vectors, not the cell residuals — residual encoding is the
+    * next refinement when cells are tight.  With
+    * `nprobe = |centroids|` the cell filter admits everything and the
+    * result is bit-identical to [[pqTopK]] (spec-pinned).
+    *
+    * @return (probe_id, corpus_id, adc_dist, rank) */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame,
+                idCol: String, vecCol: String, m: Int, k: Int,
+                topK: Int, nprobe: Int = 2): DataFrame = {
+    require(topK >= 1 && nprobe >= 1, s"topK and nprobe must be >= 1")
+    val (v, seeds, sub) = pqSetup(corpus, idCol, vecCol, m, k)
+    val book = pqSlicedBook(seeds, m, sub)
+    val cents = centroids.select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("corpus_id")).orderBy(col("cdist0").asc, col("centroid_id").asc)
+    val corpusCells = v.select(col("vid").as("corpus_id"), col("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist0", l2Distance(col("v"), col("cv")))
+      .withColumn("crn0", row_number().over(wc))
+      .filter(col("crn0") === 1)
+      .select(col("centroid_id") +: col("corpus_id") +:
+        (0 until m).map(s => pqArgminSub(col("v"), book(s), s, sub)
+          .getField("cid").as(s"c$s")): _*)
+    val probeRows: Seq[(Long, Seq[Double])] = probes
+      .select(col(idCol).cast(LongType).as("pid"), asDouble(col(vecCol)).as("pv"))
+      .filter(col("pv").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
+      .sortBy(_._1)
+    require(probeRows.nonEmpty, "ivfPqTopK: probe set has no non-null vectors")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cdist").asc, col("centroid_id").asc)
+    val probeCells = probes
+      .select(col(idCol).cast(LongType).as("probe_id"), asDouble(col(vecCol)).as("pv"))
+      .filter(col("pv").isNotNull)
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", l2Distance(col("pv"), col("cv")))
+      .withColumn("crn", row_number().over(wp))
+      .filter(col("crn") <= nprobe)
+      .select(col("centroid_id"), col("probe_id"))
+    // probe LUTs as literal map-of-maps (probe_id -> code -> d²):
+    // probe_id is data here (it arrives via the cell join), so the
+    // lookup is two chained element_at calls per subspace
+    val adc2 = (0 until m).map { s =>
+      val lutMap = probeRows.map { case (pid, pv) =>
+        pid -> seeds.map { case (cid, c) => cid -> pqD2(pv, c, s, sub) }.toMap }.toMap
+      element_at(element_at(typedlit(lutMap), col("probe_id")), col(s"c$s"))
+    }.reduce(_ + _)
+    val scored = probeCells.join(corpusCells, Seq("centroid_id"))
+      .filter(col("probe_id") =!= col("corpus_id"))
+      .select(col("probe_id"), col("corpus_id"), adc2.as("adc2"))
     val top = graft.plans.TopK.perKeyOrdered(scored, Seq("probe_id"),
       Seq("adc2" -> false, "corpus_id" -> false), topK)
     val w = org.apache.spark.sql.expressions.Window

@@ -780,6 +780,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size == 3 * topK)
   }
 
+  test("ivfPqTopK: full-probe equals pqTopK bit-for-bit; nprobe=1 stays in-cell") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.filter(col("vec_id") < 3)
+    // 4 deterministic centroids: the md5-order head of the corpus
+    val cents = Similarity.kmeansFit(e, "vec_id", "embedding", k = 4, iters = 2)
+      .select(col("centroid_id").as("vec_id"),
+        col("centroid").cast("array<float>").as("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // admitting every cell makes the cell filter a no-op -> identical
+    // output to the flat ADC search
+    val full = rows(Similarity.ivfPqTopK(e, cents, probes, "vec_id", "embedding",
+      m = 4, k = 8, topK = 5, nprobe = 4))
+    val flat = rows(Similarity.pqTopK(e, probes, "vec_id", "embedding",
+      m = 4, k = 8, topK = 5))
+    assert(full == flat, s"nprobe=all must equal pqTopK\nonly ivfpq: ${full.diff(flat)}")
+    // nprobe=1: every result lives in its probe's own nearest cell
+    val one = Similarity.ivfPqTopK(e, cents, probes, "vec_id", "embedding",
+      m = 4, k = 8, topK = 5, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val cellOf = Similarity.ivfAssign(e, cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    one.foreach { case (pid, cid2) =>
+      assert(cellOf(pid) == cellOf(cid2),
+        s"probe $pid (cell ${cellOf(pid)}) got $cid2 from cell ${cellOf(cid2)}") }
+    assert(one.nonEmpty)
+  }
+
   test("meanPool pools per group; l2Normalize makes cosine a dot product") {
     val df = Seq(
       (1, Array(1.0f, 3.0f)), (1, Array(3.0f, 5.0f)),
@@ -1168,6 +1196,30 @@ class MinHashPropertySpec extends SparkSpec {
     val gotTop = graft.operators.TextAnalysis.topTerms(df, col("text"), 20)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(gotTop == expTop)
+  }
+
+  test("SpanCut kernel equals a Scala interval-merge reference on random cuts") {
+    val rnd = new scala.util.Random(11)
+    val cases = (0 until 200).map { i =>
+      val len = rnd.nextInt(120)
+      val s = Seq.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString // ASCII contract
+      val width = 1 + rnd.nextInt(10)
+      val maxPos = len - width + 1
+      val nCuts = if (maxPos < 1) 0 else rnd.nextInt(6)
+      val poss = Seq.fill(nCuts)(1L + rnd.nextInt(maxPos)).sorted
+      (i.toLong, s, width, poss)
+    }
+    for ((id, s, width, poss) <- cases) {
+      val got = Seq((id, s, poss.toArray)).toDF("id", "s", "p")
+        .select(graft.functions.SpanCut.cutSpans(col("s"), col("p"), width))
+        .collect()(0).getString(0)
+      // reference: delete the union of [p-1, p-1+width) char ranges
+      val cut = Array.fill(s.length)(false)
+      poss.foreach(p => ((p - 1).toInt until math.min(s.length, (p - 1 + width).toInt))
+        .foreach(cut(_) = true))
+      val expected = s.zipWithIndex.collect { case (c, i) if !cut(i) => c }.mkString
+      assert(got == expected, s"case $id: s='$s' w=$width poss=$poss")
+    }
   }
 
   test("fused repetition kernel is bit-identical to the exploded twin") {
