@@ -522,29 +522,62 @@ object Similarity {
     * |corpus|·nprobe/|centroids| on balanced cells AND each candidate
     * costs m map lookups instead of a dim-wide dot product.
     *
-    * This is the non-residual (IVFFlat-PQ) variant: codes quantize the
-    * raw vectors, not the cell residuals — residual encoding is the
-    * next refinement when cells are tight.  With
-    * `nprobe = |centroids|` the cell filter admits everything and the
-    * result is bit-identical to [[pqTopK]] (spec-pinned).
+    * `residual = false` is the IVFFlat-PQ variant: codes quantize the
+    * raw vectors.  `residual = true` is the classic IVFADC refinement:
+    * codes quantize `v − centroid(cell)` — residuals concentrate near
+    * the origin, so the same codebook budget quantizes them tighter —
+    * with the seed codebook built from the seed rows' residuals and
+    * the probe LUTs computed per VISITED CELL against the probe's own
+    * residual (`q − centroid`).  With a single zero centroid the
+    * residual path degenerates to the raw path exactly (spec-pinned);
+    * with `nprobe = |centroids|` the non-residual variant is
+    * bit-identical to [[pqTopK]] (spec-pinned).
     *
     * @return (probe_id, corpus_id, adc_dist, rank) */
   def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame,
                 idCol: String, vecCol: String, m: Int, k: Int,
-                topK: Int, nprobe: Int = 2): DataFrame = {
+                topK: Int, nprobe: Int = 2, residual: Boolean = false): DataFrame = {
     require(topK >= 1 && nprobe >= 1, s"topK and nprobe must be >= 1")
     val (v, seeds, sub) = pqSetup(corpus, idCol, vecCol, m, k)
-    val book = pqSlicedBook(seeds, m, sub)
     val cents = centroids.select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
+    // centroids are small by contract — driver copies feed the seed
+    // residuals and the per-cell probe LUTs
+    val centRows: Seq[(Long, Seq[Double])] = cents
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "ivfPqTopK: centroid set is empty")
+    def scalaL2(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.size, b.size)) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      math.sqrt(acc)
+    }
+    def cellOf(vec: Seq[Double]): (Long, Seq[Double]) =
+      centRows.map { case (cid, cv) => ((scalaL2(vec, cv), cid), cv) }.minBy(_._1) match {
+        case ((_, cid), cv) => (cid, cv)
+      }
+    // codebook: raw seed sub-vectors, or the seed rows' residuals
+    val book = pqSlicedBook(
+      if (!residual) seeds
+      else seeds.map { case (sid, sv) =>
+        sid -> sv.zip(cellOf(sv)._2).map { case (a, b) => a - b } },
+      m, sub)
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("corpus_id")).orderBy(col("cdist0").asc, col("centroid_id").asc)
-    val corpusCells = v.select(col("vid").as("corpus_id"), col("v"))
+    val assigned = v.select(col("vid").as("corpus_id"), col("v"))
       .crossJoin(broadcast(cents))
       .withColumn("cdist0", l2Distance(col("v"), col("cv")))
       .withColumn("crn0", row_number().over(wc))
       .filter(col("crn0") === 1)
+    // the encoded vector: raw, or the residual against the assigned
+    // centroid (materialized as its own attribute — the m·k argmin
+    // kernels reference it, and CollapseProject keeps a multi-
+    // referenced non-cheap expression out of line)
+    val withEnc =
+      if (!residual) assigned.withColumn("enc", col("v"))
+      else assigned.withColumn("enc", zip_with(col("v"), col("cv"), (a, b) => a - b))
+    val corpusCells = withEnc
       .select(col("centroid_id") +: col("corpus_id") +:
-        (0 until m).map(s => pqArgminSub(col("v"), book(s), s, sub)
+        (0 until m).map(s => pqArgminSub(col("enc"), book(s), s, sub)
           .getField("cid").as(s"c$s")): _*)
     val probeRows: Seq[(Long, Seq[Double])] = probes
       .select(col(idCol).cast(LongType).as("pid"), asDouble(col(vecCol)).as("pv"))
@@ -562,13 +595,32 @@ object Similarity {
       .withColumn("crn", row_number().over(wp))
       .filter(col("crn") <= nprobe)
       .select(col("centroid_id"), col("probe_id"))
-    // probe LUTs as literal map-of-maps (probe_id -> code -> d²):
-    // probe_id is data here (it arrives via the cell join), so the
-    // lookup is two chained element_at calls per subspace
+    // probe LUTs as literal nested maps; probe_id (and, for residual,
+    // centroid_id) are data here, so lookups chain element_at calls.
+    // Non-residual: probe -> code -> d².  Residual: the probe's own
+    // residual differs per visited cell -> probe -> cell -> code -> d².
     val adc2 = (0 until m).map { s =>
-      val lutMap = probeRows.map { case (pid, pv) =>
-        pid -> seeds.map { case (cid, c) => cid -> pqD2(pv, c, s, sub) }.toMap }.toMap
-      element_at(element_at(typedlit(lutMap), col("probe_id")), col(s"c$s"))
+      if (!residual) {
+        val lutMap = probeRows.map { case (pid, pv) =>
+          pid -> seeds.map { case (cid, c) => cid -> pqD2(pv, c, s, sub) }.toMap }.toMap
+        element_at(element_at(typedlit(lutMap), col("probe_id")), col(s"c$s"))
+      } else {
+        val bookS = book(s)
+        val lutMap = probeRows.map { case (pid, pv) =>
+          pid -> centRows.map { case (ccid, cv) =>
+            val qr = pv.zip(cv).map { case (a, b) => a - b }
+            ccid -> bookS.map { case (cid, cw) =>
+              // codewords are already per-subspace residual slices;
+              // compare against the probe-residual's slice with the
+              // same sqrt-then-square arithmetic as pqD2
+              val d = scalaL2(qr.slice(s * sub, (s + 1) * sub), cw)
+              cid -> d * d
+            }.toMap
+          }.toMap
+        }.toMap
+        element_at(element_at(element_at(typedlit(lutMap), col("probe_id")),
+          col("centroid_id")), col(s"c$s"))
+      }
     }.reduce(_ + _)
     val scored = probeCells.join(corpusCells, Seq("centroid_id"))
       .filter(col("probe_id") =!= col("corpus_id"))

@@ -806,6 +806,20 @@ class SimilaritySpec extends SparkSpec {
       assert(cellOf(pid) == cellOf(cid2),
         s"probe $pid (cell ${cellOf(pid)}) got $cid2 from cell ${cellOf(cid2)}") }
     assert(one.nonEmpty)
+    // residual degenerate case: one zero centroid makes residual = v,
+    // the residual codebook = the raw seeds, and each probe residual
+    // = the probe — bit-identical to the flat ADC search
+    val zeroCent = Seq((0L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val residualZero = rows(Similarity.ivfPqTopK(e, zeroCent, probes,
+      "vec_id", "embedding", m = 4, k = 8, topK = 5, nprobe = 1, residual = true))
+    assert(residualZero == flat,
+      s"zero-centroid residual must equal pqTopK\ndiff: ${residualZero.diff(flat)}")
+    // residual path is deterministic with real centroids
+    val r1 = rows(Similarity.ivfPqTopK(e, cents, probes, "vec_id", "embedding",
+      m = 4, k = 8, topK = 5, nprobe = 2, residual = true))
+    val r2 = rows(Similarity.ivfPqTopK(e, cents, probes, "vec_id", "embedding",
+      m = 4, k = 8, topK = 5, nprobe = 2, residual = true))
+    assert(r1 == r2 && r1.nonEmpty)
   }
 
   test("meanPool pools per group; l2Normalize makes cosine a dot product") {
