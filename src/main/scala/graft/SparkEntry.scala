@@ -922,6 +922,14 @@ object SparkEntry {
         "vec_id", "embedding", m = 4, k = 8, topK = 5, nprobe = 2)
     }),
 
+    // M6 BPE merge training (tokenizer induction): first 12 merges
+    // over the word-frequency vocab, deterministic tiebreaks.
+    // Rows-only (iterative argmax); snapshot-pinned at sf0.01.
+    "q92_bpe_merges" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      TextAnalysis.bpeTopMerges(d, col("text"), rounds = 12)
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {

@@ -172,6 +172,86 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
 
+  /** BPE merge training over the corpus — tokenizer induction's core
+    * loop (Sennrich et al.): repeatedly merge the most frequent
+    * adjacent symbol pair, weighted by word frequency.
+    *
+    * Scale shape (the standard trainer): the corpus is reduced ONCE to
+    * a word-frequency vocabulary (one shuffle — the only corpus-scale
+    * aggregation), and every merge round runs on the vocab alone:
+    * adjacent-pair counts via one explode + sum aggregate over ≤|vocab|
+    * rows, the argmax collected to the driver (bounded state, like the
+    * kmeansFit centroids), and the merge applied with a left-to-right
+    * non-overlapping lookaround replace (Java regex scans left to
+    * right — exactly BPE's application order).  Words are
+    * character-seeded from the NORMALIZED text ([a-z0-9] symbols, so
+    * the space-separated symbol encoding is unambiguous); no
+    * end-of-word marker (documented simplification — merges can span
+    * to the word boundary).
+    *
+    * Deterministic throughout: ties break by (count desc, left asc,
+    * right asc); stops early when no pair remains.
+    *
+    * @return (merge_rank starting at 1, left, right, pair_count) */
+  def bpeTopMerges(df: org.apache.spark.sql.DataFrame, text: Column,
+                   rounds: Int): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1 && rounds <= 4096, s"rounds in [1, 4096], got $rounds")
+    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df.select(explode(split(normalize(text), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wcount"))
+      .select(col("wcount"),
+        concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")).as("syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // previous round's cache is dropped only AFTER the current round's
+    // pair aggregate has materialized the current one — the aggregate
+    // scans every vocab partition, so no separate count() job is spent
+    // on materialization
+    var prevVocab: org.apache.spark.sql.DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    try {
+      var rank = 1
+      var done = false
+      while (rank <= rounds && !done) {
+        val toks = split(trim(col("syms")), " ")
+        val pairs = when(size(toks) >= 2,
+            transform(sequence(lit(0), size(toks) - 2),
+              i => struct(element_at(toks, i + 1).as("l"),
+                          element_at(toks, i + 2).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))
+        val top = vocab
+          .select(col("wcount"), explode(pairs).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("wcount")).as("n"))
+          .orderBy(col("n").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (prevVocab != null) { prevVocab.unpersist(); prevVocab = null }
+        if (top.isEmpty) done = true
+        else {
+          val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((rank.toLong, l, r, n))
+          // left-to-right non-overlapping merge: lookarounds keep the
+          // separating spaces so adjacent occurrences still match
+          val pat = "(?<= )" + java.util.regex.Pattern.quote(l) + " " +
+            java.util.regex.Pattern.quote(r) + "(?= )"
+          val rep = java.util.regex.Matcher.quoteReplacement(l + r)
+          prevVocab = vocab
+          vocab = vocab
+            .withColumn("syms", regexp_replace(col("syms"), pat, rep))
+            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          rank += 1
+        }
+      }
+      merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+    } finally {
+      vocab.unpersist()
+      if (prevVocab != null) prevVocab.unpersist()
+      ()
+    }
+  }
+
   /** Normalize text for fingerprinting: lowercase, strip all but
     * [a-z0-9 ], squeeze repeated spaces, trim. */
   def normalize(text: Column): Column =

@@ -918,6 +918,48 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bpeTopMerges: matches a Scala BPE reference; deterministic ties; early stop") {
+    // classic BPE corpus (word frequencies drive the merges)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTopMerges(docs, col("text"), rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    // Scala reference: same tiebreak, left-to-right non-overlap merge
+    def refMerges(ws: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+      var vocab: Map[List[String], Long] =
+        ws.map { case (w, c) => w.map(_.toString).toList -> c }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      for (_ <- 0 until rounds) {
+        val counts = vocab.toSeq.flatMap { case (syms, c) =>
+          syms.zip(syms.drop(1)).map(p => p -> c) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (counts.nonEmpty) {
+          val ((l, r), n) = counts.toSeq.sortBy { case ((l, r), n) => (-n, l, r) }.head
+          out += ((l, r, n))
+          def merge(s: List[String]): List[String] = s match {
+            case a :: b :: rest if a == l && b == r => (a + b) :: merge(rest)
+            case a :: rest => a :: merge(rest)
+            case Nil => Nil
+          }
+          vocab = vocab.toSeq.map { case (syms, c) => merge(syms) -> c }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        }
+      }
+      out.toSeq
+    }
+    val wcounts = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = refMerges(wcounts, 8).zipWithIndex
+      .map { case ((l, r, n), i) => (i + 1L, l, r, n) }
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+    // "es" then "est" style merges must appear for newest/widest
+    assert(got.exists(m => m._2 + m._3 == "est") || got.exists(m => m._2 + m._3 == "es"))
+    // early stop: single-char corpus runs out of pairs
+    val tiny = Seq((1L, "a b a")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTopMerges(tiny, col("text"), rounds = 5).count() == 0L)
+  }
+
   test("tokenEntropy: hand-computed cases + Scala reference on real docs") {
     val docs = Seq(
       1L -> "a a a a",        // uniform single token -> entropy 0
