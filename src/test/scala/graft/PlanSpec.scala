@@ -95,6 +95,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("token_stats"), s"kernel expression missing:\n$plan")
   }
 
+  test("token entropy: fused kernel — zero exchanges, zero generates") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.TextAnalysis.tokenEntropy(
+      docs, col("doc_id"), col("text")))
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"),
+      s"tokenEntropy must be a scan-stage projection:\n$plan")
+  }
+
+  test("mixture weights: one count-agg exchange plus a broadcast total") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.Scale.mixtureWeights(docs, col("source"), 0.5))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, // per-source agg + its reuse under the total
+      s"expected only the source-count aggregation to shuffle:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoop"),
+      s"the 1-row total must broadcast, not shuffle:\n$plan")
+  }
+
   test("vocab top-k compiles to TakeOrderedAndProject over the count agg") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.operators.TextAnalysis.topTerms(docs, col("text"), 50))
