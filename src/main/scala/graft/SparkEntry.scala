@@ -20,6 +20,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): EzFrame =
     EzFrame.readParquet(s, s"$dir/$name.parquet")
 
+  /** q93/q94 preamble: the fixture text carries no punctuation, so
+    * sentence structure is synthesized deterministically — a period
+    * appended to every 8th token (0-based index lambda; the oracle
+    * mirrors it with a 1-based range transform). */
+  private def withSentences(d: DataFrame): DataFrame =
+    d.withColumn("text",
+      array_join(transform(split(col("text"), " "),
+        (tok, i) => when((i + 1) % 8 === 0, concat(tok, lit("."))).otherwise(tok)), " "))
+
   /** events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
     * nanos under this legacy flag, then we truncate to µs exactly like
     * DuckDB's parquet reader does.
@@ -930,6 +939,27 @@ object SparkEntry {
       TextAnalysis.bpeTopMerges(d, col("text"), rounds = 12)
     }),
 
+    // M6 sentence-shape quality signal: per-doc sentence count and
+    // mean/max sentence length.  The fixture text has no punctuation,
+    // so sentence structure is synthesized deterministically first
+    // (a period after every 8th token — index-lambda transform,
+    // mirrored 1:1 in the oracle), like q80 synthesizes its new
+    // generation inline.
+    "q93_sentence_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      TextAnalysis.sentenceStats(withSentences(d), col("doc_id"), col("text"))
+    }),
+
+    // M6 sentence-level boilerplate: sentences repeated across >= 2
+    // distinct docs by normalized fingerprint — the sentence-granular
+    // complement of q79's fixed-width spans (same synthesized
+    // sentence structure as q93)
+    "q94_repeated_sentences" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      TextAnalysis.repeatedSentences(withSentences(d), col("doc_id"), col("text"),
+        minDocs = 2)
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1490,6 +1520,34 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000 <
         |CASE WHEN lang = 'en' THEN 300 WHEN lang = 'de' THEN 500 ELSE 1000 END""".stripMargin.replace("\n", " "),
+
+    "q93_sentence_stats" ->
+      """WITH d2 AS (SELECT doc_id, array_to_string(list_transform(
+        |range(1, len(string_split(text, ' ')) + 1),
+        |i -> CASE WHEN i % 8 = 0 THEN string_split(text, ' ')[i] || '.'
+        |ELSE string_split(text, ' ')[i] END), ' ') AS text FROM documents),
+        |s AS (SELECT doc_id, trim(u.s) AS sentence FROM (
+        |SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+\s+')) AS s
+        |FROM d2) u WHERE length(trim(u.s)) > 0)
+        |SELECT doc_id, count(*) AS n_sentences,
+        |round(avg(length(sentence)), 6) AS avg_sentence_chars,
+        |CAST(max(length(sentence)) AS BIGINT) AS max_sentence_chars
+        |FROM s GROUP BY doc_id""".stripMargin.replace("\n", " "),
+
+    "q94_repeated_sentences" -> {
+      val fp = "md5(trim(regexp_replace(regexp_replace(lower(sentence)," +
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+      s"""WITH d2 AS (SELECT doc_id, array_to_string(list_transform(
+         |range(1, len(string_split(text, ' ')) + 1),
+         |i -> CASE WHEN i % 8 = 0 THEN string_split(text, ' ')[i] || '.'
+         |ELSE string_split(text, ' ')[i] END), ' ') AS text FROM documents),
+         |s AS (SELECT doc_id, trim(u.s) AS sentence FROM (
+         |SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+\\s+')) AS s
+         |FROM d2) u WHERE length(trim(u.s)) > 0)
+         |SELECT $fp AS sentence_fp, count(DISTINCT doc_id) AS n_docs,
+         |count(*) AS n_occurrences, min(doc_id) AS first_doc
+         |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin.replace("\n", " ")
+    },
 
     "q83_mix_weights" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),

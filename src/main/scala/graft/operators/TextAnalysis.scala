@@ -252,6 +252,48 @@ object TextAnalysis {
     }
   }
 
+  /** Sentence boundary — deliberately the lookaround-free regex subset
+    * (RE2-safe) so a DuckDB oracle splits identically: one or more of
+    * .!? followed by whitespace.  The terminal punctuation of a
+    * mid-text sentence is consumed by the split; the last sentence
+    * keeps its (both engines agree). */
+  val sentenceBoundary = "[.!?]+\\s+"
+
+  /** Exploded sentences, one row per (doc, sentence), empty segments
+    * dropped — the unit for sentence-level dedup and repeated-
+    * boilerplate analysis.  Pure explode in the scan stage. */
+  def sentences(df: org.apache.spark.sql.DataFrame, id: Column,
+                text: Column): org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"), explode(split(text, sentenceBoundary)).as("sentence"))
+      .withColumn("sentence", trim(col("sentence")))
+      .filter(length(col("sentence")) > 0)
+
+  /** Per-document sentence statistics (count, mean/max length) — the
+    * sentence-shape quality signal (machine-generated boilerplate has
+    * abnormal sentence-length distributions). */
+  def sentenceStats(df: org.apache.spark.sql.DataFrame, id: Column,
+                    text: Column): org.apache.spark.sql.DataFrame =
+    sentences(df, id, text)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        round(avg(length(col("sentence"))), 6).as("avg_sentence_chars"),
+        max(length(col("sentence"))).cast(LongType).as("max_sentence_chars"))
+
+  /** Cross-document repeated sentences — boilerplate detection at
+    * sentence granularity (nav text, disclaimers, license headers):
+    * sentences whose normalized fingerprint appears in ≥ `minDocs`
+    * distinct documents.  One explode into one hash aggregate on the
+    * fingerprint; the sentence-level complement of
+    * [[Dedup.repeatedSpans]]' fixed-width windows. */
+  def repeatedSentences(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+                        minDocs: Int = 2): org.apache.spark.sql.DataFrame =
+    sentences(df, id, text)
+      .groupBy(fingerprint(col("sentence")).as("sentence_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Normalize text for fingerprinting: lowercase, strip all but
     * [a-z0-9 ], squeeze repeated spaces, trim. */
   def normalize(text: Column): Column =

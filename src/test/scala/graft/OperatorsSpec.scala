@@ -918,6 +918,30 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sentences / sentenceStats / repeatedSentences: boundaries and fingerprints") {
+    val docs = Seq(
+      (1L, "First one. Second one!  Third?Fourth stays glued. tail"),
+      (2L, "Shared boilerplate sentence. Unique content here."),
+      (3L, "shared BOILERPLATE sentence!! Another unique bit."),
+      (4L, "")).toDF("doc_id", "text")
+    val sents = TextAnalysis.sentences(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = sents.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // "?Fourth" has no whitespace after '?' -> NOT a boundary (RE2-safe
+    // regex, no lookarounds); trailing "tail" has no punctuation
+    assert(byDoc(1L) == Seq("First one", "Second one", "Third?Fourth stays glued", "tail"))
+    assert(byDoc(2L) == Seq("Shared boilerplate sentence", "Unique content here."))
+    assert(!byDoc.contains(4L), "empty text yields no sentences")
+    val stats = TextAnalysis.sentenceStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(stats(1L) == ((4L, 24L)))
+    // repeated: the normalized fingerprint unifies case/punct variants
+    val rep = TextAnalysis.repeatedSentences(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.toSeq == Seq((2L, 2L, 2L)),
+      s"exactly the shared boilerplate (2 docs, 2 occurrences, first=2): ${rep.toSeq}")
+  }
+
   test("bpeTopMerges: matches a Scala BPE reference; deterministic ties; early stop") {
     // classic BPE corpus (word frequencies drive the merges)
     val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
