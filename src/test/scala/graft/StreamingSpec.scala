@@ -31,6 +31,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fused TokenStats kernel runs unchanged on a stream (batch parity)") {
+    // repetitionSignals/tokenEntropy are pure scan-stage projections
+    // (custom codegen'd expression, zero shuffle), so they compose
+    // into a streaming query with NO state — verify stream results
+    // equal the batch operator bit-for-bit
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val streamed = input.toDF.toDF("doc_id", "text")
+    val docs = Seq((1L, "a a b c"), (2L, "x x x x"), (3L, "solo"))
+    val qRep = graft.operators.TextAnalysis.repetitionSignals(
+        streamed, col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("rep_stream")
+      .outputMode("append").start()
+    val qEnt = graft.operators.TextAnalysis.tokenEntropy(
+        streamed, col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("ent_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      qRep.processAllAvailable(); qEnt.processAllAvailable()
+      val gotRep = spark.table("rep_stream").collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      val batchRep = graft.operators.TextAnalysis.repetitionSignals(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(gotRep == batchRep && gotRep.size == 3)
+      val gotEnt = spark.table("ent_stream").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val batchEnt = graft.operators.TextAnalysis.tokenEntropy(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(gotEnt == batchEnt && gotEnt.size == 3)
+    } finally { qRep.stop(); qEnt.stop() }
+  }
+
   test("session windows close after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
