@@ -563,14 +563,23 @@ object Dedup {
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
-        // min label among real neighbors
-        val nbrMin = edges.join(labels, col("src") === col("node"))
-          .groupBy(col("dst"))
-          .agg(min(col("comp")).as("nmin"))
-        // merge with own label (left join: isolated nodes survive)
-        val merged = labels.join(nbrMin, col("node") === col("dst"), "left")
-          .select(col("node"), col("comp"),
-            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("c2"))
+        // min label over {self} ∪ neighbors in ONE aggregate: the
+        // neighbor-labels stream unions with the labels themselves
+        // (flagged), and a single groupBy(node) takes the min while
+        // re-emitting the node's own previous label off the flagged
+        // row (exactly one per node) for the fixpoint probe — isolated
+        // nodes survive via their own row.  The nbrMin-aggregate +
+        // left-join formulation computes the same labeling with one
+        // more join per round (measured slower).
+        val nbrLabels = edges.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("comp").as("cand"), lit(false).as("self"))
+        val merged = labels
+          .select(col("node"), col("comp").as("cand"), lit(true).as("self"))
+          .union(nbrLabels)
+          .groupBy(col("node"))
+          .agg(min(col("cand")).as("c2"),
+            max(when(col("self"), col("cand"))).as("comp"))
+          .select(col("node"), col("comp"), col("c2"))
         // pointer jump: c3 = c2-label-of-c2 THROUGH THE MERGED labeling
         // (not the stale pre-merge one — jumping through `labels` was
         // measured to double the round count: it misses everything this
