@@ -79,9 +79,13 @@ object TokenStats {
     val d2raw =
       if (n >= 2) 1.0 - distinctBigrams.toDouble / (n - 1).toDouble else 0.0
     // Shannon token entropy, in the algebraic form log2(n) - Σc·log2(c)/n
-    // that a SQL oracle mirrors term-for-term (c = 1 contributes 0, so
-    // the sum runs only over repeated tokens).  Summation order differs
-    // from a SQL engine's — both sides round to 6 decimals downstream.
+    // whose TERMS a SQL oracle mirrors exactly (c = 1 contributes 0, so
+    // the sum runs only over repeated tokens).  The SUM itself is not
+    // order-pinned: this map-iteration order differs from a SQL
+    // engine's aggregation order, so the value can differ in the last
+    // ulp and the downstream round(6) is what both sides compare on —
+    // the same float discipline as every avg/sum-based gate query
+    // (boundary-landing odds are ~1e-7 per document).
     var sumCLog2C = 0.0
     val it = counts.values().iterator()
     while (it.hasNext) {

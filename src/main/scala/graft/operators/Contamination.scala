@@ -72,20 +72,30 @@ object Contamination {
                      fpp: Double = 0.01): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp in (0,1), got $fpp")
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    // the bench shingle pipeline feeds THREE driver-side actions
+    // (distinct count for sizing, the filter aggregate, the min item
+    // size) — persist it so the suite is normalized and shingled once,
+    // and drop the cache before returning (the returned frame only
+    // carries the driver-side sketch and cut, never this plan)
     val benchSets = bench
       .select(graft.functions.MinHash.shingleHashSet(
         TextAnalysis.normalize(benchText), n).as("bhs"))
       .filter(col("bhs").isNotNull)
-    val benchHashes = benchSets.select(explode(col("bhs")).as("h")).distinct()
-    // expected-item count from the actual benchmark (small by
-    // contract); max(1, ...) keeps the sketch constructor legal on an
-    // empty suite (the filter then matches nothing — correct)
-    val nItems = math.max(1L, benchHashes.count())
-    val bf = benchHashes.stat.bloomFilter("h", nItems, fpp)
-    val minItem = benchSets.agg(min(size(col("bhs")))).collect()(0)
-    val minSuspect =
-      if (minItem.isNullAt(0)) Long.MaxValue // no benchmark shingles: keep nothing
-      else math.max(1L, math.floor(threshold * minItem.getInt(0)).toLong)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val (bf, minSuspect) =
+      try {
+        val benchHashes = benchSets.select(explode(col("bhs")).as("h")).distinct()
+        // expected-item count from the actual benchmark (small by
+        // contract); max(1, ...) keeps the sketch constructor legal on
+        // an empty suite (the filter then matches nothing — correct)
+        val nItems = math.max(1L, benchHashes.count())
+        val filt = benchHashes.stat.bloomFilter("h", nItems, fpp)
+        val minItem = benchSets.agg(min(size(col("bhs")))).collect()(0)
+        val cut =
+          if (minItem.isNullAt(0)) Long.MaxValue // no benchmark shingles: keep nothing
+          else math.max(1L, math.floor(threshold * minItem.getInt(0)).toLong)
+        (filt, cut)
+      } finally { benchSets.unpersist(); () }
     docs
       .select(docId.as("doc_id"),
         graft.functions.MinHash.shingleHashSet(

@@ -254,14 +254,16 @@ object Similarity {
       .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
       .groupBy(col("group_id"))
       .agg(
-        transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          e => e("m")).as("vec"),
-        // the assert is folded INTO the kept column (a standalone
-        // dropped column would be pruned and never evaluate)
+        // the assert is folded INTO vec — the column every caller
+        // keeps (a standalone assert column, or one folded only into
+        // n_members, is silently removed by column pruning when the
+        // caller projects it away, and the guard never evaluates)
         when(assert_true(min(col("n")) === max(col("n")),
             lit("meanPool: ragged vector lengths within a group — all members " +
               "of a group must share one embedding dimensionality")).isNull,
-          max(col("n"))).as("n_members"))
+          transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+            e => e("m"))).as("vec"),
+        max(col("n")).as("n_members"))
 
   /** Lloyd's k-means over the embedding column — trains the coarse
     * centroids [[ivfAssign]]/[[ivfTopK]] quantize against (sampled-id
@@ -539,7 +541,10 @@ object Similarity {
                 topK: Int, nprobe: Int = 2, residual: Boolean = false): DataFrame = {
     require(topK >= 1 && nprobe >= 1, s"topK and nprobe must be >= 1")
     val (v, seeds, sub) = pqSetup(corpus, idCol, vecCol, m, k)
-    val cents = centroids.select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
+    // cast like the corpus/probe ids: the driver collect and the
+    // residual LUT (keyed by Scala Long) both require LongType
+    val cents = centroids.select(col(idCol).cast(LongType).as("centroid_id"),
+      asDouble(col(vecCol)).as("cv"))
     // centroids are small by contract — driver copies feed the seed
     // residuals and the per-cell probe LUTs
     val centRows: Seq[(Long, Seq[Double])] = cents
@@ -585,11 +590,13 @@ object Similarity {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
       .sortBy(_._1)
     require(probeRows.nonEmpty, "ivfPqTopK: probe set has no non-null vectors")
+    // probe cells from the ALREADY-COLLECTED rows — re-deriving them
+    // from `probes` would run the caller's probe plan a second time
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("cdist").asc, col("centroid_id").asc)
-    val probeCells = probes
-      .select(col(idCol).cast(LongType).as("probe_id"), asDouble(col(vecCol)).as("pv"))
-      .filter(col("pv").isNotNull)
+    val probeCells = probeRows.toDF("probe_id", "pv")
       .crossJoin(broadcast(cents))
       .withColumn("cdist", l2Distance(col("pv"), col("cv")))
       .withColumn("crn", row_number().over(wp))

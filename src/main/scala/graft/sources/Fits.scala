@@ -64,11 +64,13 @@ object Fits {
     val (code, width): (Char, Int) = {
       // anchored full match (a Regex extractor matches the WHOLE
       // string) — an unanchored find would accept malformed TFORMs
-      // like 'XA10' via their valid substring; the optional fraction
-      // covers F12.4 / E15.7 / D25.17
-      val re = "([AIFED])([0-9]+)(?:\\.[0-9]+)?".r
+      // like 'XA10' via their valid substring.  FITS 4.0 §7.2 allows
+      // a fraction ONLY on the F/E/D forms (F12.4 / E15.7 / D25.17);
+      // 'A10.2' or 'I8.3' are malformed and rejected loudly.
+      val re = "([AIFED])([0-9]+)(\\.[0-9]+)?".r
       tform.trim match {
-        case re(c, w) => (c.head, w.toInt)
+        case re(c, w, frac) if frac == null || c != "A" && c != "I" =>
+          (c.head, w.toInt)
         case _ => throw new IllegalArgumentException(s"unsupported ASCII TFORM '$tform'")
       }
     }

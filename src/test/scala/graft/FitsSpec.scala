@@ -155,8 +155,10 @@ class FitsSpec extends SparkSpec {
     assert(Fits.AsciiCol("c", "A10", None, 1).code == 'A')
     assert(Fits.AsciiCol("c", "F12.4", None, 1) .width == 12)
     assert(Fits.AsciiCol("c", "D25.17", None, 1).code == 'D')
-    // malformed TFORMs must NOT silently parse via a valid substring
-    for (bad <- Seq("XA10", "I", "10A", "A10X", "F12.", "AI10"))
+    // malformed TFORMs must NOT silently parse via a valid substring;
+    // fractions are legal ONLY on F/E/D (FITS 4.0 §7.2) — 'I8.3' and
+    // 'A10.2' are corrupt headers, not integer/char fields
+    for (bad <- Seq("XA10", "I", "10A", "A10X", "F12.", "AI10", "I8.3", "A10.2"))
       intercept[IllegalArgumentException] { Fits.AsciiCol("c", bad, None, 1) }
   }
 }

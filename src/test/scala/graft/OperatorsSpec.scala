@@ -296,23 +296,25 @@ class DedupSpec extends SparkSpec {
   }
 
   test("removeRepeatedSpans cuts repeats from non-first docs; Scala reference") {
-    // width 10 over normalized text; "shared span x" repeated across
-    // docs 1/2/3 — doc 1 (first) keeps its copy, 2 and 3 lose theirs;
-    // doc 4 is untouched; doc 5 exercises overlap merging (two
-    // overlapping repeated windows collapse into one cut range)
-    val docs = Seq(
-      (1L, "AAAA common run here tail one"),
-      (2L, "BBBB common run here tail two"),
-      (3L, "common run here CCCC"),
-      (4L, "nothing shared at all here")).toDF("doc_id", "text")
+    // width 10 over normalized text; "common run here" repeated across
+    // docs 1/2/3 — doc 1 (first) keeps its copy, 2 and 3 lose theirs
+    // (its overlapping windows merge into ONE cut range per doc);
+    // doc 4 is untouched; docs 5/6 share a LONG run whose many
+    // overlapping repeated windows exercise the interval merge deeper
+    val texts = Seq(
+      1L -> "AAAA common run here tail one",
+      2L -> "BBBB common run here tail two",
+      3L -> "common run here CCCC",
+      4L -> "nothing shared at all here",
+      5L -> "prefix five shared overlapping boilerplate run block end five",
+      6L -> "prefix six shared overlapping boilerplate run block end six")
+    val docs = texts.toDF("doc_id", "text")
     val got = Dedup.removeRepeatedSpans(docs, col("text"), col("doc_id"), width = 10)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     // Scala reference over the same normalized corpus
     def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9 ]", "")
       .replaceAll(" +", " ").trim
-    val corpus = Seq(1L, 2L, 3L, 4L).zip(
-      Seq("AAAA common run here tail one", "BBBB common run here tail two",
-        "common run here CCCC", "nothing shared at all here").map(norm)).toMap
+    val corpus = texts.map { case (id, t) => id -> norm(t) }.toMap
     val w = 10
     val occ = corpus.toSeq.flatMap { case (id, t) =>
       (0 to t.length - w).map(p => (t.substring(p, p + w), id, p)) }
@@ -334,6 +336,12 @@ class DedupSpec extends SparkSpec {
       "first doc keeps its copy")
     assert(got(4L)._2 == 0L && got(4L)._1 == corpus(4L))
     assert(got(2L)._2 > 0 && got(2L)._1.length < corpus(2L).length)
+    // overlap merging: doc 6 (non-first of the 5/6 pair) has MANY
+    // overlapping repeated windows whose union collapses to one long
+    // cut; doc 5 (first) keeps the shared run intact
+    assert(got(6L)._2 >= 10, s"expected many overlapping windows cut: ${got(6L)}")
+    assert(got(6L)._1.length <= corpus(6L).length - 20, s"merged cut too small: ${got(6L)}")
+    assert(got(5L)._2 == 0L && got(5L)._1 == corpus(5L))
     // plan gate: the corpus window explode runs exactly ONCE — span
     // evidence comes from a window over the same pre-aggregated frame,
     // not a rollup self-join that would recompute the explode
@@ -847,6 +855,15 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("ragged") ||
       Option(ex.getCause).exists(_.getMessage.contains("ragged")))
+    // the guard must survive column pruning: a caller projecting away
+    // n_members (the review-flagged hazard) still hits the assert,
+    // because it is folded into the always-kept vec column
+    val ex2 = intercept[Exception] {
+      Similarity.meanPool(ragged, col("label"), col("embedding"))
+        .select("group_id", "vec").collect()
+    }
+    assert(ex2.getMessage.contains("ragged") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("ragged")))
   }
 
   test("kmeansFit recovers well-separated blobs; deterministic; feeds ivfTopK") {
