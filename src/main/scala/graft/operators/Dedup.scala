@@ -533,13 +533,36 @@ object Dedup {
     * exact (a changed-label probe join, not a checksum) and works for
     * any orderable id type.
     *
+    * Superseded rounds are freed EAGERLY: once round N's probe has
+    * materialized round N's checkpoint, round N-1's blocks can never
+    * be read again, so they are unpersisted immediately instead of
+    * waiting for the ContextCleaner to GC the frame reference — under
+    * a long multi-query run the dead rounds' MEMORY_AND_DISK blocks
+    * otherwise pile up in the block manager and evict everything that
+    * runs after them.  Only the final round's blocks survive (the
+    * returned frame reads them).
+    *
+    * `reliableDir` trades speed for fault tolerance: `localCheckpoint`
+    * (the default) stores round blocks on executors — an executor loss
+    * mid-iteration kills the job unreconstructably, because the
+    * lineage was truncated.  A real-cluster 100 TB run should pass a
+    * DFS path here: rounds then checkpoint reliably via
+    * `setCheckpointDir`, surviving executor loss, at the cost of one
+    * extra computation of each round's frame when the checkpoint files
+    * are written (Spark re-evaluates an unpersisted RDD at
+    * checkpoint-write time; files are cleaned by the ContextCleaner
+    * when `spark.cleaner.referenceTracking.cleanCheckpoints` is set).
+    *
     * @param nodes  one row per corpus id (extra columns ignored)
     * @param idCol  id column name in `nodes`
     * @param pairs  undirected edges as columns `id_a`, `id_b`
+    * @param reliableDir  DFS checkpoint dir for fault-tolerant rounds;
+    *                     None (default) = executor-local checkpoints
     * @return (node, component) — component is the min id reachable
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          reliableDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Materialize the caller's pair pipeline ONCE: pairs is typically
     // an expensive plan (LSH candidates + Jaccard verification), and
@@ -558,8 +581,22 @@ object Dedup {
     val ids = nodes.select(col(idCol).as("node"))
       .union(edges.select(col("src").as("node")))
       .distinct()
+    reliableDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
+    // the executor-resident blocks behind a localCheckpoint'd frame:
+    // the frame's plan IS a LogicalRDD over the checkpointed RDD, so
+    // unpersisting that RDD frees the round's blocks (reliable
+    // checkpoints keep nothing in the block manager — nothing to free)
+    def freeBlocks(df: DataFrame): Unit =
+      if (reliableDir.isEmpty)
+        df.queryExecution.analyzed.foreach {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false); ()
+          case _ => ()
+        }
     try {
-      var labels = ids.select(col("node"), col("node").as("comp")).localCheckpoint(true)
+      var labels = ckpt(ids.select(col("node"), col("node").as("comp")), eager = true)
+      var prevRound: DataFrame = labels
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
@@ -593,10 +630,14 @@ object Dedup {
         // round's first action, so it both materializes the checkpoint
         // and answers the fixpoint question in ONE job (an eager
         // checkpoint spent a separate job per round just materializing)
-        val jumped = jumped0.localCheckpoint(false)
+        val jumped = ckpt(jumped0, eager = false)
         // exact fixpoint probe on the checkpointed frame: labels only
         // decrease, so "no change this round" IS the global fixpoint
         converged = jumped.filter(col("c3") =!= col("comp")).limit(1).count() == 0L
+        // this round is materialized -> the previous round's blocks
+        // are unreachable from here on; free them now, not at GC time
+        freeBlocks(prevRound)
+        prevRound = jumped
         labels = jumped.select(col("node"), col("c3").as("comp"))
         iter += 1
       }

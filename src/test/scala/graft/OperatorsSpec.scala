@@ -392,6 +392,32 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L))
   }
 
+  test("connectedComponents: reliable-checkpoint path matches local, writes checkpoints") {
+    // the fault-tolerant variant a real-cluster run would use: rounds
+    // checkpoint to a DFS dir (here a tmp dir) instead of executor-
+    // local blocks; the labeling must be identical and checkpoint
+    // files must actually land under the dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile
+    try {
+      val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 31L).toDF("nid")
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
+        (30L, 31L)).toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(nodes, "nid", pairs,
+          reliableDir = Some(dir.getAbsolutePath))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L))
+      def countFiles(f: java.io.File): Int =
+        if (f.isFile) 1 else Option(f.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+      assert(countFiles(dir) > 0, "reliable path must write checkpoint files")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("connectedComponents: long path needs diameter rounds, matches union-find") {
     // a 40-node path is the adversarial diameter case for label
     // propagation; plus seeded random edges, verified against an
@@ -417,6 +443,22 @@ class DedupSpec extends SparkSpec {
         (0 until n).map(_.toLong).toDF("nid"), "nid", edges.toDF("id_a", "id_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
+  }
+
+  test("connectedComponents: superseded round blocks are freed eagerly") {
+    // a multi-round run must not leave one persisted RDD per round in
+    // the block manager (the round-6 bench inflation mechanism): after
+    // the result materializes, only the FINAL round's checkpoint (plus
+    // whatever the suite's other tests hold) may remain
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val n = 64
+    val path = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val comps = Dedup.connectedComponents(
+      (0 until n).map(_.toLong).toDF("nid"), "nid", path.toDF("id_a", "id_b"))
+    assert(comps.collect().forall(_.getLong(1) == 0L))
+    val live = spark.sparkContext.getPersistentRDDs.size
+    assert(live <= 1, s"expected at most the final round's checkpoint to stay " +
+      s"persisted, found $live persistent RDDs")
   }
 
   test("incremental index dedup: batch-vs-index equals the self-join LSH") {
