@@ -886,8 +886,11 @@ object SparkEntry {
 
     // M6 exact-substring dedup ACTION (Lee et al. removal policy): cut
     // cross-document repeated 60-char spans from every non-first doc.
-    // Rows-only (xxhash span matching); snapshot-pinned; the cleaned
-    // text reduces to its length to keep the fixture small.
+    // Oracle-checkable: the OUTPUT carries no hash (lengths + counts
+    // only), so DuckDB mirrors the span grouping on the raw span TEXT
+    // while Spark groups on xxhash64 — identical absent a 64-bit
+    // collision (bound D²/2⁶⁵, negligible at any test scale).  The
+    // cleaned text reduces to its length to keep outputs small.
     "q88_span_removal" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
       Dedup.removeRepeatedSpans(d, col("text"), col("doc_id"), width = 60, minDocs = 2)
@@ -1682,6 +1685,32 @@ object SparkEntry {
         |row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn FROM pairs)
         |SELECT vec_id, CAST(sub AS BIGINT) AS sub_id, cid AS code_cid,
         |round(d, 6) AS dist FROM r WHERE rn = 1""".stripMargin.replace("\n", " "),
+
+    // span grouping on the raw span TEXT (Spark groups on xxhash64 —
+    // equal absent collisions); covered length of the union of sorted
+    // equal-width cut windows = per-position min(60, next - pos).
+    // `spans`/`norm` are referenced twice -> MATERIALIZED (DuckDB
+    // re-inlines CTEs by default; the window explode is the expensive
+    // part and must run once).
+    "q88_span_removal" ->
+      """WITH norm AS MATERIALIZED (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, length(t) - 58)) AS p
+        |FROM norm WHERE length(t) >= 60),
+        |spans AS MATERIALIZED (SELECT doc_id, CAST(p AS BIGINT) AS p, substr(t, p, 60) AS s
+        |FROM pos),
+        |ev AS (SELECT s, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        |FROM spans GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |cutpos AS (SELECT sp.doc_id, sp.p FROM spans sp JOIN ev e ON sp.s = e.s
+        |WHERE sp.doc_id <> e.first_doc),
+        |cov AS (SELECT doc_id, least(60,
+        |coalesce(lead(p) OVER (PARTITION BY doc_id ORDER BY p) - p, 60)) AS c
+        |FROM cutpos),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS covered,
+        |CAST(count(*) AS BIGINT) AS n_cut FROM cov GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(length(n.t) - coalesce(a.covered, 0) AS BIGINT) AS n_chars_clean,
+        |coalesce(a.n_cut, 0) AS n_spans_cut
+        |FROM norm n LEFT JOIN agg a ON n.doc_id = a.doc_id""".stripMargin.replace("\n", " "),
 
     "q60_pack_bins" ->
       """WITH w AS (SELECT doc_id,

@@ -65,7 +65,16 @@ object Contamination {
     * everything — the threshold-derived cut is what makes the tier
     * filter at all (spec-verified against the exact stage).
     *
-    * @return surviving docs: (doc_id, n_shingles, n_suspect) */
+    * CUT-DERIVATION CAVEAT: the cut comes from the SINGLE SMALLEST
+    * benchmark item's shingle-set size, so one degenerate short item
+    * (a one-line answer, an empty-ish row) collapses the cut toward 1
+    * and the prefilter passes nearly the whole corpus — still correct
+    * (over-keep only; the exact stage downstream decides), but the
+    * tier stops saving work.  Filter or split very short benchmark
+    * items before building the sketch; the chosen cut is surfaced in
+    * the output (`cut` column) so a pipeline can alert on collapse.
+    *
+    * @return surviving docs: (doc_id, n_shingles, n_suspect, cut) */
   def bloomPrefilter(docs: DataFrame, docId: Column, docText: Column,
                      bench: DataFrame, benchText: Column,
                      n: Int = 5, threshold: Double = 0.8,
@@ -104,5 +113,9 @@ object Contamination {
       .select(col("doc_id"), size(col("dhs")).cast(LongType).as("n_shingles"),
         graft.functions.BloomGate.bloomHitCount(col("dhs"), bf).as("n_suspect"))
       .filter(col("n_suspect") >= minSuspect)
+      // surface the derived cut (constant per run): a cut that
+      // collapsed toward 1 — one short benchmark item — is visible to
+      // the caller instead of silently defeating the tier
+      .withColumn("cut", lit(minSuspect))
   }
 }

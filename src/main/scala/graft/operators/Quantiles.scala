@@ -111,6 +111,12 @@ object Quantiles {
   def ntileBuckets(df: DataFrame, group: Column, value: Column,
                    tiebreak: Column, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // withColumn would silently OVERWRITE a pre-existing `bucket`
+    // column — losing caller data in a frame that happens to carry
+    // one; refuse instead
+    require(!df.columns.contains("bucket"),
+      "ntileBuckets: input already has a `bucket` column — rename it first " +
+        "(the output column name is fixed to `bucket`)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(group).orderBy(value.asc, tiebreak.asc)
     df.withColumn("bucket", ntile(n).over(w))

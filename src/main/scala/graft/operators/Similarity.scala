@@ -254,16 +254,20 @@ object Similarity {
       .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
       .groupBy(col("group_id"))
       .agg(
-        // the assert is folded INTO vec — the column every caller
-        // keeps (a standalone assert column, or one folded only into
-        // n_members, is silently removed by column pruning when the
-        // caller projects it away, and the guard never evaluates)
+        // the assert is folded into BOTH caller-visible columns: a
+        // standalone assert column is silently removed by column
+        // pruning when the caller projects it away, and a caller that
+        // keeps only n_members (dropping vec) would otherwise lose the
+        // guard and read an n_members that overstates tail-dim support
         when(assert_true(min(col("n")) === max(col("n")),
             lit("meanPool: ragged vector lengths within a group — all members " +
               "of a group must share one embedding dimensionality")).isNull,
           transform(array_sort(collect_list(struct(col("dim"), col("m")))),
             e => e("m"))).as("vec"),
-        max(col("n")).as("n_members"))
+        when(assert_true(min(col("n")) === max(col("n")),
+            lit("meanPool: ragged vector lengths within a group — all members " +
+              "of a group must share one embedding dimensionality")).isNull,
+          max(col("n"))).as("n_members"))
 
   /** Lloyd's k-means over the embedding column — trains the coarse
     * centroids [[ivfAssign]]/[[ivfTopK]] quantize against (sampled-id
@@ -494,6 +498,13 @@ object Similarity {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
       .sortBy(_._1)
     require(probeRows.nonEmpty, "pqTopK: probe set has no non-null vectors")
+    // each probe contributes a k-entry literal LUT per subspace to the
+    // scan-stage plan: bounded like the kmeansFit centroids, so an
+    // oversized probe frame must fail fast, not build a huge plan that
+    // degrades every executor (per-lookup cost is linear in |probes|)
+    require(probeRows.size <= 1024, s"pqTopK: ${probeRows.size} probes — " +
+      "the per-probe literal LUTs require a driver-bounded probe set " +
+      "(<= 1024); batch larger probe frames")
     val perProbe = probeRows.map { case (pid, pv) =>
       val adc2 = (0 until m).map { s =>
         val lut = seeds.map { case (cid, c) => cid -> pqD2(pv, c, s, sub) }.toMap
@@ -566,20 +577,22 @@ object Similarity {
       else seeds.map { case (sid, sv) =>
         sid -> sv.zip(cellOf(sv)._2).map { case (a, b) => a - b } },
       m, sub)
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("corpus_id")).orderBy(col("cdist0").asc, col("centroid_id").asc)
+    // coarse-cell assignment via the literal argmin ([[nearestCell]]) —
+    // a pure projection, no exchange on the corpus at any size
+    val centLits: Seq[(Column, Seq[Double])] =
+      centRows.map { case (cid, cv) => (lit(cid), cv) }
     val assigned = v.select(col("vid").as("corpus_id"), col("v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cdist0", l2Distance(col("v"), col("cv")))
-      .withColumn("crn0", row_number().over(wc))
-      .filter(col("crn0") === 1)
+      .withColumn("centroid_id", nearestCell(col("v"), centLits).getField("cid"))
     // the encoded vector: raw, or the residual against the assigned
-    // centroid (materialized as its own attribute — the m·k argmin
-    // kernels reference it, and CollapseProject keeps a multi-
-    // referenced non-cheap expression out of line)
+    // centroid (cv looked up from the driver-collected centroid map;
+    // enc materialized as its own attribute — the m·k argmin kernels
+    // reference it, and CollapseProject keeps a multi-referenced
+    // non-cheap expression out of line)
     val withEnc =
       if (!residual) assigned.withColumn("enc", col("v"))
-      else assigned.withColumn("enc", zip_with(col("v"), col("cv"), (a, b) => a - b))
+      else assigned
+        .withColumn("cv", element_at(typedlit(centRows.toMap), col("centroid_id")))
+        .withColumn("enc", zip_with(col("v"), col("cv"), (a, b) => a - b))
     val corpusCells = withEnc
       .select(col("centroid_id") +: col("corpus_id") +:
         (0 until m).map(s => pqArgminSub(col("enc"), book(s), s, sub)
@@ -590,18 +603,23 @@ object Similarity {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
       .sortBy(_._1)
     require(probeRows.nonEmpty, "ivfPqTopK: probe set has no non-null vectors")
-    // probe cells from the ALREADY-COLLECTED rows — re-deriving them
-    // from `probes` would run the caller's probe plan a second time
+    // same driver-bounded-probe contract as pqTopK: the nested
+    // per-probe (× per-cell, when residual) LUTs are literal plan
+    // state — fail an oversized probe frame fast
+    require(probeRows.size <= 1024, s"ivfPqTopK: ${probeRows.size} probes — " +
+      "the per-probe literal LUTs require a driver-bounded probe set " +
+      "(<= 1024); batch larger probe frames")
+    // probe cells computed ON THE DRIVER from the already-collected
+    // probe and centroid rows (both driver-bounded by contract) — no
+    // window, no shuffle; scalaL2 accumulates in the same order as the
+    // l2 kernel, so the (dist, centroid_id) ranking is bit-identical
+    // to the former crossJoin + row_number formulation
     val spark = corpus.sparkSession
     import spark.implicits._
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id")).orderBy(col("cdist").asc, col("centroid_id").asc)
-    val probeCells = probeRows.toDF("probe_id", "pv")
-      .crossJoin(broadcast(cents))
-      .withColumn("cdist", l2Distance(col("pv"), col("cv")))
-      .withColumn("crn", row_number().over(wp))
-      .filter(col("crn") <= nprobe)
-      .select(col("centroid_id"), col("probe_id"))
+    val probeCells = probeRows.flatMap { case (pid, pv) =>
+      centRows.map { case (ccid, cv) => (scalaL2(pv, cv), ccid) }
+        .sorted.take(nprobe).map { case (_, ccid) => (ccid, pid) }
+    }.toDF("centroid_id", "probe_id")
     // probe LUTs as literal nested maps; probe_id (and, for residual,
     // centroid_id) are data here, so lookups chain element_at calls.
     // Non-residual: probe -> code -> d².  Residual: the probe's own
@@ -641,22 +659,55 @@ object Similarity {
         round(sqrt(col("adc2")), 6).as("adc_dist"), col("rank"))
   }
 
+  /** Driver-collected (id-literal, vector) centroid rows — the state
+    * every IVF assignment quantizes against.  The literal keeps the
+    * input id's dtype, so downstream schemas match the provided frame.
+    * Centroid sets are driver-bounded by contract (they are the
+    * codebook, not data); the cap fails an oversized set fast instead
+    * of silently building a megabyte literal plan. */
+  private def collectCentroidLits(cents: DataFrame, what: String): Seq[(Column, Seq[Double])] = {
+    val rows = cents.collect()
+    require(rows.nonEmpty, s"$what: centroid set is empty")
+    require(rows.length <= 4096, s"$what: ${rows.length} centroids — the " +
+      "literal-argmin assignment expects a driver-bounded centroid set " +
+      "(<= 4096 coarse cells); train fewer cells or shard the index")
+    rows.toSeq.map(r => (lit(r.get(0)), r.getSeq[Double](1).toList))
+  }
+
+  /** Lexicographic (l2, centroid_id) argmin over literal centroids — a
+    * pure scan-stage projection (kmeansFit's assignment shape: k
+    * codegen'd l2 kernels + one struct array_min, ZERO shuffle).  The
+    * former crossJoin × row_number formulation multiplied the corpus
+    * by |centroids| and then shuffled AND sorted all those rows on the
+    * corpus id just to pick the min — the dominant exchange of the
+    * whole plan at scale.  Ties break toward the lowest centroid id,
+    * exactly the window's (dist asc, centroid_id asc) order. */
+  private def nearestCell(vec: Column, cents: Seq[(Column, Seq[Double])]): Column =
+    array_min(array(cents.map { case (cid, cv) =>
+      struct(l2Distance(vec, typedlit(cv)).as("d"), cid.as("cid")) }: _*))
+
+  /** The `nprobe` nearest cells in (l2, centroid_id) order — the probe
+    * side of the same zero-shuffle shape: one sorted literal-struct
+    * array sliced to nprobe, in the scan stage. */
+  private def nearestCells(vec: Column, cents: Seq[(Column, Seq[Double])],
+                           nprobe: Int): Column =
+    slice(array_sort(array(cents.map { case (cid, cv) =>
+      struct(l2Distance(vec, typedlit(cv)).as("d"), cid.as("cid")) }: _*)),
+      1, nprobe)
+
   /** IVF-style coarse quantization: assign each vector to the nearest
-    * of `centroids` (small, broadcast), so queries probe only matching
-    * cells.  Centroid set is provided (e.g. sampled ids or
-    * [[kmeansFit]] output), making training an explicit, separate
-    * step. */
+    * of `centroids` (small, driver-collected into the literal argmin),
+    * so queries probe only matching cells.  Centroid set is provided
+    * (e.g. sampled ids or [[kmeansFit]] output), making training an
+    * explicit, separate step.  Assignment is a pure projection over
+    * the corpus scan — no shuffle at any corpus size. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val cents = centroids.select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vid")).orderBy(col("dist").asc, col("centroid_id").asc)
-    c.crossJoin(broadcast(cents))
-      .withColumn("dist", l2Distance(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("centroid_id"), round(col("dist"), 6).as("dist"))
+    val best = nearestCell(col("v"), collectCentroidLits(cents, "ivfAssign"))
+    c.select(col("vid"), best.getField("cid").as("centroid_id"),
+      round(best.getField("d"), 6).as("dist"))
   }
 
   /** IVF probe search — the query side of [[ivfAssign]]'s inverted-file
@@ -666,38 +717,30 @@ object Similarity {
     * not visit), rising with `nprobe`; verified against
     * [[bruteForceTopK]] in tests.
     *
-    * Scale: the corpus is scanned ONCE — assignment carries the vector
-    * through the argmin window (broadcast centroids, one exchange on
-    * the corpus' own unique id), then one shuffle on the cell id joins
-    * the probe cells; probes × nprobe cell visits bound the scored
-    * candidates at |corpus| · nprobe / |centroids| on balanced cells —
-    * never the |probes| · |corpus| cartesian of the exact baseline.
-    * The top-k is bounded below the shuffle by the custom TopKPerKey
-    * operator, like [[lshTopK]]. */
+    * Scale: the corpus is scanned ONCE — assignment is the literal
+    * argmin ([[nearestCell]]), a pure projection with NO exchange at
+    * any corpus size — then one shuffle on the cell id joins the probe
+    * cells; probes × nprobe cell visits bound the scored candidates at
+    * |corpus| · nprobe / |centroids| on balanced cells — never the
+    * |probes| · |corpus| cartesian of the exact baseline.  The top-k
+    * is bounded below the shuffle by the custom TopKPerKey operator,
+    * like [[lshTopK]]. */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame,
               idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
     val cents = centroids.select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
+    val centLits = collectCentroidLits(cents, "ivfTopK")
     // same assignment semantics as ivfAssign (l2 argmin, centroid_id
     // tiebreak) but computed inline so cvec rides along — a join back
     // against ivfAssign would rescan and reshuffle the whole corpus
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("corpus_id")).orderBy(col("cdist0").asc, col("centroid_id").asc)
     val corpusCells = corpus
       .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cdist0", l2Distance(col("cvec"), col("cv")))
-      .withColumn("crn0", row_number().over(wc))
-      .filter(col("crn0") === 1)
-      .select(col("centroid_id"), col("corpus_id"), col("cvec"))
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id")).orderBy(col("cdist").asc, col("centroid_id").asc)
+      .select(nearestCell(col("cvec"), centLits).getField("cid").as("centroid_id"),
+        col("corpus_id"), col("cvec"))
     val probeCells = probes
       .select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pvec"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cdist", l2Distance(col("pvec"), col("cv")))
-      .withColumn("crn", row_number().over(wp))
-      .filter(col("crn") <= nprobe)
-      .select(col("centroid_id"), col("probe_id"), col("pvec"))
+      .select(explode(nearestCells(col("pvec"), centLits, nprobe)).as("cell"),
+        col("probe_id"), col("pvec"))
+      .select(col("cell.cid").as("centroid_id"), col("probe_id"), col("pvec"))
     val scored = probeCells.join(corpusCells, Seq("centroid_id"))
       .filter(col("probe_id") =!= col("corpus_id"))
       .select(col("probe_id"), col("corpus_id"),

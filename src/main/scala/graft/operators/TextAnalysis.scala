@@ -192,19 +192,85 @@ object TextAnalysis {
     * Deterministic throughout: ties break by (count desc, left asc,
     * right asc); stops early when no pair remains.
     *
+    * After the initial reduction the vocab is DRIVER-SIZED by
+    * construction (one short row per distinct normalized word), so the
+    * merge loop itself runs on the driver when the vocab fits under
+    * `driverVocabLimit` rows (probed with a limit+1 collect — one job,
+    * bounded memory: 2^20 words × tens of chars ≈ low hundreds of MB
+    * worst case).  The former all-Spark loop paid one full job per
+    * merge round — 12 rounds ≈ 4.5 s of pure scheduling latency at
+    * ANY data size, and rounds=4096 would be hours of overhead with
+    * zero data cost.  The distributed loop remains as the fallback for
+    * vocabularies over the bound (spec-pinned equal to the local one).
+    *
     * @return (merge_rank starting at 1, left, right, pair_count) */
   def bpeTopMerges(df: org.apache.spark.sql.DataFrame, text: Column,
-                   rounds: Int): org.apache.spark.sql.DataFrame = {
+                   rounds: Int, driverVocabLimit: Int = 1 << 20): org.apache.spark.sql.DataFrame = {
     require(rounds >= 1 && rounds <= 4096, s"rounds in [1, 4096], got $rounds")
-    import org.apache.spark.storage.StorageLevel
+    require(driverVocabLimit >= 0, s"driverVocabLimit must be >= 0")
     val spark = df.sparkSession
     import spark.implicits._
-    var vocab = df.select(explode(split(normalize(text), " ")).as("w"))
+    val vocab0 = df.select(explode(split(normalize(text), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("wcount"))
       .select(col("wcount"),
         concat(lit(" "), array_join(split(col("w"), ""), " "), lit(" ")).as("syms"))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val probe = vocab0.limit(driverVocabLimit + 1).collect()
+    val merges =
+      if (probe.length <= driverVocabLimit)
+        bpeMergesLocal(probe.map(r => (r.getLong(0), r.getString(1).trim.split(" "))), rounds)
+      else bpeMergesDistributed(vocab0, rounds)
+    merges.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** Driver-side merge loop over the collected vocab — semantics
+    * identical to [[bpeMergesDistributed]] (same pair counting over
+    * adjacent symbols weighted by word count, same (count desc, left
+    * asc, right asc) argmax, same left-to-right non-overlapping merge
+    * application), at zero per-round scheduling cost. */
+  private[graft] def bpeMergesLocal(vocab0: Array[(Long, Array[String])],
+                                    rounds: Int): Seq[(Long, String, String, Long)] = {
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= rounds && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((wcount, toks) <- vocab; i <- 0 until toks.length - 1) {
+        val key = (toks(i), toks(i + 1))
+        counts(key) = counts.getOrElse(key, 0L) + wcount
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // argmax by (count desc, left asc, right asc) — counts are
+        // positive, so negation cannot overflow
+        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        merges += ((rank.toLong, l, r, n))
+        vocab = vocab.map { case (wcount, toks) => (wcount, mergeTokens(toks, l, r)) }
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Left-to-right non-overlapping application of one merge — exactly
+    * the distributed path's lookaround regexp_replace scan order. */
+  private def mergeTokens(toks: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The all-Spark merge loop — one job per round; the fallback when
+    * the vocabulary exceeds the driver bound. */
+  private[graft] def bpeMergesDistributed(vocab0: org.apache.spark.sql.DataFrame,
+                                          rounds: Int): Seq[(Long, String, String, Long)] = {
+    import org.apache.spark.storage.StorageLevel
+    var vocab = vocab0.persist(StorageLevel.MEMORY_AND_DISK_SER)
     // previous round's cache is dropped only AFTER the current round's
     // pair aggregate has materialized the current one — the aggregate
     // scans every vocab partition, so no separate count() job is spent
@@ -244,7 +310,7 @@ object TextAnalysis {
           rank += 1
         }
       }
-      merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+      merges.toSeq
     } finally {
       vocab.unpersist()
       if (prevVocab != null) prevVocab.unpersist()

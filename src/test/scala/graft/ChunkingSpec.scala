@@ -66,9 +66,15 @@ class ChunkingSpec extends SparkSpec {
     }.toDF("doc_id", "text")
     val planted = (0 until 300 by 60).map(_.toLong).toSet
     val bench = Seq((1L, benchSentence)).toDF("bid", "btext")
-    val kept = Contamination.bloomPrefilter(docs, col("doc_id"), col("text"),
+    val keptRows = Contamination.bloomPrefilter(docs, col("doc_id"), col("text"),
         bench, col("btext"), n = 20, threshold = 0.8, fpp = 0.01)
-      .collect().map(_.getLong(0)).toSet
+      .collect()
+    // the derived cut is surfaced (constant per run) so a collapse
+    // toward 1 — one degenerate short benchmark item — is observable
+    val cuts = keptRows.map(_.getAs[Long]("cut")).toSet
+    assert(cuts.size == 1 && cuts.head > 1L,
+      s"expected one well-above-1 derived cut, got $cuts")
+    val kept = keptRows.map(_.getLong(0)).toSet
     // exact ground truth: docs the containment gate itself would flag
     val exact = Contamination.containment(docs, col("doc_id"), col("text"),
         bench, col("bid"), col("btext"), n = 20, threshold = 0.8)

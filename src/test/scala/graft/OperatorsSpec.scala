@@ -583,6 +583,13 @@ class DedupSpec extends SparkSpec {
     // all-tied group: the id tiebreak makes the assignment deterministic
     val b = got.filter(_._2 == "b").sortBy(_._1).map(_._4).toSeq
     assert(b == Seq(1, 1, 2, 2, 3, 3, 4), s"got $b")
+    // a pre-existing `bucket` column must refuse, not be silently
+    // overwritten
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.ntileBuckets(
+        df.withColumnRenamed("v", "bucket"), col("grp"), col("bucket"), col("id"), n = 4)
+    }
+    assert(ex.getMessage.contains("bucket"))
   }
 
   test("kmeansFit refuses an empty / all-null-vector corpus loudly") {
@@ -906,6 +913,15 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex2.getMessage.contains("ragged") ||
       Option(ex2.getCause).exists(_.getMessage.contains("ragged")))
+    // ...and the mirror image: a caller keeping only n_members (vec
+    // pruned away) must hit the guard too — the assert is folded into
+    // BOTH caller-visible columns
+    val ex3 = intercept[Exception] {
+      Similarity.meanPool(ragged, col("label"), col("embedding"))
+        .select("group_id", "n_members").collect()
+    }
+    assert(ex3.getMessage.contains("ragged") ||
+      Option(ex3.getCause).exists(_.getMessage.contains("ragged")))
   }
 
   test("kmeansFit recovers well-separated blobs; deterministic; feeds ivfTopK") {
@@ -1041,6 +1057,27 @@ class TextAnalysisSpec extends SparkSpec {
     // early stop: single-char corpus runs out of pairs
     val tiny = Seq((1L, "a b a")).toDF("doc_id", "text")
     assert(TextAnalysis.bpeTopMerges(tiny, col("text"), rounds = 5).count() == 0L)
+  }
+
+  test("bpeTopMerges: driver loop equals the distributed fallback; deep rounds stay fast") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // driverVocabLimit = 0 forces the per-round-Spark-job fallback; the
+    // default takes the driver loop — the two must agree merge-for-merge
+    val local = TextAnalysis.bpeTopMerges(docs, col("text"), rounds = 12)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val dist = TextAnalysis.bpeTopMerges(docs, col("text"), rounds = 12,
+        driverVocabLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(local == dist, s"\nlocal $local\ndist  $dist")
+    // the round-6 hazard: rounds beyond a handful paid one Spark job
+    // each — 64 driver-loop rounds must finish in seconds, not minutes
+    val t0 = System.nanoTime()
+    val deep = TextAnalysis.bpeTopMerges(docs, col("text"), rounds = 64).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(deep.length == 64, s"expected 64 merges, got ${deep.length}")
+    assert(secs < 30.0, s"64 driver-loop rounds took $secs s")
   }
 
   test("tokenEntropy: hand-computed cases + Scala reference on real docs") {

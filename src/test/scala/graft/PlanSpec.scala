@@ -53,6 +53,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k plan:\n$plan")
   }
 
+  test("IVF cell assignment is a pure projection — no exchange at any corpus size") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val assigned = graft.operators.Similarity.ivfAssign(
+      e, e.filter(col("vec_id") < 16), "vec_id", "embedding")
+    assert(graft.operators.Scale.isExchangeFree(assigned),
+      s"ivfAssign must be shuffle-free (literal argmin):\n${planOf(assigned)}")
+  }
+
+  test("IVF search plans never exchange on the corpus id") {
+    // the round-6 scale-killer: assignment via crossJoin + row_number
+    // shuffled |corpus|·|centroids| rows on corpus_id; the literal
+    // argmin must leave NO corpus_id exchange anywhere in the plan
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 16)
+    val probes = e.filter(col("vec_id") < 3)
+    for ((name, df) <- Seq(
+        "ivfTopK" -> graft.operators.Similarity.ivfTopK(
+          e, cents, probes, "vec_id", "embedding", k = 5),
+        "ivfPqTopK" -> graft.operators.Similarity.ivfPqTopK(
+          e, cents.limit(4), probes, "vec_id", "embedding",
+          m = 4, k = 8, topK = 5, nprobe = 2))) {
+      df.collect() // finalize AQE
+      val plan = planOf(df)
+      assert(!plan.contains("hashpartitioning(corpus_id"),
+        s"$name shuffles on corpus_id:\n$plan")
+    }
+  }
+
   test("LSH band join is a hash or sort-merge join on a scalar key") {
     val d = EzFrame.readParquet(spark, s"$sf/documents.parquet").df
     val plan = planOf(graft.operators.Dedup.minhashLsh(d, col("text"), col("doc_id")))
