@@ -7,12 +7,13 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types._
 
-/** REAL media decoding for the formats that are pure byte math —
-  * RIFF/WAVE PCM audio and uncompressed 24-bit BMP images — written
-  * from the published container specs (Microsoft/IBM RIFF WAVE, 1991;
-  * Windows BITMAPINFOHEADER).  No native codec library is required, so
-  * this runs anywhere the JVM runs, executor-side, inside whole-stage
-  * codegen.
+/** REAL media decoding for the formats the JVM can handle without any
+  * native codec — RIFF/WAVE PCM audio, uncompressed 24-bit BMP, and
+  * zlib-compressed PNG — written from the published container specs
+  * (Microsoft/IBM RIFF WAVE, 1991; Windows BITMAPINFOHEADER; RFC 2083
+  * PNG, whose one compressed part is a zlib stream that
+  * `java.util.zip.Inflater` decodes natively).  Runs anywhere the JVM
+  * runs, executor-side, inside whole-stage codegen.
   *
   * This is the demonstration that the multimodal pipeline's decode
   * seam ([[graft.operators.Multimodal]]) carries REAL decoders
@@ -97,6 +98,158 @@ object MediaCodecs {
       val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
       WavMeta(channels, rate, bits, nSamples, duration, rms, peak)
     }
+  }
+
+  final case class PngMeta(width: Int, height: Int, channels: Int, bits: Int,
+                           meanR: Double, meanG: Double, meanB: Double)
+
+  /** PNG decoder (RFC 2083 / ISO 15948) — pure JVM: the container walk
+    * is byte math and the one compressed part is a zlib stream, which
+    * `java.util.zip.Inflater` handles natively.  Scope: 8-bit depth,
+    * color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and
+    * 6 (RGBA), non-interlaced, all five scanline filters (None / Sub /
+    * Up / Average / Paeth).  Anything else — 16-bit, sub-byte depths,
+    * Adam7 — degrades to None (the octet-stream tier), never a crash:
+    * this runs inside the codegen'd decode expression against
+    * arbitrary corpus bytes.
+    *
+    * Memory is ROW-BOUNDED: scanlines stream through the inflater two
+    * row buffers at a time (current + previous, the Up/Average/Paeth
+    * window), so a large image costs 2·width·channels bytes, not
+    * width·height.  Alpha is ignored for the channel means; gray maps
+    * to r = g = b; palette indices resolve through PLTE. */
+  def parsePng(b: Array[Byte]): Option[PngMeta] = {
+    if (b.length < 45) return None // sig(8) + IHDR(25) + IDAT hdr(12)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if ((b(i) & 0xff) != sig(i)) return None; i += 1 }
+    def u4be(at: Int): Long =
+      ((b(at) & 0xffL) << 24) | ((b(at + 1) & 0xffL) << 16) |
+        ((b(at + 2) & 0xffL) << 8) | (b(at + 3) & 0xffL)
+    // chunk walk: IHDR geometry, optional PLTE, total IDAT size
+    var at = 8
+    var w = 0; var h = 0; var colorType = -1
+    var plte: Array[Byte] = null
+    var idatLen = 0L
+    var sawIhdr = false; var sawIend = false
+    val idatSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (at + 12 <= b.length && !sawIend) {
+      val len = u4be(at)
+      if (len < 0 || len > Int.MaxValue) return None
+      val body = at + 8
+      if (body + len + 4 > b.length) return None // truncated chunk
+      val typ = new String(b, at + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len != 13 || sawIhdr) return None
+          sawIhdr = true
+          val wL = u4be(body); val hL = u4be(body + 4)
+          val bitDepth = b(body + 8) & 0xff
+          colorType = b(body + 9) & 0xff
+          val (compression, filterMethod, interlace) =
+            (b(body + 10) & 0xff, b(body + 11) & 0xff, b(body + 12) & 0xff)
+          // scope gate + corrupt-geometry gate (row buffers must be
+          // allocatable; 2^24-pixel rows cover any real image at a
+          // 64 MB worst-case RGBA row buffer)
+          if (bitDepth != 8 || compression != 0 || filterMethod != 0 ||
+              interlace != 0) return None
+          if (wL <= 0 || hL <= 0 || wL > (1L << 24) || hL > Int.MaxValue) return None
+          if (!Set(0, 2, 3, 4, 6).contains(colorType)) return None
+          w = wL.toInt; h = hL.toInt
+        case "PLTE" =>
+          if (len % 3 != 0 || len > 256 * 3) return None
+          plte = java.util.Arrays.copyOfRange(b, body, body + len.toInt)
+        case "IDAT" =>
+          idatSpans += ((body, len.toInt)); idatLen += len
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks (tEXt, gAMA, tRNS...) skipped
+      }
+      at = body + len.toInt + 4 // skip CRC (integrity is zlib's job here)
+    }
+    if (!sawIhdr || idatSpans.isEmpty || idatLen > Int.MaxValue) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    if (colorType == 3 && plte == null) return None
+    // concatenated zlib stream (IDAT boundaries are arbitrary)
+    val idat = new Array[Byte](idatLen.toInt)
+    var off = 0
+    idatSpans.foreach { case (o, l) =>
+      System.arraycopy(b, o, idat, off, l); off += l
+    }
+    val rowBytes = w * channels
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat)
+      def readFully(dst: Array[Byte], n: Int): Boolean = {
+        var got = 0
+        while (got < n) {
+          val r = inf.inflate(dst, got, n - got)
+          if (r == 0 &&
+              (inf.finished() || inf.needsInput() || inf.needsDictionary()))
+            return false // truncated / under-length stream
+          got += r
+        }
+        true
+      }
+      def paeth(a: Int, up: Int, ul: Int): Int = {
+        val p = a + up - ul
+        val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul
+      }
+      var prev = new Array[Byte](rowBytes)
+      var cur = new Array[Byte](rowBytes)
+      val ftByte = new Array[Byte](1)
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      var row = 0
+      while (row < h) {
+        if (!readFully(ftByte, 1) || !readFully(cur, rowBytes)) return None
+        (ftByte(0) & 0xff) match {
+          case 0 => ()
+          case 1 =>
+            var x = channels
+            while (x < rowBytes) { cur(x) = (cur(x) + cur(x - channels)).toByte; x += 1 }
+          case 2 =>
+            var x = 0
+            while (x < rowBytes) { cur(x) = (cur(x) + prev(x)).toByte; x += 1 }
+          case 3 =>
+            var x = 0
+            while (x < rowBytes) {
+              val a = if (x >= channels) cur(x - channels) & 0xff else 0
+              cur(x) = (cur(x) + ((a + (prev(x) & 0xff)) >> 1)).toByte; x += 1
+            }
+          case 4 =>
+            var x = 0
+            while (x < rowBytes) {
+              val a = if (x >= channels) cur(x - channels) & 0xff else 0
+              val c = if (x >= channels) prev(x - channels) & 0xff else 0
+              cur(x) = (cur(x) + paeth(a, prev(x) & 0xff, c)).toByte; x += 1
+            }
+          case _ => return None // undefined filter type
+        }
+        var px = 0
+        while (px < w) {
+          val p0 = px * channels
+          colorType match {
+            case 0 | 4 =>
+              val v = (cur(p0) & 0xff).toDouble; sr += v; sg += v; sb += v
+            case 2 | 6 =>
+              sr += (cur(p0) & 0xff); sg += (cur(p0 + 1) & 0xff); sb += (cur(p0 + 2) & 0xff)
+            case 3 =>
+              val idx = (cur(p0) & 0xff) * 3
+              if (idx + 2 >= plte.length) return None // index past palette
+              sr += (plte(idx) & 0xff); sg += (plte(idx + 1) & 0xff); sb += (plte(idx + 2) & 0xff)
+          }
+          px += 1
+        }
+        val t = prev; prev = cur; cur = t
+        row += 1
+      }
+      val n = w.toDouble * h
+      Some(PngMeta(w, h, channels, 8, sr / n, sg / n, sb / n))
+    } catch {
+      case _: java.util.zip.DataFormatException => None // corrupt zlib
+    } finally inf.end()
   }
 
   final case class BmpMeta(width: Int, height: Int,
@@ -236,10 +389,16 @@ object MediaCodecs {
           InternalRow(UTF8String.fromString("image/bmp"), m.width, m.height,
             null, null, null, null, null, null, null,
             m.meanR, m.meanG, m.meanB, size)
-        case None =>
-          InternalRow(UTF8String.fromString("application/octet-stream"),
-            null, null, null, null, null, null, null, null, null,
-            null, null, null, size)
+        case None => parsePng(b) match {
+          case Some(p) =>
+            InternalRow(UTF8String.fromString("image/png"), p.width, p.height,
+              p.channels, null, p.bits, null, null, null, null,
+              p.meanR, p.meanG, p.meanB, size)
+          case None =>
+            InternalRow(UTF8String.fromString("application/octet-stream"),
+              null, null, null, null, null, null, null, null, null,
+              null, null, null, size)
+        }
       }
     }
   }

@@ -10,14 +10,15 @@ import org.apache.spark.sql.types._
   * processing, frame explode — is real and tested.
   *
   * Decoding comes in two tiers:
-  *  - [[decodeMedia]] is a REAL decoder for formats that are pure byte
-  *    math — RIFF/WAVE PCM audio and 24-bit BMP images — implemented
-  *    from the container specs in [[graft.functions.MediaCodecs]]
+  *  - [[decodeMedia]] is a REAL decoder for formats the JVM handles
+  *    with no native codec — RIFF/WAVE PCM audio, 24-bit BMP, and PNG
+  *    (zlib via `java.util.zip.Inflater`) — implemented from the
+  *    container specs in [[graft.functions.MediaCodecs]]
   *    (codegen'd Expression, runs executor-side with no native libs);
-  *  - compressed formats (JPEG/MP4/FLAC…) need external codecs this
-  *    environment doesn't have, so `fakeDecodeMeta` remains the
-  *    documented stub seam with the same struct shape — swapping it
-  *    for a libjpeg/ffmpeg call changes no Spark-side contract.
+  *  - formats needing external codecs (JPEG/MP4/FLAC…) stay behind
+  *    `fakeDecodeMeta`, the documented stub seam with the same struct
+  *    shape — swapping it for a libjpeg/ffmpeg call changes no
+  *    Spark-side contract.
   */
 object Multimodal {
 

@@ -136,6 +136,137 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(m.getDouble(5) - 127.5) < 1e-9)
   }
 
+  // minimal PNG encoder for fixtures: 8-bit, chosen color type, one
+  // filter per row applied FORWARD per the spec — the decoder must
+  // invert it; the zlib stream is split across two IDAT chunks (chunk
+  // boundaries are not stream boundaries)
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  private def pngBytes(w: Int, h: Int, colorType: Int, raw: Array[Array[Byte]],
+                       filters: Array[Int], plte: Array[Byte] = null,
+                       interlace: Int = 0, bitDepth: Int = 8): Array[Byte] = {
+    val ch = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4 }
+    val rb = w * ch
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val filtered = new java.io.ByteArrayOutputStream()
+    val zero = new Array[Byte](rb)
+    for (r <- 0 until h) {
+      val f = filters(r % filters.length)
+      filtered.write(f)
+      val prev = if (r == 0) zero else raw(r - 1)
+      val cur = raw(r)
+      for (x <- 0 until rb) {
+        val a = if (x >= ch) cur(x - ch) & 0xff else 0
+        val b = prev(x) & 0xff
+        val c = if (x >= ch) prev(x - ch) & 0xff else 0
+        val pred = f match {
+          case 0 => 0; case 1 => a; case 2 => b
+          case 3 => (a + b) >> 1; case 4 => paeth(a, b, c)
+          case _ => 0 // undefined filter byte: raw data (decoder must reject)
+        }
+        filtered.write(((cur(x) & 0xff) - pred) & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered.toByteArray); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(bitDepth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.write(pngChunk("IHDR", ihdr))
+    if (plte != null) out.write(pngChunk("PLTE", plte))
+    val cb = comp.toByteArray
+    out.write(pngChunk("IDAT", cb.take(cb.length / 2)))
+    out.write(pngChunk("IDAT", cb.drop(cb.length / 2)))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  test("decodeMedia really decodes PNG: all five filters, exact channel means") {
+    // seeded 7x9 RGB image, rows cycling through filters 0..4 — the
+    // decode must invert every filter type to reproduce the raw means
+    val rnd = new scala.util.Random(11)
+    val (w, h) = (7, 9)
+    val raw = Array.fill(h)(Array.fill(w * 3)(rnd.nextInt(256).toByte))
+    val png = pngBytes(w, h, colorType = 2, raw, filters = Array(0, 1, 2, 3, 4))
+    val n = (w * h).toDouble
+    val expR = raw.map(r => (0 until w).map(x => r(x * 3) & 0xff).sum).sum / n
+    val expG = raw.map(r => (0 until w).map(x => r(x * 3 + 1) & 0xff).sum).sum / n
+    val expB = raw.map(r => (0 until w).map(x => r(x * 3 + 2) & 0xff).sum).sum / n
+    val m = Seq((1L, png)).toDF("id", "payload")
+      .select(Multimodal.decodeMedia(col("payload")).as("m"))
+      .select(col("m.mime"), col("m.width"), col("m.height"), col("m.channels"),
+        col("m.bits"), col("m.mean_r"), col("m.mean_g"), col("m.mean_b"))
+      .collect().head
+    assert(m.getString(0) == "image/png")
+    assert(m.getInt(1) == w && m.getInt(2) == h && m.getInt(3) == 3 && m.getInt(4) == 8)
+    assert(m.getDouble(5) == expR && m.getDouble(6) == expG && m.getDouble(7) == expB)
+  }
+
+  test("PNG color types: RGBA alpha ignored, gray maps to r=g=b, palette resolves") {
+    import graft.functions.MediaCodecs
+    // RGBA: constant red pixels under varying alpha -> means ignore alpha
+    val rgba = Array.tabulate(2)(r => Array.tabulate(3 * 4) { i =>
+      (i % 4 match { case 0 => 200; case 3 => 17 * (r + 1); case _ => 0 }).toByte })
+    val pa = MediaCodecs.parsePng(pngBytes(3, 2, 6, rgba, Array(0, 4))).get
+    assert(pa.channels == 4 && pa.meanR == 200.0 && pa.meanG == 0.0 && pa.meanB == 0.0)
+    // gray (ct 0): value 50 everywhere -> r = g = b = 50
+    val gray = Array.fill(2)(Array.fill(4)(50.toByte))
+    val pg = MediaCodecs.parsePng(pngBytes(4, 2, 0, gray, Array(1, 2))).get
+    assert(pg.channels == 1 && pg.meanR == 50.0 && pg.meanG == 50.0 && pg.meanB == 50.0)
+    // gray+alpha (ct 4): gray 80, alpha varies
+    val ga = Array.fill(2)(Array.tabulate(8)(i => (if (i % 2 == 0) 80 else 13 * i).toByte))
+    val pga = MediaCodecs.parsePng(pngBytes(4, 2, 4, ga, Array(3))).get
+    assert(pga.channels == 2 && pga.meanR == 80.0 && pga.meanB == 80.0)
+    // palette (ct 3): index 0 -> (10,20,30), index 1 -> (255,0,255)
+    val plte = Array(10, 20, 30, 255, 0, 255).map(_.toByte)
+    val idx = Array(Array[Byte](0, 1), Array[Byte](1, 0))
+    val pp = MediaCodecs.parsePng(pngBytes(2, 2, 3, idx, Array(0), plte = plte)).get
+    assert(pp.meanR == 132.5 && pp.meanG == 10.0 && pp.meanB == 142.5)
+  }
+
+  test("PNG decode degrades out-of-scope and corrupt inputs to None, never crashes") {
+    import graft.functions.MediaCodecs
+    val raw = Array.fill(2)(Array.fill(6)(99.toByte))
+    val good = pngBytes(2, 2, 2, raw, Array(0))
+    assert(MediaCodecs.parsePng(good).isDefined)
+    // truncated zlib stream (well-formed chunks, under-length data)
+    val cut = good.dropRight(24)
+    assert(MediaCodecs.parsePng(cut).isEmpty)
+    // Adam7 interlace and 16-bit depth are out of decode scope
+    assert(MediaCodecs.parsePng(pngBytes(2, 2, 2, raw, Array(0), interlace = 1)).isEmpty)
+    assert(MediaCodecs.parsePng(pngBytes(2, 2, 2, raw, Array(0), bitDepth = 16)).isEmpty)
+    // undefined filter type byte inside the stream
+    assert(MediaCodecs.parsePng(pngBytes(2, 2, 2, raw, Array(7))).isEmpty)
+    // palette image without PLTE, and an index past the palette
+    assert(MediaCodecs.parsePng(
+      pngBytes(2, 2, 3, Array.fill(2)(Array[Byte](0, 1)), Array(0))).isEmpty)
+    assert(MediaCodecs.parsePng(pngBytes(2, 2, 3, Array.fill(2)(Array[Byte](0, 9)),
+      Array(0), plte = Array[Byte](1, 2, 3))).isEmpty)
+    // flipped signature byte falls through to octet-stream in dispatch
+    val badSig = good.clone(); badSig(0) = 0x42
+    val mime = Seq((1L, badSig)).toDF("id", "payload")
+      .select(Multimodal.decodeMedia(col("payload")).getField("mime"))
+      .collect().head.getString(0)
+    assert(mime == "application/octet-stream")
+  }
+
   test("resizeImage really resamples a BMP; non-images yield null") {
     // 4x4: left half red, right half blue -> 2x2 keeps the halves
     val img = Seq.fill(4)(Seq((255, 0, 0), (255, 0, 0), (0, 0, 255), (0, 0, 255)))
