@@ -155,9 +155,18 @@ object Scale {
       .saveAsTable(table)
 
   /** True when the executed plan of `df` contains no shuffle exchange —
-    * the co-location check for bucketed joins. */
+    * the co-location check for bucketed joins.  The plan must EXECUTE
+    * before inspection (AQE finalizes — and can eliminate — exchanges
+    * at runtime); `foreach` drives the frame's own query execution
+    * without shipping a single row to the driver, so the check is safe
+    * on frames of any size (a collect() here pulled the whole result
+    * driver-side). */
   def isExchangeFree(df: DataFrame): Boolean = {
-    df.collect() // finalize AQE
+    // toRdd belongs to the SAME QueryExecution inspected below
+    // (Dataset.foreach/rdd would execute a separate deserializing
+    // QueryExecution and leave this one un-finalized); count() ships
+    // one long per partition, never rows
+    df.queryExecution.toRdd.count()
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
   }
 }
