@@ -8,12 +8,13 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types._
 
 /** REAL media decoding for the formats the JVM can handle without any
-  * native codec — RIFF/WAVE PCM audio, uncompressed 24-bit BMP, and
-  * zlib-compressed PNG — written from the published container specs
-  * (Microsoft/IBM RIFF WAVE, 1991; Windows BITMAPINFOHEADER; RFC 2083
-  * PNG, whose one compressed part is a zlib stream that
-  * `java.util.zip.Inflater` decodes natively).  Runs anywhere the JVM
-  * runs, executor-side, inside whole-stage codegen.
+  * native codec — RIFF/WAVE audio (integer PCM, IEEE float32, G.711
+  * A-law/μ-law, EXTENSIBLE wrappers), uncompressed 24-bit BMP,
+  * zlib-compressed PNG, and LZW-compressed GIF — written from the
+  * published container specs (Microsoft/IBM RIFF WAVE, 1991; Windows
+  * BITMAPINFOHEADER; RFC 2083 PNG via `java.util.zip.Inflater`;
+  * GIF87a/89a with the LZW decoder implemented here).  Runs anywhere
+  * the JVM runs, executor-side, inside whole-stage codegen.
   *
   * This is the demonstration that the multimodal pipeline's decode
   * seam ([[graft.operators.Multimodal]]) carries REAL decoders
@@ -53,15 +54,44 @@ object MediaCodecs {
   final case class WavMeta(channels: Int, sampleRate: Int, bits: Int,
                            nSamples: Long, durationS: Double, rms: Double, peak: Double)
 
-  /** RIFF/WAVE parser: walks the chunk list for `fmt ` and `data`;
-    * PCM16 payloads also yield RMS and peak of the normalized signal.
-    * Returns None when the bytes are not a well-formed PCM WAV. */
+  /** G.711 μ-law byte → linear sample in [-32124, 32124] (the
+    * published decode expansion: biased mantissa shifted by the
+    * 3-bit exponent). */
+  private def mulawToLinear(byte0: Int): Int = {
+    val u = ~byte0 & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0xf
+    val mag = ((0x84 + (mant << 3)) << exp) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law byte → linear sample in [-32256, 32256] (even-bit
+    * inversion then segment expansion). */
+  private def alawToLinear(byte0: Int): Int = {
+    val a = byte0 ^ 0x55
+    val v = a & 0x7f
+    val exp = v >> 4
+    val mant = v & 0xf
+    val mag = if (exp == 0) (mant << 4) + 8 else ((mant << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** RIFF/WAVE parser: walks the chunk list for `fmt ` and `data`.
+    * Decodable sample formats — integer PCM (format 1), IEEE float32
+    * (format 3), G.711 A-law/μ-law (formats 6/7, pure formula
+    * expansion, no table), and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    * wrapping any of those via its SubFormat GUID — yield RMS and
+    * peak of the normalized signal (PCM16/float32/A-law/μ-law
+    * payloads; other PCM widths report metadata with silent stats,
+    * the pre-existing contract).  Returns None when the bytes are not
+    * a well-formed WAV of a supported format. */
   def parseWav(b: Array[Byte]): Option[WavMeta] = {
     if (b.length < 44) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
     var at = 12
-    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+    // format, channels, rate, bits, blockAlign
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
     var data: Option[(Int, Int)] = None // offset, size
     while (at + 8 <= b.length) {
       val id = new String(b, at, 4, "US-ASCII")
@@ -71,28 +101,61 @@ object MediaCodecs {
       if (size < 0 || size > Int.MaxValue - 8) return None
       val body = at + 8
       if (id == "fmt " && body + 16 <= b.length) {
-        val audioFormat = u2(b, body)
-        if (audioFormat != 1) return None // only uncompressed PCM
-        fmt = Some((u2(b, body + 2), u4(b, body + 4).toInt, u2(b, body + 14), u2(b, body + 12)))
+        var audioFormat = u2(b, body)
+        if (audioFormat == 0xFFFE) {
+          // EXTENSIBLE: the real format is the SubFormat GUID's first
+          // two bytes (cbSize >= 22 -> GUID at fmt body + 24)
+          if (body + 26 > b.length || size < 40) return None
+          audioFormat = u2(b, body + 24)
+        }
+        val bits = u2(b, body + 14)
+        val ok = audioFormat match {
+          case 1 => true                    // integer PCM, any width
+          case 3 => bits == 32              // IEEE float32
+          case 6 | 7 => bits == 8           // G.711 A-law / mu-law
+          case _ => false                   // compressed: codec seam
+        }
+        if (!ok) return None
+        fmt = Some((audioFormat, u2(b, body + 2), u4(b, body + 4).toInt,
+          bits, u2(b, body + 12)))
       } else if (id == "data") {
         data = Some((body, math.min(size, (b.length - body).toLong).toInt))
       }
       at = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
-    for ((channels, rate, bits, blockAlign) <- fmt; (off, size) <- data) yield {
+    for ((format, channels, rate, bits, blockAlign) <- fmt; (off, size) <- data) yield {
       val align = math.max(1, blockAlign)
       val nSamples = size.toLong / align
       val duration = if (rate > 0) nSamples.toDouble / rate else 0.0
       var (sumSq, peak) = (0.0, 0.0)
       var n = 0L
-      if (bits == 16) {
+      def acc(s: Double): Unit = {
+        sumSq += s * s
+        val a = math.abs(s); if (a > peak) peak = a
+        n += 1
+      }
+      if (format == 1 && bits == 16) {
         var i = off
         val end = off + size - 1
         while (i < end) {
-          val s = ((b(i) & 0xff) | (b(i + 1) << 8)).toShort / 32768.0
-          sumSq += s * s
-          val a = math.abs(s); if (a > peak) peak = a
-          n += 1; i += 2
+          acc(((b(i) & 0xff) | (b(i + 1) << 8)).toShort / 32768.0); i += 2
+        }
+      } else if (format == 3) {
+        var i = off
+        val end = off + size - 3
+        while (i < end) {
+          val s = java.lang.Float.intBitsToFloat(u4(b, i).toInt).toDouble
+          // NaN/Inf payload floats would poison the running sums —
+          // clamp-skip them (corrupt sample, not corrupt container)
+          if (!s.isNaN && !s.isInfinite) acc(s)
+          i += 4
+        }
+      } else if (format == 6 || format == 7) {
+        var i = off
+        val end = off + size
+        while (i < end) {
+          val lin = if (format == 7) mulawToLinear(b(i) & 0xff) else alawToLinear(b(i) & 0xff)
+          acc(lin / 32768.0); i += 1
         }
       }
       val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
@@ -252,6 +315,155 @@ object MediaCodecs {
     } finally inf.end()
   }
 
+  final case class GifMeta(width: Int, height: Int,
+                           meanR: Double, meanG: Double, meanB: Double)
+
+  /** GIF decoder (GIF87a/89a spec) — pure JVM: the container is byte
+    * math and the pixel data is GIF-LZW, implemented here directly
+    * (variable-width codes, 4096-entry dictionary, clear/EOI).  Reads
+    * the FIRST image frame only: metadata reports the logical screen,
+    * channel means come from the first frame's palette-resolved
+    * pixels.  Interlacing needs no special handling — means are
+    * row-order independent.  Corrupt or truncated streams degrade to
+    * None, never crash or loop: this runs against arbitrary corpus
+    * bytes inside the codegen'd decode expression. */
+  def parseGif(b: Array[Byte]): Option[GifMeta] = {
+    if (b.length < 13) return None
+    val hdr = new String(b, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val sw = u2(b, 6); val sh = u2(b, 8)
+    if (sw <= 0 || sh <= 0) return None
+    var at = 13
+    val gctFlag = (b(10) & 0x80) != 0
+    val gctLen = 3 * (2 << (b(10) & 7))
+    var gct: Array[Byte] = null
+    if (gctFlag) {
+      if (at + gctLen > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, at, at + gctLen)
+      at += gctLen
+    }
+    // block walk to the first image descriptor
+    while (at < b.length) {
+      (b(at) & 0xff) match {
+        case 0x3B => return None // trailer before any image
+        case 0x21 => // extension: label byte + terminated sub-blocks
+          at += 2
+          while (at < b.length && b(at) != 0) at += 1 + (b(at) & 0xff)
+          at += 1
+        case 0x2C =>
+          if (at + 10 > b.length) return None
+          val fw = u2(b, at + 5); val fh = u2(b, at + 7)
+          val packed = b(at + 9) & 0xff
+          at += 10
+          var pal = gct
+          if ((packed & 0x80) != 0) { // local color table
+            val lctLen = 3 * (2 << (packed & 7))
+            if (at + lctLen > b.length) return None
+            pal = java.util.Arrays.copyOfRange(b, at, at + lctLen)
+            at += lctLen
+          }
+          if (pal == null || fw <= 0 || fh <= 0) return None
+          if (fw.toLong * fh > (1L << 26)) return None // corrupt-geometry cap
+          if (at + 1 > b.length) return None
+          val minCode = b(at) & 0xff
+          at += 1
+          if (minCode < 1 || minCode > 11) return None
+          // concatenate the data sub-blocks
+          val dataBuf = new java.io.ByteArrayOutputStream()
+          var ok = true
+          while (ok && at < b.length && b(at) != 0) {
+            val len = b(at) & 0xff
+            if (at + 1 + len > b.length) ok = false
+            else { dataBuf.write(b, at + 1, len); at += 1 + len }
+          }
+          if (!ok) return None
+          return lzwIndices(minCode, dataBuf.toByteArray, fw * fh).flatMap { idx =>
+            var (sr, sg, sb) = (0.0, 0.0, 0.0)
+            var i = 0
+            val nColors = pal.length / 3
+            while (i < idx.length) {
+              val c = idx(i) & 0xff
+              if (c >= nColors) return None // index past the palette
+              sr += (pal(c * 3) & 0xff); sg += (pal(c * 3 + 1) & 0xff)
+              sb += (pal(c * 3 + 2) & 0xff)
+              i += 1
+            }
+            val n = idx.length.toDouble
+            Some(GifMeta(sw, sh, sr / n, sg / n, sb / n))
+          }
+        case _ => return None // unknown block: stream is corrupt
+      }
+    }
+    None
+  }
+
+  /** GIF-LZW decode of `nPixels` palette indices: LSB-first
+    * variable-width codes, dictionary reset on CLEAR, stop at EOI or
+    * when the pixel budget fills.  None on any malformed code. */
+  private def lzwIndices(minCode: Int, data: Array[Byte], nPixels: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new Array[Byte](nPixels)
+    var outAt = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var dictSize = eoi + 1
+    var codeSize = minCode + 1
+    var prev = -1
+    var bitPos = 0
+    val nBits = data.length.toLong * 8
+    while (outAt < nPixels) {
+      if (bitPos + codeSize > nBits) return None // truncated stream
+      // LSB-first read across byte boundaries
+      var code = 0; var got = 0
+      while (got < codeSize) {
+        val byteAt = (bitPos + got) >>> 3
+        val bit = (data(byteAt.toInt) >> ((bitPos + got) & 7)) & 1
+        code |= bit << got
+        got += 1
+      }
+      bitPos += codeSize
+      if (code == clear) {
+        dictSize = eoi + 1; codeSize = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outAt == nPixels) Some(out) else None // short frame
+      } else {
+        // expand `code` (or prev+head for the just-about-to-be-defined
+        // code) onto a stack, then emit in order
+        var sp = 0
+        var cur = code
+        if (code >= dictSize) {
+          if (code != dictSize || prev < 0) return None // corrupt code
+          // KwKwK case: expand prev, then append its head byte
+          cur = prev
+          stack(sp) = 0; sp += 1 // placeholder, patched after head known
+        }
+        while (cur >= clear + 2) { // walk dictionary entries
+          if (sp >= stack.length) return None
+          stack(sp) = suffix(cur); sp += 1
+          cur = prefix(cur)
+        }
+        if (cur >= clear) return None // dangling reference
+        val head = cur.toByte
+        if (code >= dictSize) stack(0) = head // patch the KwKwK tail byte
+        // emit: head (the entry's first byte), then the walked bytes
+        // in reverse push order (stack(0) is the entry's LAST byte)
+        if (outAt + 1 + sp > nPixels) return None // more bytes than pixels
+        out(outAt) = head; outAt += 1
+        var i = sp - 1
+        while (i >= 0) { out(outAt) = stack(i); outAt += 1; i -= 1 }
+        // add (prev, head) to the dictionary
+        if (prev >= 0 && dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = head; dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
   final case class BmpMeta(width: Int, height: Int,
                            meanR: Double, meanG: Double, meanB: Double)
 
@@ -394,10 +606,16 @@ object MediaCodecs {
             InternalRow(UTF8String.fromString("image/png"), p.width, p.height,
               p.channels, null, p.bits, null, null, null, null,
               p.meanR, p.meanG, p.meanB, size)
-          case None =>
-            InternalRow(UTF8String.fromString("application/octet-stream"),
-              null, null, null, null, null, null, null, null, null,
-              null, null, null, size)
+          case None => parseGif(b) match {
+            case Some(g) =>
+              InternalRow(UTF8String.fromString("image/gif"), g.width, g.height,
+                null, null, null, null, null, null, null,
+                g.meanR, g.meanG, g.meanB, size)
+            case None =>
+              InternalRow(UTF8String.fromString("application/octet-stream"),
+                null, null, null, null, null, null, null, null, null,
+                null, null, null, size)
+          }
         }
       }
     }

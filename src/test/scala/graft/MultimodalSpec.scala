@@ -119,6 +119,76 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(m.getDouble(6) - 0.5) < 1e-3)
   }
 
+  /** Minimal mono WAV with an arbitrary sample format; `extensible`
+    * wraps the format code in a WAVE_FORMAT_EXTENSIBLE SubFormat GUID
+    * (PCM GUID layout: Data1 = format, tail fixed). */
+  private def wavRaw(format: Int, bits: Int, data: Array[Byte], rate: Int = 8000,
+                     extensible: Boolean = false): Array[Byte] = {
+    val blockAlign = math.max(1, bits / 8)
+    val fmtLen = if (extensible) 40 else 16
+    val bb = java.nio.ByteBuffer.allocate(28 + fmtLen + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(20 + fmtLen + data.length); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(fmtLen)
+    bb.putShort(if (extensible) 0xFFFE.toShort else format.toShort); bb.putShort(1)
+    bb.putInt(rate); bb.putInt(rate * blockAlign)
+    bb.putShort(blockAlign.toShort); bb.putShort(bits.toShort)
+    if (extensible) {
+      bb.putShort(22)           // cbSize
+      bb.putShort(bits.toShort) // valid bits
+      bb.putInt(4)              // channel mask
+      bb.putShort(format.toShort); bb.putShort(0) // GUID Data1 = format
+      bb.putShort(0); bb.putShort(0x0010)         // Data2, Data3
+      bb.put(Array(0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71).map(_.toByte))
+    }
+    bb.put("data".getBytes); bb.putInt(data.length)
+    bb.put(data)
+    bb.array()
+  }
+
+  test("parseWav decodes float32, G.711 mu-law/A-law, and EXTENSIBLE wrappers") {
+    import graft.functions.MediaCodecs
+    // IEEE float32: a +-0.5 square wave -> rms = peak = 0.5 exactly
+    val fdata = java.nio.ByteBuffer.allocate(800 * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 800).foreach(i => fdata.putFloat(if (i % 2 == 0) 0.5f else -0.5f))
+    val f = MediaCodecs.parseWav(wavRaw(3, 32, fdata.array())).get
+    assert(f.bits == 32 && f.nSamples == 800L && f.rms == 0.5 && f.peak == 0.5)
+    assert(math.abs(f.durationS - 0.1) < 1e-12)
+    // G.711 reference decoders (CCITT ulaw2linear/alaw2linear shapes)
+    def muRef(b0: Int): Int = {
+      val u = ~b0 & 0xff
+      val t = (((u & 0xf) << 3) + 0x84) << ((u & 0x70) >> 4)
+      if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+    }
+    def aRef(b0: Int): Int = {
+      val a = b0 ^ 0x55
+      var t = (a & 0xf) << 4
+      val seg = (a & 0x70) >> 4
+      if (seg == 0) t += 8 else { t += 0x108; t <<= seg - 1 }
+      if ((a & 0x80) != 0) t else -t
+    }
+    // every byte value decodes exactly per the reference formula
+    val allBytes = (0 until 256).map(_.toByte).toArray
+    val mu = MediaCodecs.parseWav(wavRaw(7, 8, allBytes)).get
+    val muExp = (0 until 256).map(muRef(_) / 32768.0)
+    assert(mu.peak == muExp.map(math.abs).max)
+    assert(mu.rms == math.sqrt(muExp.map(s => s * s).sum / 256))
+    assert(mu.nSamples == 256L && mu.bits == 8)
+    val al = MediaCodecs.parseWav(wavRaw(6, 8, allBytes)).get
+    val alExp = (0 until 256).map(aRef(_) / 32768.0)
+    assert(al.peak == alExp.map(math.abs).max)
+    assert(al.rms == math.sqrt(alExp.map(s => s * s).sum / 256))
+    // EXTENSIBLE wrapping PCM16 decodes identically to the plain tag
+    val pcm = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(16384, -16384, 16384, -16384).foreach(s => pcm.putShort(s.toShort))
+    val plain = MediaCodecs.parseWav(wavRaw(1, 16, pcm.array())).get
+    val ext = MediaCodecs.parseWav(wavRaw(1, 16, pcm.array(), extensible = true)).get
+    assert(ext == plain && plain.rms == 0.5)
+    // out-of-scope formats degrade: float64 and ADPCM are None
+    assert(MediaCodecs.parseWav(wavRaw(3, 64, new Array[Byte](16))).isEmpty)
+    assert(MediaCodecs.parseWav(wavRaw(2, 4, new Array[Byte](16))).isEmpty)
+  }
+
   test("decodeMedia really decodes 24-bit BMP: dims and channel means") {
     // 3x2: top row red, bottom row blue -> meanR = meanB = 127.5
     val img = Seq(
@@ -196,6 +266,101 @@ class MultimodalSpec extends SparkSpec {
     out.write(pngChunk("IDAT", cb.drop(cb.length / 2)))
     out.write(pngChunk("IEND", Array.emptyByteArray))
     out.toByteArray
+  }
+
+  /** LSB-first variable-width code packer (the GIF LZW bit layout). */
+  private def packCodes(codes: Seq[(Int, Int)]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var n = 0
+    codes.foreach { case (c, w) =>
+      acc |= c.toLong << n; n += w
+      while (n >= 8) { buf.write((acc & 0xff).toInt); acc >>= 8; n -= 8 }
+    }
+    if (n > 0) buf.write((acc & 0xff).toInt)
+    buf.toByteArray
+  }
+
+  /** GIF container around raw LZW data: global palette (padded to a
+    * power of two) + one full-screen frame. */
+  private def gifContainer(w: Int, h: Int, palette: Array[(Int, Int, Int)],
+                           minCode: Int, lzwData: Array[Byte],
+                           interlace: Boolean = false): Array[Byte] = {
+    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(palette.length - 1))
+    val out = new java.io.ByteArrayOutputStream()
+    def u2le(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u2le(w); u2le(h)
+    out.write(0x80 | (bits - 1)); out.write(0); out.write(0)
+    for (i <- 0 until (1 << bits)) {
+      val (r, g, b) = if (i < palette.length) palette(i) else (0, 0, 0)
+      out.write(r); out.write(g); out.write(b)
+    }
+    out.write(0x2C); u2le(0); u2le(0); u2le(w); u2le(h)
+    out.write(if (interlace) 0x40 else 0)
+    out.write(minCode)
+    var o = 0
+    while (o < lzwData.length) {
+      val len = math.min(255, lzwData.length - o)
+      out.write(len); out.write(lzwData, o, len); o += len
+    }
+    out.write(0); out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** Compression-free LZW: CLEAR before every literal keeps the code
+    * width fixed at minCode+1 — a legal stream any decoder accepts. */
+  private def gifBytes(w: Int, h: Int, palette: Array[(Int, Int, Int)],
+                       idx: Array[Byte], interlace: Boolean = false): Array[Byte] = {
+    val minCode = 2; val clear = 1 << minCode; val cw = minCode + 1
+    val codes = idx.toSeq.flatMap(i => Seq((clear, cw), (i & 0xff, cw))) :+ ((clear + 1, cw))
+    gifContainer(w, h, palette, minCode, packCodes(codes), interlace)
+  }
+
+  test("decodeMedia really decodes GIF: palette means, interlace-independent") {
+    val pal = Array((250, 10, 0), (0, 200, 40), (8, 8, 240), (30, 30, 30))
+    val idx = Array[Byte](0, 1, 2, 3, 0, 1)
+    val m = Seq((1L, gifBytes(3, 2, pal, idx))).toDF("id", "payload")
+      .select(Multimodal.decodeMedia(col("payload")).as("m"))
+      .select(col("m.mime"), col("m.width"), col("m.height"),
+        col("m.mean_r"), col("m.mean_g"), col("m.mean_b"))
+      .collect().head
+    assert(m.getString(0) == "image/gif")
+    assert(m.getInt(1) == 3 && m.getInt(2) == 2)
+    val expR = (250 * 2 + 0 * 2 + 8 + 30) / 6.0
+    val expG = (10 * 2 + 200 * 2 + 8 + 30) / 6.0
+    val expB = (0 * 2 + 40 * 2 + 240 + 30) / 6.0
+    assert(m.getDouble(3) == expR && m.getDouble(4) == expG && m.getDouble(5) == expB)
+    // interlace flag changes row order only — means are identical
+    val il = graft.functions.MediaCodecs.parseGif(gifBytes(3, 2, pal, idx, interlace = true)).get
+    assert(il.meanR == expR && il.meanG == expG && il.meanB == expB)
+  }
+
+  test("GIF LZW: dictionary walk, code-width growth, and the KwKwK case") {
+    import graft.functions.MediaCodecs
+    val pal = Array((10, 0, 0), (20, 0, 0), (40, 0, 0), (80, 0, 0))
+    // hand-traced stream, minCode=2 (clear=4, eoi=5, first entry 6):
+    //   CLEAR, 1, 2 (adds E6=[1,2]), 6 (emits [1,2], adds E7=[2,1] ->
+    //   dict hits 8 = 2^3, width grows to 4), 7 (emits [2,1]), EOI
+    // -> pixels [1, 2, 1, 2, 2, 1]
+    val grown = gifContainer(6, 1, pal, 2,
+      packCodes(Seq((4, 3), (1, 3), (2, 3), (6, 3), (7, 4), (5, 4))))
+    val g = MediaCodecs.parseGif(grown).get
+    assert(g.meanR == (20 * 3 + 40 * 3) / 6.0, s"dictionary-walk pixels wrong: $g")
+    // KwKwK: CLEAR, 1, 6 where 6 == dictSize -> entry = [1] ++ head([1])
+    // -> pixels [1, 1, 1]
+    val kwk = gifContainer(3, 1, pal, 2,
+      packCodes(Seq((4, 3), (1, 3), (6, 3), (5, 3))))
+    val k = MediaCodecs.parseGif(kwk).get
+    assert(k.meanR == 20.0, s"KwKwK pixels wrong: $k")
+    // corrupt streams degrade to None: a code PAST dictSize, a
+    // truncated stream, and a trailer before any image
+    assert(MediaCodecs.parseGif(gifContainer(3, 1, pal, 2,
+      packCodes(Seq((4, 3), (1, 3), (7, 3), (5, 3))))).isEmpty)
+    assert(MediaCodecs.parseGif(gifContainer(6, 1, pal, 2,
+      packCodes(Seq((4, 3), (1, 3))))).isEmpty)
+    val noImage = gifBytes(2, 1, pal, Array[Byte](0, 1))
+      .patch(13 + 12, Array(0x3B.toByte), 1) // image descriptor -> trailer
+    assert(MediaCodecs.parseGif(noImage).isEmpty)
   }
 
   test("decodeMedia really decodes PNG: all five filters, exact channel means") {
