@@ -182,6 +182,61 @@ object MediaCodecs {
     * width·height.  Alpha is ignored for the channel means; gray maps
     * to r = g = b; palette indices resolve through PLTE. */
   def parsePng(b: Array[Byte]): Option[PngMeta] = {
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var rgbRow: Array[Byte] = null
+    pngScan(b) { (hdr, cur) =>
+      if (rgbRow == null) rgbRow = new Array[Byte](hdr.width * 3)
+      pngRowRgb(hdr, cur, rgbRow, 0) && {
+        var o = 0
+        while (o < rgbRow.length) {
+          sr += (rgbRow(o) & 0xff); sg += (rgbRow(o + 1) & 0xff)
+          sb += (rgbRow(o + 2) & 0xff)
+          o += 3
+        }
+        true
+      }
+    }.map { hdr =>
+      val n = hdr.width.toDouble * hdr.height
+      PngMeta(hdr.width, hdr.height, hdr.channels, 8, sr / n, sg / n, sb / n)
+    }
+  }
+
+  private[graft] final case class PngHeader(width: Int, height: Int,
+                                            colorType: Int, channels: Int,
+                                            plte: Array[Byte])
+
+  /** One reconstructed scanline → packed RGB24 at `dst(off…)` (gray
+    * expanded, alpha dropped, palette resolved); false when an index
+    * escapes the palette.  The single pixel-interpretation path every
+    * PNG consumer shares. */
+  private def pngRowRgb(hdr: PngHeader, cur: Array[Byte],
+                        dst: Array[Byte], off: Int): Boolean = {
+    var px = 0
+    while (px < hdr.width) {
+      val p0 = px * hdr.channels
+      val o = off + px * 3
+      hdr.colorType match {
+        case 0 | 4 =>
+          val v = cur(p0); dst(o) = v; dst(o + 1) = v; dst(o + 2) = v
+        case 2 | 6 =>
+          dst(o) = cur(p0); dst(o + 1) = cur(p0 + 1); dst(o + 2) = cur(p0 + 2)
+        case 3 =>
+          val idx = (cur(p0) & 0xff) * 3
+          if (idx + 2 >= hdr.plte.length) return false // index past palette
+          dst(o) = hdr.plte(idx); dst(o + 1) = hdr.plte(idx + 1)
+          dst(o + 2) = hdr.plte(idx + 2)
+      }
+      px += 1
+    }
+    true
+  }
+
+  /** Shared PNG machinery: container walk + inflate + per-row
+    * unfiltering, streaming each reconstructed scanline (raw channel
+    * bytes, palette unresolved) to `onRow` — memory stays two row
+    * buffers for every consumer.  `onRow` returning false aborts the
+    * scan (malformed content → None). */
+  private def pngScan(b: Array[Byte])(onRow: (PngHeader, Array[Byte]) => Boolean): Option[PngHeader] = {
     if (b.length < 45) return None // sig(8) + IHDR(25) + IDAT hdr(12)
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     var i = 0
@@ -260,10 +315,10 @@ object MediaCodecs {
         val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - ul)
         if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul
       }
+      val hdr = PngHeader(w, h, colorType, channels, plte)
       var prev = new Array[Byte](rowBytes)
       var cur = new Array[Byte](rowBytes)
       val ftByte = new Array[Byte](1)
-      var (sr, sg, sb) = (0.0, 0.0, 0.0)
       var row = 0
       while (row < h) {
         if (!readFully(ftByte, 1) || !readFully(cur, rowBytes)) return None
@@ -290,29 +345,88 @@ object MediaCodecs {
             }
           case _ => return None // undefined filter type
         }
-        var px = 0
-        while (px < w) {
-          val p0 = px * channels
-          colorType match {
-            case 0 | 4 =>
-              val v = (cur(p0) & 0xff).toDouble; sr += v; sg += v; sb += v
-            case 2 | 6 =>
-              sr += (cur(p0) & 0xff); sg += (cur(p0 + 1) & 0xff); sb += (cur(p0 + 2) & 0xff)
-            case 3 =>
-              val idx = (cur(p0) & 0xff) * 3
-              if (idx + 2 >= plte.length) return None // index past palette
-              sr += (plte(idx) & 0xff); sg += (plte(idx + 1) & 0xff); sb += (plte(idx + 2) & 0xff)
-          }
-          px += 1
-        }
+        if (!onRow(hdr, cur)) return None
         val t = prev; prev = cur; cur = t
         row += 1
       }
-      val n = w.toDouble * h
-      Some(PngMeta(w, h, channels, 8, sr / n, sg / n, sb / n))
+      Some(hdr)
     } catch {
       case _: java.util.zip.DataFormatException => None // corrupt zlib
     } finally inf.end()
+  }
+
+  /** Full-frame decode to packed RGB24 — the buffer-materializing
+    * consumer behind [[resizePng]]; capped at 2^24 pixels (~48 MB)
+    * so a crafted giant image cannot balloon an executor. */
+  private[graft] def pngDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    var buf: Array[Byte] = null
+    var rowAt = 0
+    val hdrOpt = pngScan(b) { (hdr, cur) =>
+      (hdr.width.toLong * hdr.height <= (1L << 24)) && {
+        if (buf == null) buf = new Array[Byte](hdr.width * hdr.height * 3)
+        val ok = pngRowRgb(hdr, cur, buf, rowAt * hdr.width * 3)
+        rowAt += 1
+        ok
+      }
+    }
+    hdrOpt.collect { case hdr if buf != null => (hdr.width, hdr.height, buf) }
+  }
+
+  /** Packed RGB24 → standards-valid PNG (color type 2, filter-0 rows,
+    * one zlib IDAT, real CRCs — external readers accept the output,
+    * not just [[parsePng]]). */
+  private[graft] def pngEncodeRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val raw = new java.io.ByteArrayOutputStream(h * (1 + w * 3))
+    var r = 0
+    while (r < h) { raw.write(0); raw.write(rgb, r * w * 3, w * 3); r += 1 }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    out.write(chunk("IHDR", ihdr), 0, 25)
+    val idat = chunk("IDAT", comp.toByteArray)
+    out.write(idat, 0, idat.length)
+    out.write(chunk("IEND", Array.emptyByteArray), 0, 12)
+    out.toByteArray
+  }
+
+  /** Nearest-neighbor resize of any decodable PNG to exactly (tw, th),
+    * re-encoded as 8-bit RGB PNG (alpha dropped, gray/palette
+    * expanded) — the PNG arm of the multimodal resize tier.  Returns
+    * None for anything [[parsePng]] rejects. */
+  def resizePng(b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    if (tw <= 0 || th <= 0 || tw > (1 << 15) || th > (1 << 15)) return None
+    pngDecodeRgb(b).map { case (w, h, rgb) =>
+      val out = new Array[Byte](tw * th * 3)
+      var ty = 0
+      while (ty < th) {
+        val sy = ((ty.toLong * h) / th).toInt
+        var tx = 0
+        while (tx < tw) {
+          val sx = ((tx.toLong * w) / tw).toInt
+          val sp = (sy * w + sx) * 3
+          val tp = (ty * tw + tx) * 3
+          out(tp) = rgb(sp); out(tp + 1) = rgb(sp + 1); out(tp + 2) = rgb(sp + 2)
+          tx += 1
+        }
+        ty += 1
+      }
+      pngEncodeRgb(tw, th, out)
+    }
   }
 
   final case class GifMeta(width: Int, height: Int,

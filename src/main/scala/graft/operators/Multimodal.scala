@@ -71,14 +71,16 @@ object Multimodal {
 
   /** Real resize for the decodable tier: 24-bit BMP payloads are
     * nearest-neighbor resampled to exactly (w, h) and re-encoded as
-    * BMP; any other payload yields null (the compressed tier needs
-    * external codecs — the documented stub seam).  Runs executor-side
-    * per row; compose with [[decodeMedia]] downstream to verify the
-    * new dimensions. */
+    * BMP; PNG payloads likewise, re-encoded as 8-bit RGB PNG (alpha
+    * dropped, gray/palette expanded).  Any other payload yields null
+    * (formats needing external codecs — the documented stub seam).
+    * Runs executor-side per row; compose with [[decodeMedia]]
+    * downstream to verify the new dimensions. */
   def resizeImage(payload: Column, w: Int, h: Int): Column = {
     val f = udf((b: Array[Byte]) =>
       if (b == null) null
-      else graft.functions.MediaCodecs.resizeBmp(b, w, h).orNull)
+      else graft.functions.MediaCodecs.resizeBmp(b, w, h)
+        .orElse(graft.functions.MediaCodecs.resizePng(b, w, h)).orNull)
     f(payload)
   }
 

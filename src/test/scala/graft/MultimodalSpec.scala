@@ -432,6 +432,35 @@ class MultimodalSpec extends SparkSpec {
     assert(mime == "application/octet-stream")
   }
 
+  test("resizeImage resamples PNG too: halves keep their colors, alpha drops") {
+    import graft.functions.MediaCodecs
+    // 4x4 RGBA: left half red (alpha 10), right half blue (alpha 200)
+    val raw = Array.tabulate(4)(_ => Array.tabulate(4 * 4) { i =>
+      val px = i / 4
+      (i % 4 match {
+        case 0 => if (px < 2) 255 else 0
+        case 2 => if (px < 2) 0 else 255
+        case 3 => if (px < 2) 10 else 200
+        case _ => 0
+      }).toByte
+    })
+    val png = pngBytes(4, 4, colorType = 6, raw, filters = Array(0, 2))
+    val rows = Seq((1L, png), (2L, "not an image".getBytes))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.resizeImage(col("payload"), 2, 2).as("small"))
+      .orderBy("id").collect()
+    assert(rows(1).isNullAt(1), "non-image must resize to null")
+    val small = MediaCodecs.parsePng(rows(0).getAs[Array[Byte]](1)).get
+    // 2x2 keeps one red and one blue column; output is RGB (alpha gone)
+    assert(small.width == 2 && small.height == 2 && small.channels == 3)
+    assert(small.meanR == 127.5 && small.meanG == 0.0 && small.meanB == 127.5)
+    // the re-encoded bytes are a valid PNG for the dispatch too
+    val mime = Seq((1L, rows(0).getAs[Array[Byte]](1))).toDF("id", "p")
+      .select(Multimodal.decodeMedia(col("p")).getField("mime"))
+      .collect().head.getString(0)
+    assert(mime == "image/png")
+  }
+
   test("resizeImage really resamples a BMP; non-images yield null") {
     // 4x4: left half red, right half blue -> 2x2 keeps the halves
     val img = Seq.fill(4)(Seq((255, 0, 0), (255, 0, 0), (0, 0, 255), (0, 0, 255)))
