@@ -693,14 +693,19 @@ object Dedup {
     *
     * `keepBy` selects the canonical row per cluster (e.g.
     * `Seq(length(col("text")).desc)` keeps the longest); empty (the
-    * default) keeps the min id via the cheaper semi join. */
+    * default) keeps the min id via the cheaper semi join.
+    * `reliableDir` passes through to [[connectedComponents]] — a real
+    * cluster run should set it so executor loss mid-clustering is
+    * survivable. */
   def nearDedupCorpus(df: DataFrame, text: Column, id: Column,
                       shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
-                      minJaccard: Double = 0.8, keepBy: Seq[Column] = Nil): DataFrame = {
+                      minJaccard: Double = 0.8, keepBy: Seq[Column] = Nil,
+                      reliableDir: Option[String] = None): DataFrame = {
     val cand = minhashLsh(df, text, id, shingleSize, bands, rowsPerBand)
     val verified = ngramJaccard(cand, df, id, text, n = shingleSize)
       .filter(col("jaccard") >= minJaccard)
-    val comps = connectedComponents(df.select(id.as("nid")), "nid", verified)
+    val comps = connectedComponents(df.select(id.as("nid")), "nid", verified,
+      reliableDir = reliableDir)
     if (keepBy.isEmpty) keepComponentWinners(df, id, comps)
     else keepComponentWinnersBy(df, id, comps, keepBy)
   }
