@@ -311,7 +311,10 @@ class MultimodalSpec extends SparkSpec {
     * width fixed at minCode+1 — a legal stream any decoder accepts. */
   private def gifBytes(w: Int, h: Int, palette: Array[(Int, Int, Int)],
                        idx: Array[Byte], interlace: Boolean = false): Array[Byte] = {
-    val minCode = 2; val clear = 1 << minCode; val cw = minCode + 1
+    // LZW minimum code size = the color-table bit width (>= 2), so
+    // every palette index is a valid literal (< clear code)
+    val minCode = math.max(2, 32 - Integer.numberOfLeadingZeros(palette.length - 1))
+    val clear = 1 << minCode; val cw = minCode + 1
     val codes = idx.toSeq.flatMap(i => Seq((clear, cw), (i & 0xff, cw))) :+ ((clear + 1, cw))
     gifContainer(w, h, palette, minCode, packCodes(codes), interlace)
   }
@@ -501,6 +504,42 @@ class MultimodalSpec extends SparkSpec {
     assert(m.getInt(1) == 4000 && m.getLong(2) == 400L)
     assert(math.abs(m.getDouble(3) - 0.1) < 1e-9) // duration preserved
     assert(math.abs(m.getDouble(4) - 0.5) < 1e-3) // amplitude preserved
+  }
+
+  test("codec fuzz: seeded random round trips stay bit-exact") {
+    import graft.functions.MediaCodecs
+    val rnd = new scala.util.Random(2026)
+    for (_ <- 0 until 30) {
+      val w = 1 + rnd.nextInt(12); val h = 1 + rnd.nextInt(12)
+      // PNG: random RGB -> encode -> decode: dims + means exact, and a
+      // same-size resize is the identity on pixels
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val png = MediaCodecs.pngEncodeRgb(w, h, rgb)
+      val meta = MediaCodecs.parsePng(png).get
+      assert(meta.width == w && meta.height == h && meta.channels == 3)
+      val n = (w * h).toDouble
+      def mean(c: Int) = (0 until w * h).map(p => rgb(p * 3 + c) & 0xff).sum / n
+      assert(meta.meanR == mean(0) && meta.meanG == mean(1) && meta.meanB == mean(2))
+      val same = MediaCodecs.resizePng(png, w, h).get
+      assert(MediaCodecs.pngDecodeRgb(same).get._3.toSeq == rgb.toSeq,
+        "same-size resize must be the pixel identity")
+      // GIF: random small palette + indices -> container -> means exact
+      val nCol = 2 + rnd.nextInt(14)
+      val pal = Array.fill(nCol)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val idx = Array.fill(w * h)(rnd.nextInt(nCol).toByte)
+      val g = MediaCodecs.parseGif(gifBytes(w, h, pal, idx)).get
+      def gmean(c: Int) = idx.map(i => (c match {
+        case 0 => pal(i & 0xff)._1; case 1 => pal(i & 0xff)._2; case _ => pal(i & 0xff)._3
+      }).toDouble).sum / n
+      assert(g.meanR == gmean(0) && g.meanG == gmean(1) && g.meanB == gmean(2),
+        s"GIF means diverged at ${w}x$h/$nCol colors")
+      // WAV PCM16: rms/peak against a direct fold over the samples
+      val samples = Array.fill(1 + rnd.nextInt(400))((rnd.nextInt(65536) - 32768).toShort)
+      val wv = MediaCodecs.parseWav(wavBytes(samples.toSeq, 8000)).get
+      val norm = samples.map(_ / 32768.0)
+      assert(wv.peak == norm.map(math.abs).max)
+      assert(wv.rms == math.sqrt(norm.map(s => s * s).sum / samples.length))
+    }
   }
 
   test("decodeMedia degrades unknown payloads to octet-stream with size") {
