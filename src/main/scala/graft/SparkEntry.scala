@@ -963,6 +963,36 @@ object SparkEntry {
         minDocs = 2)
     }),
 
+    // M6 multimodal image near-dup: deterministic 8x8 BMPs synthesized
+    // per doc (class = doc_id % 20 fixes the image; the class member
+    // index perturbs ONE pixel), embedded via per-channel color
+    // histograms ([[Multimodal.imageEmbedding]]), exact-cosine paired —
+    // image dedup IS embedding dedup after the content projection.
+    // Rows-only (BMP synthesis + histogram not SQL-expressible);
+    // snapshot-pinned.
+    "q95_image_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df.filter(col("doc_id") < 60)
+      val mkBmp = udf((docId: Long) => {
+        val cls = (docId % 20).toInt
+        val member = (docId / 20).toInt
+        val rnd = new scala.util.Random(cls)
+        val px = Array.fill(64 * 3)(rnd.nextInt(256).toByte)
+        px(member * 3) = (px(member * 3) ^ 0x80).toByte // one-pixel tweak
+        val stride = 8 * 3 // 24 bytes per row, already 4-aligned
+        val bb = java.nio.ByteBuffer.allocate(54 + stride * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * 8)
+        bb.putInt(0).putInt(54).putInt(40).putInt(8).putInt(8)
+        bb.putShort(1).putShort(24).putInt(0).putInt(stride * 8)
+        bb.putInt(2835).putInt(2835).putInt(0).putInt(0)
+        bb.put(px)
+        bb.array()
+      })
+      val emb = d.select(col("doc_id"),
+          operators.Multimodal.imageEmbedding(mkBmp(col("doc_id"))).as("emb"))
+      operators.Similarity.exactPairs(emb, "doc_id", "emb", threshold = 0.99)
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {

@@ -442,6 +442,37 @@ object MediaCodecs {
     * None, never crash or loop: this runs against arbitrary corpus
     * bytes inside the codegen'd decode expression. */
   def parseGif(b: Array[Byte]): Option[GifMeta] = {
+    gifFirstFrame(b).map { case (sw, sh, _, _, pal, idx) =>
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < idx.length) {
+        val c = (idx(i) & 0xff) * 3
+        sr += (pal(c) & 0xff); sg += (pal(c + 1) & 0xff); sb += (pal(c + 2) & 0xff)
+        i += 1
+      }
+      val n = idx.length.toDouble
+      GifMeta(sw, sh, sr / n, sg / n, sb / n)
+    }
+  }
+
+  /** First frame's palette-resolved RGB24 pixels — the GIF arm of
+    * [[imageHistogram]].  Frame dims (not the logical screen). */
+  private[graft] def gifDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    gifFirstFrame(b).map { case (_, _, fw, fh, pal, idx) =>
+      val out = new Array[Byte](idx.length * 3)
+      var i = 0
+      while (i < idx.length) {
+        val c = (idx(i) & 0xff) * 3
+        out(i * 3) = pal(c); out(i * 3 + 1) = pal(c + 1); out(i * 3 + 2) = pal(c + 2)
+        i += 1
+      }
+      (fw, fh, out)
+    }
+
+  /** Container walk + LZW decode of the first frame: (screen w/h,
+    * frame w/h, palette, indices) — every index verified within the
+    * palette, so consumers can resolve without bounds checks. */
+  private def gifFirstFrame(b: Array[Byte]): Option[(Int, Int, Int, Int, Array[Byte], Array[Byte])] = {
     if (b.length < 13) return None
     val hdr = new String(b, 0, 6, "US-ASCII")
     if (hdr != "GIF87a" && hdr != "GIF89a") return None
@@ -492,18 +523,13 @@ object MediaCodecs {
           }
           if (!ok) return None
           return lzwIndices(minCode, dataBuf.toByteArray, fw * fh).flatMap { idx =>
-            var (sr, sg, sb) = (0.0, 0.0, 0.0)
-            var i = 0
             val nColors = pal.length / 3
+            var i = 0
             while (i < idx.length) {
-              val c = idx(i) & 0xff
-              if (c >= nColors) return None // index past the palette
-              sr += (pal(c * 3) & 0xff); sg += (pal(c * 3 + 1) & 0xff)
-              sb += (pal(c * 3 + 2) & 0xff)
+              if ((idx(i) & 0xff) >= nColors) return None // index past palette
               i += 1
             }
-            val n = idx.length.toDouble
-            Some(GifMeta(sw, sh, sr / n, sg / n, sb / n))
+            Some((sw, sh, fw, fh, pal, idx))
           }
         case _ => return None // unknown block: stream is corrupt
       }
@@ -621,6 +647,73 @@ object MediaCodecs {
     Some(BmpMeta(w, h, sr / n, sg / n, sb / n))
   }
 
+  /** 24-bit BMP → packed RGB24 in image order (top row first) — the
+    * BMP arm of [[imageHistogram]].  Capped like [[pngDecodeRgb]]. */
+  private[graft] def bmpDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (parseBmp(b).isEmpty) return None // full validation in one place
+    val pixelOff = u4(b, 10).toInt
+    val w = i4(b, 18); val hRaw = i4(b, 22); val h = math.abs(hRaw)
+    if (w.toLong * h > (1L << 24)) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      // file rows are bottom-up when the stored height is positive
+      val imgRow = if (hRaw > 0) h - 1 - r else r
+      var x = 0
+      while (x < w) {
+        val sp = pixelOff + r * stride + x * 3
+        val o = (imgRow * w + x) * 3
+        out(o) = b(sp + 2); out(o + 1) = b(sp + 1); out(o + 2) = b(sp)
+        x += 1
+      }
+      r += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Concatenated per-channel histogram (3·bins longs: R block, G
+    * block, B block) of any decodable image payload (BMP/PNG/GIF) —
+    * the image-CONTENT feature for multimodal dedup: pixel-identical
+    * images produce identical histograms REGARDLESS of container
+    * format, near-identical images land within a few counts, so the
+    * normalized vector feeds the embedding near-dup / ANN operators
+    * directly.  PNG accumulates row-streamed (no full-frame buffer);
+    * BMP/GIF decode their capped frames. */
+  def imageHistogram(b: Array[Byte], bins: Int): Option[Array[Long]] = {
+    require(bins >= 1 && bins <= 256, s"bins in [1, 256], got $bins")
+    def binOf(v: Int): Int = math.min(bins - 1, v * bins / 256)
+    def fromRgb(rgb: Array[Byte]): Array[Long] = {
+      val hist = new Array[Long](3 * bins)
+      var i = 0
+      while (i < rgb.length) {
+        hist(binOf(rgb(i) & 0xff)) += 1
+        hist(bins + binOf(rgb(i + 1) & 0xff)) += 1
+        hist(2 * bins + binOf(rgb(i + 2) & 0xff)) += 1
+        i += 3
+      }
+      hist
+    }
+    val pngHist = new Array[Long](3 * bins)
+    var pngRow: Array[Byte] = null
+    val png = pngScan(b) { (hdr, cur) =>
+      if (pngRow == null) pngRow = new Array[Byte](hdr.width * 3)
+      pngRowRgb(hdr, cur, pngRow, 0) && {
+        var i = 0
+        while (i < pngRow.length) {
+          pngHist(binOf(pngRow(i) & 0xff)) += 1
+          pngHist(bins + binOf(pngRow(i + 1) & 0xff)) += 1
+          pngHist(2 * bins + binOf(pngRow(i + 2) & 0xff)) += 1
+          i += 3
+        }
+        true
+      }
+    }
+    if (png.isDefined) Some(pngHist)
+    else bmpDecodeRgb(b).map(t => fromRgb(t._3))
+      .orElse(gifDecodeRgb(b).map(t => fromRgb(t._3)))
+  }
+
   /** Nearest-neighbor resize of a 24-bit uncompressed BMP to exactly
     * (tw, th), re-encoded as BMP — the REAL resize tier of the
     * multimodal pipeline (compressed formats stay behind the codec
@@ -667,19 +760,26 @@ object MediaCodecs {
   def resampleWav(b: Array[Byte], targetRate: Int): Option[Array[Byte]] = {
     if (targetRate <= 0 || targetRate > 1000000) return None
     val meta = parseWav(b).getOrElse(return None)
-    if (meta.bits != 16 || meta.nSamples <= 0) return None
-    // locate the data chunk again (same walk as parseWav)
+    if (meta.bits != 16 || meta.nSamples <= 0 || meta.channels <= 0) return None
+    // locate the data chunk again — with the SAME corrupt-size guards
+    // as parseWav (an unguarded re-walk let a bit-flipped size field
+    // wrap the offset; found by the codec fuzz spec)
     var off = 12
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= b.length && dataOff < 0) {
       val id = new String(b, off, 4, "US-ASCII")
-      val sz = u4(b, off + 4).toInt
+      val szL = u4(b, off + 4)
+      if (szL < 0 || szL > Int.MaxValue - 8) return None
+      val sz = szL.toInt
       if (id == "data") { dataOff = off + 8; dataLen = math.min(sz, b.length - dataOff) }
       off += 8 + sz + (sz & 1)
     }
     if (dataOff < 0) return None
     val frameBytes = meta.channels * 2
     val nIn = dataLen / frameBytes
+    // a corrupt header can claim samples the buffer doesn't hold —
+    // zero whole input frames means nothing to resample from
+    if (nIn <= 0) return None
     val nOut = math.max(1, (nIn.toLong * targetRate / meta.sampleRate).toInt)
     val outData = new Array[Byte](nOut * frameBytes)
     var i = 0

@@ -84,6 +84,26 @@ object Multimodal {
     f(payload)
   }
 
+  /** Image-CONTENT embedding for multimodal dedup: concatenated
+    * per-channel color histograms of any decodable image payload
+    * (BMP/PNG/GIF), normalized to densities (each channel block sums
+    * to 1) — `Array[Double]` of length 3·bins; null for non-image
+    * payloads.  Pixel-identical images embed identically REGARDLESS
+    * of container format, near-identical images land at cosine ≈ 1,
+    * so the column feeds [[Similarity]]'s near-dup / ANN operators
+    * (exactPairs, lshPairs, embeddingNearDup, bruteForceTopK)
+    * unchanged — image dedup is embedding dedup after this
+    * projection. */
+  def imageEmbedding(payload: Column, bins: Int = 16): Column = {
+    val f = udf((b: Array[Byte]) =>
+      if (b == null) null
+      else graft.functions.MediaCodecs.imageHistogram(b, bins).map { hist =>
+        val n = math.max(1L, hist.take(bins).sum).toDouble // pixels per channel block
+        hist.map(_ / n)
+      }.orNull)
+    f(payload)
+  }
+
   /** Real audio resample for the decodable tier: PCM16 WAV payloads
     * are nearest-sample converted to `rate` Hz (channels preserved);
     * other payloads yield null. */

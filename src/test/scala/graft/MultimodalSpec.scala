@@ -542,6 +542,82 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageEmbedding: format-independent histograms drive image near-dup") {
+    import graft.functions.MediaCodecs
+    val rnd = new scala.util.Random(31)
+    // the same 8x6 pixels as BMP and as PNG -> identical histograms
+    val px = Array.fill(6, 8)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val bmp = bmpBytes(px.map(_.toSeq).toSeq)
+    val pngRaw = px.map(row => row.flatMap { case (r, g, b) =>
+      Seq(r.toByte, g.toByte, b.toByte) }.toArray)
+    val png = pngBytes(8, 6, colorType = 2, pngRaw, filters = Array(0, 1, 2, 3, 4))
+    assert(MediaCodecs.imageHistogram(bmp, 16).get.toSeq ==
+      MediaCodecs.imageHistogram(png, 16).get.toSeq,
+      "same pixels must histogram identically across containers")
+    // a GIF of known solid colors matches a pixel-equal PNG
+    val pal = Array((255, 0, 0), (0, 0, 255))
+    val gifIdx = Array.fill(12)(0.toByte) ++ Array.fill(12)(1.toByte)
+    val gif = gifBytes(4, 6, pal, gifIdx)
+    val pngSolid = pngBytes(4, 6, 2, (0 until 6).map(r =>
+      (0 until 4).flatMap { _ =>
+        val (cr, cg, cb) = if (r < 3) pal(0) else pal(1)
+        Seq(cr.toByte, cg.toByte, cb.toByte)
+      }.toArray).toArray, Array(0))
+    assert(MediaCodecs.imageHistogram(gif, 16).get.toSeq ==
+      MediaCodecs.imageHistogram(pngSolid, 16).get.toSeq)
+    // composition: near-identical images pair up through the existing
+    // embedding near-dup operator; the unrelated image stays out
+    val variant = px.map(_.clone())
+    variant(0)(0) = (255 - px(0)(0)._1, px(0)(0)._2, px(0)(0)._3) // one pixel tweaked
+    val other = Array.fill(6, 8)((rnd.nextInt(40), 200 + rnd.nextInt(56), rnd.nextInt(40)))
+    val frames = Seq(
+      (1L, bmp), (2L, bmpBytes(variant.map(_.toSeq).toSeq)),
+      (3L, bmpBytes(other.map(_.toSeq).toSeq)), (4L, "not an image".getBytes))
+      .toDF("img_id", "payload")
+      .withColumn("emb", Multimodal.imageEmbedding(col("payload")))
+    assert(frames.filter(col("img_id") === 4L).select("emb").collect().head.isNullAt(0))
+    val pairs = graft.operators.Similarity.exactPairs(
+        frames.filter(col("emb").isNotNull), "img_id", "emb", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the tweaked-pixel pair, got $pairs")
+  }
+
+  test("codec fuzz: random bytes and bit-flipped valid files never throw") {
+    import graft.functions.MediaCodecs
+    val rnd = new scala.util.Random(777)
+    def mustNotThrow(b: Array[Byte]): Unit = {
+      MediaCodecs.parseWav(b); MediaCodecs.parseBmp(b)
+      MediaCodecs.parsePng(b); MediaCodecs.parseGif(b)
+      MediaCodecs.resizeBmp(b, 4, 4); MediaCodecs.resizePng(b, 4, 4)
+      MediaCodecs.resampleWav(b, 4000)
+      MediaCodecs.decodeRow(b)
+      ()
+    }
+    // pure random buffers (occasionally magic-prefixed so the parsers
+    // get past the signature check into the chunk walkers)
+    val magics = Seq("RIFF", "GIF89a", "BM").map(_.getBytes("US-ASCII")) :+
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    for (i <- 0 until 300) {
+      val body = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      mustNotThrow(if (i % 3 == 0) magics(rnd.nextInt(magics.size)) ++ body else body)
+    }
+    // bit-flip fuzz: valid files with one random byte corrupted must
+    // parse to Some or None, never crash or hang
+    val pal = Array((1, 2, 3), (250, 251, 252), (9, 9, 9), (200, 0, 100))
+    val valids = Seq(
+      pngBytes(5, 4, 2, Array.fill(4)(Array.fill(15)(rnd.nextInt(256).toByte)),
+        Array(0, 1, 2, 3, 4)),
+      gifBytes(5, 4, pal, Array.fill(20)(rnd.nextInt(4).toByte)),
+      wavBytes(Seq.fill(64)(rnd.nextInt(65536).toShort), 8000),
+      bmpBytes(Seq.fill(4)(Seq.fill(5)((rnd.nextInt(256), 0, 0)))))
+    for (v <- valids; _ <- 0 until 200) {
+      val m = v.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      mustNotThrow(m)
+    }
+  }
+
   test("decodeMedia degrades unknown payloads to octet-stream with size") {
     val df = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("id", "payload")
     val m = df.select(Multimodal.decodeMedia(col("payload")).as("m"))
