@@ -76,16 +76,12 @@ object MediaCodecs {
     if ((a & 0x80) != 0) mag else -mag
   }
 
-  /** RIFF/WAVE parser: walks the chunk list for `fmt ` and `data`.
-    * Decodable sample formats — integer PCM (format 1), IEEE float32
-    * (format 3), G.711 A-law/μ-law (formats 6/7, pure formula
-    * expansion, no table), and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
-    * wrapping any of those via its SubFormat GUID — yield RMS and
-    * peak of the normalized signal (PCM16/float32/A-law/μ-law
-    * payloads; other PCM widths report metadata with silent stats,
-    * the pre-existing contract).  Returns None when the bytes are not
-    * a well-formed WAV of a supported format. */
-  def parseWav(b: Array[Byte]): Option[WavMeta] = {
+  /** Validated WAV layout: (format, channels, rate, bits, blockAlign,
+    * dataOff, dataLen).  THE single chunk walker every WAV consumer
+    * shares (parseWav / resampleWav / audioHistogram) — the round-7
+    * fuzz found an out-of-bounds in a drifted duplicate walk, so there
+    * is exactly one now. */
+  private def wavLayout(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Int)] = {
     if (b.length < 44) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
@@ -123,43 +119,85 @@ object MediaCodecs {
       }
       at = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
     }
-    for ((format, channels, rate, bits, blockAlign) <- fmt; (off, size) <- data) yield {
+    for ((format, channels, rate, bits, blockAlign) <- fmt; (off, size) <- data)
+      yield (format, channels, rate, bits, blockAlign, off, size)
+  }
+
+  /** Streams every decodable normalized sample of the `data` chunk to
+    * `f`, in payload order: PCM16, float32 (NaN/Inf payload floats
+    * skipped — corrupt sample, not corrupt container), G.711.  Other
+    * integer-PCM widths stream nothing (metadata-only contract). */
+  private def wavForeachSample(b: Array[Byte], format: Int, bits: Int,
+                               off: Int, size: Int)(f: Double => Unit): Unit = {
+    if (format == 1 && bits == 16) {
+      var i = off
+      val end = off + size - 1
+      while (i < end) {
+        f(((b(i) & 0xff) | (b(i + 1) << 8)).toShort / 32768.0); i += 2
+      }
+    } else if (format == 3) {
+      var i = off
+      val end = off + size - 3
+      while (i < end) {
+        val s = java.lang.Float.intBitsToFloat(u4(b, i).toInt).toDouble
+        if (!s.isNaN && !s.isInfinite) f(s)
+        i += 4
+      }
+    } else if (format == 6 || format == 7) {
+      var i = off
+      val end = off + size
+      while (i < end) {
+        val lin = if (format == 7) mulawToLinear(b(i) & 0xff) else alawToLinear(b(i) & 0xff)
+        f(lin / 32768.0); i += 1
+      }
+    }
+  }
+
+  /** RIFF/WAVE parser: walks the chunk list for `fmt ` and `data`.
+    * Decodable sample formats — integer PCM (format 1), IEEE float32
+    * (format 3), G.711 A-law/μ-law (formats 6/7, pure formula
+    * expansion, no table), and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    * wrapping any of those via its SubFormat GUID — yield RMS and
+    * peak of the normalized signal (PCM16/float32/A-law/μ-law
+    * payloads; other PCM widths report metadata with silent stats,
+    * the pre-existing contract).  Returns None when the bytes are not
+    * a well-formed WAV of a supported format. */
+  def parseWav(b: Array[Byte]): Option[WavMeta] = {
+    wavLayout(b).map { case (format, channels, rate, bits, blockAlign, off, size) =>
       val align = math.max(1, blockAlign)
       val nSamples = size.toLong / align
       val duration = if (rate > 0) nSamples.toDouble / rate else 0.0
       var (sumSq, peak) = (0.0, 0.0)
       var n = 0L
-      def acc(s: Double): Unit = {
+      wavForeachSample(b, format, bits, off, size) { s =>
         sumSq += s * s
         val a = math.abs(s); if (a > peak) peak = a
         n += 1
       }
-      if (format == 1 && bits == 16) {
-        var i = off
-        val end = off + size - 1
-        while (i < end) {
-          acc(((b(i) & 0xff) | (b(i + 1) << 8)).toShort / 32768.0); i += 2
-        }
-      } else if (format == 3) {
-        var i = off
-        val end = off + size - 3
-        while (i < end) {
-          val s = java.lang.Float.intBitsToFloat(u4(b, i).toInt).toDouble
-          // NaN/Inf payload floats would poison the running sums —
-          // clamp-skip them (corrupt sample, not corrupt container)
-          if (!s.isNaN && !s.isInfinite) acc(s)
-          i += 4
-        }
-      } else if (format == 6 || format == 7) {
-        var i = off
-        val end = off + size
-        while (i < end) {
-          val lin = if (format == 7) mulawToLinear(b(i) & 0xff) else alawToLinear(b(i) & 0xff)
-          acc(lin / 32768.0); i += 1
-        }
-      }
       val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
       WavMeta(channels, rate, bits, nSamples, duration, rms, peak)
+    }
+  }
+
+  /** Amplitude histogram (`bins` counts over normalized samples in
+    * [-1, 1], clamped) of any decodable WAV payload — the
+    * audio-CONTENT feature mirroring [[imageHistogram]]: identical
+    * signals histogram identically across PCM16/float32/G.711
+    * encodings (up to quantization), so the normalized vector feeds
+    * the embedding near-dup / ANN operators directly.  None when the
+    * container doesn't parse or streams no samples. */
+  def audioHistogram(b: Array[Byte], bins: Int): Option[Array[Long]] = {
+    require(bins >= 1 && bins <= 4096, s"bins in [1, 4096], got $bins")
+    wavLayout(b).flatMap { case (format, _, _, bits, _, off, size) =>
+      val hist = new Array[Long](bins)
+      var n = 0L
+      wavForeachSample(b, format, bits, off, size) { s =>
+        val clamped = math.min(1.0, math.max(-1.0, s))
+        val bin = math.min(bins - 1, ((clamped + 1.0) / 2.0 * bins).toInt)
+        hist(bin) += 1
+        n += 1
+      }
+      if (n == 0) None else Some(hist)
     }
   }
 
@@ -759,28 +797,15 @@ object MediaCodecs {
     * anything [[parseWav]] rejects or non-16-bit payloads. */
   def resampleWav(b: Array[Byte], targetRate: Int): Option[Array[Byte]] = {
     if (targetRate <= 0 || targetRate > 1000000) return None
-    val meta = parseWav(b).getOrElse(return None)
-    if (meta.bits != 16 || meta.nSamples <= 0 || meta.channels <= 0) return None
-    // locate the data chunk again — with the SAME corrupt-size guards
-    // as parseWav (an unguarded re-walk let a bit-flipped size field
-    // wrap the offset; found by the codec fuzz spec)
-    var off = 12
-    var dataOff = -1; var dataLen = 0
-    while (off + 8 <= b.length && dataOff < 0) {
-      val id = new String(b, off, 4, "US-ASCII")
-      val szL = u4(b, off + 4)
-      if (szL < 0 || szL > Int.MaxValue - 8) return None
-      val sz = szL.toInt
-      if (id == "data") { dataOff = off + 8; dataLen = math.min(sz, b.length - dataOff) }
-      off += 8 + sz + (sz & 1)
-    }
-    if (dataOff < 0) return None
-    val frameBytes = meta.channels * 2
+    val (format, channels, sampleRate, bits, _, dataOff, dataLen) =
+      wavLayout(b).getOrElse(return None)
+    if (format != 1 || bits != 16 || channels <= 0 || sampleRate <= 0) return None
+    val frameBytes = channels * 2
     val nIn = dataLen / frameBytes
     // a corrupt header can claim samples the buffer doesn't hold —
     // zero whole input frames means nothing to resample from
     if (nIn <= 0) return None
-    val nOut = math.max(1, (nIn.toLong * targetRate / meta.sampleRate).toInt)
+    val nOut = math.max(1, (nIn.toLong * targetRate / sampleRate).toInt)
     val outData = new Array[Byte](nOut * frameBytes)
     var i = 0
     while (i < nOut) {
@@ -793,7 +818,7 @@ object MediaCodecs {
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + outData.length)
     bb.put("WAVE".getBytes("US-ASCII"))
     bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-    bb.putShort(1).putShort(meta.channels.toShort)
+    bb.putShort(1).putShort(channels.toShort)
     bb.putInt(targetRate).putInt(targetRate * frameBytes)
     bb.putShort(frameBytes.toShort).putShort(16)
     bb.put("data".getBytes("US-ASCII")).putInt(outData.length)

@@ -104,6 +104,23 @@ object Multimodal {
     f(payload)
   }
 
+  /** Audio-CONTENT embedding mirroring [[imageEmbedding]]: the
+    * normalized amplitude histogram of any decodable WAV payload
+    * (PCM16 / float32 / G.711), L1-normalized to densities
+    * (`Array[Double]` of length `bins`); null for non-audio payloads.
+    * Identical signals embed identically across sample encodings (up
+    * to quantization), so audio near-dup composes with
+    * [[Similarity]]'s operators exactly like image near-dup. */
+  def audioEmbedding(payload: Column, bins: Int = 32): Column = {
+    val f = udf((b: Array[Byte]) =>
+      if (b == null) null
+      else graft.functions.MediaCodecs.audioHistogram(b, bins).map { hist =>
+        val n = math.max(1L, hist.sum).toDouble
+        hist.map(_ / n)
+      }.orNull)
+    f(payload)
+  }
+
   /** Real audio resample for the decodable tier: PCM16 WAV payloads
     * are nearest-sample converted to `rate` Hz (channels preserved);
     * other payloads yield null. */

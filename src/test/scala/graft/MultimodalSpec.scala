@@ -583,6 +583,35 @@ class MultimodalSpec extends SparkSpec {
       s"expected exactly the tweaked-pixel pair, got $pairs")
   }
 
+  test("audioEmbedding: encoding-independent amplitude histograms drive audio near-dup") {
+    import graft.functions.MediaCodecs
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(512)((rnd.nextInt(60000) - 30000).toShort)
+    // the same samples as PCM16 and as float32 land in the same bins
+    val fdata = java.nio.ByteBuffer.allocate(base.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    base.foreach(s => fdata.putFloat((s / 32768.0).toFloat))
+    val pcm = wavBytes(base.toSeq, 8000)
+    val flt = wavRaw(3, 32, fdata.array())
+    assert(MediaCodecs.audioHistogram(pcm, 32).get.toSeq ==
+      MediaCodecs.audioHistogram(flt, 32).get.toSeq,
+      "same signal must histogram identically across sample encodings")
+    // composition: a lightly-noised copy pairs with the original; a
+    // different signal (quiet hum vs full-range noise) stays out
+    val near = base.map(s => (s + rnd.nextInt(65) - 32).toShort)
+    val other = Array.tabulate(512)(i => (800 * math.sin(i / 8.0)).toInt.toShort)
+    val clips = Seq(
+      (1L, pcm), (2L, wavBytes(near.toSeq, 8000)),
+      (3L, wavBytes(other.toSeq, 8000)), (4L, "not audio".getBytes))
+      .toDF("clip_id", "payload")
+      .withColumn("emb", Multimodal.audioEmbedding(col("payload")))
+    assert(clips.filter(col("clip_id") === 4L).select("emb").collect().head.isNullAt(0))
+    val pairs = graft.operators.Similarity.exactPairs(
+        clips.filter(col("emb").isNotNull), "clip_id", "emb", threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected exactly the noised pair, got $pairs")
+  }
+
   test("codec fuzz: random bytes and bit-flipped valid files never throw") {
     import graft.functions.MediaCodecs
     val rnd = new scala.util.Random(777)
