@@ -310,6 +310,11 @@ object MediaCodecs {
           if (bitDepth != 8 || compression != 0 || filterMethod != 0 ||
               interlace != 0) return None
           if (wL <= 0 || hL <= 0 || wL > (1L << 24) || hL > Int.MaxValue) return None
+          // total-pixel cap at the IHDR gate: every consumer (including
+          // the streaming imageHistogram path) must inflate all rows, so
+          // a tiny header claiming 2^48 pixels would force GB-scale
+          // inflate CPU even when each row buffer individually fits
+          if (wL * hL > (1L << 26)) return None
           if (!Set(0, 2, 3, 4, 6).contains(colorType)) return None
           w = wL.toInt; h = hL.toInt
         case "PLTE" =>
@@ -546,7 +551,7 @@ object MediaCodecs {
             at += lctLen
           }
           if (pal == null || fw <= 0 || fh <= 0) return None
-          if (fw.toLong * fh > (1L << 26)) return None // corrupt-geometry cap
+          if (fw.toLong * fh > (1L << 24)) return None // corrupt-geometry cap (matches pngDecodeRgb/bmpDecodeRgb; GIF-LZW expands ~2700:1 so a larger cap lets a tiny payload allocate 100s of MB)
           if (at + 1 > b.length) return None
           val minCode = b(at) & 0xff
           at += 1

@@ -553,16 +553,33 @@ object Dedup {
     * checkpoint-write time; files are cleaned by the ContextCleaner
     * when `spark.cleaner.referenceTracking.cleanCheckpoints` is set).
     *
+    * The DRIVER TIER: the pair set is duplicate *evidence* — its size
+    * is proportional to the duplicates found, not to the corpus — so
+    * for most corpora it is orders of magnitude smaller than the node
+    * set.  When it fits under `driverPairLimit` (probed with a
+    * limit-collect, the same driver-bounded-loop contract as the BPE
+    * merge trainer), the components are solved in one union-find pass
+    * on the driver and the (endpoint → label) map — still tiny —
+    * broadcasts back over the node set: ZERO iterative Spark jobs,
+    * zero checkpoints, zero block-manager churn.  A corpus whose pair
+    * graph exceeds the bound (billions of near-dup pairs at 100 TB)
+    * falls through to the distributed loop automatically.  Both tiers
+    * compute the identical labeling (spec-pinned against each other);
+    * `driverPairLimit = 0` forces the distributed loop.
+    *
     * @param nodes  one row per corpus id (extra columns ignored)
     * @param idCol  id column name in `nodes`
     * @param pairs  undirected edges as columns `id_a`, `id_b`
     * @param reliableDir  DFS checkpoint dir for fault-tolerant rounds;
     *                     None (default) = executor-local checkpoints
+    * @param driverPairLimit  max pair count solved driver-side; above
+    *                         it the distributed loop runs
     * @return (node, component) — component is the min id reachable
     */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 50,
-                          reliableDir: Option[String] = None): DataFrame = {
+                          reliableDir: Option[String] = None,
+                          driverPairLimit: Int = 2000000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // Materialize the caller's pair pipeline ONCE: pairs is typically
     // an expensive plan (LSH candidates + Jaccard verification), and
@@ -571,6 +588,23 @@ object Dedup {
     // times (observed 4x wall time on the end-to-end near-dedup).
     val p0 = pairs.select(col("id_a"), col("id_b"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // driver tier: orderable-primitive ids only (the union-find min
+    // must reproduce the column ordering exactly; integral natural
+    // order and UTF8 byte order do — a Double column's NaN ordering
+    // would not, so anything else takes the distributed loop)
+    val idTypes = p0.schema.fields.map(_.dataType).toSeq
+    val driverOrderable = idTypes.distinct.sizeIs == 1 && (idTypes.head match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    })
+    if (driverOrderable && driverPairLimit > 0) {
+      val sample = p0.limit(driverPairLimit + 1).collect()
+      if (sample.length <= driverPairLimit && !sample.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        try return driverComponents(nodes, idCol, sample, idTypes.head)
+        finally p0.unpersist(blocking = false)
+      // over the bound: the partitions the probe computed are already
+      // cached; the loop below reuses them and computes the rest
+    }
     // symmetrized edges, reused each round -> persist serialized (the
     // left join below keeps every node, so no self-loops are needed)
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -581,7 +615,14 @@ object Dedup {
     val ids = nodes.select(col(idCol).as("node"))
       .union(edges.select(col("src").as("node")))
       .distinct()
-    reliableDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    // respect a checkpoint dir the caller's session already configured:
+    // overriding it here would be a session-global side effect that
+    // outlives this operator call (checkpoints still land somewhere
+    // reliable either way, which is all `reliableDir` promises)
+    reliableDir.foreach { dir =>
+      val sc = nodes.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+    }
     def ckpt(df: DataFrame, eager: Boolean): DataFrame =
       if (reliableDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
     // the executor-resident blocks behind a localCheckpoint'd frame:
@@ -651,6 +692,58 @@ object Dedup {
             "raise maxIter (rounds needed ~ log2 of the graph diameter)")
       labels.select(col("node"), col("comp").as("component"))
     } finally { edges.unpersist(); p0.unpersist(); () }
+  }
+
+  /** Driver-tier components: one union-find pass over the collected
+    * pair rows, then the (endpoint → min-label) map — proportional to
+    * the *duplicates*, not the corpus — broadcasts over the node set.
+    * Roots always link larger-under-smaller, so every root is the
+    * minimum id of its set by induction and the labeling is exactly
+    * the distributed loop's fixpoint.  String ids compare in UTF-8
+    * byte order (Spark's StringType ordering), not UTF-16 code-unit
+    * order — they differ above U+E000. */
+  private def driverComponents(nodes: DataFrame, idCol: String,
+                               pairRows: Array[org.apache.spark.sql.Row],
+                               idType: DataType): DataFrame = {
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
+    val parent = new java.util.HashMap[Any, Any]()
+    def root(x: Any): Any = {
+      if (!parent.containsKey(x)) { parent.put(x, x); x }
+      else {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression keeps repeat finds near O(1)
+        while (c != r) { val p = parent.get(c); parent.put(c, r); c = p }
+        r
+      }
+    }
+    pairRows.foreach { row =>
+      val (ra, rb) = (root(row.get(0)), root(row.get(1)))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val spark = nodes.sparkSession
+    val schema = StructType(Seq(
+      StructField("node", idType), StructField("comp", idType)))
+    val labelRows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { k =>
+      labelRows.add(org.apache.spark.sql.Row(k, root(k))); ()
+    }
+    val labels = spark.createDataFrame(labelRows, schema)
+    // same node universe as the loop: corpus ids ∪ pair endpoints,
+    // deduplicated; endpoints missing a label keep their own id
+    nodes.select(col(idCol).as("node"))
+      .union(labels.select(col("node")))
+      .distinct()
+      .join(broadcast(labels), Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("component"))
   }
 
   /** Keeps exactly one canonical row per duplicate cluster: the

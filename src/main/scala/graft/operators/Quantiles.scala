@@ -29,12 +29,54 @@ object Quantiles {
 
   /** Exact percentiles of `c` at `ps` (each in [0, 1]); NaN for an
     * empty/all-null input. Driver-side result — the percentile values
-    * themselves are O(|ps|) scalars, like guessBins' axis fold. */
+    * themselves are O(|ps|) scalars, like guessBins' axis fold.
+    *
+    * INTEGRAL columns take a value-histogram path: one map-side-combined
+    * `groupBy(v).count()` whose output is bounded by the value DOMAIN
+    * (doc lengths, token counts — thousands of distinct values at any
+    * corpus size), folded to ranks on the driver.  One Spark job, no
+    * sort shuffle, no persisted intermediate.  A distinct-count probe
+    * (limit-collect, like the BPE vocab probe) guards the bound: an
+    * integral column with > 2^20 distinct values falls through to the
+    * sort path below. */
   def exact(df: DataFrame, c: Column, ps: Seq[Double]): Seq[Double] = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"percentiles must lie in [0,1], got $ps")
     val vals = df.select(c.cast(DoubleType).as("v"))
       .where(col("v").isNotNull && !isnan(col("v")))
+    val integral = df.select(c).schema.head.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integral) {
+      val maxDistinct = 1 << 20
+      val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("n"))
+        .limit(maxDistinct + 1).collect()
+      if (hist.length <= maxDistinct) {
+        val byValue = hist.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+        val n = byValue.iterator.map(_._2).sum
+        if (n == 0) return ps.map(_ => Double.NaN)
+        val cum = byValue.map(_._2).scanLeft(0L)(_ + _).tail // cum(i) = rows <= byValue(i)
+        def valueAt(rank: Long): Double = { // smallest value with cum > rank
+          var lo = 0; var hi = byValue.length - 1
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cum(mid) > rank) hi = mid else lo = mid + 1
+          }
+          byValue(lo)._1
+        }
+        return ps.map { p =>
+          val pos = p * (n - 1)
+          val lo = math.floor(pos).toLong
+          val hi = math.ceil(pos).toLong
+          // identical Percentile.getPercentile arithmetic as the sort path
+          if (lo == hi) valueAt(lo)
+          else (hi - pos) * valueAt(lo) + (pos - lo) * valueAt(hi)
+        }
+      }
+      // over the distinct bound: fall through to the rank-selection sort
+    }
     val sorted = vals.sort("v").select("v").rdd.map(_.getDouble(0))
     // MEMORY_AND_DISK_SER, not MEMORY_ONLY: this is a two-pass scan over
     // a shuffle output — an evicted partition would recompute the whole

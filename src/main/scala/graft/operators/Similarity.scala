@@ -559,9 +559,10 @@ object Similarity {
     // centroids are small by contract — driver copies feed the seed
     // residuals and the per-cell probe LUTs
     val centRows: Seq[(Long, Seq[Double])] = cents
+      .filter(col("cv").isNotNull)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
       .sortBy(_._1)
-    require(centRows.nonEmpty, "ivfPqTopK: centroid set is empty")
+    require(centRows.nonEmpty, "ivfPqTopK: centroid set has no non-null vectors")
     def scalaL2(a: Seq[Double], b: Seq[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < math.min(a.size, b.size)) { val d = a(i) - b(i); acc += d * d; i += 1 }
@@ -666,8 +667,10 @@ object Similarity {
     * codebook, not data); the cap fails an oversized set fast instead
     * of silently building a megabyte literal plan. */
   private def collectCentroidLits(cents: DataFrame, what: String): Seq[(Column, Seq[Double])] = {
-    val rows = cents.collect()
-    require(rows.nonEmpty, s"$what: centroid set is empty")
+    // a null centroid vector would NPE the getSeq below; drop it like
+    // the probe-row collects drop null probe vectors
+    val rows = cents.filter(col(cents.columns(1)).isNotNull).collect()
+    require(rows.nonEmpty, s"$what: centroid set has no non-null vectors")
     require(rows.length <= 4096, s"$what: ${rows.length} centroids — the " +
       "literal-argmin assignment expects a driver-bounded centroid set " +
       "(<= 4096 coarse cells); train fewer cells or shard the index")

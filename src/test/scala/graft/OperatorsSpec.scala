@@ -403,7 +403,7 @@ class DedupSpec extends SparkSpec {
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L),
         (30L, 31L)).toDF("id_a", "id_b")
       val got = Dedup.connectedComponents(nodes, "nid", pairs,
-          reliableDir = Some(dir.getAbsolutePath))
+          reliableDir = Some(dir.getAbsolutePath), driverPairLimit = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
         10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 30L -> 30L, 31L -> 30L))
@@ -440,9 +440,15 @@ class DedupSpec extends SparkSpec {
       i.toLong -> (0 until n).filter(find(_) == root).min.toLong
     }.toMap
     val got = Dedup.connectedComponents(
-        (0 until n).map(_.toLong).toDF("nid"), "nid", edges.toDF("id_a", "id_b"))
+        (0 until n).map(_.toLong).toDF("nid"), "nid", edges.toDF("id_a", "id_b"),
+        driverPairLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
+    // the driver union-find tier must compute the identical labeling
+    val gotDriver = Dedup.connectedComponents(
+        (0 until n).map(_.toLong).toDF("nid"), "nid", edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDriver == expected)
   }
 
   test("connectedComponents: superseded round blocks are freed eagerly") {
@@ -454,7 +460,8 @@ class DedupSpec extends SparkSpec {
     val n = 64
     val path = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
     val comps = Dedup.connectedComponents(
-      (0 until n).map(_.toLong).toDF("nid"), "nid", path.toDF("id_a", "id_b"))
+      (0 until n).map(_.toLong).toDF("nid"), "nid", path.toDF("id_a", "id_b"),
+      driverPairLimit = 0)
     assert(comps.collect().forall(_.getLong(1) == 0L))
     val live = spark.sparkContext.getPersistentRDDs.size
     assert(live <= 1, s"expected at most the final round's checkpoint to stay " +

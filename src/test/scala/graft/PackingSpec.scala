@@ -157,4 +157,34 @@ class QuantilesSpec extends SparkSpec {
     val empty = Quantiles.exact(df.limit(0), col("v"), Seq(0.5))
     assert(empty.length == 1 && empty.head.isNaN)
   }
+
+  test("integral value-histogram quantile path matches the percentile aggregate") {
+    // the integral fast path (one groupBy(v).count, driver rank fold)
+    // must reproduce Spark's percentile bit-for-bit, interpolation and
+    // all — same bar as the sort path above
+    val rnd = new scala.util.Random(11)
+    val ints: Seq[java.lang.Long] = (0 until 4000).map {
+      case i if i % 89 == 0 => null
+      case i if i % 3 == 0 => java.lang.Long.valueOf((i % 23).toLong)
+      case _ => java.lang.Long.valueOf(rnd.nextInt(500).toLong)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(ints.map(org.apache.spark.sql.Row(_)), 7),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType, true))))
+    val ps = Seq(0.0, 0.1, 0.33, 0.5, 0.9, 1.0)
+    val mine = Quantiles.exact(df, col("v"), ps)
+    val ref = df.agg(expr(s"percentile(v, array(${ps.mkString("D,")}D))"))
+      .head().getSeq[Double](0)
+    assert(mine == ref.toList, s"\nmine $mine\nref  $ref")
+    // real integral column: documents.n_chars (the q78 gate input)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m2 = Quantiles.exact(docs, col("n_chars"), Seq(0.1, 0.9))
+    val r2 = docs.agg(expr("percentile(n_chars, array(0.1D,0.9D))"))
+      .head().getSeq[Double](0)
+    assert(m2 == r2.toList)
+    // empty integral input -> NaN
+    val empty = Quantiles.exact(df.limit(0), col("v"), Seq(0.5))
+    assert(empty.length == 1 && empty.head.isNaN)
+  }
 }
