@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rolling-hash sliding-window kernel for exact-substring dedup: ALL
+  * width-`width` window hashes of a string in ONE O(len) pass, as an
+  * `Array[Long]` to feed `posexplode`.
+  *
+  * The naive formulation — `explode(sequence(1, cnt))` then
+  * `xxhash64(substr(norm, pos, width))` — pays O(width) hash work per
+  * window AND O(pos) per `substr` (UTF8String indexes characters by
+  * scanning bytes from the start), i.e. O(len·width + len²) per
+  * document; at sf0.1 that hash pass alone was ~2 s of q88's 6 s.
+  * This kernel is a polynomial rolling hash
+  * (h(i+1) = (h(i) − b(i)·B^(width−1))·B + b(i+width), mod 2⁶⁴, odd
+  * base B): O(len) per document, ~10× less work at width 60.
+  *
+  * Input is the [[graft.operators.TextAnalysis.normalize]]d text,
+  * ASCII by construction ([a-z0-9 ] only), so the byte windows the
+  * kernel hashes ARE the character windows the span semantics define —
+  * same contract as [[SpanCut]].
+  *
+  * Collision regime: same non-cryptographic 64-bit class as the
+  * xxhash64 path it replaces — for natural (non-adversarial) corpora
+  * the pairwise collision bound is ≈ D²/2⁶⁴ over D distinct spans.  A
+  * fixed-base polynomial hash additionally admits CRAFTED collisions
+  * (Thue–Morse-style inputs) that xxhash64 does not; pipelines that
+  * must resist adversarial text should group on the md5-based portable
+  * path ([[graft.operators.Dedup.repeatedSpans]] `portableHash`),
+  * which only uses these lanes as a pre-grouping key whose false
+  * merges are then re-keyed by real md5.  Two lanes with independent
+  * odd bases ([[lane1]]/[[lane2]]) give a ~2⁻¹²⁸-class bound for that
+  * pre-grouping.
+  */
+object WindowHash {
+
+  /** FNV-1a prime — lane-1 base. */
+  val lane1: Long = 0x100000001b3L
+  /** Odd golden-ratio constant — lane-2 base. */
+  val lane2: Long = 0x9E3779B97F4A7C15L
+
+  /** All width-window rolling hashes of `s` (empty array when
+    * `s.numBytes < width`). */
+  def windowHashes(s: UTF8String, width: Int, base: Long): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val m = n - width + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var pow = 1L // base^(width-1), the drop-out multiplier
+    var k = 1
+    while (k < width) { pow *= base; k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < width) { h = h * base + (bytes(i) & 0xffL) + 1L; i += 1 }
+    out(0) = h
+    var p = 1
+    while (p < m) {
+      h = (h - ((bytes(p - 1) & 0xffL) + 1L) * pow) * base + (bytes(p + width - 1) & 0xffL) + 1L
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column surface: array of all width-window hashes of `text`. */
+  def windowHashes(text: Column, width: Int, base: Long = lane1): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(WindowHashesExpr(GraftBridge.expression(text), width, base))
+  }
+
+  /** Both lanes fused in ONE byte pass, as `array<struct<h1,h2>>` —
+    * a plain codegen'd expression where `zip_with` of the two lane
+    * arrays would run its lambda interpreted per element (higher-order
+    * functions sit outside whole-stage codegen; the lambda route
+    * measured ~1 s / 1.2M windows at sf0.1, this kernel ~0.1 s). */
+  def windowHashPairs(s: UTF8String, width: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val m = n - width + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var pow1 = 1L; var pow2 = 1L
+    var k = 1
+    while (k < width) { pow1 *= lane1; pow2 *= lane2; k += 1 }
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < width) {
+      val b = (bytes(i) & 0xffL) + 1L
+      h1 = h1 * lane1 + b; h2 = h2 * lane2 + b
+      i += 1
+    }
+    out(0) = InternalRow(h1, h2)
+    var p = 1
+    while (p < m) {
+      val drop = (bytes(p - 1) & 0xffL) + 1L
+      val add = (bytes(p + width - 1) & 0xffL) + 1L
+      h1 = (h1 - drop * pow1) * lane1 + add
+      h2 = (h2 - drop * pow2) * lane2 + add
+      out(p) = InternalRow(h1, h2)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column surface: array of (lane-1, lane-2) window-hash structs. */
+  def windowHashPairs(text: Column, width: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(WindowHashPairsExpr(GraftBridge.expression(text), width))
+  }
+}
+
+/** All width-`width` rolling window hashes of an ASCII string column,
+  * as `array<long>`. */
+case class WindowHashesExpr(child: Expression, width: Int, base: Long)
+    extends UnaryExpression {
+  require(width >= 1, s"window_hashes needs width >= 1, got $width")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(s: Any): Any =
+    WindowHash.windowHashes(s.asInstanceOf[UTF8String], width, base)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.WindowHash.windowHashes($s, $width, ${base}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused two-lane rolling window hashes of an ASCII string column, as
+  * `array<struct<h1:long,h2:long>>` — the 128-bit-class pre-grouping
+  * key of [[graft.operators.Dedup.repeatedSpans]]'s portable path. */
+case class WindowHashPairsExpr(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width >= 1, s"window_hash_pairs needs width >= 1, got $width")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "window_hash_pairs"
+
+  override def nullSafeEval(s: Any): Any =
+    WindowHash.windowHashPairs(s.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.WindowHash.windowHashPairs($s, $width);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

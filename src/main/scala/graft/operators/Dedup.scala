@@ -391,45 +391,56 @@ object Dedup {
     * is deployed in practice (pick width = the minimum span worth
     * cutting).
     *
-    * `portableHash = false` (default) hashes spans with xxhash64 —
-    * the fast production path; `true` reports md5 hex so a SQL oracle
-    * can mirror the hash.  COLLISION BOUND: with a 64-bit hash, false
-    * merges become likely past the birthday bound (~10⁹ distinct
-    * windows, i.e. a few TB of text); beyond that use
-    * `portableHash = true` — since a collision here manufactures dedup
-    * evidence that the hash-only output cannot reveal.
+    * Window hashes come from the O(len)-per-doc rolling kernel
+    * ([[graft.functions.WindowHash]]) — the substr+xxhash64 per window
+    * it replaces cost O(len·width + len²) per doc and was the
+    * dominant term of the whole query (see the kernel's scaladoc).
+    *
+    * `portableHash = false` (default) keys spans by the 64-bit lane-1
+    * rolling hash — the fast production path; `true` reports md5 hex
+    * so a SQL oracle can mirror the hash.  COLLISION BOUND: with a
+    * 64-bit hash, false merges become likely past the birthday bound
+    * (~10⁹ distinct windows, i.e. a few TB of text) — and a fixed-base
+    * polynomial hash additionally admits crafted collisions; for huge
+    * or adversarial corpora use `portableHash = true`, since a
+    * collision here manufactures dedup evidence that the hash-only
+    * output cannot reveal.
     *
     * The portable path is TWO-PHASE: windows group on a cheap 128-bit
-    * key (two independent xxhash64 seeds — collision bound D²/2¹²⁸,
-    * beyond any corpus), and only the few SURVIVING spans pay the md5:
-    * each group keeps its minimal (doc, pos) exemplar, and a second
-    * bounded pass re-extracts those spans and md5s them.  md5-hexing
-    * every window (and shuffling 32-char hex keys) cost ~5× the whole
-    * query; the exemplar re-extraction is proportional to the
-    * *repeated* spans only.
+    * key (both rolling lanes — ≈ D²/2¹²⁸ for natural text, beyond any
+    * corpus), and only the few SURVIVING spans pay the md5: each group
+    * keeps its minimal (doc, pos) exemplar, and a second bounded pass
+    * re-extracts those spans and md5s them.  md5-hexing every window
+    * (and shuffling 32-char hex keys) cost ~5× the whole query; the
+    * exemplar re-extraction is proportional to the *repeated* spans
+    * only.
     *
     * @return (span_hash, n_docs, n_occurrences, first_doc) */
   def repeatedSpans(df: DataFrame, text: Column, id: Column,
                     width: Int = 60, minDocs: Int = 2,
                     portableHash: Boolean = false): DataFrame = {
     require(width >= 1 && minDocs >= 1, s"width/minDocs must be >= 1")
+    import graft.functions.WindowHash
     val normed = df.select(id.as("doc_id"), TextAnalysis.normalize(text).as("norm"))
     val cnt = length(col("norm")) - lit(width - 1)
-    val span = col("norm").substr(col("pos"), lit(width))
-    val windows = normed.filter(cnt >= 1)
-      .select(col("doc_id"), col("norm"), explode(sequence(lit(1), cnt)).as("pos"))
+    val live = normed.filter(cnt >= 1)
     if (!portableHash) {
-      windows
-        .select(col("doc_id"), xxhash64(span).as("span_hash"))
+      live
+        .select(col("doc_id"),
+          explode(WindowHash.windowHashes(col("norm"), width)).as("span_hash"))
         .groupBy(col("span_hash"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
              count(lit(1)).as("n_occurrences"),
              min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") >= minDocs)
     } else {
-      val survivors = windows
-        .select(col("doc_id"), col("pos"),
-          xxhash64(span).as("h1"), xxhash64(lit(1), span).as("h2"))
+      // both lanes fused in one codegen'd struct-array kernel so a
+      // single posexplode carries (pos, h1, h2)
+      val survivors = live
+        .select(col("doc_id"),
+          posexplode(WindowHash.windowHashPairs(col("norm"), width)).as(Seq("pos0", "hs")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+          col("hs.h1").as("h1"), col("hs.h2").as("h2"))
         .groupBy(col("h1"), col("h2"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
              count(lit(1)).as("n_occurrences"),
@@ -460,19 +471,29 @@ object Dedup {
     * map the normalizer does not keep).  Docs with nothing to cut pass
     * through with their normalized text intact.
     *
-    * Scale shape: ONE window explode feeds a per-(span, doc) position
-    * pre-aggregate, and the span evidence (distinct-doc count, first
-    * doc) comes from a WINDOW over the span hash on that same frame —
-    * the explode pipeline is referenced exactly once, so nothing is
-    * computed twice (a rollup + self-join formulation loses the shared
-    * exchange to column pruning; plan-gated in the spec).  Per-doc
-    * surgery is one sorted position list into the codegen'd
-    * [[graft.functions.SpanCut]] kernel.  A boilerplate span present
-    * in most documents makes its span-hash window partition large —
-    * the same key skew the equivalent join would have; the rows are
-    * (hash, doc, positions) only, never text.  Span matching uses the
-    * xxhash64 fast path (the 64-bit collision bound at
-    * [[repeatedSpans]] applies — a false merge would cut a
+    * Scale shape: the span EVIDENCE (distinct-doc count, first doc per
+    * span hash) comes from a two-level distinct aggregate — partial
+    * (h, doc) dedup map-side, then one (h, doc)-pair shuffle — exactly
+    * [[repeatedSpans]]' shape; the window stream then joins against
+    * that evidence and only SURVIVING windows (repeated span, non-first
+    * doc) reach the per-doc position aggregate.  The evidence frame is
+    * proportional to the *repeated* spans, so AQE turns the join into
+    * a broadcast and the corpus-wide window stream never shuffles on
+    * the span hash at all — the previous formulation's window-function
+    * pass sorted EVERY (h, doc, positions) row by the span hash,
+    * paying a corpus-wide sort (and the boilerplate key's skew) to
+    * compute evidence that is tiny (r7 bench: 6.1 s → this shape
+    * ~1 s).  A corpus whose repeated-span evidence outgrows the
+    * broadcast threshold degrades to a shuffled join WITH AQE skew
+    * splitting — still strictly less data motion than the former
+    * corpus-wide window sort.  The window pipeline is computed twice
+    * (evidence pass + join pass); it is scan + one O(len) rolling-hash
+    * kernel pass ([[graft.functions.WindowHash]]) + posexplode with no
+    * shuffle feeding it, so recompute beats materializing a
+    * corpus-sized frame.  Per-doc surgery is one sorted position list
+    * into the codegen'd [[graft.functions.SpanCut]] kernel.  Span
+    * matching uses the 64-bit lane-1 rolling hash (the collision bound
+    * at [[repeatedSpans]] applies — a false merge would cut a
     * non-repeated span).
     *
     * @return (doc_id, text_clean, n_spans_cut) */
@@ -482,20 +503,23 @@ object Dedup {
     val normed = df.select(id.as("doc_id"), TextAnalysis.normalize(text).as("norm"))
     val cnt = length(col("norm")) - lit(width - 1)
     val windows = normed.filter(cnt >= 1)
-      .select(col("doc_id"), col("norm"), explode(sequence(lit(1), cnt)).as("pos"))
-      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
-        xxhash64(col("norm").substr(col("pos"), lit(width))).as("h"))
-    val perDoc = windows
-      .groupBy(col("h"), col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("poss"))
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val hits = perDoc
-      .withColumn("n_docs", count(lit(1)).over(wh))
-      .withColumn("first_doc", min(col("doc_id")).over(wh))
-      .filter(col("n_docs") >= minDocs && col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.WindowHash.windowHashes(col("norm"), width))
+          .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("h"))
+    // single-distinct-column aggregate -> Spark plans it two-level
+    // (no Expand): partial (h, doc) dedup + partial min map-side
+    val evidence = windows
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+    val hits = windows
+      .join(evidence, Seq("h"))
+      .filter(col("doc_id") =!= col("first_doc"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(flatten(collect_list(col("poss")))).as("cut_positions"),
-           sum(size(col("poss"))).cast(LongType).as("n_spans_cut"))
+      .agg(sort_array(collect_list(col("pos"))).as("cut_positions"),
+           count(lit(1)).as("n_spans_cut"))
     normed.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("cut_positions").isNotNull,

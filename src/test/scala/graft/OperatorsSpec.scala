@@ -342,13 +342,19 @@ class DedupSpec extends SparkSpec {
     assert(got(6L)._2 >= 10, s"expected many overlapping windows cut: ${got(6L)}")
     assert(got(6L)._1.length <= corpus(6L).length - 20, s"merged cut too small: ${got(6L)}")
     assert(got(5L)._2 == 0L && got(5L)._1 == corpus(5L))
-    // plan gate: the corpus window explode runs exactly ONCE — span
-    // evidence comes from a window over the same pre-aggregated frame,
-    // not a rollup self-join that would recompute the explode
-    val plan = Dedup.removeRepeatedSpans(docs, col("text"), col("doc_id"), width = 10)
-      .queryExecution.executedPlan.toString
-    assert(plan.linesIterator.count(_.contains("Generate explode")) == 1,
-      s"window explode should be computed once:\n$plan")
+    // plan gate: span evidence is a two-level distinct aggregate the
+    // window stream joins against — NO window-function pass (the old
+    // shape sorted every (h, doc, positions) row corpus-wide by span
+    // hash), no Expand (single distinct column plans two-level), and
+    // the small evidence side broadcasts so the corpus window stream
+    // never shuffles on the span hash
+    val exec = Dedup.removeRepeatedSpans(docs, col("text"), col("doc_id"), width = 10)
+      .queryExecution.executedPlan
+    val plan = exec.toString
+    assert(!plan.contains("Window"), s"no window-function pass expected:\n$plan")
+    assert(!plan.contains("Expand"), s"single distinct column should plan two-level:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"span evidence should broadcast into the window stream:\n$plan")
   }
 
   test("corpusDiff classifies added/removed/changed/unchanged") {
@@ -1332,6 +1338,54 @@ class MinHashPropertySpec extends SparkSpec {
     val explSh = Dedup.simhashExploded(df, col("text"), col("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fusedSh == explSh)
+  }
+
+  test("rolling window-hash kernel: exact poly values, substring-equality parity") {
+    // Scala reference: direct O(len·width) polynomial evaluation per
+    // window — the rolling recurrence must match it bit-for-bit
+    def ref(s: String, width: Int, base: Long): Seq[Long] = {
+      // the kernel slides over UTF-8 BYTES (exact on the ASCII
+      // normalized domain; still well-defined on arbitrary input)
+      val bytes = s.getBytes("UTF-8")
+      (0 to bytes.length - width).map { i =>
+        bytes.slice(i, i + width).foldLeft(0L)((h, b) => h * base + (b & 0xffL) + 1L)
+      }
+    }
+    val texts = (0 until 120).map(i =>
+      (i.toLong, genText.pureApply(Gen.Parameters.default.withSize(80), Seed(7000L + i))))
+    val df = texts.toDF("doc_id", "text")
+    for (base <- Seq(graft.functions.WindowHash.lane1, graft.functions.WindowHash.lane2)) {
+      val got = df.select(col("doc_id"),
+          graft.functions.WindowHash.windowHashes(col("text"), 7, base).as("hs"))
+        .collect()
+        .flatMap(r => Option(r.getSeq[Long](1)).map(s => r.getLong(0) -> s.toList)).toMap
+      texts.foreach { case (id, t) =>
+        if (t == null) assert(!got.contains(id), s"null text must stay null (doc $id)")
+        else assert(got(id) == ref(t, 7, base).toList, s"doc $id base $base")
+      }
+    }
+    // fused pair kernel == the two single-lane kernels, zipped
+    val pairs = df.select(col("doc_id"),
+        graft.functions.WindowHash.windowHashPairs(col("text"), 7).as("ps"))
+      .collect()
+      .flatMap(r => Option(r.getSeq[org.apache.spark.sql.Row](1))
+        .map(s => r.getLong(0) -> s.map(p => (p.getLong(0), p.getLong(1))).toList)).toMap
+    texts.foreach { case (id, t) =>
+      if (t == null) assert(!pairs.contains(id))
+      else assert(pairs(id) ==
+        ref(t, 7, graft.functions.WindowHash.lane1).zip(ref(t, 7, graft.functions.WindowHash.lane2)).toList)
+    }
+    // equality parity on the ASCII normalized domain the operators use:
+    // equal windows hash equal; on this corpus, distinct windows hash
+    // distinct (no collision at test scale)
+    val norm = texts.collect { case (_, t) if t != null =>
+      t.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim }
+      .filter(_.length >= 7)
+    val windows = norm.flatMap(s => s.sliding(7))
+    val hashes = windows.map(w =>
+      w.getBytes("UTF-8").foldLeft(0L)((h, b) => h * graft.functions.WindowHash.lane1 + (b & 0xffL) + 1L))
+    assert(windows.zip(hashes).toMap.size == windows.distinct.size,
+      "distinct windows must keep distinct hashes at test scale")
   }
 
   test("repetition signals and topTerms match a Scala reference on arbitrary text") {
