@@ -104,6 +104,21 @@ object Dedup {
       }: _*)).as("band_key"))
   }
 
+  /** Raw band-collision pairs — one row per (pair, colliding band),
+    * NO distinct and no signature columns: the candidate feed for a
+    * consumer that dedups pairs itself (ngramJaccard's input distinct
+    * does), sparing the pair-keyed exchange [[minhashLsh]] spends on
+    * its distinct and the per-collision-row signature-agreement
+    * kernel. */
+  private[graft] def mhCollisionPairs(df: DataFrame, text: Column, id: Column,
+                                      shingleSize: Int, bands: Int,
+                                      rowsPerBand: Int): DataFrame = {
+    val banded = mhBanded(df, text, id, shingleSize, bands, rowsPerBand)
+    banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+  }
+
   def minhashLsh(df: DataFrame, text: Column, id: Column,
                  shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val banded = mhBanded(df, text, id, shingleSize, bands, rowsPerBand)
@@ -307,8 +322,11 @@ object Dedup {
                    n: Int = 5): DataFrame = {
     // the r3 groupBy collapsed duplicate input pairs; keep that contract
     val p = pairs.select(col("id_a"), col("id_b")).distinct()
+    // no distinct on the endpoint feed: a semi join dedups its build
+    // side in the hash table — an explicit distinct would buy nothing
+    // but one more exchange
     val candIds = p
-      .select(explode(array(col("id_a"), col("id_b"))).as("cand_id")).distinct()
+      .select(explode(array(col("id_a"), col("id_b"))).as("cand_id"))
     val sets = docs.join(candIds, id === col("cand_id"), "left_semi")
       .repartition(id)
       .select(id.as("sid"),
@@ -617,15 +635,13 @@ object Dedup {
     // order and UTF8 byte order do — a Double column's NaN ordering
     // would not, so anything else takes the distributed loop)
     val idTypes = p0.schema.fields.map(_.dataType).toSeq
-    val driverOrderable = idTypes.distinct.sizeIs == 1 && (idTypes.head match {
-      case ByteType | ShortType | IntegerType | LongType | StringType => true
-      case _ => false
-    })
+    val driverOrderable = idTypes.distinct.sizeIs == 1 && isDriverOrderable(idTypes.head)
     if (driverOrderable && driverPairLimit > 0) {
-      val sample = p0.limit(driverPairLimit + 1).collect()
-      if (sample.length <= driverPairLimit && !sample.exists(r => r.isNullAt(0) || r.isNullAt(1)))
-        try return driverComponents(nodes, idCol, sample, idTypes.head)
+      val sample = collectPairsIfSmall(p0, driverPairLimit)
+      sample.foreach { rows =>
+        try return driverComponents(nodes, idCol, rows, idTypes.head)
         finally p0.unpersist(blocking = false)
+      }
       // over the bound: the partitions the probe computed are already
       // cached; the loop below reuses them and computes the rest
     }
@@ -726,9 +742,28 @@ object Dedup {
     * the distributed loop's fixpoint.  String ids compare in UTF-8
     * byte order (Spark's StringType ordering), not UTF-16 code-unit
     * order — they differ above U+E000. */
-  private def driverComponents(nodes: DataFrame, idCol: String,
-                               pairRows: Array[org.apache.spark.sql.Row],
-                               idType: DataType): DataFrame = {
+  /** Id types whose driver-side `Comparable`/UTF-8 ordering reproduces
+    * Spark's column ordering exactly (the driver-tier contract). */
+  private def isDriverOrderable(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** Limit-probe of the pair frame: `Some(rows)` when the pair count
+    * fits `limit` with no null endpoint, `None` otherwise (the
+    * partitions the probe computed stay cached for the caller's
+    * fallback). */
+  private def collectPairsIfSmall(p0: DataFrame, limit: Int): Option[Array[org.apache.spark.sql.Row]] = {
+    val sample = p0.limit(limit + 1).collect()
+    if (sample.length <= limit && !sample.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+      Some(sample)
+    else None
+  }
+
+  /** Union-find over collected pair rows; roots always link
+    * larger-under-smaller so every root is the minimum id of its set
+    * (String ids in UTF-8 byte order, Spark's StringType ordering). */
+  private def ufBuild(pairRows: Array[org.apache.spark.sql.Row]): java.util.HashMap[Any, Any] = {
     def lt(a: Any, b: Any): Boolean = (a, b) match {
       case (x: String, y: String) =>
         java.util.Arrays.compareUnsigned(
@@ -737,22 +772,33 @@ object Dedup {
       case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
     }
     val parent = new java.util.HashMap[Any, Any]()
-    def root(x: Any): Any = {
-      if (!parent.containsKey(x)) { parent.put(x, x); x }
-      else {
-        var r = x
-        while (parent.get(r) != r) r = parent.get(r)
-        var c = x // path compression keeps repeat finds near O(1)
-        while (c != r) { val p = parent.get(c); parent.put(c, r); c = p }
-        r
-      }
-    }
     pairRows.foreach { row =>
-      val (ra, rb) = (root(row.get(0)), root(row.get(1)))
+      val (ra, rb) = (ufRoot(parent, row.get(0)), ufRoot(parent, row.get(1)))
       if (ra != rb) {
         if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
       }
     }
+    parent
+  }
+
+  /** Root of `x` with path compression (inserts unseen ids as their
+    * own root). */
+  private def ufRoot(parent: java.util.HashMap[Any, Any], x: Any): Any = {
+    if (!parent.containsKey(x)) { parent.put(x, x); x }
+    else {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression keeps repeat finds near O(1)
+      while (c != r) { val p = parent.get(c); parent.put(c, r); c = p }
+      r
+    }
+  }
+
+  private def driverComponents(nodes: DataFrame, idCol: String,
+                               pairRows: Array[org.apache.spark.sql.Row],
+                               idType: DataType): DataFrame = {
+    val parent = ufBuild(pairRows)
+    def root(x: Any): Any = ufRoot(parent, x)
     val spark = nodes.sparkSession
     val schema = StructType(Seq(
       StructField("node", idType), StructField("comp", idType)))
@@ -813,14 +859,62 @@ object Dedup {
     * default) keeps the min id via the cheaper semi join.
     * `reliableDir` passes through to [[connectedComponents]] — a real
     * cluster run should set it so executor loss mid-clustering is
-    * survivable. */
+    * survivable.
+    *
+    * Min-id keeps ride the DRIVER TIER one step further than
+    * [[connectedComponents]]: once the verified pairs are on the
+    * driver, the rows to DROP are exactly the union-find endpoints
+    * whose root is not themselves — no (node, label) frame, no label
+    * broadcast-join over the corpus, no winner filter; just one
+    * broadcast anti join of the corpus against the loser set.  Every
+    * Spark job is a scheduling round trip a busy driver pays dearly
+    * for — this path runs ~4 fewer jobs than composing
+    * [[connectedComponents]] + [[keepComponentWinners]] (same rows,
+    * spec-pinned against that composition).  Loser count is bounded by
+    * the pair count (≤ `driverPairLimit`); a corpus whose pair graph
+    * exceeds the bound falls through to the distributed composition
+    * automatically. */
   def nearDedupCorpus(df: DataFrame, text: Column, id: Column,
                       shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
                       minJaccard: Double = 0.8, keepBy: Seq[Column] = Nil,
-                      reliableDir: Option[String] = None): DataFrame = {
-    val cand = minhashLsh(df, text, id, shingleSize, bands, rowsPerBand)
+                      reliableDir: Option[String] = None,
+                      driverPairLimit: Int = 2000000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // raw collision rows, not minhashLsh: ngramJaccard's input
+    // distinct dedups pairs anyway, so minhashLsh's own distinct
+    // exchange (and its signature-agreement kernel) would be pure
+    // overhead here — est_jaccard is never consulted, exact Jaccard
+    // decides
+    val cand = mhCollisionPairs(df, text, id, shingleSize, bands, rowsPerBand)
     val verified = ngramJaccard(cand, df, id, text, n = shingleSize)
       .filter(col("jaccard") >= minJaccard)
+    val pairIdTypes = verified.select(col("id_a"), col("id_b"))
+      .schema.fields.map(_.dataType).toSeq
+    if (keepBy.isEmpty && driverPairLimit > 0 &&
+        pairIdTypes.distinct.sizeIs == 1 && isDriverOrderable(pairIdTypes.head)) {
+      val p0 = verified.select(col("id_a"), col("id_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      collectPairsIfSmall(p0, driverPairLimit) match {
+        case Some(rows) =>
+          p0.unpersist(blocking = false)
+          val parent = ufBuild(rows)
+          val loserRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+          parent.keySet().forEach { k =>
+            if (ufRoot(parent, k) != k) { loserRows.add(org.apache.spark.sql.Row(k)); () }
+          }
+          val losers = df.sparkSession.createDataFrame(loserRows,
+            StructType(Seq(StructField("lose_id", pairIdTypes.head))))
+          // null-id rows never match a semi join's winner list — the
+          // anti join must not resurrect them
+          return df.filter(id.isNotNull)
+            .join(broadcast(losers), id === col("lose_id"), "left_anti")
+        case None => // pair graph too big: distributed composition below
+          val comps = connectedComponents(df.select(id.as("nid")), "nid", p0,
+            reliableDir = reliableDir, driverPairLimit = 0)
+          try return keepComponentWinners(df, id, comps)
+          finally p0.unpersist(blocking = false)
+      }
+    }
     val comps = connectedComponents(df.select(id.as("nid")), "nid", verified,
       reliableDir = reliableDir)
     if (keepBy.isEmpty) keepComponentWinners(df, id, comps)

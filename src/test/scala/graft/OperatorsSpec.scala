@@ -548,6 +548,18 @@ class DedupSpec extends SparkSpec {
         minJaccard = 0.5, keepBy = Seq(col("doc_id").desc))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptBy == Set(3L, 9L), s"expected max-id winner per cluster, got $keptBy")
+    // the driver-tier loser anti join (default) keeps exactly the rows
+    // of the distributed CC + winner semi-join composition — on real
+    // corpus data, not just the toy chain
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = Dedup.nearDedupCorpus(real, col("text"), col("doc_id"), minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dist = Dedup.nearDedupCorpus(real, col("text"), col("doc_id"), minJaccard = 0.5,
+        driverPairLimit = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fast == dist && fast.nonEmpty,
+      s"driver-tier anti join must equal the distributed composition " +
+        s"(fast ${fast.size} vs dist ${dist.size})")
   }
 
   test("filterByQuantile keeps the exact p-band (fencepost check)") {
