@@ -276,10 +276,13 @@ object SparkEntry {
         .filter(col("rn") <= 3)
     }),
 
-    // M6 MinHash+LSH near-dup candidates (not SQL-expressible → rows-only)
+    // M6 MinHash+LSH near-dup candidates — PORTABLE md5-hex lanes so
+    // DuckDB mirrors the minima/banding term-for-term (the xxhash64
+    // kernel path stays the library default; this query gates the
+    // operator end to end against a real SQL oracle)
     "q26_minhash_lsh" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
-      Dedup.minhashLsh(d, col("text"), col("doc_id"))
+      Dedup.minhashLsh(d, col("text"), col("doc_id"), portableHash = true)
     }),
 
     // M6 SimHash fingerprints (rows-only)
@@ -415,7 +418,7 @@ object SparkEntry {
     // and only the survivors pay the exact shingle-set verification.
     "q40_dedup_verified" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
-      val cands = Dedup.minhashLsh(d, col("text"), col("doc_id"))
+      val cands = Dedup.minhashLsh(d, col("text"), col("doc_id"), portableHash = true)
         .filter(col("est_jaccard") >= 0.5)
       Dedup.ngramJaccard(cands.select("id_a", "id_b"), d, col("doc_id"), col("text"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
@@ -681,10 +684,12 @@ object SparkEntry {
     }),
 
     // M6 SimHash bit-band near-dup pairs (exact recall for hamming <=
-    // bands-1 by pigeonhole; rows-only — fingerprints need xxhash64)
+    // bands-1 by pigeonhole) — PORTABLE 60-bit md5 fingerprints so the
+    // per-bit votes, banding, and hamming verify all mirror in SQL
     "q67_simhash_neardup" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
-      Dedup.simhashNearDup(d, col("text"), col("doc_id"), bands = 4, maxHamming = 3)
+      Dedup.simhashNearDup(d, col("text"), col("doc_id"), bands = 4, maxHamming = 3,
+        portableHash = true)
     }),
 
     // §2.8 euler frame transform, FK4/B1950 equinox (the reference's
@@ -867,12 +872,13 @@ object SparkEntry {
     // M6 INCREMENTAL near-dup: a daily batch (doc_id % 10 == 0) LSH-joins
     // a precomputed band index of the full corpus — the historical text
     // is never re-read.  Self-matches filtered (batch ⊂ corpus).
-    // Rows-only (xxhash band keys); snapshot-pinned at sf0.01.
+    // PORTABLE md5 band keys → full DuckDB oracle.
     "q86_minhash_index" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
-      val idx = Dedup.minhashBandIndex(d, col("text"), col("doc_id"))
+      val idx = Dedup.minhashBandIndex(d, col("text"), col("doc_id"), portableHash = true)
       Dedup.minhashLshAgainstIndex(
-          d.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"), idx)
+          d.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"), idx,
+          portableHash = true)
         .filter(col("batch_id") =!= col("index_id"))
     }),
 
@@ -1018,7 +1024,105 @@ object SparkEntry {
   private val sphdistSql =
     "degrees(2*asin(sqrt(pow(sin(radians(0.0 - dec)/2),2) + cos(radians(dec))*cos(radians(0.0))*pow(sin(radians(180.0 - ra)/2),2))))"
 
+  /** Shared portable-minhash permutation table, interpolated into the
+    * q26/q40/q86 oracle SQL so DuckDB runs LITERALLY the same integer
+    * arithmetic as [[graft.operators.Dedup.portableMinhashLanes]]. */
+  private val mhPermValues: String = graft.operators.Dedup.portablePerms.zipWithIndex
+    .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  /** The norm → shingle-hash → lanes → band-key CTE prefix shared by
+    * the three portable-minhash oracles (ends with a trailing comma). */
+  private val mhLanesCtes: String =
+    s"""WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+      |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM documents),
+      |sh AS (SELECT doc_id, ('0x' || substr(md5(substr(t, CAST(p AS INT), 5)), 1, 8))::BIGINT AS h,
+      |substr(t, CAST(p AS INT), 5) AS s FROM
+      |(SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS p FROM norm
+      |WHERE length(t) >= 5)),
+      |lanes AS MATERIALIZED (SELECT doc_id, lane, min((a * h + b) % 4294967311) AS mh
+      |FROM sh, (VALUES $mhPermValues) perm(lane, a, b) GROUP BY doc_id, lane),
+      |bands AS MATERIALIZED (SELECT doc_id, lane // 4 AS band,
+      |md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY lane) || '|' || (lane // 4)) AS bk
+      |FROM lanes GROUP BY doc_id, lane // 4),""".stripMargin.replace("\n", " ")
+
   def oracleSql: Map[String, String] = Map(
+    // Portable-minhash mirror (q26/q40/q86): one 32-bit md5-derived
+    // base hash per shingle, k affine permutations mod a >2^32 prime —
+    // the same constants Spark uses, so min/banding/equality match
+    // term-for-term.  Lanes/bands CTEs are MATERIALIZED: DuckDB
+    // re-inlines a CTE per reference, and the lane aggregate is the
+    // expensive part.
+    "q26_minhash_lsh" ->
+      s"""$mhLanesCtes
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT p.id_a, p.id_b,
+        |round(count(*) FILTER (WHERE la.mh = lb.mh) / 32.0, 6) AS est_jaccard
+        |FROM pairs p JOIN lanes la ON la.doc_id = p.id_a
+        |JOIN lanes lb ON lb.doc_id = p.id_b AND lb.lane = la.lane
+        |GROUP BY p.id_a, p.id_b""".stripMargin.replace("\n", " "),
+
+    // q26's pairs pruned at est >= 0.5, then EXACT distinct-shingle-set
+    // jaccard (the hash never reaches the verify arithmetic)
+    "q40_dedup_verified" ->
+      s"""$mhLanesCtes
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        |est AS (SELECT p.id_a, p.id_b FROM cand p
+        |JOIN lanes la ON la.doc_id = p.id_a
+        |JOIN lanes lb ON lb.doc_id = p.id_b AND lb.lane = la.lane
+        |GROUP BY p.id_a, p.id_b
+        |HAVING count(*) FILTER (WHERE la.mh = lb.mh) / 32.0 >= 0.5),
+        |sets AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+        |inter AS (SELECT e.id_a, e.id_b, count(*) AS ni FROM est e
+        |JOIN sets sa ON sa.doc_id = e.id_a
+        |JOIN sets sb ON sb.doc_id = e.id_b AND sb.s = sa.s
+        |GROUP BY e.id_a, e.id_b)
+        |SELECT e.id_a, e.id_b,
+        |round(COALESCE(i.ni, 0) / greatest(za.n + zb.n - COALESCE(i.ni, 0), 1), 6) AS jaccard
+        |FROM est e
+        |LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+        |JOIN sz za ON za.doc_id = e.id_a
+        |JOIN sz zb ON zb.doc_id = e.id_b""".stripMargin.replace("\n", " "),
+
+    // Portable-simhash mirror (q67): 60-bit fingerprint from the first
+    // 15 hex digits of md5(token); per-bit ±1 votes, vote > 0 → bit 1;
+    // 4 bands of 15 bits; hamming verify <= 3
+    "q67_simhash_neardup" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id, tok FROM
+        |(SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm)
+        |WHERE length(tok) > 0),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+        |votes AS (SELECT doc_id, b,
+        |sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |FROM th, (SELECT unnest(range(0, 60)) AS b) GROUP BY doc_id, b),
+        |fp AS MATERIALIZED (SELECT doc_id,
+        |CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS f
+        |FROM votes GROUP BY doc_id),
+        |banded AS MATERIALIZED (SELECT doc_id, f,
+        |(b * 32768 + ((f >> CAST(b * 15 AS INT)) & 32767)) AS band_key
+        |FROM fp, (SELECT unnest(range(0, 4)) AS b))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        |FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3""".stripMargin.replace("\n", " "),
+
+    // q26's machinery against a precomputed index side: batch = doc_id
+    // % 10 = 0, pairs keep BOTH orders minus self-matches
+    "q86_minhash_index" ->
+      s"""$mhLanesCtes
+        |pairs AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id
+        |FROM bands a JOIN bands b ON a.bk = b.bk
+        |WHERE a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id)
+        |SELECT p.batch_id, p.index_id,
+        |round(count(*) FILTER (WHERE la.mh = lb.mh) / 32.0, 6) AS est_jaccard
+        |FROM pairs p JOIN lanes la ON la.doc_id = p.batch_id
+        |JOIN lanes lb ON lb.doc_id = p.index_id AND lb.lane = la.lane
+        |GROUP BY p.batch_id, p.index_id""".stripMargin.replace("\n", " "),
+
     "q01_selectwhere" ->
       """SELECT l_orderkey, l_quantity, l_extendedprice, l_discount FROM lineitem
         |WHERE l_discount > 0.05 AND l_quantity * l_extendedprice > 1000""".stripMargin.replace("\n", " "),

@@ -119,8 +119,85 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
   }
 
+  /** PORTABLE minhash permutation family, the classic universal-hash
+    * construction (Broder): shingle → 32-bit base hash `H` (first 8
+    * hex digits of md5, parseable by any engine), lane i =
+    * min((aᵢ·H + bᵢ) mod P) with P = 4294967311 (prime > 2³²) and
+    * fixed constants aᵢ < 2³⁰ (so aᵢ·H < 2⁶² — no 64-bit overflow on
+    * ANY engine's checked arithmetic) derived once from
+    * md5("a&lt;i&gt;")/md5("b&lt;i&gt;").  [[portablePerms]] is the
+    * shared constant table SparkEntry's oracle SQL interpolates, so
+    * both engines run literally the same integer arithmetic.  ONE md5
+    * per shingle window — the md5-per-(window, lane) formulation
+    * measured ~10× the whole query. */
+  private[graft] val portableP: Long = 4294967311L
+  private[graft] val portablePerms: IndexedSeq[(Long, Long)] = Vector(
+    (373311599L, 944895323L), (176928720L, 767210581L), (691707871L, 1006346980L),
+    (492862057L, 980358411L), (156203053L, 1040078385L), (852485826L, 579023709L),
+    (927847696L, 310989682L), (110253606L, 410029771L), (683942788L, 903451652L),
+    (1025415122L, 936150354L), (143138164L, 589606286L), (288620850L, 340073898L),
+    (757115229L, 721240334L), (291586649L, 411226204L), (560535623L, 855913338L),
+    (478807605L, 24291534L), (397561450L, 552200276L), (580969426L, 675736485L),
+    (343776099L, 331196159L), (1035043779L, 429909077L), (352798821L, 1048321081L),
+    (556200807L, 713426011L), (609809345L, 629967628L), (614988953L, 556791554L),
+    (607944512L, 631419490L), (944796540L, 873333012L), (1005733489L, 558570141L),
+    (128849211L, 358830271L), (59766970L, 366112762L), (705264783L, 936176456L),
+    (753229967L, 797832165L), (567159616L, 769510940L))
+
+  /** Portable minhash lanes over the permutation family above.
+    *
+    * @return (doc_id, mh0 … mh{k-1}) — docs shorter than the shingle
+    *         width yield no row, the [[minhashSignatures]] contract */
+  private[graft] def portableMinhashLanes(df: DataFrame, text: Column, id: Column,
+                                          shingleSize: Int, k: Int): DataFrame = {
+    require(k <= portablePerms.size, s"portable minhash supports k <= ${portablePerms.size}")
+    val normed = df.select(id.as("doc_id"), TextAnalysis.normalize(text).as("norm"))
+    val sh = normed.filter(length(col("norm")) >= shingleSize)
+      .select(col("doc_id"), col("norm"),
+        explode(sequence(lit(1), length(col("norm")) - (shingleSize - 1))).as("pos"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("norm").substr(col("pos"), lit(shingleSize))
+          .cast(BinaryType)), 1, 8), 16, 10).cast(LongType).as("h"))
+    val mins = (0 until k).map { i =>
+      val (a, b) = portablePerms(i)
+      min((lit(a) * col("h") + lit(b)) % lit(portableP)).as(s"mh$i")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Portable twin of [[mhBanded]]: band key = md5 hex of the band's
+    * lanes joined by '|' with the band index appended (mirrored in SQL
+    * as `md5(string_agg(mh, '|' ORDER BY lane) || '|' || band)`). */
+  private def portableBanded(df: DataFrame, text: Column, id: Column,
+                             shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val lanes = portableMinhashLanes(df, text, id, shingleSize, bands * rowsPerBand)
+    lanes.select(col("doc_id"),
+      array((0 until bands * rowsPerBand).map(i => col(s"mh$i")): _*).as("sig"),
+      explode(array((0 until bands).map { b =>
+        md5(concat_ws("|",
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")) :+
+            lit(b.toString): _*).cast(BinaryType))
+      }: _*)).as("band_key"))
+  }
+
+  /** Lane-agreement count between two portable signatures (arrays of
+    * hex lanes).  Interpreted higher-order fold — runs on candidate
+    * PAIRS only, never the corpus stream. */
+  private def portableAgree(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+
   def minhashLsh(df: DataFrame, text: Column, id: Column,
-                 shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+                 shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+                 portableHash: Boolean = false): DataFrame = {
+    if (portableHash) {
+      val banded = portableBanded(df, text, id, shingleSize, bands, rowsPerBand)
+      return banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(portableAgree(col("a.sig"), col("b.sig")).cast(DoubleType) /
+            lit(bands * rowsPerBand), 6).as("est_jaccard"))
+        .distinct()
+    }
     val banded = mhBanded(df, text, id, shingleSize, bands, rowsPerBand)
     // true self-join (identical projections on both sides) so the
     // shuffle below the join canonicalizes equal and ReusedExchange
@@ -152,8 +229,10 @@ object Dedup {
     * between index and query; [[minhashLshAgainstIndex]] fails fast on
     * the first joined row whose signature lengths disagree. */
   def minhashBandIndex(df: DataFrame, text: Column, id: Column,
-                       shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
-    mhBanded(df, text, id, shingleSize, bands, rowsPerBand)
+                       shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+                       portableHash: Boolean = false): DataFrame =
+    (if (portableHash) portableBanded(df, text, id, shingleSize, bands, rowsPerBand)
+     else mhBanded(df, text, id, shingleSize, bands, rowsPerBand))
       .select(col("doc_id").as("index_id"), col("sig").as("index_sig"), col("band_key"))
 
   /** Near-dup candidates of a NEW batch against an existing
@@ -166,8 +245,13 @@ object Dedup {
     * the caller's second stage, exactly as with [[minhashLsh]]. */
   def minhashLshAgainstIndex(batch: DataFrame, text: Column, id: Column,
                              index: DataFrame, shingleSize: Int = 5,
-                             bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val b = mhBanded(batch, text, id, shingleSize, bands, rowsPerBand)
+                             bands: Int = 8, rowsPerBand: Int = 4,
+                             portableHash: Boolean = false): DataFrame = {
+    val b = if (portableHash) portableBanded(batch, text, id, shingleSize, bands, rowsPerBand)
+            else mhBanded(batch, text, id, shingleSize, bands, rowsPerBand)
+    val agree =
+      if (portableHash) portableAgree(col("sig"), col("index_sig"))
+      else graft.functions.VectorSim.agreeCount(col("sig"), col("index_sig"))
     b.join(index, Seq("band_key"))
       .select(col("doc_id").as("batch_id"), col("index_id"),
         col("sig"), col("index_sig"))
@@ -182,8 +266,7 @@ object Dedup {
             lit(s"minhash index geometry mismatch: batch k=${bands * rowsPerBand} " +
               "!= index signature length — rebuild the index with the same " +
               "shingleSize/bands/rowsPerBand")).isNull,
-          round(graft.functions.VectorSim.agreeCount(col("sig"), col("index_sig"))
-            .cast(DoubleType) / lit(bands * rowsPerBand), 6)))
+          round(agree.cast(DoubleType) / lit(bands * rowsPerBand), 6)))
       .select(col("batch_id"), col("index_id"), col("est_jaccard"))
       .distinct()
   }
@@ -224,6 +307,31 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** PORTABLE 60-bit simhash: per-token hash = the first 15 hex digits
+    * of `md5(token)` parsed as an integer (60 bits keeps the parse
+    * inside a signed 64-bit value on ANY engine — `('0x' || substr
+    * (md5(tok), 1, 15))::BIGINT` in DuckDB, `conv(substr(md5(tok), 1,
+    * 15), 16, 10)` here), then the usual per-bit ±1 votes with the
+    * [[simhashExploded]] tie rule (vote > 0 → bit 1).  One explode +
+    * 60 sum-aggregates — the slow portable twin for oracle-gated
+    * queries; [[simhash]]'s fused 64-bit kernel is the production
+    * path. */
+  private[graft] def portableSimhash(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val tokens = df.select(id.as("doc_id"),
+      explode(split(TextAnalysis.normalize(text), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", conv(substring(md5(col("tok").cast(BinaryType)), 1, 15), 16, 10)
+        .cast(LongType))
+    val bitSums = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 60).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -250,13 +358,15 @@ object Dedup {
     *         distance, deduplicated across bands.
     */
   def simhashNearDup(df: DataFrame, text: Column, id: Column,
-                     bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    require(bands >= 2 && bands <= 32 && 64 % bands == 0,
-      s"bands must be a divisor of 64 in [2, 32], got $bands")
+                     bands: Int = 4, maxHamming: Int = 3,
+                     portableHash: Boolean = false): DataFrame = {
+    val fpBits = if (portableHash) 60 else 64
+    require(bands >= 2 && bands <= 32 && fpBits % bands == 0,
+      s"bands must be a divisor of $fpBits in [2, 32], got $bands")
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val width = 64 / bands
+    val width = fpBits / bands
     val mask = (1L << width) - 1L // width <= 32, no overflow
-    val fps = simhash(df, text, id)
+    val fps = if (portableHash) portableSimhash(df, text, id) else simhash(df, text, id)
     val banded = fps.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map { b =>
         lit(b.toLong << width) +
