@@ -108,10 +108,16 @@ object Similarity {
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 0, corpusCount: Long = -1L): DataFrame = {
     // embedding dimensionality from one NON-NULL row (tiny driver-side
-    // probe); an all-null/empty corpus has no pairs to rank
-    val dim = probeDim(corpus, vecCol).getOrElse(
-      return corpus.select(col(idCol).as("probe_id"), col(idCol).as("corpus_id"),
-        lit(0.0).as("cos_sim"), lit(0).as("rank")).limit(0))
+    // probe); an all-null/empty corpus has no pairs to rank.  Plain
+    // match, not getOrElse(return …): a non-local return inside an
+    // expression silently becomes a NonLocalReturnControl throw if
+    // this body is ever refactored into a closure
+    val dim = probeDim(corpus, vecCol) match {
+      case None =>
+        return corpus.select(col(idCol).as("probe_id"), col(idCol).as("corpus_id"),
+          lit(0.0).as("cos_sim"), lit(0).as("rank")).limit(0)
+      case Some(d) => d
+    }
     val nPlanes = resolvePlanes(corpus, planes, corpusCount)
     val sig = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("sig", lshSignature(col("v"), nPlanes, dim))

@@ -76,6 +76,10 @@ final case class PlotSpec(
     val t = title.map(s => s""""title": ${jsonValue(s)}, """).getOrElse("")
     s"""{"$$schema": "https://vega.github.io/schema/vega-lite/v5.json", $t"mark": ${jsonValue(mark)}, "data": {"values": $values}, "encoding": $enc}"""
   }
+
+  /** Standalone SVG render of this spec — see [[SvgRender.render]]. */
+  def toSvg(width: Int = 480, height: Int = 360): String =
+    SvgRender.render(this, width, height)
 }
 
 /** Facet set: one PlotSpec per group/selection, with cycled style
@@ -85,6 +89,16 @@ final case class FacetSpec(facets: Seq[(String, PlotSpec)]) {
   def toVegaLite: String =
     facets.map { case (label, spec) => spec.copy(title = Some(label)).toVegaLite }
       .mkString("[", ", ", "]")
+
+  /** The deterministic style cycle each facet renders with
+    * (plotter.py:394–408 marker/color/linestyle cycling): facet i →
+    * [[SvgRender.styleFor]](i), pinned in PlotterSpec. */
+  def styles: Seq[(String, FacetStyle)] =
+    facets.zipWithIndex.map { case ((lbl, _), i) => lbl -> SvgRender.styleFor(i) }
+
+  /** Overlay render on shared axes — see [[SvgRender.renderFacets]]. */
+  def toSvg(width: Int = 480, height: Int = 360): String =
+    SvgRender.renderFacets(this, width, height)
 }
 
 /** Query-compiling plotter over an [[EzFrame]]
@@ -374,7 +388,12 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
   * (p16, p50, p84) annotations. */
 final case class CornerSpec(
     panels: Seq[((String, String), PlotSpec)],
-    quantiles: Map[String, (Double, Double, Double)])
+    quantiles: Map[String, (Double, Double, Double)]) {
+
+  /** Grid render with annotated diagonals — see
+    * [[SvgRender.renderCorner]]. */
+  def toSvg(panel: Int = 220): String = SvgRender.renderCorner(this, panel)
+}
 
 /** 2-key facet grid (ezdata/plotter.py:1100–1149 pivot_plot): cell
   * specs addressed by (key1 value, key2 value), with the distinct

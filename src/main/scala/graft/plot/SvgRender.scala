@@ -1,0 +1,274 @@
+package graft.plot
+
+import java.util.Locale
+
+/** Pure-JVM SVG rendering of [[PlotSpec]]s — the presentation tier the
+  * reference gets from matplotlib/plotly/bokeh (ezdata/plotter.py:829–
+  * 1711), reduced to its deterministic core: a `PlotSpec` already
+  * carries the AGGREGATED data (bin counts, pixel grids, bounded
+  * samples), so rendering is pure string assembly over at most a few
+  * thousand rows — no native dependencies, no display, byte-stable
+  * output (golden-pinned in PlotterSpec).
+  *
+  * Marks covered: `bar` (hist, plotter.py:877–896), `point` (scatter/
+  * hexbin, :829–843), `rect` (hist2d/raster/healpix grids, :898–941),
+  * `area` (violin densities), plus the composed corner grid
+  * (:1615–1711) with its diagonal percentile annotations and the
+  * facet overlay with the reference's deterministic style cycling
+  * (:394–408).
+  */
+object SvgRender {
+
+  /** The reference's matplotlib default prop cycle (tab10) — facet i
+    * takes color `palette(i % 10)`, marker `markers(i % 4)`, dash
+    * `dashes(i % 3)`, exactly the plotter.py:394–408 cycling rule. */
+  val palette: IndexedSeq[String] = Vector(
+    "#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd",
+    "#8c564b", "#e377c2", "#7f7f7f", "#bcbd22", "#17becf")
+  val markers: IndexedSeq[String] = Vector("circle", "square", "triangle", "diamond")
+  val dashes: IndexedSeq[String] = Vector("", "6,3", "2,3")
+
+  /** Deterministic style assignment for the i-th facet. */
+  def styleFor(i: Int): FacetStyle =
+    FacetStyle(palette(i % palette.size), markers(i % markers.size), dashes(i % dashes.size))
+
+  /** Locale-stable compact number format (axis ticks, annotations). */
+  def fmt(d: Double): String = {
+    if (d == d.toLong.toDouble && math.abs(d) < 1e12) d.toLong.toString
+    else String.format(Locale.ROOT, "%.4g", Double.box(d))
+  }
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+
+  private def num(v: Any): Double = v match {
+    case null => Double.NaN
+    case n: Number => n.doubleValue()
+    case other => try other.toString.toDouble catch { case _: NumberFormatException => Double.NaN }
+  }
+
+  /** ~`n` "nice" tick positions covering [lo, hi] (1/2/5 steps). */
+  private[plot] def ticks(lo: Double, hi: Double, n: Int = 4): Seq[Double] = {
+    if (!(hi > lo)) return Seq(lo)
+    val raw = (hi - lo) / n
+    val mag = math.pow(10, math.floor(math.log10(raw)))
+    val step = (raw / mag) match {
+      case r if r <= 1.5 => mag
+      case r if r <= 3.5 => 2 * mag
+      case r if r <= 7.5 => 5 * mag
+      case _ => 10 * mag
+    }
+    val start = math.ceil(lo / step) * step
+    Iterator.iterate(start)(_ + step).takeWhile(_ <= hi + step * 1e-9).toSeq
+  }
+
+  /** 5-stop viridis-ish sequential ramp for `color` channels. */
+  private[plot] def ramp(t: Double): String = {
+    val stops = Vector((68, 1, 84), (59, 82, 139), (33, 145, 140), (94, 201, 98), (253, 231, 37))
+    val x = math.max(0.0, math.min(1.0, t)) * (stops.size - 1)
+    val i = math.min(stops.size - 2, x.toInt)
+    val f = x - i
+    val (r0, g0, b0) = stops(i); val (r1, g1, b1) = stops(i + 1)
+    def mix(a: Int, b: Int) = math.round(a + (b - a) * f).toInt
+    f"#${mix(r0, r1)}%02x${mix(g0, g1)}%02x${mix(b0, b1)}%02x"
+  }
+
+  private case class Scale(lo: Double, hi: Double, pixLo: Double, pixHi: Double) {
+    def apply(v: Double): Double =
+      if (hi == lo) (pixLo + pixHi) / 2
+      else pixLo + (v - lo) / (hi - lo) * (pixHi - pixLo)
+  }
+
+  private def fieldOf(spec: PlotSpec, channel: String): Option[String] =
+    spec.encoding.get(channel).flatMap(_.get("field"))
+
+  private def extent(vs: Seq[Double], padFrac: Double = 0.0): (Double, Double) = {
+    val clean = vs.filterNot(_.isNaN)
+    if (clean.isEmpty) (0.0, 1.0)
+    else {
+      val (lo, hi) = (clean.min, clean.max)
+      val pad = if (hi > lo) (hi - lo) * padFrac else math.max(math.abs(lo), 1.0) * 0.05
+      (lo - pad, hi + pad)
+    }
+  }
+
+  /** Render one spec to a standalone SVG document. */
+  def render(spec: PlotSpec, width: Int = 480, height: Int = 360,
+             color: String = palette(0)): String = {
+    val b = new StringBuilder
+    b ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height" font-family="sans-serif">"""
+    b ++= body(spec, 0, 0, width, height, color, title = spec.title)
+    b ++= "</svg>"
+    b.toString
+  }
+
+  /** Overlay facets on SHARED axes with the deterministic style cycle
+    * (plotter.py:394–408: each group advances the prop cycle). */
+  def renderFacets(f: FacetSpec, width: Int = 480, height: Int = 360): String = {
+    val b = new StringBuilder
+    b ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height" font-family="sans-serif">"""
+    // shared scales: union of every facet's data extent
+    val all = f.facets.map(_._2)
+    val merged = all.headOption.map(h => h.copy(data = all.flatMap(_.data))).toSeq
+    f.facets.zipWithIndex.foreach { case ((label, spec), i) =>
+      val st = styleFor(i)
+      b ++= body(spec, 0, 0, width, height, st.color,
+        axesFrom = merged.headOption, drawAxes = i == 0, dash = st.dash,
+        marker = st.marker, title = None)
+      val lx = width - 110; val ly = 18 + 16 * i
+      b ++= s"""<rect x="$lx" y="${ly - 9}" width="10" height="10" fill="${st.color}"/>"""
+      b ++= s"""<text x="${lx + 14}" y="$ly" font-size="11">${esc(label)}</text>"""
+    }
+    b ++= "</svg>"
+    b.toString
+  }
+
+  /** Corner grid (plotter.py:1615–1711): lower-triangle panels,
+    * diagonal hists annotated `v = p50 (+p84−p50 / −p50−p16)`, shared
+    * column ordering. */
+  def renderCorner(c: CornerSpec, panel: Int = 220): String = {
+    val cols = c.panels.collect { case ((x, y), _) if x == y => x }
+    val idx = cols.zipWithIndex.toMap
+    val k = cols.size
+    val w = panel * k; val h = panel * k
+    val b = new StringBuilder
+    b ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h" font-family="sans-serif">"""
+    c.panels.foreach { case ((x, y), spec) =>
+      val (ix, iy) = (idx(x), idx(y))
+      val title = if (ix == iy) c.quantiles.get(x).map { case (p16, p50, p84) =>
+        s"$x = ${fmt(p50)} (+${fmt(p84 - p50)} / −${fmt(p50 - p16)})"
+      } else None
+      b ++= body(spec, ix * panel, iy * panel, panel, panel, palette(0), title = title)
+      // percentile annotation lines on the diagonal hists
+      if (ix == iy) c.quantiles.get(x).foreach { case (p16, p50, p84) =>
+        val xs = spec.data.map(r => num(r(fieldOf(spec, "x").getOrElse(x))))
+        val (lo, hi) = extent(xs, 0.02)
+        val sx = Scale(lo, hi, ix * panel + 38.0, ix * panel + panel - 8.0)
+        Seq(p16, p50, p84).foreach { q =>
+          b ++= s"""<line x1="${fmt(sx(q))}" y1="${iy * panel + 22}" x2="${fmt(sx(q))}" y2="${iy * panel + panel - 30}" stroke="#555" stroke-dasharray="4,3"/>"""
+        }
+      }
+    }
+    b ++= "</svg>"
+    b.toString
+  }
+
+  /** One panel's marks + (optionally) axes inside the given rect. */
+  private def body(spec: PlotSpec, x0: Int, y0: Int, w: Int, h: Int,
+                   color: String, axesFrom: Option[PlotSpec] = None,
+                   drawAxes: Boolean = true, dash: String = "",
+                   marker: String = "circle", title: Option[String]): String = {
+    val ml = 38; val mr = 8; val mt = 22; val mb = 30
+    val xf = fieldOf(spec, "x").getOrElse(
+      throw new IllegalArgumentException(s"SvgRender: mark '${spec.mark}' needs an x field"))
+    val yf = fieldOf(spec, "y").getOrElse(xf)
+    val cf = fieldOf(spec, "color")
+    val base = axesFrom.getOrElse(spec)
+    val xs = base.data.map(r => num(r(xf)))
+    val ys = base.data.map(r => num(r(yf)))
+    val pad = if (spec.mark == "point") 0.03 else 0.02
+    val (xlo, xhi) = extent(xs, pad)
+    val (ylo0, yhi) = extent(ys, pad)
+    val ylo = if (spec.mark == "bar") math.min(0.0, ylo0) else ylo0
+    val sx = Scale(xlo, xhi, x0 + ml.toDouble, x0 + w - mr.toDouble)
+    val sy = Scale(ylo, yhi, y0 + h - mb.toDouble, y0 + mt.toDouble)
+    val b = new StringBuilder
+    if (drawAxes) {
+      b ++= s"""<rect x="${x0 + ml}" y="${y0 + mt}" width="${w - ml - mr}" height="${h - mt - mb}" fill="none" stroke="#999"/>"""
+      ticks(xlo, xhi).foreach { t =>
+        b ++= s"""<line x1="${fmt(sx(t))}" y1="${y0 + h - mb}" x2="${fmt(sx(t))}" y2="${y0 + h - mb + 4}" stroke="#999"/>"""
+        b ++= s"""<text x="${fmt(sx(t))}" y="${y0 + h - mb + 15}" font-size="10" text-anchor="middle">${fmt(t)}</text>"""
+      }
+      ticks(ylo, yhi).foreach { t =>
+        b ++= s"""<line x1="${x0 + ml - 4}" y1="${fmt(sy(t))}" x2="${x0 + ml}" y2="${fmt(sy(t))}" stroke="#999"/>"""
+        b ++= s"""<text x="${x0 + ml - 6}" y="${fmt(sy(t) + 3)}" font-size="10" text-anchor="end">${fmt(t)}</text>"""
+      }
+      b ++= s"""<text x="${x0 + (ml + w - mr) / 2}" y="${y0 + h - 4}" font-size="11" text-anchor="middle">${esc(xf)}</text>"""
+    }
+    title.foreach(t =>
+      b ++= s"""<text x="${x0 + w / 2}" y="${y0 + 14}" font-size="12" text-anchor="middle">${esc(t)}</text>""")
+    spec.mark match {
+      case "bar" =>
+        // bin width from the first center spacing (uniform by
+        // construction of Binned.histogram's centers)
+        val centers = spec.data.map(r => num(r(xf))).filterNot(_.isNaN).sorted
+        val bw = if (centers.size >= 2) centers.sliding(2).map(p => p(1) - p(0)).min
+                 else math.max(xhi - xlo, 1.0)
+        spec.data.foreach { r =>
+          val cx = num(r(xf)); val cy = num(r(yf))
+          if (!cx.isNaN && !cy.isNaN) {
+            val px = sx(cx - bw / 2); val pw = sx(cx + bw / 2) - px
+            val py = sy(cy); val ph = sy(ylo) - py
+            b ++= s"""<rect x="${fmt(px)}" y="${fmt(py)}" width="${fmt(pw)}" height="${fmt(math.max(ph, 0.0))}" fill="$color" fill-opacity="0.75"/>"""
+          }
+        }
+      case "point" =>
+        val sizeF = fieldOf(spec, "size")
+        val cs = spec.data.map(r => cf.map(f => num(r(f))).getOrElse(Double.NaN))
+        val (clo, chi) = extent(cs.filterNot(_.isNaN))
+        spec.data.foreach { r =>
+          val px = num(r(xf)); val py = num(r(yf))
+          if (!px.isNaN && !py.isNaN) {
+            val rad = sizeF.map(f => 1.5 + 2.5 * math.sqrt(math.max(num(r(f)), 0.0) /
+              math.max(spec.data.map(q => num(q(f))).filterNot(_.isNaN).max, 1.0))).getOrElse(2.5)
+            val fill = cf.map(f => ramp((num(r(f)) - clo) / math.max(chi - clo, 1e-300)))
+              .getOrElse(color)
+            b ++= glyph(marker, sx(px), sy(py), rad, fill)
+          }
+        }
+      case "rect" =>
+        val cvs = spec.data.map(r => num(r(cf.getOrElse(yf))))
+        val (clo, chi) = extent(cvs.filterNot(_.isNaN))
+        val cxs = spec.data.map(r => num(r(xf))).filterNot(_.isNaN).distinct.sorted
+        val cys = spec.data.map(r => num(r(yf))).filterNot(_.isNaN).distinct.sorted
+        def spacing(cs: Seq[Double], fallback: Double) =
+          if (cs.size >= 2) cs.sliding(2).map(p => p(1) - p(0)).min else fallback
+        val bwx = spacing(cxs, math.max(xhi - xlo, 1.0))
+        val bwy = spacing(cys, math.max(yhi - ylo, 1.0))
+        spec.data.foreach { r =>
+          val px = num(r(xf)); val py = num(r(yf)); val cv = num(r(cf.getOrElse(yf)))
+          if (!px.isNaN && !py.isNaN && !cv.isNaN) {
+            val rx = sx(px - bwx / 2); val rw = sx(px + bwx / 2) - rx
+            val ry = sy(py + bwy / 2); val rh = sy(py - bwy / 2) - ry
+            b ++= s"""<rect x="${fmt(rx)}" y="${fmt(ry)}" width="${fmt(rw)}" height="${fmt(rh)}" fill="${ramp((cv - clo) / math.max(chi - clo, 1e-300))}"/>"""
+          }
+        }
+      case "area" =>
+        // one polyline per `variable` series (violin densities),
+        // style-cycled deterministically by series index
+        val varF = fieldOf(spec, "color").orElse(fieldOf(spec, "detail"))
+        val series = varF match {
+          case Some(f) => spec.data.groupBy(r => String.valueOf(r(f))).toSeq.sortBy(_._1)
+          case None => Seq("" -> spec.data)
+        }
+        series.zipWithIndex.foreach { case ((_, rows), i) =>
+          val pts = rows.map(r => (num(r(xf)), num(r(yf))))
+            .filterNot(p => p._1.isNaN || p._2.isNaN).sortBy(_._1)
+            .map(p => s"${fmt(sx(p._1))},${fmt(sy(p._2))}").mkString(" ")
+          val st = styleFor(i)
+          val dashAttr = if (st.dash.nonEmpty) s""" stroke-dasharray="${st.dash}"""" else ""
+          b ++= s"""<polyline points="$pts" fill="${st.color}" fill-opacity="0.25" stroke="${st.color}"$dashAttr/>"""
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"SvgRender: mark '$other' has no SVG backend (bar/point/rect/area)")
+    }
+    b.toString
+  }
+
+  private def glyph(marker: String, x: Double, y: Double, r: Double, fill: String): String =
+    marker match {
+      case "square" =>
+        s"""<rect x="${fmt(x - r)}" y="${fmt(y - r)}" width="${fmt(2 * r)}" height="${fmt(2 * r)}" fill="$fill" fill-opacity="0.8"/>"""
+      case "triangle" =>
+        s"""<polygon points="${fmt(x)},${fmt(y - r)} ${fmt(x - r)},${fmt(y + r)} ${fmt(x + r)},${fmt(y + r)}" fill="$fill" fill-opacity="0.8"/>"""
+      case "diamond" =>
+        s"""<polygon points="${fmt(x)},${fmt(y - r)} ${fmt(x + r)},${fmt(y)} ${fmt(x)},${fmt(y + r)} ${fmt(x - r)},${fmt(y)}" fill="$fill" fill-opacity="0.8"/>"""
+      case _ =>
+        s"""<circle cx="${fmt(x)}" cy="${fmt(y)}" r="${fmt(r)}" fill="$fill" fill-opacity="0.8"/>"""
+    }
+}
+
+/** Deterministic facet style (the plotter.py:394–408 prop cycle entry
+  * for facet index i — see [[SvgRender.styleFor]]). */
+final case class FacetStyle(color: String, marker: String, dash: String)

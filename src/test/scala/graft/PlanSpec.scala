@@ -88,6 +88,25 @@ class PlanSpec extends SparkSpec {
       s"LSH candidate join degenerated:\n$plan")
   }
 
+  test("DSArtist viewport predicates reach the parquet scan") {
+    // every zoom/pan re-issues the raster aggregation; the viewport
+    // filter must prune row groups AT THE SCAN, or deep zooms over
+    // 100 TB would re-read the whole corpus per interaction.  Axes
+    // must be the RAW double columns: a numeric-widening cast (long →
+    // double) wraps the attribute and blocks parquet pushdown
+    val li2 = spark.read.parquet(s"$sf/lineitem.parquet")
+    val q = graft.operators.Binned.raster(li2,
+      col("l_quantity"), col("l_extendedprice"),
+      5.0, 40.0, 1000.0, 50000.0, widthPx = 16, heightPx = 16)
+    val plan = planOf(q)
+    // the rendered PushedFilters list truncates; the leading entries
+    // plus the full Filter node prove all four range predicates exist
+    // and reach the scan
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,5.0)") &&
+      plan.contains(">= 1000.0") && plan.contains("<= 50000.0"),
+      s"viewport range not pushed to the scan:\n$plan")
+  }
+
   test("zone search pushes both range predicates into the scan") {
     val q = li.df
       .filter(col("l_quantity") >= 10 && col("l_quantity") <= 20)

@@ -196,4 +196,103 @@ class PlotterSpec extends SparkSpec {
     val perFacet = p.groupby("g")(_.count())
     assert(perFacet.toMap == Map("g=a" -> 2L, "g=b" -> 3L))
   }
+
+  // ── SVG rendering tier ──────────────────────────────────────────
+  // Golden-pinned byte-for-byte on real sf0.001 corpus aggregates:
+  // the renderer is pure string assembly over deterministic data, so
+  // any drift is a real behavior change.  Regen after an INTENTIONAL
+  // change: GOLDEN_REGEN=1 sbt "testOnly graft.PlotterSpec".
+
+  private def pinSvg(name: String, svg: String): Unit = {
+    val dir = new java.io.File("src/test/resources/golden/svg")
+    val f = new java.io.File(dir, s"$name.svg")
+    if (sys.env.contains("GOLDEN_REGEN")) {
+      dir.mkdirs()
+      java.nio.file.Files.write(f.toPath, svg.getBytes("UTF-8")); ()
+    } else {
+      assert(f.exists, s"missing golden $f — run with GOLDEN_REGEN=1")
+      val want = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(svg == want, s"$name.svg drifted from its golden pin")
+    }
+  }
+
+  private lazy val realDocs = EzFrame(
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+
+  test("hist renders to the golden SVG (bars, axes, ticks)") {
+    val svg = Plotter(realDocs).hist("n_chars", bins = 12).toSvg()
+    assert(svg.startsWith("<svg") && svg.endsWith("</svg>"))
+    assert(svg.sliding(5).count(_ == "<rect") >= 13, "12 bars + frame expected")
+    assert(svg.contains("n_chars"))
+    pinSvg("hist_n_chars", svg)
+  }
+
+  test("scatter renders to the golden SVG (point glyphs)") {
+    val svg = Plotter(realDocs).scatter("n_chars", "doc_id", maxPoints = 200).toSvg()
+    assert(svg.sliding(8).count(_ == "<circle ") >= 100, "sampled points expected")
+    pinSvg("scatter_chars_id", svg)
+  }
+
+  test("corner renders the annotated triangle grid to the golden SVG") {
+    val c = Plotter(realDocs).corner(Seq("n_chars", "doc_id"), bins = 8)
+    val svg = c.toSvg()
+    // 2 diagonal hists + 1 lower-triangle hist2d; annotated diagonals
+    assert(svg.contains("+") && svg.contains("stroke-dasharray"),
+      "percentile annotation lines expected")
+    assert(svg.contains("n_chars =") && svg.contains("doc_id ="))
+    pinSvg("corner_chars_id", svg)
+  }
+
+  test("facet overlay cycles styles deterministically and renders a legend") {
+    val f = p.groupby("g").hist("x", bins = 5)
+    assert(f.styles.map(_._2) == Seq(
+      graft.plot.SvgRender.styleFor(0), graft.plot.SvgRender.styleFor(1)))
+    assert(f.styles.map(_._2.color) == Seq("#1f77b4", "#ff7f0e"))
+    val svg = f.toSvg()
+    assert(svg.contains("g=a") && svg.contains("g=b"), "legend labels expected")
+    assert(svg.contains("#1f77b4") && svg.contains("#ff7f0e"), "cycled colors expected")
+    // the 11th facet wraps the palette; marker and dash cycle at 4/3
+    val s10 = graft.plot.SvgRender.styleFor(10)
+    assert(s10.color == "#1f77b4" && s10.marker == "triangle" && s10.dash == "6,3")
+  }
+
+  test("DSArtist session re-aggregates per interaction; zoom/pan/reset transform the viewport") {
+    val df2 = spark.range(1000).selectExpr(
+      "cast(id % 100 as double) as px", "cast(id div 100 as double) as py")
+    val sess = graft.plot.DSArtist(Plotter(EzFrame(df2)), "px", "py",
+      widthPx = 10, heightPx = 10)
+    val (hx0, hx1, hy0, hy1) = sess.viewport
+    assert(hx0 == 0.0 && hx1 == 99.0 && hy0 == 0.0 && hy1 == 9.0)
+    // frame() = one cluster aggregation bounded by the pixel grid
+    val full = sess.frame()
+    assert(full.mark == "rect" && full.data.length <= 100)
+    assert(full.data.map(_("value").asInstanceOf[Long]).sum == 1000L)
+    // zoom in 2x about the center: quarter the area, count shrinks
+    val z = sess.zoom(2.0)
+    val (zx0, zx1, zy0, zy1) = z.viewport
+    assert(math.abs((zx1 - zx0) - (hx1 - hx0) / 2) < 1e-9)
+    val zoomed = z.frame()
+    assert(zoomed.data.map(_("value").asInstanceOf[Long]).sum < 1000L)
+    // the zoomed frame IS the raster of the zoomed viewport (re-issue
+    // semantics, datashader.py:183-219)
+    val direct = Plotter(EzFrame(df2)).raster("px", "py", zx0, zx1, zy0, zy1, 10, 10)
+    assert(zoomed.data.toSet == direct.data.toSet)
+    // pan right by half a viewport; reset returns home
+    val p2 = z.pan(0.5, 0.0)
+    assert(math.abs(p2.viewport._1 - (zx0 + (zx1 - zx0) / 2)) < 1e-9)
+    assert(z.reset().viewport == sess.viewport)
+    // immutability: interactions never mutate the session they came from
+    assert(z.viewport == ((zx0, zx1, zy0, zy1)))
+  }
+
+  test("rect heatmap renders ramped cells; unknown marks refuse loudly") {
+    val svg = Plotter(realDocs).hist2d("n_chars", "doc_id", bins = 6).toSvg()
+    assert(svg.sliding(5).count(_ == "<rect") >= 36, "6x6 grid expected")
+    assert(svg.contains("#44015") || svg.contains("#fde7") || svg.contains("fill=\"#"),
+      "sequential ramp fills expected")
+    val err = intercept[IllegalArgumentException](
+      graft.plot.PlotSpec("boxplot", Seq(Map[String, Any]("x" -> 1.0)),
+        Map("x" -> Map("field" -> "x", "type" -> "quantitative"))).toSvg())
+    assert(err.getMessage.contains("no SVG backend"))
+  }
 }
