@@ -286,9 +286,12 @@ object SparkEntry {
     }),
 
     // M6 SimHash fingerprints (rows-only)
+    // M6 SimHash fingerprints — PORTABLE 60-bit md5 variant so the
+    // fingerprint VALUES themselves oracle-check (the 64-bit xxhash
+    // kernel stays the library default)
     "q27_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
-      Dedup.simhash(d, col("text"), col("doc_id"))
+      Dedup.simhash(d, col("text"), col("doc_id"), portableHash = true)
     }),
 
     // M6 LSH-bucketed ANN, the 100 TB scale path (rows-only)
@@ -719,9 +722,13 @@ object SparkEntry {
     // connected components -> keep min-id winner per cluster.  Rows-only
     // (MinHash needs xxhash64); snapshot-pinned at sf0.01.  Text column
     // dropped from the output so the fixture stays small.
+    // flagship: PORTABLE candidate banding so the whole pipeline —
+    // candidates → exact-jaccard verify → connected components →
+    // min-id winners — mirrors in one recursive-CTE DuckDB oracle
     "q70_neardup_corpus" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
-      Dedup.nearDedupCorpus(d, col("text"), col("doc_id"), minJaccard = 0.5)
+      Dedup.nearDedupCorpus(d, col("text"), col("doc_id"), minJaccard = 0.5,
+          portableHash = true)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
@@ -1061,6 +1068,49 @@ object SparkEntry {
         |FROM pairs p JOIN lanes la ON la.doc_id = p.id_a
         |JOIN lanes lb ON lb.doc_id = p.id_b AND lb.lane = la.lane
         |GROUP BY p.id_a, p.id_b""".stripMargin.replace("\n", " "),
+
+    // Portable-simhash fingerprint values (the q67 construction's fp
+    // stage, surfaced directly)
+    "q27_simhash" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id, tok FROM
+        |(SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm)
+        |WHERE length(tok) > 0),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+        |votes AS (SELECT doc_id, b,
+        |sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |FROM th, (SELECT unnest(range(0, 60)) AS b) GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin.replace("\n", " "),
+
+    // The flagship end-to-end near-dedup, mirrored whole: portable
+    // banding -> exact jaccard >= 0.5 -> recursive-CTE reachability
+    // (the q77 oracle pattern) -> keep docs that are their component's
+    // minimum.  WITH RECURSIVE heads the shared CTE prefix.
+    "q70_neardup_corpus" ->
+      s"""${mhLanesCtes.replaceFirst("WITH norm", "WITH RECURSIVE norm")}
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        |sets AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+        |inter AS (SELECT c.id_a, c.id_b, count(*) AS ni FROM cand c
+        |JOIN sets sa ON sa.doc_id = c.id_a
+        |JOIN sets sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+        |GROUP BY c.id_a, c.id_b),
+        |ver AS MATERIALIZED (SELECT c.id_a, c.id_b FROM cand c
+        |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        |JOIN sz za ON za.doc_id = c.id_a
+        |JOIN sz zb ON zb.doc_id = c.id_b
+        |WHERE round(COALESCE(i.ni, 0) / greatest(za.n + zb.n - COALESCE(i.ni, 0), 1), 6) >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM ver
+        |UNION SELECT id_b, id_a FROM ver),
+        |r AS (SELECT src AS node, src AS reach FROM e
+        |UNION SELECT r.node, e.dst FROM r JOIN e ON r.reach = e.src),
+        |losers AS (SELECT node FROM r GROUP BY node HAVING min(reach) < node)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT node FROM losers)""".stripMargin.replace("\n", " "),
 
     // q26's pairs pruned at est >= 0.5, then EXACT distinct-shingle-set
     // jaccard (the hash never reaches the verify arithmetic)

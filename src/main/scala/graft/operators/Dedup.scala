@@ -282,8 +282,10 @@ object Dedup {
     * that shuffle IS the fingerprinting cost.  Output is bit-for-bit
     * identical (spec-pinned); docs whose normalized text has no token
     * yield no row, exactly as the groupBy formulation. */
-  def simhash(df: DataFrame, text: Column, id: Column): DataFrame =
-    df.select(id.as("doc_id"),
+  def simhash(df: DataFrame, text: Column, id: Column,
+              portableHash: Boolean = false): DataFrame =
+    if (portableHash) portableSimhash(df, text, id)
+    else df.select(id.as("doc_id"),
         graft.functions.SimHash.simhash64(TextAnalysis.normalize(text)).as("simhash"))
       .filter(col("simhash").isNotNull)
 
@@ -988,14 +990,24 @@ object Dedup {
                       shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
                       minJaccard: Double = 0.8, keepBy: Seq[Column] = Nil,
                       reliableDir: Option[String] = None,
-                      driverPairLimit: Int = 2000000): DataFrame = {
+                      driverPairLimit: Int = 2000000,
+                      portableHash: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // raw collision rows, not minhashLsh: ngramJaccard's input
     // distinct dedups pairs anyway, so minhashLsh's own distinct
     // exchange (and its signature-agreement kernel) would be pure
     // overhead here — est_jaccard is never consulted, exact Jaccard
-    // decides
-    val cand = mhCollisionPairs(df, text, id, shingleSize, bands, rowsPerBand)
+    // decides.  portableHash swaps in the md5-permutation banding so
+    // a SQL oracle can mirror candidate generation (est still never
+    // consulted — the exact-jaccard verify and everything after it is
+    // hash-free either way).
+    val cand =
+      if (portableHash) {
+        val banded = portableBanded(df, text, id, shingleSize, bands, rowsPerBand)
+        banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      } else mhCollisionPairs(df, text, id, shingleSize, bands, rowsPerBand)
     val verified = ngramJaccard(cand, df, id, text, n = shingleSize)
       .filter(col("jaccard") >= minJaccard)
     val pairIdTypes = verified.select(col("id_a"), col("id_b"))
