@@ -114,6 +114,44 @@ object WindowHash {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(WindowHashPairsExpr(GraftBridge.expression(text), width))
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The PORTABLE base hash of every width-window in one pass: the
+    * first 4 md5 bytes of the window as an unsigned 32-bit value —
+    * bit-identical to `conv(substr(md5(substr(text, p, w)), 1, 8), 16,
+    * 10)` (and to `('0x' || substr(md5(s), 1, 8))::BIGINT` in SQL),
+    * without the O(pos) UTF8String substr scan, the hex-string
+    * round-trip, or the per-call digest allocation that made the
+    * expression-composed form the dominant cost of the portable
+    * minhash queries.  md5 itself is the irreducible portable price —
+    * only its packaging is fused away. */
+  def md5WindowHashes(s: UTF8String, width: Int): ArrayData = {
+    val bytes = s.getBytes
+    val m = bytes.length - width + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val md = md5Local.get()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(bytes, i, width)
+      val d = md.digest()
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column surface: array of md5-derived 32-bit window base hashes. */
+  def md5WindowHashes(text: Column, width: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(Md5WindowHashesExpr(GraftBridge.expression(text), width))
+  }
 }
 
 /** All width-`width` rolling window hashes of an ASCII string column,
@@ -131,6 +169,26 @@ case class WindowHashesExpr(child: Expression, width: Int, base: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.WindowHash.windowHashes($s, $width, ${base}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All md5-derived 32-bit window base hashes of an ASCII string
+  * column, as `array<long>` — the portable-minhash shingle feed. */
+case class Md5WindowHashesExpr(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width >= 1, s"md5_window_hashes needs width >= 1, got $width")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_window_hashes"
+
+  override def nullSafeEval(s: Any): Any =
+    WindowHash.md5WindowHashes(s.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.WindowHash.md5WindowHashes($s, $width);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

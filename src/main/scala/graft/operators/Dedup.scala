@@ -104,6 +104,25 @@ object Dedup {
       }: _*)).as("band_key"))
   }
 
+  /** Drop band buckets whose population exceeds `maxBucket` BEFORE the
+    * self-join squares them (0 = unbounded).  A duplicate cluster of
+    * size m collides in nearly every band, so candidate pairs grow
+    * with m² — the round-8 skew rehearsal measured 29× wall time when
+    * every cluster grew 5× (BASELINE.md).  Oversized buckets are
+    * boilerplate-driven; capping them is the standard production
+    * mitigation (after exact dedup, which collapses identical copies
+    * outright).  The population count groups on the SAME band key the
+    * self-join shuffles on, so the filter adds no new exchange shape —
+    * and recall inside surviving buckets is untouched. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) banded
+    else {
+      val small = banded.groupBy(col("band_key"))
+        .agg(count(lit(1)).as("_bn")).filter(col("_bn") <= maxBucket)
+        .select(col("band_key"))
+      banded.join(small, Seq("band_key"), "left_semi")
+    }
+
   /** Raw band-collision pairs — one row per (pair, colliding band),
     * NO distinct and no signature columns: the candidate feed for a
     * consumer that dedups pairs itself (ngramJaccard's input distinct
@@ -112,8 +131,8 @@ object Dedup {
     * kernel. */
   private[graft] def mhCollisionPairs(df: DataFrame, text: Column, id: Column,
                                       shingleSize: Int, bands: Int,
-                                      rowsPerBand: Int): DataFrame = {
-    val banded = mhBanded(df, text, id, shingleSize, bands, rowsPerBand)
+                                      rowsPerBand: Int, maxBucket: Int = 0): DataFrame = {
+    val banded = capBuckets(mhBanded(df, text, id, shingleSize, bands, rowsPerBand), maxBucket)
     banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -152,12 +171,14 @@ object Dedup {
                                           shingleSize: Int, k: Int): DataFrame = {
     require(k <= portablePerms.size, s"portable minhash supports k <= ${portablePerms.size}")
     val normed = df.select(id.as("doc_id"), TextAnalysis.normalize(text).as("norm"))
+    // fused kernel: every window's md5-derived base hash in one byte
+    // pass (bit-identical to conv(substr(md5(substr(...)), 1, 8), 16,
+    // 10) — spec-pinned; the expression-composed form paid an O(pos)
+    // substr scan plus a hex round-trip per window and dominated the
+    // portable queries' wall time)
     val sh = normed.filter(length(col("norm")) >= shingleSize)
-      .select(col("doc_id"), col("norm"),
-        explode(sequence(lit(1), length(col("norm")) - (shingleSize - 1))).as("pos"))
       .select(col("doc_id"),
-        conv(substring(md5(col("norm").substr(col("pos"), lit(shingleSize))
-          .cast(BinaryType)), 1, 8), 16, 10).cast(LongType).as("h"))
+        explode(graft.functions.WindowHash.md5WindowHashes(col("norm"), shingleSize)).as("h"))
     val mins = (0 until k).map { i =>
       val (a, b) = portablePerms(i)
       min((lit(a) * col("h") + lit(b)) % lit(portableP)).as(s"mh$i")
@@ -188,9 +209,10 @@ object Dedup {
 
   def minhashLsh(df: DataFrame, text: Column, id: Column,
                  shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
-                 portableHash: Boolean = false): DataFrame = {
+                 portableHash: Boolean = false, maxBucket: Int = 0): DataFrame = {
     if (portableHash) {
-      val banded = portableBanded(df, text, id, shingleSize, bands, rowsPerBand)
+      val banded = capBuckets(
+        portableBanded(df, text, id, shingleSize, bands, rowsPerBand), maxBucket)
       return banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -198,7 +220,7 @@ object Dedup {
             lit(bands * rowsPerBand), 6).as("est_jaccard"))
         .distinct()
     }
-    val banded = mhBanded(df, text, id, shingleSize, bands, rowsPerBand)
+    val banded = capBuckets(mhBanded(df, text, id, shingleSize, bands, rowsPerBand), maxBucket)
     // true self-join (identical projections on both sides) so the
     // shuffle below the join canonicalizes equal and ReusedExchange
     // computes the whole signature pipeline once, not twice
@@ -991,7 +1013,8 @@ object Dedup {
                       minJaccard: Double = 0.8, keepBy: Seq[Column] = Nil,
                       reliableDir: Option[String] = None,
                       driverPairLimit: Int = 2000000,
-                      portableHash: Boolean = false): DataFrame = {
+                      portableHash: Boolean = false,
+                      maxBucket: Int = 0): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // raw collision rows, not minhashLsh: ngramJaccard's input
     // distinct dedups pairs anyway, so minhashLsh's own distinct
@@ -1003,11 +1026,12 @@ object Dedup {
     // hash-free either way).
     val cand =
       if (portableHash) {
-        val banded = portableBanded(df, text, id, shingleSize, bands, rowsPerBand)
+        val banded = capBuckets(
+          portableBanded(df, text, id, shingleSize, bands, rowsPerBand), maxBucket)
         banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
           .filter(col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      } else mhCollisionPairs(df, text, id, shingleSize, bands, rowsPerBand)
+      } else mhCollisionPairs(df, text, id, shingleSize, bands, rowsPerBand, maxBucket)
     val verified = ngramJaccard(cand, df, id, text, n = shingleSize)
       .filter(col("jaccard") >= minJaccard)
     val pairIdTypes = verified.select(col("id_a"), col("id_b"))

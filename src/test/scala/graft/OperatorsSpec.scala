@@ -562,6 +562,38 @@ class DedupSpec extends SparkSpec {
         s"(fast ${fast.size} vs dist ${dist.size})")
   }
 
+  test("maxBucket caps band buckets before the self-join squares them") {
+    // a boilerplate cluster of 30 near-identical docs (one token
+    // differs) floods its band buckets; two small genuine near-dup
+    // pairs sit in small buckets.  maxBucket below 30 must drop the
+    // flood's candidates while keeping the small-bucket pairs intact.
+    val boiler = (0 until 30).map(i =>
+      (i.toLong, s"the same boilerplate legal disclaimer text repeated verbatim tok$i"))
+    val pair = Seq(
+      (100L, "a unique document about owls and their nesting habits here"),
+      (101L, "a unique document about owls and their nesting patterns here"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLsh(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLsh(docs, col("text"), col("doc_id"), maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)) && capped.contains((100L, 101L)),
+      "small-bucket pairs must survive the cap")
+    val boilerPairs = (p: Set[(Long, Long)]) => p.count { case (a, b) => a < 30 && b < 30 }
+    assert(boilerPairs(uncapped) > 100, s"uncapped flood expected: ${boilerPairs(uncapped)}")
+    assert(boilerPairs(capped) < boilerPairs(uncapped) / 2,
+      s"cap must shed the flooded buckets: ${boilerPairs(capped)} vs ${boilerPairs(uncapped)}")
+    // maxBucket = 0 is the default unbounded behavior
+    val default = Dedup.minhashLsh(docs, col("text"), col("doc_id"), maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(default == uncapped)
+    // the population filter must not introduce a new exchange shape:
+    // count and self-join group on the same band key
+    val plan = Dedup.minhashLsh(docs, col("text"), col("doc_id"), maxBucket = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"cap should be a semi join on band_key:\n$plan")
+  }
+
   test("filterByQuantile keeps the exact p-band (fencepost check)") {
     val df = spark.range(0, 101).toDF("v") // 0..100: p10=10.0, p90=90.0
     val kept = graft.operators.Quantiles.filterByQuantile(df, col("v"), 0.1, 0.9)
@@ -1376,6 +1408,31 @@ class MinHashPropertySpec extends SparkSpec {
         else assert(got(id) == ref(t, 7, base).toList, s"doc $id base $base")
       }
     }
+    // fused md5 base-hash kernel == the expression-composed portable
+    // form (conv(substr(md5(substr(text, p, w)), 1, 8), 16, 10)) it
+    // replaced — the value every portable-minhash oracle mirrors.
+    // ASCII domain only (the operators feed it normalized text): the
+    // expression substr slices CHARS, the kernel slices BYTES
+    val ascii = df.withColumn("text",
+      regexp_replace(col("text"), "[^\\x20-\\x7e]", "x"))
+    val md5Got = ascii.select(col("doc_id"),
+        graft.functions.WindowHash.md5WindowHashes(col("text"), 5).as("hs"))
+      .collect()
+      .flatMap(r => Option(r.getSeq[Long](1)).map(s => r.getLong(0) -> s.toList)).toMap
+    val md5Ref = ascii.filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 4)).as("pos"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("text").substr(col("pos"), lit(5))
+          .cast(org.apache.spark.sql.types.BinaryType)), 1, 8), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    md5Ref.foreach { case (id, hs) =>
+      assert(md5Got(id) == hs, s"md5 kernel mismatch doc $id")
+    }
+    assert(md5Ref.nonEmpty)
+
     // fused pair kernel == the two single-lane kernels, zipped
     val pairs = df.select(col("doc_id"),
         graft.functions.WindowHash.windowHashPairs(col("text"), 7).as("ps"))
