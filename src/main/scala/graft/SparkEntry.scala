@@ -1052,7 +1052,51 @@ object SparkEntry {
       |md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY lane) || '|' || (lane // 4)) AS bk
       |FROM lanes GROUP BY doc_id, lane // 4),""".stripMargin.replace("\n", " ")
 
+  /** Unrolled left-to-right dot of the embedding list `e` against a
+    * literal hyperplane — the exact fold VectorSim.dot runs, term for
+    * term, so every sign bit (and with it every LSH bucket) matches
+    * the Spark plan bit-for-bit.  Double.toString round-trips, so the
+    * SQL literal parses back to the identical IEEE value. */
+  private def dotSql(plane: Seq[Double]): String =
+    plane.zipWithIndex.map { case (w, i) => s"e[${i + 1}]*($w)" }.mkString(" + ")
+
+  /** The packed sign-bit signature of one seeded hyperplane table, as
+    * a SQL expression over `e` (mirrors Similarity.lshSignature). */
+  private def sigSql(planes: Int, dim: Int, seed: Int): String =
+    graft.operators.Similarity.planeVecs(planes, dim, seed).zipWithIndex.map {
+      case (pv, p) => s"(CASE WHEN ${dotSql(pv)} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
+    // Hyperplane-LSH mirrors (q28/q49): the planes are fixed seeded
+    // literals on the Spark side, so the oracle embeds the SAME
+    // doubles and reproduces every bucket exactly — no portable
+    // variant needed, the signature never reaches the output
+    "q28_ann_lsh" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (SELECT vec_id, e, ${sigSql(6, 64, 42)} AS sig FROM v),
+        |scored AS (SELECT a.vec_id AS probe_id, b.vec_id AS corpus_id,
+        |round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+        |FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+        |r AS (SELECT probe_id, corpus_id, cos_sim,
+        |row_number() OVER (PARTITION BY probe_id
+        |ORDER BY cos_sim DESC, corpus_id) AS rank FROM scored)
+        |SELECT probe_id, corpus_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin.replace("\n", " "),
+
+    "q49_embedding_neardup" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |FROM embeddings WHERE embedding IS NOT NULL),
+        |s0 AS (SELECT vec_id, e, ${sigSql(5, 64, 42)} AS sig FROM v),
+        |s1 AS (SELECT vec_id, e, ${sigSql(5, 64, 43)} AS sig FROM v),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+        |FROM s0 a JOIN s0 b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        |UNION SELECT a.vec_id, b.vec_id,
+        |round(list_cosine_similarity(a.e, b.e), 6)
+        |FROM s1 a JOIN s1 b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos_sim FROM p
+        |WHERE cos_sim >= 0.2 AND isfinite(cos_sim)""".stripMargin.replace("\n", " "),
     // Portable-minhash mirror (q26/q40/q86): one 32-bit md5-derived
     // base hash per shingle, k affine permutations mod a >2^32 prime —
     // the same constants Spark uses, so min/banding/equality match

@@ -57,14 +57,22 @@ object Similarity {
     * row pays only `planes` dot products — no per-element hashing in
     * the hot path.  Distinct seeds give independent hash tables for
     * OR-amplification. */
-  def lshSignature(vec: Column, planes: Int, dim: Int, seed: Int = 42): Column = {
+  /** The seeded hyperplane set behind [[lshSignature]] — exposed so a
+    * SQL oracle can embed the SAME plane components as literals and
+    * reproduce every sign bit-for-bit (same doubles, same
+    * left-to-right fold → identical IEEE results). */
+  private[graft] def planeVecs(planes: Int, dim: Int, seed: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
-    val planeVecs = Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  def lshSignature(vec: Column, planes: Int, dim: Int, seed: Int = 42): Column = {
+    val pv = planeVecs(planes, dim, seed)
     val v = asDouble(vec)
     (0 until planes).map { p =>
       // codegen'd dot kernel (VectorSim) — this runs once per plane per
       // corpus row, exactly the place an interpreted HOF would tax
-      val proj = graft.functions.VectorSim.dot(v, typedlit(planeVecs(p)))
+      val proj = graft.functions.VectorSim.dot(v, typedlit(pv(p)))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
