@@ -1068,6 +1068,52 @@ object SparkEntry {
     }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    // Nested-healpix ang2pix mirrored arithmetic step by step
+    // (functions/Healpix.scala ang2pixNestZPhi at order 2, nside 4):
+    // every float op copies Java's exact fold — dec/180.0*pi() is
+    // Math.toRadians' order (NOT DuckDB's radians()), trunc() is
+    // .toLong's toward-zero, and the 2-bit interleave is unrolled.
+    // sin/sqrt agree to the ulp on this integral-degree domain
+    // (verified over all 360x181 inputs at sf0.1).
+    "q32_healpix_agg" ->
+      """WITH base AS (SELECT sin((((l_partkey % 181) - 90)::DOUBLE) / 180.0 * pi()) AS z,
+        |((l_orderkey % 360)::DOUBLE) / 180.0 * pi() AS phi FROM lineitem),
+        |t1 AS (SELECT z, abs(z) AS za,
+        |(CASE WHEN phi % (2.0*pi()) < 0 THEN phi % (2.0*pi()) + 2.0*pi()
+        |ELSE phi % (2.0*pi()) END) / (0.5*pi()) AS tt FROM base),
+        |eq AS (SELECT z, za, tt,
+        |4*(0.5 + tt) AS temp1, 4*(z*0.75) AS temp2 FROM t1),
+        |jj AS (SELECT z, za, tt,
+        |CAST(trunc(temp1 - temp2) AS BIGINT) AS jp,
+        |CAST(trunc(temp1 + temp2) AS BIGINT) AS jm FROM eq),
+        |eqpix AS (SELECT z, za, tt, jp, jm, (jp >> 2) AS ifp, (jm >> 2) AS ifm,
+        |(jm & 3) AS ix, (3 - (jp & 3)) AS iy FROM jj),
+        |eqface AS (SELECT z, za, tt, ix, iy,
+        |CASE WHEN ifp = ifm THEN (ifp & 3) + 4
+        |WHEN ifp < ifm THEN (ifp & 3) ELSE (ifm & 3) + 8 END AS face FROM eqpix),
+        |pol AS (SELECT z, za, tt,
+        |CASE WHEN CAST(trunc(tt) AS BIGINT) >= 4 THEN 3
+        |ELSE CAST(trunc(tt) AS BIGINT) END AS ntt,
+        |4*sqrt(3.0*(1.0 - za)) AS tmp FROM t1),
+        |pj AS (SELECT z, ntt,
+        |least(CAST(trunc((tt - ntt)*tmp) AS BIGINT), 3) AS jp,
+        |least(CAST(trunc((1.0 - (tt - ntt))*tmp) AS BIGINT), 3) AS jm FROM pol),
+        |polpix AS (SELECT CASE WHEN z >= 0 THEN 3 - jm ELSE jp END AS ix,
+        |CASE WHEN z >= 0 THEN 3 - jp ELSE jm END AS iy,
+        |CASE WHEN z >= 0 THEN ntt ELSE ntt + 8 END AS face, z FROM pj),
+        |allpix AS (
+        |SELECT face*16 + ((ix & 1) + 4*((ix >> 1) & 1))
+        |+ 2*((iy & 1) + 4*((iy >> 1) & 1)) AS healpix
+        |FROM eqface WHERE za <= 2.0/3.0
+        |UNION ALL
+        |SELECT face*16 + ((ix & 1) + 4*((ix >> 1) & 1))
+        |+ 2*((iy & 1) + 4*((iy >> 1) & 1)) AS healpix
+        |FROM polpix WHERE NOT (abs(z) <= 2.0/3.0)),
+        |sparse AS (SELECT healpix, count(*) AS value FROM allpix GROUP BY healpix),
+        |grid AS (SELECT unnest(range(0, 192)) AS healpix)
+        |SELECT g.healpix, s.value FROM grid g
+        |LEFT JOIN sparse s ON s.healpix = g.healpix""".stripMargin.replace("\n", " "),
+
     // Hyperplane-LSH mirrors (q28/q49): the planes are fixed seeded
     // literals on the Spark side, so the oracle embeds the SAME
     // doubles and reproduces every bucket exactly — no portable
