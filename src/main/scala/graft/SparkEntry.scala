@@ -1006,6 +1006,17 @@ object SparkEntry {
       operators.Similarity.exactPairs(emb, "doc_id", "emb", threshold = 0.99)
     }),
 
+    // M6 SemDeDup (Abbas et al. 2023): semantic dedup over embeddings —
+    // k-means cells bound the pairwise search, within-cell cosine >=
+    // 0.35 pairs -> connected components -> min-id representative.
+    // Same k/iters geometry as q72, so the oracle reuses its unrolled
+    // two-round Lloyd chain.
+    "q96_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      Dedup.semanticDedup(e, "vec_id", "embedding", k = 8, threshold = 0.35)
+        .select(col("vec_id"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1068,6 +1079,49 @@ object SparkEntry {
     }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    // SemDeDup mirror: q72's unrolled two-round Lloyd chain -> final
+    // centroids (round-2 means, empty cells keep round-1) -> argmin
+    // cells -> within-cell cosine pairs -> recursive-CTE components ->
+    // keep ids that reach nothing smaller
+    "q96_semantic_dedup" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |WHERE embedding IS NOT NULL),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM v
+        |ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,6))::BIGINT, vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, v, cid,
+        |row_number() OVER (PARTITION BY vec_id ORDER BY list_distance(v, cv), cid) AS rn
+        |FROM v CROSS JOIN c0),
+        |s1 AS (SELECT cid, i, avg(x) AS m FROM
+        |(SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i FROM a1 WHERE rn = 1)
+        |GROUP BY cid, i),
+        |c1m AS (SELECT cid, list(m ORDER BY i) AS cv FROM s1 GROUP BY cid),
+        |c1 AS (SELECT cid, cv FROM c1m UNION ALL
+        |SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cid FROM c1m)),
+        |a2 AS (SELECT vec_id, v, cid,
+        |row_number() OVER (PARTITION BY vec_id ORDER BY list_distance(v, cv), cid) AS rn
+        |FROM v CROSS JOIN c1),
+        |s2 AS (SELECT cid, i, avg(x) AS m FROM
+        |(SELECT cid, unnest(v) AS x, unnest(range(len(v))) AS i FROM a2 WHERE rn = 1)
+        |GROUP BY cid, i),
+        |c2m AS (SELECT cid, list(m ORDER BY i) AS cv FROM s2 GROUP BY cid),
+        |c2 AS (SELECT cid, cv FROM c2m UNION ALL
+        |SELECT cid, cv FROM c1 WHERE cid NOT IN (SELECT cid FROM c2m)),
+        |a3 AS (SELECT vec_id, v, cid,
+        |row_number() OVER (PARTITION BY vec_id ORDER BY list_distance(v, cv), cid) AS rn
+        |FROM v CROSS JOIN c2),
+        |cells AS MATERIALIZED (SELECT vec_id, v, cid FROM a3 WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM cells a
+        |JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |WHERE isfinite(round(list_cosine_similarity(a.v, b.v), 6))
+        |AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT src AS node, src AS reach FROM e
+        |UNION SELECT r.node, e.dst FROM r JOIN e ON r.reach = e.src),
+        |losers AS (SELECT node FROM r GROUP BY node HAVING min(reach) < node)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT node FROM losers)""".stripMargin.replace("\n", " "),
+
     // Nested-healpix ang2pix mirrored arithmetic step by step
     // (functions/Healpix.scala ang2pixNestZPhi at order 2, nside 4):
     // every float op copies Java's exact fold — dec/180.0*pi() is

@@ -1034,11 +1034,29 @@ object Dedup {
       } else mhCollisionPairs(df, text, id, shingleSize, bands, rowsPerBand, maxBucket)
     val verified = ngramJaccard(cand, df, id, text, n = shingleSize)
       .filter(col("jaccard") >= minJaccard)
-    val pairIdTypes = verified.select(col("id_a"), col("id_b"))
+    if (keepBy.isEmpty)
+      return keepMinIdWinners(df, id, verified, driverPairLimit, reliableDir)
+    val comps = connectedComponents(df.select(id.as("nid")), "nid", verified,
+      reliableDir = reliableDir)
+    keepComponentWinnersBy(df, id, comps, keepBy)
+  }
+
+  /** Min-id keep over a duplicate-pair graph with the driver-tier
+    * loser anti-join fast path (see [[nearDedupCorpus]]'s scaladoc):
+    * when the pairs fit the driver bound, the rows to DROP are the
+    * union-find endpoints whose root isn't themselves — one broadcast
+    * anti join, no label frame; otherwise the distributed
+    * [[connectedComponents]] + [[keepComponentWinners]] composition
+    * runs.  Shared by [[nearDedupCorpus]] and [[semanticDedup]]. */
+  private[graft] def keepMinIdWinners(df: DataFrame, id: Column, pairs: DataFrame,
+                                      driverPairLimit: Int = 2000000,
+                                      reliableDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairIdTypes = pairs.select(col("id_a"), col("id_b"))
       .schema.fields.map(_.dataType).toSeq
-    if (keepBy.isEmpty && driverPairLimit > 0 &&
+    if (driverPairLimit > 0 &&
         pairIdTypes.distinct.sizeIs == 1 && isDriverOrderable(pairIdTypes.head)) {
-      val p0 = verified.select(col("id_a"), col("id_b"))
+      val p0 = pairs.select(col("id_a"), col("id_b"))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       collectPairsIfSmall(p0, driverPairLimit) match {
         case Some(rows) =>
@@ -1061,10 +1079,55 @@ object Dedup {
           finally p0.unpersist(blocking = false)
       }
     }
-    val comps = connectedComponents(df.select(id.as("nid")), "nid", verified,
+    val comps = connectedComponents(df.select(id.as("nid")), "nid", pairs,
       reliableDir = reliableDir)
-    if (keepBy.isEmpty) keepComponentWinners(df, id, comps)
-    else keepComponentWinnersBy(df, id, comps, keepBy)
+    keepComponentWinners(df, id, comps)
+  }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * semantic near-duplicate removal over an EMBEDDING column — the
+    * modality where MinHash/SimHash see nothing (paraphrases,
+    * translations, re-renders).  The paper's core trick bounds the
+    * quadratic pair search with k-means cells: only INTRA-CLUSTER
+    * pairs are ever cosine-scored; pairs ≥ `threshold` form the
+    * duplicate graph, connected components make the decision
+    * transitive, and the min-id representative per semantic cluster
+    * survives.
+    *
+    * Scale shape: centroids are the driver-bounded k-means state
+    * ([[Similarity.kmeansFit]]), the cell assignment is a literal
+    * argmin projection (ZERO shuffle at any corpus size — the
+    * ivfAssign shape), the ONLY corpus shuffle is the within-cell
+    * self-join on the cell id (ReusedExchange computes the assignment
+    * pipeline once), whose quadratic expansion is bounded per cell by
+    * choosing k ≈ n / targetCell — the same population discipline as
+    * the LSH buckets.  Clustering then shuffles (id, label) pairs
+    * only, riding [[keepMinIdWinners]]'s driver tier when the pair
+    * graph is small.
+    *
+    * Rows with null vectors carry no similarity evidence and are KEPT
+    * (never silently dropped).
+    *
+    * @return the kept rows of `corpus` (one representative per
+    *         semantic duplicate cluster) */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, threshold: Double, iters: Int = 2,
+                    driverPairLimit: Int = 2000000): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must lie in [-1, 1], got $threshold")
+    val cents = Similarity.kmeansFit(corpus, idCol, vecCol, k, iters)
+      .select(col("centroid_id").as(idCol), col("centroid").as(vecCol))
+    val cells = Similarity.cellAssigned(corpus, cents, idCol, vecCol)
+    val pairs = cells.alias("a").join(cells.alias("b"), col("a.cell") === col("b.cell"))
+      .filter(col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        round(graft.functions.VectorSim.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      // NaN (zero-norm) sorts greater than every double — drop, never
+      // let it pass a >= threshold gate
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    keepMinIdWinners(corpus, col(idCol), pairs, driverPairLimit)
   }
 
   /** The r3 explode + two-groupBy Jaccard (kept as the independent

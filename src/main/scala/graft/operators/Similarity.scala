@@ -712,6 +712,20 @@ object Similarity {
       struct(l2Distance(vec, typedlit(cv)).as("d"), cid.as("cid")) }: _*)),
       1, nprobe)
 
+  /** Cell assignment that keeps the VECTOR alongside (vid, cell) — the
+    * within-cell pairing feed of [[graft.operators.Dedup.semanticDedup]]
+    * (a join back against [[ivfAssign]] would rescan and reshuffle the
+    * corpus just to recover the vectors).  Same argmin semantics. */
+  private[graft] def cellAssigned(corpus: DataFrame, centroids: DataFrame,
+                                  idCol: String, vecCol: String): DataFrame = {
+    val cents = centroids.select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cv"))
+    val lits = collectCentroidLits(cents, "semanticDedup")
+    corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("vid"), col("v"),
+        nearestCell(col("v"), lits).getField("cid").as("cell"))
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `centroids` (small, driver-collected into the literal argmin),
     * so queries probe only matching cells.  Centroid set is provided

@@ -562,6 +562,43 @@ class DedupSpec extends SparkSpec {
         s"(fast ${fast.size} vs dist ${dist.size})")
   }
 
+  test("semanticDedup keeps one representative per embedding cluster; null vectors survive") {
+    // 3 tight semantic clusters of 4 members (per-member jitter small
+    // enough that intra-cluster cosine stays >= 0.999 along the jitter
+    // chain, inter-cluster far below) + 2 far-apart singletons + a
+    // null-vector row.  k = 1 makes the decision semantics exact (one
+    // cell scores all pairs); the cell-BOUNDING path is gated by the
+    // q96 oracle, which mirrors whatever the cells decide.
+    def vec(base: Array[Double], eps: Double): Seq[Double] =
+      base.zipWithIndex.map { case (v, i) => v + eps * (i % 3) }.toSeq
+    val b1 = Array(10.0, 0.0, 0.0, 1.0); val b2 = Array(0.0, 10.0, 0.0, 1.0)
+    val b3 = Array(0.0, 0.0, 10.0, 1.0)
+    val rows: Seq[(Long, Seq[Double])] =
+      (0 until 4).map(i => (i.toLong, vec(b1, i * 0.1))) ++
+      (0 until 4).map(i => (10L + i, vec(b2, i * 0.1))) ++
+      (0 until 4).map(i => (20L + i, vec(b3, i * 0.1))) ++
+      Seq((30L, Seq(5.0, -5.0, 5.0, -5.0)), (31L, Seq(-5.0, 5.0, -5.0, 5.0)))
+    val df = rows.toDF("vec_id", "embedding")
+      .unionByName(Seq((40L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding"))
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding", k = 1, threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // min id per cluster survives (the jitter chain connects each
+    // cluster transitively even where its extremes fall under the
+    // threshold); singletons and the null row survive
+    assert(kept == Set(0L, 10L, 20L, 30L, 31L, 40L), s"got $kept")
+    // threshold gates the decision: jittered members round below 1.0,
+    // so a 1.0 threshold pairs nothing and everything survives
+    val all = Dedup.semanticDedup(df, "vec_id", "embedding", k = 1, threshold = 1.0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(all == rows.map(_._1).toSet + 40L)
+    // cells bound the search without changing tight-cluster decisions
+    // here: with k = 4 each tight cluster still collapses to one rep
+    val k4 = Dedup.semanticDedup(df, "vec_id", "embedding", k = 4, threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(k4.intersect(Set(0L, 1L, 2L, 3L)).nonEmpty &&
+      k4.size >= 6 && k4.size <= rows.size + 1, s"k=4 kept $k4")
+  }
+
   test("maxBucket caps band buckets before the self-join squares them") {
     // a boilerplate cluster of 30 near-identical docs (one token
     // differs) floods its band buckets; two small genuine near-dup
