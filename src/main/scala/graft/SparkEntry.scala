@@ -1006,6 +1006,15 @@ object SparkEntry {
       operators.Similarity.exactPairs(emb, "doc_id", "emb", threshold = 0.99)
     }),
 
+    // M6 DSIR importance scores (Xie et al. 2023): how much each doc
+    // resembles the English-subset target in hashed unigram+bigram
+    // space — the domain-selection tier between dedup and tokenization
+    "q97_dsir_scores" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      graft.operators.Dsir.scores(d, col("doc_id"), col("text"),
+        d.filter(col("lang") === "en"), col("text"), buckets = 512)
+    }),
+
     // M6 SemDeDup (Abbas et al. 2023): semantic dedup over embeddings —
     // k-means cells bound the pairwise search, within-cell cosine >=
     // 0.35 pairs -> connected components -> min-id representative.
@@ -1079,6 +1088,37 @@ object SparkEntry {
     }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    // DSIR mirror: hashed unigram+bigram buckets (md5 32-bit prefix
+    // mod 512), add-one-smoothed target (lang='en') and raw bucket
+    // distributions, per-doc sum of c * (ln p - ln q)
+    "q97_dsir_scores" ->
+      """WITH norm AS (SELECT doc_id, lang, trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM documents),
+        |toks AS (SELECT doc_id, lang,
+        |list_filter(string_split(t, ' '), x -> length(x) > 0) AS ts FROM norm),
+        |live AS (SELECT doc_id, lang, ts FROM toks WHERE len(ts) > 0),
+        |grams AS (SELECT doc_id, lang, unnest(list_concat(ts,
+        |CASE WHEN len(ts) > 1 THEN [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]
+        |ELSE [] END)) AS g FROM live),
+        |b AS (SELECT doc_id, lang,
+        |(('0x' || substr(md5(g), 1, 8))::BIGINT % 512) AS bucket FROM grams),
+        |cf AS MATERIALIZED (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY doc_id, bucket),
+        |tf AS (SELECT bucket, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bucket),
+        |grid AS (SELECT unnest(range(0, 512)) AS bucket),
+        |p AS (SELECT g.bucket,
+        |ln((COALESCE(tf.c, 0) + 1.0) / ((SELECT sum(c) FROM tf) + 512.0)) AS lp
+        |FROM grid g LEFT JOIN tf ON tf.bucket = g.bucket),
+        |qb AS (SELECT bucket, sum(c) AS n FROM cf GROUP BY bucket),
+        |q AS (SELECT g.bucket,
+        |ln((COALESCE(qb.n, 0) + 1.0) / ((SELECT sum(n) FROM qb) + 512.0)) AS lq
+        |FROM grid g LEFT JOIN qb ON qb.bucket = g.bucket),
+        |scored AS (SELECT cf.doc_id,
+        |round(sum(cf.c * (p.lp - q.lq)), 6) AS logw FROM cf
+        |JOIN p ON p.bucket = cf.bucket JOIN q ON q.bucket = cf.bucket
+        |GROUP BY cf.doc_id)
+        |SELECT d.doc_id, COALESCE(s.logw, 0.0) AS logw
+        |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id""".stripMargin.replace("\n", " "),
+
     // SemDeDup mirror: q72's unrolled two-round Lloyd chain -> final
     // centroids (round-2 means, empty cells keep round-1) -> argmin
     // cells -> within-cell cosine pairs -> recursive-CTE components ->

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): choose pretraining documents that LOOK LIKE a
+  * target domain by importance weighting in a hashed n-gram feature
+  * space.  Fit a bucketed unigram+bigram distribution over the target
+  * corpus (p) and the raw corpus (q); a document with bucket counts
+  * c_b gets importance log-weight Σ_b c_b·(ln p_b − ln q_b); keep the
+  * resampled top slice.  This is the quality/domain-selection tier a
+  * 100 TB pipeline runs between dedup and tokenization.
+  *
+  * Scale shape: features are a scan-stage explode (tokens + adjacent
+  * bigrams — no shuffle until the bucket aggregate); both bucket
+  * distributions are ONE map-side-combined aggregate bounded by
+  * `buckets` rows (driver-free — they rejoin as broadcast frames, the
+  * kmeansFit-centroid size class); scoring is one broadcast join +
+  * per-doc sum; resampling is a deterministic Gumbel top-k
+  * ([[graft.plans.TopK]] bounds rows below the shuffle).  Nothing
+  * anywhere is proportional to the corpus on the driver.
+  *
+  * Portability: buckets come from the md5-derived 32-bit token hash
+  * (the [[graft.functions.WindowHash.md5WindowHashes]] convention —
+  * `('0x' || substr(md5(tok), 1, 8))::BIGINT % buckets` in SQL), and
+  * the Gumbel uniform is md5-derived too, so the whole pipeline
+  * mirrors in a SQL oracle with no RNG anywhere. */
+object Dsir {
+
+  /** Hashed unigram+bigram bucket counts per document:
+    * (doc_id, bucket, c).  Documents whose normalized text has no
+    * token produce no rows. */
+  def hashedNgramCounts(df: DataFrame, id: Column, text: Column,
+                        buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val toks = df.select(id.as("doc_id"),
+        split(TextAnalysis.normalize(text), " ").as("ts"))
+      .select(col("doc_id"), filter(col("ts"), t => length(t) > 0).as("ts"))
+      .filter(size(col("ts")) > 0)
+    // unigrams ++ adjacent bigrams ("a b"), hashed to buckets with the
+    // portable md5 32-bit prefix
+    val grams = toks.select(col("doc_id"),
+      explode(concat(col("ts"),
+        when(size(col("ts")) > 1,
+          zip_with(slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array()))).as("g"))
+    grams
+      .select(col("doc_id"),
+        (conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10).cast(LongType)
+          % buckets).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Add-one-smoothed bucket distribution of a corpus:
+    * (bucket, ln_p) for ALL `buckets` ids — ln((cnt_b + 1) /
+    * (total + buckets)); buckets unseen in the corpus carry the
+    * smoothing floor, so every lookup is defined. */
+  def bucketLogDist(features: DataFrame, buckets: Int): DataFrame = {
+    val spark = features.sparkSession
+    val counts = features.groupBy(col("bucket")).agg(sum(col("c")).as("n"))
+    val grid = spark.range(buckets).select(col("id").as("bucket"))
+    grid.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("total", sum(col("n")).over())
+      .select(col("bucket"),
+        log((col("n") + lit(1.0)) / (col("total") + lit(buckets.toDouble))).as("ln_p"))
+  }
+
+  /** Importance log-weight per corpus document against a target
+    * corpus: Σ_b c_b·(ln p_b − ln q_b), rounded to 6 decimals.
+    * Documents with no token score 0 (no evidence either way).
+    *
+    * @return (doc_id, logw) */
+  def scores(corpus: DataFrame, id: Column, text: Column,
+             target: DataFrame, targetText: Column,
+             buckets: Int = 4096): DataFrame = {
+    val cf = hashedNgramCounts(corpus, id, text, buckets)
+    val p = bucketLogDist(
+      hashedNgramCounts(target, monotonically_increasing_id(), targetText, buckets), buckets)
+      .withColumnRenamed("ln_p", "lp")
+    val q = bucketLogDist(cf, buckets).withColumnRenamed("ln_p", "lq")
+    val ratios = p.join(q, Seq("bucket"))
+    val scored = cf.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("c") * (col("lp") - col("lq"))), 6).as("logw"))
+    corpus.select(id.as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
+
+  /** Gumbel-top-k importance resampling (the paper's sampler, made
+    * deterministic): key = logw + Gumbel(md5-uniform of the id), keep
+    * the `keep` largest keys.  Sampling WITH the noise (rather than a
+    * plain top-k on logw) preserves diversity — low-weight docs still
+    * win occasionally, with probability ∝ exp(logw).  No RNG: the
+    * uniform is the id's md5 32-bit prefix scaled into (0, 1).
+    *
+    * @return the kept corpus rows */
+  def resample(corpus: DataFrame, id: Column, text: Column,
+               target: DataFrame, targetText: Column,
+               keep: Int, buckets: Int = 4096): DataFrame = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val s = scores(corpus, id, text, target, targetText, buckets)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast(DoubleType) + lit(0.5)) / lit(4294967296.0)
+    val keyed = s.withColumn("gumbel_key",
+      col("logw") - log(-log(u)))
+    val top = graft.plans.TopK.perKeyOrdered(
+      keyed.withColumn("_all", lit(1)), Seq("_all"),
+      Seq("gumbel_key" -> true, "doc_id" -> false), keep)
+      .select(col("doc_id").as("keep_id"))
+    corpus.join(broadcast(top), id === col("keep_id"), "left_semi")
+  }
+}

@@ -562,6 +562,59 @@ class DedupSpec extends SparkSpec {
         s"(fast ${fast.size} vs dist ${dist.size})")
   }
 
+  test("DSIR scores favor target-like docs; Scala-reference parity; deterministic resample") {
+    // target domain: cooking text; background noise: legal text.
+    // corpus has 3 cooking docs, 3 legal docs, one empty doc
+    val cook = Seq("simmer the onion stock slowly", "slice onion into the stock",
+      "stock simmer slice season taste")
+    val legal = Seq("the party of the first part", "liability clause herein agreed",
+      "indemnify the aforementioned party")
+    val corpus = (cook ++ legal).zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (99L, "")
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val targetDf = cook.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+    val got = graft.operators.Dsir.scores(corpusDf, col("doc_id"), col("text"),
+        targetDf, col("text"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(99L) == 0.0, "token-less doc carries no evidence")
+    val cookAvg = (0 to 2).map(i => got(i.toLong)).sum / 3
+    val legalAvg = (3 to 5).map(i => got(i.toLong)).sum / 3
+    assert(cookAvg > legalAvg + 1.0,
+      s"target-like docs must score higher: cook $cookAvg vs legal $legalAvg")
+    // Scala reference of the whole scoring pipeline (same md5 bucket,
+    // same smoothing, same fold at 6 decimals)
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+    def grams(t: String): Seq[String] = {
+      val ts = toks(t); ts ++ ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    def bucket(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    def dist(texts: Seq[String]): Map[Long, Double] = {
+      val cnt = texts.flatMap(grams).groupBy(bucket).view.mapValues(_.size.toDouble).toMap
+      val total = cnt.values.sum
+      (0L until 64L).map(b => b -> math.log((cnt.getOrElse(b, 0.0) + 1.0) / (total + 64.0))).toMap
+    }
+    val p = dist(cook); val q = dist(corpus.map(_._2).filter(_.nonEmpty))
+    corpus.filter(_._2.nonEmpty).foreach { case (id, t) =>
+      val want = grams(t).groupBy(bucket).map { case (b, gs) => gs.size * (p(b) - q(b)) }.sum
+      assert(math.abs(got(id) - want) < 1e-5, s"doc $id: got ${got(id)} want $want")
+    }
+    // resample: deterministic, exact size, repeatable
+    val r1 = graft.operators.Dsir.resample(corpusDf, col("doc_id"), col("text"),
+        targetDf, col("text"), keep = 3, buckets = 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r2 = graft.operators.Dsir.resample(corpusDf, col("doc_id"), col("text"),
+        targetDf, col("text"), keep = 3, buckets = 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1 == r2 && r1.size == 3, s"resample must be deterministic: $r1 vs $r2")
+    assert(r1.count(_ < 3L) >= 2, s"importance must favor target-like docs: $r1")
+  }
+
   test("semanticDedup keeps one representative per embedding cluster; null vectors survive") {
     // 3 tight semantic clusters of 4 members (per-member jitter small
     // enough that intra-cluster cosine stays >= 0.999 along the jitter
