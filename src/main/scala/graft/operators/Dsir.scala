@@ -64,9 +64,13 @@ object Dsir {
     val spark = features.sparkSession
     val counts = features.groupBy(col("bucket")).agg(sum(col("c")).as("n"))
     val grid = spark.range(buckets).select(col("id").as("bucket"))
+    // grand total as a broadcast one-row frame (the q83 mix-weights
+    // shape) — an unpartitioned window would serialize the frame
+    // through a single task and trips the global-window audit
+    val total = features.agg(coalesce(sum(col("c")), lit(0L)).cast(DoubleType).as("total"))
     grid.join(counts, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
-      .withColumn("total", sum(col("n")).over())
+      .crossJoin(broadcast(total))
       .select(col("bucket"),
         log((col("n") + lit(1.0)) / (col("total") + lit(buckets.toDouble))).as("ln_p"))
   }
