@@ -922,8 +922,9 @@ object SparkEntry {
 
     // M6 Bloom-sketch contamination prefilter (the zero-join tier
     // before q65's exact containment): benchmark = 80-char prefixes of
-    // docs 3 and 17; threshold-derived suspect cut.  Rows-only
-    // (sketch membership); snapshot-pinned at sf0.01.
+    // docs 3 and 17; threshold-derived suspect cut.  PORTABLE bloom —
+    // md5-permutation lane bits, so the oracle reproduces the sketch
+    // (false positives included) bit-for-bit.
     "q90_bloom_prefilter" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
       val bench = d.filter(col("doc_id").isin(3L, 17L))
@@ -931,7 +932,7 @@ object SparkEntry {
           substring(col("text"), 1, 80).as("btext"))
       graft.operators.Contamination.bloomPrefilter(
         d, col("doc_id"), col("text"), bench, col("btext"),
-        n = 20, threshold = 0.8, fpp = 0.01)
+        n = 20, threshold = 0.8, fpp = 0.01, portableHash = true)
     }),
 
     // M6 composed IVF+PQ search (the billion-scale recipe): coarse
@@ -1088,6 +1089,41 @@ object SparkEntry {
     }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    // Portable-bloom mirror: rebuild the sketch's exact bit positions
+    // (affine-permutation lanes of md5-window hashes, optimal m/k from
+    // the same ceil/floor arithmetic) and count per-doc shingles whose
+    // k lanes are ALL set — false positives reproduce too
+    "q90_bloom_prefilter" ->
+      s"""WITH bnorm AS (SELECT trim(regexp_replace(regexp_replace(lower(substr(text, 1, 80)),
+        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM documents WHERE doc_id IN (3, 17)),
+        |bh AS (SELECT t, ('0x' || substr(md5(substr(t, CAST(p AS INT), 20)), 1, 8))::BIGINT AS h
+        |FROM (SELECT t, unnest(range(1, length(t) - 18)) AS p FROM bnorm WHERE length(t) >= 20)),
+        |bitem AS (SELECT t, count(DISTINCT h) AS nb FROM bh GROUP BY t),
+        |bhd AS (SELECT DISTINCT h FROM bh),
+        |prm AS (SELECT cnt, greatest(64, CAST(ceil(-(cnt * ln(0.01)) / (ln(2)*ln(2))) AS BIGINT)) AS m
+        |FROM (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM bhd)),
+        |prm2 AS (SELECT m, least(32, greatest(1,
+        |CAST(floor((CAST(m AS DOUBLE)/cnt)*ln(2) + 0.5) AS BIGINT))) AS k FROM prm),
+        |bits AS (SELECT DISTINCT ((a*h + b) % 4294967311) % m AS pos
+        |FROM bhd, (VALUES $mhPermValues) perm(lane, a, b), prm2 WHERE lane < k),
+        |cut AS (SELECT greatest(1, CAST(floor(0.8 * min(nb)) AS BIGINT)) AS cut FROM bitem),
+        |dnorm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM documents),
+        |dh AS (SELECT DISTINCT doc_id,
+        |('0x' || substr(md5(substr(t, CAST(p AS INT), 20)), 1, 8))::BIGINT AS h
+        |FROM (SELECT doc_id, t, unnest(range(1, length(t) - 18)) AS p FROM dnorm
+        |WHERE length(t) >= 20)),
+        |dsz AS (SELECT doc_id, count(*) AS n_shingles FROM dh GROUP BY doc_id),
+        |dl AS (SELECT doc_id, h, lane, ((a*h + b) % 4294967311) % m AS pos
+        |FROM dh, (VALUES $mhPermValues) perm(lane, a, b), prm2 WHERE lane < k),
+        |hits AS (SELECT doc_id, h FROM dl JOIN bits ON bits.pos = dl.pos
+        |GROUP BY doc_id, h HAVING count(*) = (SELECT k FROM prm2)),
+        |sus AS (SELECT doc_id, count(*) AS n_suspect FROM hits GROUP BY doc_id)
+        |SELECT z.doc_id, z.n_shingles, COALESCE(s.n_suspect, 0) AS n_suspect,
+        |(SELECT cut FROM cut) AS cut
+        |FROM dsz z LEFT JOIN sus s ON s.doc_id = z.doc_id
+        |WHERE COALESCE(s.n_suspect, 0) >= (SELECT cut FROM cut)""".stripMargin.replace("\n", " "),
+
     // DSIR mirror: hashed unigram+bigram buckets (md5 32-bit prefix
     // mod 512), add-one-smoothed target (lang='en') and raw bucket
     // distributions, per-doc sum of c * (ln p - ln q)

@@ -38,6 +38,66 @@ object BloomGate {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(BloomHitCountExpr(GraftBridge.expression(arr), bf))
   }
+
+  /** PORTABLE bloom: an explicit bitset whose k lane positions come
+    * from the shared affine-permutation family
+    * (((aᵢ·h + bᵢ) mod P) mod m) — same honest bloom semantics
+    * (no false negatives, fpp-bounded false positives) but every bit
+    * is reproducible by any engine with 64-bit integer arithmetic,
+    * unlike Spark's Murmur-based [[BloomFilter]]. */
+  final case class PortableBloom(bits: Array[Long], m: Long, k: Int) {
+    def mightContain(h: Long): Boolean = {
+      var i = 0
+      while (i < k) {
+        val (a, b) = graft.operators.Dedup.portablePerms(i)
+        val pos = ((a * h + b) % graft.operators.Dedup.portableP) % m
+        if ((bits((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  object PortableBloom {
+    /** Optimal-geometry constructor; formulas use only arithmetic a
+      * SQL mirror can repeat verbatim (ceil / floor(x + 0.5)). */
+    def build(hashes: Iterable[Long], nItems: Long, fpp: Double): PortableBloom = {
+      val ln2 = math.log(2.0)
+      val m = math.max(64L,
+        math.ceil(-(nItems.toDouble * math.log(fpp)) / (ln2 * ln2)).toLong)
+      val k = math.min(graft.operators.Dedup.portablePerms.size,
+        math.max(1L, math.floor((m.toDouble / nItems.toDouble) * ln2 + 0.5).toLong)).toInt
+      val bits = new Array[Long](((m + 63) >>> 6).toInt)
+      hashes.foreach { h =>
+        var i = 0
+        while (i < k) {
+          val (a, b) = graft.operators.Dedup.portablePerms(i)
+          val pos = ((a * h + b) % graft.operators.Dedup.portableP) % m
+          bits((pos >>> 6).toInt) |= 1L << (pos & 63)
+          i += 1
+        }
+      }
+      PortableBloom(bits, m, k)
+    }
+  }
+
+  /** Count of array elements the portable filter might contain. */
+  def portableHitCountData(arr: ArrayData, bf: PortableBloom): Long = {
+    val n = arr.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (bf.mightContain(arr.getLong(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Column surface: `portableBloomHitCount(longArrayCol, filter)`. */
+  def portableBloomHitCount(arr: Column, bf: PortableBloom): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(PortableBloomHitCountExpr(GraftBridge.expression(arr), bf))
+  }
 }
 
 /** Count of `array<long>` elements that might be members of the
@@ -56,6 +116,28 @@ case class BloomHitCountExpr(child: Expression, bf: BloomFilter)
       classOf[BloomFilter].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.BloomGate.hitCountData($c, $bfRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of `array<long>` elements that might be members of the
+  * captured [[BloomGate.PortableBloom]]. */
+case class PortableBloomHitCountExpr(child: Expression, bf: BloomGate.PortableBloom)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "portable_bloom_hit_count"
+
+  override def nullSafeEval(a: Any): Any =
+    BloomGate.portableHitCountData(a.asInstanceOf[ArrayData], bf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("portableBloom", bf,
+      classOf[BloomGate.PortableBloom].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BloomGate.portableHitCountData($c, $bfRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

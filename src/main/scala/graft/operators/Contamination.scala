@@ -78,9 +78,12 @@ object Contamination {
   def bloomPrefilter(docs: DataFrame, docId: Column, docText: Column,
                      bench: DataFrame, benchText: Column,
                      n: Int = 5, threshold: Double = 0.8,
-                     fpp: Double = 0.01): DataFrame = {
+                     fpp: Double = 0.01,
+                     portableHash: Boolean = false): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp in (0,1), got $fpp")
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    if (portableHash)
+      return bloomPrefilterPortable(docs, docId, docText, bench, benchText, n, threshold, fpp)
     // the bench shingle pipeline feeds THREE driver-side actions
     // (distinct count for sizing, the filter aggregate, the min item
     // size) — persist it so the suite is normalized and shingled once,
@@ -116,6 +119,51 @@ object Contamination {
       // surface the derived cut (constant per run): a cut that
       // collapsed toward 1 — one short benchmark item — is visible to
       // the caller instead of silently defeating the tier
+      .withColumn("cut", lit(minSuspect))
+  }
+
+  /** Portable twin of [[bloomPrefilter]]: shingle hashes come from the
+    * md5-window kernel and the sketch is
+    * [[graft.functions.BloomGate.PortableBloom]] — every bit position
+    * is plain 64-bit integer arithmetic a SQL oracle repeats verbatim,
+    * so even the FALSE POSITIVES match and the query hash-checks.
+    * Same no-false-negative contract, same fpp-bounded over-keep, same
+    * output schema; the Spark-BloomFilter path stays the production
+    * default (its Murmur bits cost less than md5). */
+  private def bloomPrefilterPortable(docs: DataFrame, docId: Column, docText: Column,
+                                     bench: DataFrame, benchText: Column,
+                                     n: Int, threshold: Double, fpp: Double): DataFrame = {
+    import graft.functions.{BloomGate, WindowHash}
+    val benchSets = bench
+      .select(array_distinct(WindowHash.md5WindowHashes(
+        TextAnalysis.normalize(benchText), n)).as("bhs"))
+      .filter(col("bhs").isNotNull && size(col("bhs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val (bf, minSuspect) =
+      try {
+        // bench suites are driver-bounded by contract (eval sets);
+        // fail fast rather than building an unbounded driver set
+        val hashes = benchSets.select(explode(col("bhs")).as("h")).distinct()
+          .limit(4000001).collect().map(_.getLong(0))
+        require(hashes.length <= 4000000,
+          "bloomPrefilter(portableHash): benchmark suite exceeds 4M distinct " +
+            "shingles — shard the suite or use the Spark-BloomFilter path")
+        val nItems = math.max(1L, hashes.length.toLong)
+        val filt = BloomGate.PortableBloom.build(hashes, nItems, fpp)
+        val minItem = benchSets.agg(min(size(col("bhs")))).collect()(0)
+        val cut =
+          if (minItem.isNullAt(0)) Long.MaxValue
+          else math.max(1L, math.floor(threshold * minItem.getInt(0)).toLong)
+        (filt, cut)
+      } finally { benchSets.unpersist(); () }
+    docs
+      .select(docId.as("doc_id"),
+        array_distinct(WindowHash.md5WindowHashes(
+          TextAnalysis.normalize(docText), n)).as("dhs"))
+      .filter(col("dhs").isNotNull)
+      .select(col("doc_id"), size(col("dhs")).cast(LongType).as("n_shingles"),
+        BloomGate.portableBloomHitCount(col("dhs"), bf).as("n_suspect"))
+      .filter(col("n_suspect") >= minSuspect)
       .withColumn("cut", lit(minSuspect))
   }
 }

@@ -94,6 +94,20 @@ class ChunkingSpec extends SparkSpec {
       .select(col("doc_id")).distinct()
       .collect().map(_.getLong(0)).toSet
     assert(composed == exact)
+
+    // PORTABLE bloom twin: same no-false-negative contract and
+    // fpp-bounded over-keep under md5-permutation lane bits (different
+    // hash family -> different false positives, same true positives)
+    val keptP = Contamination.bloomPrefilter(docs, col("doc_id"), col("text"),
+        bench, col("btext"), n = 20, threshold = 0.8, fpp = 0.01, portableHash = true)
+      .collect()
+    val keptPIds = keptP.map(_.getLong(0)).toSet
+    assert(exact.subsetOf(keptPIds),
+      s"portable bloom lost contaminated docs: ${exact.diff(keptPIds)}")
+    assert(keptPIds.size <= exact.size + 5,
+      s"portable prefilter kept ${keptPIds.size} vs exact ${exact.size}")
+    assert(keptP.map(_.getAs[Long]("cut")).toSet == cuts,
+      "cut derivation must not depend on the hash family")
   }
 }
 
