@@ -223,6 +223,30 @@ object TextAnalysis {
     merges.toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /** ENCODE with a trained merge table — the apply side of
+    * [[bpeTopMerges]], closing the tokenizer train→apply loop: each
+    * normalized word starts as character symbols and the merges apply
+    * in rank order ([[graft.functions.BpeEncode]] kernel, scan-stage,
+    * zero shuffle), so words seen in training segment exactly as their
+    * final training-vocab form (spec-pinned).  `merges` is the
+    * driver-bounded (merge_rank, left, right, …) frame the trainer
+    * returned; `maxMerges` fails fast on an unbounded table rather
+    * than building a giant literal plan.
+    *
+    * @return (doc_id, tokens array&lt;string&gt;, n_tokens) */
+  def bpeEncode(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
+                merges: org.apache.spark.sql.DataFrame,
+                maxMerges: Int = 65536): org.apache.spark.sql.DataFrame = {
+    val rows = merges.select(col("merge_rank"), col("left"), col("right"))
+      .orderBy(col("merge_rank").asc).limit(maxMerges + 1).collect()
+    require(rows.length <= maxMerges,
+      s"bpeEncode: merge table exceeds $maxMerges rows — raise maxMerges deliberately")
+    val table = rows.map(r => (r.getString(1), r.getString(2))).toSeq
+    df.select(id.as("doc_id"),
+        graft.functions.BpeEncode.encode(normalize(text), table).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast(org.apache.spark.sql.types.LongType))
+  }
+
   /** Driver-side merge loop over the collected vocab — semantics
     * identical to [[bpeMergesDistributed]] (same pair counting over
     * adjacent symbols weighted by word count, same (count desc, left

@@ -1206,6 +1206,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bpeTopMerges(tiny, col("text"), rounds = 5).count() == 0L)
   }
 
+  test("bpeEncode: trained words segment as their final training-vocab form") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTopMerges(docs, col("text"), rounds = 8)
+    val table = merges.orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // Scala reference of sequential rank-order application per word
+    def enc(w: String): Seq[String] = {
+      var toks = w.map(_.toString).toVector
+      for ((l, r) <- table) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) { out += (l + r); i += 2 }
+          else { out += toks(i); i += 1 }
+        }
+        toks = out.toVector
+      }
+      toks
+    }
+    val probe = Seq((1L, "low lower newest widest"), (2L, "unseen lowest"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(probe, col("doc_id"), col("text"), merges)
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1).toList, r.getLong(2))).toMap
+    val want1 = Seq("low", "lower", "newest", "widest").flatMap(enc).toList
+    assert(got(1L)._1 == want1 && got(1L)._2 == want1.length.toLong,
+      s"trained words must segment like training: ${got(1L)}")
+    // unseen words still encode (compositional merges apply)
+    val want2 = Seq("unseen", "lowest").flatMap(enc).toList
+    assert(got(2L)._1 == want2, s"unseen words: ${got(2L)._1} vs $want2")
+    // empty text -> zero tokens; zero merges -> plain characters
+    assert(got(3L) == ((Nil, 0L)))
+    val noMerges = TextAnalysis.bpeEncode(probe.filter(col("doc_id") === 1),
+        col("doc_id"), col("text"), merges.limit(0))
+      .collect().head
+    assert(noMerges.getSeq[String](1).length == "lowlowernewestwidest".length)
+    // compression is real: trained encoding is strictly shorter
+    assert(got(1L)._2 < "lowlowernewestwidest".length)
+  }
+
   test("bpeTopMerges: driver loop equals the distributed fallback; deep rounds stay fast") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // driverVocabLimit = 0 forces the per-round-Spark-job fallback; the
