@@ -49,8 +49,8 @@ object BloomGate {
     def mightContain(h: Long): Boolean = {
       var i = 0
       while (i < k) {
-        val (a, b) = graft.operators.Dedup.portablePerms(i)
-        val pos = ((a * h + b) % graft.operators.Dedup.portableP) % m
+        val (a, b) = WindowHash.portablePerms(i)
+        val pos = ((a * h + b) % WindowHash.portableP) % m
         if ((bits((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) return false
         i += 1
       }
@@ -65,14 +65,14 @@ object BloomGate {
       val ln2 = math.log(2.0)
       val m = math.max(64L,
         math.ceil(-(nItems.toDouble * math.log(fpp)) / (ln2 * ln2)).toLong)
-      val k = math.min(graft.operators.Dedup.portablePerms.size,
+      val k = math.min(WindowHash.portablePerms.size,
         math.max(1L, math.floor((m.toDouble / nItems.toDouble) * ln2 + 0.5).toLong)).toInt
       val bits = new Array[Long](((m + 63) >>> 6).toInt)
       hashes.foreach { h =>
         var i = 0
         while (i < k) {
-          val (a, b) = graft.operators.Dedup.portablePerms(i)
-          val pos = ((a * h + b) % graft.operators.Dedup.portableP) % m
+          val (a, b) = WindowHash.portablePerms(i)
+          val pos = ((a * h + b) % WindowHash.portableP) % m
           bits((pos >>> 6).toInt) |= 1L << (pos & 63)
           i += 1
         }

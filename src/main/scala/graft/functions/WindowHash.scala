@@ -45,6 +45,28 @@ object WindowHash {
   /** Odd golden-ratio constant — lane-2 base. */
   val lane2: Long = 0x9E3779B97F4A7C15L
 
+  /** Prime > 2³² closing the portable affine-permutation family
+    * (aᵢ·h + bᵢ) mod P over [[md5WindowHashes]]-style 32-bit base
+    * hashes: aᵢ < 2³⁰ keeps every product < 2⁶², inside checked
+    * 64-bit arithmetic on ANY engine.  Constants derived once from
+    * md5("a&lt;i&gt;")/md5("b&lt;i&gt;"); SparkEntry interpolates this
+    * SAME table into the oracle SQL, and the portable minhash
+    * ([[graft.operators.Dedup.portableMinhashLanes]]) and portable
+    * bloom ([[BloomGate.PortableBloom]]) both consume it. */
+  val portableP: Long = 4294967311L
+  val portablePerms: IndexedSeq[(Long, Long)] = Vector(
+    (373311599L, 944895323L), (176928720L, 767210581L), (691707871L, 1006346980L),
+    (492862057L, 980358411L), (156203053L, 1040078385L), (852485826L, 579023709L),
+    (927847696L, 310989682L), (110253606L, 410029771L), (683942788L, 903451652L),
+    (1025415122L, 936150354L), (143138164L, 589606286L), (288620850L, 340073898L),
+    (757115229L, 721240334L), (291586649L, 411226204L), (560535623L, 855913338L),
+    (478807605L, 24291534L), (397561450L, 552200276L), (580969426L, 675736485L),
+    (343776099L, 331196159L), (1035043779L, 429909077L), (352798821L, 1048321081L),
+    (556200807L, 713426011L), (609809345L, 629967628L), (614988953L, 556791554L),
+    (607944512L, 631419490L), (944796540L, 873333012L), (1005733489L, 558570141L),
+    (128849211L, 358830271L), (59766970L, 366112762L), (705264783L, 936176456L),
+    (753229967L, 797832165L), (567159616L, 769510940L))
+
   /** All width-window rolling hashes of `s` (empty array when
     * `s.numBytes < width`). */
   def windowHashes(s: UTF8String, width: Int, base: Long): ArrayData = {

@@ -88,6 +88,32 @@ class PlanSpec extends SparkSpec {
       s"LSH candidate join degenerated:\n$plan")
   }
 
+  test("semanticDedup: cell assignment is a pure projection; one corpus shuffle") {
+    // the only corpus exchange is the within-cell self-join on the
+    // cell id — the k-means argmin itself must never shuffle, and the
+    // self-join's two sides must reuse one exchange
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.operators.Similarity.kmeansFit(e, "vec_id", "embedding", k = 4, iters = 1)
+      .select(col("centroid_id").as("vec_id"), col("centroid").as("embedding"))
+    val cells = graft.operators.Similarity.cellAssigned(e, cents, "vec_id", "embedding")
+    val assignPlan = planOf(cells)
+    assert(!assignPlan.contains("Exchange"),
+      s"cell assignment must be a pure projection:\n$assignPlan")
+    val pairs = cells.alias("a").join(cells.alias("b"), col("a.cell") === col("b.cell"))
+      .filter(col("a.vid") < col("b.vid"))
+    val joinPlan = planOf(pairs)
+    // small corpus: broadcast one side (zero shuffles); large corpus:
+    // a shuffled self-join whose exchange canonicalizes and reuses —
+    // either way never a cartesian and never more than one cell
+    // exchange per side
+    assert(!joinPlan.contains("CartesianProduct") &&
+      !joinPlan.contains("BroadcastNestedLoopJoin"),
+      s"cell self-join degenerated:\n$joinPlan")
+    assert(joinPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2 &&
+      (joinPlan.contains("ReusedExchange") || joinPlan.contains("BroadcastHashJoin")),
+      s"self-join must broadcast or reuse one cell exchange:\n$joinPlan")
+  }
+
   test("DSArtist viewport predicates reach the parquet scan") {
     // every zoom/pan re-issues the raster aggregation; the viewport
     // filter must prune row groups AT THE SCAN, or deep zooms over
