@@ -624,8 +624,10 @@ object Dedup {
     * the span hash at all — the previous formulation's window-function
     * pass sorted EVERY (h, doc, positions) row by the span hash,
     * paying a corpus-wide sort (and the boilerplate key's skew) to
-    * compute evidence that is tiny (r7 bench: 6.1 s → this shape
-    * ~1 s).  A corpus whose repeated-span evidence outgrows the
+    * compute evidence that is tiny (r7 bench: 6.1 s → this shape plus
+    * the rolling-hash kernel ≈ 2.4–3.1 s at sf0.1; the remaining cost
+    * is the evidence aggregate over ~1M mostly-unique hashes, not the
+    * hashing).  A corpus whose repeated-span evidence outgrows the
     * broadcast threshold degrades to a shuffled join WITH AQE skew
     * splitting — still strictly less data motion than the former
     * corpus-wide window sort.  The window pipeline is computed twice
