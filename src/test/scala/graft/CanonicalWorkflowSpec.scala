@@ -94,4 +94,60 @@ class CanonicalWorkflowSpec extends SparkSpec {
     assert(vocab.length == 10)
     assert(vocab.map(_.getLong(1)).toSeq == vocab.map(_.getLong(1)).sortBy(-_).toSeq)
   }
+
+  test("modern pretraining slice: near-dedup -> semantic dedup -> DSIR select -> BPE tokenize") {
+    // the round-8 surface composed end to end on real sf0.001 data:
+    // text-level near-dedup, then embedding-level SemDeDup over the
+    // survivors' vectors, then DSIR selection toward the English
+    // subset, then train-and-apply BPE on what remains — the
+    // 2024-era pipeline tiers in execution order, every stage the
+    // operator a 100 TB run would use
+    import graft.operators.{Dedup, Dsir, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    val textDeduped = Dedup.nearDedupCorpus(docs, col("text"), col("doc_id"),
+      minJaccard = 0.5)
+    val n1 = textDeduped.count()
+    assert(n1 > 0 && n1 < docs.count(), "text near-dedup must drop something here")
+
+    // embeddings are keyed by vec_id = doc_id in the fixtures; only
+    // survivors' vectors enter the semantic tier
+    val survEmb = emb.join(textDeduped.select(col("doc_id").as("kid")),
+      col("vec_id") === col("kid"), "left_semi")
+    val semKept = Dedup.semanticDedup(survEmb, "vec_id", "embedding",
+      k = 8, threshold = 0.35)
+    val n2 = semKept.count()
+    assert(n2 > 0 && n2 < n1, "semantic tier must find duplicates text hashing cannot")
+
+    val corpus2 = textDeduped.join(semKept.select(col("vec_id").as("sid")),
+      col("doc_id") === col("sid"), "left_semi")
+    val selected = Dsir.resample(corpus2, col("doc_id"), col("text"),
+      docs.filter(col("lang") === "en"), col("text"),
+      keep = math.max(1, (n2 / 2).toInt), buckets = 256)
+    val n3 = selected.count()
+    assert(n3 == math.max(1, (n2 / 2).toInt), "DSIR keeps exactly the asked slice")
+    // selection is toward the target: kept docs skew more English
+    // than the pool they were drawn from
+    def enFrac(df: org.apache.spark.sql.DataFrame): Double = {
+      val n = df.count().toDouble
+      df.filter(col("lang") === "en").count() / math.max(n, 1.0)
+    }
+    assert(enFrac(selected) >= enFrac(corpus2),
+      s"DSIR must not select AWAY from the target: ${enFrac(selected)} vs ${enFrac(corpus2)}")
+
+    // tokenizer: train on the final corpus, apply to the same corpus
+    val merges = TextAnalysis.bpeTopMerges(selected, col("text"), rounds = 12)
+    val toks = TextAnalysis.bpeEncode(selected, col("doc_id"), col("text"), merges)
+    assert(toks.count() == n3)
+    // BPE compresses: fewer tokens than characters, at least as many
+    // as whitespace words
+    val agg = toks.agg(sum(col("n_tokens"))).head().getLong(0)
+    val chars = selected.agg(sum(length(TextAnalysis.normalize(col("text")))))
+      .head().getLong(0)
+    val words = selected.select(explode(split(TextAnalysis.normalize(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(agg < chars && agg >= words,
+      s"token count $agg must sit between words $words and chars $chars")
+  }
 }
