@@ -174,6 +174,46 @@ object WindowHash {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(Md5WindowHashesExpr(GraftBridge.expression(text), width))
   }
+
+  /** FUSED portable minhash signature: all k affine-permutation lane
+    * minima over the document's md5 window hashes in ONE pass — the
+    * portable counterpart of [[MinHash]]'s fused xxhash64 kernel, and
+    * the same explode-elimination story: the exploded formulation
+    * pushed one row per window through a 32-min-column aggregate (the
+    * dominant cost of the portable queries once hashing was fused);
+    * here the minima update in-place in the scan stage, ZERO shuffle.
+    * Returns null when the text has no window (the
+    * [[graft.operators.Dedup.minhashSignatures]] no-row contract). */
+  def portableMinhashSig(s: UTF8String, width: Int, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val m = bytes.length - width + 1
+    if (m <= 0) return null
+    val md = md5Local.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(bytes, i, width)
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var j = 0
+      while (j < k) {
+        val (a, b) = portablePerms(j)
+        val v = (a * h + b) % portableP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Column surface: k-lane portable minhash signature array. */
+  def portableMinhashSig(text: Column, width: Int, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(PortableMinhashSigExpr(GraftBridge.expression(text), width, k))
+  }
 }
 
 /** All width-`width` rolling window hashes of an ASCII string column,
@@ -191,6 +231,29 @@ case class WindowHashesExpr(child: Expression, width: Int, base: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.WindowHash.windowHashes($s, $width, ${base}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused k-lane portable minhash signature of an ASCII string column,
+  * as `array<long>` (null when no window). */
+case class PortableMinhashSigExpr(child: Expression, width: Int, k: Int)
+    extends UnaryExpression {
+  require(width >= 1 && k >= 1 && k <= WindowHash.portablePerms.size,
+    s"portable_minhash_sig needs width >= 1 and k in [1, ${WindowHash.portablePerms.size}]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "portable_minhash_sig"
+
+  override def nullSafeEval(s: Any): Any =
+    WindowHash.portableMinhashSig(s.asInstanceOf[UTF8String], width, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"""
+      ${ev.value} = graft.functions.WindowHash.portableMinhashSig($s, $width, $k);
+      ${ev.isNull} = ${ev.value} == null;""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

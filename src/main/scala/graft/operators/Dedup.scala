@@ -153,19 +153,27 @@ object Dedup {
   private[graft] def portablePerms: IndexedSeq[(Long, Long)] =
     graft.functions.WindowHash.portablePerms
 
-  /** Portable minhash lanes over the permutation family above.
+  /** Portable minhash signatures over the permutation family above —
+    * the fused [[graft.functions.WindowHash.portableMinhashSig]]
+    * kernel (one scan-stage pass, zero shuffle).
     *
-    * @return (doc_id, mh0 … mh{k-1}) — docs shorter than the shingle
-    *         width yield no row, the [[minhashSignatures]] contract */
+    * @return (doc_id, sig array&lt;long&gt; of k lane minima) — docs
+    *         shorter than the shingle width yield no row, the
+    *         [[minhashSignatures]] contract */
   private[graft] def portableMinhashLanes(df: DataFrame, text: Column, id: Column,
-                                          shingleSize: Int, k: Int): DataFrame = {
+                                          shingleSize: Int, k: Int): DataFrame =
+    df.select(id.as("doc_id"),
+        graft.functions.WindowHash.portableMinhashSig(
+          TextAnalysis.normalize(text), shingleSize, k).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** The explode + k-min-aggregate formulation — kept as the
+    * independent reference the fused kernel is spec-verified
+    * against (the [[minhashSignaturesExploded]] pattern). */
+  private[graft] def portableMinhashLanesExploded(df: DataFrame, text: Column, id: Column,
+                                                  shingleSize: Int, k: Int): DataFrame = {
     require(k <= portablePerms.size, s"portable minhash supports k <= ${portablePerms.size}")
     val normed = df.select(id.as("doc_id"), TextAnalysis.normalize(text).as("norm"))
-    // fused kernel: every window's md5-derived base hash in one byte
-    // pass (bit-identical to conv(substr(md5(substr(...)), 1, 8), 16,
-    // 10) — spec-pinned; the expression-composed form paid an O(pos)
-    // substr scan plus a hex round-trip per window and dominated the
-    // portable queries' wall time)
     val sh = normed.filter(length(col("norm")) >= shingleSize)
       .select(col("doc_id"),
         explode(graft.functions.WindowHash.md5WindowHashes(col("norm"), shingleSize)).as("h"))
@@ -174,6 +182,7 @@ object Dedup {
       min((lit(a) * col("h") + lit(b)) % lit(portableP)).as(s"mh$i")
     }
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
   /** Portable twin of [[mhBanded]]: band key = md5 hex of the band's
@@ -182,11 +191,11 @@ object Dedup {
   private def portableBanded(df: DataFrame, text: Column, id: Column,
                              shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val lanes = portableMinhashLanes(df, text, id, shingleSize, bands * rowsPerBand)
-    lanes.select(col("doc_id"),
-      array((0 until bands * rowsPerBand).map(i => col(s"mh$i")): _*).as("sig"),
+    lanes.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         md5(concat_ws("|",
-          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")) :+
+          (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => element_at(col("sig"), i + 1)) :+
             lit(b.toString): _*).cast(BinaryType))
       }: _*)).as("band_key"))
   }

@@ -1564,6 +1564,15 @@ class MinHashPropertySpec extends SparkSpec {
     }
     assert(md5Ref.nonEmpty)
 
+    // fused portable-minhash signature kernel == the explode +
+    // k-min-aggregate formulation (lane values feed the q26/q40/q86
+    // oracles, so this parity is load-bearing)
+    val sigFused = Dedup.portableMinhashLanes(df, col("text"), col("doc_id"), 5, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val sigExpl = Dedup.portableMinhashLanesExploded(df, col("text"), col("doc_id"), 5, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(sigFused == sigExpl && sigFused.nonEmpty)
+
     // fused pair kernel == the two single-lane kernels, zipped
     val pairs = df.select(col("doc_id"),
         graft.functions.WindowHash.windowHashPairs(col("text"), 7).as("ps"))
