@@ -80,6 +80,10 @@ final case class PlotSpec(
   /** Standalone SVG render of this spec — see [[SvgRender.render]]. */
   def toSvg(width: Int = 480, height: Int = 360): String =
     SvgRender.render(this, width, height)
+
+  /** Raster PNG render of this spec — see [[PngRender.render]]. */
+  def toPng(width: Int = 480, height: Int = 360): Array[Byte] =
+    PngRender.render(this, width, height)
 }
 
 /** Facet set: one PlotSpec per group/selection, with cycled style
@@ -99,6 +103,10 @@ final case class FacetSpec(facets: Seq[(String, PlotSpec)]) {
   /** Overlay render on shared axes — see [[SvgRender.renderFacets]]. */
   def toSvg(width: Int = 480, height: Int = 360): String =
     SvgRender.renderFacets(this, width, height)
+
+  /** Raster PNG overlay render — see [[PngRender.renderFacets]]. */
+  def toPng(width: Int = 480, height: Int = 360): Array[Byte] =
+    PngRender.renderFacets(this, width, height)
 }
 
 /** Query-compiling plotter over an [[EzFrame]]
@@ -393,6 +401,9 @@ final case class CornerSpec(
   /** Grid render with annotated diagonals — see
     * [[SvgRender.renderCorner]]. */
   def toSvg(panel: Int = 220): String = SvgRender.renderCorner(this, panel)
+
+  /** Raster PNG corner grid — see [[PngRender.renderCorner]]. */
+  def toPng(panel: Int = 220): Array[Byte] = PngRender.renderCorner(this, panel)
 }
 
 /** 2-key facet grid (ezdata/plotter.py:1100–1149 pivot_plot): cell

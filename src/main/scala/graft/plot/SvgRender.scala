@@ -41,7 +41,7 @@ object SvgRender {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
 
-  private def num(v: Any): Double = v match {
+  private[plot] def num(v: Any): Double = v match {
     case null => Double.NaN
     case n: Number => n.doubleValue()
     case other => try other.toString.toDouble catch { case _: NumberFormatException => Double.NaN }
@@ -73,16 +73,16 @@ object SvgRender {
     f"#${mix(r0, r1)}%02x${mix(g0, g1)}%02x${mix(b0, b1)}%02x"
   }
 
-  private case class Scale(lo: Double, hi: Double, pixLo: Double, pixHi: Double) {
+  private[plot] case class Scale(lo: Double, hi: Double, pixLo: Double, pixHi: Double) {
     def apply(v: Double): Double =
       if (hi == lo) (pixLo + pixHi) / 2
       else pixLo + (v - lo) / (hi - lo) * (pixHi - pixLo)
   }
 
-  private def fieldOf(spec: PlotSpec, channel: String): Option[String] =
+  private[plot] def fieldOf(spec: PlotSpec, channel: String): Option[String] =
     spec.encoding.get(channel).flatMap(_.get("field"))
 
-  private def extent(vs: Seq[Double], padFrac: Double = 0.0): (Double, Double) = {
+  private[plot] def extent(vs: Seq[Double], padFrac: Double = 0.0): (Double, Double) = {
     val clean = vs.filterNot(_.isNaN)
     if (clean.isEmpty) (0.0, 1.0)
     else {

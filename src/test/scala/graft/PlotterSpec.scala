@@ -285,6 +285,70 @@ class PlotterSpec extends SparkSpec {
     assert(z.viewport == ((zx0, zx1, zy0, zy1)))
   }
 
+  // ── PNG rendering tier ──────────────────────────────────────────
+  // Pinned on the DECODED pixel buffer's md5 (not the compressed PNG
+  // bytes) so the pin survives zlib-implementation differences across
+  // JDKs; the rasterizer itself is integer math + embedded bitmap
+  // font, so pixels are exactly reproducible.
+
+  private def pinPng(name: String, png: Array[Byte]): Unit = {
+    val (w, h, rgb) = graft.functions.MediaCodecs.pngDecodeRgb(png)
+      .getOrElse(fail(s"$name: PngRender output did not decode as PNG"))
+    val md = java.security.MessageDigest.getInstance("MD5").digest(rgb)
+    val line = s"$w $h ${md.map("%02x".format(_)).mkString}"
+    val dir = new java.io.File("src/test/resources/golden/png")
+    val f = new java.io.File(dir, s"$name.pix")
+    if (sys.env.contains("GOLDEN_REGEN")) {
+      dir.mkdirs()
+      java.nio.file.Files.write(f.toPath, line.getBytes("UTF-8")); ()
+    } else {
+      assert(f.exists, s"missing golden $f — run with GOLDEN_REGEN=1")
+      val want = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(line == want, s"$name rendered pixels drifted from their golden pin")
+    }
+  }
+
+  private def decoded(png: Array[Byte]): (Int, Int, Array[Byte]) =
+    graft.functions.MediaCodecs.pngDecodeRgb(png).getOrElse(fail("undecodable PNG"))
+
+  test("hist renders to a decodable, deterministic, golden-pinned PNG") {
+    val spec = Plotter(realDocs).hist("n_chars", bins = 12)
+    val png = spec.toPng()
+    val (w, h, rgb) = decoded(png)
+    assert(w == 480 && h == 360)
+    // bars drawn in the default palette blue over a white canvas
+    val px = rgb.grouped(3).map(p => (p(0) & 0xff, p(1) & 0xff, p(2) & 0xff)).toVector
+    assert(px.exists(p => p._3 > p._1 + 30), "blue bar pixels expected")
+    assert(px.count(_ == ((255, 255, 255))) > px.size / 4, "white background expected")
+    assert(java.util.Arrays.equals(png, spec.toPng()), "render must be deterministic")
+    pinPng("hist_n_chars", png)
+  }
+
+  test("scatter and corner render to golden-pinned PNGs") {
+    pinPng("scatter_chars_id",
+      Plotter(realDocs).scatter("n_chars", "doc_id", maxPoints = 200).toPng())
+    pinPng("corner_chars_id",
+      Plotter(realDocs).corner(Seq("n_chars", "doc_id"), bins = 8).toPng())
+  }
+
+  test("facet PNG overlay draws both cycled colors and matches SVG geometry constants") {
+    val png = p.groupby("g").hist("x", bins = 5).toPng()
+    val (w, h, rgb) = decoded(png)
+    assert(w == 480 && h == 360)
+    def hasColor(hex: String): Boolean = {
+      val c = Integer.parseInt(hex.stripPrefix("#"), 16)
+      // legend swatches are drawn opaque, so exact channel bytes appear
+      val (r0, g0, b0) = ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+      rgb.grouped(3).exists(p => (p(0) & 0xff) == r0 && (p(1) & 0xff) == g0 && (p(2) & 0xff) == b0)
+    }
+    assert(hasColor("#1f77b4") && hasColor("#ff7f0e"), "both cycled facet colors expected")
+    pinPng("facet_overlay", png)
+    val err = intercept[IllegalArgumentException](
+      graft.plot.PlotSpec("boxplot", Seq(Map[String, Any]("x" -> 1.0)),
+        Map("x" -> Map("field" -> "x", "type" -> "quantitative"))).toPng())
+    assert(err.getMessage.contains("no raster backend"))
+  }
+
   test("rect heatmap renders ramped cells; unknown marks refuse loudly") {
     val svg = Plotter(realDocs).hist2d("n_chars", "doc_id", bins = 6).toSvg()
     assert(svg.sliding(5).count(_ == "<rect") >= 36, "6x6 grid expected")
