@@ -91,6 +91,7 @@ object PngRender {
                    color: Int, axesFrom: Option[PlotSpec] = None,
                    drawAxes: Boolean = true, dash: String = "",
                    marker: String = "circle", title: Option[String]): Unit = {
+    if (spec.mark == "boxplot") { boxBody(r, spec, x0, y0, w, h, color, title); return }
     val ml = 38; val mr = 8; val mt = 22; val mb = 30
     val xf = fieldOf(spec, "x").getOrElse(
       throw new IllegalArgumentException(s"PngRender: mark '${spec.mark}' needs an x field"))
@@ -187,7 +188,42 @@ object PngRender {
         }
       case other =>
         throw new IllegalArgumentException(
-          s"PngRender: mark '$other' has no raster backend (bar/point/rect/area)")
+          s"PngRender: mark '$other' has no raster backend (bar/point/rect/area/boxplot)")
+    }
+  }
+
+  /** Boxplot panel — raster twin of SvgRender's boxBody (whisker +
+    * interquartile box + median bar per variable, categorical x). */
+  private def boxBody(r: Raster, spec: PlotSpec, x0: Int, y0: Int, w: Int, h: Int,
+                      color: Int, title: Option[String]): Unit = {
+    val ml = 38; val mr = 8; val mt = 22; val mb = 30
+    val rows = spec.data
+    val k = math.max(rows.size, 1)
+    val los = rows.map(row => num(row("min"))); val his = rows.map(row => num(row("max")))
+    val (ylo, yhi) = extent(los ++ his, 0.02)
+    val sy = Scale(ylo, yhi, y0 + h - mb.toDouble, y0 + mt.toDouble)
+    val sx = Scale(0.0, k.toDouble, x0 + ml.toDouble, x0 + w - mr.toDouble)
+    r.strokeRect(x0 + ml, y0 + mt, x0 + w - mr, y0 + h - mb, AxisGray)
+    ticks(ylo, yhi).foreach { t =>
+      val py = math.round(sy(t)).toInt
+      r.hLine(x0 + ml - 4, x0 + ml, py, AxisGray)
+      r.text(x0 + ml - 6, py + 3, fmt(t), TextBlack, Anchor.End)
+    }
+    title.foreach(t => r.text(x0 + w / 2, y0 + 14, t, TextBlack, Anchor.Middle))
+    rows.zipWithIndex.foreach { case (row, i) =>
+      val cx = sx(i + 0.5); val half = sx(0.8) - sx(0.5)
+      val (mn, q1, med, q3, mx) =
+        (num(row("min")), num(row("q1")), num(row("median")), num(row("q3")), num(row("max")))
+      val cxi = math.round(cx).toInt
+      r.vLine(cxi, math.round(sy(mx)).toInt, math.round(sy(mn)).toInt, AnnGray)
+      Seq(mn, mx).foreach(v => r.hLine(math.round(cx - half / 2).toInt,
+        math.round(cx + half / 2).toInt, math.round(sy(v)).toInt, AnnGray))
+      val (bx0, bx1) = (math.round(cx - half).toInt, math.round(cx + half).toInt)
+      val (by0, by1) = (math.round(sy(q3)).toInt, math.round(sy(q1)).toInt)
+      r.fillRect(bx0, by0, bx1, by1, color, 0.6)
+      r.strokeRect(bx0, by0, bx1, by1, AnnGray)
+      r.hLine(bx0, bx1, math.round(sy(med)).toInt, TextBlack)
+      r.text(cxi, y0 + h - mb + 15, String.valueOf(row("variable")), TextBlack, Anchor.Middle)
     }
   }
 

@@ -158,6 +158,7 @@ object SvgRender {
                    color: String, axesFrom: Option[PlotSpec] = None,
                    drawAxes: Boolean = true, dash: String = "",
                    marker: String = "circle", title: Option[String]): String = {
+    if (spec.mark == "boxplot") return boxBody(spec, x0, y0, w, h, color, title)
     val ml = 38; val mr = 8; val mt = 22; val mb = 30
     val xf = fieldOf(spec, "x").getOrElse(
       throw new IllegalArgumentException(s"SvgRender: mark '${spec.mark}' needs an x field"))
@@ -251,7 +252,43 @@ object SvgRender {
         }
       case other =>
         throw new IllegalArgumentException(
-          s"SvgRender: mark '$other' has no SVG backend (bar/point/rect/area)")
+          s"SvgRender: mark '$other' has no SVG backend (bar/point/rect/area/boxplot)")
+    }
+    b.toString
+  }
+
+  /** Boxplot panel (ezdata/plotter.py:943–955 `Plotter.box`): one
+    * whisker+box+median glyph per `variable` row over a categorical x
+    * axis; rows carry the five-number summary computed cluster-side. */
+  private def boxBody(spec: PlotSpec, x0: Int, y0: Int, w: Int, h: Int,
+                      color: String, title: Option[String]): String = {
+    val ml = 38; val mr = 8; val mt = 22; val mb = 30
+    val rows = spec.data
+    val k = math.max(rows.size, 1)
+    val los = rows.map(r => num(r("min"))); val his = rows.map(r => num(r("max")))
+    val (ylo, yhi) = extent(los ++ his, 0.02)
+    val sy = Scale(ylo, yhi, y0 + h - mb.toDouble, y0 + mt.toDouble)
+    val sx = Scale(0.0, k.toDouble, x0 + ml.toDouble, x0 + w - mr.toDouble)
+    val b = new StringBuilder
+    b ++= s"""<rect x="${x0 + ml}" y="${y0 + mt}" width="${w - ml - mr}" height="${h - mt - mb}" fill="none" stroke="#999"/>"""
+    ticks(ylo, yhi).foreach { t =>
+      b ++= s"""<line x1="${x0 + ml - 4}" y1="${fmt(sy(t))}" x2="${x0 + ml}" y2="${fmt(sy(t))}" stroke="#999"/>"""
+      b ++= s"""<text x="${x0 + ml - 6}" y="${fmt(sy(t) + 3)}" font-size="10" text-anchor="end">${fmt(t)}</text>"""
+    }
+    title.foreach(t =>
+      b ++= s"""<text x="${x0 + w / 2}" y="${y0 + 14}" font-size="12" text-anchor="middle">${esc(t)}</text>""")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val cx = sx(i + 0.5); val half = (sx(0.8) - sx(0.5)) // 0.3 category units
+      val (mn, q1, med, q3, mx) =
+        (num(r("min")), num(r("q1")), num(r("median")), num(r("q3")), num(r("max")))
+      // whisker with caps
+      b ++= s"""<line x1="${fmt(cx)}" y1="${fmt(sy(mn))}" x2="${fmt(cx)}" y2="${fmt(sy(mx))}" stroke="#555"/>"""
+      Seq(mn, mx).foreach(v =>
+        b ++= s"""<line x1="${fmt(cx - half / 2)}" y1="${fmt(sy(v))}" x2="${fmt(cx + half / 2)}" y2="${fmt(sy(v))}" stroke="#555"/>""")
+      // interquartile box + median bar
+      b ++= s"""<rect x="${fmt(cx - half)}" y="${fmt(sy(q3))}" width="${fmt(2 * half)}" height="${fmt(math.max(sy(q1) - sy(q3), 0.0))}" fill="$color" fill-opacity="0.6" stroke="#555"/>"""
+      b ++= s"""<line x1="${fmt(cx - half)}" y1="${fmt(sy(med))}" x2="${fmt(cx + half)}" y2="${fmt(sy(med))}" stroke="#000"/>"""
+      b ++= s"""<text x="${fmt(cx)}" y="${y0 + h - mb + 15}" font-size="10" text-anchor="middle">${esc(String.valueOf(r("variable")))}</text>"""
     }
     b.toString
   }

@@ -32,6 +32,7 @@ object RenderDemo {
       write("scatter.png", plt.scatter("n_chars", "doc_id", maxPoints = 200).toPng())
       write("hist2d.png", plt.hist2d("n_chars", "doc_id", bins = 12).toPng())
       write("corner.png", plt.corner(Seq("n_chars", "doc_id"), bins = 8).toPng())
+      write("box.png", plt.box("n_chars", "doc_id").toPng())
     } finally spark.stop()
   }
 }

@@ -344,9 +344,19 @@ class PlotterSpec extends SparkSpec {
     assert(hasColor("#1f77b4") && hasColor("#ff7f0e"), "both cycled facet colors expected")
     pinPng("facet_overlay", png)
     val err = intercept[IllegalArgumentException](
-      graft.plot.PlotSpec("boxplot", Seq(Map[String, Any]("x" -> 1.0)),
+      graft.plot.PlotSpec("sankey", Seq(Map[String, Any]("x" -> 1.0)),
         Map("x" -> Map("field" -> "x", "type" -> "quantitative"))).toPng())
     assert(err.getMessage.contains("no raster backend"))
+  }
+
+  test("boxplot renders whisker+box+median glyphs in both backends, golden-pinned") {
+    val spec = Plotter(realDocs).box("n_chars", "doc_id")
+    val svg = spec.toSvg()
+    // 2 variables: frame + 2 iq boxes; whiskers + caps + medians
+    assert(svg.sliding(5).count(_ == "<rect") >= 3, "frame + 2 boxes expected")
+    assert(svg.contains("n_chars") && svg.contains("doc_id"), "category labels expected")
+    pinSvg("box_chars_id", svg)
+    pinPng("box_chars_id", spec.toPng())
   }
 
   test("rect heatmap renders ramped cells; unknown marks refuse loudly") {
@@ -355,7 +365,7 @@ class PlotterSpec extends SparkSpec {
     assert(svg.contains("#44015") || svg.contains("#fde7") || svg.contains("fill=\"#"),
       "sequential ramp fills expected")
     val err = intercept[IllegalArgumentException](
-      graft.plot.PlotSpec("boxplot", Seq(Map[String, Any]("x" -> 1.0)),
+      graft.plot.PlotSpec("sankey", Seq(Map[String, Any]("x" -> 1.0)),
         Map("x" -> Map("field" -> "x", "type" -> "quantitative"))).toSvg())
     assert(err.getMessage.contains("no SVG backend"))
   }
