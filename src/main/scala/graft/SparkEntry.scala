@@ -1027,6 +1027,23 @@ object SparkEntry {
         .select(col("vec_id"))
     }),
 
+    // M6 unigram-LM quality scoring (the CCNet-style perplexity filter,
+    // Wenzek et al. 2020, at order 0): corpus-trained token frequencies,
+    // mean token log-prob per document
+    "q98_unigram_loglik" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      operators.TextAnalysis.unigramLogLik(d, col("doc_id"), col("text"))
+    }),
+
+    // M6 deterministic training-order shuffle: md5-keyed shard + rank —
+    // reproducible global randomization with one hash exchange, no RNG,
+    // no global sort
+    "q99_corpus_shuffle" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      operators.Scale.deterministicShuffle(d, col("doc_id"), shards = 64)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1123,6 +1140,29 @@ object SparkEntry {
         |(SELECT cut FROM cut) AS cut
         |FROM dsz z LEFT JOIN sus s ON s.doc_id = z.doc_id
         |WHERE COALESCE(s.n_suspect, 0) >= (SELECT cut FROM cut)""".stripMargin.replace("\n", " "),
+
+    // unigram-LM mirror: same normalize/tokenize chain as q61/q74,
+    // count-aggregate LM, per-doc mean token log-prob
+    "q98_unigram_loglik" ->
+      """WITH toks AS (SELECT doc_id, term FROM (
+        |SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS term FROM documents)
+        |WHERE length(term) > 0),
+        |c AS (SELECT term, count(*) AS tc FROM toks GROUP BY 1),
+        |n AS (SELECT sum(tc) AS ttot FROM c)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |round(avg(ln(tc / ttot)), 6) AS avg_logp
+        |FROM toks JOIN c USING (term) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin.replace("\n", " "),
+
+    // shuffle mirror: the shared md5-prefix key (12 hex chars), shard =
+    // key mod 64, rank within shard by (key, doc_id)
+    "q99_corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hk FROM documents)
+        |SELECT doc_id, hk % 64 AS shard,
+        |CAST(row_number() OVER (PARTITION BY hk % 64 ORDER BY hk, doc_id) AS BIGINT) AS pos
+        |FROM k""".stripMargin.replace("\n", " "),
 
     // DSIR mirror: hashed unigram+bigram buckets (md5 32-bit prefix
     // mod 512), add-one-smoothed target (lang='en') and raw bucket

@@ -124,6 +124,30 @@ object Scale {
 
   private def hashBucket(id: Column): Column = md5Key(id, 6) % 1000
 
+  /** Deterministic training-order shuffle: the global randomization a
+    * training run needs before packing/serving, without RNG and without
+    * a global sort.  Each row gets the shared md5 key; `shard` =
+    * key mod `shards` and `pos` = rank within the shard by (key, id).
+    * Reading shards in order then rows by pos visits the corpus in a
+    * fixed pseudo-random order, reproducible across runs, executor
+    * counts, and retries.
+    *
+    * Scale shape: ONE hash exchange on `shard` plus a per-shard sort —
+    * never a single-partition global window.  Size `shards` to the
+    * target parallelism (hundreds–thousands at 100 TB) so each shard's
+    * sort fits an executor; the md5 key distributes rows uniformly, so
+    * shards are balanced by construction. */
+  def deterministicShuffle(df: DataFrame, id: Column, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= (1 << 20), s"shards in [1, 2^20], got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("_shuf_key", md5Key(id, 12))
+      .withColumn("shard", pmod(col("_shuf_key"), lit(shards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_shuf_key"), id)
+    keyed.withColumn("pos",
+        row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+      .drop("_shuf_key")
+  }
+
   /** Temperature-based mixture weights over a grouping key — the
     * data-mixing step of a multi-source training run: source s gets
     * weight n_s^α / Σ_t n_t^α (equivalently (n_s/N)^α renormalized —

@@ -172,6 +172,35 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
 
+  /** Unigram-LM quality scoring — the language-model perplexity filter
+    * of the CCNet-style pretraining pipeline (Wenzek et al. 2020)
+    * reduced to its order-0 core: train token frequencies over the
+    * corpus in ONE aggregate, then score each document by the mean
+    * log-probability of its tokens under that model.  Low scorers are
+    * rare-token soup (boilerplate, codes, lorem); high scorers are
+    * common-word prose — the same signal CCNet thresholds on.
+    *
+    * Scale shape: two scans of the source (tokenize twice rather than
+    * persist an exploded token table that is ~10× the corpus), one
+    * count aggregate to |vocab| rows, a hash join token→count (the
+    * vocab side is the SMALL side at any corpus size — Spark/AQE
+    * broadcast it when it fits), a broadcast 1-row total, and one
+    * final per-doc aggregate.  No driver materialization anywhere.
+    *
+    * @return (doc_id, n_tokens, avg_logp) */
+  def unigramLogLik(df: org.apache.spark.sql.DataFrame, id: Column,
+                    text: Column): org.apache.spark.sql.DataFrame = {
+    def toks = df.select(id.as("doc_id"), explode(split(normalize(text), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("tc"))
+    val total = counts.agg(sum(col("tc")).as("ttot"))
+    toks.join(counts, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("tc").cast(DoubleType) / col("ttot"))), 6).as("avg_logp"))
+  }
+
   /** BPE merge training over the corpus — tokenizer induction's core
     * loop (Sennrich et al.): repeatedly merge the most frequent
     * adjacent symbol pair, weighted by word frequency.

@@ -1358,6 +1358,23 @@ class TextAnalysisSpec extends SparkSpec {
     val r = df.select(size(TextAnalysis.shingles(col("text"), 5)).as("n")).collect().head.getInt(0)
     assert(r == 0)
   }
+
+  test("unigramLogLik: hand-computed LM scores; rare-token docs score lower") {
+    // corpus counts: a=3, b=1, c=1, total=5
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogLik(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ln = (x: Double) => math.log(x)
+    val want1 = (ln(3.0 / 5) + ln(3.0 / 5) + ln(1.0 / 5)) / 3
+    val want2 = (ln(3.0 / 5) + ln(1.0 / 5)) / 2
+    assert(got(1L)._1 == 3L && got(2L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - want1) < 1e-6 && math.abs(got(2L)._2 - want2) < 1e-6)
+    // the common-word doc outscores the rare-token soup
+    val df2 = Seq((1L, "the the the cat"), (2L, "qqq zzz www vvv")).toDF("doc_id", "text")
+    val s = TextAnalysis.unigramLogLik(df2, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) > s(2L))
+  }
 }
 
 class AstroSpec extends SparkSpec {

@@ -201,6 +201,27 @@ class PlanSpec extends SparkSpec {
       s"sampling should be a pure filter:\n$plan")
   }
 
+  test("deterministicShuffle: one shard exchange + in-shard sort, never SinglePartition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.Scale.deterministicShuffle(docs, col("doc_id"), 64))
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly the shard exchange:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") && !plan.contains("rangepartitioning"),
+      s"a global sort/window would serialize the corpus:\n$plan")
+    assert(plan.contains("Window"), s"per-shard rank missing:\n$plan")
+  }
+
+  test("unigramLogLik: vocab-side join, broadcast 1-row total, no driver loop") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.TextAnalysis.unigramLogLik(
+      docs, col("doc_id"), col("text")))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoop"),
+      s"the 1-row total must broadcast:\n$plan")
+    // term-count agg + token-count join + final doc agg; partials on
+    assert(plan.contains("partial_count"), s"map-side combine missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unbroadcast cross join:\n$plan")
+  }
+
   test("repeated spans: one generate, two-level distinct agg, two exchanges") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.operators.Dedup.repeatedSpans(

@@ -200,4 +200,25 @@ class SketchSpec extends SparkSpec {
         s"p=${ps(i)}: approx ${approx(i)} outside [$lo, $hi] (exact ${exact(i)})")
     }
   }
+
+  test("deterministicShuffle: dense per-shard ranks, stable under repartition, no RNG") {
+    val df = spark.range(500).select(col("id").as("doc_id"))
+    val out = Scale.deterministicShuffle(df, col("doc_id"), shards = 8)
+      .select("doc_id", "shard", "pos")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 500, "every row keeps exactly one slot")
+    // positions within each shard are dense 1..n_shard
+    rows.groupBy(_._2).foreach { case (sh, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.size).map(_.toLong),
+        s"shard $sh ranks not dense")
+    }
+    // shards are balanced by the uniform md5 key (500/8 = 62.5 +/- slack)
+    val sizes = rows.groupBy(_._2).values.map(_.size)
+    assert(sizes.min > 30 && sizes.max < 95, s"shard sizes skewed: $sizes")
+    // deterministic: identical assignment regardless of input partitioning
+    val again = Scale.deterministicShuffle(df.repartition(13), col("doc_id"), shards = 8)
+      .select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+  }
 }
