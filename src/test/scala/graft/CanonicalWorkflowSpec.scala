@@ -149,5 +149,23 @@ class CanonicalWorkflowSpec extends SparkSpec {
       .filter(length(col("w")) > 0).count()
     assert(agg < chars && agg >= words,
       s"token count $agg must sit between words $words and chars $chars")
+
+    // LM-quality gate over the selected corpus (CCNet tier): drop the
+    // rare-token tail, then fix the training order deterministically
+    import graft.operators.Scale
+    val lm = TextAnalysis.unigramLogLik(selected, col("doc_id"), col("text"))
+    val cut = lm.agg(expr("percentile_approx(avg_logp, 0.1, 10000)")).head().getDouble(0)
+    val kept = selected.join(
+      lm.filter(col("avg_logp") >= cut).select(col("doc_id").as("qid")),
+      col("doc_id") === col("qid"), "left_semi")
+    val n4 = kept.count()
+    assert(n4 > 0 && n4 <= n3, "LM gate keeps the prose, drops the tail")
+
+    val ordered = Scale.deterministicShuffle(kept, col("doc_id"), shards = 4)
+    assert(ordered.count() == n4, "shuffle is a bijection on the kept corpus")
+    val again = Scale.deterministicShuffle(kept, col("doc_id"), shards = 4)
+      .select("doc_id", "shard", "pos").collect().toSet
+    assert(ordered.select("doc_id", "shard", "pos").collect().toSet == again,
+      "training order reproducible run to run")
   }
 }
