@@ -75,23 +75,53 @@ object Dsir {
         log((col("n") + lit(1.0)) / (col("total") + lit(buckets.toDouble))).as("ln_p"))
   }
 
+  /** Add-one-smoothed bucket log-distribution as a DRIVER array —
+    * the same arithmetic as [[bucketLogDist]] (sum the per-bucket
+    * counts exactly in integers, then ln((c+1)/(total+buckets)) in
+    * doubles), materialized eagerly.  The array is bounded by
+    * `buckets` (≤ 4096 by the callers' contract — the kmeansFit-
+    * centroid size class), so this is a driver-safe collect at any
+    * corpus size, and it CUTS the feature source's lineage: consumers
+    * of the distribution no longer re-tokenize the corpus. */
+  private def bucketLogDistArray(features: DataFrame, buckets: Int): Array[Double] = {
+    val n = new Array[Long](buckets)
+    features.groupBy(col("bucket")).agg(sum(col("c")).as("n")).collect()
+      .foreach(r => n(r.getAs[Number]("bucket").intValue()) = r.getAs[Long]("n"))
+    val total = n.sum.toDouble
+    n.map(c => math.log((c + 1.0) / (total + buckets)))
+  }
+
   /** Importance log-weight per corpus document against a target
     * corpus: Σ_b c_b·(ln p_b − ln q_b), rounded to 6 decimals.
     * Documents with no token score 0 (no evidence either way).
+    *
+    * Execution shape: the p and q distributions are two EAGER bounded
+    * aggregates (one target tokenization pass, one corpus tokenization
+    * pass) whose ≤`buckets`-row results come to the driver and return
+    * as ONE broadcast ratio frame — so the final lazy plan tokenizes
+    * the corpus exactly once more for the per-doc scoring join.  The
+    * previous all-lazy formulation wove both distributions' lineage
+    * (including each one's recomputed grand total) into the scoring
+    * plan: 12 parquet scans / 6 corpus tokenizations in the executed
+    * plan, with no exchange reuse.  Two passes over the corpus is the
+    * 100 TB-correct shape — caching the feature table would spill a
+    * token-table-sized intermediate instead.
     *
     * @return (doc_id, logw) */
   def scores(corpus: DataFrame, id: Column, text: Column,
              target: DataFrame, targetText: Column,
              buckets: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
     val cf = hashedNgramCounts(corpus, id, text, buckets)
-    val p = bucketLogDist(
+    val lp = bucketLogDistArray(
       hashedNgramCounts(target, monotonically_increasing_id(), targetText, buckets), buckets)
-      .withColumnRenamed("ln_p", "lp")
-    val q = bucketLogDist(cf, buckets).withColumnRenamed("ln_p", "lq")
-    val ratios = p.join(q, Seq("bucket"))
+    val lq = bucketLogDistArray(cf, buckets)
+    val ratios = spark.createDataFrame(
+      (0 until buckets).map(b => (b.toLong, lp(b) - lq(b))))
+      .toDF("bucket", "ldiff")
     val scored = cf.join(broadcast(ratios), Seq("bucket"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("c") * (col("lp") - col("lq"))), 6).as("logw"))
+      .agg(round(sum(col("c") * col("ldiff")), 6).as("logw"))
     corpus.select(id.as("doc_id")).distinct()
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("logw"), lit(0.0)).as("logw"))
