@@ -29,19 +29,31 @@ object SparkEntry {
       array_join(transform(split(col("text"), " "),
         (tok, i) => when((i + 1) % 8 === 0, concat(tok, lit("."))).otherwise(tok)), " "))
 
-  /** events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
-    * nanos under this legacy flag, then we truncate to µs exactly like
-    * DuckDB's parquet reader does.
+  /** events.parquet has shipped with two different `ts` encodings over
+    * the corpus's lifetime: TIMESTAMP(NANOS) (readable only as long
+    * nanos under the legacy flag) and native timestamp[us] (read as
+    * TIMESTAMP_NTZ).  Branch on what the file actually contains and
+    * normalize both to session-zoned TIMESTAMP — with the session at
+    * UTC the NTZ→LTZ cast is value-preserving and matches DuckDB's
+    * naive-timestamp rendering.
     *
-    * The flag is a session-wide SQL conf (not a reader option), so it
-    * is set on an ISOLATED child session — same SparkContext, own
-    * SQLConf — instead of mutating the caller's session for every
-    * later query. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+    * The legacy flag is a session-wide SQL conf (not a reader option),
+    * so the probe read always goes through an ISOLATED child session —
+    * same SparkContext, own SQLConf — instead of mutating the caller's
+    * session.  The flag is inert for non-NANOS files, so one flagged
+    * read serves as both probe and data path. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     val iso = s.newSession()
     iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    iso.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = iso.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy corpus: nanos-as-long → truncate to µs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.parquet: unsupported ts type $other (expected long nanos, timestamp_ntz, or timestamp)")
+    }
   }
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))

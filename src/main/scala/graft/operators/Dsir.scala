@@ -107,10 +107,19 @@ object Dsir {
     * 100 TB-correct shape — caching the feature table would spill a
     * token-table-sized intermediate instead.
     *
+    * NOTE: this method EXECUTES two Spark jobs eagerly (the p and q
+    * distribution aggregates) before returning the lazy scoring frame;
+    * it is not a pure plan constructor.  The driver footprint is two
+    * `buckets`-length double arrays, so `buckets` is hard-capped at
+    * 2^16 — far beyond the 4096 the DSIR paper's hashed-n-gram setup
+    * uses, and small enough (512 KiB each) to be driver-safe.
+    *
     * @return (doc_id, logw) */
   def scores(corpus: DataFrame, id: Column, text: Column,
              target: DataFrame, targetText: Column,
              buckets: Int = 4096): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 16),
+      s"buckets in [1, 2^16] (driver holds two buckets-length arrays), got $buckets")
     val spark = corpus.sparkSession
     val cf = hashedNgramCounts(corpus, id, text, buckets)
     val lp = bucketLogDistArray(

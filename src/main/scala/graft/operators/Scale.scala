@@ -139,13 +139,23 @@ object Scale {
     * shards are balanced by construction. */
   def deterministicShuffle(df: DataFrame, id: Column, shards: Int): DataFrame = {
     require(shards >= 1 && shards <= (1 << 20), s"shards in [1, 2^20], got $shards")
+    // `shard`/`pos` are the operator's OUTPUT contract — refuse to
+    // silently clobber caller data rather than overwrite in place.
+    Seq("shard", "pos").foreach { c =>
+      require(!df.columns.contains(c),
+        s"deterministicShuffle: input already has a '$c' column; rename it first " +
+          "(shard/pos are this operator's output columns)")
+    }
+    // The scratch key column picks a name the input provably lacks.
+    val key = Iterator.from(0).map(i => if (i == 0) "_shuf_key" else s"_shuf_key$i")
+      .find(n => !df.columns.contains(n)).get
     import org.apache.spark.sql.expressions.Window
-    val keyed = df.withColumn("_shuf_key", md5Key(id, 12))
-      .withColumn("shard", pmod(col("_shuf_key"), lit(shards.toLong)))
-    val w = Window.partitionBy(col("shard")).orderBy(col("_shuf_key"), id)
+    val keyed = df.withColumn(key, md5Key(id, 12))
+      .withColumn("shard", pmod(col(key), lit(shards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col(key), id)
     keyed.withColumn("pos",
         row_number().over(w).cast(org.apache.spark.sql.types.LongType))
-      .drop("_shuf_key")
+      .drop(key)
   }
 
   /** Temperature-based mixture weights over a grouping key — the

@@ -68,7 +68,9 @@ object PngRender {
     c.panels.foreach { case ((x, y), spec) =>
       val (ix, iy) = (idx(x), idx(y))
       val title = if (ix == iy) c.quantiles.get(x).map { case (p16, p50, p84) =>
-        s"$x = ${fmt(p50)} (+${fmt(p84 - p50)} / -${fmt(p50 - p16)})"
+        // U+2212 minus, same string as SvgRender.renderCorner — Font5x7
+        // maps it onto the ASCII hyphen glyph so the pixels are stable.
+        s"$x = ${fmt(p50)} (+${fmt(p84 - p50)} / −${fmt(p50 - p16)})"
       } else None
       body(r, spec, ix * panel, iy * panel, panel, panel,
         hexColor(SvgRender.palette(0)), title = title)
@@ -87,7 +89,7 @@ object PngRender {
 
   /** One panel's marks + (optionally) axes inside the given rect —
     * same layout constants and scale math as [[SvgRender]]'s body. */
-  private def body(r: Raster, spec: PlotSpec, x0: Int, y0: Int, w: Int, h: Int,
+  private[plot] def body(r: Raster, spec: PlotSpec, x0: Int, y0: Int, w: Int, h: Int,
                    color: Int, axesFrom: Option[PlotSpec] = None,
                    drawAxes: Boolean = true, dash: String = "",
                    marker: String = "circle", title: Option[String]): Unit = {
@@ -129,8 +131,14 @@ object PngRender {
         spec.data.foreach { row =>
           val cx = num(row(xf)); val cy = num(row(yf))
           if (!cx.isNaN && !cy.isNaN) {
-            r.fillRect(math.round(sx(cx - bw / 2)).toInt, math.round(sy(cy)).toInt,
-              math.round(sx(cx + bw / 2)).toInt, math.round(sy(ylo)).toInt, color, 0.75)
+            // SvgRender clamps height to max(ph, 0): a bar whose value
+            // sits below the axis floor renders as nothing, not as a
+            // flipped rect (Raster.fillRect would silently swap y0/y1).
+            val yTop = math.round(sy(cy)).toInt
+            val yBot = math.round(sy(ylo)).toInt
+            if (yBot >= yTop)
+              r.fillRect(math.round(sx(cx - bw / 2)).toInt, yTop,
+                math.round(sx(cx + bw / 2)).toInt, yBot, color, 0.75)
           }
         }
       case "point" =>
@@ -377,10 +385,28 @@ object PngRender {
       0x44,0x64,0x54,0x4c,0x44,  0x00,0x08,0x36,0x41,0x00,  0x00,0x00,0x7f,0x00,0x00,
       0x00,0x41,0x36,0x08,0x00,  0x08,0x08,0x2a,0x1c,0x08)
 
-    /** Draw one glyph with its top-left at (x, y). */
+    /** Draw one glyph with its top-left at (x, y).  A few common
+      * typographic codepoints fold onto their ASCII twins (U+2212
+      * minus → '-', so SvgRender/PngRender can share annotation
+      * strings with identical pixels); any other non-ASCII char draws
+      * a hollow-box fallback instead of silently vanishing. */
     def draw(r: PngRender.Raster, x: Int, y: Int, ch: Char, rgb: Int): Unit = {
-      val code = ch.toInt
-      if (code < 0x20 || code > 0x7e) return
+      val code = ch.toInt match {
+        case 0x2212 => '-'.toInt // MINUS SIGN
+        case 0x2013 | 0x2014 => '-'.toInt // en/em dash
+        case 0x2018 | 0x2019 => '\''.toInt
+        case 0x201c | 0x201d => '"'.toInt
+        case c => c
+      }
+      if (code < 0x20 || code > 0x7e) { // fallback: 5×7 hollow box
+        var c = 0
+        while (c < 5) {
+          r.put(x + c, y, rgb); r.put(x + c, y + 6, rgb)
+          if (c == 0 || c == 4) { var row = 1; while (row < 6) { r.put(x + c, y + row, rgb); row += 1 } }
+          c += 1
+        }
+        return
+      }
       val base = (code - 0x20) * 5
       var c = 0
       while (c < 5) {

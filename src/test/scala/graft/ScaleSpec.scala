@@ -221,4 +221,34 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("deterministicShuffle: refuses to clobber shard/pos, dodges scratch-name collisions") {
+    val base = spark.range(20).select(col("id").as("doc_id"))
+    // output columns already present → loud failure, not silent overwrite
+    for (c <- Seq("shard", "pos")) {
+      val clash = base.withColumn(c, lit(7))
+      val err = intercept[IllegalArgumentException](
+        Scale.deterministicShuffle(clash, col("doc_id"), shards = 4))
+      assert(err.getMessage.contains(c))
+    }
+    // a pre-existing _shuf_key is caller DATA: it must survive untouched
+    val carrying = base.withColumn("_shuf_key", lit("keep-me"))
+    val out = Scale.deterministicShuffle(carrying, col("doc_id"), shards = 4)
+    assert(out.columns.count(_ == "_shuf_key") == 1)
+    assert(out.select("_shuf_key").distinct().collect().map(_.getString(0)).toSeq == Seq("keep-me"))
+    // and the shuffle result is unchanged by the bystander column
+    val plain = Scale.deterministicShuffle(base, col("doc_id"), shards = 4)
+      .select("doc_id", "shard", "pos").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val kept = out.select("doc_id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(plain.sorted.toSeq == kept.sorted.toSeq)
+  }
+
+  test("Dsir.scores: bounds the driver bucket arrays at 2^16") {
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException](
+      graft.operators.Dsir.scores(docs, col("doc_id"), col("text"),
+        docs, col("text"), buckets = (1 << 16) + 1))
+    assert(err.getMessage.contains("buckets"))
+  }
 }
