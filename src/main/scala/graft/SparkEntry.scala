@@ -1117,6 +1117,41 @@ object SparkEntry {
       case (pv, p) => s"(CASE WHEN ${dotSql(pv)} >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Unrolled-round SQL oracle for the iterative BPE trainer (the
+    * q72/q96 pattern: one CTE block per training round, each block's
+    * argmax embedded as scalar subqueries in the next round's merge
+    * application).  Vocab state lives in a symbol STRING with
+    * double-space separators and single sentinel spaces — under that
+    * invariant plain left-to-right `replace(' l  r ', ' lr ')` is
+    * EXACTLY the trainer's left-to-right non-overlapping merge (each
+    * match consumes one boundary space from each side, so back-to-back
+    * occurrences still match, while overlapping ones can't).  CTEs are
+    * MATERIALIZED: every round reads the previous vocab twice (pair
+    * count + merge apply), and DuckDB inlines plain CTEs — 12 rounds
+    * would otherwise expand to 2^12 corpus scans. */
+  private def bpeMergesOracleSql(rounds: Int): String = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    val head =
+      s"WITH words AS (SELECT unnest(string_split($norm, ' ')) AS w FROM documents), " +
+      "v0 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS wcount, " +
+      "' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS syms " +
+      "FROM words WHERE length(w) > 0 GROUP BY w)"
+    val blocks = (1 to rounds).map { k =>
+      val p = k - 1
+      s", p$k AS (SELECT l, r, CAST(sum(wcount) AS BIGINT) AS n FROM (" +
+        s"SELECT wcount, unnest(toks[1:len(toks)-1]) AS l, unnest(toks[2:len(toks)]) AS r " +
+        s"FROM (SELECT wcount, string_split(trim(syms), '  ') AS toks FROM v$p)) GROUP BY l, r), " +
+        s"m$k AS MATERIALIZED (SELECT CAST($k AS BIGINT) AS merge_rank, l, r, n FROM p$k " +
+        s"ORDER BY n DESC, l ASC, r ASC LIMIT 1), " +
+        s"v$k AS MATERIALIZED (SELECT wcount, replace(syms, " +
+        s"' ' || (SELECT l FROM m$k) || '  ' || (SELECT r FROM m$k) || ' ', " +
+        s"' ' || (SELECT l FROM m$k) || (SELECT r FROM m$k) || ' ') AS syms FROM v$p)"
+    }.mkString
+    val union = (1 to rounds).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+    head + blocks +
+      s""" SELECT merge_rank, l AS "left", r AS "right", n AS pair_count FROM ($union)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     // Portable-bloom mirror: rebuild the sketch's exact bit positions
     // (affine-permutation lanes of md5-window hashes, optimal m/k from
@@ -1979,6 +2014,8 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000 <
         |CASE WHEN lang = 'en' THEN 300 WHEN lang = 'de' THEN 500 ELSE 1000 END""".stripMargin.replace("\n", " "),
+
+    "q92_bpe_merges" -> bpeMergesOracleSql(12),
 
     "q93_sentence_stats" ->
       """WITH d2 AS (SELECT doc_id, array_to_string(list_transform(

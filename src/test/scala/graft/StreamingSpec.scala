@@ -144,6 +144,45 @@ class StreamingSpec extends SparkSpec {
       Seq(col("event_type")), Seq(count(lit(1)).as("n")))
     assert(out.count() == 2)
   }
+
+  test("real events.parquet streams through the watermark path (native TIMESTAMP, batch parity)") {
+    // Round-11 corpus seam proof: the driver's regenerated events table
+    // carries ts as native timestamp[us] (TIMESTAMP_NTZ on read); the
+    // streaming file source must window it exactly like the batch twin
+    // that the q22 oracle gates — not just MemoryStream-built longs.
+    val path = "/root/testdata/sf0.001/events.parquet"
+    // FileStreamSource wants a DIRECTORY; stage the real file via symlink
+    val dir = java.nio.file.Files.createTempDirectory("graft_real_events")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val fileSchema = spark.read.parquet(path).schema
+    val normalize = (d: org.apache.spark.sql.DataFrame) =>
+      d.withColumn("ts", col("ts").cast("timestamp"))
+    val stream = normalize(spark.readStream.schema(fileSchema).parquet(dir.toString))
+    assert(stream.isStreaming, "file source must be a streaming frame")
+    val agg = EventStreams.tumbling(stream, "ts", "1 hour", "6 hours",
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv")))
+    val q = agg.writeStream.format("memory").queryName("real_events_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("real_events_stream")
+        .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sv"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val batchTwin = EventStreams.tumbling(
+          SparkEntry.events(spark, "/root/testdata/sf0.001"), "ts", "1 hour", "6 hours",
+          Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv")))
+        .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sv"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed.nonEmpty, "stream produced no windows")
+      assert(streamed == batchTwin,
+        s"stream/batch divergence: ${streamed.size} vs ${batchTwin.size} windows")
+    } finally q.stop()
+  }
 }
 
 class HealpixSpec extends SparkSpec {
