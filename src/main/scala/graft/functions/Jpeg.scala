@@ -1,0 +1,404 @@
+package graft.functions
+
+/** Baseline JPEG (ITU-T T.81, sequential DCT, 8-bit, Huffman) decoder —
+  * pure JVM, written from the published spec: marker/segment parsing
+  * (Annex B), canonical Huffman decode tables (Annex C / F.2.2.3),
+  * byte-stuffed entropy segments with restart markers (B.1.1.5, E.1.4),
+  * dequantize + dezigzag + separable floating IDCT (A.3.3), box chroma
+  * upsampling (A.1.1) and JFIF YCbCr→RGB.
+  *
+  * Scope: SOF0/SOF1 (baseline + extended sequential, 8-bit), 1- or
+  * 3-component scans, sampling factors 1–4, DRI/RSTn.  Progressive
+  * (SOF2), arithmetic coding, 12-bit precision, and CMYK return None —
+  * they remain behind [[graft.operators.Multimodal]]'s documented codec
+  * seam.  Like the sibling codecs ([[MediaCodecs.pngDecodeRgb]] etc.)
+  * every malformed input degrades to None, never an exception, and the
+  * decoded frame is capped at 2^24 pixels.
+  *
+  * Reference parity note (ezdata has no codecs at all): this closes the
+  * "JPEG stays stubbed" gap called out in round-10 review — the
+  * multimodal tier now decodes a second real compressed image format.
+  */
+object Jpeg {
+
+  final case class JpegMeta(width: Int, height: Int, channels: Int, bits: Int,
+                            meanR: Double, meanG: Double, meanB: Double)
+
+  /** Natural-order index of the k-th coefficient in zigzag order
+    * (T.81 Figure A.6). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16) · (u==0 ? 1/√2 : 1) — the 1-D DCT basis with
+    * the normalization folded in; IDCT is two passes over this. */
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16.0) * (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+  }
+
+  /** Canonical Huffman table in the T.81 F.16 mincode/maxcode/valptr
+    * form; decode walks the bitstream one bit at a time (≤16 steps). */
+  private final class HuffTable(counts: Array[Int], val vals: Array[Byte]) {
+    val mincode = new Array[Int](17)
+    val maxcode = Array.fill(17)(-1)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valptr(l) = k
+          mincode(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxcode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** MSB-first bit reader over one entropy-coded segment: 0xFF00 is a
+    * stuffed data byte; any other 0xFF-marker stops the stream (the
+    * caller sees zeros from then on — bounded garbage, never a crash). */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    var hitMarker = false
+
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= b.length) { hitMarker = true; return 0 }
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          val nxt = if (pos < b.length) b(pos) & 0xff else 0xd9
+          if (nxt == 0x00) pos += 1 // byte stuffing: data 0xFF
+          else { hitMarker = true; pos -= 1; return 0 }
+        }
+        bitBuf = v; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+
+    def align(): Unit = bitCnt = 0
+
+    /** Consume an expected RSTn marker at a restart boundary. */
+    def restartMarker(): Boolean = {
+      align()
+      if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff) {
+        val m = b(pos + 1) & 0xff
+        if (m >= 0xd0 && m <= 0xd7) { pos += 2; hitMarker = false; return true }
+      }
+      false
+    }
+  }
+
+  private def decodeHuff(t: HuffTable, br: BitReader): Int = {
+    var code = 0; var l = 0
+    while (l < 16) {
+      code = (code << 1) | br.nextBit()
+      l += 1
+      if (t.maxcode(l) >= 0 && code <= t.maxcode(l))
+        return t.vals(t.valptr(l) + code - t.mincode(l)) & 0xff
+      if (br.hitMarker) return -1
+    }
+    -1
+  }
+
+  /** T.81 F.12 EXTEND: map an s-bit magnitude to its signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTable = 0
+    var acTable = 0
+    var pred = 0
+    var plane: Array[Byte] = null
+    var planeW = 0
+    var planeH = 0
+  }
+
+  private def u2be(b: Array[Byte], at: Int): Int =
+    ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
+
+  /** Decode to packed RGB24 in image order (top row first).  Grayscale
+    * replicates Y into all three channels. */
+  private[graft] def jpegDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeFull(b).map { case (w, h, _, rgb) => (w, h, rgb) }
+
+  /** (width, height, source components, RGB24). */
+  private def decodeFull(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    try decodeImpl(b)
+    catch { case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException => None }
+  }
+
+  private def decodeImpl(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    val quant = new Array[Array[Int]](4) // natural order
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var width = 0; var height = 0
+    var restartInterval = 0
+    var pos = 2
+
+    while (pos + 3 < b.length) {
+      if ((b(pos) & 0xff) != 0xff) return None
+      var marker = b(pos + 1) & 0xff
+      pos += 2
+      while (marker == 0xff && pos < b.length) { marker = b(pos) & 0xff; pos += 1 } // fill bytes
+      if (marker == 0xd9) return None // EOI before any scan
+      val len = u2be(b, pos)
+      if (len < 2 || pos + len > b.length) return None
+      val seg = pos + 2
+      val segEnd = pos + len
+      marker match {
+        case 0xdb => // DQT
+          var p = seg
+          while (p < segEnd) {
+            val pq = (b(p) & 0xf0) >> 4
+            val tq = b(p) & 0x0f
+            if (tq > 3 || pq > 1) return None
+            val q = new Array[Int](64)
+            var k = 0
+            if (pq == 0) {
+              if (p + 1 + 64 > segEnd) return None
+              while (k < 64) { q(Zigzag(k)) = b(p + 1 + k) & 0xff; k += 1 }
+              p += 65
+            } else {
+              if (p + 1 + 128 > segEnd) return None
+              while (k < 64) { q(Zigzag(k)) = u2be(b, p + 1 + 2 * k); k += 1 }
+              p += 129
+            }
+            quant(tq) = q
+          }
+        case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+          if (comps != null) return None
+          val precision = b(seg) & 0xff
+          height = u2be(b, seg + 1)
+          width = u2be(b, seg + 3)
+          val nc = b(seg + 5) & 0xff
+          if (precision != 8 || width <= 0 || height <= 0) return None
+          if (nc != 1 && nc != 3) return None
+          if (width.toLong * height > (1L << 24)) return None
+          comps = Array.tabulate(nc) { i =>
+            val o = seg + 6 + 3 * i
+            val c = Component(b(o) & 0xff, (b(o + 1) & 0xf0) >> 4, b(o + 1) & 0x0f, b(o + 2) & 0xff)
+            if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3) return None
+            c
+          }
+        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // progressive / lossless / arithmetic — behind the seam
+        case 0xc4 => // DHT
+          var p = seg
+          while (p < segEnd) {
+            val tc = (b(p) & 0xf0) >> 4
+            val th = b(p) & 0x0f
+            if (tc > 1 || th > 3) return None
+            val counts = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
+            val n = counts.sum
+            if (n > 256 || p + 17 + n > segEnd) return None
+            val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + n)
+            val t = new HuffTable(counts, vals)
+            if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+            p += 17 + n
+          }
+        case 0xdd => // DRI
+          restartInterval = u2be(b, seg)
+        case 0xda => // SOS — single baseline scan, then entropy data
+          if (comps == null) return None
+          val ns = b(seg) & 0xff
+          if (ns != comps.length) return None
+          var p = seg + 1
+          var i = 0
+          while (i < ns) {
+            val cid = b(p) & 0xff
+            val c = comps.find(_.id == cid).getOrElse(return None)
+            c.dcTable = (b(p + 1) & 0xf0) >> 4
+            c.acTable = b(p + 1) & 0x0f
+            if (c.dcTable > 3 || c.acTable > 3) return None
+            p += 2; i += 1
+          }
+          return decodeScan(b, segEnd, comps, width, height, quant, dcTabs, acTabs, restartInterval)
+        case m if m >= 0xd0 && m <= 0xd7 => // stray RSTn outside scan
+          return None
+        case _ => () // APPn / COM / others: skip
+      }
+      pos = segEnd
+    }
+    None
+  }
+
+  private def decodeScan(b: Array[Byte], dataStart: Int, comps: Array[Component],
+                         width: Int, height: Int, quant: Array[Array[Int]],
+                         dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
+                         restartInterval: Int): Option[(Int, Int, Int, Array[Byte])] = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    for (c <- comps) {
+      if (quant(c.tq) == null) return None
+      c.planeW = mcusX * 8 * c.h
+      c.planeH = mcusY * 8 * c.v
+      if (c.planeW.toLong * c.planeH > (1L << 26)) return None
+      c.plane = new Array[Byte](c.planeW * c.planeH)
+    }
+    val br = new BitReader(b, dataStart)
+    val coef = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.restartMarker()) return None
+        comps.foreach(_.pred = 0)
+      }
+      val my = mcu / mcusX
+      val mx = mcu % mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val dcT = dcTabs(c.dcTable); val acT = acTabs(c.acTable)
+        if (dcT == null || acT == null) return None
+        val qt = quant(c.tq)
+        var blk = 0
+        while (blk < c.h * c.v) {
+          val bx = blk % c.h; val by = blk / c.h
+          java.util.Arrays.fill(coef, 0.0)
+          // DC (F.2.2.1)
+          val t = decodeHuff(dcT, br)
+          if (t < 0 && !br.hitMarker) return None
+          if (t > 11) return None
+          val diff = extend(br.receive(math.max(t, 0)), math.max(t, 0))
+          c.pred += diff
+          coef(0) = c.pred.toDouble * qt(0)
+          // AC (F.2.2.2)
+          var k = 1
+          var break = false
+          while (k < 64 && !break) {
+            val rs = decodeHuff(acT, br)
+            if (rs < 0) { if (br.hitMarker) break = true else return None }
+            else {
+              val r = rs >> 4; val s = rs & 15
+              if (s == 0) {
+                if (r == 15) k += 16 else break = true // ZRL / EOB
+              } else {
+                k += r
+                if (k > 63) return None
+                coef(Zigzag(k)) = extend(br.receive(s), s).toDouble * qt(Zigzag(k))
+                k += 1
+              }
+            }
+          }
+          idct8x8(coef, tmp)
+          // place block at (mx·8·h + bx·8, my·8·v + by·8) in the plane
+          val x0 = (mx * c.h + bx) * 8
+          val y0 = (my * c.v + by) * 8
+          var y = 0
+          while (y < 8) {
+            val rowBase = (y0 + y) * c.planeW + x0
+            var x = 0
+            while (x < 8) {
+              val v = coef(y * 8 + x) + 128.5
+              c.plane(rowBase + x) =
+                (if (v < 0) 0 else if (v > 255) 255 else v.toInt).toByte
+              x += 1
+            }
+            y += 1
+          }
+          blk += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // upsample (box replication) + color convert
+    val out = new Array[Byte](width * height * 3)
+    val gray = comps.length == 1
+    val cy = comps(0)
+    val (cb, cr) = if (gray) (null, null) else (comps(1), comps(2))
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        val yy = cy.plane((y * cy.v / vmax) * cy.planeW + (x * cy.h / hmax)) & 0xff
+        if (gray) {
+          out(o) = yy.toByte; out(o + 1) = yy.toByte; out(o + 2) = yy.toByte
+        } else {
+          val cbv = (cb.plane((y * cb.v / vmax) * cb.planeW + (x * cb.h / hmax)) & 0xff) - 128
+          val crv = (cr.plane((y * cr.v / vmax) * cr.planeW + (x * cr.h / hmax)) & 0xff) - 128
+          out(o) = clamp(yy + 1.402 * crv)
+          out(o + 1) = clamp(yy - 0.344136 * cbv - 0.714136 * crv)
+          out(o + 2) = clamp(yy + 1.772 * cbv)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some((width, height, comps.length, out))
+  }
+
+  private def clamp(v: Double): Byte = {
+    val r = math.round(v)
+    (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+  }
+
+  /** Separable 2-D IDCT (T.81 A.3.3): rows then columns over the
+    * precomputed normalized cosine basis; result is the spatial block
+    * BEFORE the +128 level shift (the caller adds it). */
+  private def idct8x8(coef: Array[Double], tmp: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) { // 1-D over rows (u axis)
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += Cos(x)(u) * coef(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = s / 2.0
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) { // 1-D over columns (v axis)
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += Cos(yy)(v) * tmp(v * 8 + x); v += 1 }
+        coef(yy * 8 + x) = s / 2.0
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Full decode + channel means — the JPEG arm of
+    * [[MediaCodecs.decodeRow]]'s magic-byte dispatch. */
+  def parseJpeg(b: Array[Byte]): Option[JpegMeta] = {
+    if (b.length < 3 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8 ||
+        (b(2) & 0xff) != 0xff) return None
+    decodeFull(b).map { case (w, h, nc, rgb) =>
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < rgb.length) {
+        sr += (rgb(i) & 0xff); sg += (rgb(i + 1) & 0xff); sb += (rgb(i + 2) & 0xff)
+        i += 3
+      }
+      val n = w.toDouble * h
+      JpegMeta(w, h, nc, 8, sr / n, sg / n, sb / n)
+    }
+  }
+}

@@ -10,17 +10,19 @@ import org.apache.spark.sql.types._
 /** REAL media decoding for the formats the JVM can handle without any
   * native codec — RIFF/WAVE audio (integer PCM, IEEE float32, G.711
   * A-law/μ-law, EXTENSIBLE wrappers), uncompressed 24-bit BMP,
-  * zlib-compressed PNG, and LZW-compressed GIF — written from the
-  * published container specs (Microsoft/IBM RIFF WAVE, 1991; Windows
-  * BITMAPINFOHEADER; RFC 2083 PNG via `java.util.zip.Inflater`;
-  * GIF87a/89a with the LZW decoder implemented here).  Runs anywhere
-  * the JVM runs, executor-side, inside whole-stage codegen.
+  * zlib-compressed PNG, LZW-compressed GIF, and baseline JPEG —
+  * written from the published container specs (Microsoft/IBM RIFF
+  * WAVE, 1991; Windows BITMAPINFOHEADER; RFC 2083 PNG via
+  * `java.util.zip.Inflater`; GIF87a/89a with the LZW decoder
+  * implemented here; ITU-T T.81 baseline sequential DCT in [[Jpeg]]).
+  * Runs anywhere the JVM runs, executor-side, inside whole-stage
+  * codegen.
   *
   * This is the demonstration that the multimodal pipeline's decode
   * seam ([[graft.operators.Multimodal]]) carries REAL decoders
   * end-to-end: payload bytes in a binary column → typed metadata +
-  * signal features out, one struct per row.  Compressed formats
-  * (JPEG/MP4/FLAC…) still need external codecs and stay behind the
+  * signal features out, one struct per row.  Formats still needing
+  * external codecs (progressive JPEG, MP4, FLAC…) stay behind the
   * documented stub seam.
   *
   * Decoded struct (modality-specific fields null when not applicable):
@@ -716,7 +718,8 @@ object MediaCodecs {
   }
 
   /** Concatenated per-channel histogram (3·bins longs: R block, G
-    * block, B block) of any decodable image payload (BMP/PNG/GIF) —
+    * block, B block) of any decodable image payload (BMP/PNG/GIF/
+    * baseline JPEG) —
     * the image-CONTENT feature for multimodal dedup: pixel-identical
     * images produce identical histograms REGARDLESS of container
     * format, near-identical images land within a few counts, so the
@@ -755,6 +758,7 @@ object MediaCodecs {
     if (png.isDefined) Some(pngHist)
     else bmpDecodeRgb(b).map(t => fromRgb(t._3))
       .orElse(gifDecodeRgb(b).map(t => fromRgb(t._3)))
+      .orElse(Jpeg.jpegDecodeRgb(b).map(t => fromRgb(t._3)))
   }
 
   /** Nearest-neighbor resize of a 24-bit uncompressed BMP to exactly
@@ -855,10 +859,16 @@ object MediaCodecs {
               InternalRow(UTF8String.fromString("image/gif"), g.width, g.height,
                 null, null, null, null, null, null, null,
                 g.meanR, g.meanG, g.meanB, size)
-            case None =>
-              InternalRow(UTF8String.fromString("application/octet-stream"),
-                null, null, null, null, null, null, null, null, null,
-                null, null, null, size)
+            case None => Jpeg.parseJpeg(b) match {
+              case Some(j) =>
+                InternalRow(UTF8String.fromString("image/jpeg"), j.width, j.height,
+                  j.channels, null, j.bits, null, null, null, null,
+                  j.meanR, j.meanG, j.meanB, size)
+              case None =>
+                InternalRow(UTF8String.fromString("application/octet-stream"),
+                  null, null, null, null, null, null, null, null, null,
+                  null, null, null, size)
+            }
           }
         }
       }

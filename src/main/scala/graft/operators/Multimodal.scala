@@ -11,14 +11,16 @@ import org.apache.spark.sql.types._
   *
   * Decoding comes in two tiers:
   *  - [[decodeMedia]] is a REAL decoder for formats the JVM handles
-  *    with no native codec — RIFF/WAVE PCM audio, 24-bit BMP, and PNG
-  *    (zlib via `java.util.zip.Inflater`) — implemented from the
-  *    container specs in [[graft.functions.MediaCodecs]]
-  *    (codegen'd Expression, runs executor-side with no native libs);
-  *  - formats needing external codecs (JPEG/MP4/FLAC…) stay behind
-  *    `fakeDecodeMeta`, the documented stub seam with the same struct
-  *    shape — swapping it for a libjpeg/ffmpeg call changes no
-  *    Spark-side contract.
+  *    with no native codec — RIFF/WAVE PCM audio, 24-bit BMP, PNG
+  *    (zlib via `java.util.zip.Inflater`), GIF, and baseline JPEG
+  *    (ITU-T T.81 sequential DCT, [[graft.functions.Jpeg]]) —
+  *    implemented from the container specs in
+  *    [[graft.functions.MediaCodecs]] (codegen'd Expression, runs
+  *    executor-side with no native libs);
+  *  - formats still needing external codecs (progressive JPEG, MP4,
+  *    FLAC…) stay behind `fakeDecodeMeta`, the documented stub seam
+  *    with the same struct shape — swapping it for a libjpeg/ffmpeg
+  *    call changes no Spark-side contract.
   */
 object Multimodal {
 
@@ -86,7 +88,7 @@ object Multimodal {
 
   /** Image-CONTENT embedding for multimodal dedup: concatenated
     * per-channel color histograms of any decodable image payload
-    * (BMP/PNG/GIF), normalized to densities (each channel block sums
+    * (BMP/PNG/GIF/baseline JPEG), normalized to densities (each channel block sums
     * to 1) — `Array[Double]` of length 3·bins; null for non-image
     * payloads.  Pixel-identical images embed identically REGARDLESS
     * of container format, near-identical images land at cosine ≈ 1,
