@@ -77,9 +77,13 @@ final case class PlotSpec(
     s"""{"$$schema": "https://vega.github.io/schema/vega-lite/v5.json", $t"mark": ${jsonValue(mark)}, "data": {"values": $values}, "encoding": $enc}"""
   }
 
-  /** Standalone SVG render of this spec — see [[SvgRender.render]]. */
-  def toSvg(width: Int = 480, height: Int = 360): String =
-    SvgRender.render(this, width, height)
+  /** Standalone SVG render of this spec — see [[SvgRender.render]].
+    * `theme` selects a presentation theme ([[Theme.classic]] default;
+    * [[Theme.fivethirtyeight]], [[Theme.lightMinimal]], or
+    * [[Theme.byName]] for the reference's `template='...'` surface). */
+  def toSvg(width: Int = 480, height: Int = 360,
+            theme: Theme = Theme.classic): String =
+    SvgRender.render(this, width, height, theme = theme)
 
   /** Raster PNG render of this spec — see [[PngRender.render]]. */
   def toPng(width: Int = 480, height: Int = 360): Array[Byte] =
@@ -101,8 +105,9 @@ final case class FacetSpec(facets: Seq[(String, PlotSpec)]) {
     facets.zipWithIndex.map { case ((lbl, _), i) => lbl -> SvgRender.styleFor(i) }
 
   /** Overlay render on shared axes — see [[SvgRender.renderFacets]]. */
-  def toSvg(width: Int = 480, height: Int = 360): String =
-    SvgRender.renderFacets(this, width, height)
+  def toSvg(width: Int = 480, height: Int = 360,
+            theme: Theme = Theme.classic): String =
+    SvgRender.renderFacets(this, width, height, theme)
 
   /** Raster PNG overlay render — see [[PngRender.renderFacets]]. */
   def toPng(width: Int = 480, height: Int = 360): Array[Byte] =
@@ -400,7 +405,8 @@ final case class CornerSpec(
 
   /** Grid render with annotated diagonals — see
     * [[SvgRender.renderCorner]]. */
-  def toSvg(panel: Int = 220): String = SvgRender.renderCorner(this, panel)
+  def toSvg(panel: Int = 220, theme: Theme = Theme.classic): String =
+    SvgRender.renderCorner(this, panel, theme)
 
   /** Raster PNG corner grid — see [[PngRender.renderCorner]]. */
   def toPng(panel: Int = 220): Array[Byte] = PngRender.renderCorner(this, panel)

@@ -94,27 +94,35 @@ object SvgRender {
 
   /** Render one spec to a standalone SVG document. */
   def render(spec: PlotSpec, width: Int = 480, height: Int = 360,
-             color: String = palette(0)): String = {
+             color: String = null, theme: Theme = Theme.classic): String = {
     val b = new StringBuilder
-    b ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height" font-family="sans-serif">"""
-    b ++= body(spec, 0, 0, width, height, color, title = spec.title)
+    b ++= svgOpen(width, height, theme)
+    b ++= body(spec, 0, 0, width, height,
+      Option(color).getOrElse(theme.palette(0)), title = spec.title, theme = theme)
     b ++= "</svg>"
     b.toString
   }
 
+  private def svgOpen(w: Int, h: Int, theme: Theme): String = {
+    val open = s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h" font-family="${theme.fontFamily}">"""
+    theme.background.fold(open)(bg =>
+      open + s"""<rect x="0" y="0" width="$w" height="$h" fill="$bg"/>""")
+  }
+
   /** Overlay facets on SHARED axes with the deterministic style cycle
     * (plotter.py:394–408: each group advances the prop cycle). */
-  def renderFacets(f: FacetSpec, width: Int = 480, height: Int = 360): String = {
+  def renderFacets(f: FacetSpec, width: Int = 480, height: Int = 360,
+                   theme: Theme = Theme.classic): String = {
     val b = new StringBuilder
-    b ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height" font-family="sans-serif">"""
+    b ++= svgOpen(width, height, theme)
     // shared scales: union of every facet's data extent
     val all = f.facets.map(_._2)
     val merged = all.headOption.map(h => h.copy(data = all.flatMap(_.data))).toSeq
     f.facets.zipWithIndex.foreach { case ((label, spec), i) =>
-      val st = styleFor(i)
+      val st = theme.styleFor(i)
       b ++= body(spec, 0, 0, width, height, st.color,
         axesFrom = merged.headOption, drawAxes = i == 0, dash = st.dash,
-        marker = st.marker, title = None)
+        marker = st.marker, title = None, theme = theme)
       val lx = width - 110; val ly = 18 + 16 * i
       b ++= s"""<rect x="$lx" y="${ly - 9}" width="10" height="10" fill="${st.color}"/>"""
       b ++= s"""<text x="${lx + 14}" y="$ly" font-size="11">${esc(label)}</text>"""
@@ -126,19 +134,21 @@ object SvgRender {
   /** Corner grid (plotter.py:1615–1711): lower-triangle panels,
     * diagonal hists annotated `v = p50 (+p84−p50 / −p50−p16)`, shared
     * column ordering. */
-  def renderCorner(c: CornerSpec, panel: Int = 220): String = {
+  def renderCorner(c: CornerSpec, panel: Int = 220,
+                   theme: Theme = Theme.classic): String = {
     val cols = c.panels.collect { case ((x, y), _) if x == y => x }
     val idx = cols.zipWithIndex.toMap
     val k = cols.size
     val w = panel * k; val h = panel * k
     val b = new StringBuilder
-    b ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h" font-family="sans-serif">"""
+    b ++= svgOpen(w, h, theme)
     c.panels.foreach { case ((x, y), spec) =>
       val (ix, iy) = (idx(x), idx(y))
       val title = if (ix == iy) c.quantiles.get(x).map { case (p16, p50, p84) =>
         s"$x = ${fmt(p50)} (+${fmt(p84 - p50)} / −${fmt(p50 - p16)})"
       } else None
-      b ++= body(spec, ix * panel, iy * panel, panel, panel, palette(0), title = title)
+      b ++= body(spec, ix * panel, iy * panel, panel, panel, theme.palette(0),
+        title = title, theme = theme)
       // percentile annotation lines on the diagonal hists
       if (ix == iy) c.quantiles.get(x).foreach { case (p16, p50, p84) =>
         val xs = spec.data.map(r => num(r(fieldOf(spec, "x").getOrElse(x))))
@@ -157,8 +167,9 @@ object SvgRender {
   private def body(spec: PlotSpec, x0: Int, y0: Int, w: Int, h: Int,
                    color: String, axesFrom: Option[PlotSpec] = None,
                    drawAxes: Boolean = true, dash: String = "",
-                   marker: String = "circle", title: Option[String]): String = {
-    if (spec.mark == "boxplot") return boxBody(spec, x0, y0, w, h, color, title)
+                   marker: String = "circle", title: Option[String],
+                   theme: Theme = Theme.classic): String = {
+    if (spec.mark == "boxplot") return boxBody(spec, x0, y0, w, h, color, title, theme)
     val ml = 38; val mr = 8; val mt = 22; val mb = 30
     val xf = fieldOf(spec, "x").getOrElse(
       throw new IllegalArgumentException(s"SvgRender: mark '${spec.mark}' needs an x field"))
@@ -175,19 +186,36 @@ object SvgRender {
     val sy = Scale(ylo, yhi, y0 + h - mb.toDouble, y0 + mt.toDouble)
     val b = new StringBuilder
     if (drawAxes) {
-      b ++= s"""<rect x="${x0 + ml}" y="${y0 + mt}" width="${w - ml - mr}" height="${h - mt - mb}" fill="none" stroke="#999"/>"""
+      val ac = theme.axisColor
+      val tickFill = theme.tickLabelColor.fold("")(c => s""" fill="$c"""")
+      theme.spines match {
+        case "box" =>
+          b ++= s"""<rect x="${x0 + ml}" y="${y0 + mt}" width="${w - ml - mr}" height="${h - mt - mb}" fill="none" stroke="$ac"/>"""
+        case "lb" => // left + bottom spines only (light_minimal_theme.py:26–27)
+          b ++= s"""<line x1="${x0 + ml}" y1="${y0 + mt}" x2="${x0 + ml}" y2="${y0 + h - mb}" stroke="$ac"/>"""
+          b ++= s"""<line x1="${x0 + ml}" y1="${y0 + h - mb}" x2="${x0 + w - mr}" y2="${y0 + h - mb}" stroke="$ac"/>"""
+        case _ => ()
+      }
+      theme.gridColor.foreach { gc => // gridlines across the plot area
+        ticks(xlo, xhi).foreach(t =>
+          b ++= s"""<line x1="${fmt(sx(t))}" y1="${y0 + mt}" x2="${fmt(sx(t))}" y2="${y0 + h - mb}" stroke="$gc"/>""")
+        ticks(ylo, yhi).foreach(t =>
+          b ++= s"""<line x1="${x0 + ml}" y1="${fmt(sy(t))}" x2="${x0 + w - mr}" y2="${fmt(sy(t))}" stroke="$gc"/>""")
+      }
       ticks(xlo, xhi).foreach { t =>
-        b ++= s"""<line x1="${fmt(sx(t))}" y1="${y0 + h - mb}" x2="${fmt(sx(t))}" y2="${y0 + h - mb + 4}" stroke="#999"/>"""
-        b ++= s"""<text x="${fmt(sx(t))}" y="${y0 + h - mb + 15}" font-size="10" text-anchor="middle">${fmt(t)}</text>"""
+        if (theme.tickLen > 0)
+          b ++= s"""<line x1="${fmt(sx(t))}" y1="${y0 + h - mb}" x2="${fmt(sx(t))}" y2="${y0 + h - mb + theme.tickLen}" stroke="$ac"/>"""
+        b ++= s"""<text x="${fmt(sx(t))}" y="${y0 + h - mb + 15}" font-size="${theme.tickFontPx}" text-anchor="middle"$tickFill>${fmt(t)}</text>"""
       }
       ticks(ylo, yhi).foreach { t =>
-        b ++= s"""<line x1="${x0 + ml - 4}" y1="${fmt(sy(t))}" x2="${x0 + ml}" y2="${fmt(sy(t))}" stroke="#999"/>"""
-        b ++= s"""<text x="${x0 + ml - 6}" y="${fmt(sy(t) + 3)}" font-size="10" text-anchor="end">${fmt(t)}</text>"""
+        if (theme.tickLen > 0)
+          b ++= s"""<line x1="${x0 + ml - theme.tickLen}" y1="${fmt(sy(t))}" x2="${x0 + ml}" y2="${fmt(sy(t))}" stroke="$ac"/>"""
+        b ++= s"""<text x="${x0 + ml - 6}" y="${fmt(sy(t) + 3)}" font-size="${theme.tickFontPx}" text-anchor="end"$tickFill>${fmt(t)}</text>"""
       }
-      b ++= s"""<text x="${x0 + (ml + w - mr) / 2}" y="${y0 + h - 4}" font-size="11" text-anchor="middle">${esc(xf)}</text>"""
+      b ++= s"""<text x="${x0 + (ml + w - mr) / 2}" y="${y0 + h - 4}" font-size="${theme.labelFontPx}" text-anchor="middle">${esc(xf)}</text>"""
     }
     title.foreach(t =>
-      b ++= s"""<text x="${x0 + w / 2}" y="${y0 + 14}" font-size="12" text-anchor="middle">${esc(t)}</text>""")
+      b ++= s"""<text x="${x0 + w / 2}" y="${y0 + 14}" font-size="${theme.titleFontPx}" text-anchor="middle">${esc(t)}</text>""")
     spec.mark match {
       case "bar" =>
         // bin width from the first center spacing (uniform by
@@ -246,7 +274,7 @@ object SvgRender {
           val pts = rows.map(r => (num(r(xf)), num(r(yf))))
             .filterNot(p => p._1.isNaN || p._2.isNaN).sortBy(_._1)
             .map(p => s"${fmt(sx(p._1))},${fmt(sy(p._2))}").mkString(" ")
-          val st = styleFor(i)
+          val st = theme.styleFor(i)
           val dashAttr = if (st.dash.nonEmpty) s""" stroke-dasharray="${st.dash}"""" else ""
           b ++= s"""<polyline points="$pts" fill="${st.color}" fill-opacity="0.25" stroke="${st.color}"$dashAttr/>"""
         }
@@ -261,7 +289,8 @@ object SvgRender {
     * whisker+box+median glyph per `variable` row over a categorical x
     * axis; rows carry the five-number summary computed cluster-side. */
   private def boxBody(spec: PlotSpec, x0: Int, y0: Int, w: Int, h: Int,
-                      color: String, title: Option[String]): String = {
+                      color: String, title: Option[String],
+                      theme: Theme = Theme.classic): String = {
     val ml = 38; val mr = 8; val mt = 22; val mb = 30
     val rows = spec.data
     val k = math.max(rows.size, 1)
@@ -270,13 +299,25 @@ object SvgRender {
     val sy = Scale(ylo, yhi, y0 + h - mb.toDouble, y0 + mt.toDouble)
     val sx = Scale(0.0, k.toDouble, x0 + ml.toDouble, x0 + w - mr.toDouble)
     val b = new StringBuilder
-    b ++= s"""<rect x="${x0 + ml}" y="${y0 + mt}" width="${w - ml - mr}" height="${h - mt - mb}" fill="none" stroke="#999"/>"""
+    val ac = theme.axisColor
+    val tickFill = theme.tickLabelColor.fold("")(c => s""" fill="$c"""")
+    theme.spines match {
+      case "box" =>
+        b ++= s"""<rect x="${x0 + ml}" y="${y0 + mt}" width="${w - ml - mr}" height="${h - mt - mb}" fill="none" stroke="$ac"/>"""
+      case "lb" =>
+        b ++= s"""<line x1="${x0 + ml}" y1="${y0 + mt}" x2="${x0 + ml}" y2="${y0 + h - mb}" stroke="$ac"/>"""
+        b ++= s"""<line x1="${x0 + ml}" y1="${y0 + h - mb}" x2="${x0 + w - mr}" y2="${y0 + h - mb}" stroke="$ac"/>"""
+      case _ => ()
+    }
     ticks(ylo, yhi).foreach { t =>
-      b ++= s"""<line x1="${x0 + ml - 4}" y1="${fmt(sy(t))}" x2="${x0 + ml}" y2="${fmt(sy(t))}" stroke="#999"/>"""
-      b ++= s"""<text x="${x0 + ml - 6}" y="${fmt(sy(t) + 3)}" font-size="10" text-anchor="end">${fmt(t)}</text>"""
+      theme.gridColor.foreach(gc =>
+        b ++= s"""<line x1="${x0 + ml}" y1="${fmt(sy(t))}" x2="${x0 + w - mr}" y2="${fmt(sy(t))}" stroke="$gc"/>""")
+      if (theme.tickLen > 0)
+        b ++= s"""<line x1="${x0 + ml - theme.tickLen}" y1="${fmt(sy(t))}" x2="${x0 + ml}" y2="${fmt(sy(t))}" stroke="$ac"/>"""
+      b ++= s"""<text x="${x0 + ml - 6}" y="${fmt(sy(t) + 3)}" font-size="${theme.tickFontPx}" text-anchor="end"$tickFill>${fmt(t)}</text>"""
     }
     title.foreach(t =>
-      b ++= s"""<text x="${x0 + w / 2}" y="${y0 + 14}" font-size="12" text-anchor="middle">${esc(t)}</text>""")
+      b ++= s"""<text x="${x0 + w / 2}" y="${y0 + 14}" font-size="${theme.titleFontPx}" text-anchor="middle">${esc(t)}</text>""")
     rows.zipWithIndex.foreach { case (r, i) =>
       val cx = sx(i + 0.5); val half = (sx(0.8) - sx(0.5)) // 0.3 category units
       val (mn, q1, med, q3, mx) =
@@ -288,7 +329,7 @@ object SvgRender {
       // interquartile box + median bar
       b ++= s"""<rect x="${fmt(cx - half)}" y="${fmt(sy(q3))}" width="${fmt(2 * half)}" height="${fmt(math.max(sy(q1) - sy(q3), 0.0))}" fill="$color" fill-opacity="0.6" stroke="#555"/>"""
       b ++= s"""<line x1="${fmt(cx - half)}" y1="${fmt(sy(med))}" x2="${fmt(cx + half)}" y2="${fmt(sy(med))}" stroke="#000"/>"""
-      b ++= s"""<text x="${fmt(cx)}" y="${y0 + h - mb + 15}" font-size="10" text-anchor="middle">${esc(String.valueOf(r("variable")))}</text>"""
+      b ++= s"""<text x="${fmt(cx)}" y="${y0 + h - mb + 15}" font-size="${theme.tickFontPx}" text-anchor="middle">${esc(String.valueOf(r("variable")))}</text>"""
     }
     b.toString
   }
