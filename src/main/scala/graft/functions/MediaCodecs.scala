@@ -474,6 +474,31 @@ object MediaCodecs {
     }
   }
 
+  /** Nearest-neighbor resize of a baseline JPEG, re-encoded as 8-bit
+    * RGB PNG (lossless + deterministic — re-encoding JPEG would need
+    * an entropy ENCODER and introduce a second generation loss).  Same
+    * caps and nearest-sample rule as [[resizePng]]. */
+  def resizeJpeg(b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    if (tw <= 0 || th <= 0 || tw > (1 << 15) || th > (1 << 15)) return None
+    Jpeg.jpegDecodeRgb(b).map { case (w, h, rgb) =>
+      val out = new Array[Byte](tw * th * 3)
+      var ty = 0
+      while (ty < th) {
+        val sy = ((ty.toLong * h) / th).toInt
+        var tx = 0
+        while (tx < tw) {
+          val sx = ((tx.toLong * w) / tw).toInt
+          val sp = (sy * w + sx) * 3
+          val tp = (ty * tw + tx) * 3
+          out(tp) = rgb(sp); out(tp + 1) = rgb(sp + 1); out(tp + 2) = rgb(sp + 2)
+          tx += 1
+        }
+        ty += 1
+      }
+      pngEncodeRgb(tw, th, out)
+    }
+  }
+
   final case class GifMeta(width: Int, height: Int,
                            meanR: Double, meanG: Double, meanB: Double)
 

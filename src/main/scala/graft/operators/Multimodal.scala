@@ -74,15 +74,18 @@ object Multimodal {
   /** Real resize for the decodable tier: 24-bit BMP payloads are
     * nearest-neighbor resampled to exactly (w, h) and re-encoded as
     * BMP; PNG payloads likewise, re-encoded as 8-bit RGB PNG (alpha
-    * dropped, gray/palette expanded).  Any other payload yields null
-    * (formats needing external codecs — the documented stub seam).
-    * Runs executor-side per row; compose with [[decodeMedia]]
-    * downstream to verify the new dimensions. */
+    * dropped, gray/palette expanded); baseline JPEG payloads decode,
+    * resample, and re-encode as PNG (lossless — no second generation
+    * loss).  Any other payload yields null (formats needing external
+    * codecs — the documented stub seam).  Runs executor-side per row;
+    * compose with [[decodeMedia]] downstream to verify the new
+    * dimensions. */
   def resizeImage(payload: Column, w: Int, h: Int): Column = {
     val f = udf((b: Array[Byte]) =>
       if (b == null) null
       else graft.functions.MediaCodecs.resizeBmp(b, w, h)
-        .orElse(graft.functions.MediaCodecs.resizePng(b, w, h)).orNull)
+        .orElse(graft.functions.MediaCodecs.resizePng(b, w, h))
+        .orElse(graft.functions.MediaCodecs.resizeJpeg(b, w, h)).orNull)
     f(payload)
   }
 

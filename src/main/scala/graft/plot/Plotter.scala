@@ -86,8 +86,9 @@ final case class PlotSpec(
     SvgRender.render(this, width, height, theme = theme)
 
   /** Raster PNG render of this spec — see [[PngRender.render]]. */
-  def toPng(width: Int = 480, height: Int = 360): Array[Byte] =
-    PngRender.render(this, width, height)
+  def toPng(width: Int = 480, height: Int = 360,
+            theme: Theme = Theme.classic): Array[Byte] =
+    PngRender.render(this, width, height, theme = theme)
 }
 
 /** Facet set: one PlotSpec per group/selection, with cycled style
@@ -110,8 +111,9 @@ final case class FacetSpec(facets: Seq[(String, PlotSpec)]) {
     SvgRender.renderFacets(this, width, height, theme)
 
   /** Raster PNG overlay render — see [[PngRender.renderFacets]]. */
-  def toPng(width: Int = 480, height: Int = 360): Array[Byte] =
-    PngRender.renderFacets(this, width, height)
+  def toPng(width: Int = 480, height: Int = 360,
+            theme: Theme = Theme.classic): Array[Byte] =
+    PngRender.renderFacets(this, width, height, theme)
 }
 
 /** Query-compiling plotter over an [[EzFrame]]
@@ -409,7 +411,8 @@ final case class CornerSpec(
     SvgRender.renderCorner(this, panel, theme)
 
   /** Raster PNG corner grid — see [[PngRender.renderCorner]]. */
-  def toPng(panel: Int = 220): Array[Byte] = PngRender.renderCorner(this, panel)
+  def toPng(panel: Int = 220, theme: Theme = Theme.classic): Array[Byte] =
+    PngRender.renderCorner(this, panel, theme)
 }
 
 /** 2-key facet grid (ezdata/plotter.py:1100–1149 pivot_plot): cell

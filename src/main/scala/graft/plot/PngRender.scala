@@ -22,35 +22,49 @@ import graft.functions.MediaCodecs
   */
 object PngRender {
 
-  import SvgRender.{Scale, extent, fieldOf, num, ticks, styleFor, fmt}
+  import SvgRender.{Scale, extent, fieldOf, num, ticks, fmt}
 
   private val White = 0xffffff
   private val AxisGray = 0x999999
   private val TextBlack = 0x000000
   private val AnnGray = 0x555555
 
-  private[plot] def hexColor(s: String): Int =
-    Integer.parseInt(s.stripPrefix("#"), 16)
+  private[plot] def hexColor(s: String): Int = {
+    val h = s.stripPrefix("#")
+    val full = if (h.length == 3) h.flatMap(c => s"$c$c") else h // #999 → #999999
+    Integer.parseInt(full, 16)
+  }
 
   /** Render one spec to PNG bytes. */
   def render(spec: PlotSpec, width: Int = 480, height: Int = 360,
-             color: String = SvgRender.palette(0)): Array[Byte] = {
-    val r = new Raster(width, height)
-    body(r, spec, 0, 0, width, height, hexColor(color), title = spec.title)
+             color: String = null, theme: Theme = Theme.classic): Array[Byte] = {
+    val r = themedRaster(width, height, theme)
+    body(r, spec, 0, 0, width, height,
+      hexColor(Option(color).getOrElse(theme.palette(0))), title = spec.title,
+      theme = theme)
     r.png
+  }
+
+  private def themedRaster(w: Int, h: Int, theme: Theme): Raster = {
+    val r = new Raster(w, h)
+    // canvas is white already; a non-white themed background would fill here
+    theme.background.map(hexColor).filter(_ != White)
+      .foreach(bg => r.fillRect(0, 0, w - 1, h - 1, bg, 1.0))
+    r
   }
 
   /** Overlay facets on shared axes with the deterministic style cycle
     * (plotter.py:394–408) — raster twin of [[SvgRender.renderFacets]]. */
-  def renderFacets(f: FacetSpec, width: Int = 480, height: Int = 360): Array[Byte] = {
-    val r = new Raster(width, height)
+  def renderFacets(f: FacetSpec, width: Int = 480, height: Int = 360,
+                   theme: Theme = Theme.classic): Array[Byte] = {
+    val r = themedRaster(width, height, theme)
     val all = f.facets.map(_._2)
     val merged = all.headOption.map(h => h.copy(data = all.flatMap(_.data))).toSeq
     f.facets.zipWithIndex.foreach { case ((label, spec), i) =>
-      val st = styleFor(i)
+      val st = theme.styleFor(i)
       body(r, spec, 0, 0, width, height, hexColor(st.color),
         axesFrom = merged.headOption, drawAxes = i == 0, dash = st.dash,
-        marker = st.marker, title = None)
+        marker = st.marker, title = None, theme = theme)
       val lx = width - 110; val ly = 18 + 16 * i
       r.fillRect(lx, ly - 9, lx + 10, ly + 1, hexColor(st.color), 1.0)
       r.text(lx + 14, ly, label, TextBlack, Anchor.Start)
@@ -60,11 +74,12 @@ object PngRender {
 
   /** Corner grid with annotated diagonals — raster twin of
     * [[SvgRender.renderCorner]] (plotter.py:1615–1711). */
-  def renderCorner(c: CornerSpec, panel: Int = 220): Array[Byte] = {
+  def renderCorner(c: CornerSpec, panel: Int = 220,
+                   theme: Theme = Theme.classic): Array[Byte] = {
     val cols = c.panels.collect { case ((x, y), _) if x == y => x }
     val idx = cols.zipWithIndex.toMap
     val k = cols.size
-    val r = new Raster(panel * k, panel * k)
+    val r = themedRaster(panel * k, panel * k, theme)
     c.panels.foreach { case ((x, y), spec) =>
       val (ix, iy) = (idx(x), idx(y))
       val title = if (ix == iy) c.quantiles.get(x).map { case (p16, p50, p84) =>
@@ -73,7 +88,7 @@ object PngRender {
         s"$x = ${fmt(p50)} (+${fmt(p84 - p50)} / −${fmt(p50 - p16)})"
       } else None
       body(r, spec, ix * panel, iy * panel, panel, panel,
-        hexColor(SvgRender.palette(0)), title = title)
+        hexColor(theme.palette(0)), title = title, theme = theme)
       if (ix == iy) c.quantiles.get(x).foreach { case (p16, p50, p84) =>
         val xs = spec.data.map(row => num(row(fieldOf(spec, "x").getOrElse(x))))
         val (lo, hi) = extent(xs, 0.02)
@@ -92,8 +107,9 @@ object PngRender {
   private[plot] def body(r: Raster, spec: PlotSpec, x0: Int, y0: Int, w: Int, h: Int,
                    color: Int, axesFrom: Option[PlotSpec] = None,
                    drawAxes: Boolean = true, dash: String = "",
-                   marker: String = "circle", title: Option[String]): Unit = {
-    if (spec.mark == "boxplot") { boxBody(r, spec, x0, y0, w, h, color, title); return }
+                   marker: String = "circle", title: Option[String],
+                   theme: Theme = Theme.classic): Unit = {
+    if (spec.mark == "boxplot") { boxBody(r, spec, x0, y0, w, h, color, title, theme); return }
     val ml = 38; val mr = 8; val mt = 22; val mb = 30
     val xf = fieldOf(spec, "x").getOrElse(
       throw new IllegalArgumentException(s"PngRender: mark '${spec.mark}' needs an x field"))
@@ -109,16 +125,30 @@ object PngRender {
     val sx = Scale(xlo, xhi, x0 + ml.toDouble, x0 + w - mr.toDouble)
     val sy = Scale(ylo, yhi, y0 + h - mb.toDouble, y0 + mt.toDouble)
     if (drawAxes) {
-      r.strokeRect(x0 + ml, y0 + mt, x0 + w - mr, y0 + h - mb, AxisGray)
+      val ac = hexColor(theme.axisColor)
+      val tickFill = theme.tickLabelColor.map(hexColor).getOrElse(TextBlack)
+      theme.spines match {
+        case "box" => r.strokeRect(x0 + ml, y0 + mt, x0 + w - mr, y0 + h - mb, ac)
+        case "lb" =>
+          r.vLine(x0 + ml, y0 + mt, y0 + h - mb, ac)
+          r.hLine(x0 + ml, x0 + w - mr, y0 + h - mb, ac)
+        case _ => ()
+      }
+      theme.gridColor.map(hexColor).foreach { gc =>
+        ticks(xlo, xhi).foreach(t =>
+          r.vLine(math.round(sx(t)).toInt, y0 + mt, y0 + h - mb, gc))
+        ticks(ylo, yhi).foreach(t =>
+          r.hLine(x0 + ml, x0 + w - mr, math.round(sy(t)).toInt, gc))
+      }
       ticks(xlo, xhi).foreach { t =>
         val px = math.round(sx(t)).toInt
-        r.vLine(px, y0 + h - mb, y0 + h - mb + 4, AxisGray)
-        r.text(px, y0 + h - mb + 15, fmt(t), TextBlack, Anchor.Middle)
+        if (theme.tickLen > 0) r.vLine(px, y0 + h - mb, y0 + h - mb + theme.tickLen, ac)
+        r.text(px, y0 + h - mb + 15, fmt(t), tickFill, Anchor.Middle)
       }
       ticks(ylo, yhi).foreach { t =>
         val py = math.round(sy(t)).toInt
-        r.hLine(x0 + ml - 4, x0 + ml, py, AxisGray)
-        r.text(x0 + ml - 6, py + 3, fmt(t), TextBlack, Anchor.End)
+        if (theme.tickLen > 0) r.hLine(x0 + ml - theme.tickLen, x0 + ml, py, ac)
+        r.text(x0 + ml - 6, py + 3, fmt(t), tickFill, Anchor.End)
       }
       r.text(x0 + (ml + w - mr) / 2, y0 + h - 4, xf, TextBlack, Anchor.Middle)
     }
@@ -182,7 +212,7 @@ object PngRender {
           val pts = rows.map(row => (num(row(xf)), num(row(yf))))
             .filterNot(p => p._1.isNaN || p._2.isNaN).sortBy(_._1)
             .map(p => (sx(p._1), sy(p._2)))
-          val st = styleFor(i)
+          val st = theme.styleFor(i)
           val c = hexColor(st.color)
           r.fillPolygon(pts, c, 0.25)
           val (on, off) = st.dash match {
@@ -203,7 +233,8 @@ object PngRender {
   /** Boxplot panel — raster twin of SvgRender's boxBody (whisker +
     * interquartile box + median bar per variable, categorical x). */
   private def boxBody(r: Raster, spec: PlotSpec, x0: Int, y0: Int, w: Int, h: Int,
-                      color: Int, title: Option[String]): Unit = {
+                      color: Int, title: Option[String],
+                      theme: Theme = Theme.classic): Unit = {
     val ml = 38; val mr = 8; val mt = 22; val mb = 30
     val rows = spec.data
     val k = math.max(rows.size, 1)
@@ -211,11 +242,20 @@ object PngRender {
     val (ylo, yhi) = extent(los ++ his, 0.02)
     val sy = Scale(ylo, yhi, y0 + h - mb.toDouble, y0 + mt.toDouble)
     val sx = Scale(0.0, k.toDouble, x0 + ml.toDouble, x0 + w - mr.toDouble)
-    r.strokeRect(x0 + ml, y0 + mt, x0 + w - mr, y0 + h - mb, AxisGray)
+    val ac = hexColor(theme.axisColor)
+    val tickFill = theme.tickLabelColor.map(hexColor).getOrElse(TextBlack)
+    theme.spines match {
+      case "box" => r.strokeRect(x0 + ml, y0 + mt, x0 + w - mr, y0 + h - mb, ac)
+      case "lb" =>
+        r.vLine(x0 + ml, y0 + mt, y0 + h - mb, ac)
+        r.hLine(x0 + ml, x0 + w - mr, y0 + h - mb, ac)
+      case _ => ()
+    }
     ticks(ylo, yhi).foreach { t =>
       val py = math.round(sy(t)).toInt
-      r.hLine(x0 + ml - 4, x0 + ml, py, AxisGray)
-      r.text(x0 + ml - 6, py + 3, fmt(t), TextBlack, Anchor.End)
+      theme.gridColor.map(hexColor).foreach(gc => r.hLine(x0 + ml, x0 + w - mr, py, gc))
+      if (theme.tickLen > 0) r.hLine(x0 + ml - theme.tickLen, x0 + ml, py, ac)
+      r.text(x0 + ml - 6, py + 3, fmt(t), tickFill, Anchor.End)
     }
     title.foreach(t => r.text(x0 + w / 2, y0 + 14, t, TextBlack, Anchor.Middle))
     rows.zipWithIndex.foreach { case (row, i) =>

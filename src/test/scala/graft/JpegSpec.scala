@@ -133,6 +133,24 @@ class JpegSpec extends SparkSpec {
     assert(cos > 0.98, s"cross-format cosine $cos — lossy JPEG should stay a near-dup of its BMP")
   }
 
+  test("resizeImage reaches the JPEG arm: decode -> resample -> lossless PNG out") {
+    val jpeg = encodeJpeg(smoothRgb(64, 48), 0.9f)
+    val out = Seq((1L, jpeg)).toDF("id", "payload")
+      .select(Multimodal.resizeImage(col("payload"), 16, 12).as("resized"))
+      .select(Multimodal.decodeMedia(col("resized")).as("m"))
+      .select(col("m.mime"), col("m.width"), col("m.height")).collect().head
+    assert(out.getString(0) == "image/png", "JPEG resizes re-encode lossless as PNG")
+    assert(out.getInt(1) == 16 && out.getInt(2) == 12)
+    // nearest-sample parity with the pure-codec path
+    val direct = MediaCodecs.resizeJpeg(jpeg, 16, 12).get
+    val (_, _, a) = MediaCodecs.pngDecodeRgb(direct).get
+    val (w0, h0, src) = Jpeg.jpegDecodeRgb(jpeg).get
+    val sp = ((5L * h0 / 12).toInt * w0 + (7L * w0 / 16).toInt) * 3
+    val tp = (5 * 16 + 7) * 3
+    assert(a(tp) == src(sp) && a(tp + 1) == src(sp + 1) && a(tp + 2) == src(sp + 2),
+      "resized pixel must be the nearest source sample")
+  }
+
   test("fuzz: truncations, bit flips, and random bytes never throw") {
     val jpeg = encodeJpeg(smoothRgb(24, 16), 0.7f)
     for (cut <- Seq(2, 3, 8, jpeg.length / 2, jpeg.length - 1))

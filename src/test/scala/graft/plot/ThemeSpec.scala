@@ -65,6 +65,33 @@ class ThemeSpec extends AnyFunSuite {
     assert(!svg.contains("#1f77b4"), "tab10 must not leak into a themed render")
   }
 
+  test("PNG backend: classic theme byte-identical, themed renders differ deterministically") {
+    assert(java.util.Arrays.equals(PngRender.render(histSpec),
+      PngRender.render(histSpec, theme = Theme.classic)),
+      "classic PNG must match the themeless render (goldens stay valid)")
+    for (t <- Seq(Theme.fivethirtyeight, Theme.lightMinimal)) {
+      val a = PngRender.render(histSpec, theme = t)
+      assert(java.util.Arrays.equals(a, PngRender.render(histSpec, theme = t)),
+        s"${t.name} PNG must be deterministic")
+      assert(!java.util.Arrays.equals(a, PngRender.render(histSpec)),
+        s"${t.name} PNG must differ from classic")
+    }
+    // 538 bars carry its colorway, not tab10
+    val px538 = graft.functions.MediaCodecs.pngDecodeRgb(
+      PngRender.render(histSpec, theme = Theme.fivethirtyeight)).get._3
+    def has(rgb: Array[Byte], r: Int, g: Int, b: Int): Boolean =
+      rgb.grouped(3).exists(p => (p(0) & 0xff) == r && (p(1) & 0xff) == g && (p(2) & 0xff) == b)
+    // bars draw at alpha 0.75 over white: 255 + (c-255)*0.75 per channel
+    // for #008fd5 -> (64, 171, 224)
+    assert(has(px538, 64, 171, 224), "538 blue (0.75 alpha over white) in the raster")
+    assert(has(px538, 0xcb, 0xcb, 0xcb), "gridline gray present")
+  }
+
+  test("hexColor expands 3-digit hex (classic #999 frame keeps its gray)") {
+    assert(PngRender.hexColor("#999") == 0x999999)
+    assert(PngRender.hexColor("#1f77b4") == 0x1f77b4)
+  }
+
   test("colors.py helpers: lookup, hex parse, normed rgb, palette-from-colors") {
     assert(Colors.rgbOf("plum") == ((221, 160, 221)))
     assert(Colors.rgbOf("#FFFFFF") == ((255, 255, 255)))
