@@ -1,11 +1,14 @@
 package graft.functions
 
-/** Baseline JPEG (ITU-T T.81, sequential DCT, 8-bit, Huffman) decoder —
-  * pure JVM, written from the published spec: marker/segment parsing
-  * (Annex B), canonical Huffman decode tables (Annex C / F.2.2.3),
-  * byte-stuffed entropy segments with restart markers (B.1.1.5, E.1.4),
-  * dequantize + dezigzag + separable floating IDCT (A.3.3), box chroma
-  * upsampling (A.1.1) and JFIF YCbCr→RGB.
+/** Baseline JPEG (ITU-T T.81, sequential DCT, 8-bit, Huffman) CODEC —
+  * pure JVM, written from the published spec.  Decoder: marker/segment
+  * parsing (Annex B), canonical Huffman decode tables (Annex C /
+  * F.2.2.3), byte-stuffed entropy segments with restart markers
+  * (B.1.1.5, E.1.4), dequantize + dezigzag + separable floating IDCT
+  * (A.3.3), box chroma upsampling (A.1.1) and JFIF YCbCr→RGB.
+  * Encoder ([[jpegEncodeRgb]]): 4:4:4 JFIF baseline with the Annex-K
+  * quantization/Huffman tables — deterministic bytes, so encoded
+  * output is golden-pinnable like [[MediaCodecs.pngEncodeRgb]]'s.
   *
   * Scope: SOF0/SOF1 (baseline + extended sequential, 8-bit), 1- or
   * 3-component scans, sampling factors 1–4, DRI/RSTn.  Progressive
@@ -383,6 +386,242 @@ object Jpeg {
       }
       x += 1
     }
+  }
+
+  // ── encoder (baseline, 4:4:4, Annex-K tables) ─────────────────────
+
+  /** T.81 Annex K.1 luminance / K.2 chrominance quantization tables,
+    * natural order, at the spec's reference quality. */
+  private val QLumBase: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  private val QChromBase: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Annex K.3 typical Huffman tables: (BITS counts, HUFFVAL). */
+  private val DcLumSpec = (Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+  private val DcChromSpec = (Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+  private val AcLumSpec = (Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d),
+    Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61,
+      0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52,
+      0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25,
+      0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+      0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64,
+      0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x83,
+      0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99,
+      0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3,
+      0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8,
+      0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+  private val AcChromSpec = (Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    Array(
+      0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61,
+      0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33,
+      0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18,
+      0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+      0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63,
+      0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7a,
+      0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97,
+      0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+      0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca,
+      0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7,
+      0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+
+  /** (code, length) per symbol from a (BITS, HUFFVAL) spec — the
+    * canonical assignment of Annex C. */
+  private def encodeTable(spec: (Array[Int], Array[Int])): Array[(Int, Int)] = {
+    val (counts, vals) = spec
+    val out = new Array[(Int, Int)](256)
+    var code = 0; var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < counts(l - 1)) { out(vals(k)) = (code, l); code += 1; k += 1; i += 1 }
+      code <<= 1
+      l += 1
+    }
+    out
+  }
+  private lazy val DcLumEnc = encodeTable(DcLumSpec)
+  private lazy val DcChromEnc = encodeTable(DcChromSpec)
+  private lazy val AcLumEnc = encodeTable(AcLumSpec)
+  private lazy val AcChromEnc = encodeTable(AcChromSpec)
+
+  /** MSB-first bit writer with 0xFF byte stuffing (B.1.1.5). */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((code >> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(buf & 0xff)
+          if ((buf & 0xff) == 0xff) out.write(0x00)
+          buf = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flushWithOnes(): Unit = if (cnt > 0) put(0xff, 8 - cnt)
+  }
+
+  /** Forward 8×8 DCT — transpose of [[idct8x8]] over the same basis. */
+  private def fdct8x8(px: Array[Double], tmp: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += Cos(x)(u) * px(y * 8 + x); x += 1 }
+        tmp(y * 8 + u) = s / 2.0
+        u += 1
+      }
+      y += 1
+    }
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) { s += Cos(yy)(v) * tmp(yy * 8 + u); yy += 1 }
+        px(v * 8 + u) = s / 2.0
+        v += 1
+      }
+      u += 1
+    }
+  }
+
+  private def magnitudeCategory(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Encode packed RGB24 (image order) as a baseline 4:4:4 JFIF JPEG.
+    * `quality` 1–100 scales the Annex-K tables with the familiar IJG
+    * rule (50 = the spec tables).  Deterministic: fixed tables, no
+    * optimization passes — so output bytes are golden-pinnable. */
+  def jpegEncodeRgb(w: Int, h: Int, rgb: Array[Byte], quality: Int = 85): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    require(rgb.length == w * h * 3, "rgb must be w*h*3 bytes")
+    require(quality >= 1 && quality <= 100, s"quality in [1,100], got $quality")
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    def scaled(base: Array[Int]): Array[Int] =
+      base.map(q => math.min(255, math.max(1, (q * scale + 50) / 100)))
+    val qLum = scaled(QLumBase); val qChrom = scaled(QChromBase)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    m(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0 JFIF
+    m(0xdb, 0 +: (0 until 64).map(k => qLum(Zigzag(k))).toArray)     // DQT 0 (zigzag)
+    m(0xdb, 1 +: (0 until 64).map(k => qChrom(Zigzag(k))).toArray)   // DQT 1
+    m(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,          // SOF0 4:4:4
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    def dht(cls: Int, id: Int, spec: (Array[Int], Array[Int])): Unit =
+      m(0xc4, ((cls << 4) | id) +: (spec._1 ++ spec._2))
+    dht(0, 0, DcLumSpec); dht(1, 0, AcLumSpec)
+    dht(0, 1, DcChromSpec); dht(1, 1, AcChromSpec)
+    m(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))           // SOS
+
+    val bw = new BitWriter(out)
+    val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
+    val block = new Array[Double](64); val tmp = new Array[Double](64)
+    val preds = new Array[Int](3)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var c = 0
+        while (c < 3) {
+          // gather the 8x8 block in this component's color plane
+          // (edge blocks replicate the last row/col), level-shifted
+          var by = 0
+          while (by < 8) {
+            val sy = math.min(my * 8 + by, h - 1)
+            var bx = 0
+            while (bx < 8) {
+              val sx = math.min(mx * 8 + bx, w - 1)
+              val p = (sy * w + sx) * 3
+              val r = rgb(p) & 0xff; val g = rgb(p + 1) & 0xff; val bb = rgb(p + 2) & 0xff
+              val v = c match {
+                case 0 => 0.299 * r + 0.587 * g + 0.114 * bb
+                case 1 => -0.168736 * r - 0.331264 * g + 0.5 * bb + 128.0
+                case _ => 0.5 * r - 0.418688 * g - 0.081312 * bb + 128.0
+              }
+              block(by * 8 + bx) = v - 128.0
+              bx += 1
+            }
+            by += 1
+          }
+          fdct8x8(block, tmp)
+          val qt = if (c == 0) qLum else qChrom
+          val dcEnc = if (c == 0) DcLumEnc else DcChromEnc
+          val acEnc = if (c == 0) AcLumEnc else AcChromEnc
+          // quantize in zigzag order
+          val zz = new Array[Int](64)
+          var k = 0
+          while (k < 64) {
+            val n = Zigzag(k)
+            zz(k) = math.round(block(n) / qt(n)).toInt
+            k += 1
+          }
+          // DC
+          val diff = zz(0) - preds(c); preds(c) = zz(0)
+          val s = magnitudeCategory(diff)
+          val (dcCode, dcLen) = dcEnc(s)
+          bw.put(dcCode, dcLen)
+          if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+          // AC with run-lengths, ZRL, EOB
+          var run = 0
+          k = 1
+          while (k < 64) {
+            if (zz(k) == 0) run += 1
+            else {
+              while (run > 15) { val (zc, zl) = acEnc(0xf0); bw.put(zc, zl); run -= 16 }
+              val sz = magnitudeCategory(zz(k))
+              val (ac, al) = acEnc((run << 4) | sz)
+              bw.put(ac, al)
+              bw.put(if (zz(k) < 0) zz(k) + (1 << sz) - 1 else zz(k), sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (ec, el) = acEnc(0x00); bw.put(ec, el) } // EOB
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flushWithOnes()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
   }
 
   /** Full decode + channel means — the JPEG arm of

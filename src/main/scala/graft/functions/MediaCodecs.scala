@@ -475,9 +475,10 @@ object MediaCodecs {
   }
 
   /** Nearest-neighbor resize of a baseline JPEG, re-encoded as 8-bit
-    * RGB PNG (lossless + deterministic — re-encoding JPEG would need
-    * an entropy ENCODER and introduce a second generation loss).  Same
-    * caps and nearest-sample rule as [[resizePng]]. */
+    * RGB PNG (lossless + deterministic — [[Jpeg.jpegEncodeRgb]] could
+    * re-encode as JPEG, but a resize pipeline should not stack a
+    * second generation loss by default).  Same caps and nearest-sample
+    * rule as [[resizePng]]. */
   def resizeJpeg(b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
     if (tw <= 0 || th <= 0 || tw > (1 << 15) || th > (1 << 15)) return None
     Jpeg.jpegDecodeRgb(b).map { case (w, h, rgb) =>

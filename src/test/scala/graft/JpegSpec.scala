@@ -192,6 +192,60 @@ class JpegSpec extends SparkSpec {
     assert(rgb.forall(b => (b & 0xff) == 128), "all-zero blocks must decode to flat 128")
   }
 
+  test("encoder: own round trip stays close, bytes deterministic, ImageIO validates") {
+    val img = smoothRgb(48, 40)
+    val src = new Array[Byte](48 * 40 * 3)
+    for (y <- 0 until 40; x <- 0 until 48) {
+      val p = img.getRGB(x, y); val o = (y * 48 + x) * 3
+      src(o) = ((p >> 16) & 0xff).toByte; src(o + 1) = ((p >> 8) & 0xff).toByte
+      src(o + 2) = (p & 0xff).toByte
+    }
+    val enc = Jpeg.jpegEncodeRgb(48, 40, src, quality = 90)
+    assert(java.util.Arrays.equals(enc, Jpeg.jpegEncodeRgb(48, 40, src, quality = 90)),
+      "encode must be byte-deterministic")
+    // our decoder reads our encoder
+    val (w, h, dec) = Jpeg.jpegDecodeRgb(enc).getOrElse(fail("own round trip failed"))
+    assert(w == 48 && h == 40)
+    val meanDiff = src.indices.map(i => math.abs((src(i) & 0xff) - (dec(i) & 0xff))).sum /
+      src.length.toDouble
+    assert(meanDiff < 3.0, s"own round trip mean |diff| $meanDiff")
+    // the JDK's independent decoder accepts and agrees: spec compliance
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert(ref != null && ref.getWidth == 48 && ref.getHeight == 40,
+      "ImageIO must decode our stream")
+    var refDiff = 0.0
+    for (y <- 0 until 40; x <- 0 until 48) {
+      val p = ref.getRGB(x, y); val o = (y * 48 + x) * 3
+      refDiff += math.abs(((p >> 16) & 0xff) - (src(o) & 0xff)) +
+        math.abs(((p >> 8) & 0xff) - (src(o + 1) & 0xff)) +
+        math.abs((p & 0xff) - (src(o + 2) & 0xff))
+    }
+    assert(refDiff / src.length < 3.0, s"ImageIO disagreement ${refDiff / src.length}")
+    // mime dispatch sees it as a JPEG with the right meta
+    val meta = Jpeg.parseJpeg(enc).get
+    assert(meta.width == 48 && meta.height == 40 && meta.channels == 3)
+  }
+
+  test("encoder: odd dimensions replicate edges; quality scales file size") {
+    val img = smoothRgb(19, 13)
+    val src = new Array[Byte](19 * 13 * 3)
+    for (y <- 0 until 13; x <- 0 until 19) {
+      val p = img.getRGB(x, y); val o = (y * 19 + x) * 3
+      src(o) = ((p >> 16) & 0xff).toByte; src(o + 1) = ((p >> 8) & 0xff).toByte
+      src(o + 2) = (p & 0xff).toByte
+    }
+    val lo = Jpeg.jpegEncodeRgb(19, 13, src, quality = 20)
+    val hi = Jpeg.jpegEncodeRgb(19, 13, src, quality = 95)
+    assert(lo.length < hi.length, "lower quality must compress harder")
+    for (q <- Seq(lo, hi)) {
+      val (w, h, _) = Jpeg.jpegDecodeRgb(q).getOrElse(fail("odd-dims round trip failed"))
+      assert(w == 19 && h == 13)
+    }
+    intercept[IllegalArgumentException](Jpeg.jpegEncodeRgb(0, 8, new Array[Byte](0)))
+    intercept[IllegalArgumentException](Jpeg.jpegEncodeRgb(8, 8, new Array[Byte](3)))
+    intercept[IllegalArgumentException](Jpeg.jpegEncodeRgb(8, 8, new Array[Byte](192), 0))
+  }
+
   test("progressive JPEG stays behind the seam (None, not garbage)") {
     // hand-build a minimal stream that declares SOF2 (progressive)
     val bb = new java.io.ByteArrayOutputStream()
