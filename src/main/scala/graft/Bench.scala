@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted}
+import java.util.concurrent.atomic.AtomicInteger
 
 /** Driver-run benchmark: every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, one JSON line out.  Session is tuned for the
@@ -35,6 +37,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job/stage tally: every cross-round perf dispute so far reduced to
+    // "how many sequential jobs did this query run" (sequential job
+    // count is what a loaded driver machine amplifies) — record it per
+    // query so a verdict can separate contention from regression.
+    // Counters are read after a listener-bus drain (waitForEmptyQueue
+    // below) so late-arriving events land before the snapshot.
+    val jobCount = new AtomicInteger(0)
+    val stageCount = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet()
+        if (sys.env.contains("SPARK_GRAFT_JOBDEBUG"))
+          println(s"JOB ${e.jobId}: ${Option(e.properties.getProperty("callSite.short")).getOrElse("?")} " +
+            s"stages=${e.stageInfos.map(_.name).mkString(" | ")}")
+        ()
+      }
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = { stageCount.incrementAndGet(); () }
+    })
+    // the listener bus is async: poll until both counters hold still so
+    // a snapshot never misses events still in flight (bounded wait)
+    def drainListeners(): Unit = {
+      var last = (-1, -1)
+      var spins = 0
+      while (spins < 50 && last != ((jobCount.get, stageCount.get))) {
+        last = (jobCount.get, stageCount.get)
+        Thread.sleep(20)
+        spins += 1
+      }
+    }
     spark.range(1000).selectExpr("sum(id)").collect() // warm up session
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
@@ -47,14 +78,20 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (sec, jobs, stages) for one execution; job/stage deltas bracket
+    // the run with a listener-bus drain on each side
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Int, Int) = {
       cleanBlocks()
+      drainListeners()
+      val (j0, s0) = (jobCount.get, stageCount.get)
       val t0 = System.nanoTime()
       // noop-sink write: materializes every output column (a bare count()
       // lets Catalyst prune projection-only queries down to a row-count scan)
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        drainListeners()
+        (sec, jobCount.get - j0, stageCount.get - s0)
       } catch {
         case e: Throwable =>
           // strip quotes/backslashes AND the whole control range — a
@@ -62,7 +99,7 @@ object Bench {
           // the one-line JSON unparseable
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\\x00-\\x1f]", " ").take(200)
-          -1.0
+          (-1.0, 0, 0)
       }
     }
     val results = selected.map { case (name, fn) =>
@@ -71,19 +108,24 @@ object Bench {
       // deterministic failure needs no second confirmation); a query
       // that succeeded once is a success — a transient second-run
       // failure keeps the first measurement and does not fail the run
-      val best = if (first < 0) first else {
+      val best = if (first._1 < 0) first else {
         val second = runOnce(name, fn)
-        if (second < 0) { errors.remove(name); first }
-        else math.min(first, second)
+        if (second._1 < 0) { errors.remove(name); first }
+        else if (second._1 < first._1) second else first
       }
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (sec, _, _)) => "\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
+    // per-query job/stage profile of the kept (min) run, alongside the
+    // plain numeric "queries" map so existing consumers keep parsing
+    val profiles = results.map { case (k, (sec, jobs, stages)) =>
+      "\"" + k + "\":{\"sec\":" + sec + ",\"jobs\":" + jobs + ",\"stages\":" + stages + "}"
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, (v, _, _)) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"profiles":$profiles,"errors":$errJson,"sf":"$sfDir"}""")
     // totals-only line LAST: the driver keeps only the TAIL of stdout
     // (BENCH_r04's capture cut the HEAD of the big line above, losing
     // the recorded total), so the exact total is repeated in a short

@@ -96,13 +96,30 @@ object Dedup {
   private def mhBanded(df: DataFrame, text: Column, id: Column,
                        shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minhashSignatures(df, text, id, shingleSize, bands * rowsPerBand)
-    sigs.select(
-      col("doc_id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        xxhash64(((0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
-          :+ lit(b)): _*)
-      }: _*)).as("band_key"))
+    sigs.select(col("doc_id"), col("sig"),
+      explodedBandKeys(col("sig"), bands, rowsPerBand, portable = false).as("band_key"))
   }
+
+  /** Exploded band-key expression over a signature-array column — the
+    * shared key shape of [[mhBanded]], [[portableBanded]] and the
+    * fused prep frame in [[nearDedupCorpus]].  Non-portable keys fold
+    * each band's lanes into one xxhash64 long (an array-typed join key
+    * cannot hash-join); portable keys are md5 hex of the lanes joined
+    * by '|' with the band index appended, mirrored in oracle SQL. */
+  private def explodedBandKeys(sig: Column, bands: Int, rowsPerBand: Int,
+                               portable: Boolean): Column =
+    if (portable)
+      explode(array((0 until bands).map { b =>
+        md5(concat_ws("|",
+          (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => element_at(sig, i + 1)) :+
+            lit(b.toString): _*).cast(BinaryType))
+      }: _*))
+    else
+      explode(array((0 until bands).map { b =>
+        xxhash64(((0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))
+          :+ lit(b)): _*)
+      }: _*))
 
   /** Drop band buckets whose population exceeds `maxBucket` BEFORE the
     * self-join squares them (0 = unbounded).  A duplicate cluster of
@@ -192,12 +209,7 @@ object Dedup {
                              shingleSize: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val lanes = portableMinhashLanes(df, text, id, shingleSize, bands * rowsPerBand)
     lanes.select(col("doc_id"), col("sig"),
-      explode(array((0 until bands).map { b =>
-        md5(concat_ws("|",
-          (b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => element_at(col("sig"), i + 1)) :+
-            lit(b.toString): _*).cast(BinaryType))
-      }: _*)).as("band_key"))
+      explodedBandKeys(col("sig"), bands, rowsPerBand, portable = true).as("band_key"))
   }
 
   /** Lane-agreement count between two portable signatures (arrays of
@@ -887,9 +899,22 @@ object Dedup {
   /** Limit-probe of the pair frame: `Some(rows)` when the pair count
     * fits `limit` with no null endpoint, `None` otherwise (the
     * partitions the probe computed stay cached for the caller's
-    * fallback). */
+    * fallback).
+    *
+    * ONE job, not CollectLimitExec's incremental scale-up: the default
+    * limit execution probes 1 partition, then 4x more each round — 3-4
+    * sequential jobs on a corpus-sized pipeline, each a scheduling
+    * round trip driver-machine contention amplifies (the r11 q70
+    * record).  Overriding `initialNumPartitions` for just this collect
+    * makes the limit read every partition in a single job; the bound
+    * still caps what reaches the driver. */
   private def collectPairsIfSmall(p0: DataFrame, limit: Int): Option[Array[org.apache.spark.sql.Row]] = {
-    val sample = p0.limit(limit + 1).collect()
+    val conf = p0.sparkSession.conf
+    val key = "spark.sql.limit.initialNumPartitions"
+    val saved = conf.getOption(key)
+    val sample =
+      try { conf.set(key, Int.MaxValue); p0.limit(limit + 1).collect() }
+      finally saved match { case Some(v) => conf.set(key, v); case None => conf.unset(key) }
     if (sample.length <= limit && !sample.exists(r => r.isNullAt(0) || r.isNullAt(1)))
       Some(sample)
     else None
@@ -1017,29 +1042,69 @@ object Dedup {
                       portableHash: Boolean = false,
                       maxBucket: Int = 0): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // raw collision rows, not minhashLsh: ngramJaccard's input
-    // distinct dedups pairs anyway, so minhashLsh's own distinct
-    // exchange (and its signature-agreement kernel) would be pure
-    // overhead here — est_jaccard is never consulted, exact Jaccard
-    // decides.  portableHash swaps in the md5-permutation banding so
-    // a SQL oracle can mirror candidate generation (est still never
-    // consulted — the exact-jaccard verify and everything after it is
-    // hash-free either way).
-    val cand =
-      if (portableHash) {
-        val banded = capBuckets(
-          portableBanded(df, text, id, shingleSize, bands, rowsPerBand), maxBucket)
-        banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
-          .filter(col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      } else mhCollisionPairs(df, text, id, shingleSize, bands, rowsPerBand, maxBucket)
-    val verified = ngramJaccard(cand, df, id, text, n = shingleSize)
+    // FUSED prep frame — the r12 job-graph flattening: ONE corpus scan
+    // computes BOTH the signature lanes (candidate generation) and the
+    // exact distinct-shingle hash set (verification) from the same
+    // normalize pass, persisted so candidate-gen and verify read the
+    // cache instead of each re-scanning + re-shingling the corpus (the
+    // pre-r12 shape ran ngramJaccard's semi-join + repartition +
+    // melt/groupBy chain on a second scan — ~4 more sequential jobs,
+    // which driver-machine contention amplified 3-4x in the r11 bench
+    // record).  Cache footprint is ≤ 8·L bytes per doc (the shingle
+    // set) at MEMORY_AND_DISK_SER — spill-safe; for corpora where that
+    // footprint dominates, compose mhCollisionPairs + ngramJaccard
+    // manually (they remain the candidate-only-shingling pieces).
+    // est_jaccard is never computed — exact Jaccard decides.
+    val k = bands * rowsPerBand
+    val normed = TextAnalysis.normalize(text)
+    val sigExpr =
+      if (portableHash) graft.functions.WindowHash.portableMinhashSig(normed, shingleSize, k)
+      else graft.functions.MinHash.minhashSig(normed, shingleSize, k)
+    val prep = df.select(id.as("doc_id"), sigExpr.as("sig"),
+        graft.functions.MinHash.shingleHashSet(normed, shingleSize).as("hs"))
+      .filter(col("sig").isNotNull) // docs shorter than the shingle width: no evidence
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val banded = capBuckets(
+      prep.select(col("doc_id"),
+        explodedBandKeys(col("sig"), bands, rowsPerBand, portableHash).as("band_key")),
+      maxBucket)
+    // true self-join (identical projections) so the band_key exchange
+    // canonicalizes equal and ReusedExchange materializes it once
+    val cand = banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct() // BEFORE the verify kernel: a duplicate cluster collides in ~every band
+    // verify straight off the cache: two joins of the (small) distinct
+    // pair frame against prep — AQE broadcasts the pair side locally,
+    // and at scale both prep probes hash the same key over the same
+    // cached child.  Every cand endpoint is in prep by construction
+    // (inner joins drop nothing); arithmetic is ngramJaccard's exactly.
+    val verified = cand
+      .join(prep.select(col("doc_id").as("sid_a"), col("hs").as("hs_a")),
+        col("id_a") === col("sid_a"))
+      .join(prep.select(col("doc_id").as("sid_b"), col("hs").as("hs_b")),
+        col("id_b") === col("sid_b"))
+      .withColumn("sz_a", size(col("hs_a")).cast(LongType))
+      .withColumn("sz_b", size(col("hs_b")).cast(LongType))
+      .withColumn("n_inter", graft.functions.MinHash.intersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard", round(col("n_inter").cast(DoubleType) /
+        greatest(col("sz_a") + col("sz_b") - col("n_inter"), lit(1L)).cast(DoubleType), 6))
       .filter(col("jaccard") >= minJaccard)
-    if (keepBy.isEmpty)
-      return keepMinIdWinners(df, id, verified, driverPairLimit, reliableDir)
+      .select(col("id_a"), col("id_b"))
+    // keepMinIdWinners' driver-tier collect (or connectedComponents'
+    // eager checkpoint loop) has materialized everything that reads
+    // prep by the time it returns — the lazily-returned frame only
+    // re-scans the raw corpus for the anti/semi join
+    if (keepBy.isEmpty) {
+      val out = keepMinIdWinners(df, id, verified, driverPairLimit, reliableDir)
+      prep.unpersist(blocking = false)
+      return out
+    }
     val comps = connectedComponents(df.select(id.as("nid")), "nid", verified,
       reliableDir = reliableDir)
-    keepComponentWinnersBy(df, id, comps, keepBy)
+    val out = keepComponentWinnersBy(df, id, comps, keepBy)
+    prep.unpersist(blocking = false)
+    out
   }
 
   /** Min-id keep over a duplicate-pair graph with the driver-tier

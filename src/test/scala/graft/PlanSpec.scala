@@ -257,6 +257,42 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Exchange rangepartitioning"),
       s"corpus shuffles:\n$plan")
   }
+
+  test("q70 near-dedup end-to-end runs a bounded job graph (contention armor)") {
+    // The r11 bench record inflated q70 3.4x over its local floor purely
+    // through sequential-job scheduling overhead on a loaded driver
+    // machine (VERDICT r11) — the defense is a SHALLOW job graph, which
+    // this gate pins: the fused r12 shape (one persisted prep scan
+    // feeding candidate-gen AND verify, single-job pair collect) runs
+    // ~13 jobs end-to-end at any SF (AQE stage + broadcast-build jobs
+    // included).  A regression back to the re-scan/re-shingle
+    // composition lands near ~20; the bound sits between, with slack
+    // for AQE jitter but none for an extra corpus scan.
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      graft.operators.Dedup.nearDedupCorpus(docs, col("text"), col("doc_id"),
+          minJaccard = 0.5, portableHash = true)
+        .select(col("doc_id"))
+        .write.format("noop").mode("overwrite").save()
+      // the listener bus is async: poll until the count holds still
+      var last = -1
+      var spins = 0
+      while (spins < 100 && last != jobCount.get) {
+        last = jobCount.get; Thread.sleep(30); spins += 1
+      }
+      assert(jobCount.get <= 16,
+        s"q70 job graph grew to ${jobCount.get} jobs — an extra sequential stage " +
+          "re-amplifies under driver-machine contention (r11 record); keep the " +
+          "prep frame fused and the pair collect single-job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
 
 class GroupedFnSpec extends SparkSpec {
@@ -320,4 +356,5 @@ class GroupedFnSpec extends SparkSpec {
       .select(VectorSim.cosine(col("a"), col("b"))).collect().head.getDouble(0)
     assert(z.isNaN)
   }
+
 }
