@@ -45,6 +45,10 @@ object SparkEntry {
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     val iso = s.newSession()
     iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→LTZ cast below is only value-preserving at UTC; pin it on
+    // the child session (which exists precisely to hold per-read conf)
+    // so a caller with a non-UTC session can't silently shift every ts
+    iso.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = iso.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => // legacy corpus: nanos-as-long → truncate to µs

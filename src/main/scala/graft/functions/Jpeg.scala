@@ -523,7 +523,11 @@ object Jpeg {
     * optimization passes — so output bytes are golden-pinnable. */
   def jpegEncodeRgb(w: Int, h: Int, rgb: Array[Byte], quality: Int = 85): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
-    require(rgb.length == w * h * 3, "rgb must be w*h*3 bytes")
+    // long arithmetic: w*h*3 at 0xffff x 0xffff overflows Int, and an
+    // overflowed compare would wave a short buffer through to an
+    // ArrayIndexOutOfBounds inside the MCU loop
+    require(rgb.length.toLong == w.toLong * h * 3, "rgb must be w*h*3 bytes")
+    require(w.toLong * h <= (1L << 24), s"image too large: ${w}x$h")
     require(quality >= 1 && quality <= 100, s"quality in [1,100], got $quality")
     val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
     def scaled(base: Array[Int]): Array[Int] =

@@ -454,7 +454,8 @@ object MediaCodecs {
     * expanded) — the PNG arm of the multimodal resize tier.  Returns
     * None for anything [[parsePng]] rejects. */
   def resizePng(b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
-    if (tw <= 0 || th <= 0 || tw > (1 << 15) || th > (1 << 15)) return None
+    if (tw <= 0 || th <= 0 || tw > (1 << 15) || th > (1 << 15) ||
+        tw.toLong * th * 3 > Int.MaxValue) return None // dim caps alone still overflow Int at 32768^2*3
     pngDecodeRgb(b).map { case (w, h, rgb) =>
       val out = new Array[Byte](tw * th * 3)
       var ty = 0
@@ -480,7 +481,8 @@ object MediaCodecs {
     * second generation loss by default).  Same caps and nearest-sample
     * rule as [[resizePng]]. */
   def resizeJpeg(b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
-    if (tw <= 0 || th <= 0 || tw > (1 << 15) || th > (1 << 15)) return None
+    if (tw <= 0 || th <= 0 || tw > (1 << 15) || th > (1 << 15) ||
+        tw.toLong * th * 3 > Int.MaxValue) return None // dim caps alone still overflow Int at 32768^2*3
     Jpeg.jpegDecodeRgb(b).map { case (w, h, rgb) =>
       val out = new Array[Byte](tw * th * 3)
       var ty = 0
@@ -794,7 +796,8 @@ object MediaCodecs {
     * bottom-up/top-down row order by resampling in file coordinates.
     * Returns None for anything [[parseBmp]] would reject. */
   def resizeBmp(b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
-    if (tw <= 0 || th <= 0 || tw > (1 << 15) || th > (1 << 15)) return None
+    if (tw <= 0 || th <= 0 || tw > (1 << 15) || th > (1 << 15) ||
+        tw.toLong * th * 3 > Int.MaxValue) return None // dim caps alone still overflow Int at 32768^2*3
     if (parseBmp(b).isEmpty) return None // full validation in one place
     val pixelOff = u4(b, 10).toInt
     val w = i4(b, 18)

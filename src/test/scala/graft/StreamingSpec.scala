@@ -155,33 +155,123 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_real_events")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val fileSchema = spark.read.parquet(path).schema
-    val normalize = (d: org.apache.spark.sql.DataFrame) =>
-      d.withColumn("ts", col("ts").cast("timestamp"))
-    val stream = normalize(spark.readStream.schema(fileSchema).parquet(dir.toString))
-    assert(stream.isStreaming, "file source must be a streaming frame")
-    val agg = EventStreams.tumbling(stream, "ts", "1 hour", "6 hours",
-      Seq(col("event_type")),
-      Seq(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv")))
-    val q = agg.writeStream.format("memory").queryName("real_events_stream")
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
     try {
-      q.awaitTermination(120000)
-      val streamed = spark.table("real_events_stream")
-        .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sv"))
-        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
-      val batchTwin = EventStreams.tumbling(
-          SparkEntry.events(spark, "/root/testdata/sf0.001"), "ts", "1 hour", "6 hours",
-          Seq(col("event_type")),
-          Seq(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv")))
-        .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sv"))
-        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
-      assert(streamed.nonEmpty, "stream produced no windows")
-      assert(streamed == batchTwin,
-        s"stream/batch divergence: ${streamed.size} vs ${batchTwin.size} windows")
-    } finally q.stop()
+      // probe + stream through the same tolerant child-session path as
+      // SparkEntry.events: a corpus regenerated back to TIMESTAMP(NANOS)
+      // must normalize here, not throw PARQUET_TYPE_ILLEGAL (the flag is
+      // inert for non-NANOS files; UTC keeps the NTZ cast value-exact)
+      val iso = spark.newSession()
+      iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      iso.conf.set("spark.sql.session.timeZone", "UTC")
+      val fileSchema = iso.read.parquet(path).schema
+      val normalize = (d: org.apache.spark.sql.DataFrame) =>
+        fileSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => d.withColumn("ts", col("ts").cast("timestamp"))
+        }
+      val stream = normalize(iso.readStream.schema(fileSchema).parquet(dir.toString))
+      assert(stream.isStreaming, "file source must be a streaming frame")
+      val agg = EventStreams.tumbling(stream, "ts", "1 hour", "6 hours",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv")))
+      val q = agg.writeStream.format("memory").queryName("real_events_stream")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination(120000)
+        val streamed = iso.table("real_events_stream")
+          .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sv"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+        val batchTwin = EventStreams.tumbling(
+            SparkEntry.events(spark, "/root/testdata/sf0.001"), "ts", "1 hour", "6 hours",
+            Seq(col("event_type")),
+            Seq(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv")))
+          .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sv"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+        assert(streamed.nonEmpty, "stream produced no windows")
+        assert(streamed == batchTwin,
+          s"stream/batch divergence: ${streamed.size} vs ${batchTwin.size} windows")
+      } finally q.stop()
+    } finally {
+      java.nio.file.Files.deleteIfExists(dir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
+  test("sf0.1 events: session windows + watermark lateness through the file source") {
+    // The bench scale factor, not just smoke scale: ~10x the rows of the
+    // sf0.001 parity test, through the SAME file-source path, with the
+    // APPEND-mode watermark contract asserted — only sessions closed
+    // before the final watermark (max event time - lateness) may emit,
+    // and sessions still inside the lateness horizon must be withheld.
+    val sfDir = "/root/testdata/sf0.1"
+    val path = s"$sfDir/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_sf01")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    try {
+      val iso = spark.newSession()
+      iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      iso.conf.set("spark.sql.session.timeZone", "UTC")
+      val fileSchema = iso.read.parquet(path).schema
+      val normalize = (d: org.apache.spark.sql.DataFrame) =>
+        fileSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            d.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => d.withColumn("ts", col("ts").cast("timestamp"))
+        }
+      val stream = normalize(iso.readStream.schema(fileSchema).parquet(dir.toString))
+      val agg = EventStreams.sessions(stream, "ts", "2 hours", "30 minutes",
+        Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+      val q = agg
+        .select(col("session_window.start").cast("string").as("ws"),
+          col("session_window.end").as("we"), col("user_id"), col("n"))
+        .writeStream.format("memory").queryName("events_sessions_sf01")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination(120000)
+        // the engine's own final watermark (ms precision, advanced at
+        // batch boundaries) is the emission authority — recompute the
+        // expected closed set from IT, not from a hand-derived max-2h
+        val wmStr = q.recentProgress
+          .flatMap(p => Option(p.eventTime.get("watermark"))).lastOption
+          .getOrElse(fail("no watermark reported in query progress"))
+        val streamed = iso.table("events_sessions_sf01")
+          .select(col("ws"), col("user_id"), col("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val events = SparkEntry.events(spark, sfDir)
+        val batchAll = EventStreams.sessions(events, "ts", "2 hours", "30 minutes",
+            Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+          .select(col("session_window.start").cast("string").as("ws"),
+            col("session_window.end").as("we"), col("user_id"), col("n"))
+        val wm = java.sql.Timestamp.from(java.time.Instant.parse(wmStr))
+        // filter AFTER collecting: a `we < wm` Column filter on top of
+        // the session aggregation gets pushed below the merge (window
+        // end is a grouping expression), which drops pre-merge event
+        // windows past the watermark and fabricates unmerged fragments
+        val allRows = batchAll.collect()
+          .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+        val all = allRows.map { case (ws, _, uid, n) => (ws, uid, n) }.toSet
+        val closed = allRows.filter(_._2.before(wm))
+          .map { case (ws, _, uid, n) => (ws, uid, n) }.toSet
+        assert(streamed.nonEmpty, "stream produced no sessions")
+        val extra = streamed -- closed
+        val missing = closed -- streamed
+        assert(streamed == closed,
+          s"append output must be exactly the sessions closed before the final watermark: " +
+            s"streamed ${streamed.size} vs closed ${closed.size}; " +
+            s"extra=${extra.size} ${extra.take(3)}; missing=${missing.size} ${missing.take(3)}; wm=$wmStr")
+        assert(closed.size < all.size,
+          "lateness horizon excluded nothing — watermark not exercised")
+      } finally q.stop()
+    } finally {
+      java.nio.file.Files.deleteIfExists(dir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
   }
 }
 
