@@ -368,16 +368,26 @@ object SparkEntry {
         .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("last_ts"))
     }),
 
-    // M6 multimodal: binary payload + stub decode + frame explode (rows-only)
+    // M6 multimodal: arithmetic-synthesized REAL containers (WAV for
+    // even ids, BMP for odd — Multimodal.synthMedia) through the
+    // production decoders + frame explode.  Every decoded field
+    // (dims, sample counts, duration, rms, peak, channel means) is
+    // integer/float arithmetic on (doc_id, n_chars), so the oracle
+    // mirrors the whole pipeline in SQL — decode included.
     "q34_multimodal" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
-      val m = operators.Multimodal.withMedia(d, col("text"), "text/plain")
-        // real magic-byte decode runs alongside the stubbed metadata:
-        // text payloads classify as octet-stream with their true size
+      val m = d.select(col("doc_id"), col("n_chars"),
+          operators.Multimodal.synthMedia(col("doc_id"), col("n_chars")).as("payload"))
         .withColumn("dec", operators.Multimodal.decodeMedia(col("payload")))
       operators.Multimodal.explodeFrames(m, "payload", maxFrames = 4)
-        .groupBy(col("doc_id"), col("media.width").as("width"),
-          col("dec.mime").as("mime"), col("dec.size_bytes").as("payload_bytes"))
+        .groupBy(col("doc_id"), col("dec.mime").as("mime"),
+          col("dec.width").as("width"), col("dec.height").as("height"),
+          col("dec.sample_rate").as("sample_rate"), col("dec.n_samples").as("n_samples"),
+          round(col("dec.duration_s"), 6).as("dur"), round(col("dec.rms"), 6).as("rms"),
+          round(col("dec.peak"), 6).as("peak"),
+          round(col("dec.mean_r"), 6).as("mean_r"), round(col("dec.mean_g"), 6).as("mean_g"),
+          round(col("dec.mean_b"), 6).as("mean_b"),
+          col("dec.size_bytes").as("payload_bytes"))
         .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("total_bytes"))
     }),
 
@@ -1682,6 +1692,45 @@ object SparkEntry {
         |FROM flagged)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events, max(ts) AS last_ts
         |FROM ids GROUP BY user_id, sid""".stripMargin.replace("\n", " "),
+
+    // Mirrors Multimodal.synthMedia's arithmetic AND the decoded
+    // metadata: WAV rms/peak re-derived from the same sample formula,
+    // BMP channel means from the same pixel formula (y = p div w,
+    // x = p mod w), container sizes from the RIFF/BMP layouts, and
+    // explodeFrames' ceil-division tiling (frame width = ceil(L/4),
+    // n_frames = ceil(L / frameW), total bytes = L).
+    "q34_multimodal" ->
+      """WITH wav AS (SELECT doc_id, 64 + (n_chars % 64) AS n
+        |FROM documents WHERE doc_id % 2 = 0),
+        |ws AS (SELECT doc_id, n, unnest(range(n)) AS i FROM wav),
+        |wavs AS MATERIALIZED (SELECT doc_id, n,
+        |sqrt(avg(pow((((doc_id*131 + i*17) % 65536) - 32768) / 32768.0, 2))) AS rms,
+        |max(abs((((doc_id*131 + i*17) % 65536) - 32768) / 32768.0)) AS peak
+        |FROM ws GROUP BY doc_id, n),
+        |bmp AS (SELECT doc_id, 4 + (doc_id % 5) AS w, 3 + (doc_id % 4) AS h
+        |FROM documents WHERE doc_id % 2 = 1),
+        |px AS (SELECT doc_id, w, h, unnest(range(w*h)) AS p FROM bmp),
+        |bmps AS MATERIALIZED (SELECT doc_id, w, h,
+        |avg((doc_id*7 + (p // w)*31 + (p % w)*13) % 256) AS mr,
+        |avg((doc_id*7 + (p // w)*31 + (p % w)*13 + 97) % 256) AS mg,
+        |avg((doc_id*7 + (p // w)*31 + (p % w)*13 + 194) % 256) AS mb
+        |FROM px GROUP BY doc_id, w, h),
+        |sized AS (
+        |SELECT doc_id, 'audio/wav' AS mime, NULL::INT AS width, NULL::INT AS height,
+        |8000::INT AS sample_rate, n::BIGINT AS n_samples,
+        |round(n / 8000.0, 6) AS dur, round(rms, 6) AS rms, round(peak, 6) AS peak,
+        |NULL::DOUBLE AS mean_r, NULL::DOUBLE AS mean_g, NULL::DOUBLE AS mean_b,
+        |(44 + 2*n)::BIGINT AS payload_bytes FROM wavs
+        |UNION ALL
+        |SELECT doc_id, 'image/bmp', w::INT, h::INT, NULL::INT, NULL::BIGINT,
+        |NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+        |round(mr, 6), round(mg, 6), round(mb, 6),
+        |(54 + (((w*3 + 3) // 4) * 4) * h)::BIGINT FROM bmps)
+        |SELECT doc_id, mime, width, height, sample_rate, n_samples, dur, rms, peak,
+        |mean_r, mean_g, mean_b, payload_bytes,
+        |CAST(ceil(payload_bytes / ceil(payload_bytes / 4.0)) AS BIGINT) AS n_frames,
+        |payload_bytes AS total_bytes
+        |FROM sized""".stripMargin.replace("\n", " "),
 
     "q35_euler_galactic" -> {
       // mirror Astro.euler J2000 select=1 constants and operation order

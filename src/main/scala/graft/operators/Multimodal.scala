@@ -55,6 +55,66 @@ object Multimodal {
     df.withColumn("payload", payload.cast(BinaryType))
       .withColumn("media", fakeDecodeMeta(col("payload"), mime))
 
+  /** Deterministic synthetic media payloads for the decodable tier —
+    * PURE INTEGER ARITHMETIC from (id, len), so a SQL oracle can
+    * mirror the decoded metadata float-for-float (the healpix/q32
+    * discipline): even ids build a 16-bit PCM mono WAV at 8000 Hz with
+    * `64 + len mod 64` samples, sample_i = ((id·131 + i·17) mod 65536)
+    * − 32768; odd ids a 24-bit BMP with w = 4 + id mod 5,
+    * h = 3 + id mod 4, channel c ∈ {r=0, g=1, b=2} of pixel (x, y) =
+    * (id·7 + y·31 + x·13 + c·97) mod 256.  The payloads are REAL
+    * containers — the same bytes open in any external tool — so
+    * [[decodeMedia]] exercises the production parsers, not fixtures.
+    * UDF seam (shared with the codec tier): byte-buffer assembly has
+    * no Column-function equivalent. */
+  def synthMedia(id: Column, len: Column): Column = {
+    val f = udf((idL: Long, lenL: Long) =>
+      if (idL % 2 == 0) synthWav(idL, lenL) else synthBmp(idL))
+    f(id, len)
+  }
+
+  private def synthWav(id: Long, len: Long): Array[Byte] = {
+    val n = (64 + math.floorMod(len, 64)).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      bb.putShort((math.floorMod(id * 131 + i * 17, 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  private def synthBmp(id: Long): Array[Byte] = {
+    val w = (4 + math.floorMod(id, 5)).toInt
+    val h = (3 + math.floorMod(id, 4)).toInt
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(0).putInt(0).putInt(0).putInt(0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def ch(c: Int): Byte = math.floorMod(id * 7 + y * 31 + x * 13 + c * 97, 256).toByte
+        bb.put(ch(2)).put(ch(1)).put(ch(0)) // BMP stores b, g, r
+        x += 1
+      }
+      var p = w * 3
+      while (p < stride) { bb.put(0.toByte); p += 1 }
+      y += 1
+    }
+    bb.array()
+  }
+
   /** Deterministic fake frame sampling: slice the payload into
     * `maxFrames` equal chunks (stands in for video frame extraction),
     * exploded one row per frame with a stable frame index.  The

@@ -690,4 +690,33 @@ class MultimodalSpec extends SparkSpec {
       .select(col("m.mime")).collect().map(_.getString(0))
     assert(mimes.forall(_ == "application/octet-stream"), mimes.toSeq)
   }
+
+  test("synthMedia payloads are real containers; decode matches the arithmetic") {
+    // the q34 contract: every decoded field must equal the closed-form
+    // arithmetic the SQL oracle mirrors
+    val df = Seq((10L, 100L), (7L, 33L)).toDF("id", "len")
+    val rows = df.select(col("id"),
+        Multimodal.decodeMedia(Multimodal.synthMedia(col("id"), col("len"))).as("m"))
+      .select(col("id"), col("m.mime"), col("m.width"), col("m.height"),
+        col("m.sample_rate"), col("m.n_samples"), col("m.duration_s"),
+        col("m.rms"), col("m.mean_r"), col("m.mean_g"), col("m.mean_b"),
+        col("m.size_bytes"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val wav = rows(10L) // even id -> WAV with n = 64 + 100 % 64 = 100 samples
+    assert(wav.getString(1) == "audio/wav" && wav.getInt(4) == 8000 &&
+      wav.getLong(5) == 100L && wav.getLong(11) == 44 + 200L)
+    assert(math.abs(wav.getDouble(6) - 100.0 / 8000) < 1e-12)
+    val expRms = math.sqrt((0 until 100).map { i =>
+      val s = math.floorMod(10L * 131 + i * 17, 65536) - 32768
+      val x = s / 32768.0; x * x
+    }.sum / 100)
+    assert(math.abs(wav.getDouble(7) - expRms) < 1e-12, s"rms ${wav.getDouble(7)} vs $expRms")
+    val bmp = rows(7L) // odd id -> BMP w = 4 + 7%5 = 6, h = 3 + 7%4 = 6
+    assert(bmp.getString(1) == "image/bmp" && bmp.getInt(2) == 6 && bmp.getInt(3) == 6)
+    val expMeanR = (for (y <- 0 until 6; x <- 0 until 6)
+      yield math.floorMod(7L * 7 + y * 31 + x * 13, 256).toDouble).sum / 36
+    assert(math.abs(bmp.getDouble(8) - expMeanR) < 1e-12)
+    val stride = ((6 * 3 + 3) / 4) * 4
+    assert(bmp.getLong(11) == 54 + stride.toLong * 6)
+  }
 }
