@@ -60,6 +60,27 @@ object SparkEntry {
     }
   }
 
+  /** BMP pixel-array order (bottom-up rows, BGR) → image-order packed
+    * RGB24, so the q95 JPEG members encode the IDENTICAL image the BMP
+    * member carries. */
+  private def bmpPxToRgb(px: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](64 * 3)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val src = ((7 - y) * 8 + x) * 3
+        val dst = (y * 8 + x) * 3
+        out(dst) = px(src + 2)
+        out(dst + 1) = px(src + 1)
+        out(dst + 2) = px(src)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
 
@@ -1003,34 +1024,42 @@ object SparkEntry {
         minDocs = 2)
     }),
 
-    // M6 multimodal image near-dup: deterministic 8x8 BMPs synthesized
-    // per doc (class = doc_id % 20 fixes the image; the class member
-    // index perturbs ONE pixel), embedded via per-channel color
-    // histograms ([[Multimodal.imageEmbedding]]), exact-cosine paired —
-    // image dedup IS embedding dedup after the content projection.
-    // Rows-only (BMP synthesis + histogram not SQL-expressible);
-    // snapshot-pinned.
+    // M6 multimodal image near-dup, CROSS-FORMAT: deterministic 8x8
+    // images per doc (class = doc_id % 20 fixes the pixels; the class
+    // member index perturbs ONE pixel) land in a DIFFERENT container
+    // per member — 24-bit BMP, baseline JPEG (q100), progressive/SOF2
+    // JPEG (q100) — then per-channel color-histogram embeddings
+    // ([[Multimodal.imageEmbedding]] decodes all three) pair them at
+    // exact cosine: image dedup IS embedding dedup after the content
+    // projection, regardless of container.  Rows-only (codecs +
+    // histogram not SQL-expressible); snapshot-pinned.
     "q95_image_neardup" -> ((s, dir) => {
       val d = t(s, dir, "documents").df.filter(col("doc_id") < 60)
-      val mkBmp = udf((docId: Long) => {
+      val mkImage = udf((docId: Long) => {
         val cls = (docId % 20).toInt
         val member = (docId / 20).toInt
         val rnd = new scala.util.Random(cls)
         val px = Array.fill(64 * 3)(rnd.nextInt(256).toByte)
         px(member * 3) = (px(member * 3) ^ 0x80).toByte // one-pixel tweak
-        val stride = 8 * 3 // 24 bytes per row, already 4-aligned
-        val bb = java.nio.ByteBuffer.allocate(54 + stride * 8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * 8)
-        bb.putInt(0).putInt(54).putInt(40).putInt(8).putInt(8)
-        bb.putShort(1).putShort(24).putInt(0).putInt(stride * 8)
-        bb.putInt(2835).putInt(2835).putInt(0).putInt(0)
-        bb.put(px)
-        bb.array()
+        member match {
+          case 0 => // 24-bit BMP (bottom-up rows, BGR)
+            val stride = 8 * 3 // 24 bytes per row, already 4-aligned
+            val bb = java.nio.ByteBuffer.allocate(54 + stride * 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * 8)
+            bb.putInt(0).putInt(54).putInt(40).putInt(8).putInt(8)
+            bb.putShort(1).putShort(24).putInt(0).putInt(stride * 8)
+            bb.putInt(2835).putInt(2835).putInt(0).putInt(0)
+            bb.put(px)
+            bb.array()
+          case 1 => graft.functions.Jpeg.jpegEncodeRgb(8, 8, bmpPxToRgb(px), quality = 100)
+          case _ => graft.functions.Jpeg.jpegEncodeRgbProgressive(8, 8, bmpPxToRgb(px), quality = 100)
+        }
       })
       val emb = d.select(col("doc_id"),
-          operators.Multimodal.imageEmbedding(mkBmp(col("doc_id"))).as("emb"))
-      operators.Similarity.exactPairs(emb, "doc_id", "emb", threshold = 0.99)
+          operators.Multimodal.imageEmbedding(mkImage(col("doc_id"))).as("emb"))
+        .filter(col("emb").isNotNull)
+      operators.Similarity.exactPairs(emb, "doc_id", "emb", threshold = 0.95)
     }),
 
     // M6 DSIR importance scores (Xie et al. 2023): how much each doc

@@ -1,26 +1,31 @@
 package graft.functions
 
-/** Baseline JPEG (ITU-T T.81, sequential DCT, 8-bit, Huffman) CODEC —
-  * pure JVM, written from the published spec.  Decoder: marker/segment
-  * parsing (Annex B), canonical Huffman decode tables (Annex C /
-  * F.2.2.3), byte-stuffed entropy segments with restart markers
-  * (B.1.1.5, E.1.4), dequantize + dezigzag + separable floating IDCT
-  * (A.3.3), box chroma upsampling (A.1.1) and JFIF YCbCr→RGB.
-  * Encoder ([[jpegEncodeRgb]]): 4:4:4 JFIF baseline with the Annex-K
-  * quantization/Huffman tables — deterministic bytes, so encoded
-  * output is golden-pinnable like [[MediaCodecs.pngEncodeRgb]]'s.
+/** JPEG (ITU-T T.81, 8-bit Huffman) CODEC — pure JVM, written from the
+  * published spec.  Decoder: marker/segment parsing (Annex B),
+  * canonical Huffman decode tables (Annex C / F.2.2.3), byte-stuffed
+  * entropy segments with restart markers (B.1.1.5, E.1.4), dequantize
+  * + dezigzag + separable floating IDCT (A.3.3), box chroma upsampling
+  * (A.1.1) and JFIF YCbCr→RGB — for BOTH sequential (SOF0/SOF1) and
+  * PROGRESSIVE (SOF2, G.1.2) frames: DC/AC first and refinement scans,
+  * spectral selection, successive approximation, and EOB-run coding
+  * accumulate into per-component coefficient grids finalized in one
+  * IDCT pass.  Encoders: [[jpegEncodeRgb]] (4:4:4 JFIF baseline,
+  * Annex-K tables) and [[jpegEncodeRgbProgressive]] (SOF2 with a
+  * libjpeg-shaped spectral-selection + successive-approximation scan
+  * script) — both deterministic bytes, so encoded output is
+  * golden-pinnable like [[MediaCodecs.pngEncodeRgb]]'s.
   *
-  * Scope: SOF0/SOF1 (baseline + extended sequential, 8-bit), 1- or
-  * 3-component scans, sampling factors 1–4, DRI/RSTn.  Progressive
-  * (SOF2), arithmetic coding, 12-bit precision, and CMYK return None —
-  * they remain behind [[graft.operators.Multimodal]]'s documented codec
-  * seam.  Like the sibling codecs ([[MediaCodecs.pngDecodeRgb]] etc.)
-  * every malformed input degrades to None, never an exception, and the
-  * decoded frame is capped at 2^24 pixels.
+  * Scope: 8-bit precision, 1- or 3-component frames, sampling factors
+  * 1–4, DRI/RSTn.  Arithmetic coding, 12-bit precision, lossless/
+  * hierarchical modes, and CMYK return None — they remain behind
+  * [[graft.operators.Multimodal]]'s documented codec seam.  Like the
+  * sibling codecs ([[MediaCodecs.pngDecodeRgb]] etc.) every malformed
+  * input degrades to None, never an exception, and the decoded frame
+  * is capped at 2^24 pixels.
   *
-  * Reference parity note (ezdata has no codecs at all): this closes the
-  * "JPEG stays stubbed" gap called out in round-10 review — the
-  * multimodal tier now decodes a second real compressed image format.
+  * Reference parity note (ezdata has no codecs at all): baseline closed
+  * the round-10 "JPEG stays stubbed" gap; progressive (round 12)
+  * covers the other half of real-world JPEG traffic.
   */
 object Jpeg {
 
@@ -129,6 +134,14 @@ object Jpeg {
     var plane: Array[Byte] = null
     var planeW = 0
     var planeH = 0
+    // progressive state: the full dequantization-input coefficient
+    // grid (natural order within each 64-slot block, blocks raster
+    // over the PADDED interleaved grid), accumulated across scans
+    var coefs: Array[Int] = null
+    var blocksPerRow = 0 // padded: mcusX * h
+    var blocksPerCol = 0 // padded: mcusY * v
+    var bw = 0           // used blocks for non-interleaved scans
+    var bh = 0
   }
 
   private def u2be(b: Array[Byte], at: Int): Int =
@@ -153,14 +166,21 @@ object Jpeg {
     var comps: Array[Component] = null
     var width = 0; var height = 0
     var restartInterval = 0
+    var progressive = false
+    var progScans = 0
+    var mcusX = 0; var mcusY = 0
     var pos = 2
+
+    def finishProg(): Option[(Int, Int, Int, Array[Byte])] =
+      if (progScans == 0) None
+      else finishProgressive(comps, width, height, quant, mcusX, mcusY)
 
     while (pos + 3 < b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
       var marker = b(pos + 1) & 0xff
       pos += 2
       while (marker == 0xff && pos < b.length) { marker = b(pos) & 0xff; pos += 1 } // fill bytes
-      if (marker == 0xd9) return None // EOI before any scan
+      if (marker == 0xd9) return finishProg() // EOI: progressive completes here
       val len = u2be(b, pos)
       if (len < 2 || pos + len > b.length) return None
       val seg = pos + 2
@@ -185,8 +205,9 @@ object Jpeg {
             }
             quant(tq) = q
           }
-        case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
           if (comps != null) return None
+          progressive = marker == 0xc2
           val precision = b(seg) & 0xff
           height = u2be(b, seg + 1)
           width = u2be(b, seg + 3)
@@ -200,8 +221,8 @@ object Jpeg {
             if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3) return None
             c
           }
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // progressive / lossless / arithmetic — behind the seam
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // lossless / arithmetic / hierarchical — behind the seam
         case 0xc4 => // DHT
           var p = seg
           while (p < segEnd) {
@@ -218,7 +239,7 @@ object Jpeg {
           }
         case 0xdd => // DRI
           restartInterval = u2be(b, seg)
-        case 0xda => // SOS — single baseline scan, then entropy data
+        case 0xda if !progressive => // SOS — single baseline scan, then entropy data
           if (comps == null) return None
           val ns = b(seg) & 0xff
           if (ns != comps.length) return None
@@ -233,13 +254,57 @@ object Jpeg {
             p += 2; i += 1
           }
           return decodeScan(b, segEnd, comps, width, height, quant, dcTabs, acTabs, restartInterval)
+        case 0xda => // progressive SOS: one of several scans (G.1.2)
+          if (comps == null) return None
+          if (mcusX == 0) { // first scan: fix geometry, allot coefficient grids
+            val hmax = comps.map(_.h).max
+            val vmax = comps.map(_.v).max
+            mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+            for (c <- comps) {
+              c.blocksPerRow = mcusX * c.h
+              c.blocksPerCol = mcusY * c.v
+              if (c.blocksPerRow.toLong * c.blocksPerCol * 64 > (1L << 26)) return None
+              c.coefs = new Array[Int](c.blocksPerRow * c.blocksPerCol * 64)
+              val compW = (width * c.h + hmax - 1) / hmax
+              val compH = (height * c.v + vmax - 1) / vmax
+              c.bw = (compW + 7) / 8
+              c.bh = (compH + 7) / 8
+            }
+          }
+          val ns = b(seg) & 0xff
+          if (ns < 1 || ns > comps.length) return None
+          val scanComps = new Array[Component](ns)
+          var p = seg + 1
+          var i = 0
+          while (i < ns) {
+            val cid = b(p) & 0xff
+            val c = comps.find(_.id == cid).getOrElse(return None)
+            c.dcTable = (b(p + 1) & 0xf0) >> 4
+            c.acTable = b(p + 1) & 0x0f
+            if (c.dcTable > 3 || c.acTable > 3) return None
+            scanComps(i) = c
+            p += 2; i += 1
+          }
+          val ss = b(p) & 0xff
+          val se = b(p + 1) & 0xff
+          val ah = (b(p + 2) & 0xf0) >> 4
+          val al = b(p + 2) & 0x0f
+          if (ss > 63 || se > 63 || se < ss || ah > 13 || al > 13) return None
+          if (ss == 0 && se != 0) return None        // DC scan is exactly band 0
+          if (ss > 0 && ns != 1) return None         // AC scans are single-component
+          val end = decodeProgScan(b, segEnd, scanComps, ss, se, ah, al,
+            mcusX, mcusY, dcTabs, acTabs, restartInterval)
+          if (end < 0) return None
+          progScans += 1
+          pos = end
         case m if m >= 0xd0 && m <= 0xd7 => // stray RSTn outside scan
           return None
         case _ => () // APPn / COM / others: skip
       }
-      pos = segEnd
+      if (marker != 0xda || !progressive) pos = segEnd
     }
-    None
+    finishProg() // stream ended without EOI: render what was accumulated
   }
 
   private def decodeScan(b: Array[Byte], dataStart: Int, comps: Array[Component],
@@ -306,27 +371,40 @@ object Jpeg {
           }
           idct8x8(coef, tmp)
           // place block at (mx·8·h + bx·8, my·8·v + by·8) in the plane
-          val x0 = (mx * c.h + bx) * 8
-          val y0 = (my * c.v + by) * 8
-          var y = 0
-          while (y < 8) {
-            val rowBase = (y0 + y) * c.planeW + x0
-            var x = 0
-            while (x < 8) {
-              val v = coef(y * 8 + x) + 128.5
-              c.plane(rowBase + x) =
-                (if (v < 0) 0 else if (v > 255) 255 else v.toInt).toByte
-              x += 1
-            }
-            y += 1
-          }
+          placeBlock(c, (mx * c.h + bx) * 8, (my * c.v + by) * 8, coef)
           blk += 1
         }
         ci += 1
       }
       mcu += 1
     }
-    // upsample (box replication) + color convert
+    planesToRgb(comps, width, height)
+  }
+
+  /** Write one dequantized+IDCT'd 8×8 block into a component plane,
+    * level-shifted (+128) and clamped. */
+  private def placeBlock(c: Component, x0: Int, y0: Int, coef: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      val rowBase = (y0 + y) * c.planeW + x0
+      var x = 0
+      while (x < 8) {
+        val v = coef(y * 8 + x) + 128.5
+        c.plane(rowBase + x) =
+          (if (v < 0) 0 else if (v > 255) 255 else v.toInt).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Box-upsample the component planes to full resolution and apply
+    * the JFIF YCbCr→RGB transform (grayscale replicates Y) — shared by
+    * the sequential and progressive paths. */
+  private def planesToRgb(comps: Array[Component], width: Int,
+                          height: Int): Option[(Int, Int, Int, Array[Byte])] = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
     val out = new Array[Byte](width * height * 3)
     val gray = comps.length == 1
     val cy = comps(0)
@@ -351,6 +429,220 @@ object Jpeg {
       y += 1
     }
     Some((width, height, comps.length, out))
+  }
+
+  /** First 0xFF byte at or after `from` that starts a real marker —
+    * i.e. not 0xFF00 byte stuffing and not an in-scan RSTn.  This is
+    * where a progressive scan's entropy data ends and segment parsing
+    * resumes. */
+  private def entropyEnd(b: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) == 0xff) {
+        val m = b(p + 1) & 0xff
+        if (m != 0x00 && !(m >= 0xd0 && m <= 0xd7)) return p
+      }
+      p += 1
+    }
+    b.length
+  }
+
+  /** One progressive scan (T.81 G.1.2): DC first/refinement scans
+    * (interleaved MCU order for multi-component scans, the component's
+    * own block raster otherwise) and AC first/refinement scans
+    * (single-component, with EOB-run coding).  Coefficients accumulate
+    * into each component's `coefs` grid at successively finer
+    * approximation; the refinement pass appends one correction bit per
+    * already-nonzero coefficient it crosses (G.1.2.3).  Returns the
+    * offset of the marker ending the scan's entropy data, or -1 on
+    * malformed input; a mid-scan truncation keeps what was decoded
+    * (bounded garbage, never a crash — the codec-tier contract). */
+  private def decodeProgScan(b: Array[Byte], dataStart: Int, scanComps: Array[Component],
+                             ss: Int, se: Int, ah: Int, al: Int,
+                             mcusX: Int, mcusY: Int, dcTabs: Array[HuffTable],
+                             acTabs: Array[HuffTable], restartInterval: Int): Int = {
+    val br = new BitReader(b, dataStart)
+    val end = () => entropyEnd(b, dataStart)
+    var eobrun = 0
+    scanComps.foreach(_.pred = 0)
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    // refinement correction bit for an already-nonzero coefficient:
+    // move its magnitude toward the next finer approximation (G.1.2.3)
+    def refineNonzero(c: Component, idx: Int): Unit = {
+      if (br.nextBit() == 1 && (c.coefs(idx) & p1) == 0)
+        c.coefs(idx) += (if (c.coefs(idx) >= 0) p1 else m1)
+    }
+
+    def decodeDc(c: Component, base: Int): Int = {
+      if (ah == 0) {
+        val t = decodeHuff(dcTabs(c.dcTable), br)
+        if (t < 0) return if (br.hitMarker) 1 else -1
+        if (t > 11) return -1
+        c.pred += extend(br.receive(t), t)
+        c.coefs(base) = c.pred << al
+      } else if (br.nextBit() == 1) c.coefs(base) |= p1
+      0
+    }
+
+    if (ss == 0 && scanComps.length > 1) { // interleaved DC scan
+      if (ah == 0 && scanComps.exists(c => dcTabs(c.dcTable) == null)) return -1
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!br.restartMarker()) return -1
+          scanComps.foreach(_.pred = 0)
+        }
+        val my = mcu / mcusX
+        val mx = mcu % mcusX
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          var blk = 0
+          while (blk < c.h * c.v) {
+            val bx = mx * c.h + blk % c.h
+            val by = my * c.v + blk / c.h
+            decodeDc(c, (by * c.blocksPerRow + bx) * 64) match {
+              case 1  => return end()
+              case -1 => return -1
+              case _  => ()
+            }
+            blk += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      return end()
+    }
+
+    // single-component scan (DC or AC) over the component's own blocks
+    val c = scanComps(0)
+    val acT = if (ss > 0) acTabs(c.acTable) else null
+    if (ss > 0 && ah == 0 && acT == null) return -1
+    if (ss == 0 && ah == 0 && dcTabs(c.dcTable) == null) return -1
+    var blk = 0
+    val nBlocks = c.bw * c.bh
+    while (blk < nBlocks) {
+      if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+        if (!br.restartMarker()) return -1
+        c.pred = 0
+        eobrun = 0
+      }
+      val base = ((blk / c.bw) * c.blocksPerRow + blk % c.bw) * 64
+      if (ss == 0) {
+        decodeDc(c, base) match {
+          case 1  => return end()
+          case -1 => return -1
+          case _  => ()
+        }
+      } else if (ah == 0) { // AC first pass (G.1.2.2)
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var done = false
+          while (k <= se && !done) {
+            val rs = decodeHuff(acT, br)
+            if (rs < 0) return if (br.hitMarker) end() else -1
+            val r = rs >> 4
+            val s = rs & 15
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += br.receive(r)
+                done = true
+              } else k += 16 // ZRL
+            } else {
+              k += r
+              if (k > se) return -1
+              c.coefs(base + Zigzag(k)) = extend(br.receive(s), s) << al
+              k += 1
+            }
+          }
+        }
+      } else { // AC refinement pass (G.1.2.3)
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val rs = decodeHuff(acT, br)
+            if (rs < 0) return if (br.hitMarker) end() else -1
+            var r = rs >> 4
+            val s = rs & 15
+            var newVal = 0
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = 1 << r // includes THIS block; decremented below
+                if (r > 0) eobrun += br.receive(r)
+                done = true
+              } // r == 15: ZRL — skip 16 zero-history positions below
+            } else {
+              if (s != 1) return -1 // refinement introduces only ±1
+              newVal = if (br.nextBit() == 1) p1 else m1
+            }
+            if (!done) {
+              // advance: correction bits on nonzero-history coefficients,
+              // count down r zero-history ones, then place the new value
+              var placed = false
+              while (k <= se && !placed) {
+                val idx = base + Zigzag(k)
+                if (c.coefs(idx) != 0) refineNonzero(c, idx)
+                else if (r == 0) {
+                  if (s != 0) c.coefs(idx) = newVal
+                  placed = true
+                } else r -= 1
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // EOB-run tail: only correction bits for already-nonzero
+          // coefficients remain in this block's band
+          while (k <= se) {
+            val idx = base + Zigzag(k)
+            if (c.coefs(idx) != 0) refineNonzero(c, idx)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      blk += 1
+    }
+    end()
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficient grids
+    * into component planes, then the shared upsample/color-convert. */
+  private def finishProgressive(comps: Array[Component], width: Int, height: Int,
+                                quant: Array[Array[Int]], mcusX: Int,
+                                mcusY: Int): Option[(Int, Int, Int, Array[Byte])] = {
+    if (comps == null || comps.exists(_.coefs == null)) return None
+    val coefD = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    for (c <- comps) {
+      val qt = quant(c.tq)
+      if (qt == null) return None
+      c.planeW = mcusX * 8 * c.h
+      c.planeH = mcusY * 8 * c.v
+      c.plane = new Array[Byte](c.planeW * c.planeH)
+      var by = 0
+      while (by < c.blocksPerCol) {
+        var bx = 0
+        while (bx < c.blocksPerRow) {
+          val base = (by * c.blocksPerRow + bx) * 64
+          var j = 0
+          while (j < 64) { coefD(j) = c.coefs(base + j).toDouble * qt(j); j += 1 }
+          idct8x8(coefD, tmp)
+          placeBlock(c, bx * 8, by * 8, coefD)
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    planesToRgb(comps, width, height)
   }
 
   private def clamp(v: Double): Byte = {
@@ -624,6 +916,294 @@ object Jpeg {
       my += 1
     }
     bw.flushWithOnes()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Flat Huffman specs for the progressive encoder: every DC category
+    * at 4 bits; AC r/s bytes 0x00–0xFE at 9 bits and 0xFF (r=15/s=15,
+    * never emitted) at 10 — a DHT count is a single BYTE, so one length
+    * cannot hold all 256 symbols.  Deliberately untuned — canonical,
+    * valid, trivially deterministic; the decoder reads whatever
+    * canonical tables the DHT carries, so compression ratio is the
+    * only cost. */
+  private val FlatDcSpec: (Array[Int], Array[Int]) =
+    (Array(0, 0, 0, 14, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0), Array.tabulate(14)(identity))
+  private val FlatAcSpec: (Array[Int], Array[Int]) =
+    (Array(0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0), Array.tabulate(256)(identity))
+  private lazy val FlatDcEnc = encodeTable(FlatDcSpec)
+  private lazy val FlatAcEnc = encodeTable(FlatAcSpec)
+
+  /** Quantized zigzag-order coefficients of every 8×8 block of one
+    * color component (4:4:4 grid, blocks raster, edge replication) —
+    * the precomputed input the progressive scan script re-reads once
+    * per scan. */
+  private def componentCoefs(w: Int, h: Int, rgb: Array[Byte], comp: Int,
+                             qt: Array[Int]): Array[Int] = {
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    val out = new Array[Int](mcusX * mcusY * 64)
+    val block = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var by = 0
+        while (by < 8) {
+          val sy = math.min(my * 8 + by, h - 1)
+          var bx = 0
+          while (bx < 8) {
+            val sx = math.min(mx * 8 + bx, w - 1)
+            val p = (sy * w + sx) * 3
+            val r = rgb(p) & 0xff; val g = rgb(p + 1) & 0xff; val bb = rgb(p + 2) & 0xff
+            val v = comp match {
+              case 0 => 0.299 * r + 0.587 * g + 0.114 * bb
+              case 1 => -0.168736 * r - 0.331264 * g + 0.5 * bb + 128.0
+              case _ => 0.5 * r - 0.418688 * g - 0.081312 * bb + 128.0
+            }
+            block(by * 8 + bx) = v - 128.0
+            bx += 1
+          }
+          by += 1
+        }
+        fdct8x8(block, tmp)
+        val base = (my * mcusX + mx) * 64
+        var k = 0
+        while (k < 64) {
+          val n = Zigzag(k)
+          out(base + k) = math.round(block(n) / qt(n)).toInt
+          k += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    out
+  }
+
+  /** Encode packed RGB24 as a PROGRESSIVE (SOF2) 4:4:4 JFIF JPEG with
+    * a spectral-selection + successive-approximation scan script
+    * (the shape real encoders emit): DC of all components at Al=1
+    * then a DC refinement; luma AC split 1–5 / 6–63 at Al=2 refined in
+    * two steps, chroma AC at Al=1 refined once.  Coefficients match
+    * [[jpegEncodeRgb]]'s exactly (same tables, same quantization), so
+    * a full progressive decode reconstructs pixel-identical output to
+    * the baseline encoding — the spec pins that equality.
+    * Deterministic bytes, golden-pinnable. */
+  def jpegEncodeRgbProgressive(w: Int, h: Int, rgb: Array[Byte], quality: Int = 85): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    require(rgb.length.toLong == w.toLong * h * 3, "rgb must be w*h*3 bytes")
+    require(w.toLong * h <= (1L << 24), s"image too large: ${w}x$h")
+    require(quality >= 1 && quality <= 100, s"quality in [1,100], got $quality")
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    def scaled(base: Array[Int]): Array[Int] =
+      base.map(q => math.min(255, math.max(1, (q * scale + 50) / 100)))
+    val qLum = scaled(QLumBase); val qChrom = scaled(QChromBase)
+    val coefs = Array.tabulate(3)(c => componentCoefs(w, h, rgb, c, if (c == 0) qLum else qChrom))
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    val nBlocks = mcusX * mcusY
+
+    val out = new java.io.ByteArrayOutputStream()
+    def m(marker: Int, payload: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    m(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    m(0xdb, 0 +: (0 until 64).map(k => qLum(Zigzag(k))).toArray)
+    m(0xdb, 1 +: (0 until 64).map(k => qChrom(Zigzag(k))).toArray)
+    m(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3, // SOF2
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    m(0xc4, 0x00 +: (FlatDcSpec._1 ++ FlatDcSpec._2)) // DC table 0
+    m(0xc4, 0x10 +: (FlatAcSpec._1 ++ FlatAcSpec._2)) // AC table 0
+
+    // --- scan emitters (mirrors of decodeProgScan's G.1.2 passes) ---
+
+    def dcFirst(al: Int): Unit = {
+      m(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, al))
+      val bw = new BitWriter(out)
+      val preds = new Array[Int](3)
+      var blk = 0
+      while (blk < nBlocks) {
+        var c = 0
+        while (c < 3) {
+          val v = coefs(c)(blk * 64) >> al // DC point transform (arithmetic)
+          val diff = v - preds(c); preds(c) = v
+          val s = magnitudeCategory(diff)
+          val (code, len) = FlatDcEnc(s)
+          bw.put(code, len)
+          if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+          c += 1
+        }
+        blk += 1
+      }
+      bw.flushWithOnes()
+    }
+
+    def dcRefine(al: Int): Unit = {
+      m(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10 | al))
+      val bw = new BitWriter(out)
+      var blk = 0
+      while (blk < nBlocks) {
+        var c = 0
+        while (c < 3) {
+          bw.put((coefs(c)(blk * 64) >> al) & 1, 1)
+          c += 1
+        }
+        blk += 1
+      }
+      bw.flushWithOnes()
+    }
+
+    // AC point transform: magnitude shift, sign preserved (G.1.2.2)
+    def acVal(v: Int, al: Int): Int = if (v >= 0) v >> al else -((-v) >> al)
+
+    def acFirst(comp: Int, ss: Int, se: Int, al: Int): Unit = {
+      m(0xda, Array(1, comp + 1, 0x00, ss, se, al))
+      val bw = new BitWriter(out)
+      val cz = coefs(comp)
+      var eob = 0
+      def flushEob(): Unit = if (eob > 0) {
+        var r = 0
+        while ((2 << r) <= eob) r += 1 // r = floor(log2(eob))
+        val (code, len) = FlatAcEnc(r << 4)
+        bw.put(code, len)
+        if (r > 0) bw.put(eob - (1 << r), r)
+        eob = 0
+      }
+      var blk = 0
+      while (blk < nBlocks) {
+        val base = blk * 64
+        var run = 0
+        var emitted = false
+        var k = ss
+        while (k <= se) {
+          val v = acVal(cz(base + k), al)
+          if (v == 0) run += 1
+          else {
+            if (!emitted) { flushEob(); emitted = true }
+            while (run > 15) {
+              val (zc, zl) = FlatAcEnc(0xf0); bw.put(zc, zl); run -= 16
+            }
+            val s = magnitudeCategory(v)
+            val (code, len) = FlatAcEnc((run << 4) | s)
+            bw.put(code, len)
+            bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0 || !emitted) {
+          eob += 1
+          if (eob == 32767) flushEob()
+        }
+        blk += 1
+      }
+      flushEob()
+      bw.flushWithOnes()
+    }
+
+    def acRefine(comp: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      m(0xda, Array(1, comp + 1, 0x00, ss, se, (ah << 4) | al))
+      val bw = new BitWriter(out)
+      val cz = coefs(comp)
+      var eob = 0
+      val pending = new scala.collection.mutable.ArrayBuffer[Int]() // correction bits riding the EOB run
+      def flushEob(): Unit = {
+        if (eob > 0) {
+          var r = 0
+          while ((2 << r) <= eob) r += 1
+          val (code, len) = FlatAcEnc(r << 4)
+          bw.put(code, len)
+          if (r > 0) bw.put(eob - (1 << r), r)
+          eob = 0
+        }
+        pending.foreach(bit => bw.put(bit, 1))
+        pending.clear()
+      }
+      var blk = 0
+      while (blk < nBlocks) {
+        val base = blk * 64
+        // after >>al: previously-visible coefficients have magnitude
+        // > 1 (their Ah-visible bit sits higher), newly-visible ones
+        // exactly 1, invisible 0 — the G.1.2.3 classification
+        var lastNew = -1
+        var k = ss
+        while (k <= se) {
+          if (math.abs(acVal(cz(base + k), al)) == 1) lastNew = k
+          k += 1
+        }
+        if (lastNew < 0) {
+          // whole band is an EOB block: its correction bits ride the run
+          k = ss
+          while (k <= se) {
+            val v = acVal(cz(base + k), al)
+            if (v != 0) pending += (math.abs(v) & 1)
+            k += 1
+          }
+          eob += 1
+          if (eob == 32767) flushEob()
+        } else {
+          flushEob()
+          var run = 0
+          val corr = new scala.collection.mutable.ArrayBuffer[Int]()
+          val trailing = new scala.collection.mutable.ArrayBuffer[Int]()
+          k = ss
+          while (k <= se) {
+            val v = acVal(cz(base + k), al)
+            val mag = math.abs(v)
+            if (mag == 0) run += 1
+            else if (k > lastNew) trailing += (mag & 1) // after the last new coef: rides the EOB
+            else {
+              // a needed ZRL is emitted when ANY nonzero coefficient is
+              // reached with run > 15 — the decoder's ZRL advance stops
+              // at the 16th zero-HISTORY position, so corrections for
+              // coefficients beyond it must wait for the next symbol
+              while (run > 15) {
+                val (zc, zl) = FlatAcEnc(0xf0)
+                bw.put(zc, zl)
+                corr.foreach(bit => bw.put(bit, 1)); corr.clear()
+                run -= 16
+              }
+              if (mag > 1) corr += (mag & 1) // previously visible: buffered
+              else { // newly visible: emit run + sign, then the crossed corrections
+                val (code, len) = FlatAcEnc((run << 4) | 1)
+                bw.put(code, len)
+                bw.put(if (v > 0) 1 else 0, 1)
+                corr.foreach(bit => bw.put(bit, 1)); corr.clear()
+                run = 0
+              }
+            }
+            k += 1
+          }
+          if (run > 0 || trailing.nonEmpty) { // tail past the last new coef → EOB
+            pending ++= trailing
+            eob += 1
+            if (eob == 32767) flushEob()
+          }
+        }
+        blk += 1
+      }
+      flushEob()
+      bw.flushWithOnes()
+    }
+
+    // libjpeg-shaped script: coarse DC, banded luma AC, chroma AC,
+    // then the refinement cascade down to full precision
+    dcFirst(1)
+    acFirst(0, 1, 5, 2)
+    acFirst(1, 1, 63, 1)
+    acFirst(2, 1, 63, 1)
+    acFirst(0, 6, 63, 2)
+    acRefine(0, 1, 63, 2, 1)
+    dcRefine(0)
+    acRefine(1, 1, 63, 1, 0)
+    acRefine(2, 1, 63, 1, 0)
+    acRefine(0, 1, 63, 1, 0)
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }

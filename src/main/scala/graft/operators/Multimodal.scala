@@ -12,15 +12,15 @@ import org.apache.spark.sql.types._
   * Decoding comes in two tiers:
   *  - [[decodeMedia]] is a REAL decoder for formats the JVM handles
   *    with no native codec — RIFF/WAVE PCM audio, 24-bit BMP, PNG
-  *    (zlib via `java.util.zip.Inflater`), GIF, and baseline JPEG
-  *    (ITU-T T.81 sequential DCT, [[graft.functions.Jpeg]]) —
-  *    implemented from the container specs in
-  *    [[graft.functions.MediaCodecs]] (codegen'd Expression, runs
-  *    executor-side with no native libs);
-  *  - formats still needing external codecs (progressive JPEG, MP4,
-  *    FLAC…) stay behind `fakeDecodeMeta`, the documented stub seam
-  *    with the same struct shape — swapping it for a libjpeg/ffmpeg
-  *    call changes no Spark-side contract.
+  *    (zlib via `java.util.zip.Inflater`), GIF, and JPEG in both
+  *    sequential AND progressive/SOF2 modes (ITU-T T.81,
+  *    [[graft.functions.Jpeg]]) — implemented from the container
+  *    specs in [[graft.functions.MediaCodecs]] (codegen'd Expression,
+  *    runs executor-side with no native libs);
+  *  - formats still needing external codecs (MP4, FLAC, AVIF…) stay
+  *    behind `fakeDecodeMeta`, the documented stub seam with the same
+  *    struct shape — swapping it for an ffmpeg call changes no
+  *    Spark-side contract.
   */
 object Multimodal {
 
