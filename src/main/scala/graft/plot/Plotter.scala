@@ -65,13 +65,29 @@ final case class PlotSpec(
     })
   }
 
+  /** Request log10 axes: `axes` is "x", "y", or "xy".  Renders as
+    * decade ticks with 2–9 minors in the SVG/PNG backends and passes
+    * through to Vega-Lite as `"scale": {"type": "log"}` (the
+    * query-relevant half of reference plotly/tools.py:105–204's
+    * log-scale machinery). */
+  def logScale(axes: String): PlotSpec = {
+    require(Set("x", "y", "xy")(axes), s"logScale axes must be x, y, or xy, got '$axes'")
+    val touched = axes.map(_.toString)
+    copy(encoding = encoding ++ touched.flatMap { ch =>
+      encoding.get(ch).map(props => ch -> (props + ("scale" -> "log")))
+    })
+  }
+
   def toVegaLite: String = {
     val values = data.map(row =>
       row.map { case (k, v) => jsonValue(k) + ": " + jsonValue(v) }.mkString("{", ", ", "}"))
       .mkString("[", ", ", "]")
     val enc = encoding.map { case (channel, props) =>
-      jsonValue(channel) + ": " + props.map { case (k, v) => jsonValue(k) + ": " + jsonValue(v) }
-        .mkString("{", ", ", "}")
+      jsonValue(channel) + ": " + props.map {
+        // Vega-Lite wants the scale as an object: {"scale": {"type": "log"}}
+        case ("scale", v) => "\"scale\": {\"type\": " + jsonValue(v) + "}"
+        case (k, v) => jsonValue(k) + ": " + jsonValue(v)
+      }.mkString("{", ", ", "}")
     }.mkString("{", ", ", "}")
     val t = title.map(s => s""""title": ${jsonValue(s)}, """).getOrElse("")
     s"""{"$$schema": "https://vega.github.io/schema/vega-lite/v5.json", $t"mark": ${jsonValue(mark)}, "data": {"values": $values}, "encoding": $enc}"""

@@ -116,12 +116,17 @@ object PngRender {
     val yf = fieldOf(spec, "y").getOrElse(xf)
     val cf = fieldOf(spec, "color")
     val base = axesFrom.getOrElse(spec)
-    val xs = base.data.map(row => num(row(xf)))
-    val ys = base.data.map(row => num(row(yf)))
+    // log axes: position in log10 space, mirroring SvgRender.body
+    val xlog = SvgRender.isLogChannel(base, "x")
+    val ylog = SvgRender.isLogChannel(base, "y")
+    def tx(v: Double): Double = if (xlog) SvgRender.log10pos(v) else v
+    def ty(v: Double): Double = if (ylog) SvgRender.log10pos(v) else v
+    val xs = base.data.map(row => tx(num(row(xf))))
+    val ys = base.data.map(row => ty(num(row(yf))))
     val pad = if (spec.mark == "point") 0.03 else 0.02
     val (xlo, xhi) = extent(xs, pad)
     val (ylo0, yhi) = extent(ys, pad)
-    val ylo = if (spec.mark == "bar") math.min(0.0, ylo0) else ylo0
+    val ylo = if (spec.mark == "bar" && !ylog) math.min(0.0, ylo0) else ylo0
     val sx = Scale(xlo, xhi, x0 + ml.toDouble, x0 + w - mr.toDouble)
     val sy = Scale(ylo, yhi, y0 + h - mb.toDouble, y0 + mt.toDouble)
     if (drawAxes) {
@@ -134,32 +139,36 @@ object PngRender {
           r.hLine(x0 + ml, x0 + w - mr, y0 + h - mb, ac)
         case _ => ()
       }
-      theme.gridColor.map(hexColor).foreach { gc =>
-        ticks(xlo, xhi).foreach(t =>
-          r.vLine(math.round(sx(t)).toInt, y0 + mt, y0 + h - mb, gc))
-        ticks(ylo, yhi).foreach(t =>
-          r.hLine(x0 + ml, x0 + w - mr, math.round(sy(t)).toInt, gc))
+      val xticks = SvgRender.axisTicks(xlo, xhi, xlog)
+      val yticks = SvgRender.axisTicks(ylo, yhi, ylog)
+      theme.gridColor.map(hexColor).foreach { gc => // majors only
+        xticks.filterNot(_._3).foreach { case (t, _, _) =>
+          r.vLine(math.round(sx(t)).toInt, y0 + mt, y0 + h - mb, gc) }
+        yticks.filterNot(_._3).foreach { case (t, _, _) =>
+          r.hLine(x0 + ml, x0 + w - mr, math.round(sy(t)).toInt, gc) }
       }
-      ticks(xlo, xhi).foreach { t =>
+      xticks.foreach { case (t, label, minor) =>
         val px = math.round(sx(t)).toInt
-        if (theme.tickLen > 0) r.vLine(px, y0 + h - mb, y0 + h - mb + theme.tickLen, ac)
-        r.text(px, y0 + h - mb + 15, fmt(t), tickFill, Anchor.Middle)
+        val len = if (minor) math.max(theme.tickLen - 2, 2) else theme.tickLen
+        if (theme.tickLen > 0) r.vLine(px, y0 + h - mb, y0 + h - mb + len, ac)
+        if (label.nonEmpty) r.text(px, y0 + h - mb + 15, label, tickFill, Anchor.Middle)
       }
-      ticks(ylo, yhi).foreach { t =>
+      yticks.foreach { case (t, label, minor) =>
         val py = math.round(sy(t)).toInt
-        if (theme.tickLen > 0) r.hLine(x0 + ml - theme.tickLen, x0 + ml, py, ac)
-        r.text(x0 + ml - 6, py + 3, fmt(t), tickFill, Anchor.End)
+        val len = if (minor) math.max(theme.tickLen - 2, 2) else theme.tickLen
+        if (theme.tickLen > 0) r.hLine(x0 + ml - len, x0 + ml, py, ac)
+        if (label.nonEmpty) r.text(x0 + ml - 6, py + 3, label, tickFill, Anchor.End)
       }
       r.text(x0 + (ml + w - mr) / 2, y0 + h - 4, xf, TextBlack, Anchor.Middle)
     }
     title.foreach(t => r.text(x0 + w / 2, y0 + 14, t, TextBlack, Anchor.Middle))
     spec.mark match {
       case "bar" =>
-        val centers = spec.data.map(row => num(row(xf))).filterNot(_.isNaN).sorted
+        val centers = spec.data.map(row => tx(num(row(xf)))).filterNot(_.isNaN).sorted
         val bw = if (centers.size >= 2) centers.sliding(2).map(p => p(1) - p(0)).min
                  else math.max(xhi - xlo, 1.0)
         spec.data.foreach { row =>
-          val cx = num(row(xf)); val cy = num(row(yf))
+          val cx = tx(num(row(xf))); val cy = ty(num(row(yf)))
           if (!cx.isNaN && !cy.isNaN) {
             // SvgRender clamps height to max(ph, 0): a bar whose value
             // sits below the axis floor renders as nothing, not as a
@@ -176,7 +185,7 @@ object PngRender {
         val cs = spec.data.map(row => cf.map(f => num(row(f))).getOrElse(Double.NaN))
         val (clo, chi) = extent(cs.filterNot(_.isNaN))
         spec.data.foreach { row =>
-          val px = num(row(xf)); val py = num(row(yf))
+          val px = tx(num(row(xf))); val py = ty(num(row(yf)))
           if (!px.isNaN && !py.isNaN) {
             val rad = sizeF.map(f => 1.5 + 2.5 * math.sqrt(math.max(num(row(f)), 0.0) /
               math.max(spec.data.map(q => num(q(f))).filterNot(_.isNaN).max, 1.0))).getOrElse(2.5)
@@ -188,14 +197,14 @@ object PngRender {
       case "rect" =>
         val cvs = spec.data.map(row => num(row(cf.getOrElse(yf))))
         val (clo, chi) = extent(cvs.filterNot(_.isNaN))
-        val cxs = spec.data.map(row => num(row(xf))).filterNot(_.isNaN).distinct.sorted
-        val cys = spec.data.map(row => num(row(yf))).filterNot(_.isNaN).distinct.sorted
+        val cxs = spec.data.map(row => tx(num(row(xf)))).filterNot(_.isNaN).distinct.sorted
+        val cys = spec.data.map(row => ty(num(row(yf)))).filterNot(_.isNaN).distinct.sorted
         def spacing(cs: Seq[Double], fallback: Double) =
           if (cs.size >= 2) cs.sliding(2).map(p => p(1) - p(0)).min else fallback
         val bwx = spacing(cxs, math.max(xhi - xlo, 1.0))
         val bwy = spacing(cys, math.max(yhi - ylo, 1.0))
         spec.data.foreach { row =>
-          val px = num(row(xf)); val py = num(row(yf)); val cv = num(row(cf.getOrElse(yf)))
+          val px = tx(num(row(xf))); val py = ty(num(row(yf))); val cv = num(row(cf.getOrElse(yf)))
           if (!px.isNaN && !py.isNaN && !cv.isNaN) {
             r.fillRect(math.round(sx(px - bwx / 2)).toInt, math.round(sy(py + bwy / 2)).toInt,
               math.round(sx(px + bwx / 2)).toInt, math.round(sy(py - bwy / 2)).toInt,
@@ -209,7 +218,7 @@ object PngRender {
           case None => Seq("" -> spec.data)
         }
         series.zipWithIndex.foreach { case ((_, rows), i) =>
-          val pts = rows.map(row => (num(row(xf)), num(row(yf))))
+          val pts = rows.map(row => (tx(num(row(xf))), ty(num(row(yf)))))
             .filterNot(p => p._1.isNaN || p._2.isNaN).sortBy(_._1)
             .map(p => (sx(p._1), sy(p._2)))
           val st = theme.styleFor(i)

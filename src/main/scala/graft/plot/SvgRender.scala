@@ -47,6 +47,54 @@ object SvgRender {
     case other => try other.toString.toDouble catch { case _: NumberFormatException => Double.NaN }
   }
 
+  /** log10 for axis positioning: non-positive values have no place on
+    * a log axis and drop out as NaN (the matplotlib/plotly contract). */
+  private[graft] def log10pos(v: Double): Double =
+    if (v > 0) math.log10(v) else Double.NaN
+
+  /** Log-axis ticks over a LOG10-SPACE range [lo, hi]: (position in
+    * log space, label, isMinor).  Major ticks at integer decades
+    * (labeled with the decade value), minor unlabeled ticks at
+    * mantissas 2–9 (reference plotly/tools.py:105–204 log tick
+    * generation); when the span covers fewer than two decade ticks
+    * the 2/5 mantissa ticks get labels so short ranges stay
+    * readable. */
+  private[graft] def logTicks(lo: Double, hi: Double): Seq[(Double, String, Boolean)] = {
+    if (!(hi > lo)) return Seq((lo, fmt(math.pow(10, lo)), false))
+    val k0 = math.floor(lo).toInt
+    val k1 = math.ceil(hi).toInt
+    val nMajors = (k0 to k1).count(k => k >= lo - 1e-9 && k <= hi + 1e-9)
+    val labelMinors = nMajors < 2
+    val out = Seq.newBuilder[(Double, String, Boolean)]
+    var k = k0
+    while (k <= k1) {
+      var m = 1
+      while (m <= 9) {
+        val p = k + math.log10(m.toDouble)
+        if (p >= lo - 1e-9 && p <= hi + 1e-9) {
+          if (m == 1) out += ((p, fmt(math.pow(10, k)), false))
+          else if (labelMinors && (m == 2 || m == 5))
+            out += ((p, fmt(m * math.pow(10, k)), false))
+          else out += ((p, "", true))
+        }
+        m += 1
+      }
+      k += 1
+    }
+    out.result()
+  }
+
+  /** Unified tick list for one axis: (position in scale space, label,
+    * isMinor).  Linear axes label every tick; log axes delegate to
+    * [[logTicks]]. */
+  private[graft] def axisTicks(lo: Double, hi: Double, isLog: Boolean): Seq[(Double, String, Boolean)] =
+    if (isLog) logTicks(lo, hi) else ticks(lo, hi).map(t => (t, fmt(t), false))
+
+  /** Whether a channel requests a log scale (`"scale" -> "log"` in the
+    * encoding — the [[PlotSpec.logScale]] flag). */
+  private[plot] def isLogChannel(spec: PlotSpec, channel: String): Boolean =
+    spec.encoding.get(channel).exists(_.get("scale").contains("log"))
+
   /** ~`n` "nice" tick positions covering [lo, hi] (1/2/5 steps). */
   private[plot] def ticks(lo: Double, hi: Double, n: Int = 4): Seq[Double] = {
     if (!(hi > lo)) return Seq(lo)
@@ -176,12 +224,18 @@ object SvgRender {
     val yf = fieldOf(spec, "y").getOrElse(xf)
     val cf = fieldOf(spec, "color")
     val base = axesFrom.getOrElse(spec)
-    val xs = base.data.map(r => num(r(xf)))
-    val ys = base.data.map(r => num(r(yf)))
+    // log axes: position EVERYTHING in log10 space (scales, ticks,
+    // marks); non-positive values drop out as NaN
+    val xlog = isLogChannel(base, "x")
+    val ylog = isLogChannel(base, "y")
+    def tx(v: Double): Double = if (xlog) log10pos(v) else v
+    def ty(v: Double): Double = if (ylog) log10pos(v) else v
+    val xs = base.data.map(r => tx(num(r(xf))))
+    val ys = base.data.map(r => ty(num(r(yf))))
     val pad = if (spec.mark == "point") 0.03 else 0.02
     val (xlo, xhi) = extent(xs, pad)
     val (ylo0, yhi) = extent(ys, pad)
-    val ylo = if (spec.mark == "bar") math.min(0.0, ylo0) else ylo0
+    val ylo = if (spec.mark == "bar" && !ylog) math.min(0.0, ylo0) else ylo0
     val sx = Scale(xlo, xhi, x0 + ml.toDouble, x0 + w - mr.toDouble)
     val sy = Scale(ylo, yhi, y0 + h - mb.toDouble, y0 + mt.toDouble)
     val b = new StringBuilder
@@ -196,21 +250,29 @@ object SvgRender {
           b ++= s"""<line x1="${x0 + ml}" y1="${y0 + h - mb}" x2="${x0 + w - mr}" y2="${y0 + h - mb}" stroke="$ac"/>"""
         case _ => ()
       }
-      theme.gridColor.foreach { gc => // gridlines across the plot area
-        ticks(xlo, xhi).foreach(t =>
-          b ++= s"""<line x1="${fmt(sx(t))}" y1="${y0 + mt}" x2="${fmt(sx(t))}" y2="${y0 + h - mb}" stroke="$gc"/>""")
-        ticks(ylo, yhi).foreach(t =>
-          b ++= s"""<line x1="${x0 + ml}" y1="${fmt(sy(t))}" x2="${x0 + w - mr}" y2="${fmt(sy(t))}" stroke="$gc"/>""")
+      val xticks = axisTicks(xlo, xhi, xlog)
+      val yticks = axisTicks(ylo, yhi, ylog)
+      theme.gridColor.foreach { gc => // gridlines at MAJOR ticks only
+        xticks.filterNot(_._3).foreach { case (t, _, _) =>
+          b ++= s"""<line x1="${fmt(sx(t))}" y1="${y0 + mt}" x2="${fmt(sx(t))}" y2="${y0 + h - mb}" stroke="$gc"/>"""
+        }
+        yticks.filterNot(_._3).foreach { case (t, _, _) =>
+          b ++= s"""<line x1="${x0 + ml}" y1="${fmt(sy(t))}" x2="${x0 + w - mr}" y2="${fmt(sy(t))}" stroke="$gc"/>"""
+        }
       }
-      ticks(xlo, xhi).foreach { t =>
+      xticks.foreach { case (t, label, minor) =>
+        val len = if (minor) math.max(theme.tickLen - 2, 2) else theme.tickLen
         if (theme.tickLen > 0)
-          b ++= s"""<line x1="${fmt(sx(t))}" y1="${y0 + h - mb}" x2="${fmt(sx(t))}" y2="${y0 + h - mb + theme.tickLen}" stroke="$ac"/>"""
-        b ++= s"""<text x="${fmt(sx(t))}" y="${y0 + h - mb + 15}" font-size="${theme.tickFontPx}" text-anchor="middle"$tickFill>${fmt(t)}</text>"""
+          b ++= s"""<line x1="${fmt(sx(t))}" y1="${y0 + h - mb}" x2="${fmt(sx(t))}" y2="${y0 + h - mb + len}" stroke="$ac"/>"""
+        if (label.nonEmpty)
+          b ++= s"""<text x="${fmt(sx(t))}" y="${y0 + h - mb + 15}" font-size="${theme.tickFontPx}" text-anchor="middle"$tickFill>$label</text>"""
       }
-      ticks(ylo, yhi).foreach { t =>
+      yticks.foreach { case (t, label, minor) =>
+        val len = if (minor) math.max(theme.tickLen - 2, 2) else theme.tickLen
         if (theme.tickLen > 0)
-          b ++= s"""<line x1="${x0 + ml - theme.tickLen}" y1="${fmt(sy(t))}" x2="${x0 + ml}" y2="${fmt(sy(t))}" stroke="$ac"/>"""
-        b ++= s"""<text x="${x0 + ml - 6}" y="${fmt(sy(t) + 3)}" font-size="${theme.tickFontPx}" text-anchor="end"$tickFill>${fmt(t)}</text>"""
+          b ++= s"""<line x1="${x0 + ml - len}" y1="${fmt(sy(t))}" x2="${x0 + ml}" y2="${fmt(sy(t))}" stroke="$ac"/>"""
+        if (label.nonEmpty)
+          b ++= s"""<text x="${x0 + ml - 6}" y="${fmt(sy(t) + 3)}" font-size="${theme.tickFontPx}" text-anchor="end"$tickFill>$label</text>"""
       }
       b ++= s"""<text x="${x0 + (ml + w - mr) / 2}" y="${y0 + h - 4}" font-size="${theme.labelFontPx}" text-anchor="middle">${esc(xf)}</text>"""
     }
@@ -220,11 +282,11 @@ object SvgRender {
       case "bar" =>
         // bin width from the first center spacing (uniform by
         // construction of Binned.histogram's centers)
-        val centers = spec.data.map(r => num(r(xf))).filterNot(_.isNaN).sorted
+        val centers = spec.data.map(r => tx(num(r(xf)))).filterNot(_.isNaN).sorted
         val bw = if (centers.size >= 2) centers.sliding(2).map(p => p(1) - p(0)).min
                  else math.max(xhi - xlo, 1.0)
         spec.data.foreach { r =>
-          val cx = num(r(xf)); val cy = num(r(yf))
+          val cx = tx(num(r(xf))); val cy = ty(num(r(yf)))
           if (!cx.isNaN && !cy.isNaN) {
             val px = sx(cx - bw / 2); val pw = sx(cx + bw / 2) - px
             val py = sy(cy); val ph = sy(ylo) - py
@@ -236,7 +298,7 @@ object SvgRender {
         val cs = spec.data.map(r => cf.map(f => num(r(f))).getOrElse(Double.NaN))
         val (clo, chi) = extent(cs.filterNot(_.isNaN))
         spec.data.foreach { r =>
-          val px = num(r(xf)); val py = num(r(yf))
+          val px = tx(num(r(xf))); val py = ty(num(r(yf)))
           if (!px.isNaN && !py.isNaN) {
             val rad = sizeF.map(f => 1.5 + 2.5 * math.sqrt(math.max(num(r(f)), 0.0) /
               math.max(spec.data.map(q => num(q(f))).filterNot(_.isNaN).max, 1.0))).getOrElse(2.5)
@@ -248,14 +310,14 @@ object SvgRender {
       case "rect" =>
         val cvs = spec.data.map(r => num(r(cf.getOrElse(yf))))
         val (clo, chi) = extent(cvs.filterNot(_.isNaN))
-        val cxs = spec.data.map(r => num(r(xf))).filterNot(_.isNaN).distinct.sorted
-        val cys = spec.data.map(r => num(r(yf))).filterNot(_.isNaN).distinct.sorted
+        val cxs = spec.data.map(r => tx(num(r(xf)))).filterNot(_.isNaN).distinct.sorted
+        val cys = spec.data.map(r => ty(num(r(yf)))).filterNot(_.isNaN).distinct.sorted
         def spacing(cs: Seq[Double], fallback: Double) =
           if (cs.size >= 2) cs.sliding(2).map(p => p(1) - p(0)).min else fallback
         val bwx = spacing(cxs, math.max(xhi - xlo, 1.0))
         val bwy = spacing(cys, math.max(yhi - ylo, 1.0))
         spec.data.foreach { r =>
-          val px = num(r(xf)); val py = num(r(yf)); val cv = num(r(cf.getOrElse(yf)))
+          val px = tx(num(r(xf))); val py = ty(num(r(yf))); val cv = num(r(cf.getOrElse(yf)))
           if (!px.isNaN && !py.isNaN && !cv.isNaN) {
             val rx = sx(px - bwx / 2); val rw = sx(px + bwx / 2) - rx
             val ry = sy(py + bwy / 2); val rh = sy(py - bwy / 2) - ry
@@ -271,7 +333,7 @@ object SvgRender {
           case None => Seq("" -> spec.data)
         }
         series.zipWithIndex.foreach { case ((_, rows), i) =>
-          val pts = rows.map(r => (num(r(xf)), num(r(yf))))
+          val pts = rows.map(r => (tx(num(r(xf))), ty(num(r(yf)))))
             .filterNot(p => p._1.isNaN || p._2.isNaN).sortBy(_._1)
             .map(p => s"${fmt(sx(p._1))},${fmt(sy(p._2))}").mkString(" ")
           val st = theme.styleFor(i)
@@ -345,8 +407,80 @@ object SvgRender {
       case _ =>
         s"""<circle cx="${fmt(x)}" cy="${fmt(y)}" r="${fmt(r)}" fill="$fill" fill-opacity="0.8"/>"""
     }
+
+  // ── legend (reference matplotlib/legend.py:16–130) ──────────────────
+
+  /** Hex color of `palette` at t ∈ [0, 1] — linear anchor
+    * interpolation, the driver-side twin of
+    * [[graft.functions.Colors.colorify]]'s Column arithmetic. */
+  private[graft] def paletteHex(p: graft.functions.Colors.Palette, t: Double): String = {
+    val n = p.size
+    val x = math.max(0.0, math.min(1.0, t)) * (n - 1)
+    val i = math.min(n - 2, x.toInt)
+    val f = x - i
+    def ch(get: ((Double, Double, Double)) => Double): Int = {
+      val v = get(p(i)) + (get(p(i + 1)) - get(p(i))) * f
+      math.min(255, math.max(0, math.round(v * 256).toInt))
+    }
+    f"#${ch(_._1)}%02x${ch(_._2)}%02x${ch(_._3)}%02x"
+  }
+
+  private def legendWidth(entries: Seq[(String, LegendSwatch)]): Int =
+    40 + entries.map(_._1.length).maxOption.getOrElse(0) * 7
+
+  /** Legend block at (x, y): one row per entry — a 24×12 swatch +
+    * label.  A [[CmapSwatch]] renders the reference's striped-colormap
+    * legend artist (matplotlib/legend.py:16–130 HandlerColormap: the
+    * patch is `stripes` vertical slices sampling the colormap at
+    * stripe centers); a [[SolidSwatch]] is the ordinary facet patch. */
+  def legend(entries: Seq[(String, LegendSwatch)], x: Int, y: Int,
+             theme: Theme = Theme.classic): String = {
+    val rowH = 16; val swW = 24; val swH = 12
+    val b = new StringBuilder
+    b ++= "<g>"
+    b ++= s"""<rect x="$x" y="$y" width="${legendWidth(entries)}" height="${entries.size * rowH + 8}" fill="${theme.background.getOrElse("#ffffff")}" fill-opacity="0.85" stroke="${theme.axisColor}"/>"""
+    entries.zipWithIndex.foreach { case ((label, sw), i) =>
+      val sy = y + 6 + i * rowH
+      sw match {
+        case SolidSwatch(c) =>
+          b ++= s"""<rect x="${x + 5}" y="$sy" width="$swW" height="$swH" fill="$c"/>"""
+        case CmapSwatch(p, stripes) =>
+          val stripeW = swW.toDouble / stripes
+          var s = 0
+          while (s < stripes) {
+            // tiny overlap so antialiased viewers show no seams
+            b ++= s"""<rect x="${fmt(x + 5 + s * stripeW)}" y="$sy" width="${fmt(stripeW + 0.01)}" height="$swH" fill="${paletteHex(p, (s + 0.5) / stripes)}"/>"""
+            s += 1
+          }
+          b ++= s"""<rect x="${x + 5}" y="$sy" width="$swW" height="$swH" fill="none" stroke="${theme.axisColor}"/>"""
+      }
+      b ++= s"""<text x="${x + 5 + swW + 6}" y="${sy + swH - 2}" font-size="${theme.tickFontPx}">${esc(label)}</text>"""
+    }
+    b ++= "</g>"
+    b.toString
+  }
+
+  /** Render a spec with a legend overlaid in the top-right corner. */
+  def renderWithLegend(spec: PlotSpec, entries: Seq[(String, LegendSwatch)],
+                       width: Int = 480, height: Int = 360,
+                       color: String = null, theme: Theme = Theme.classic): String = {
+    val b = new StringBuilder
+    b ++= svgOpen(width, height, theme)
+    b ++= body(spec, 0, 0, width, height,
+      Option(color).getOrElse(theme.palette(0)), title = spec.title, theme = theme)
+    b ++= legend(entries, width - legendWidth(entries) - 12, 26, theme)
+    b ++= "</svg>"
+    b.toString
+  }
 }
 
 /** Deterministic facet style (the plotter.py:394–408 prop cycle entry
   * for facet index i — see [[SvgRender.styleFor]]). */
 final case class FacetStyle(color: String, marker: String, dash: String)
+
+/** Legend swatch: a solid patch, or the reference's striped-colormap
+  * patch ([[SvgRender.legend]]). */
+sealed trait LegendSwatch
+final case class SolidSwatch(color: String) extends LegendSwatch
+final case class CmapSwatch(palette: graft.functions.Colors.Palette,
+                            stripes: Int = 8) extends LegendSwatch

@@ -369,4 +369,59 @@ class PlotterSpec extends SparkSpec {
         Map("x" -> Map("field" -> "x", "type" -> "quantitative"))).toSvg())
     assert(err.getMessage.contains("no SVG backend"))
   }
+
+  // ── log-scale axes (reference plotly/tools.py:105–204) ──────────
+
+  test("logTicks: decade majors, 2-9 minors, short-range mantissa labels") {
+    // 3 decades: majors at 1, 10, 100 (labeled); minors at 2..9 x decade
+    val t3 = graft.plot.SvgRender.logTicks(0.0, 2.0)
+    assert(t3.filterNot(_._3).map(_._2) == Seq("1", "10", "100"))
+    assert(t3.count(_._3) == 16, "2..9 minors for two full decades")
+    // under one decade: 2/5 mantissa ticks get labels so the axis reads
+    val short = graft.plot.SvgRender.logTicks(0.05, 0.95)
+    assert(short.exists(_._2 == "2") && short.exists(_._2 == "5"))
+    // non-positive values have no log position
+    assert(graft.plot.SvgRender.log10pos(0.0).isNaN &&
+      graft.plot.SvgRender.log10pos(-3.0).isNaN)
+  }
+
+  test("log-axis scatter renders decade ticks in both backends, golden-pinned") {
+    val spec = Plotter(realDocs).scatter("n_chars", "doc_id", maxPoints = 200)
+      .logScale("x")
+    val svg = spec.toSvg()
+    // n_chars spans < 2 decades, so the 2/5 mantissa ticks are labeled
+    // alongside the 100 decade: 50 / 100 / 200 / 500
+    assert(svg.contains(">100</text>") && svg.contains(">500</text>"),
+      "log tick labels expected")
+    assert(svg.contains("y2=\"332\""), "short minor tick marks expected")
+    pinSvg("scatter_logx", svg)
+    pinPng("scatter_logx", spec.toPng())
+    // vega-lite passthrough: scale rides the encoding as an object
+    val vl = spec.toVegaLite
+    assert(vl.contains("\"scale\": {\"type\": \"log\"}"), vl.take(400))
+  }
+
+  test("log-y histogram: bars position in log space, zero-count bins drop") {
+    val spec = Plotter(realDocs).hist("n_chars", bins = 12).logScale("y")
+    val svg = spec.toSvg()
+    assert(svg.startsWith("<svg") && svg.endsWith("</svg>"))
+    pinSvg("hist_logy", svg)
+  }
+
+  // ── colormap legend stripes (reference matplotlib/legend.py:16–130) ──
+
+  test("cmap legend: striped swatch samples the palette, golden-pinned") {
+    import graft.plot.{CmapSwatch, SolidSwatch, SvgRender}
+    val spec = Plotter(realDocs).scatter("n_chars", "doc_id", maxPoints = 100)
+    val svg = SvgRender.renderWithLegend(spec,
+      Seq("density" -> CmapSwatch(graft.functions.Colors.viridis),
+          "sample" -> SolidSwatch("#1f77b4")))
+    // 8 stripes + boundary rect + solid swatch
+    assert(svg.sliding(5).count(_ == "<rect") >= 10, "striped cmap swatch expected")
+    // stripe colors walk the ramp: first stripe dark violet, last yellow
+    assert(svg.contains(SvgRender.paletteHex(graft.functions.Colors.viridis, 0.0625)))
+    assert(svg.contains(SvgRender.paletteHex(graft.functions.Colors.viridis, 0.9375)))
+    assert(svg.contains(">density</text>") && svg.contains(">sample</text>"))
+    pinSvg("legend_cmap", svg)
+  }
 }
