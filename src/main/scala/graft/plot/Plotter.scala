@@ -65,14 +65,16 @@ final case class PlotSpec(
     })
   }
 
-  /** Request log10 axes: `axes` is "x", "y", or "xy".  Renders as
-    * decade ticks with 2–9 minors in the SVG/PNG backends and passes
-    * through to Vega-Lite as `"scale": {"type": "log"}` (the
-    * query-relevant half of reference plotly/tools.py:105–204's
-    * log-scale machinery). */
+  /** Request log10 scales: `axes` is any combination of "x", "y" and
+    * "c" (e.g. "xy", "c", "xc") — "c" is the COLOR channel, the
+    * reference plotly/tools.py:105–204 `logscale(trace)` transform
+    * (color data log10'd, colorbar ticks at decades).  Position axes
+    * render as decade ticks with 2–9 minors in the SVG/PNG backends
+    * and pass through to Vega-Lite as `"scale": {"type": "log"}`. */
   def logScale(axes: String): PlotSpec = {
-    require(Set("x", "y", "xy")(axes), s"logScale axes must be x, y, or xy, got '$axes'")
-    val touched = axes.map(_.toString)
+    require(axes.nonEmpty && axes.forall(c => "xyc".contains(c)),
+      s"logScale axes must combine x, y, c — got '$axes'")
+    val touched = axes.map { case 'c' => "color"; case ch => ch.toString }
     copy(encoding = encoding ++ touched.flatMap { ch =>
       encoding.get(ch).map(props => ch -> (props + ("scale" -> "log")))
     })

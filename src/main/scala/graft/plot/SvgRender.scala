@@ -230,6 +230,10 @@ object SvgRender {
     val ylog = isLogChannel(base, "y")
     def tx(v: Double): Double = if (xlog) log10pos(v) else v
     def ty(v: Double): Double = if (ylog) log10pos(v) else v
+    // color-channel log (reference plotly/tools.py:105-204 logscale):
+    // ramp normalization runs over log10 of the color data
+    val clog = isLogChannel(base, "color")
+    def tc(v: Double): Double = if (clog) log10pos(v) else v
     val xs = base.data.map(r => tx(num(r(xf))))
     val ys = base.data.map(r => ty(num(r(yf))))
     val pad = if (spec.mark == "point") 0.03 else 0.02
@@ -295,20 +299,20 @@ object SvgRender {
         }
       case "point" =>
         val sizeF = fieldOf(spec, "size")
-        val cs = spec.data.map(r => cf.map(f => num(r(f))).getOrElse(Double.NaN))
+        val cs = spec.data.map(r => cf.map(f => tc(num(r(f)))).getOrElse(Double.NaN))
         val (clo, chi) = extent(cs.filterNot(_.isNaN))
         spec.data.foreach { r =>
           val px = tx(num(r(xf))); val py = ty(num(r(yf)))
           if (!px.isNaN && !py.isNaN) {
             val rad = sizeF.map(f => 1.5 + 2.5 * math.sqrt(math.max(num(r(f)), 0.0) /
               math.max(spec.data.map(q => num(q(f))).filterNot(_.isNaN).max, 1.0))).getOrElse(2.5)
-            val fill = cf.map(f => ramp((num(r(f)) - clo) / math.max(chi - clo, 1e-300)))
+            val fill = cf.map(f => ramp((tc(num(r(f))) - clo) / math.max(chi - clo, 1e-300)))
               .getOrElse(color)
             b ++= glyph(marker, sx(px), sy(py), rad, fill)
           }
         }
       case "rect" =>
-        val cvs = spec.data.map(r => num(r(cf.getOrElse(yf))))
+        val cvs = spec.data.map(r => tc(num(r(cf.getOrElse(yf)))))
         val (clo, chi) = extent(cvs.filterNot(_.isNaN))
         val cxs = spec.data.map(r => tx(num(r(xf)))).filterNot(_.isNaN).distinct.sorted
         val cys = spec.data.map(r => ty(num(r(yf)))).filterNot(_.isNaN).distinct.sorted
@@ -317,7 +321,7 @@ object SvgRender {
         val bwx = spacing(cxs, math.max(xhi - xlo, 1.0))
         val bwy = spacing(cys, math.max(yhi - ylo, 1.0))
         spec.data.foreach { r =>
-          val px = tx(num(r(xf))); val py = ty(num(r(yf))); val cv = num(r(cf.getOrElse(yf)))
+          val px = tx(num(r(xf))); val py = ty(num(r(yf))); val cv = tc(num(r(cf.getOrElse(yf))))
           if (!px.isNaN && !py.isNaN && !cv.isNaN) {
             val rx = sx(px - bwx / 2); val rw = sx(px + bwx / 2) - rx
             val ry = sy(py + bwy / 2); val rh = sy(py - bwy / 2) - ry
@@ -457,6 +461,95 @@ object SvgRender {
       b ++= s"""<text x="${x + 5 + swW + 6}" y="${sy + swH - 2}" font-size="${theme.tickFontPx}">${esc(label)}</text>"""
     }
     b ++= "</g>"
+    b.toString
+  }
+
+  // ── colorbars + figure combining (reference plotly/tools.py) ────────
+
+  /** Vertical colorbar for a color-mapped panel — the reference's
+    * colorbar repositioning and log-tick machinery
+    * (plotly/tools.py:19–103 reposition/separate_colorbars, :105–204
+    * logscale) re-expressed deterministically: the bar sits at the
+    * normalized (`xnorm`, `ynorm`) position of the PANEL's plot-area
+    * domain (the reference's domain-fraction convention, ynorm
+    * measured bottom-up), spans `barLen` of the domain height, samples
+    * the same sequential ramp the rect/point fills use, and draws
+    * value ticks from the panel's color extent — integer-decade
+    * positions labeled with the VALUE (`ticktext = 10**decades`) when
+    * the color channel is log-scaled.  `None` when the spec maps no
+    * color (rect marks fall back to their y field, the body()
+    * convention). */
+  def colorbarFor(spec: PlotSpec, panelX: Int, panelY: Int, panelW: Int, panelH: Int,
+                  xnorm: Double = 1.05, ynorm: Double = 0.5, barLen: Double = 0.8,
+                  theme: Theme = Theme.classic): Option[String] = {
+    val cfield = fieldOf(spec, "color").orElse(
+      if (spec.mark == "rect") fieldOf(spec, "y").orElse(fieldOf(spec, "x")) else None)
+    cfield.map { f =>
+      val clog = isLogChannel(spec, "color")
+      def tc(v: Double): Double = if (clog) log10pos(v) else v
+      val (lo, hi) = extent(spec.data.map(r => tc(num(r(f)))))
+      val ml = 38; val mr = 8; val mt = 22; val mb = 30 // body() margins
+      val dx0 = panelX + ml; val dx1 = panelX + panelW - mr
+      val dy0 = panelY + mt; val dy1 = panelY + panelH - mb
+      val x = dx0 + (dx1 - dx0) * xnorm
+      val cy = dy1 - (dy1 - dy0) * ynorm
+      val len = (dy1 - dy0) * barLen
+      val top = cy - len / 2
+      val bw = 12
+      val stripes = 24
+      val b = new StringBuilder
+      b ++= "<g>"
+      var s = 0
+      while (s < stripes) {
+        // stripe 0 at the BOTTOM: low values down, matching the y axis
+        val sy = top + len * (1.0 - (s + 1).toDouble / stripes)
+        b ++= s"""<rect x="${fmt(x)}" y="${fmt(sy)}" width="$bw" height="${fmt(len / stripes + 0.01)}" fill="${ramp((s + 0.5) / stripes)}"/>"""
+        s += 1
+      }
+      b ++= s"""<rect x="${fmt(x)}" y="${fmt(top)}" width="$bw" height="${fmt(len)}" fill="none" stroke="${theme.axisColor}"/>"""
+      val tickList =
+        if (clog) {
+          val k0 = math.ceil(lo - 1e-9).toInt
+          val k1 = math.floor(hi + 1e-9).toInt
+          (k0 to k1).map(k => (k.toDouble, fmt(math.pow(10, k))))
+        } else ticks(lo, hi).map(t => (t, fmt(t)))
+      tickList.foreach { case (t, label) =>
+        val ty = top + len * (1.0 - (t - lo) / math.max(hi - lo, 1e-300))
+        b ++= s"""<line x1="${fmt(x + bw)}" y1="${fmt(ty)}" x2="${fmt(x + bw + 3)}" y2="${fmt(ty)}" stroke="${theme.axisColor}"/>"""
+        b ++= s"""<text x="${fmt(x + bw + 5)}" y="${fmt(ty + 3)}" font-size="${theme.tickFontPx}">${esc(label)}</text>"""
+      }
+      b ++= "</g>"
+      b.toString
+    }
+  }
+
+  /** Combine panels into ONE figure — reference plotly/tools.py:303–
+    * 416 `combine_figures`: a 2-D grid of specs (`None` = empty cell),
+    * each panel rendered with its OWN axes and title, and — when
+    * `colorbars` — each color-mapped panel gets its own colorbar at
+    * the reference's separate-colorbars default position (just right
+    * of the panel domain, vertically centered).  Deterministic string
+    * assembly; golden-pinnable like every other render path. */
+  def combineFigures(panels: Seq[Seq[Option[PlotSpec]]],
+                     panelW: Int = 300, panelH: Int = 240,
+                     colorbars: Boolean = true,
+                     theme: Theme = Theme.classic): String = {
+    require(panels.nonEmpty && panels.forall(_.size == panels.head.size),
+      "combineFigures needs a rectangular, non-empty panel grid")
+    val nrows = panels.size
+    val ncols = panels.head.size
+    val cbW = if (colorbars) 48 else 0 // bar + tick labels gutter
+    val b = new StringBuilder
+    b ++= svgOpen(ncols * (panelW + cbW), nrows * panelH, theme)
+    for ((row, i) <- panels.zipWithIndex; (cell, j) <- row.zipWithIndex; spec <- cell) {
+      val x0 = j * (panelW + cbW)
+      val y0 = i * panelH
+      b ++= body(spec, x0, y0, panelW, panelH, theme.palette(0),
+        title = spec.title, theme = theme)
+      if (colorbars)
+        colorbarFor(spec, x0, y0, panelW, panelH, theme = theme).foreach(b ++= _)
+    }
+    b ++= "</svg>"
     b.toString
   }
 

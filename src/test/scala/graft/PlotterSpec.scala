@@ -408,6 +408,40 @@ class PlotterSpec extends SparkSpec {
     pinSvg("hist_logy", svg)
   }
 
+  // ── colorbars + figure combining (reference plotly/tools.py) ────
+
+  test("combineFigures: 2x2 grid with per-panel colorbars, empty cell, golden-pinned") {
+    import graft.plot.SvgRender
+    val heat = Plotter(realDocs).hist2d("n_chars", "doc_id", bins = 6)
+    val hist = Plotter(realDocs).hist("n_chars", bins = 8)
+    val svg = SvgRender.combineFigures(Seq(
+      Seq(Some(heat), Some(hist)),
+      Seq(None, Some(heat.logScale("c")))))
+    assert(svg.startsWith("<svg") && svg.endsWith("</svg>"))
+    // two heatmap panels -> two colorbars (24 stripes + boundary each);
+    // the hist panel maps no color -> no bar (plus its own rects)
+    assert(svg.sliding(5).count(_ == "<rect") >= 2 * 36 + 2 * 25 + 8,
+      "grid cells + colorbar stripes expected")
+    pinSvg("combined_grid", svg)
+  }
+
+  test("colorbar: linear value ticks; log color draws decade labels (10^k)") {
+    import graft.plot.SvgRender
+    val heat = Plotter(realDocs).hist2d("n_chars", "doc_id", bins = 6)
+    val lin = SvgRender.colorbarFor(heat, 0, 0, 300, 240)
+      .getOrElse(fail("rect panel must yield a colorbar"))
+    assert(lin.contains("<text"), "value tick labels expected")
+    // log color channel: counts span >= 1 decade at these bins, so at
+    // least one integer-decade tick labeled with the raw value
+    val logBar = SvgRender.colorbarFor(heat.logScale("c"), 0, 0, 300, 240)
+      .getOrElse(fail("log rect panel must yield a colorbar"))
+    assert(logBar.contains(">1</text>") || logBar.contains(">10</text>") ||
+      logBar.contains(">100</text>"), s"decade label expected: $logBar")
+    // a bare scatter with no color channel has no bar
+    assert(SvgRender.colorbarFor(
+      Plotter(realDocs).scatter("n_chars", "doc_id", maxPoints = 10), 0, 0, 300, 240).isEmpty)
+  }
+
   // ── colormap legend stripes (reference matplotlib/legend.py:16–130) ──
 
   test("cmap legend: striped swatch samples the palette, golden-pinned") {
