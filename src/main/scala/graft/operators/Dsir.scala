@@ -122,9 +122,19 @@ object Dsir {
       s"buckets in [1, 2^16] (driver holds two buckets-length arrays), got $buckets")
     val spark = corpus.sparkSession
     val cf = hashedNgramCounts(corpus, id, text, buckets)
-    val lp = bucketLogDistArray(
-      hashedNgramCounts(target, monotonically_increasing_id(), targetText, buckets), buckets)
-    val lq = bucketLogDistArray(cf, buckets)
+    // the p and q distribution aggregates are independent read-only
+    // jobs — submit them CONCURRENTLY (Spark schedules jobs from
+    // separate threads fine) so the eager phase costs one round trip
+    // of scheduling latency, not two; sequential job count is what a
+    // loaded driver machine amplifies (BASELINE.md round-8/11 notes)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lpF = Future(bucketLogDistArray(
+      hashedNgramCounts(target, monotonically_increasing_id(), targetText, buckets), buckets))
+    val lqF = Future(bucketLogDistArray(cf, buckets))
+    val lp = Await.result(lpF, Duration.Inf)
+    val lq = Await.result(lqF, Duration.Inf)
     val ratios = spark.createDataFrame(
       (0 until buckets).map(b => (b.toLong, lp(b) - lq(b))))
       .toDF("bucket", "ldiff")

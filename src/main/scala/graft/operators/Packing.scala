@@ -43,41 +43,61 @@ object Packing {
   def sequentialBins(df: DataFrame, order: Column, weight: Column, budget: Long,
                      buckets: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    // scale signal WITHOUT executing the plan: `df.rdd.getNumPartitions`
+    // compiled and ran the upstream's AQE shuffle stages just to read a
+    // partition count (a whole extra pass over a corpus-sized input in
+    // the q66 pipeline); the session's shuffle parallelism is the same
+    // order of magnitude and free.  Results are bucket-count-invariant
+    // (spec-pinned), so this only moves parallelism.
     val nBuckets = if (buckets > 0) buckets
-      else math.max(64, df.rdd.getNumPartitions)
+      else math.max(64, spark.sessionState.conf.numShufflePartitions)
     val keyed = df.withColumn("pack_key", order.cast(LongType))
       .withColumn("pack_weight", coalesce(weight.cast(LongType), lit(0L)))
-    val bounds = keyed.agg(min(col("pack_key")), max(col("pack_key")),
-      sum(when(col("pack_key").isNull, 1L).otherwise(0L))).head()
-    if (bounds.isNullAt(0))
-      return keyed.drop("pack_key").withColumn("bin_id", lit(0L)).limit(0)
-    require(bounds.getLong(2) == 0L,
-      "sequentialBins: order key contains nulls — packing order is undefined; " +
-        "filter or impute the key column first")
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    // ceil without overflow: span/buckets rounded up, at least 1
-    val width = math.max(1L, (hi - lo) / nBuckets + (if ((hi - lo) % nBuckets == 0) 0 else 1))
-    // key-lo >= 0 and spans beyond 2^53 would need `div`; doc keys are
-    // far below that, so double floor-division is exact here
-    val bucketed = keyed.withColumn("pack_bucket",
-      floor((col("pack_key") - lit(lo)) / lit(width)))
-    // per-bucket totals -> exclusive prefix offsets, folded on the
-    // driver (≤ buckets rows) and broadcast back as a tiny dim join
-    val totals = bucketed.groupBy(col("pack_bucket"))
-      .agg(sum(col("pack_weight")).as("bucket_total"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
-      case ((_, acc), (b, t)) => (b, acc + t)
-    }.sliding(2).map { case Array((_, prev), (b, _)) => (b, prev) }.toSeq
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = offsets.toDF("pack_bucket", "bucket_offset")
-    val w = Window.partitionBy(col("pack_bucket")).orderBy(col("pack_key"))
-    bucketed.join(broadcast(offsetDf), Seq("pack_bucket"))
-      .withColumn("bin_id",
-        floor((col("bucket_offset")
-          + sum(col("pack_weight")).over(w) - col("pack_weight")) / lit(budget)))
-      .drop("pack_bucket", "bucket_offset", "pack_key")
+    // the two bootstrap queries (bounds, bucket totals) share ONE
+    // materialization of just (pack_key, pack_weight) — 16 bytes/row,
+    // column-pruned all the way into the upstream scan — so an
+    // expensive upstream (q66: gate → scrub → dedup-shuffle →
+    // chunk-explode) computes once for both instead of once each
+    // (pre-r12 it ran a THIRD time for `df.rdd.getNumPartitions`).
+    // Unpersisted at return: the lazy result recomputes the upstream
+    // once more at action time with its full columns — 2 upstream
+    // passes total, and never a text-width cache.
+    val boot = keyed.select(col("pack_key"), col("pack_weight"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = boot.agg(min(col("pack_key")), max(col("pack_key")),
+        sum(when(col("pack_key").isNull, 1L).otherwise(0L))).head()
+      if (bounds.isNullAt(0))
+        return keyed.drop("pack_key").withColumn("bin_id", lit(0L)).limit(0)
+      require(bounds.getLong(2) == 0L,
+        "sequentialBins: order key contains nulls — packing order is undefined; " +
+          "filter or impute the key column first")
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      // ceil without overflow: span/buckets rounded up, at least 1
+      val width = math.max(1L, (hi - lo) / nBuckets + (if ((hi - lo) % nBuckets == 0) 0 else 1))
+      // key-lo >= 0 and spans beyond 2^53 would need `div`; doc keys are
+      // far below that, so double floor-division is exact here
+      def asBucket(c: Column): Column = floor((c - lit(lo)) / lit(width))
+      // per-bucket totals -> exclusive prefix offsets, folded on the
+      // driver (≤ buckets rows) and broadcast back as a tiny dim join
+      val totals = boot.groupBy(asBucket(col("pack_key")).as("pack_bucket"))
+        .agg(sum(col("pack_weight")).as("bucket_total"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+        case ((_, acc), (b, t)) => (b, acc + t)
+      }.sliding(2).map { case Array((_, prev), (b, _)) => (b, prev) }.toSeq
+      import spark.implicits._
+      val offsetDf = offsets.toDF("pack_bucket", "bucket_offset")
+      val w = Window.partitionBy(col("pack_bucket")).orderBy(col("pack_key"))
+      keyed.withColumn("pack_bucket", asBucket(col("pack_key")))
+        .join(broadcast(offsetDf), Seq("pack_bucket"))
+        .withColumn("bin_id",
+          floor((col("bucket_offset")
+            + sum(col("pack_weight")).over(w) - col("pack_weight")) / lit(budget)))
+        .drop("pack_bucket", "bucket_offset", "pack_key")
+    } finally boot.unpersist(blocking = false)
   }
 
   /** The single-partition global-window formulation — the semantic
