@@ -468,9 +468,8 @@ object SparkEntry {
     // and only the survivors pay the exact shingle-set verification.
     "q40_dedup_verified" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
-      val cands = Dedup.minhashLsh(d, col("text"), col("doc_id"), portableHash = true)
-        .filter(col("est_jaccard") >= 0.5)
-      Dedup.ngramJaccard(cands.select("id_a", "id_b"), d, col("doc_id"), col("text"))
+      Dedup.verifiedPairs(d, col("text"), col("doc_id"), minEst = 0.5,
+          portableHash = true)
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
     }),
 

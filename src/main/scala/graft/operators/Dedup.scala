@@ -252,6 +252,76 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate generation + estimate pruning + EXACT n-gram Jaccard in
+    * ONE fused pass: signatures AND exact shingle-hash sets come from a
+    * single persisted corpus scan (the [[nearDedupCorpus]] prep shape),
+    * the free full-signature estimate rejects band-collision noise
+    * before any text is touched, and only the survivors pay the exact
+    * set-intersection kernel.  Semantics are exactly
+    * `minhashLsh(...).filter(est_jaccard >= minEst)` piped through
+    * [[ngramJaccard]] (identical arithmetic, spec-pinned) at HALF the
+    * corpus scans and roughly half the sequential jobs.
+    *
+    * EAGER: the verified pair frame — duplicate-proportional, never
+    * corpus-proportional, since collision noise dies at the estimate —
+    * is checkpointed before the prep cache is released, so the
+    * caller's actions read the checkpoint, not the corpus.
+    * `reliableDir` as in [[connectedComponents]].
+    *
+    * @return (id_a, id_b, jaccard) — [[ngramJaccard]]'s contract */
+  def verifiedPairs(df: DataFrame, text: Column, id: Column,
+                    shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+                    minEst: Double = 0.0, portableHash: Boolean = false,
+                    maxBucket: Int = 0,
+                    reliableDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val k = bands * rowsPerBand
+    val normed = TextAnalysis.normalize(text)
+    val sigExpr =
+      if (portableHash) graft.functions.WindowHash.portableMinhashSig(normed, shingleSize, k)
+      else graft.functions.MinHash.minhashSig(normed, shingleSize, k)
+    val prep = df.select(id.as("doc_id"), sigExpr.as("sig"),
+        graft.functions.MinHash.shingleHashSet(normed, shingleSize).as("hs"))
+      .filter(col("sig").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val banded = capBuckets(
+        prep.select(col("doc_id"), col("sig"),
+          explodedBandKeys(col("sig"), bands, rowsPerBand, portableHash).as("band_key")),
+        maxBucket)
+      val est =
+        if (portableHash)
+          round(portableAgree(col("a.sig"), col("b.sig")).cast(DoubleType) / lit(k), 6)
+        else
+          round(graft.functions.VectorSim.agreeCount(col("a.sig"), col("b.sig"))
+            .cast(DoubleType) / lit(k), 6)
+      val cand = banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), est.as("est_jaccard"))
+        .distinct() // est is pair-determined, so this is the minhashLsh distinct
+        .filter(col("est_jaccard") >= minEst)
+      // every cand endpoint is in prep by construction (inner joins
+      // drop nothing); arithmetic is ngramJaccard's exactly
+      val verified = cand
+        .join(prep.select(col("doc_id").as("sid_a"), col("hs").as("hs_a")),
+          col("id_a") === col("sid_a"))
+        .join(prep.select(col("doc_id").as("sid_b"), col("hs").as("hs_b")),
+          col("id_b") === col("sid_b"))
+        .withColumn("sz_a", size(col("hs_a")).cast(LongType))
+        .withColumn("sz_b", size(col("hs_b")).cast(LongType))
+        .withColumn("n_inter", graft.functions.MinHash.intersectCount(col("hs_a"), col("hs_b")))
+        .withColumn("jaccard", round(col("n_inter").cast(DoubleType) /
+          greatest(col("sz_a") + col("sz_b") - col("n_inter"), lit(1L)).cast(DoubleType), 6))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      reliableDir.foreach { dir =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      }
+      if (reliableDir.isDefined) verified.checkpoint(eager = true)
+      else verified.localCheckpoint(eager = true)
+    } finally prep.unpersist(blocking = false)
+  }
+
   /** MinHash band-key index of an existing corpus, for INCREMENTAL
     * dedup: compute once per corpus generation and save (bucketed by
     * `band_key` via [[Scale.writeBucketed]] to make the daily-batch

@@ -118,6 +118,28 @@ class DedupSpec extends SparkSpec {
     assert(exact._3 == 1.0) // identical docs agree on every minhash
   }
 
+  test("verifiedPairs equals minhashLsh |> est-filter |> ngramJaccard exactly") {
+    // the fused one-scan formulation must reproduce the composed
+    // operators value-for-value, in both hash families and with and
+    // without the estimate prune
+    for (portable <- Seq(false, true); minEst <- Seq(0.0, 0.5)) {
+      val composed = Dedup.ngramJaccard(
+        Dedup.minhashLsh(docs, col("text"), col("doc_id"),
+            shingleSize = 4, bands = 8, rowsPerBand = 2, portableHash = portable)
+          .filter(col("est_jaccard") >= minEst)
+          .select("id_a", "id_b"),
+        docs, col("doc_id"), col("text"), n = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fused = Dedup.verifiedPairs(docs, col("text"), col("doc_id"),
+          shingleSize = 4, bands = 8, rowsPerBand = 2, minEst = minEst,
+          portableHash = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fused == composed,
+        s"portable=$portable minEst=$minEst: fused $fused vs composed $composed")
+      assert(fused.nonEmpty, "fixture should yield at least the exact-dup pair")
+    }
+  }
+
   test("fused minhash signatures are bit-for-bit the explode/groupBy formulation") {
     // edge cases on top of the plain fixture: text exactly at/below the
     // shingle width (no signature), punctuation-only (normalizes to
