@@ -23,6 +23,16 @@ import java.util.concurrent.atomic.AtomicInteger
   * cost the round.  Min-of-2 is the right statistic for "what does
   * this plan cost": both runs execute the identical plan, so the min
   * is the least-interfered measurement, not a best-case cherry-pick.
+  *
+  * DECORRELATED min-of-2 (round 13): the two samples used to run
+  * back-to-back, so a host-contention burst lasting a few seconds
+  * inflated BOTH samples of whichever query it landed on (round-12
+  * record: five low-job scan queries at 2.9–15× their honest floors).
+  * Now the suite runs as two FULL passes — pass A over every query,
+  * then pass B over every query — and the per-query min is taken
+  * ACROSS passes.  Same total work, but a query's two samples are
+  * separated by roughly half the suite (~30–60 s), longer than any
+  * observed burst, so one burst can no longer taint both.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,9 +58,13 @@ object Bench {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         jobCount.incrementAndGet()
-        if (sys.env.contains("SPARK_GRAFT_JOBDEBUG"))
-          println(s"JOB ${e.jobId}: ${Option(e.properties.getProperty("callSite.short")).getOrElse("?")} " +
-            s"stages=${e.stageInfos.map(_.name).mkString(" | ")}")
+        if (sys.env.contains("SPARK_GRAFT_JOBDEBUG")) {
+          // properties can be null on events from internal jobs — an NPE
+          // here would be swallowed by the listener bus but logged per job
+          val site = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          println(s"JOB ${e.jobId}: $site stages=${e.stageInfos.map(_.name).mkString(" | ")}")
+        }
         ()
       }
       override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = { stageCount.incrementAndGet(); () }
@@ -102,17 +116,22 @@ object Bench {
           (-1.0, 0, 0)
       }
     }
-    val results = selected.map { case (name, fn) =>
-      val first = runOnce(name, fn)
-      // min-of-2: a second run only when the first succeeded (a
-      // deterministic failure needs no second confirmation); a query
-      // that succeeded once is a success — a transient second-run
-      // failure keeps the first measurement and does not fail the run
-      val best = if (first._1 < 0) first else {
-        val second = runOnce(name, fn)
-        if (second._1 < 0) { errors.remove(name); first }
-        else if (second._1 < first._1) second else first
-      }
+    // two full passes: every query sampled once per pass, min across
+    // passes — the samples of one query are decorrelated by the rest of
+    // the suite running between them.  A query that succeeds in either
+    // pass is a success (a transient failure in the other pass keeps the
+    // good measurement and does not fail the run).
+    val passA = selected.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+    val passB = selected.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+    val results = selected.map { case (name, _) =>
+      val a = passA(name)
+      val b = passB(name)
+      val best =
+        if (a._1 < 0 && b._1 < 0) a // failed both passes — error stands
+        else if (a._1 < 0) { errors.remove(name); b }
+        else if (b._1 < 0) { errors.remove(name); a }
+        else if (b._1 < a._1) b
+        else a
       name -> best
     }
     val qs = results.map { case (k, (sec, _, _)) => "\"" + k + "\":" + sec }

@@ -977,14 +977,19 @@ object Dedup {
     * round trip driver-machine contention amplifies (the r11 q70
     * record).  Overriding `initialNumPartitions` for just this collect
     * makes the limit read every partition in a single job; the bound
-    * still caps what reaches the driver. */
+    * still caps what reaches the driver.
+    *
+    * The override lives on a throwaway CHILD session (isolated SQLConf,
+    * shared SparkContext and cache), never on the caller's session — a
+    * concurrent query on the same session must not observe the
+    * override, and two threads entering here must not race a
+    * save/restore of shared conf.  Re-binding the plan through
+    * `p0.rdd` keeps the lineage (and any persisted upstream frame the
+    * caller relies on) intact. */
   private def collectPairsIfSmall(p0: DataFrame, limit: Int): Option[Array[org.apache.spark.sql.Row]] = {
-    val conf = p0.sparkSession.conf
-    val key = "spark.sql.limit.initialNumPartitions"
-    val saved = conf.getOption(key)
-    val sample =
-      try { conf.set(key, Int.MaxValue); p0.limit(limit + 1).collect() }
-      finally saved match { case Some(v) => conf.set(key, v); case None => conf.unset(key) }
+    val child = p0.sparkSession.newSession()
+    child.conf.set("spark.sql.limit.initialNumPartitions", Int.MaxValue)
+    val sample = child.createDataFrame(p0.rdd, p0.schema).limit(limit + 1).collect()
     if (sample.length <= limit && !sample.exists(r => r.isNullAt(0) || r.isNullAt(1)))
       Some(sample)
     else None

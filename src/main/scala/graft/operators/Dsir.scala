@@ -130,11 +130,22 @@ object Dsir {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val lpF = Future(bucketLogDistArray(
-      hashedNgramCounts(target, monotonically_increasing_id(), targetText, buckets), buckets))
-    val lqF = Future(bucketLogDistArray(cf, buckets))
-    val lp = Await.result(lpF, Duration.Inf)
-    val lq = Await.result(lqF, Duration.Inf)
+    // both jobs run under one job group so a failure in either Await
+    // cancels the surviving sibling instead of leaving it running
+    // orphaned on the executors until natural completion
+    val group = s"graft-dsir-${java.util.UUID.randomUUID()}"
+    def inGroup[T](body: => T): T = {
+      spark.sparkContext.setJobGroup(group, "DSIR distribution aggregate", interruptOnCancel = true)
+      try body finally spark.sparkContext.clearJobGroup()
+    }
+    val lpF = Future(inGroup(bucketLogDistArray(
+      hashedNgramCounts(target, monotonically_increasing_id(), targetText, buckets), buckets)))
+    val lqF = Future(inGroup(bucketLogDistArray(cf, buckets)))
+    val (lp, lq) =
+      try (Await.result(lpF, Duration.Inf), Await.result(lqF, Duration.Inf))
+      catch {
+        case e: Throwable => spark.sparkContext.cancelJobGroup(group); throw e
+      }
     val ratios = spark.createDataFrame(
       (0 until buckets).map(b => (b.toLong, lp(b) - lq(b))))
       .toDF("bucket", "ldiff")

@@ -75,8 +75,15 @@ final case class PlotSpec(
     require(axes.nonEmpty && axes.forall(c => "xyc".contains(c)),
       s"logScale axes must combine x, y, c — got '$axes'")
     val touched = axes.map { case 'c' => "color"; case ch => ch.toString }
-    copy(encoding = encoding ++ touched.flatMap { ch =>
-      encoding.get(ch).map(props => ch -> (props + ("scale" -> "log")))
+    // a requested channel absent from the encoding would silently render
+    // linear — fail loudly instead so the caller learns the spec has no
+    // such channel (e.g. .logScale("c") on a spec without color)
+    val missing = touched.filterNot(encoding.contains)
+    require(missing.isEmpty,
+      s"logScale channel(s) ${missing.mkString(", ")} not present in this spec's encoding " +
+        s"(has: ${encoding.keys.mkString(", ")})")
+    copy(encoding = encoding ++ touched.map { ch =>
+      ch -> (encoding(ch) + ("scale" -> "log"))
     })
   }
 

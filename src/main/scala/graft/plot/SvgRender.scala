@@ -284,15 +284,31 @@ object SvgRender {
       b ++= s"""<text x="${x0 + w / 2}" y="${y0 + 14}" font-size="${theme.titleFontPx}" text-anchor="middle">${esc(t)}</text>""")
     spec.mark match {
       case "bar" =>
-        // bin width from the first center spacing (uniform by
-        // construction of Binned.histogram's centers)
-        val centers = spec.data.map(r => tx(num(r(xf)))).filterNot(_.isNaN).sorted
-        val bw = if (centers.size >= 2) centers.sliding(2).map(p => p(1) - p(0)).min
-                 else math.max(xhi - xlo, 1.0)
+        // per-bar edges at the midpoints between neighboring centers in
+        // the (possibly log-transformed) axis space: on a log axis,
+        // linearly uniform histogram centers have SHRINKING spacing to
+        // the right, so a single global min-spacing width would render
+        // every bar at the narrowest width with growing gaps toward the
+        // left; midpoint edges keep the bars contiguous on both linear
+        // and log axes (identical geometry to the old min-spacing rule
+        // when the transformed centers are uniform)
+        val centers = spec.data.map(r => tx(num(r(xf)))).filterNot(_.isNaN).distinct.sorted
+        val edges: Map[Double, (Double, Double)] =
+          if (centers.size >= 2) {
+            val mids = centers.sliding(2).map(p => (p(0) + p(1)) / 2).toVector
+            val lo = centers.head - (mids.head - centers.head)
+            val hi = centers.last + (centers.last - mids.last)
+            val all = lo +: mids :+ hi
+            centers.indices.map(i => centers(i) -> ((all(i), all(i + 1)))).toMap
+          } else {
+            val half = math.max(xhi - xlo, 1.0) / 2
+            centers.map(c => c -> ((c - half, c + half))).toMap
+          }
         spec.data.foreach { r =>
           val cx = tx(num(r(xf))); val cy = ty(num(r(yf)))
           if (!cx.isNaN && !cy.isNaN) {
-            val px = sx(cx - bw / 2); val pw = sx(cx + bw / 2) - px
+            val (elo, ehi) = edges(cx)
+            val px = sx(elo); val pw = sx(ehi) - px
             val py = sy(cy); val ph = sy(ylo) - py
             b ++= s"""<rect x="${fmt(px)}" y="${fmt(py)}" width="${fmt(pw)}" height="${fmt(math.max(ph, 0.0))}" fill="$color" fill-opacity="0.75"/>"""
           }
