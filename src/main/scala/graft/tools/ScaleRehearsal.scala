@@ -14,12 +14,20 @@ import org.apache.spark.sql.functions._
   *  - `tag`: each copy only appends a copy tag, so the 5 copies of a
   *    doc stay ~99% shingle-identical and every cluster grows 5× —
   *    the SKEW corpus that exposes the quadratic intra-bucket pair
-  *    expansion of duplicate-heavy LSH buckets.
+  *    expansion of duplicate-heavy LSH buckets;
+  *  - `join` (round 13): the JOIN-family rehearsal — dims
+  *    (region/nation/customer/supplier/part) copied verbatim, fact
+  *    tables (orders/lineitem) replicated N× with shifted orderkeys,
+  *    and — the skew probe — every non-first orders copy redirects the
+  *    rows with `o_orderkey % 5 == 0` to ONE hot custkey, so ~16% of
+  *    all orders land on a single customer.  q03/q55's
+  *    orders⋈customer shuffle then has a hot key ~N·30k× the median —
+  *    the 100×-scale failure mode AQE skew-join must absorb.
   *
   * Deterministic — no RNG, rerunnable to the same bytes.
   *
-  * Usage: runMain graft.tools.ScaleRehearsal <srcSfDir> <outDir> <N> [rot|tag]
-  * (writes <outDir>/documents.parquet; never touches the source). */
+  * Usage: runMain graft.tools.ScaleRehearsal <srcSfDir> <outDir> <N> [rot|tag|join]
+  * (writes the scaled tables under <outDir>; never touches the source). */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -30,6 +38,7 @@ object ScaleRehearsal {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "join") { joinCorpus(spark, src, out, n); spark.stop(); return }
     val d = spark.read.parquet(s"$src/documents.parquet")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val copies = (0 until n).map { i =>
@@ -49,5 +58,32 @@ object ScaleRehearsal {
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     println(s"wrote ${n}x documents ($mode) to $out")
     spark.stop()
+  }
+
+  /** Join-family rehearsal corpus: dims verbatim, facts N× with a hot
+    * custkey — see the object doc.  Key shifts preserve the source
+    * column dtypes so the scaled parquet schema is byte-identical. */
+  private def joinCorpus(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
+      spark.read.parquet(s"$src/$dim.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$dim.parquet")
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    val ckType = orders.schema("o_custkey").dataType
+    def shifted(df: org.apache.spark.sql.DataFrame, key: String, i: Int) =
+      df.withColumn(key, (col(key) + lit(i.toLong * 10000000L)).cast(df.schema(key).dataType))
+    val oCopies = (0 until n).map { i =>
+      val base = shifted(orders, "o_orderkey", i)
+      if (i == 0) base
+      else base.withColumn("o_custkey", // hot key: ~1/5 of each extra copy
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit(1).cast(ckType))
+          .otherwise(col("o_custkey").cast(ckType)))
+    }
+    val liCopies = (0 until n).map(i => shifted(lineitem, "l_orderkey", i))
+    oCopies.reduce(_ unionByName _).repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+    liCopies.reduce(_ unionByName _).repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
+    println(s"wrote ${n}x join corpus (hot custkey=1 on ${n - 1} copies) to $out")
   }
 }

@@ -293,6 +293,33 @@ class PlanSpec extends SparkSpec {
           "prep frame fused and the pair collect single-job")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("join family: small sides stay BroadcastHashJoin under AQE, stats off") {
+    // the 100x-scale failure mode is a small side silently growing past
+    // autoBroadcastJoinThreshold and the join degrading to a full
+    // sort-merge on a (possibly skewed) key — pin the FINAL AQE plan,
+    // with CBO statistics off, so the broadcast decision demonstrably
+    // rests on file-size estimates alone (what a fresh 1000-executor
+    // cluster with no ANALYZE-collected stats would see).  The skewed
+    // 5x rehearsal (BASELINE.md round-13) shows why this matters: with
+    // orders/customer/nation broadcast, the 1200x-hot o_custkey never
+    // shuffles at all.
+    val savedCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    try {
+      for (q <- Seq("q03_join_star", "q55_ezframe_join")) {
+        val df = SparkEntry.queries(q)(spark, sf)
+        df.collect() // finalize AQE so the executed join nodes are real
+        val plan = planOf(df)
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$q lost its broadcast join under AQE:\n$plan")
+        assert(!plan.contains("SortMergeJoin"),
+          s"$q degraded to sort-merge at dim scale:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$q has a degenerate nested-loop join:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.cbo.enabled", savedCbo)
+  }
 }
 
 class GroupedFnSpec extends SparkSpec {
