@@ -190,17 +190,24 @@ object MediaCodecs {
     * container doesn't parse or streams no samples. */
   def audioHistogram(b: Array[Byte], bins: Int): Option[Array[Long]] = {
     require(bins >= 1 && bins <= 4096, s"bins in [1, 4096], got $bins")
-    wavLayout(b).flatMap { case (format, _, _, bits, _, off, size) =>
-      val hist = new Array[Long](bins)
-      var n = 0L
-      wavForeachSample(b, format, bits, off, size) { s =>
-        val clamped = math.min(1.0, math.max(-1.0, s))
-        val bin = math.min(bins - 1, ((clamped + 1.0) / 2.0 * bins).toInt)
-        hist(bin) += 1
-        n += 1
-      }
-      if (n == 0) None else Some(hist)
+    val hist = new Array[Long](bins)
+    var n = 0L
+    def add(s: Double): Unit = {
+      val clamped = math.min(1.0, math.max(-1.0, s))
+      val bin = math.min(bins - 1, ((clamped + 1.0) / 2.0 * bins).toInt)
+      hist(bin) += 1
+      n += 1
     }
+    // FLAC payloads histogram through the same normalized-sample stream
+    // as WAV, so an identical signal embeds identically in either
+    // container (the contract the near-dup operators rely on)
+    val parsed: Boolean =
+      if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+        Flac.foreachSample(b)(add).isDefined
+      else wavLayout(b).exists { case (format, _, _, bits, _, off, size) =>
+        wavForeachSample(b, format, bits, off, size)(add); true
+      }
+    if (parsed && n > 0) Some(hist) else None
   }
 
   final case class PngMeta(width: Int, height: Int, channels: Int, bits: Int,
@@ -873,7 +880,18 @@ object MediaCodecs {
         InternalRow(UTF8String.fromString("audio/wav"), null, null,
           w.channels, w.sampleRate, w.bits, w.nSamples, w.durationS,
           w.rms, w.peak, null, null, null, size)
-      case None => parseBmp(b) match {
+      case None => Flac.parseFlac(b) match {
+        case Some(w) =>
+          InternalRow(UTF8String.fromString("audio/flac"), null, null,
+            w.channels, w.sampleRate, w.bits, w.nSamples, w.durationS,
+            w.rms, w.peak, null, null, null, size)
+        case None => decodeImageRow(b, size)
+      }
+    }
+  }
+
+  private def decodeImageRow(b: Array[Byte], size: Long): InternalRow = {
+    parseBmp(b) match {
         case Some(m) =>
           InternalRow(UTF8String.fromString("image/bmp"), m.width, m.height,
             null, null, null, null, null, null, null,
@@ -901,7 +919,6 @@ object MediaCodecs {
           }
         }
       }
-    }
   }
 
   /** Column surface: `decode(payload)` → metadata struct. */

@@ -11,14 +11,16 @@ import org.apache.spark.sql.types._
   *
   * Decoding comes in two tiers:
   *  - [[decodeMedia]] is a REAL decoder for formats the JVM handles
-  *    with no native codec — RIFF/WAVE PCM audio, 24-bit BMP, PNG
+  *    with no native codec — RIFF/WAVE PCM audio, FLAC (RFC 9639,
+  *    [[graft.functions.Flac]]: fixed/LPC predictors, Rice residuals,
+  *    all four stereo decorrelations, CRC-verified), 24-bit BMP, PNG
   *    (zlib via `java.util.zip.Inflater`), GIF, and JPEG in both
   *    sequential AND progressive/SOF2 modes (ITU-T T.81,
   *    [[graft.functions.Jpeg]]) — implemented from the container
   *    specs in [[graft.functions.MediaCodecs]] (codegen'd Expression,
   *    runs executor-side with no native libs);
-  *  - formats still needing external codecs (MP4, FLAC, AVIF…) stay
-  *    behind `fakeDecodeMeta`, the documented stub seam with the same
+  *  - formats still needing external codecs (MP4, AVIF) stay behind
+  *    `fakeDecodeMeta`, the documented stub seam with the same
   *    struct shape — swapping it for an ffmpeg call changes no
   *    Spark-side contract.
   */

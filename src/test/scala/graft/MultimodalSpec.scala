@@ -719,4 +719,96 @@ class MultimodalSpec extends SparkSpec {
     val stride = ((6 * 3 + 3) / 4) * 4
     assert(bmp.getLong(11) == 54 + stride.toLong * 6)
   }
+
+  test("FLAC round-trip: PCM bit-exact through every stereo decorrelation mode") {
+    import graft.functions.Flac
+    // deterministic stereo signal mixing smooth (fixed-predictor
+    // friendly) and rough (verbatim-forcing) stretches; blockSize 64
+    // over 512 frames = 8 FLAC frames cycling independent ->
+    // left-side -> right-side -> mid-side twice
+    val n = 512
+    val left = Array.tabulate(n) { i =>
+      if (i < 256) (8000 * math.sin(i / 10.0)).toInt.toShort
+      else (((i * 2654435761L) % 60000) - 30000).toShort
+    }
+    val right = Array.tabulate(n) { i =>
+      if (i < 256) (6000 * math.sin(i / 7.0) + 100).toInt.toShort
+      else (((i * 40503L + 7) % 60000) - 30000).toShort
+    }
+    val interleaved = Array.tabulate(n * 2)(i => if (i % 2 == 0) left(i / 2) else right(i / 2))
+    for (forceVerbatim <- Seq(false, true)) {
+      val flac = Flac.encodeFlac(interleaved, channels = 2, sampleRate = 8000,
+        blockSize = 64, forceVerbatim = forceVerbatim)
+      val (ch, rate, pcm) = Flac.decodePcm(flac)
+        .getOrElse(fail(s"decode failed (forceVerbatim=$forceVerbatim)"))
+      assert(ch == 2 && rate == 8000)
+      assert(pcm.toSeq == interleaved.map(_.toInt).toSeq,
+        s"PCM mismatch (forceVerbatim=$forceVerbatim)")
+    }
+    // mono with constant stretches exercises CONSTANT subframes
+    val mono = Array.tabulate(200)(i => if (i < 100) 1234.toShort else (i * 37 - 3000).toShort)
+    val (chM, _, pcmM) = Flac.decodePcm(Flac.encodeFlac(mono, 1, 44100, blockSize = 100)).get
+    assert(chM == 1 && pcmM.toSeq == mono.map(_.toInt).toSeq)
+  }
+
+  test("decodeMedia decodes FLAC: meta parity with the WAV tier on the same signal") {
+    import graft.functions.Flac
+    val rnd = new scala.util.Random(11)
+    val samples = Array.tabulate(800)(i =>
+      ((6000 * math.sin(i / 9.0)).toInt + rnd.nextInt(201) - 100).toShort)
+    val flac = Flac.encodeFlac(samples, 1, 8000, blockSize = 128)
+    val wav = wavBytes(samples.toSeq, 8000)
+    val metas = Seq((1L, flac), (2L, wav)).toDF("id", "payload")
+      .select(col("id"), Multimodal.decodeMedia(col("payload")).as("m"))
+      .select(col("id"), col("m.mime"), col("m.channels"), col("m.sample_rate"),
+        col("m.bits"), col("m.n_samples"), col("m.duration_s"), col("m.rms"), col("m.peak"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val (f, w) = (metas(1L), metas(2L))
+    assert(f.getString(1) == "audio/flac" && w.getString(1) == "audio/wav")
+    assert(f.getInt(2) == w.getInt(2) && f.getInt(3) == w.getInt(3) && f.getInt(4) == w.getInt(4))
+    assert(f.getLong(5) == w.getLong(5))
+    // lossless codec: the decoded signal statistics are IDENTICAL, not close
+    assert(f.getDouble(6) == w.getDouble(6))
+    assert(f.getDouble(7) == w.getDouble(7) && f.getDouble(8) == w.getDouble(8))
+  }
+
+  test("audioEmbedding parity: FLAC and WAV of one signal embed identically") {
+    import graft.functions.{Flac, MediaCodecs}
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(600)((rnd.nextInt(60000) - 30000).toShort)
+    val flac = Flac.encodeFlac(base, 1, 8000, blockSize = 100)
+    val wav = wavBytes(base.toSeq, 8000)
+    assert(MediaCodecs.audioHistogram(flac, 32).get.toSeq ==
+      MediaCodecs.audioHistogram(wav, 32).get.toSeq,
+      "lossless containers must histogram identically")
+    // and through the Column surface, a FLAC copy pairs with its WAV twin
+    val clips = Seq((1L, wav), (2L, flac),
+        (3L, wavBytes(Array.tabulate(600)(i => (500 * math.sin(i / 5.0)).toInt.toShort).toSeq, 8000)))
+      .toDF("clip_id", "payload")
+      .withColumn("emb", Multimodal.audioEmbedding(col("payload")))
+    val pairs = graft.operators.Similarity.exactPairs(
+        clips.filter(col("emb").isNotNull), "clip_id", "emb", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected exactly the cross-container pair, got $pairs")
+  }
+
+  test("FLAC robustness: truncation and bit flips degrade to None, never throw") {
+    import graft.functions.Flac
+    val samples = Array.tabulate(300)(i => (3000 * math.sin(i / 6.0)).toInt.toShort)
+    val valid = Flac.encodeFlac(samples, 1, 8000, blockSize = 64)
+    assert(Flac.parseFlac(valid).isDefined)
+    for (cut <- Seq(3, 10, 42, valid.length / 2, valid.length - 1))
+      assert(Flac.parseFlac(valid.take(cut)).isEmpty, s"truncated at $cut must not parse")
+    val rnd = new scala.util.Random(17)
+    var caught = 0
+    for (_ <- 0 until 200) {
+      val b = valid.clone()
+      val at = rnd.nextInt(b.length)
+      b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      // CRC-8/16 make a frame-body flip a parse failure, not bad samples;
+      // flips inside skipped metadata bytes may legitimately still decode
+      if (Flac.parseFlac(b).isEmpty) caught += 1
+    }
+    assert(caught > 150, s"expected most single-bit flips rejected, got $caught/200")
+  }
 }
