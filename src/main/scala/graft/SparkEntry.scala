@@ -1061,6 +1061,39 @@ object SparkEntry {
       operators.Similarity.exactPairs(emb, "doc_id", "emb", threshold = 0.95)
     }),
 
+    // q95 twin, ORACLE-EXACT (the q34 discipline): the BMP arm of image
+    // near-dup with CLOSED-FORM pixels — byte k of doc d is
+    // (d%20)*12 + k%13, xor 128 at k = (d/20)*3 — so DuckDB can
+    // recompute the whole decode → 16-bin/channel histogram → cosine
+    // pair pipeline from arithmetic while Spark runs the REAL container
+    // codec (BMP encode, MediaCodecs decode, imageEmbedding,
+    // exactPairs).  Classes occupy ~1-bin-wide disjoint value bands, so
+    // the answer is exactly the 3 within-class member pairs per class;
+    // only the compressed-format arm (PNG/JPEG entropy coding) stays
+    // beyond a SQL oracle in q95 itself.
+    "q95b_bmp_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df.filter(col("doc_id") < 60)
+      val mkBmp = udf((docId: Long) => {
+        val cls = (docId % 20).toInt
+        val member = (docId / 20).toInt
+        val px = Array.tabulate(192)(k => ((cls * 12 + k % 13) % 256).toByte)
+        px(member * 3) = (px(member * 3) ^ 0x80).toByte
+        val stride = 8 * 3
+        val bb = java.nio.ByteBuffer.allocate(54 + stride * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * 8)
+        bb.putInt(0).putInt(54).putInt(40).putInt(8).putInt(8)
+        bb.putShort(1).putShort(24).putInt(0).putInt(stride * 8)
+        bb.putInt(2835).putInt(2835).putInt(0).putInt(0)
+        bb.put(px)
+        bb.array()
+      })
+      val emb = d.select(col("doc_id"),
+          operators.Multimodal.imageEmbedding(mkBmp(col("doc_id"))).as("emb"))
+        .filter(col("emb").isNotNull)
+      operators.Similarity.exactPairs(emb, "doc_id", "emb", threshold = 0.95)
+    }),
+
     // M6 DSIR importance scores (Xie et al. 2023): how much each doc
     // resembles the English-subset target in hashed unigram+bigram
     // space — the domain-selection tier between dedup and tokenization
@@ -1288,6 +1321,33 @@ object SparkEntry {
     // centroids (round-2 means, empty cells keep round-1) -> argmin
     // cells -> within-cell cosine pairs -> recursive-CTE components ->
     // keep ids that reach nothing smaller
+    // q95b: the BMP arm recomputed from the closed-form pixel
+    // arithmetic — byte k of doc d is (d%20)*12 + k%13, xor 128 at
+    // k=(d/20)*3; BMP stores BGR so byte k%3 = 0/1/2 maps to embedding
+    // channel block 2/1/0; bin = v/16; weights = count/64 pixels; the
+    // cosine and its round-then-threshold match exactPairs exactly
+    "q95b_bmp_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |px AS (SELECT i.doc_id, k.k,
+        |  CASE WHEN k.k = (i.doc_id // 20) * 3
+        |       THEN xor(((i.doc_id % 20) * 12 + (k.k % 13)) % 256, 128)
+        |       ELSE ((i.doc_id % 20) * 12 + (k.k % 13)) % 256 END AS v
+        |FROM ids i, generate_series(0, 191) AS k(k)),
+        |emb AS (SELECT doc_id,
+        |  (CASE k % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END) * 16 + (v // 16) AS dim,
+        |  count(*) / 64.0 AS w
+        |FROM px GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, sum(w * w) AS s FROM emb GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb, sum(a.w * b.w) AS dot
+        |FROM emb a JOIN emb b ON a.dim = b.dim AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2)
+        |SELECT p.pa AS id_a, p.pb AS id_b,
+        |  round(p.dot / (sqrt(na.s) * sqrt(nb.s)), 6) AS cos_sim
+        |FROM pairs p
+        |JOIN norms na ON na.doc_id = p.pa
+        |JOIN norms nb ON nb.doc_id = p.pb
+        |WHERE round(p.dot / (sqrt(na.s) * sqrt(nb.s)), 6) >= 0.95""".stripMargin,
+
     "q96_semantic_dedup" ->
       """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |WHERE embedding IS NOT NULL),
