@@ -77,6 +77,53 @@ class StreamingDedupSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("sf0.1 corpus over 3 micro-batches: state rows stay inside the representative bound") {
+    // the 100 TB posture of streaming dedup rests on the state store
+    // holding band-bucket representative lists, NOT the corpus: flagged
+    // duplicates are never added as representatives, so state grows
+    // with bands x (non-duplicate docs) at worst.  Pin that bound with
+    // the real sf0.1 corpus fed as >= 3 rate-limited micro-batches,
+    // reading numRowsTotal from each batch's StateOperatorProgress.
+    implicit val sqlCtx = spark.sqlContext
+    val bands = 8
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val chunks = docs.grouped((docs.length + 2) / 3).toSeq
+    assert(chunks.size == 3)
+    val input = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.nearDupHits(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    val q = hits.toDF.writeStream.format("memory").queryName("neardup_sf01_state")
+      .outputMode("append").start()
+    try {
+      val stateRowsPerBatch = chunks.map { c =>
+        input.addData(c.toSeq: _*)
+        q.processAllAvailable()
+        // recentProgress, not lastProgress: the final entry can be a
+        // no-data batch; numRowsTotal is monotone here (no TTL), so
+        // the max over observed progresses is the current state size
+        q.recentProgress.iterator
+          .filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators(0).numRowsTotal).max
+      }
+      assert(stateRowsPerBatch.size == 3 && stateRowsPerBatch.last > 0)
+      val flagged = spark.table("neardup_sf01_state").select("doc_id").distinct().count()
+      assert(flagged > 0, "the sf0.1 corpus ships with near-duplicates; none flagged")
+      val withSig = docs.count { case (_, t) => StreamingDedup.signature(t, 5, 32) != null }
+      val reps = withSig - flagged
+      // every state row is one band bucket holding >= 1 representative;
+      // only unflagged docs ever become representatives
+      assert(stateRowsPerBatch.last <= bands.toLong * reps,
+        s"state rows ${stateRowsPerBatch.last} exceed bands x reps = ${bands.toLong * reps} " +
+          s"(withSig=$withSig flagged=$flagged) — duplicates are leaking into state")
+      // and per batch the bound held too (monotone growth, never a dump
+      // of the whole batch into one bucket list)
+      assert(stateRowsPerBatch == stateRowsPerBatch.sorted,
+        s"state rows shrank without a TTL: $stateRowsPerBatch")
+    } finally q.stop()
+  }
 }
 
 class StreamingTextSpec extends SparkSpec {
