@@ -412,6 +412,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_frames"), sum(length(col("frame"))).as("total_bytes"))
     }),
 
+    // q34 twin for the FLAC tier, ORACLE-EXACT: the same closed-form
+    // PCM16 signal as synthWav's arithmetic, but shipped through a REAL
+    // compressed FLAC container (fixed/constant/verbatim subframes,
+    // Rice residuals, CRC'd frames).  FLAC is lossless, so decodeMedia
+    // must recover the arithmetic EXACTLY — DuckDB recomputes
+    // rms/peak/duration from the closed form while Spark runs the full
+    // encoder+decoder round trip per row.
+    "q34b_flac_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df.filter(col("doc_id") < 200)
+      val mkFlac = udf((docId: Long, nChars: Long) => {
+        val n = (64 + math.floorMod(nChars, 64)).toInt
+        val pcm = Array.tabulate(n)(i =>
+          (math.floorMod(docId * 131 + i * 17, 65536) - 32768).toShort)
+        graft.functions.Flac.encodeFlac(pcm, channels = 1, sampleRate = 8000, blockSize = 64)
+      })
+      d.select(col("doc_id"),
+          operators.Multimodal.decodeMedia(mkFlac(col("doc_id"), col("n_chars"))).as("m"))
+        .select(col("doc_id"), col("m.mime").as("mime"),
+          col("m.channels").as("channels"), col("m.sample_rate").as("sample_rate"),
+          col("m.bits").as("bits"), col("m.n_samples").as("n_samples"),
+          round(col("m.duration_s"), 6).as("dur"),
+          round(col("m.rms"), 6).as("rms"), round(col("m.peak"), 6).as("peak"))
+    }),
+
     // §2.8 euler frame transform (celestial -> galactic, J2000)
     "q35_euler_galactic" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").df
@@ -1094,6 +1118,46 @@ object SparkEntry {
       operators.Similarity.exactPairs(emb, "doc_id", "emb", threshold = 0.95)
     }),
 
+    // audio near-dup ACROSS CONTAINERS, ORACLE-EXACT: class c of 20
+    // owns the amplitude band [-30000+3000c, -28500+3000c); member m of
+    // 3 negates sample index m.  Member 0 ships as WAV, member 1 as
+    // FLAC, member 2 as FLAC-verbatim — three different byte streams of
+    // the same (lossless) signal, so the 32-bin amplitude embeddings
+    // collapse cross-container and pairs are exactly the within-class
+    // member pairs.  The histogram binning is pure integer arithmetic
+    // (bin = (v + 32768) / 2048), so DuckDB mirrors the whole
+    // decode → embed → cosine pipeline from the closed form.
+    "q95c_audio_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df.filter(col("doc_id") < 60)
+      val mkAudio = udf((docId: Long) => {
+        val cls = (docId % 20).toInt
+        val member = (docId / 20).toInt
+        val pcm = Array.tabulate(80) { i =>
+          val v = -30000 + cls * 3000 + (i * 37) % 1500
+          (if (i == member) -v else v).toShort
+        }
+        member match {
+          case 0 =>
+            val bb = java.nio.ByteBuffer.allocate(44 + 2 * pcm.length)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * pcm.length)
+              .put("WAVE".getBytes("US-ASCII"))
+            bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+              .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+            bb.put("data".getBytes("US-ASCII")).putInt(2 * pcm.length)
+            pcm.foreach(bb.putShort(_))
+            bb.array()
+          case 1 => graft.functions.Flac.encodeFlac(pcm, 1, 8000, blockSize = 64)
+          case _ => graft.functions.Flac.encodeFlac(pcm, 1, 8000, blockSize = 64,
+            forceVerbatim = true)
+        }
+      })
+      val emb = d.select(col("doc_id"),
+          operators.Multimodal.audioEmbedding(mkAudio(col("doc_id"))).as("emb"))
+        .filter(col("emb").isNotNull)
+      operators.Similarity.exactPairs(emb, "doc_id", "emb", threshold = 0.95)
+    }),
+
     // M6 DSIR importance scores (Xie et al. 2023): how much each doc
     // resembles the English-subset target in hashed unigram+bigram
     // space — the domain-selection tier between dedup and tokenization
@@ -1347,6 +1411,31 @@ object SparkEntry {
         |JOIN norms na ON na.doc_id = p.pa
         |JOIN norms nb ON nb.doc_id = p.pb
         |WHERE round(p.dot / (sqrt(na.s) * sqrt(nb.s)), 6) >= 0.95""".stripMargin,
+
+    // q95c: amplitude-histogram binning is exact integer arithmetic —
+    // x = v/32768, bin = floor((x+1)/2*32) = (v+32768)/2048 — and FLAC
+    // decode is lossless, so the oracle recomputes the cross-container
+    // audio embeddings and cosine pairs entirely from the closed form
+    "q95c_audio_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |s AS (SELECT i.doc_id,
+        |  CASE WHEN g.i = (i.doc_id // 20)
+        |       THEN -(-30000 + (i.doc_id % 20) * 3000 + (g.i * 37) % 1500)
+        |       ELSE -30000 + (i.doc_id % 20) * 3000 + (g.i * 37) % 1500 END AS v
+        |FROM ids i, generate_series(0, 79) AS g(i)),
+        |emb AS (SELECT doc_id, least(31, (v + 32768) // 2048) AS bin,
+        |  count(*) / 80.0 AS w
+        |FROM s GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, sum(w * w) AS sq FROM emb GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb, sum(a.w * b.w) AS dot
+        |FROM emb a JOIN emb b ON a.bin = b.bin AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2)
+        |SELECT p.pa AS id_a, p.pb AS id_b,
+        |  round(p.dot / (sqrt(na.sq) * sqrt(nb.sq)), 6) AS cos_sim
+        |FROM pairs p
+        |JOIN norms na ON na.doc_id = p.pa
+        |JOIN norms nb ON nb.doc_id = p.pb
+        |WHERE round(p.dot / (sqrt(na.sq) * sqrt(nb.sq)), 6) >= 0.95""".stripMargin,
 
     "q96_semantic_dedup" ->
       """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -1819,6 +1908,23 @@ object SparkEntry {
         |CAST(ceil(payload_bytes / ceil(payload_bytes / 4.0)) AS BIGINT) AS n_frames,
         |payload_bytes AS total_bytes
         |FROM sized""".stripMargin.replace("\n", " "),
+
+    // q34b: FLAC is lossless, so the decoded stream IS the closed-form
+    // signal — the oracle recomputes rms/peak/duration from the same
+    // arithmetic synthWav uses, with the container constants pinned to
+    // what the encoder wrote (mono, 8 kHz, 16-bit)
+    "q34b_flac_meta" ->
+      """WITH f AS (SELECT doc_id, 64 + (n_chars % 64) AS n
+        |FROM documents WHERE doc_id < 200),
+        |fs AS (SELECT doc_id, n, unnest(range(n)) AS i FROM f),
+        |agg AS (SELECT doc_id, n,
+        |sqrt(avg(pow((((doc_id*131 + i*17) % 65536) - 32768) / 32768.0, 2))) AS rms,
+        |max(abs((((doc_id*131 + i*17) % 65536) - 32768) / 32768.0)) AS peak
+        |FROM fs GROUP BY doc_id, n)
+        |SELECT doc_id, 'audio/flac' AS mime, 1::INT AS channels,
+        |8000::INT AS sample_rate, 16::INT AS bits, n::BIGINT AS n_samples,
+        |round(n / 8000.0, 6) AS dur, round(rms, 6) AS rms, round(peak, 6) AS peak
+        |FROM agg""".stripMargin,
 
     "q35_euler_galactic" -> {
       // mirror Astro.euler J2000 select=1 constants and operation order
