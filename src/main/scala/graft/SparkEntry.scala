@@ -436,6 +436,32 @@ object SparkEntry {
           round(col("m.rms"), 6).as("rms"), round(col("m.peak"), 6).as("peak"))
     }),
 
+    // q34 twin for the ISOBMFF tier, ORACLE-EXACT: the same closed-form
+    // PCM16 signal shipped through a REAL MP4 container (ftyp/mdat/moov
+    // with full stsd/stsc/stsz/stco chunk maps), alternating the
+    // QuickTime sowt (little-endian) and twos (big-endian) sample
+    // entries by doc parity so BOTH demux arms sit under the oracle.
+    // PCM is lossless, so decodeMedia must recover the arithmetic
+    // exactly — DuckDB recomputes rms/peak/duration from the closed
+    // form while Spark runs the full mux+demux round trip per row.
+    "q34c_mp4_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df.filter(col("doc_id") < 200)
+      val mkMp4 = udf((docId: Long, nChars: Long) => {
+        val n = (64 + math.floorMod(nChars, 64)).toInt
+        val pcm = Array.tabulate(n)(i =>
+          (math.floorMod(docId * 131 + i * 17, 65536) - 32768).toShort)
+        graft.functions.Mp4.encodeMp4Pcm(pcm, channels = 1, sampleRate = 8000,
+          bigEndian = docId % 2 == 1)
+      })
+      d.select(col("doc_id"),
+          operators.Multimodal.decodeMedia(mkMp4(col("doc_id"), col("n_chars"))).as("m"))
+        .select(col("doc_id"), col("m.mime").as("mime"),
+          col("m.channels").as("channels"), col("m.sample_rate").as("sample_rate"),
+          col("m.bits").as("bits"), col("m.n_samples").as("n_samples"),
+          round(col("m.duration_s"), 6).as("dur"),
+          round(col("m.rms"), 6).as("rms"), round(col("m.peak"), 6).as("peak"))
+    }),
+
     // §2.8 euler frame transform (celestial -> galactic, J2000)
     "q35_euler_galactic" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").df
@@ -1922,6 +1948,22 @@ object SparkEntry {
         |max(abs((((doc_id*131 + i*17) % 65536) - 32768) / 32768.0)) AS peak
         |FROM fs GROUP BY doc_id, n)
         |SELECT doc_id, 'audio/flac' AS mime, 1::INT AS channels,
+        |8000::INT AS sample_rate, 16::INT AS bits, n::BIGINT AS n_samples,
+        |round(n / 8000.0, 6) AS dur, round(rms, 6) AS rms, round(peak, 6) AS peak
+        |FROM agg""".stripMargin,
+
+    // q34c: PCM-in-MP4 is raw sample bytes behind ISOBMFF chunk maps —
+    // identical closed-form recomputation, mime/container aside; the
+    // sowt/twos split is a byte-order detail the oracle never sees
+    "q34c_mp4_meta" ->
+      """WITH f AS (SELECT doc_id, 64 + (n_chars % 64) AS n
+        |FROM documents WHERE doc_id < 200),
+        |fs AS (SELECT doc_id, n, unnest(range(n)) AS i FROM f),
+        |agg AS (SELECT doc_id, n,
+        |sqrt(avg(pow((((doc_id*131 + i*17) % 65536) - 32768) / 32768.0, 2))) AS rms,
+        |max(abs((((doc_id*131 + i*17) % 65536) - 32768) / 32768.0)) AS peak
+        |FROM fs GROUP BY doc_id, n)
+        |SELECT doc_id, 'audio/mp4' AS mime, 1::INT AS channels,
         |8000::INT AS sample_rate, 16::INT AS bits, n::BIGINT AS n_samples,
         |round(n / 8000.0, 6) AS dur, round(rms, 6) AS rms, round(peak, 6) AS peak
         |FROM agg""".stripMargin,

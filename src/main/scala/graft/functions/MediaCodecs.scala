@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   * This is the demonstration that the multimodal pipeline's decode
   * seam ([[graft.operators.Multimodal]]) carries REAL decoders
   * end-to-end: payload bytes in a binary column → typed metadata +
-  * signal features out, one struct per row.  Formats still needing
-  * external codecs (progressive JPEG, MP4, FLAC…) stay behind the
-  * documented stub seam.
+  * signal features out, one struct per row.  FLAC ([[Flac]]) and
+  * ISOBMFF containers ([[Mp4]]: MP4 movie metadata, PCM-in-MP4 audio
+  * decode, AVIF item properties) are further real tiers; only
+  * compressed BITSTREAM codecs (AAC, AV1) stay behind the documented
+  * stub seam.
   *
   * Decoded struct (modality-specific fields null when not applicable):
   * mime, width, height, channels, sample_rate, bits, n_samples,
@@ -204,6 +206,8 @@ object MediaCodecs {
     val parsed: Boolean =
       if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
         Flac.foreachSample(b)(add).isDefined
+      else if (Mp4.looksIsobmff(b)) // PCM-in-MP4: same normalized stream
+        Mp4.foreachSample(b)(add).isDefined
       else wavLayout(b).exists { case (format, _, _, bits, _, off, size) =>
         wavForeachSample(b, format, bits, off, size)(add); true
       }
@@ -885,6 +889,20 @@ object MediaCodecs {
           InternalRow(UTF8String.fromString("audio/flac"), null, null,
             w.channels, w.sampleRate, w.bits, w.nSamples, w.durationS,
             w.rms, w.peak, null, null, null, size)
+        case None if Mp4.looksIsobmff(b) => Mp4.parseIsobmff(b) match {
+          // ISOBMFF (MP4 / AVIF): real container metadata for any
+          // well-formed file; signal stats only for PCM-in-MP4 audio
+          // (AAC / AV1 bitstreams stay behind the documented stub seam)
+          case Some(m) =>
+            InternalRow(UTF8String.fromString(m.mime),
+              m.width.map(Int.box).orNull, m.height.map(Int.box).orNull,
+              m.channels.map(Int.box).orNull, m.sampleRate.map(Int.box).orNull,
+              m.bits.map(Int.box).orNull, m.nSamples.map(Long.box).orNull,
+              m.durationS.map(Double.box).orNull,
+              m.rms.map(Double.box).orNull, m.peak.map(Double.box).orNull,
+              null, null, null, size)
+          case None => decodeImageRow(b, size)
+        }
         case None => decodeImageRow(b, size)
       }
     }

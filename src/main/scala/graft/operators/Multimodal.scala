@@ -16,13 +16,17 @@ import org.apache.spark.sql.types._
   *    all four stereo decorrelations, CRC-verified), 24-bit BMP, PNG
   *    (zlib via `java.util.zip.Inflater`), GIF, and JPEG in both
   *    sequential AND progressive/SOF2 modes (ITU-T T.81,
-  *    [[graft.functions.Jpeg]]) — implemented from the container
+  *    [[graft.functions.Jpeg]]), and ISOBMFF containers (ISO/IEC
+  *    14496-12, [[graft.functions.Mp4]]: MP4/M4A movie metadata,
+  *    PCM-in-MP4 `sowt`/`twos` audio decode, AVIF `ispe`/`pixi` item
+  *    properties) — implemented from the container
   *    specs in [[graft.functions.MediaCodecs]] (codegen'd Expression,
   *    runs executor-side with no native libs);
-  *  - formats still needing external codecs (MP4, AVIF) stay behind
-  *    `fakeDecodeMeta`, the documented stub seam with the same
-  *    struct shape — swapping it for an ffmpeg call changes no
-  *    Spark-side contract.
+  *  - only compressed BITSTREAM codecs (AAC in MP4, AV1 in AVIF)
+  *    stay behind `fakeDecodeMeta`, the documented stub seam with the
+  *    same struct shape — swapping it for an ffmpeg call changes no
+  *    Spark-side contract (their containers still yield real
+  *    metadata rows through [[decodeMedia]]).
   */
 object Multimodal {
 

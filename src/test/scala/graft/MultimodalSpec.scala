@@ -66,16 +66,16 @@ class MultimodalSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
   }
 
-  /** Minimal PCM16 mono WAV from a sample sequence (RIFF spec). */
-  private def wavBytes(samples: Seq[Short], rate: Int): Array[Byte] = {
+  /** Minimal PCM16 WAV from an interleaved sample sequence (RIFF spec). */
+  private def wavBytes(samples: Seq[Short], rate: Int, channels: Int = 1): Array[Byte] = {
     val dataSize = samples.length * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes); bb.putInt(36 + dataSize); bb.put("WAVE".getBytes)
     bb.put("fmt ".getBytes); bb.putInt(16)
-    bb.putShort(1); bb.putShort(1) // PCM, mono
-    bb.putInt(rate); bb.putInt(rate * 2)
-    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.putShort(1); bb.putShort(channels.toShort) // PCM
+    bb.putInt(rate); bb.putInt(rate * 2 * channels)
+    bb.putShort((2 * channels).toShort); bb.putShort(16) // block align, bits
     bb.put("data".getBytes); bb.putInt(dataSize)
     samples.foreach(bb.putShort)
     bb.array()
@@ -810,5 +810,103 @@ class MultimodalSpec extends SparkSpec {
       if (Flac.parseFlac(b).isEmpty) caught += 1
     }
     assert(caught > 150, s"expected most single-bit flips rejected, got $caught/200")
+  }
+
+  test("MP4 PCM demux: sowt and twos tracks decode bit-identically to the WAV tier") {
+    import graft.functions.{MediaCodecs, Mp4}
+    val rnd = new scala.util.Random(19)
+    val mono = Array.tabulate(700)(i =>
+      ((5000 * math.sin(i / 8.0)).toInt + rnd.nextInt(401) - 200).toShort)
+    val wavMeta = MediaCodecs.parseWav(wavBytes(mono.toSeq, 8000)).get
+    for (be <- Seq(false, true)) {
+      val mp4 = Mp4.encodeMp4Pcm(mono, channels = 1, sampleRate = 8000, bigEndian = be)
+      val m = Mp4.parseIsobmff(mp4).getOrElse(fail(s"parse failed (bigEndian=$be)"))
+      assert(m.mime == "audio/mp4" && m.channels.contains(1) &&
+        m.sampleRate.contains(8000) && m.bits.contains(16))
+      assert(m.nSamples.contains(700L))
+      assert(m.durationS.exists(d => math.abs(d - 700.0 / 8000) < 1e-12))
+      // lossless container: signal statistics IDENTICAL to the WAV tier
+      assert(m.rms.contains(wavMeta.rms) && m.peak.contains(wavMeta.peak),
+        s"rms/peak mismatch vs WAV (bigEndian=$be)")
+    }
+    // stereo interleave walks the same chunk map with 4-byte frames
+    val stereo = Array.tabulate(400)(i => (i * 97 - 20000).toShort)
+    val st = Mp4.parseIsobmff(Mp4.encodeMp4Pcm(stereo, channels = 2, sampleRate = 16000)).get
+    assert(st.channels.contains(2) && st.nSamples.contains(200L))
+    assert(st.rms.contains(MediaCodecs.parseWav(wavBytes(stereo.toSeq, 16000, channels = 2)).get.rms))
+  }
+
+  test("decodeMedia routes MP4 and AVIF: container metadata through the Column surface") {
+    import graft.functions.Mp4
+    val samples = Array.tabulate(500)(i => (4000 * math.sin(i / 11.0)).toInt.toShort)
+    val mp4 = Mp4.encodeMp4Pcm(samples, 1, 8000)
+    val avif = Mp4.encodeAvifMeta(640, 480, Array.fill[Byte](32)(0x5a))
+    val rows = Seq((1L, mp4), (2L, avif)).toDF("id", "payload")
+      .select(col("id"), Multimodal.decodeMedia(col("payload")).as("m"))
+      .select(col("id"), col("m.mime"), col("m.width"), col("m.height"),
+        col("m.channels"), col("m.sample_rate"), col("m.bits"), col("m.n_samples"),
+        col("m.rms"), col("m.size_bytes"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = rows(1L)
+    assert(a.getString(1) == "audio/mp4" && a.getInt(4) == 1 && a.getInt(5) == 8000 &&
+      a.getInt(6) == 16 && a.getLong(7) == 500L && !a.isNullAt(8) &&
+      a.getLong(9) == mp4.length.toLong)
+    val v = rows(2L)
+    // AVIF: real ispe/pixi metadata; the AV1 bitstream is the stub seam,
+    // so signal/pixel stats stay null
+    assert(v.getString(1) == "image/avif" && v.getInt(2) == 640 && v.getInt(3) == 480 &&
+      v.getInt(4) == 3 && v.getInt(6) == 8 && v.isNullAt(8))
+  }
+
+  test("audioEmbedding parity across all three audio containers: WAV, FLAC, MP4") {
+    import graft.functions.{Flac, MediaCodecs, Mp4}
+    val rnd = new scala.util.Random(23)
+    val base = Array.fill(600)((rnd.nextInt(60000) - 30000).toShort)
+    val wav = wavBytes(base.toSeq, 8000)
+    val flac = Flac.encodeFlac(base, 1, 8000, blockSize = 100)
+    val mp4 = Mp4.encodeMp4Pcm(base, 1, 8000)
+    val hw = MediaCodecs.audioHistogram(wav, 32).get.toSeq
+    assert(MediaCodecs.audioHistogram(mp4, 32).get.toSeq == hw,
+      "PCM-in-MP4 must histogram identically to WAV")
+    assert(MediaCodecs.audioHistogram(flac, 32).get.toSeq == hw)
+    // Column surface: all three containers of one signal pair with each other
+    val clips = Seq((1L, wav), (2L, flac), (3L, mp4),
+        (4L, wavBytes(Array.tabulate(600)(i => (500 * math.sin(i / 5.0)).toInt.toShort).toSeq, 8000)))
+      .toDF("clip_id", "payload")
+      .withColumn("emb", Multimodal.audioEmbedding(col("payload")))
+    val pairs = graft.operators.Similarity.exactPairs(
+        clips.filter(col("emb").isNotNull), "clip_id", "emb", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected the three cross-container pairs, got $pairs")
+  }
+
+  test("ISOBMFF robustness: truncation and random bit flips never throw") {
+    import graft.functions.{MediaCodecs, Mp4}
+    val samples = Array.tabulate(300)(i => (3000 * math.sin(i / 6.0)).toInt.toShort)
+    val valid = Mp4.encodeMp4Pcm(samples, 1, 8000)
+    assert(Mp4.parseIsobmff(valid).isDefined)
+    for (cut <- Seq(3, 11, 40, valid.length / 2, valid.length - 1)) {
+      val t = valid.take(cut)
+      Mp4.parseIsobmff(t) match {
+        case Some(m) =>
+          // a cut inside trailing moov bytes may still expose partial
+          // metadata, but never decoded signal stats from a bad map
+          assert(m.rms.isEmpty || cut >= valid.length - 8, s"stats from truncated map at $cut")
+        case None => ()
+      }
+      MediaCodecs.decodeRow(t) // must not throw, whatever tier it lands in
+    }
+    val rnd = new scala.util.Random(29)
+    for (_ <- 0 until 300) {
+      val b = valid.clone()
+      val at = rnd.nextInt(b.length)
+      b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      MediaCodecs.decodeRow(b) // box walker bounds-checks every size field
+    }
+    // an AVIF missing its ispe degrades to None, not a crash
+    val avif = Mp4.encodeAvifMeta(64, 64, Array.fill[Byte](8)(1))
+    val noIspe = new String(avif, "ISO-8859-1").replace("ispe", "xspe").getBytes("ISO-8859-1")
+    assert(Mp4.parseIsobmff(noIspe).isEmpty)
   }
 }
