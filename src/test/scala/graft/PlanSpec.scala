@@ -150,6 +150,16 @@ class PlanSpec extends SparkSpec {
       s"signature pipeline shuffles or aggregates:\n$plan")
   }
 
+  test("media decode is a scan-stage codegen expression: no exchange, no aggregate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(docs.select(col("doc_id"),
+      graft.operators.Multimodal.decodeMedia(
+        graft.operators.Multimodal.synthMedia(col("doc_id"), col("n_chars"))).as("m")))
+    assert(plan.contains("decode_media"), s"codegen'd decode expression missing:\n$plan")
+    assert(!plan.contains("Exchange") && !plan.contains("HashAggregate"),
+      s"per-row codec work must stay in the scan stage (100 TB = map-only):\n$plan")
+  }
+
   test("chunking is shuffle-free: scan -> generate -> project") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.operators.Chunking.chunkFingerprints(
