@@ -1221,6 +1221,20 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
 
+    // Z-order layout key (data-layout clustering for scan pruning):
+    // two exact mod-quantized dims + one range-quantized dim
+    // interleaved into the Morton key a clustered write sorts by.
+    // Pure codegen'd shift/mask arithmetic — the oracle unrolls the
+    // identical interleave in SQL bit ops.
+    "q100_zorder_key" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val x = pmod(col("l_partkey"), lit(256)).cast(LongType)
+      val y = pmod(col("l_suppkey"), lit(256)).cast(LongType)
+      val q = operators.Layout.quantize(col("l_quantity"), min = 1.0, max = 50.0, bits = 8)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        operators.Layout.zValue(Seq(x, y, q), bits = 8).as("zkey"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1375,6 +1389,21 @@ object SparkEntry {
         |SELECT doc_id, hk % 64 AS shard,
         |CAST(row_number() OVER (PARTITION BY hk % 64 ORDER BY hk, doc_id) AS BIGINT) AS pos
         |FROM k""".stripMargin.replace("\n", " "),
+
+    // Z-order mirror: identical 3-dim 8-bit Morton interleave, bit j
+    // of dim d landing at position j*3 + d, unrolled in SQL bit ops;
+    // the quantized dim repeats Layout.quantize's float op order
+    "q100_zorder_key" -> {
+      val dims = Seq("x", "y", "q")
+      val terms = for (i <- 0 until 8; (dim, j) <- dims.zipWithIndex)
+        yield s"((($dim >> $i) & 1) << ${i * 3 + j})"
+      s"""WITH c AS (SELECT l_orderkey, l_linenumber,
+         |(l_partkey % 256)::BIGINT AS x, (l_suppkey % 256)::BIGINT AS y,
+         |least(greatest(floor((l_quantity::DOUBLE - 1) / 49 * 256)::BIGINT, 0), 255) AS q
+         |FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, (${terms.mkString(" + ")})::BIGINT AS zkey
+         |FROM c""".stripMargin.replace("\n", " ")
+    },
 
     // DSIR mirror: hashed unigram+bigram buckets (md5 32-bit prefix
     // mod 512), add-one-smoothed target (lang='en') and raw bucket

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-layout clustering for scan pruning at 100 TB — the missing
+  * half of predicate pushdown: pushdown only skips data the LAYOUT
+  * has separated.  A table range-partitioned and sorted by a Z-order
+  * (Morton) key keeps rows that are close in EVERY clustered dimension
+  * inside the same files and row groups, so parquet min/max statistics
+  * prune multi-dimensional predicates (the technique Delta Lake's
+  * `OPTIMIZE ZORDER BY` and Iceberg's sort-order rewrite apply; same
+  * bit-interleave family as [[graft.functions.Healpix]]'s nested
+  * sphere indexing).
+  *
+  * Everything here is pure Column arithmetic — the interleave unrolls
+  * to shifts/masks inside whole-stage codegen (no UDF), and the
+  * cluster write is `repartitionByRange` + `sortWithinPartitions`,
+  * i.e. one range-exchange over the sampled key, exactly what it
+  * costs at any scale.
+  *
+  * Reference scope note: ezdata (a single-node analysis layer) has no
+  * storage-layout surface; this is part of the beyond-reference
+  * large-pipeline extension (SURVEY.md §2 extension rows).
+  */
+object Layout {
+
+  /** Morton/Z value of pre-quantized non-negative integer coordinates:
+    * bit i of dimension j lands at position `i * dims + j`.  All
+    * inputs must already be in `[0, 2^bits)` — see [[quantize]] for
+    * range normalization.  `dims * bits <= 63` keeps the key in a
+    * signed long. */
+  def zValue(coords: Seq[Column], bits: Int): Column = {
+    require(coords.nonEmpty, "at least one dimension")
+    require(bits >= 1 && coords.size * bits <= 63,
+      s"dims*bits must fit a signed long, got ${coords.size} x $bits")
+    val d = coords.size
+    val terms = for {
+      (c, j) <- coords.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(c.cast(LongType), i).bitwiseAND(lit(1L)), i * d + j)
+    terms.reduce(_ + _)
+  }
+
+  /** Quantize a numeric column to `[0, 2^bits)` given its value range
+    * (inclusive): floor-scaled, clamped at both ends so out-of-range
+    * rows cluster at the edges instead of corrupting the key. */
+  def quantize(c: Column, min: Double, max: Double, bits: Int): Column = {
+    require(max > min, s"degenerate range [$min, $max]")
+    val buckets = (1L << bits) - 1
+    val scaled = floor((c.cast(DoubleType) - lit(min)) / lit(max - min) * lit((buckets + 1).toDouble))
+    least(greatest(scaled, lit(0L)), lit(buckets))
+  }
+
+  /** Z-order-cluster `df` for writing: one range exchange on the
+    * interleaved key (range bounds from Spark's reservoir sample, the
+    * same mechanism a 1000-executor sort uses), rows sorted by the key
+    * within each output partition, helper column dropped.  Follow with
+    * `.write.parquet(...)` — each file then covers a small hyper-box
+    * of the clustered dimensions and min/max stats prune selective
+    * predicates on ANY subset of them. */
+  def zOrderBy(df: DataFrame, quantized: Seq[Column], bits: Int,
+               numPartitions: Int): DataFrame = {
+    val key = "__zorder"
+    df.withColumn(key, zValue(quantized, bits))
+      .repartitionByRange(numPartitions, col(key))
+      .sortWithinPartitions(col(key))
+      .drop(key)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refZ(coords: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    val d = coords.size
+    for (j <- coords.indices; i <- 0 until bits)
+      z |= ((coords(j) >> i) & 1L) << (i * d + j)
+    z
+  }
+
+  test("zValue matches the reference interleave over a coordinate sweep") {
+    val pts = for (x <- 0L until 64L by 7; y <- 0L until 64L by 5) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(Seq(col("x"), col("y")), 6).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((x, y) <- pts)
+      assert(got((x, y)) == refZ(Seq(x, y), 6), s"z($x, $y)")
+    // 3 dims, and the classic locality identity: z of (k, k, k) with
+    // all dims equal replicates each bit 3x
+    val t3 = Seq((5L, 9L, 12L)).toDF("a", "b", "c")
+      .select(Layout.zValue(Seq(col("a"), col("b"), col("c")), 4)).head.getLong(0)
+    assert(t3 == refZ(Seq(5L, 9L, 12L), 4))
+  }
+
+  test("zValue is monotone in each dimension holding others fixed at zero") {
+    // interleaving preserves per-dimension order: z(x,0) < z(x',0) iff x < x'
+    val xs = (0L until 256L).toDF("x")
+      .select(Layout.zValue(Seq(col("x"), lit(0L)), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(xs == xs.sorted && xs.distinct.size == xs.size)
+  }
+
+  test("quantize floors into range and clamps out-of-range values") {
+    val vals = Seq(-10.0, 1.0, 1.0001, 25.0, 49.9999, 50.0, 99.0)
+    val q = vals.toDF("v")
+      .select(col("v"), Layout.quantize(col("v"), 1.0, 50.0, 8).as("q"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(q(-10.0) == 0L && q(1.0) == 0L && q(99.0) == 255L && q(50.0) == 255L)
+    assert(q(25.0) == math.floor((25.0 - 1) / 49 * 256).toLong)
+    assert(vals.map(q).sameElements(vals.map(q).sorted)) // monotone
+  }
+
+  test("zOrderBy clusters EVERY dimension; single-key sort leaves the rest unclustered") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(pmod(col("l_partkey"), lit(256)).cast(LongType).as("x"),
+        pmod(col("l_orderkey"), lit(256)).cast(LongType).as("y"))
+    def meanExtents(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val e = df.groupBy(spark_partition_id().as("p"))
+        .agg((max("x") - min("x")).as("ex"), (max("y") - min("y")).as("ey"))
+        .agg(avg("ex"), avg("ey")).head
+      (e.getDouble(0), e.getDouble(1))
+    }
+    val (zx, zy) = meanExtents(Layout.zOrderBy(li, Seq(col("x"), col("y")), 8, 16))
+    val (sx, sy) = meanExtents(li.repartitionByRange(16, col("x")).sortWithinPartitions(col("x")))
+    // single-key layout: x tightly clustered, y spans ~the full domain
+    assert(sx < 40, s"x-sorted x-extent $sx")
+    assert(sy > 200, s"x-sorted y-extent should be unclustered, got $sy")
+    // z-order: BOTH dims' mean extent far below the 255 domain — the
+    // property that lets parquet min/max stats prune 2-D predicates
+    assert(zx < 150 && zy < 150, s"z-order extents ($zx, $zy)")
+    assert(zy < sy / 2, s"z-order must beat single-key on the second dim: $zy vs $sy")
+  }
+
+  test("z-ordered parquet files carry narrow per-file min/max on every clustered dim") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toFile
+    try {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(col("l_orderkey"),
+          pmod(col("l_partkey"), lit(256)).cast(LongType).as("x"),
+          pmod(col("l_orderkey"), lit(256)).cast(LongType).as("y"))
+      Layout.zOrderBy(li, Seq(col("x"), col("y")), 8, 8)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val files = dir.listFiles.filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length >= 4, s"expected several files, got ${files.length}")
+      val extents = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max("x") - min("x"), max("y") - min("y")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      // every file covers a hyper-box well under the 255x255 domain, so
+      // a reader with predicates on (x, y) skips most files on stats
+      val (mx, my) = (extents.map(_._1).sum.toDouble / extents.length,
+        extents.map(_._2).sum.toDouble / extents.length)
+      assert(mx < 170 && my < 170, s"mean per-file extents ($mx, $my) of 255")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("zValue rejects keys that overflow a signed long") {
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(col("a"), col("b")), 32)
+    }
+    ()
+  }
+}

@@ -160,6 +160,20 @@ class PlanSpec extends SparkSpec {
       s"per-row codec work must stay in the scan stage (100 TB = map-only):\n$plan")
   }
 
+  test("zOrderBy: one range exchange, in-partition sort, never SinglePartition") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(pmod(col("l_partkey"), lit(256)).cast(org.apache.spark.sql.types.LongType).as("x"),
+        pmod(col("l_suppkey"), lit(256)).cast(org.apache.spark.sql.types.LongType).as("y"))
+    val plan = planOf(graft.operators.Layout.zOrderBy(df, Seq(col("x"), col("y")), 8, 16))
+    assert("rangepartitioning".r.findAllIn(plan).size == 1,
+      s"exactly one range exchange expected (the clustered-write cost at any scale):\n$plan")
+    assert(!plan.contains("hashpartitioning") && !plan.contains("SinglePartition"),
+      s"no extra shuffle, no single-partition cliff:\n$plan")
+    // the sort must be partition-local (global=false), not a global sort
+    assert("Sort \\[__zorder[^\\]]*\\], false".r.findFirstIn(plan).isDefined,
+      s"in-partition sort on the interleaved key expected:\n$plan")
+  }
+
   test("chunking is shuffle-free: scan -> generate -> project") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.operators.Chunking.chunkFingerprints(
