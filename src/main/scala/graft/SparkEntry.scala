@@ -1235,6 +1235,20 @@ object SparkEntry {
         operators.Layout.zValue(Seq(x, y, q), bits = 8).as("zkey"))
     }),
 
+    // Skew-hardened salted join: semantics-preserving by construction,
+    // so the oracle is the PLAIN join — the salt must never leak into
+    // results.  Probe lineitem x build orders on orderkey, salts=8,
+    // spread by the probe's partkey (varies within an order).
+    "q101_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val o = t(s, dir, "orders").df
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      operators.Relational.saltedJoin(li, o, Seq("l_orderkey"), col("l_partkey"), salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(20, 2))).as("sum_qty"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1404,6 +1418,14 @@ object SparkEntry {
          |SELECT l_orderkey, l_linenumber, (${terms.mkString(" + ")})::BIGINT AS zkey
          |FROM c""".stripMargin.replace("\n", " ")
     },
+
+    // salted-join mirror: the plain equi-join — salting is an internal
+    // partitioning trick and must be invisible in the results
+    "q101_salted_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+        |sum(l_quantity::DECIMAL(20,2)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin.replace("\n", " "),
 
     // DSIR mirror: hashed unigram+bigram buckets (md5 32-bit prefix
     // mod 512), add-one-smoothed target (lang='en') and raw bucket

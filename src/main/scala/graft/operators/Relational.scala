@@ -69,4 +69,37 @@ object Relational {
       .drop(lb)
       .withColumnRenamed("_graft_rts", "matched_ts")
   }
+
+  /** Skew-hardened equi-join for the case AQE's skew split can't fix:
+    * BOTH sides too big to broadcast and one join key carrying a
+    * disproportionate share of the probe side.  The build side is
+    * replicated into `salts` copies (explode — bounded: |build|·salts
+    * rows) and each probe row is scattered to one copy by a
+    * deterministic hash of `spreadBy`, so the hot key's rows land on
+    * `salts` different reducers instead of one.  The join runs on
+    * (key, salt) and the salt never escapes — results are EXACTLY the
+    * plain equi-join's.
+    *
+    * `spreadBy` must be a probe-side column that varies within a key
+    * group (a row id, a fact-side foreign key) — hashing the join key
+    * itself would send every hot-key row to the same salt again and
+    * undo the whole point.
+    *
+    * At 100 TB: one shuffle of |probe| + |build|·salts rows on a key
+    * whose worst reducer is ~1/salts of the hot key.  Prefer AQE
+    * skew-join (free) and broadcast (no shuffle at all) when they
+    * apply; this is the remaining corner.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 spreadBy: Column, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts >= 1 && salts <= 4096, s"salts in [1, 4096], got $salts")
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"salting preserves semantics for inner/left joins only, got $joinType")
+    val sc = "_graft_salt"
+    val p = probe.withColumn(sc, pmod(xxhash64(spreadBy), lit(salts.toLong)))
+    val b = build.withColumn(sc,
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    p.join(b, keys :+ sc, joinType).drop(sc)
+  }
 }

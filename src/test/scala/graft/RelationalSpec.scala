@@ -41,4 +41,43 @@ class RelationalSpec extends SparkSpec {
     // trade1@10:05: quotes 10:01 (4min) and 10:10 (5min, inclusive) match
     assert(j == Set((1L, 100.0), (1L, 110.0), (2L, 110.0), (3L, 50.0)))
   }
+
+  test("saltedJoin returns exactly the plain join under forced shuffle + a hot key") {
+    // skewed probe: one hot key carries half the rows
+    val probe = spark.range(0, 4000).toDF("row_id")
+      .withColumn("k", when(col("row_id") % 2 === 0, lit(7L)).otherwise(pmod(col("row_id"), lit(50L))))
+      .withColumn("v", col("row_id") * 3)
+    val build = spark.range(0, 50).toDF("k").withColumn("w", col("k") * 100)
+    val plain = probe.join(build, Seq("k")).select("row_id", "k", "v", "w")
+      .collect().map(_.toSeq).toSet
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val salted = Relational.saltedJoin(probe, build, Seq("k"), col("row_id"), salts = 8)
+        .select("row_id", "k", "v", "w")
+      assert(salted.collect().map(_.toSeq).toSet == plain)
+      // the shuffle key is (k, salt): the physical join keys include the salt
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_salt"), s"salt missing from the physical join keys:\n$plan")
+      // left join keeps unmatched probe rows exactly once
+      val probe2 = probe.withColumn("k", when(col("row_id") === 0, lit(999L)).otherwise(col("k")))
+      val leftPlain = probe2.join(build, Seq("k"), "left").count()
+      assert(Relational.saltedJoin(probe2, build, Seq("k"), col("row_id"), 8, "left").count()
+        == leftPlain)
+    }
+  }
+
+  test("saltedJoin spreads a hot key across reducers (partition histogram)") {
+    val probe = spark.range(0, 2048).toDF("row_id").withColumn("k", lit(1L))
+    val build = spark.range(0, 4).toDF("k").withColumn("w", col("k"))
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "16") {
+      // all 2048 probe rows share key 1 -> a plain shuffle join puts them
+      // on ONE reducer; the salted shuffle must land them on many
+      val salted = Relational.saltedJoin(probe, build, Seq("k"), col("row_id"), salts = 8)
+      val parts = salted.groupBy(spark_partition_id().as("p")).count()
+        .collect().map(_.getLong(1))
+      assert(parts.length >= 4, s"hot key stayed on ${parts.length} reducer(s)")
+      assert(parts.max <= 2048 / 2, s"one reducer still holds ${parts.max} of 2048 rows")
+    }
+  }
 }

@@ -22,4 +22,16 @@ abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     s
   }
   def sql(q: String): DataFrame = spark.sql(q)
+
+  /** Run `body` with SQL confs overridden, restoring prior values
+    * (shared session — leaks would poison later suites). */
+  def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val saved = pairs.map { case (k, _) => k -> scala.util.Try(spark.conf.get(k)).toOption }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
