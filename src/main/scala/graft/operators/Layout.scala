@@ -68,4 +68,22 @@ object Layout {
       .sortWithinPartitions(col(key))
       .drop(key)
   }
+
+  /** Bucketed write: persist `df` hash-partitioned into `buckets` by
+    * `key` (and sorted inside each bucket), registered as `table` with
+    * data at `path`.  Two tables bucketed the same way JOIN WITH ZERO
+    * EXCHANGE — the shuffle was paid once at write time and is reused
+    * by every subsequent join/aggregation on the key, the
+    * pre-partitioning discipline that turns a recurring 100 TB
+    * fact⋈fact shuffle into a scan.  (Spark only honors bucket
+    * metadata through the catalog, hence `saveAsTable` + explicit
+    * path rather than a bare `.parquet(path)`.) */
+  def bucketedWrite(df: DataFrame, table: String, path: String,
+                    buckets: Int, key: String, sortCols: Seq[String] = Nil): Unit = {
+    require(buckets >= 1 && buckets <= 100000, s"buckets in [1, 100000], got $buckets")
+    val w = df.write.mode("overwrite").option("path", path)
+      .bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
 }

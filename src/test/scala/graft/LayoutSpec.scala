@@ -103,4 +103,35 @@ class LayoutSpec extends SparkSpec {
     }
     ()
   }
+
+  test("bucketed tables join with ZERO exchange: the write-time shuffle is reused") {
+    val dir = java.nio.file.Files.createTempDirectory("buckets").toFile
+    try {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      Layout.bucketedWrite(li, "graft_bli", s"$dir/li", 8, "l_orderkey", Seq("l_orderkey"))
+      Layout.bucketedWrite(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "graft_bo", s"$dir/o", 8, "l_orderkey", Seq("l_orderkey"))
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val j = spark.table("graft_bli").join(spark.table("graft_bo"), "l_orderkey")
+        val expected = li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+        assert(j.count() == expected)
+        val plan = j.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+        assert(!plan.contains("Exchange"),
+          s"bucketed co-located join must not shuffle either side:\n$plan")
+        assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+          s"scan did not use bucket metadata:\n$plan")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bli")
+      spark.sql("DROP TABLE IF EXISTS graft_bo")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
