@@ -1188,9 +1188,12 @@ object SparkEntry {
     // resembles the English-subset target in hashed unigram+bigram
     // space — the domain-selection tier between dedup and tokenization
     "q97_dsir_scores" -> ((s, dir) => {
+      // target = the English slice of the SAME corpus → the fused
+      // one-pass variant (both distributions from one tokenization;
+      // parity with the generic two-frame path is spec-pinned)
       val d = t(s, dir, "documents").df
-      graft.operators.Dsir.scores(d, col("doc_id"), col("text"),
-        d.filter(col("lang") === "en"), col("text"), buckets = 512)
+      graft.operators.Dsir.scoresForSlice(d, col("doc_id"), col("text"),
+        col("lang") === "en", buckets = 512)
     }),
 
     // M6 SemDeDup (Abbas et al. 2023): semantic dedup over embeddings —
@@ -1237,16 +1240,17 @@ object SparkEntry {
 
     // Skew-hardened salted join: semantics-preserving by construction,
     // so the oracle is the PLAIN join — the salt must never leak into
-    // results.  Probe lineitem x build orders on orderkey, salts=8,
-    // spread by the probe's partkey (varies within an order).
+    // results.  Probe orders x build customer on custkey (the
+    // skew-prone key of the rehearsal corpus), salts=8, spread by the
+    // probe's orderkey (varies within a customer).
     "q101_salted_join" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").df
       val o = t(s, dir, "orders").df
-        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      operators.Relational.saltedJoin(li, o, Seq("l_orderkey"), col("l_partkey"), salts = 8)
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast(DecimalType(20, 2))).as("sum_qty"))
+      val c = t(s, dir, "customer").df
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      operators.Relational.saltedJoin(o, c, Seq("o_custkey"), col("o_orderkey"), salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(20, 2))).as("sum_price"))
     }),
 
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
@@ -1422,10 +1426,10 @@ object SparkEntry {
     // salted-join mirror: the plain equi-join — salting is an internal
     // partitioning trick and must be invisible in the results
     "q101_salted_join" ->
-      """SELECT o_orderpriority, count(*)::BIGINT AS n_items,
-        |sum(l_quantity::DECIMAL(20,2)) AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin.replace("\n", " "),
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+        |sum(o_totalprice::DECIMAL(20,2)) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin.replace("\n", " "),
 
     // DSIR mirror: hashed unigram+bigram buckets (md5 32-bit prefix
     // mod 512), add-one-smoothed target (lang='en') and raw bucket

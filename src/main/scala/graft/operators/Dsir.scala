@@ -157,6 +157,65 @@ object Dsir {
       .select(col("doc_id"), coalesce(col("logw"), lit(0.0)).as("logw"))
   }
 
+  /** DSIR scores for the common in-pipeline case where the target IS a
+    * predicate-selected slice of the corpus itself ("upweight docs
+    * that look like the high-quality subset").  Then BOTH
+    * distributions come out of ONE tokenization pass: the per-doc
+    * bucket counts carry the target flag, and a single eager aggregate
+    * yields per-bucket (corpus count, target count) — so the eager
+    * phase is one job over one scan where [[scores]] needs two (its
+    * target pass re-scans the corpus through the filter), and the
+    * total corpus tokenizations drop 3 → 2.  Same arithmetic, same
+    * results: parity with `scores(corpus, …, corpus.filter(pred), …)`
+    * is spec-pinned.
+    *
+    * @return (doc_id, logw), logw rounded to 6 decimals */
+  def scoresForSlice(corpus: DataFrame, id: Column, text: Column,
+                     targetPred: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 16),
+      s"buckets in [1, 2^16] (driver holds two buckets-length arrays), got $buckets")
+    val spark = corpus.sparkSession
+    val toks = corpus.select(id.as("doc_id"),
+        targetPred.cast(org.apache.spark.sql.types.BooleanType).as("_t"),
+        split(TextAnalysis.normalize(text), " ").as("ts"))
+      .select(col("doc_id"), col("_t"), filter(col("ts"), t => length(t) > 0).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val grams = toks.select(col("doc_id"), col("_t"),
+      explode(concat(col("ts"),
+        when(size(col("ts")) > 1,
+          zip_with(slice(col("ts"), lit(1), size(col("ts")) - 1),
+            slice(col("ts"), lit(2), size(col("ts")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array()))).as("g"))
+    def flagged = grams // fresh plan per reference: no shuffle-file aliasing
+      .select(col("doc_id"), col("_t"),
+        (conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10).cast(LongType)
+          % buckets).as("bucket"))
+      .groupBy(col("doc_id"), col("_t"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // ONE eager aggregate: per-bucket corpus total AND target total
+    val np = new Array[Long](buckets); val nq = new Array[Long](buckets)
+    flagged.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n_all"),
+        sum(when(col("_t"), col("c")).otherwise(lit(0L))).as("n_tgt"))
+      .collect().foreach { r =>
+        val b = r.getAs[Number]("bucket").intValue()
+        nq(b) = r.getAs[Long]("n_all"); np(b) = r.getAs[Long]("n_tgt")
+      }
+    val (tp, tq) = (np.sum.toDouble, nq.sum.toDouble)
+    val ratios = spark.createDataFrame(
+      (0 until buckets).map { b =>
+        (b.toLong, math.log((np(b) + 1.0) / (tp + buckets)) -
+          math.log((nq(b) + 1.0) / (tq + buckets)))
+      }).toDF("bucket", "ldiff")
+    val scored = flagged.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("c") * col("ldiff")), 6).as("logw"))
+    corpus.select(id.as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
+
   /** Gumbel-top-k importance resampling (the paper's sampler, made
     * deterministic): key = logw + Gumbel(md5-uniform of the id), keep
     * the `keep` largest keys.  Sampling WITH the noise (rather than a

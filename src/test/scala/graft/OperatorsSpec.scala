@@ -637,6 +637,29 @@ class DedupSpec extends SparkSpec {
     assert(r1.count(_ < 3L) >= 2, s"importance must favor target-like docs: $r1")
   }
 
+  test("Dsir.scoresForSlice: one-pass fused variant matches scores() exactly") {
+    // same domains as the scores test, but the target is a SLICE of the
+    // corpus (kind='cook') — the fused path must reproduce the generic
+    // two-frame path double-for-double (identical smoothing arithmetic)
+    val rows = Seq(
+      (0L, "simmer the onion stock slowly", "cook"),
+      (1L, "slice onion into the stock", "cook"),
+      (2L, "stock simmer slice season taste", "cook"),
+      (3L, "the party of the first part", "legal"),
+      (4L, "liability clause herein agreed", "legal"),
+      (5L, "indemnify the aforementioned party", "legal"),
+      (99L, "", "legal"))
+    val df = rows.toDF("doc_id", "text", "kind")
+    val generic = graft.operators.Dsir.scores(df, col("doc_id"), col("text"),
+        df.filter(col("kind") === "cook"), col("text"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fused = graft.operators.Dsir.scoresForSlice(df, col("doc_id"), col("text"),
+        col("kind") === "cook", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fused == generic, s"fused $fused vs generic $generic")
+    assert(fused(99L) == 0.0)
+  }
+
   test("semanticDedup keeps one representative per embedding cluster; null vectors survive") {
     // 3 tight semantic clusters of 4 members (per-member jitter small
     // enough that intra-cluster cosine stays >= 0.999 along the jitter
