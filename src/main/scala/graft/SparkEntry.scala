@@ -1253,6 +1253,17 @@ object SparkEntry {
           sum(col("o_totalprice").cast(DecimalType(20, 2))).as("sum_price"))
     }),
 
+    // Memory-bounded heavy hitters (SpaceSaving per partition, merged
+    // with exact error intervals).  Gated in the provably-exact regime
+    // (per-partition distinct <= capacity -> no eviction -> n_lower ==
+    // n_upper == the true count), so the oracle is a plain grouped
+    // count; the approximate regime's bounds are spec-pinned.
+    "q102_heavy_hitters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val key = concat(col("lang"), lit(":"), pmod(col("n_chars"), lit(10)))
+      operators.HeavyHitters.topK(d, key, k = 10, capacity = 64)
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1430,6 +1441,14 @@ object SparkEntry {
         |sum(o_totalprice::DECIMAL(20,2)) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin.replace("\n", " "),
+
+    // heavy-hitters mirror: exact-regime SpaceSaving degenerates to the
+    // plain grouped count with collapsed bounds
+    "q102_heavy_hitters" ->
+      """WITH k AS (SELECT lang || ':' || (n_chars % 10) AS item
+        |FROM documents WHERE lang IS NOT NULL)
+        |SELECT item, count(*)::BIGINT AS n_lower, count(*)::BIGINT AS n_upper
+        |FROM k GROUP BY item ORDER BY n_upper DESC, item LIMIT 10""".stripMargin.replace("\n", " "),
 
     // DSIR mirror: hashed unigram+bigram buckets (md5 32-bit prefix
     // mod 512), add-one-smoothed target (lang='en') and raw bucket

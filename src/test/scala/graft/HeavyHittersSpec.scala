@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.HeavyHitters
+
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SpaceSaving unit: eviction charges the evicted minimum as error") {
+    val ss = new HeavyHitters.SpaceSaving(2)
+    ss.offer("a"); ss.offer("a"); ss.offer("b") // a:2, b:1, full
+    ss.offer("c") // evicts b (min 1): c tracked as count 2, err 1
+    assert(ss.counts("a") == 2L && ss.counts("c") == 2L && !ss.counts.contains("b"))
+    assert(ss.errs("c") == 1L && ss.errs("a") == 0L)
+    assert(ss.absentBound == 2L) // current min counter
+    // before any eviction the absent bound is zero
+    val fresh = new HeavyHitters.SpaceSaving(4)
+    fresh.offer("x")
+    assert(fresh.absentBound == 0L)
+  }
+
+  test("exact regime: capacity >= per-partition distinct reproduces groupBy count") {
+    val df = spark.range(0, 20000).toDF("i")
+      .select(concat(lit("k"), pmod(col("i") * col("i") + col("i"), lit(37))).as("key"))
+    val exact = df.groupBy("key").count()
+      .orderBy(col("count").desc, col("key")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val hh = HeavyHitters.topK(df, col("key"), k = 5, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hh.map(t => (t._1, t._2)) == exact, s"got $hh want $exact")
+    hh.foreach { case (_, lo, hi) => assert(lo == hi, "no eviction -> exact bounds") }
+  }
+
+  test("approximate regime: true counts sit inside [n_lower, n_upper]; heavy items survive") {
+    // zipf-ish: item j appears ~N/j times, plus a long uniform tail that
+    // forces constant eviction at capacity 16
+    val rows = (1 to 12).flatMap(j => Seq.fill(12000 / j)(s"hot$j")) ++
+      (0 until 8000).map(i => s"tail${i % 2000}")
+    val df = new scala.util.Random(41).shuffle(rows).toDF("key")
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val hh = HeavyHitters.topK(df, col("key"), k = 8, capacity = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.length == 8)
+    hh.foreach { case (item, lo, hi) =>
+      val t = truth(item)
+      assert(lo <= t && t <= hi, s"$item: true $t outside [$lo, $hi]")
+    }
+    // the unambiguous giants must be reported
+    val returned = hh.map(_._1).toSet
+    for (j <- 1 to 3) assert(returned.contains(s"hot$j"), s"hot$j (count ${truth(s"hot$j")}) missing from $returned")
+  }
+
+  test("plan: bounded summaries, one shuffle, broadcast total, TakeOrdered top-k") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = HeavyHitters.topK(df, col("lang"), 5, 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$plan")
+    // the summary stage is object-mode mapPartitions feeding the shuffle
+    assert(plan.contains("SerializeFromObject") && plan.contains("MapPartitions"),
+      s"bounded summary stage missing:\n$plan")
+  }
+}

@@ -881,6 +881,48 @@ class MultimodalSpec extends SparkSpec {
       s"expected the three cross-container pairs, got $pairs")
   }
 
+  test("MP4 property sweep: mux+demux identity over lengths, channels, rates, endians") {
+    import graft.functions.{MediaCodecs, Mp4}
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 40) {
+      val channels = 1 + rnd.nextInt(3)
+      val frames = 1 + rnd.nextInt(900)
+      val rate = 1 + rnd.nextInt(65535)
+      val be = rnd.nextBoolean()
+      val pcm = Array.fill(frames * channels)((rnd.nextInt(65536) - 32768).toShort)
+      val m = Mp4.parseIsobmff(Mp4.encodeMp4Pcm(pcm, channels, rate, be))
+        .getOrElse(fail(s"trial $trial (ch=$channels n=$frames rate=$rate be=$be) did not parse"))
+      assert(m.channels.contains(channels) && m.sampleRate.contains(rate) &&
+        m.nSamples.contains(frames.toLong), s"trial $trial meta mismatch: $m")
+      // signal stats must equal the direct computation over the array
+      var sumSq = 0.0; var peak = 0.0
+      pcm.foreach { s => val x = s / 32768.0; sumSq += x * x; val a = math.abs(x); if (a > peak) peak = a }
+      val rms = math.sqrt(sumSq / pcm.length)
+      assert(m.rms.exists(r => math.abs(r - rms) < 1e-12) &&
+        m.peak.exists(p => math.abs(p - peak) < 1e-12), s"trial $trial stats mismatch")
+      // and the histogram path streams the same samples
+      val w = new Array[Int](1)
+      Mp4.foreachSample(Mp4.encodeMp4Pcm(pcm, channels, rate, be))(_ => w(0) += 1)
+        .getOrElse(fail(s"trial $trial foreachSample failed"))
+      assert(w(0) == pcm.length)
+    }
+  }
+
+  test("ISOBMFF garbage fuzz: arbitrary bytes behind an ftyp header never throw") {
+    import graft.functions.{MediaCodecs, Mp4}
+    val rnd = new scala.util.Random(37)
+    for (_ <- 0 until 300) {
+      val n = 12 + rnd.nextInt(400)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      // plant the magic so the ISOBMFF arm (not the octet fallback) runs
+      b(4) = 'f'; b(5) = 't'; b(6) = 'y'; b(7) = 'p'
+      if (rnd.nextBoolean()) { b(8) = 'a'; b(9) = 'v'; b(10) = 'i'; b(11) = 'f' }
+      Mp4.parseIsobmff(b) // Option out, never a throw
+      MediaCodecs.decodeRow(b)
+    }
+  }
+
   test("ISOBMFF robustness: truncation and random bit flips never throw") {
     import graft.functions.{MediaCodecs, Mp4}
     val samples = Array.tabulate(300)(i => (3000 * math.sin(i / 6.0)).toInt.toShort)
