@@ -1264,6 +1264,16 @@ object SparkEntry {
       operators.HeavyHitters.topK(d, key, k = 10, capacity = 64)
     }),
 
+    // Memory-bounded quantiles (mergeable GK-style rank summary; exact
+    // regime: distinct <= capacity collapses every interval to the true
+    // cumulative count, independent of partitioning and merge order)
+    "q103_quantile_sketch" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      operators.QuantileSketch.quantiles(
+        d, pmod(col("n_chars"), lit(512)).cast("double"),
+        ps = Seq(0.16, 0.5, 0.84), capacity = 1024)
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1449,6 +1459,20 @@ object SparkEntry {
         |FROM documents WHERE lang IS NOT NULL)
         |SELECT item, count(*)::BIGINT AS n_lower, count(*)::BIGINT AS n_upper
         |FROM k GROUP BY item ORDER BY n_upper DESC, item LIMIT 10""".stripMargin.replace("\n", " "),
+
+    // quantile-sketch mirror: exact-regime summary = discrete lower
+    // quantile off explicit cumulative counts, collapsed rank bounds
+    "q103_quantile_sketch" ->
+      """WITH vals AS (SELECT (n_chars % 512)::DOUBLE AS v FROM documents),
+        |cnt AS (SELECT v, count(*) AS k FROM vals GROUP BY v),
+        |cc AS (SELECT v, sum(k) OVER (ORDER BY v) AS cum FROM cnt),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM vals),
+        |ps AS (SELECT unnest([0.16, 0.5, 0.84]) AS p),
+        |tg AS (SELECT p, greatest(1, cast(ceil(p * nn.n) AS BIGINT)) AS target FROM ps, nn),
+        |sel AS (SELECT tg.p, tg.target, min(cc.v) AS value FROM tg JOIN cc ON cc.cum >= tg.target GROUP BY tg.p, tg.target)
+        |SELECT sel.p AS p, sel.value AS value, cc.cum::BIGINT AS rank_lo,
+        |cc.cum::BIGINT AS rank_hi, sel.target AS target_rank
+        |FROM sel JOIN cc ON cc.v = sel.value ORDER BY p""".stripMargin.replace("\n", " "),
 
     // DSIR mirror: hashed unigram+bigram buckets (md5 32-bit prefix
     // mod 512), add-one-smoothed target (lang='en') and raw bucket

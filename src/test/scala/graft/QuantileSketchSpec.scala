@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{QuantileSketch, Quantiles}
+
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("summary unit: exact merge over disjoint and overlapping value sets") {
+    val a = new QuantileSketch.Summary(64)
+    Seq(1.0, 1.0, 3.0, 5.0).foreach(a.insert(_))
+    val b = new QuantileSketch.Summary(64)
+    Seq(2.0, 3.0, 4.0, 6.0, 6.0).foreach(b.insert(_))
+    a.merge(b)
+    assert(a.isExact && a.n == 9L)
+    // cumulative counts of 1,1,2,3,3,4,5,6,6
+    val want = Seq(1.0 -> 2L, 2.0 -> 3L, 3.0 -> 5L, 4.0 -> 6L, 5.0 -> 7L, 6.0 -> 9L)
+    assert(a.tuples.map(t => t.v -> t.rmin).toSeq == want)
+    a.tuples.foreach(t => assert(t.rmin == t.rmax))
+    // discrete lower quantiles
+    assert(a.query(0.5).v == 3.0)  // target rank 5
+    assert(a.query(1.0).v == 6.0)
+    assert(a.query(0.0).v == 1.0)
+  }
+
+  test("summary unit: compression keeps intervals valid and extremes exact") {
+    val s = new QuantileSketch.Summary(8)
+    (1 to 1000).foreach(i => s.insert(i.toDouble))
+    s.flush()
+    assert(!s.isExact && s.tuples.length <= 8)
+    assert(s.tuples.head.v == 1.0 && s.tuples.last.v == 1000.0)
+    // every retained tuple's interval must contain its true rank
+    s.tuples.foreach { t =>
+      val truth = t.v.toLong // values are 1..1000 each once
+      assert(t.rmin <= truth && truth <= t.rmax, s"${t.v}: true $truth outside [${t.rmin}, ${t.rmax}]")
+    }
+  }
+
+  test("exact regime: distinct <= capacity reproduces the exact quantile path") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(pmod(col("n_chars"), lit(257)).cast("double").as("v"))
+    val ps = Seq(0.16, 0.5, 0.84)
+    val got = QuantileSketch.quantiles(df, col("v"), ps, capacity = 512)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    // oracle: discrete lower quantile by explicit cumulative counts
+    val counts = df.groupBy("v").count().collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val cums = counts.scanLeft(("", 0L)) { case ((_, c), (v, k)) => (v.toString, c + k) }.tail
+    ps.zip(got).foreach { case (p, (pGot, v, lo, hi)) =>
+      assert(pGot == p)
+      val target = math.max(1L, math.ceil(p * n).toLong)
+      val want = cums.find(_._2 >= target).get
+      assert(v == want._1.toDouble, s"p=$p got $v want ${want._1}")
+      assert(lo == hi && lo == want._2, s"p=$p exact regime must collapse bounds")
+    }
+  }
+
+  test("approximate regime: true rank inside [rank_lo, rank_hi]; value near target") {
+    // 60k mostly-distinct doubles, capacity 256 -> heavy compression
+    val df = spark.range(0, 60000)
+      .select((pmod(col("id") * 2654435761L, lit(999983L))).cast("double").as("v"))
+    val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val got = QuantileSketch.quantiles(df, col("v"), ps, capacity = 256).collect()
+    val sorted = df.collect().map(_.getDouble(0)).sorted
+    got.foreach { r =>
+      val (v, lo, hi, target) = (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val trueRank = sorted.count(_ <= v).toLong
+      assert(lo <= trueRank && trueRank <= hi, s"true rank $trueRank outside [$lo, $hi]")
+      // the reported interval must also be a useful one: it should
+      // bracket (or nearly bracket) the target rank within the
+      // summary's resolution, n / capacity tuples apart on average
+      val slack = 16L * sorted.length / 256
+      assert(target <= hi + slack && target >= lo - slack,
+        s"target $target too far from [$lo, $hi]")
+    }
+    // and the exact path agrees within the same slack on values
+    val exact = Quantiles.exact(df, col("v"), ps)
+    got.zip(exact).foreach { case (r, ev) =>
+      val idx = sorted.indexWhere(_ >= r.getDouble(1))
+      val eidx = sorted.indexWhere(_ >= ev)
+      assert(math.abs(idx - eidx) <= 16 * sorted.length / 256,
+        s"sketch value ${r.getDouble(1)} rank-far from exact $ev")
+    }
+  }
+
+  test("merge-order independence in the exact regime") {
+    val parts = (0 until 7).map { p =>
+      val s = new QuantileSketch.Summary(128)
+      (0 until 500).foreach(i => s.insert(((i * 31 + p * 7) % 100).toDouble))
+      s
+    }
+    def runFold(order: Seq[Int]): Seq[(Double, Long)] = {
+      val fresh = order.map { i =>
+        val s = new QuantileSketch.Summary(128)
+        (0 until 500).foreach(j => s.insert(((j * 31 + i * 7) % 100).toDouble))
+        s
+      }
+      val m = fresh.reduce((a, b) => a.merge(b))
+      m.tuples.map(t => (t.v, t.rmin)).toSeq
+    }
+    assert(parts.nonEmpty)
+    assert(runFold(0 until 7) == runFold((0 until 7).reverse))
+  }
+}
