@@ -1274,6 +1274,17 @@ object SparkEntry {
         ps = Seq(0.16, 0.5, 0.84), capacity = 1024)
     }),
 
+    // Memory-bounded distinct counts (sparse-exact-then-dense HLL; the
+    // shuffle moves sketches, never keys — exact regime: union fits the
+    // sparse value set, so the count is count(DISTINCT ...) bit-for-bit)
+    "q104_distinct_sketch" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      operators.DistinctSketch.perGroup(
+        d, Seq(col("lang")), pmod(col("n_chars"), lit(1000)),
+        p = 12, sparseCap = 2048)
+        .orderBy(col("lang"))
+    }),
+
     // M6 deterministic hash split (train/val/test by md5 of the doc id —
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
@@ -1473,6 +1484,12 @@ object SparkEntry {
         |SELECT sel.p AS p, sel.value AS value, cc.cum::BIGINT AS rank_lo,
         |cc.cum::BIGINT AS rank_hi, sel.target AS target_rank
         |FROM sel JOIN cc ON cc.v = sel.value ORDER BY p""".stripMargin.replace("\n", " "),
+
+    // distinct-sketch mirror: exact-regime sparse sketch = plain
+    // count(DISTINCT), with the exactness flag asserted true
+    "q104_distinct_sketch" ->
+      """SELECT lang, count(DISTINCT (n_chars % 1000))::BIGINT AS n_distinct,
+        |true AS exact FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
 
     // DSIR mirror: hashed unigram+bigram buckets (md5 32-bit prefix
     // mod 512), add-one-smoothed target (lang='en') and raw bucket

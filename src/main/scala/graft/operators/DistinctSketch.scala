@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Memory-bounded distinct counting — a sparse-exact-then-dense HLL
+  * sketch (Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog: the
+  * analysis of a near-optimal cardinality estimation algorithm",
+  * AofA 2007; the sparse→dense promotion mirrors the standard
+  * production refinement, e.g. Heule et al., "HyperLogLog in
+  * practice", EDBT 2013).
+  *
+  * Why it exists at 100 TB: `count(distinct key)` per group shuffles
+  * every distinct (group, key) pair; Spark's built-in
+  * `approx_count_distinct` fixes the shuffle but is approximate from
+  * the first row and its answer is not self-describing.  This sketch
+  * keeps the RAW VALUES while a group's cardinality is small (exact
+  * answer, `exact = true`), promotes to 2^p max-rank registers when it
+  * grows (bounded state, ~1.04/√2^p relative error, `exact = false`),
+  * merges losslessly in both regimes, and rides Spark's typed
+  * `Aggregator` surface so partial merges happen map-side and the
+  * shuffle carries one sketch per (group, mapper) — never the keys.
+  *
+  * Exact regime (how the oracle gates the machinery): while every
+  * partial AND the merged union stay ≤ sparseCap distinct values, the
+  * sketch holds the exact value set — the count equals
+  * `count(DISTINCT key)` bit-for-bit, independent of partitioning and
+  * merge order.  The approximate regime is spec-bounded.  Sparse mode
+  * stores the values themselves (not hashes), so exactness is
+  * unconditional — no collision caveat.
+  */
+object DistinctSketch {
+
+  /** 64-bit portable value hash: first 8 bytes (big-endian) of
+    * md5(UTF-8) — the same digest family as the engine's deterministic
+    * sampling keys, reproducible by any engine. */
+  def hash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /** The sketch: sparse exact value set (≤ sparseCap) or dense
+    * registers (2^p bytes), never both. */
+  final class Hll(val p: Int, val sparseCap: Int) extends Serializable {
+    require(p >= 7 && p <= 16, s"p in [7,16] (128..65536 registers), got $p")
+    require(sparseCap >= 1 && sparseCap <= (1 << 16),
+      s"sparseCap in [1, 2^16] keeps sparse state task-bounded, got $sparseCap")
+    var sparse: mutable.HashSet[String] = mutable.HashSet.empty
+    var regs: Array[Byte] = null // null while sparse
+
+    private def m: Int = 1 << p
+
+    private def denseAdd(s: String): Unit = {
+      val h = hash64(s)
+      val idx = (h >>> (64 - p)).toInt
+      val w = h << p
+      val rho = (if (w == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(w)) + 1
+      if (rho > regs(idx)) regs(idx) = rho.toByte
+    }
+
+    private def promote(): Unit = {
+      regs = new Array[Byte](m)
+      sparse.foreach(denseAdd)
+      sparse = null
+    }
+
+    def add(s: String): this.type = {
+      if (regs != null) denseAdd(s)
+      else {
+        sparse.add(s)
+        if (sparse.size > sparseCap) promote()
+      }
+      this
+    }
+
+    def merge(o: Hll): this.type = {
+      require(o.p == p, s"incompatible precisions $p vs ${o.p}")
+      if (regs == null && o.regs == null) {
+        sparse ++= o.sparse
+        if (sparse.size > sparseCap) promote()
+      } else {
+        if (regs == null) promote()
+        if (o.regs == null) o.sparse.foreach(denseAdd)
+        else {
+          var i = 0
+          while (i < m) { if (o.regs(i) > regs(i)) regs(i) = o.regs(i); i += 1 }
+        }
+      }
+      this
+    }
+
+    /** (estimate, exact?) — exact while still sparse. */
+    def result: (Long, Boolean) = {
+      if (regs == null) (sparse.size.toLong, true)
+      else {
+        val alpha = 0.7213 / (1.0 + 1.079 / m)
+        var sum = 0.0; var zeros = 0; var i = 0
+        while (i < m) {
+          sum += math.pow(2.0, -regs(i).toDouble)
+          if (regs(i) == 0) zeros += 1
+          i += 1
+        }
+        var e = alpha * m.toDouble * m.toDouble / sum
+        if (e <= 2.5 * m && zeros > 0) e = m * math.log(m.toDouble / zeros)
+        (math.round(e), false)
+      }
+    }
+  }
+
+  final case class DistinctEst(n_distinct: Long, exact: Boolean)
+
+  /** Typed aggregator — Spark plans it as ObjectHashAggregate with
+    * map-side partial merge, so the exchange moves sketches, not
+    * keys.  Nulls are skipped like SQL `count(DISTINCT ...)`. */
+  final class Agg(p: Int, sparseCap: Int)
+      extends Aggregator[String, Hll, DistinctEst] {
+    def zero: Hll = new Hll(p, sparseCap)
+    def reduce(b: Hll, a: String): Hll = if (a == null) b else b.add(a)
+    def merge(b1: Hll, b2: Hll): Hll = b1.merge(b2)
+    def finish(r: Hll): DistinctEst = {
+      val (n, exact) = r.result
+      DistinctEst(n, exact)
+    }
+    def bufferEncoder: Encoder[Hll] = Encoders.kryo[Hll]
+    def outputEncoder: Encoder[DistinctEst] = Encoders.product[DistinctEst]
+  }
+
+  /** Column surface: `countDistinctSketch(keyCol)` usable in any
+    * groupBy — yields a struct (n_distinct, exact). */
+  def countDistinctSketch(key: Column, p: Int = 12, sparseCap: Int = 4096): Column =
+    udaf(new Agg(p, sparseCap)).apply(key.cast("string"))
+
+  /** Per-group distinct counts: (groupCols..., n_distinct, exact). */
+  def perGroup(df: DataFrame, groupCols: Seq[Column], key: Column,
+               p: Int = 12, sparseCap: Int = 4096): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(countDistinctSketch(key, p, sparseCap).as("d"))
+      .select(groupCols :+ col("d.n_distinct").as("n_distinct") :+ col("d.exact").as("exact"): _*)
+}
