@@ -1274,6 +1274,35 @@ object SparkEntry {
         ps = Seq(0.16, 0.5, 0.84), capacity = 1024)
     }),
 
+    // Per-group memory-bounded quantiles (same mergeable summary behind
+    // the typed Aggregator surface — the exchange moves one bounded
+    // summary per (group, mapper), never the values)
+    "q106_group_quantile" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      d.groupBy(col("lang"))
+        .agg(operators.QuantileSketch.groupQuantile(
+          pmod(col("n_chars"), lit(512)).cast("double"), p = 0.5, capacity = 1024).as("q"))
+        .select(col("lang"), col("q.value").as("value"),
+          col("q.rank_lo").as("rank_lo"), col("q.rank_hi").as("rank_hi"),
+          col("q.exact").as("exact"))
+        .orderBy(col("lang"))
+    }),
+
+    // Bloom-pruned shuffle join (small-side key filter rides the big
+    // side's scan stage, shrinking its exchange; exact by construction
+    // — the join re-verifies, so the oracle is the PLAIN join)
+    "q105_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val urgent = t(s, dir, "orders").df
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      operators.Relational.bloomPrunedJoin(li, urgent, Seq("l_orderkey"), fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast(DoubleType).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Memory-bounded distinct counts (sparse-exact-then-dense HLL; the
     // shuffle moves sketches, never keys — exact regime: union fits the
     // sparse value set, so the count is count(DISTINCT ...) bit-for-bit)
@@ -1484,6 +1513,28 @@ object SparkEntry {
         |SELECT sel.p AS p, sel.value AS value, cc.cum::BIGINT AS rank_lo,
         |cc.cum::BIGINT AS rank_hi, sel.target AS target_rank
         |FROM sel JOIN cc ON cc.v = sel.value ORDER BY p""".stripMargin.replace("\n", " "),
+
+    // group-quantile mirror: exact-regime per-group summary = discrete
+    // lower median off per-group cumulative counts, collapsed bounds
+    "q106_group_quantile" ->
+      """WITH vals AS (SELECT lang, (n_chars % 512)::DOUBLE AS v FROM documents),
+        |cnt AS (SELECT lang, v, count(*) AS k FROM vals GROUP BY lang, v),
+        |cc AS (SELECT lang, v, sum(k) OVER (PARTITION BY lang ORDER BY v) AS cum FROM cnt),
+        |nn AS (SELECT lang, count(*)::BIGINT AS n FROM vals GROUP BY lang),
+        |tg AS (SELECT lang, greatest(1, cast(ceil(0.5 * n) AS BIGINT)) AS target FROM nn),
+        |sel AS (SELECT tg.lang, tg.target, min(cc.v) AS value FROM tg
+        |JOIN cc ON cc.lang = tg.lang AND cc.cum >= tg.target GROUP BY tg.lang, tg.target)
+        |SELECT sel.lang AS lang, sel.value AS value, cc.cum::BIGINT AS rank_lo,
+        |cc.cum::BIGINT AS rank_hi, true AS exact
+        |FROM sel JOIN cc ON cc.lang = sel.lang AND cc.v = sel.value ORDER BY lang""".stripMargin.replace("\n", " "),
+
+    // bloom-join mirror: the PLAIN join — pruning must be invisible
+    "q105_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
 
     // distinct-sketch mirror: exact-regime sparse sketch = plain
     // count(DISTINCT), with the exactness flag asserted true

@@ -98,6 +98,17 @@ object BloomGate {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(PortableBloomHitCountExpr(GraftBridge.expression(arr), bf))
   }
+
+  /** Scalar membership probe — the join-pruning kernel: true if the
+    * filter might contain the long hash.  Codegen'd, so the probe
+    * rides the scan stage inside WholeStageCodegen. */
+  def mightContainData(h: Long, bf: BloomFilter): Boolean = bf.mightContainLong(h)
+
+  /** Column surface: `bloomMightContain(longCol, filter)`. */
+  def bloomMightContain(h: Column, bf: BloomFilter): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(BloomMightContainExpr(GraftBridge.expression(h), bf))
+  }
 }
 
 /** Count of `array<long>` elements that might be members of the
@@ -138,6 +149,29 @@ case class PortableBloomHitCountExpr(child: Expression, bf: BloomGate.PortableBl
       classOf[BloomGate.PortableBloom].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.BloomGate.portableHitCountData($c, $bfRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Scalar Bloom membership of a long hash against the captured
+  * filter — the big-side pruning predicate of
+  * [[graft.operators.Relational.bloomPrunedJoin]]. */
+case class BloomMightContainExpr(child: Expression, bf: BloomFilter)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(h: Any): Any =
+    BloomGate.mightContainData(h.asInstanceOf[Long], bf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("bloomFilter", bf,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BloomGate.mightContainData($c, $bfRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -198,4 +198,39 @@ object QuantileSketch {
       }
     rows.toDF("p", "value", "rank_lo", "rank_hi", "target_rank")
   }
+
+  /** Per-group result: the discrete lower quantile at the aggregator's
+    * probability, with rank bounds and the exactness witness. */
+  final case class GroupQuantile(value: Double, rank_lo: Long, rank_hi: Long, exact: Boolean)
+
+  /** Typed aggregator surface — per-group summaries with map-side
+    * partial merge (ObjectHashAggregate): the exchange moves one
+    * bounded summary per (group, mapper), never the values.  Null
+    * inputs are skipped like SQL aggregates. */
+  final class Agg(p: Double, capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Option[Double], Summary, GroupQuantile] {
+    def zero: Summary = new Summary(capacity)
+    def reduce(b: Summary, a: Option[Double]): Summary =
+      a.filterNot(_.isNaN).map(b.insert(_)).getOrElse(b)
+    def merge(b1: Summary, b2: Summary): Summary = b1.merge(b2)
+    def finish(r: Summary): GroupQuantile = {
+      r.flush()
+      if (r.n == 0L) GroupQuantile(Double.NaN, 0L, 0L, r.isExact)
+      else {
+        val t = r.query(p)
+        GroupQuantile(t.v, t.rmin, t.rmax, r.isExact)
+      }
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Summary] =
+      org.apache.spark.sql.Encoders.kryo[Summary]
+    def outputEncoder: org.apache.spark.sql.Encoder[GroupQuantile] =
+      org.apache.spark.sql.Encoders.product[GroupQuantile]
+  }
+
+  /** Column surface: `groupQuantile(valueCol, p)` usable in any
+    * groupBy — yields a struct (value, rank_lo, rank_hi, exact). */
+  def groupQuantile(value: Column, p: Double, capacity: Int = 1024): Column =
+    udaf(new Agg(p, capacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]())
+      .apply(value.cast(DoubleType))
 }

@@ -102,4 +102,50 @@ object Relational {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     p.join(b, keys :+ sc, joinType).drop(sc)
   }
+
+  /** Bloom-pruned shuffle join — shrink the BIG side's exchange before
+    * it happens.  When the small side exceeds the broadcast threshold
+    * (so no BroadcastHashJoin) but is still far smaller than the big
+    * side, a plain shuffle join moves ALL of the big side; here a
+    * Bloom filter of the small side's join keys rides the big side's
+    * SCAN stage as a codegen'd predicate, so only rows that might
+    * match ever enter the exchange — matching rows + an fpp fraction
+    * of the rest.  Spark's own runtime bloom filter
+    * (InjectRuntimeFilter) does this automatically only when its
+    * creation-side heuristics hold (selective filter, size bounds);
+    * this operator is the explicit version for small sides born from
+    * arbitrary transforms the optimizer won't instrument.
+    *
+    * EXACT by construction: Bloom filters have no false negatives, so
+    * pruning never drops a matching row, and the join itself
+    * re-verifies key equality — false positives cost shuffle bytes,
+    * never correctness (oracle = the plain join, any fpp).
+    *
+    * Semantics guard: pruning the big side is row-preserving for
+    * `inner` and `left_semi` joins of big ⋈ small.  The two
+    * small-side passes (exact key count, then filter build) are scans
+    * of the SMALL side only — that is the operator's premise. */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                      fpp: Double = 0.01, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_semi",
+      s"big-side pruning preserves semantics for inner/left_semi only, got $joinType")
+    bloomPrune(big, small, keys, fpp).join(small, keys, joinType)
+  }
+
+  /** The pruning half on its own: `big` filtered to rows whose key
+    * hash might appear on the small side (matching rows plus ≤ fpp of
+    * the rest — never fewer). */
+  def bloomPrune(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 fpp: Double = 0.01): DataFrame = {
+    require(keys.nonEmpty, "bloomPrune needs at least one key column")
+    require(fpp > 0.0 && fpp < 0.5, s"fpp in (0, 0.5), got $fpp")
+    val keyHash = xxhash64(keys.map(col): _*)
+    val nKeys = small.select(keys.map(col): _*).distinct().count()
+    require(nKeys <= 500000000L,
+      s"small side has $nKeys distinct keys — a driver-held bloom past 5e8 keys " +
+        "is the wrong tool; shard the filter or let the join shuffle")
+    val bf = small.select(keyHash.as("h"))
+      .stat.bloomFilter("h", math.max(nKeys, 1L), fpp)
+    big.filter(graft.functions.BloomGate.bloomMightContain(keyHash, bf))
+  }
 }

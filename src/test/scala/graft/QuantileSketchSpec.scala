@@ -84,6 +84,32 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("per-group aggregator: exact regime equals per-group discrete lower quantiles") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("lang"), pmod(col("n_chars"), lit(200)).cast("double").as("v"))
+    val got = df.groupBy("lang")
+      .agg(QuantileSketch.groupQuantile(col("v"), 0.5, capacity = 512).as("q"))
+      .select(col("lang"), col("q.value"), col("q.rank_lo"), col("q.rank_hi"), col("q.exact"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val byLang = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    got.foreach { case (lang, v, lo, hi, exact) =>
+      assert(exact, s"$lang should be exact at capacity 512")
+      val vals = byLang(lang)
+      val target = math.max(1L, math.ceil(0.5 * vals.length).toLong)
+      val cums = vals.distinct.map(x => (x, vals.count(_ <= x).toLong))
+      val want = cums.find(_._2 >= target).get
+      assert(v == want._1 && lo == hi && lo == want._2,
+        s"$lang: got ($v, $lo, $hi) want $want")
+    }
+    // plan: typed partial agg, the exchange moves summaries not values
+    val plan = df.groupBy("lang")
+      .agg(QuantileSketch.groupQuantile(col("v"), 0.5).as("q"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"typed partial agg missing:\n$plan")
+  }
+
   test("merge-order independence in the exact regime") {
     val parts = (0 until 7).map { p =>
       val s = new QuantileSketch.Summary(128)

@@ -80,4 +80,54 @@ class RelationalSpec extends SparkSpec {
       assert(parts.max <= 2048 / 2, s"one reducer still holds ${parts.max} of 2048 rows")
     }
   }
+
+  test("bloomPrunedJoin returns exactly the plain join (inner and left_semi), any fpp") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val urgent = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      for (jt <- Seq("inner", "left_semi"); fpp <- Seq(0.3, 0.01)) {
+        val plain = li.join(urgent, Seq("l_orderkey"), jt)
+        val pruned = Relational.bloomPrunedJoin(li, urgent, Seq("l_orderkey"), fpp, jt)
+        assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty,
+          s"$jt/fpp=$fpp diverged from the plain join")
+      }
+    }
+  }
+
+  test("bloomPrune keeps every matching row and roughly fpp of the rest") {
+    val big = spark.range(0, 20000).toDF("k")
+    val small = spark.range(0, 100).toDF("k") // 0.5% match rate
+    val kept = Relational.bloomPrune(big, small, Seq("k"), fpp = 0.02)
+    val keptKeys = kept.collect().map(_.getLong(0)).toSet
+    (0L until 100L).foreach(k => assert(keptKeys.contains(k), s"bloom lost matching key $k"))
+    // ~100 matches + ~2% of 19900 false positives, generous ceiling
+    assert(kept.count() <= 100 + (19900 * 0.1).toLong,
+      s"pruning kept ${kept.count()} of 20000 - filter not selective")
+  }
+
+  test("bloomPrunedJoin plan: the membership predicate rides below the big side's exchange") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val urgent = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      val joined = Relational.bloomPrunedJoin(li, urgent, Seq("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan
+      // find every Exchange; the big-side one must have the bloom
+      // predicate strictly beneath it (pre-shuffle pruning)
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, s"expected a shuffle join:\n$plan")
+      // the exchange scanning the BIG table must have the bloom
+      // predicate beneath it (pre-shuffle pruning); Catalyst may also
+      // infer it onto the small side via join-key constraints - fine
+      val bigSide = exchanges.filter(_.child.toString.contains("lineitem.parquet"))
+      assert(bigSide.nonEmpty && bigSide.forall(_.child.toString.contains("bloom_might_contain")),
+        s"bloom predicate must sit below the big side's exchange:\n$plan")
+    }
+  }
 }
