@@ -11,15 +11,31 @@ import graft.functions.HealpixAng2Pix
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`).
   *
-  * Currently registers `healpix_ang2pix(order, lon_deg, lat_deg)` —
-  * the one scalar the reference needs that Spark lacks as a builtin
-  * (SURVEY.md §4.3).  Alias/caseless resolution and NumPy-expression
-  * translation intentionally live *above* the plan (they rewrite
-  * names/strings before Catalyst sees them), so no custom Rule or
-  * Strategy is required for reference parity (SURVEY.md §4.1–4.2).
+  * Registers `healpix_ang2pix(order, lon_deg, lat_deg)` and
+  * `sphdist(ra1, dec1, ra2, dec2)` — the two scalars the reference
+  * needs that Spark lacks as builtins (SURVEY.md §4.3) — plus the
+  * [[graft.plans.ConeZonePushdown]] optimizer rule, which turns
+  * `sphdist(…) ≤ r` cone filters into sargable zone pre-filters.
+  * Injected into the operator-optimization batch, the derived bands
+  * ride the normal predicate-pushdown rules through joins and
+  * projections to the scan.  Alias/caseless resolution and
+  * NumPy-expression translation intentionally live *above* the plan
+  * (they rewrite names/strings before Catalyst sees them), so no
+  * further Rule or Strategy is required for reference parity
+  * (SURVEY.md §4.1–4.2).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.ConeZonePushdown)
+    ext.injectFunction((
+      new FunctionIdentifier("sphdist"),
+      new ExpressionInfo(classOf[graft.functions.SphDistExpr].getName, "sphdist"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4, "sphdist(ra1_deg, dec1_deg, ra2_deg, dec2_deg)")
+        graft.functions.SphDistExpr(
+          Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType),
+          Cast(exprs(2), DoubleType), Cast(exprs(3), DoubleType))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("healpix_ang2pix"),
       new ExpressionInfo(classOf[HealpixAng2Pix].getName, "healpix_ang2pix"),

@@ -1288,6 +1288,25 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Cone search through RAW SQL text: the sphdist Catalyst scalar +
+    // the ConeZonePushdown optimizer rule.  The rule injects the
+    // declination band and the mod-360 RA guard (this center/radius
+    // wraps the RA origin, exercising the convention-free pmod path)
+    // ahead of the haversine residual — the oracle sees only the plain
+    // haversine, so any unsoundness in the derived bands (a shaved
+    // boundary row) is a hash mismatch.
+    "q107_cone_sql" -> ((s, dir) => {
+      graft.functions.SphDist.register(s)
+      graft.plans.ConeZonePushdown.install(s)
+      t(s, dir, "lineitem").df
+        .withColumn("ra", (col("l_orderkey") % 360).cast(DoubleType))
+        .withColumn("dec", ((col("l_partkey") % 181) - 90).cast(DoubleType))
+        .createOrReplaceTempView("q107_sky")
+      s.sql("""SELECT l_orderkey, l_partkey, ra, dec,
+                      round(sphdist(ra, dec, 10.0, 20.0), 6) AS sep
+               FROM q107_sky WHERE sphdist(ra, dec, 10.0, 20.0) <= 33.7""")
+    }),
+
     // Bloom-pruned shuffle join (small-side key filter rides the big
     // side's scan stage, shrinking its exchange; exact by construction
     // — the join re-verifies, so the oracle is the PLAIN join)
@@ -1338,6 +1357,10 @@ object SparkEntry {
 
   private val sphdistSql =
     "degrees(2*asin(sqrt(pow(sin(radians(0.0 - dec)/2),2) + cos(radians(dec))*cos(radians(0.0))*pow(sin(radians(180.0 - ra)/2),2))))"
+
+  /** q107's haversine, center (ra0, dec0) = (10, 20). */
+  private val sphdist107Sql =
+    "degrees(2*asin(sqrt(pow(sin(radians(20.0 - dec)/2),2) + cos(radians(dec))*cos(radians(20.0))*pow(sin(radians(10.0 - ra)/2),2))))"
 
   /** Shared portable-minhash permutation table, interpolated into the
     * q26/q40/q86 oracle SQL so DuckDB runs LITERALLY the same integer
@@ -1527,6 +1550,15 @@ object SparkEntry {
         |SELECT sel.lang AS lang, sel.value AS value, cc.cum::BIGINT AS rank_lo,
         |cc.cum::BIGINT AS rank_hi, true AS exact
         |FROM sel JOIN cc ON cc.lang = sel.lang AND cc.v = sel.value ORDER BY lang""".stripMargin.replace("\n", " "),
+
+    // cone-rule mirror: the PLAIN haversine filter — the injected
+    // zone bands must be invisible in the result
+    "q107_cone_sql" ->
+      s"""WITH c AS (SELECT l_orderkey, l_partkey,
+         |CAST(l_orderkey % 360 AS DOUBLE) AS ra,
+         |CAST((l_partkey % 181) - 90 AS DOUBLE) AS dec FROM lineitem)
+         |SELECT l_orderkey, l_partkey, ra, dec, round($sphdist107Sql, 6) AS sep
+         |FROM c WHERE $sphdist107Sql <= 33.7""".stripMargin.replace("\n", " "),
 
     // bloom-join mirror: the PLAIN join — pruning must be invisible
     "q105_bloom_join" ->

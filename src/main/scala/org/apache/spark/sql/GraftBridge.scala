@@ -18,4 +18,11 @@ object GraftBridge {
 
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].logicalPlan
+
+  /** The optimizer rules an extensions bundle would install
+    * (`buildOptimizerRules` is private[sql]) — lets a spec assert
+    * registration without tearing down the shared test session. */
+  def installedOptimizerRules(ext: SparkSessionExtensions, spark: SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }

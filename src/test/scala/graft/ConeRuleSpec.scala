@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSessionExtensions}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.{Astro, SphDist}
+import graft.plans.ConeZonePushdown
+
+/** Cone-search sargability: the sphdist Catalyst scalar and the
+  * ConeZonePushdown optimizer rule.  The invariant under test is that
+  * the injected zone bands are a strict superset pre-filter — results
+  * bit-identical with the rule on or off — while the declination band
+  * (and, under the asserted-convention flag, the RA band) reaches the
+  * parquet scan as a PushedFilter. */
+class ConeRuleSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    ConeZonePushdown.install(spark)
+  }
+
+  override def afterAll(): Unit = {
+    // shared session: leave no optimizer residue for later suites
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == ConeZonePushdown)
+    super.afterAll()
+  }
+
+  /** Synthetic sky: integral-degree grid covering both poles and the
+    * RA origin, plus nulls. */
+  private lazy val sky: DataFrame = spark.range(0, 4000).select(
+    (col("id") % 360).cast(DoubleType).as("ra"),
+    ((col("id") * 7 % 181) - 90).cast(DoubleType).as("dec"))
+    .union(spark.sql("SELECT CAST(NULL AS DOUBLE) ra, CAST(NULL AS DOUBLE) dec"))
+
+  private def coneCount(ra0: Double, dec0: Double, r: Double): (Long, Long) = {
+    val ruled = sky.filter(SphDist.sphdist(col("ra"), col("dec"), lit(ra0), lit(dec0)) <= lit(r))
+    val brute = sky.filter(Astro.sphdist(col("ra"), col("dec"), lit(ra0), lit(dec0)) <= lit(r))
+    (ruled.count(), brute.count())
+  }
+
+  test("sphdist expression matches the Column composition everywhere") {
+    val both = sky.na.drop().select(
+      SphDist.sphdist(col("ra"), col("dec"), lit(123.4), lit(-45.6)).as("a"),
+      Astro.sphdist(col("ra"), col("dec"), lit(123.4), lit(-45.6)).as("b"))
+    val worst = both.select(max(abs(col("a") - col("b")))).collect().head.getDouble(0)
+    assert(worst <= 1e-9, s"kernel drifts from Column composition by $worst deg")
+  }
+
+  test("rule injects dec band + mod-360 RA guard; results identical") {
+    val q = sky.filter(SphDist.sphdist(col("ra"), col("dec"), lit(180.0), lit(20.0)) <= lit(15.0))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("pmod"), s"RA guard missing:\n$opt")
+    assert(opt.contains(">= 4.99") || opt.contains(">= 5.0"), s"dec lower band missing:\n$opt")
+    val (ruled, brute) = coneCount(180.0, 20.0, 15.0)
+    assert(ruled == brute && ruled > 0, s"rule changed results: $ruled vs $brute")
+  }
+
+  test("RA-origin wrap: parity holds through the pmod guard") {
+    val (ruled, brute) = coneCount(10.0, 20.0, 33.7)
+    assert(ruled == brute && ruled > 0)
+  }
+
+  test("cap containing a pole: RA guard suppressed, dec band kept, parity holds") {
+    val q = sky.filter(SphDist.sphdist(col("ra"), col("dec"), lit(45.0), lit(80.0)) <= lit(25.0))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("pmod"), s"unsound RA guard on polar cap:\n$opt")
+    val (ruled, brute) = coneCount(45.0, 80.0, 25.0)
+    assert(ruled == brute && ruled > 0)
+  }
+
+  test("constant center in the first argument pair also triggers") {
+    val q = sky.filter(SphDist.sphdist(lit(180.0), lit(20.0), col("ra"), col("dec")) <= lit(15.0))
+    assert(q.queryExecution.optimizedPlan.toString.contains("pmod"))
+    val brute = sky.filter(Astro.sphdist(lit(180.0), lit(20.0), col("ra"), col("dec")) <= lit(15.0))
+    assert(q.count() == brute.count() && q.count() > 0)
+  }
+
+  test("flipped and strict comparisons trigger; flipped parity holds") {
+    val flipped = sky.filter(lit(15.0) > SphDist.sphdist(col("ra"), col("dec"), lit(180.0), lit(20.0)))
+    assert(flipped.queryExecution.optimizedPlan.toString.contains("pmod"))
+    val brute = sky.filter(Astro.sphdist(col("ra"), col("dec"), lit(180.0), lit(20.0)) < lit(15.0))
+    assert(flipped.count() == brute.count() && flipped.count() > 0)
+  }
+
+  test("rule is idempotent (fixed-point safe)") {
+    val q = sky.filter(SphDist.sphdist(col("ra"), col("dec"), lit(180.0), lit(20.0)) <= lit(15.0))
+    val once = ConeZonePushdown(q.queryExecution.analyzed)
+    val twice = ConeZonePushdown(once)
+    assert(once == twice, "second application changed the plan")
+  }
+
+  test("dec band (and sargable RA band under the flag) reach the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("cone_sky").toString
+    try {
+      sky.write.mode("overwrite").parquet(dir)
+      val pq = spark.read.parquet(dir)
+      // the rendered PushedFilters string truncates — read the scan
+      // node's dataFilters (what FileSourceStrategy actually pushed)
+      def scanFilters(q: DataFrame): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        q.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f.dataFilters
+        }.getOrElse(Nil)
+      def onCol(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Boolean =
+        e.references.map(_.name).toSeq == Seq(name)
+      withSQLConf("spark.graft.cone.sargableRaBand" -> "true") {
+        val q = pq.filter(SphDist.sphdist(col("ra"), col("dec"), lit(180.0), lit(20.0)) <= lit(15.0))
+        val fs = scanFilters(q)
+        import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual => GE, LessThanOrEqual => LE}
+        assert(fs.exists { case GE(a, _) => onCol(a, "dec"); case _ => false } &&
+               fs.exists { case LE(a, _) => onCol(a, "dec"); case _ => false },
+          s"dec band not pushed: $fs")
+        assert(fs.exists { case GE(a, _) => onCol(a, "ra"); case _ => false } &&
+               fs.exists { case LE(a, _) => onCol(a, "ra"); case _ => false },
+          s"sargable RA band not pushed: $fs")
+        val brute = pq.filter(Astro.sphdist(col("ra"), col("dec"), lit(180.0), lit(20.0)) <= lit(15.0))
+        assert(q.count() == brute.count() && q.count() > 0)
+      }
+      // wrap case under the flag: an Or of two sargable ranges
+      withSQLConf("spark.graft.cone.sargableRaBand" -> "true") {
+        val q = pq.filter(SphDist.sphdist(col("ra"), col("dec"), lit(10.0), lit(20.0)) <= lit(33.7))
+        val fs = scanFilters(q)
+        assert(fs.exists { case org.apache.spark.sql.catalyst.expressions.Or(a, b) =>
+          onCol(a, "ra") && onCol(b, "ra"); case _ => false },
+          s"wrap Or-band not pushed: $fs")
+        val brute = pq.filter(Astro.sphdist(col("ra"), col("dec"), lit(10.0), lit(20.0)) <= lit(33.7))
+        assert(q.count() == brute.count() && q.count() > 0)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("raw SQL text through the registered function gets the rewrite") {
+    SphDist.register(spark)
+    sky.createOrReplaceTempView("cone_rule_sky")
+    val q = sql("""SELECT ra, dec FROM cone_rule_sky
+                   WHERE sphdist(ra, dec, 180.0, 20.0) <= 15.0""")
+    assert(q.queryExecution.optimizedPlan.toString.contains("pmod"),
+      "rule did not fire on SQL-text haversine")
+    val brute = sky.filter(Astro.sphdist(col("ra"), col("dec"), lit(180.0), lit(20.0)) <= lit(15.0))
+    assert(q.count() == brute.count() && q.count() > 0)
+    val v = sql("SELECT sphdist(0.0, 0.0, 90.0, 0.0) AS s").collect().head.getDouble(0)
+    assert(math.abs(v - 90.0) < 1e-9)
+  }
+
+  test("GraftExtensions bundle registers the rule") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(GraftBridge.installedOptimizerRules(ext, spark).exists(_ eq ConeZonePushdown))
+  }
+}
