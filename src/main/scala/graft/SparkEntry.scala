@@ -1307,6 +1307,18 @@ object SparkEntry {
                FROM q107_sky WHERE sphdist(ra, dec, 10.0, 20.0) <= 33.7""")
     }),
 
+    // Leakage-safe split: the split key is the near-dup CLUSTER id
+    // (connected component), not the document id — no cluster ever
+    // straddles train/val/test, so an eval row can't have a
+    // near-duplicate in train.  Same pair graph as q69; the oracle
+    // extends that recursive-CTE CC with the shared md5-bucket fences.
+    "q108_leakage_split" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      val pairs = Similarity.exactPairs(e, "vec_id", "embedding", threshold = 0.35)
+        .select(col("id_a"), col("id_b"))
+      operators.Scale.leakageSafeSplit(e.select(col("vec_id")), "vec_id", pairs)
+    }),
+
     // Bloom-pruned shuffle join (small-side key filter rides the big
     // side's scan stage, shrinking its exchange; exact by construction
     // — the join re-verifies, so the oracle is the PLAIN join)
@@ -1559,6 +1571,27 @@ object SparkEntry {
          |CAST((l_partkey % 181) - 90 AS DOUBLE) AS dec FROM lineitem)
          |SELECT l_orderkey, l_partkey, ra, dec, round($sphdist107Sql, 6) AS sep
          |FROM c WHERE $sphdist107Sql <= 33.7""".stripMargin.replace("\n", " "),
+
+    // leakage-split mirror: q69's recursive-CTE components + the
+    // shared md5-bucket fences applied to the COMPONENT id
+    "q108_leakage_split" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |FROM embeddings WHERE vec_id < 1000),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a, v b
+        |WHERE a.vec_id < b.vec_id
+        |AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT vec_id AS node, vec_id AS reach FROM v
+        |UNION
+        |SELECT r.node, e.dst FROM r JOIN e ON r.reach = e.src),
+        |comp AS (SELECT node, min(reach) AS component FROM r GROUP BY node),
+        |b AS (SELECT node,
+        |('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 6))::BIGINT % 100 AS bucket
+        |FROM comp)
+        |SELECT node AS vec_id,
+        |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |ELSE 'test' END AS split FROM b""".stripMargin.replace("\n", " "),
 
     // bloom-join mirror: the PLAIN join — pruning must be invisible
     "q105_bloom_join" ->

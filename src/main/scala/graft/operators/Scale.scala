@@ -124,6 +124,39 @@ object Scale {
 
   private def hashBucket(id: Column): Column = md5Key(id, 6) % 1000
 
+  /** Leakage-safe dataset split: assign train/val/test so that no
+    * near-duplicate CLUSTER ever straddles a split boundary.  A plain
+    * per-document hash split (q63's contract) leaks — a test document
+    * with a near-duplicate in train is a contaminated eval — so the
+    * split key here is the connected-component id of the duplicate
+    * graph, not the document id: every member of a cluster hashes to
+    * the same bucket, and independent documents (singleton components)
+    * degrade to exactly the per-id split.
+    *
+    * `cuts` are cumulative percentile fences over the md5 bucket of
+    * the component id (same seedless md5-prefix contract as
+    * [[sampleByHash]] — stable under reruns, executor counts, and
+    * corpus growth; a cluster only moves splits if its MINIMUM id
+    * changes).
+    *
+    * Scale shape: one bounded connected-components pass over `pairs`
+    * (duplicate-proportional, never corpus-proportional —
+    * [[Dedup.connectedComponents]]'s contract), an md5 on the
+    * component id, and ONE hash join of the narrow (id, split) frame
+    * back to the corpus on its id.  No global sort, no window. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       cuts: Seq[(String, Int)] =
+                         Seq("train" -> 80, "val" -> 90, "test" -> 100)): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100, "last cut must close at 100")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must be cumulative")
+    val comp = Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
+    val bucket = md5Key(col("component"), 6) % 100
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, fence), acc) => when(bucket < fence, lit(name)).otherwise(acc)
+    }
+    df.join(comp.select(col("node").as(idCol), split.as("split")), Seq(idCol))
+  }
+
   /** Deterministic training-order shuffle: the global randomization a
     * training run needs before packing/serving, without RNG and without
     * a global sort.  Each row gets the shared md5 key; `shard` =

@@ -158,6 +158,45 @@ class ScaleSpec extends SparkSpec {
     val n = spark.read.parquet(s"$dir/part*.parquet").count()
     assert(n == 15L)
   }
+  test("leakageSafeSplit: no pair straddles a split; singletons match the per-id split") {
+    val docs = spark.range(0, 500).select(col("id"))
+    // chain clusters {0..4},{10..14},... plus a long chain 100-199
+    val pairs = spark.range(0, 500).filter(col("id") % 10 < 4 || (col("id") >= 100 && col("id") < 199))
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val split = Scale.leakageSafeSplit(docs, "id", pairs)
+    val m = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 500)
+    // leakage property: every edge's endpoints share a split
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(m(a) == m(b), s"pair ($a,$b) straddles splits ${m(a)}/${m(b)}")
+    }
+    assert(m.values.toSet == Set("train", "val", "test"))
+    // a singleton component (no incident pair) splits exactly like the
+    // plain per-id hash split — the cluster key degrades to the id
+    val singleton = (0L until 500L).filterNot(i =>
+      pairs.collect().exists(r => r.getLong(0) == i || r.getLong(1) == i)).head
+    val perId = docs.filter(col("id") === singleton)
+      .withColumn("split",
+        when(conv(substring(md5(col("id").cast("string")), 1, 6), 16, 10).cast("long") % 100 < 80, "train")
+          .when(conv(substring(md5(col("id").cast("string")), 1, 6), 16, 10).cast("long") % 100 < 90, "val")
+          .otherwise("test"))
+      .collect().head.getString(1)
+    assert(m(singleton) == perId)
+    // determinism: a second evaluation assigns identically
+    val again = Scale.leakageSafeSplit(docs, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == m)
+  }
+
+  test("leakageSafeSplit: validates cut fences") {
+    val docs = spark.range(0, 10).select(col("id"))
+    val none = docs.limit(0).select(col("id").as("id_a"), col("id").as("id_b"))
+    intercept[IllegalArgumentException](
+      Scale.leakageSafeSplit(docs, "id", none, cuts = Seq("train" -> 80)))
+    intercept[IllegalArgumentException](
+      Scale.leakageSafeSplit(docs, "id", none, cuts = Seq("a" -> 90, "b" -> 80, "c" -> 100)))
+  }
 }
 
 /** Approximate-sketch scale variants of the exact gate queries: HLL++
@@ -251,4 +290,5 @@ class SketchSpec extends SparkSpec {
         docs, col("text"), buckets = (1 << 16) + 1))
     assert(err.getMessage.contains("buckets"))
   }
+
 }
