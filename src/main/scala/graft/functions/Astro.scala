@@ -27,9 +27,15 @@ object Astro {
   /** Cone-search predicate: separation from (ra0, dec0) ≤ r degrees
     * (ezdata/simpletable.py:3056–3097).  Compose with `.filter`; pair
     * with [[sphdist]] to carry the separation column like the
-    * reference's `selectWhere` blobs (simpletable.py:3216). */
+    * reference's `selectWhere` blobs (simpletable.py:3216).
+    *
+    * Built on the [[SphDist]] scalar (same arithmetic to the last
+    * ULP-or-so as the Column composition) so the predicate is ONE
+    * recognizable node — a session with
+    * [[graft.plans.ConeZonePushdown]] installed rewrites it into
+    * scan-prunable zone bands automatically. */
   def coneSearch(ra: Column, dec: Column, ra0: Double, dec0: Double, radiusDeg: Double): Column =
-    sphdist(ra, dec, lit(ra0), lit(dec0)) <= lit(radiusDeg)
+    SphDist.sphdist(ra, dec, lit(ra0), lit(dec0)) <= lit(radiusDeg)
 
   /** Zone (box) search predicate (ezdata/simpletable.py:3099–3137).
     * A conjunctive range filter — Parquet min/max pruning applies. */
