@@ -1307,6 +1307,20 @@ object SparkEntry {
                FROM q107_sky WHERE sphdist(ra, dec, 10.0, 20.0) <= 33.7""")
     }),
 
+    // Cone search through a HEALPix cell cover (the Q3C/LSST sky-
+    // partition pattern): guaranteed-superset IN-set of coarse cells +
+    // the exact haversine residual.  The oracle is the PLAIN haversine
+    // — an unsound cover (a missed boundary cell) drops rows and
+    // hash-mismatches.
+    "q109_healpix_cone" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+        .withColumn("ra", (col("l_orderkey") % 360).cast(DoubleType))
+        .withColumn("dec", ((col("l_partkey") % 181) - 90).cast(DoubleType))
+      li.filter(Astro.healpixConeSearch(col("ra"), col("dec"), order = 2, 120.0, -30.0, 25.0))
+        .select(col("l_orderkey"), col("l_partkey"), col("ra"), col("dec"),
+          round(Astro.sphdist(col("ra"), col("dec"), lit(120.0), lit(-30.0)), 6).as("sep"))
+    }),
+
     // Leakage-safe split: the split key is the near-dup CLUSTER id
     // (connected component), not the document id — no cluster ever
     // straddles train/val/test, so an eval row can't have a
@@ -1373,6 +1387,10 @@ object SparkEntry {
   /** q107's haversine, center (ra0, dec0) = (10, 20). */
   private val sphdist107Sql =
     "degrees(2*asin(sqrt(pow(sin(radians(20.0 - dec)/2),2) + cos(radians(dec))*cos(radians(20.0))*pow(sin(radians(10.0 - ra)/2),2))))"
+
+  /** q109's haversine, center (ra0, dec0) = (120, -30). */
+  private val sphdist109Sql =
+    "degrees(2*asin(sqrt(pow(sin(radians(-30.0 - dec)/2),2) + cos(radians(dec))*cos(radians(-30.0))*pow(sin(radians(120.0 - ra)/2),2))))"
 
   /** Shared portable-minhash permutation table, interpolated into the
     * q26/q40/q86 oracle SQL so DuckDB runs LITERALLY the same integer
@@ -1571,6 +1589,15 @@ object SparkEntry {
          |CAST((l_partkey % 181) - 90 AS DOUBLE) AS dec FROM lineitem)
          |SELECT l_orderkey, l_partkey, ra, dec, round($sphdist107Sql, 6) AS sep
          |FROM c WHERE $sphdist107Sql <= 33.7""".stripMargin.replace("\n", " "),
+
+    // healpix-cone mirror: the PLAIN haversine — the cell cover must
+    // be invisible in the result
+    "q109_healpix_cone" ->
+      s"""WITH c AS (SELECT l_orderkey, l_partkey,
+         |CAST(l_orderkey % 360 AS DOUBLE) AS ra,
+         |CAST((l_partkey % 181) - 90 AS DOUBLE) AS dec FROM lineitem)
+         |SELECT l_orderkey, l_partkey, ra, dec, round($sphdist109Sql, 6) AS sep
+         |FROM c WHERE $sphdist109Sql <= 25.0""".stripMargin.replace("\n", " "),
 
     // leakage-split mirror: q69's recursive-CTE components + the
     // shared md5-bucket fences applied to the COMPONENT id

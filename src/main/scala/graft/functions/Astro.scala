@@ -37,6 +37,27 @@ object Astro {
   def coneSearch(ra: Column, dec: Column, ra0: Double, dec0: Double, radiusDeg: Double): Column =
     SphDist.sphdist(ra, dec, lit(ra0), lit(dec0)) <= lit(radiusDeg)
 
+  /** Cone search through a HEALPix cell cover: the cap's guaranteed-
+    * superset cell set ([[Healpix.coneCells]]) becomes an IN-set
+    * pre-filter ahead of the exact haversine residual — the Q3C/LSST
+    * production pattern for sky catalogs.  With the cells computed on
+    * the fly the IN-set only saves trig; the real win is the overload
+    * below on a STORED cell column, where the IN-set is a partition /
+    * row-group pruning predicate on a cell-partitioned 100 TB catalog
+    * (cells are the natural partition key the zone rule can't see).
+    * Results are identical to [[coneSearch]] by construction. */
+  def healpixConeSearch(ra: Column, dec: Column, order: Int,
+                        ra0: Double, dec0: Double, radiusDeg: Double): Column =
+    healpixConeSearchOnCell(Healpix.ang2pix(order, ra, dec), ra, dec, order, ra0, dec0, radiusDeg)
+
+  /** [[healpixConeSearch]] against a pre-computed cell column (the
+    * partition key of a cell-partitioned catalog). */
+  def healpixConeSearchOnCell(cell: Column, ra: Column, dec: Column, order: Int,
+                              ra0: Double, dec0: Double, radiusDeg: Double): Column = {
+    val cover = Healpix.coneCells(order, ra0, dec0, radiusDeg)
+    cell.isInCollection(cover.toSeq) && coneSearch(ra, dec, ra0, dec0, radiusDeg)
+  }
+
   /** Zone (box) search predicate (ezdata/simpletable.py:3099–3137).
     * A conjunctive range filter — Parquet min/max pruning applies. */
   def zoneSearch(ra: Column, dec: Column,

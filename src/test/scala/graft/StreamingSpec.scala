@@ -321,4 +321,80 @@ class HealpixSpec extends SparkSpec {
     val b = df.collect().map(r => Healpix.ang2pixNestLonLat(6, r.getDouble(0), r.getDouble(1)))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("pix2ang round-trips through ang2pix for every cell at orders 0-5") {
+    (0 to 5).foreach { order =>
+      val npix = 12L << (2 * order)
+      var pix = 0L
+      while (pix < npix) {
+        val (lon, lat) = Healpix.pix2angNestLonLat(order, pix)
+        assert(lon >= 0 && lon < 360 && lat >= -90 && lat <= 90, s"center out of range: $lon $lat")
+        assert(Healpix.ang2pixNestLonLat(order, lon, lat) == pix,
+          s"round-trip failed at order $order pix $pix center ($lon, $lat)")
+        pix += 1
+      }
+    }
+  }
+
+  test("maxPixRad bounds the center distance of every point of a cell") {
+    val rnd = new scala.util.Random(7)
+    (2 to 6).foreach { order =>
+      val bound = Healpix.maxPixRadDeg(order)
+      (1 to 2000).foreach { _ =>
+        val lon = rnd.nextDouble() * 360
+        val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+        val pix = Healpix.ang2pixNestLonLat(order, lon, lat)
+        val (clon, clat) = Healpix.pix2angNestLonLat(order, pix)
+        val d = graft.functions.SphDist.sphdistDeg(lon, lat, clon, clat)
+        assert(d <= bound * (1 + 1e-9),
+          s"order $order: point ($lon, $lat) is $d deg from its cell center, bound $bound")
+      }
+    }
+  }
+
+  test("coneCells is a guaranteed superset: every in-cap point's cell is covered") {
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { _ =>
+      val order = 1 + rnd.nextInt(5)
+      val ra0 = rnd.nextDouble() * 360
+      val dec0 = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val r = 0.5 + rnd.nextDouble() * 40
+      val cover = Healpix.coneCells(order, ra0, dec0, r).toSet
+      assert(cover.nonEmpty)
+      // sample points inside the cap (rejection from its bounding zone)
+      var checked = 0
+      var tries = 0
+      while (checked < 300 && tries < 50000) {
+        tries += 1
+        val lat = dec0 + (rnd.nextDouble() * 2 - 1) * r
+        val lon = ra0 + (rnd.nextDouble() * 2 - 1) * math.min(180, 2 * r)
+        if (lat > -90 && lat < 90) {
+          val lonN = ((lon % 360) + 360) % 360
+          if (graft.functions.SphDist.sphdistDeg(lonN, lat, ra0, dec0) <= r) {
+            checked += 1
+            val pix = Healpix.ang2pixNestLonLat(order, lonN, lat)
+            assert(cover.contains(pix),
+              s"cap ($ra0, $dec0, $r) order $order: in-cap point ($lonN, $lat) in uncovered cell $pix")
+          }
+        }
+      }
+      assert(checked > 0, "cap sampling produced no in-cap points")
+    }
+  }
+
+  test("healpixConeSearch equals the plain cone search") {
+    val sky = spark.range(0, 5000).select(
+      (col("id") % 360).cast("double").as("ra"),
+      ((col("id") * 7 % 181) - 90).cast("double").as("dec"))
+    val viaCells = sky.filter(
+      graft.functions.Astro.healpixConeSearch(col("ra"), col("dec"), 2, 120.0, -30.0, 25.0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val plain = sky.filter(
+      graft.functions.Astro.coneSearch(col("ra"), col("dec"), 120.0, -30.0, 25.0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(viaCells == plain && plain.nonEmpty)
+    // and the cover really prunes: it is a small fraction of the sphere
+    val cover = Healpix.coneCells(2, 120.0, -30.0, 25.0)
+    assert(cover.length < (12L << 4) / 2, s"cover too large: ${cover.length}")
+  }
 }
