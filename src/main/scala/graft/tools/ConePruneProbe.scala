@@ -83,21 +83,44 @@ object ConePruneProbe {
     def zsky = spark.read.parquet(zdir)
     def zruled() = zsky.filter(SphDist.sphdist(col("ra"), col("dec"), lit(ra0), lit(dec0)) <= lit(radius))
 
-    sky.count(); zsky.count() // warm the file index + OS cache so arms compare fairly
+    // the same sky PARTITIONED by coarse healpix cell — the layout a
+    // 100 TB catalog actually uses; the cell-cover IN-set becomes a
+    // directory-level PartitionFilter (pruned partitions are never
+    // even listed, let alone read)
+    val cdir = "/tmp/graft_cone_sky_cells"
+    spark.read.parquet(dir)
+      .withColumn("cell", graft.functions.Healpix.ang2pix(3, col("ra"), col("dec")))
+      .repartition(64, col("cell")) // one task per cell group → one file per cell
+      .write.partitionBy("cell").mode("overwrite").parquet(cdir)
+    def csky = spark.read.parquet(cdir)
+    def cellRuled() = csky.filter(Astro.healpixConeSearchOnCell(
+      col("cell"), col("ra"), col("dec"), 3, ra0, dec0, radius))
+
+    def scanFiles(df: DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+      }.getOrElse(-1L)
+
+    sky.count(); zsky.count(); csky.count() // warm the file index + OS cache so arms compare fairly
     val p = run(plain)
     val d = run(ruled)
     spark.conf.set("spark.graft.cone.sargableRaBand", "true")
     val s = run(ruled)
     val z = run(zruled)
     spark.conf.unset("spark.graft.cone.sargableRaBand")
-    require(p._3 == d._3 && p._3 == s._3 && p._3 == z._3,
-      s"arms disagree: ${p._3} ${d._3} ${s._3} ${z._3}")
+    val c = run(cellRuled)
+    val cFiles = { val df = cellRuled(); df.queryExecution.executedPlan.execute().count(); scanFiles(df) }
+    val cover = graft.functions.Healpix.coneCells(3, ra0, dec0, radius)
+    require(p._3 == d._3 && p._3 == s._3 && p._3 == z._3 && p._3 == c._3,
+      s"arms disagree: ${p._3} ${d._3} ${s._3} ${z._3} ${c._3}")
 
     println(f"rows=$n%d radius=$radius%.2f matches=${p._3}%d")
     println(f"plain     ${p._1}%7.2f s  scan_rows=${p._2}%d")
     println(f"default   ${d._1}%7.2f s  scan_rows=${d._2}%d  (dec band pruned ${100.0 * (p._2 - d._2) / math.max(p._2, 1)}%.1f%%)")
     println(f"sargable  ${s._1}%7.2f s  scan_rows=${s._2}%d  (dec+RA pruned ${100.0 * (p._2 - s._2) / math.max(p._2, 1)}%.1f%%)")
     println(f"zorder    ${z._1}%7.2f s  scan_rows=${z._2}%d  (z-order layout + both bands pruned ${100.0 * (p._2 - z._2) / math.max(p._2, 1)}%.1f%%)")
+    println(f"cellpart  ${c._1}%7.2f s  scan_rows=${c._2}%d  files_read=$cFiles%d of 768 dirs (cover=${cover.length}%d cells; partition pruning, pruned dirs never listed)")
     spark.stop()
   }
 }
