@@ -149,6 +149,8 @@ object Scale {
                          Seq("train" -> 80, "val" -> 90, "test" -> 100)): DataFrame = {
     require(cuts.nonEmpty && cuts.last._2 == 100, "last cut must close at 100")
     require(cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must be cumulative")
+    require(!df.columns.map(_.toLowerCase).contains("split"),
+      "input already has a 'split' column — rename it before splitting")
     val comp = Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
     val bucket = md5Key(col("component"), 6) % 100
     val split = cuts.init.foldRight(lit(cuts.last._1): Column) {

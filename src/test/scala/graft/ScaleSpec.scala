@@ -196,6 +196,9 @@ class ScaleSpec extends SparkSpec {
       Scale.leakageSafeSplit(docs, "id", none, cuts = Seq("train" -> 80)))
     intercept[IllegalArgumentException](
       Scale.leakageSafeSplit(docs, "id", none, cuts = Seq("a" -> 90, "b" -> 80, "c" -> 100)))
+    // refuses to clobber an existing split column
+    intercept[IllegalArgumentException](
+      Scale.leakageSafeSplit(docs.withColumn("split", lit("x")), "id", none))
   }
 }
 
