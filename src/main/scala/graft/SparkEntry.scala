@@ -1307,6 +1307,15 @@ object SparkEntry {
                FROM q107_sky WHERE sphdist(ra, dec, 10.0, 20.0) <= 33.7""")
     }),
 
+    // kNN graph (top-k neighbors per vector — the input to graph-based
+    // curation).  Driver slot uses the EXACT twin so the oracle is a
+    // plain self-join + window; the LSH-bucketed production path is
+    // recall- and plan-gated in SimilaritySpec.
+    "q110_knn_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      Similarity.knnGraphExact(e, "vec_id", "embedding", k = 5)
+    }),
+
     // Cone search through a HEALPix cell cover (the Q3C/LSST sky-
     // partition pattern): guaranteed-superset IN-set of coarse cells +
     // the exact haversine residual.  The oracle is the PLAIN haversine
@@ -1589,6 +1598,18 @@ object SparkEntry {
          |CAST((l_partkey % 181) - 90 AS DOUBLE) AS dec FROM lineitem)
          |SELECT l_orderkey, l_partkey, ra, dec, round($sphdist107Sql, 6) AS sep
          |FROM c WHERE $sphdist107Sql <= 33.7""".stripMargin.replace("\n", " "),
+
+    // knn-graph mirror: all-pairs cosine + per-source window top-5,
+    // ranked by the rounded similarity with dst as the tiebreak
+    "q110_knn_graph" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |FROM embeddings WHERE vec_id < 1000),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT src, dst, cos_sim,
+        |row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn FROM p)
+        |SELECT src, dst, cos_sim FROM r WHERE rn <= 5""".stripMargin.replace("\n", " "),
 
     // healpix-cone mirror: the PLAIN haversine — the cell cover must
     // be invisible in the result

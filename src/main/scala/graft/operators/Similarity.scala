@@ -230,6 +230,38 @@ object Similarity {
       .filter(col("cos_sim") >= threshold && !isnan(col("cos_sim")))
   }
 
+  /** Approximate k-nearest-neighbor GRAPH: for every vector, its k
+    * most-similar OTHER vectors — the input to graph-based curation
+    * (SemDeDup-style cluster pruning, connectivity analysis, kNN
+    * classifiers over corpus slices).  Candidate pairs come from the
+    * OR-amplified LSH tables ([[lshPairs]] — bucketed, never all
+    * pairs), exact cosine ranks within the candidate set, and the
+    * per-source top-k runs on the custom TopKPerKey operator, so each
+    * task forwards at most k rows per source BELOW the shuffle — the
+    * window-function formulation would shuffle and sort every
+    * candidate edge.  Approximate by construction: a true neighbor
+    * sharing no bucket in any table is missed (recall is spec-pinned
+    * on the fixture corpus); [[knnGraphExact]] is the O(n²) oracle
+    * twin.  Output (src, dst, cos_sim), ties broken by dst. */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               planes: Int = 0, tables: Int = 2): DataFrame =
+    knnFromPairs(lshPairs(corpus, idCol, vecCol, planes, tables), k)
+
+  /** Exact kNN graph — brute-force twin of [[knnGraph]] for oracles
+    * and small corpora (same broadcast nested-loop scope caveat as
+    * [[exactPairs]]). */
+  def knnGraphExact(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    knnFromPairs(exactPairs(corpus, idCol, vecCol, threshold = -1.0), k)
+
+  private def knnFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // undirected candidate pairs -> directed edges (both orientations)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos_sim"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos_sim")))
+    graft.plans.TopK.perKeyOrdered(edges, Seq("src"),
+      Seq("cos_sim" -> true, "dst" -> false), k)
+  }
+
   /** L2-normalize a vector column in place (zero vectors stay zero
     * rather than dividing to NaN) — cosine against normalized vectors
     * reduces to the cheaper dot product.  DataFrame-level on purpose:

@@ -1180,6 +1180,41 @@ class SimilaritySpec extends SparkSpec {
     val p2 = Similarity.lshPairs(allNull, "vec_id", "embedding")
     assert(p2.count() == 0 && p2.schema == p.schema)
   }
+
+  test("knnGraphExact: per-source count bound, self-free, window-formulation parity") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val g = Similarity.knnGraphExact(e, "vec_id", "embedding", k = 3)
+    val rows = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.groupBy(_._1).forall(_._2.length <= 3))
+    assert(rows.forall { case (s, d, _) => s != d }, "self edge in kNN graph")
+    // ground truth via the window formulation on the same rounded sims
+    val pairs = Similarity.exactPairs(e, "vec_id", "embedding", threshold = -1.0)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos_sim"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos_sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst").asc)
+    val expected = edges.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("src", "dst", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.sorted.toSeq == expected.sorted.toSeq)
+  }
+
+  test("knnGraph (LSH-bucketed): bounded per source, useful recall, no cartesian") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 500)
+    val approx = Similarity.knnGraph(e, "vec_id", "embedding", k = 5, tables = 4)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"per-key top-k not on the custom operator:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "approximate path fell back to all-pairs")
+    val a = approx.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.collect().map(r => r.getLong(0)).groupBy(identity).forall(_._2.length <= 5))
+    val exact = Similarity.knnGraphExact(e, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = a.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.25, s"kNN recall $recall collapsed (|approx|=${a.size}, |exact|=${exact.size})")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
