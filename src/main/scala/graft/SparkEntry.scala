@@ -1316,6 +1316,14 @@ object SparkEntry {
       Similarity.knnGraphExact(e, "vec_id", "embedding", k = 5)
     }),
 
+    // Mutual-kNN refinement: keep an edge only when BOTH endpoints
+    // rank each other in their top-k — the symmetrization that strips
+    // hub-induced one-way edges before graph clustering.
+    "q111_mutual_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      Similarity.mutualKnn(Similarity.knnGraphExact(e, "vec_id", "embedding", k = 5))
+    }),
+
     // Cone search through a HEALPix cell cover (the Q3C/LSST sky-
     // partition pattern): guaranteed-superset IN-set of coarse cells +
     // the exact haversine residual.  The oracle is the PLAIN haversine
@@ -1598,6 +1606,21 @@ object SparkEntry {
          |CAST((l_partkey % 181) - 90 AS DOUBLE) AS dec FROM lineitem)
          |SELECT l_orderkey, l_partkey, ra, dec, round($sphdist107Sql, 6) AS sep
          |FROM c WHERE $sphdist107Sql <= 33.7""".stripMargin.replace("\n", " "),
+
+    // mutual-knn mirror: the top-5 window ranking from both sides,
+    // kept only where the edge is reciprocal, reported once (src < dst)
+    "q111_mutual_knn" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |FROM embeddings WHERE vec_id < 1000),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT src, dst, cos_sim,
+        |row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn FROM p),
+        |k AS (SELECT src, dst, cos_sim FROM r WHERE rn <= 5)
+        |SELECT f.src AS src, f.dst AS dst, f.cos_sim AS cos_sim
+        |FROM k f JOIN k b ON f.src = b.dst AND f.dst = b.src
+        |WHERE f.src < f.dst""".stripMargin.replace("\n", " "),
 
     // knn-graph mirror: all-pairs cosine + per-source window top-5,
     // ranked by the rounded similarity with dst as the tiebreak

@@ -262,6 +262,21 @@ object Similarity {
       Seq("cos_sim" -> true, "dst" -> false), k)
   }
 
+  /** Mutual-kNN filter over a kNN-graph frame ([[knnGraph]] /
+    * [[knnGraphExact]] output): keep (src, dst) only when dst also
+    * lists src among ITS top-k — the standard symmetrization that
+    * strips hub-induced one-way edges before graph clustering
+    * (mutual edges ⊂ kNN edges, so components over them are tighter).
+    * One self-join of the already-k-bounded edge frame; output keeps
+    * src < dst once per mutual pair. */
+  def mutualKnn(knn: DataFrame): DataFrame = {
+    val e = knn.select(col("src"), col("dst"), col("cos_sim"))
+    e.alias("f").join(e.select(col("src").as("r_dst"), col("dst").as("r_src")).alias("r"),
+        col("f.src") === col("r.r_src") && col("f.dst") === col("r.r_dst"))
+      .filter(col("f.src") < col("f.dst"))
+      .select(col("f.src").as("src"), col("f.dst").as("dst"), col("f.cos_sim").as("cos_sim"))
+  }
+
   /** L2-normalize a vector column in place (zero vectors stay zero
     * rather than dividing to NaN) — cosine against normalized vectors
     * reduces to the cheaper dot product.  DataFrame-level on purpose:

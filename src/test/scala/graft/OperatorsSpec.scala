@@ -1215,6 +1215,20 @@ class SimilaritySpec extends SparkSpec {
     val recall = a.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.25, s"kNN recall $recall collapsed (|approx|=${a.size}, |exact|=${exact.size})")
   }
+
+  test("mutualKnn keeps exactly the reciprocal edges, once each") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val knn = Similarity.knnGraphExact(e, "vec_id", "embedding", k = 3)
+    val directed = knn.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = Similarity.mutualKnn(knn).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = directed.filter { case (s, d) => s < d && directed.contains((d, s)) }
+    assert(mutual == expected && mutual.nonEmpty)
+    assert(mutual.forall { case (s, d) => s < d }, "mutual edges must be reported once")
+    // mutual ⊂ kNN: the refinement can only remove
+    assert(mutual.forall { case (s, d) => directed.contains((s, d)) })
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
