@@ -39,6 +39,7 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "join") { joinCorpus(spark, src, out, n); spark.stop(); return }
+    if (mode == "ann") { annCorpus(spark, src, out, n); spark.stop(); return }
     val d = spark.read.parquet(s"$src/documents.parquet")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val copies = (0 until n).map { i =>
@@ -58,6 +59,45 @@ object ScaleRehearsal {
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     println(s"wrote ${n}x documents ($mode) to $out")
     spark.stop()
+  }
+
+  /** ANN-family rehearsal: N× embeddings where copy i's vectors are
+    * cyclically coordinate-shifted by i — an orthogonal transform, so
+    * every intra-copy cosine (and thus each copy's kNN structure) is
+    * EXACTLY the original's, while cross-copy similarities decorrelate:
+    * "N× the neighborhoods, same shape".  Then times
+    * [[graft.operators.Similarity.knnGraph]] at 1× and N× (min-of-2,
+    * fresh plan per run).  The scale mechanism under test is
+    * plane auto-resolution: buckets grow with the corpus count, so
+    * per-bucket occupancy — the quadratic term — stays constant and
+    * the end-to-end cost scales ~linearly. */
+  private def annCorpus(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    val e = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = e.selectExpr("size(embedding)").limit(1).collect().head.getInt(0)
+    val copies = (0 until n).map { i =>
+      val sh = i % dim
+      val shifted =
+        if (sh == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${sh + 1}, ${dim - sh}), slice(embedding, 1, $sh))")
+      e.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+        .withColumn("embedding", shifted)
+    }
+    copies.reduce(_ unionByName _).repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    println(s"wrote ${n}x embeddings (cyclic-shift copies) to $out")
+    def time(path: String): Double = {
+      def once(): Double = {
+        val c = spark.read.parquet(path)
+        val t0 = System.nanoTime
+        graft.operators.Similarity.knnGraph(c, "vec_id", "embedding", k = 5, tables = 2)
+          .queryExecution.executedPlan.execute().count()
+        (System.nanoTime - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val t1 = time(s"$src/embeddings.parquet")
+    val tn = time(s"$out/embeddings.parquet")
+    println(f"knnGraph k=5: 1x $t1%.2f s, ${n}x $tn%.2f s — ratio ${tn / t1}%.2f at ${n}x data")
   }
 
   /** Join-family rehearsal corpus: dims verbatim, facts N× with a hot

@@ -144,6 +144,24 @@ class ConeRuleSpec extends SparkSpec {
     assert(math.abs(v - 90.0) < 1e-9)
   }
 
+  test("random cones: parity rule-on vs brute in both RA-guard modes") {
+    val rnd = new scala.util.Random(19)
+    (1 to 25).foreach { i =>
+      val ra0 = rnd.nextDouble() * 360
+      val dec0 = rnd.nextDouble() * 180 - 90
+      val r = 0.5 + rnd.nextDouble() * 80
+      val sargable = i % 2 == 0 // data IS [0, 360), so the flag is sound here
+      withSQLConf("spark.graft.cone.sargableRaBand" -> sargable.toString) {
+        val ruled = sky.filter(
+          SphDist.sphdist(col("ra"), col("dec"), lit(ra0), lit(dec0)) <= lit(r)).count()
+        val brute = sky.filter(
+          Astro.sphdist(col("ra"), col("dec"), lit(ra0), lit(dec0)) <= lit(r)).count()
+        assert(ruled == brute,
+          s"cone ($ra0, $dec0, $r) sargable=$sargable: $ruled vs $brute")
+      }
+    }
+  }
+
   test("GraftExtensions bundle registers the rule") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

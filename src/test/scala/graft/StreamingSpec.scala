@@ -336,6 +336,19 @@ class HealpixSpec extends SparkSpec {
     }
   }
 
+  test("pix2ang round-trips on random cells at fine orders 6-12") {
+    val rnd = new scala.util.Random(23)
+    (6 to 12).foreach { order =>
+      val npix = 12L << (2 * order)
+      (1 to 3000).foreach { _ =>
+        val pix = (rnd.nextDouble() * npix).toLong.min(npix - 1)
+        val (lon, lat) = Healpix.pix2angNestLonLat(order, pix)
+        assert(Healpix.ang2pixNestLonLat(order, lon, lat) == pix,
+          s"round-trip failed at order $order pix $pix ($lon, $lat)")
+      }
+    }
+  }
+
   test("maxPixRad bounds the center distance of every point of a cell") {
     val rnd = new scala.util.Random(7)
     (2 to 6).foreach { order =>
