@@ -1316,6 +1316,18 @@ object SparkEntry {
       Similarity.knnGraphExact(e, "vec_id", "embedding", k = 5)
     }),
 
+    // Budget-aware temperature mixing, MATERIALIZED: per-source token
+    // mass ^ alpha -> budget share -> deterministic md5 keep filter
+    // (q83 computes the weights; this actually selects the corpus).
+    "q112_budget_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      operators.Scale.mixSample(d, col("doc_id"), col("source"), col("n_chars"),
+          alpha = 0.5, budgetTokens = 2000000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
     // Mutual-kNN refinement: keep an edge only when BOTH endpoints
     // rank each other in their top-k — the symmetrization that strips
     // hub-induced one-way edges before graph clustering.
@@ -1606,6 +1618,22 @@ object SparkEntry {
          |CAST((l_partkey % 181) - 90 AS DOUBLE) AS dec FROM lineitem)
          |SELECT l_orderkey, l_partkey, ra, dec, round($sphdist107Sql, 6) AS sep
          |FROM c WHERE $sphdist107Sql <= 33.7""".stripMargin.replace("\n", " "),
+
+    // budget-mix mirror: identical mass^alpha share, rounded keep
+    // probability, and the shared md5-permille membership contract
+    "q112_budget_mix" ->
+      """WITH s AS (SELECT source, sum(CAST(n_chars AS DOUBLE)) AS tok
+        |FROM documents GROUP BY source),
+        |w AS (SELECT source, pow(tok, 0.5) AS p, tok FROM s),
+        |t AS (SELECT sum(p) AS ptot FROM w),
+        |k AS (SELECT source, round(least(1.0, 2000000.0 * (p / ptot) / tok), 6) AS keep
+        |FROM w, t),
+        |f AS (SELECT d.source AS source, d.n_chars FROM documents d
+        |JOIN k ON d.source = k.source
+        |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 1000)::DOUBLE
+        |< keep * 1000.0)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM f GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "),
 
     // mutual-knn mirror: the top-5 window ranking from both sides,
     // kept only where the edge is reciprocal, reported once (src < dst)

@@ -211,6 +211,44 @@ object Scale {
       .select(col("source"), col("n_docs"), round(col("p") / col("ptot"), 6).as("weight"))
   }
 
+  /** Materialize a temperature-mixed corpus under a TOKEN budget: the
+    * step after [[mixtureWeights]] — actually select the rows.  Each
+    * source's token mass is raised to `alpha` and normalized (mass-
+    * weighted, where mixtureWeights is count-weighted: budgets are
+    * spent in tokens, not documents), its share of `budgetTokens`
+    * becomes a per-source keep probability (capped at 1 — a source
+    * can't contribute more than it has), and membership is the
+    * engine-wide deterministic md5 contract ([[sampleByWeight]]): no
+    * RNG, per-row stable under reruns, executor counts, and corpus
+    * growth.
+    *
+    * Expected sampled token mass ≈ min over sources of their budget
+    * share — exact only in expectation (hash sampling is per-row);
+    * callers needing a hard cap compose with [[capPerKey]] or
+    * [[graft.operators.Packing]].
+    *
+    * Scale shape: one ~|sources|-row aggregate, a broadcast of that
+    * tiny stats frame onto the corpus scan, then a pure filter —
+    * nothing else moves. */
+  def mixSample(df: DataFrame, id: Column, source: Column, tokens: Column,
+                alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val D = org.apache.spark.sql.types.DoubleType
+    val stats = df.groupBy(source.as("__mix_src"))
+      .agg(sum(tokens.cast(D)).as("__mix_tok"))
+      .withColumn("__mix_p", pow(col("__mix_tok"), lit(alpha)))
+    val tot = stats.agg(sum(col("__mix_p")).as("__mix_ptot"))
+    val keep = stats.crossJoin(broadcast(tot))
+      .select(col("__mix_src"),
+        round(least(lit(1.0),
+          lit(budgetTokens.toDouble) * (col("__mix_p") / col("__mix_ptot")) / col("__mix_tok")), 6)
+          .as("__mix_keep"))
+    df.join(broadcast(keep), source === col("__mix_src"))
+      .filter(hashBucket(id).cast(D) < col("__mix_keep") * 1000.0)
+      .drop("__mix_src", "__mix_keep")
+  }
+
   /** Write a table bucketed+sorted by join keys so subsequent equi
     * joins on those keys are exchange-free (co-located).  Bucket count
     * should match the expected parallelism of the join at target

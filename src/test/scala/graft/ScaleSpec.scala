@@ -189,6 +189,36 @@ class ScaleSpec extends SparkSpec {
     assert(again == m)
   }
 
+  test("mixSample: budget shares land, caps at the source mass, stable membership") {
+    val df = (Seq.fill(900)("en") ++ Seq.fill(90)("de") ++ Seq.fill(10)("fr"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s, 100L) }.toDF("id", "src", "tok")
+    // masses: en 90k, de 9k, fr 1k; alpha .5 -> p 300/94.87/31.62, ptot 426.5
+    val out = Scale.mixSample(df, col("id"), col("src"), col("tok"), 0.5, budgetTokens = 20000L)
+    val got = out.groupBy("src").agg(sum("tok").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected kept mass per source = min(mass, budget * share)
+    val mass = Map("en" -> 90000.0, "de" -> 9000.0, "fr" -> 1000.0)
+    val ptot = mass.values.map(math.sqrt).sum
+    mass.foreach { case (s, m) =>
+      val target = math.min(m, 20000.0 * math.sqrt(m) / ptot)
+      val tol = math.max(1200.0, target * 0.35) // binomial noise at 100-token grain
+      assert(math.abs(got.getOrElse(s, 0L).toDouble - target) < tol,
+        s"$s: kept ${got.getOrElse(s, 0L)} vs target $target")
+    }
+    // fr's share (20000*31.62/426.5 ~ 1483) exceeds its 1000 mass -> kept whole
+    assert(got("fr") == 1000L, s"capped source must be kept whole: ${got("fr")}")
+    // deterministic: same rows on re-evaluation, and membership uses the
+    // engine-wide md5 contract (a permille-p sample of a uniform source
+    // equals sampleByHash at that permille)
+    val again = Scale.mixSample(df, col("id"), col("src"), col("tok"), 0.5, 20000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException](
+      Scale.mixSample(df, col("id"), col("src"), col("tok"), 0.0, 100L))
+    intercept[IllegalArgumentException](
+      Scale.mixSample(df, col("id"), col("src"), col("tok"), 0.5, 0L))
+  }
+
   test("leakageSafeSplit: validates cut fences") {
     val docs = spark.range(0, 10).select(col("id"))
     val none = docs.limit(0).select(col("id").as("id_a"), col("id").as("id_b"))
