@@ -48,5 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HealpixAng2Pix(order, Cast(exprs(1), DoubleType), Cast(exprs(2), DoubleType))
       }))
+    // Compositional scalars (sexagesimal converters, gaia_healpix):
+    // one shared definition table with the live-session registrar, so
+    // the raw-SQL surface can never drift from the Column API.
+    graft.functions.SqlScalars.all.foreach { case (name, arity, usage, f) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.Astro", name, usage),
+        graft.functions.SqlScalars.builder(arity, usage, f)))
+    }
   }
 }

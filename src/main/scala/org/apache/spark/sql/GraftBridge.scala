@@ -19,6 +19,15 @@ object GraftBridge {
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].logicalPlan
 
+  /** Convert a composed Column to a REAL catalyst tree (not the
+    * lazy ColumnNodeExpression wrapper `expression` returns, which
+    * only the Dataset API paths resolve).  Function-registry builders
+    * need this: their output is spliced into the plan during analysis,
+    * so it must be a plain expression tree the analyzer can finish
+    * resolving. */
+  def catalystExpression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** The optimizer rules an extensions bundle would install
     * (`buildOptimizerRules` is private[sql]) — lets a spec assert
     * registration without tearing down the shared test session. */

@@ -167,4 +167,31 @@ class ConeRuleSpec extends SparkSpec {
     new GraftExtensions().apply(ext)
     assert(GraftBridge.installedOptimizerRules(ext, spark).exists(_ eq ConeZonePushdown))
   }
+
+  test("SQL-text scalars match the Column API value for value") {
+    graft.functions.SqlScalars.register(spark)
+    val df = spark.range(1, 50).select(
+      ((col("id") * 7.31) % 360 - 90).as("deg"),
+      (col("id") * 34359738368L * 16).as("source_id"))
+    df.createOrReplaceTempView("sql_scalar_probe")
+    val viaSql = sql("""SELECT deg2hms(deg) AS h, deg2dms(deg) AS d,
+                        hms2deg(deg2hms(deg)) AS hh, dms2deg(deg2dms(deg)) AS dd,
+                        gaia_healpix(source_id, 5) AS g
+                        FROM sql_scalar_probe""").collect()
+    val viaCol = df.select(
+      Astro.deg2hms(col("deg")).as("h"), Astro.deg2dms(col("deg")).as("d"),
+      Astro.hms2deg(Astro.deg2hms(col("deg"))).as("hh"),
+      Astro.dms2deg(Astro.deg2dms(col("deg"))).as("dd"),
+      Astro.gaiaHealpix(col("source_id"), 5).as("g")).collect()
+    viaSql.zip(viaCol).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getString(1) == b.getString(1))
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-9)
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) < 1e-9)
+      assert(a.getLong(4) == b.getLong(4))
+    }
+    // non-literal level is a clear error, not silent misbehavior
+    val err = intercept[Exception](sql(
+      "SELECT gaia_healpix(source_id, CAST(deg AS INT)) FROM sql_scalar_probe").collect())
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
 }

@@ -344,6 +344,21 @@ class PlanSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.cbo.enabled", savedCbo)
   }
+  test("round-13 slots: mix broadcast-joins its stats; split and cone stay bounded") {
+    // q112 budget mix: the per-source keep frame rides a broadcast —
+    // the corpus never shuffles for the join
+    val mix = SparkEntry.queries("q112_budget_mix")(spark, sf)
+    val mixPlan = planOf(mix)
+    assert(mixPlan.contains("BroadcastHashJoin"), s"mix stats not broadcast:\n$mixPlan")
+    assert(!mixPlan.contains("CartesianProduct"), "mix plan degenerated to cartesian")
+    // q107/q109 cone slots: pure scan shapes, no exchange before filter
+    Seq("q107_cone_sql", "q109_healpix_cone").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("Exchange"), s"$q gained a shuffle:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$q degenerated:\n$plan")
+    }
+  }
 }
 
 class GroupedFnSpec extends SparkSpec {
@@ -407,5 +422,6 @@ class GroupedFnSpec extends SparkSpec {
       .select(VectorSim.cosine(col("a"), col("b"))).collect().head.getDouble(0)
     assert(z.isNaN)
   }
+
 
 }
