@@ -1316,6 +1316,15 @@ object SparkEntry {
       Similarity.knnGraphExact(e, "vec_id", "embedding", k = 5)
     }),
 
+    // Curriculum ordering: quality-descending shards from exact rank
+    // fences (shard 0 = top scores), md5-tiebroken rank within shard —
+    // the deterministic easy->hard read order.
+    "q113_curriculum" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      operators.Scale.curriculumOrder(d, col("doc_id"), col("n_chars"), shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     // Budget-aware temperature mixing, MATERIALIZED: per-source token
     // mass ^ alpha -> budget share -> deterministic md5 keep filter
     // (q83 computes the weights; this actually selects the corpus).
@@ -1618,6 +1627,23 @@ object SparkEntry {
          |CAST((l_partkey % 181) - 90 AS DOUBLE) AS dec FROM lineitem)
          |SELECT l_orderkey, l_partkey, ra, dec, round($sphdist107Sql, 6) AS sep
          |FROM c WHERE $sphdist107Sql <= 33.7""".stripMargin.replace("\n", " "),
+
+    // curriculum mirror: same exact-rank fences (smallest value whose
+    // cumulative count reaches ceil(s*n/shards)), same md5 tiebreak
+    "q113_curriculum" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |c AS (SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS k FROM documents GROUP BY 1),
+        |cc AS (SELECT v, sum(k) OVER (ORDER BY v) AS cum FROM c),
+        |f AS (SELECT s.s AS s,
+        |(SELECT min(v) FROM cc WHERE cum >= (SELECT ceil(s.s * n / 8.0) FROM nn)) AS fence
+        |FROM (SELECT unnest(range(1, 8)) AS s) s),
+        |b AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v,
+        |7 - (SELECT count(*) FROM f WHERE f.fence <= CAST(d.n_chars AS DOUBLE)) AS shard
+        |FROM documents d)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |CAST(row_number() OVER (PARTITION BY shard ORDER BY v DESC,
+        |('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT, doc_id) AS BIGINT) AS pos
+        |FROM b""".stripMargin.replace("\n", " "),
 
     // budget-mix mirror: identical mass^alpha share, rounded keep
     // probability, and the shared md5-permille membership contract

@@ -249,6 +249,60 @@ object Scale {
       .drop("__mix_src", "__mix_keep")
   }
 
+  /** Deterministic CURRICULUM ordering: the quality-descending twin of
+    * [[deterministicShuffle]] — shard 0 holds the top-score slice, the
+    * last shard the lowest, and `pos` ranks quality-descending inside
+    * each shard (ties broken by the engine-wide md5 key, then the id).
+    * Reading shards in order visits the corpus highest-quality-first —
+    * the easy→hard (or clean→noisy annealing) schedule.
+    *
+    * Shard fences are EXACT rank thresholds: fence s = the smallest
+    * score with cumulative count ≥ ⌈s·n/shards⌉, computed from a
+    * map-side-combined value histogram folded on the driver — the same
+    * bounded-domain contract as [[Quantiles.exact]]'s integral path
+    * (doc lengths / quantized quality scores have thousands of
+    * distinct values at any corpus size; an unbounded-domain score
+    * must be quantized first, enforced by a limit probe).  Fences
+    * become literals in a codegen'd bucket expression, so sharding
+    * adds NO join and no shuffle; the only exchange is the hash
+    * partition on `shard` under the per-shard rank window.  Tied
+    * scores stay in one shard (fence splitting would be
+    * nondeterministic); shard populations are equal only up to ties.
+    *
+    * @return input rows + (shard ∈ [0, shards), pos ∈ 1..) */
+  def curriculumOrder(df: DataFrame, id: Column, score: Column, shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "input already has a shard/pos column — rename it before ordering")
+    val D = org.apache.spark.sql.types.DoubleType
+    val v = score.cast(D)
+    val maxDistinct = 1 << 20
+    val hist = df.select(v.as("v")).where(col("v").isNotNull && !isnan(col("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("k"))
+      .limit(maxDistinct + 1).collect()
+    require(hist.length <= maxDistinct,
+      s"curriculumOrder needs a bounded score domain (≤ $maxDistinct distinct); quantize first")
+    val byValue = hist.map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    val n = byValue.iterator.map(_._2).sum
+    val cum = byValue.map(_._2).scanLeft(0L)(_ + _).tail
+    def fenceAt(target: Long): Double = { // smallest value with cum >= target
+      var lo = 0; var hi = byValue.length - 1
+      while (lo < hi) { val mid = (lo + hi) >>> 1; if (cum(mid) >= target) hi = mid else lo = mid + 1 }
+      byValue(lo)._1
+    }
+    val fences =
+      if (n == 0) Seq.empty[Double]
+      else (1 until shards).map(s => fenceAt(math.ceil(s.toDouble * n / shards).toLong))
+    val below = fences.foldLeft(lit(0)) { (acc, f) =>
+      acc + when(v >= lit(f), 1).otherwise(0)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(v.desc, md5Key(id, 12).asc, id.asc)
+    df.withColumn("shard", (lit(shards - 1) - below).cast(org.apache.spark.sql.types.LongType))
+      .withColumn("pos", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+  }
+
   /** Write a table bucketed+sorted by join keys so subsequent equi
     * joins on those keys are exchange-free (co-located).  Bucket count
     * should match the expected parallelism of the join at target

@@ -219,6 +219,36 @@ class ScaleSpec extends SparkSpec {
       Scale.mixSample(df, col("id"), col("src"), col("tok"), 0.5, 0L))
   }
 
+  test("curriculumOrder: descending shards, dense ranks, ties stay together, stable") {
+    val df = spark.range(0, 1000).select(col("id"), (col("id") % 97).cast("long").as("score"))
+    val out = Scale.curriculumOrder(df, col("id"), col("score"), shards = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 1000)
+    val byShard = rows.groupBy(_._3)
+    assert(byShard.keySet == Set(0L, 1L, 2L, 3L), s"shards: ${byShard.keySet}")
+    // curriculum direction: every score in shard s >= every score in shard s+1
+    (0 to 2).foreach { s =>
+      val lo = byShard(s.toLong).map(_._2).min
+      val hi = byShard(s + 1L).map(_._2).max
+      assert(lo >= hi, s"shard $s min $lo < shard ${s + 1} max $hi")
+    }
+    // tied scores never straddle shards
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).distinct.length == 1, s"tie split across shards: $g")
+    }
+    // dense 1..count ranks per shard
+    byShard.values.foreach { g =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length).map(_.toLong))
+    }
+    // deterministic under physical layout
+    val again = Scale.curriculumOrder(df.repartition(13), col("id"), col("score"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(rows.map(r => r._1 -> r._4).toMap == again)
+    intercept[IllegalArgumentException](Scale.curriculumOrder(df, col("id"), col("score"), 0))
+    intercept[IllegalArgumentException](
+      Scale.curriculumOrder(df.withColumn("shard", lit(1L)), col("id"), col("score"), 4))
+  }
+
   test("leakageSafeSplit: validates cut fences") {
     val docs = spark.range(0, 10).select(col("id"))
     val none = docs.limit(0).select(col("id").as("id_a"), col("id").as("id_b"))
