@@ -171,7 +171,8 @@ object Similarity {
     * quadratic intra-bucket expansion — stays bounded when the corpus
     * grows; pass a positive value to pin the geometry. */
   def lshPairs(corpus: DataFrame, idCol: String, vecCol: String,
-               planes: Int = 0, tables: Int = 2, corpusCount: Long = -1L): DataFrame = {
+               planes: Int = 0, tables: Int = 2, corpusCount: Long = -1L,
+               maxBucket: Int = 0): DataFrame = {
     // empty / all-null corpus: no row to probe dimensionality from —
     // return an empty pair frame (with the REAL id dtype) instead of
     // throwing at plan-build time
@@ -181,8 +182,22 @@ object Similarity {
     val perTable = (0 until tables).map { tbl =>
       // identical projections on both sides -> the signature shuffle
       // canonicalizes equal and is computed once per table
-      val sig = v.select(col("vid"), col("v"),
+      val sigAll = v.select(col("vid"), col("v"),
         lshSignature(col("v"), nPlanes, dim, seed = 42 + tbl).as("sig"))
+      // optional bucket cap: plane auto-resolution bounds the EXPECTED
+      // occupancy, but a mass of identical/near-identical vectors
+      // shares one signature at any plane count and squares in the
+      // self-join — same quadratic, same mitigation as the text
+      // banding's capBuckets (Dedup.scala): drop oversized buckets
+      // before the join; the count groups on the join key, adding no
+      // new exchange shape
+      val sig =
+        if (maxBucket <= 0) sigAll
+        else {
+          val small = sigAll.groupBy(col("sig")).agg(count(lit(1)).as("_bn"))
+            .filter(col("_bn") <= maxBucket).select(col("sig"))
+          sigAll.join(small, Seq("sig"), "left_semi")
+        }
       sig.alias("a").join(sig.alias("b"), Seq("sig"))
         .filter(col("a.vid") < col("b.vid"))
         .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
@@ -244,8 +259,8 @@ object Similarity {
     * on the fixture corpus); [[knnGraphExact]] is the O(n²) oracle
     * twin.  Output (src, dst, cos_sim), ties broken by dst. */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-               planes: Int = 0, tables: Int = 2): DataFrame =
-    knnFromPairs(lshPairs(corpus, idCol, vecCol, planes, tables), k)
+               planes: Int = 0, tables: Int = 2, maxBucket: Int = 0): DataFrame =
+    knnFromPairs(lshPairs(corpus, idCol, vecCol, planes, tables, maxBucket = maxBucket), k)
 
   /** Exact kNN graph — brute-force twin of [[knnGraph]] for oracles
     * and small corpora (same broadcast nested-loop scope caveat as

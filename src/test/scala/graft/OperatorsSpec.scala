@@ -1216,6 +1216,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"kNN recall $recall collapsed (|approx|=${a.size}, |exact|=${exact.size})")
   }
 
+  test("lshPairs maxBucket drops degenerate buckets, leaves normal ones intact") {
+    import spark.implicits._
+    // 60 identical vectors (one signature in every table) + 6 spread ones
+    val clones = (0L until 60L).map(i => (i, Array(1.0f, 0.0f, 0.0f)))
+    val spread = (100L until 106L).map(i =>
+      (i, Array(math.cos(i).toFloat, math.sin(i).toFloat, 0.3f)))
+    val df = (clones ++ spread).toDF("vec_id", "embedding")
+    val capped = Similarity.lshPairs(df, "vec_id", "embedding", planes = 4, maxBucket = 10)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the 60-clone bucket (population 60 > 10) must be gone: no clone-clone pair
+    assert(!pairs.exists { case (a, b) => a < 60 && b < 60 },
+      s"degenerate bucket survived the cap: ${pairs.take(5).mkString(",")}")
+    // uncapped finds the clone pairs (the quadratic the cap avoids)
+    val uncapped = Similarity.lshPairs(df, "vec_id", "embedding", planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.count { case (a, b) => a < 60 && b < 60 } == 60 * 59 / 2)
+  }
+
   test("mutualKnn keeps exactly the reciprocal edges, once each") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter(col("vec_id") < 200)
