@@ -358,6 +358,15 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
         s"$q degenerated:\n$plan")
     }
+    // q113 curriculum: fences are literals (no fence join), so the
+    // only exchange is the hash partition on `shard` under the rank
+    // window — never a global range sort
+    val cur = SparkEntry.queries("q113_curriculum")(spark, sf)
+    val curPlan = planOf(cur)
+    assert(curPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"curriculum must shuffle exactly once, on shard:\n$curPlan")
+    assert(!curPlan.contains("Exchange rangepartitioning") && !curPlan.contains("Join"),
+      s"curriculum gained a sort/join:\n$curPlan")
   }
 }
 
