@@ -21,7 +21,10 @@ object Astro {
     val dLon = radians(ra2 - ra1)
     val a = pow(sin(dLat / 2), 2) +
       cos(radians(dec1)) * cos(radians(dec2)) * pow(sin(dLon / 2), 2)
-    degrees(lit(2) * asin(sqrt(a)))
+    // clamp against the near-antipodal a > 1 rounding case (asin of
+    // 1 + ulp is NaN, and NaN orders above every double in Spark —
+    // see SphDist.sphdistDeg)
+    degrees(lit(2) * asin(least(lit(1.0), sqrt(a))))
   }
 
   /** Cone-search predicate: separation from (ra0, dec0) ≤ r degrees

@@ -31,7 +31,11 @@ object SphDist {
     val sLon = math.sin(dLon / 2)
     val a = sLat * sLat +
       math.cos(math.toRadians(dec1)) * math.cos(math.toRadians(dec2)) * sLon * sLon
-    math.toDegrees(2.0 * math.asin(math.sqrt(a)))
+    // near-antipodal points: rounding can push a (hence sqrt a) a ulp
+    // past 1, and asin(1 + ulp) is NaN — which Spark orders ABOVE every
+    // double, silently failing even a whole-sky `sep <= 180` predicate.
+    // Clamp; the exact-1 case is a true 180° separation.
+    math.toDegrees(2.0 * math.asin(math.min(1.0, math.sqrt(a))))
   }
 
   /** Column surface: identical values to [[Astro.sphdist]] but carried

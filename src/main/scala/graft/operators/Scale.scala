@@ -23,8 +23,17 @@ object Scale {
   def saltedAggregate(df: DataFrame, keys: Seq[Column], salt: Int,
                       partials: Seq[Column], merges: Seq[Column]): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    require(!df.columns.exists(_.equalsIgnoreCase("_salt")),
+      "input already has a _salt column — rename it first")
     val keyNames = df.select(keys: _*).columns.toSeq // output names of the key exprs
-    val salted = df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    // salt from a DETERMINISTIC row-content hash: a task retry must
+    // re-derive the same (key, salt) for every row, or rows recounted
+    // under a different salt double/drop in phase 2.  The previous
+    // monotonically_increasing_id form was row-order dependent —
+    // wrong under recomputation of a nondeterministically-ordered
+    // upstream.  Fully identical rows share a salt; the hot KEY still
+    // spreads because its rows differ in their other columns.
+    val salted = df.withColumn("_salt", pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong)))
     val phase1 = salted
       .groupBy(keys :+ col("_salt"): _*)
       .agg(partials.head, partials.tail: _*)
@@ -48,9 +57,17 @@ object Scale {
   def saltedJoin(facts: DataFrame, dims: DataFrame, key: String, salt: Int,
                  how: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
-    val f = facts.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
-    val d = dims.withColumn("_salt", explode(array((0 until salt).map(lit(_)): _*)))
+    // the dim side is REPLICATED per salt, so an unmatched dim row
+    // under right/full outer would surface `salt` times — same guard
+    // as Relational.saltedJoin
+    require(Set("inner", "left", "left_outer", "leftouter").contains(how.toLowerCase),
+      s"saltedJoin supports inner/left joins only (dim replication breaks right/full outer), got $how")
+    require(!facts.columns.exists(_.equalsIgnoreCase("_salt")) &&
+      !dims.columns.exists(_.equalsIgnoreCase("_salt")),
+      "input already has a _salt column — rename it first")
+    // deterministic content hash, not row order — see saltedAggregate
+    val f = facts.withColumn("_salt", pmod(xxhash64(facts.columns.map(col): _*), lit(salt.toLong)))
+    val d = dims.withColumn("_salt", explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     f.join(d, Seq(key, "_salt"), how).drop("_salt")
   }
 
@@ -87,7 +104,12 @@ object Scale {
     * (out-of-range scores behave as certain-keep / certain-drop, not
     * as an error at row 10⁹). */
   def sampleByWeight(df: DataFrame, id: Column, keepProb: Column): DataFrame = {
-    val p = greatest(lit(0.0), least(lit(1.0), keepProb.cast(org.apache.spark.sql.types.DoubleType)))
+    // null/NaN scores mean "quality unknown" — the conservative read
+    // is certain-drop, not certain-keep (least() would skip a null and
+    // order NaN largest, silently keeping every unscored row)
+    val pRaw = keepProb.cast(org.apache.spark.sql.types.DoubleType)
+    val pSafe = when(pRaw.isNull || isnan(pRaw), lit(0.0)).otherwise(pRaw)
+    val p = greatest(lit(0.0), least(lit(1.0), pSafe))
     df.filter(hashBucket(id).cast(org.apache.spark.sql.types.DoubleType) < p * 1000.0)
   }
 
@@ -101,6 +123,8 @@ object Scale {
     * exactly the skew a `row_number` window would suffer. */
   def capPerKey(df: DataFrame, key: String, id: Column, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    require(!df.columns.exists(c => c.equalsIgnoreCase("_cap_ord") || c.equalsIgnoreCase("_cap_id")),
+      "input already has a _cap_ord/_cap_id column — rename it first")
     val withOrd = df
       .withColumn("_cap_ord", md5Key(id, 12))
       .withColumn("_cap_id", id)
@@ -176,8 +200,11 @@ object Scale {
     require(shards >= 1 && shards <= (1 << 20), s"shards in [1, 2^20], got $shards")
     // `shard`/`pos` are the operator's OUTPUT contract — refuse to
     // silently clobber caller data rather than overwrite in place.
+    // caseless: withColumn resolves case-insensitively under the
+    // default spark.sql.caseSensitive=false, so a 'Shard' column would
+    // be silently clobbered by a case-sensitive check
     Seq("shard", "pos").foreach { c =>
-      require(!df.columns.contains(c),
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
         s"deterministicShuffle: input already has a '$c' column; rename it first " +
           "(shard/pos are this operator's output columns)")
     }
@@ -241,8 +268,12 @@ object Scale {
     val tot = stats.agg(sum(col("__mix_p")).as("__mix_ptot"))
     val keep = stats.crossJoin(broadcast(tot))
       .select(col("__mix_src"),
-        round(least(lit(1.0),
-          lit(budgetTokens.toDouble) * (col("__mix_p") / col("__mix_ptot")) / col("__mix_tok")), 6)
+        // a zero-/null-mass source has no tokens to spend budget on:
+        // keep 0, not the NaN->least->1.0 accident of 0/0
+        when(col("__mix_tok") > 0,
+          round(least(lit(1.0),
+            lit(budgetTokens.toDouble) * (col("__mix_p") / col("__mix_ptot")) / col("__mix_tok")), 6))
+          .otherwise(lit(0.0))
           .as("__mix_keep"))
     df.join(broadcast(keep), source === col("__mix_src"))
       .filter(hashBucket(id).cast(D) < col("__mix_keep") * 1000.0)
@@ -271,8 +302,9 @@ object Scale {
     *
     * @return input rows + (shard ∈ [0, shards), pos ∈ 1..) */
   def curriculumOrder(df: DataFrame, id: Column, score: Column, shards: Int): DataFrame = {
-    require(shards >= 1, s"shards must be >= 1, got $shards")
-    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+    require(shards >= 1 && shards <= 4096,
+      s"shards in [1, 4096] (fences embed as literals in one codegen expression), got $shards")
+    require(!df.columns.exists(c => c.equalsIgnoreCase("shard") || c.equalsIgnoreCase("pos")),
       "input already has a shard/pos column — rename it before ordering")
     val D = org.apache.spark.sql.types.DoubleType
     val v = score.cast(D)
@@ -296,10 +328,17 @@ object Scale {
     val below = fences.foldLeft(lit(0)) { (acc, f) =>
       acc + when(v >= lit(f), 1).otherwise(0)
     }
+    // null/NaN scores carry no quality evidence: route them to the
+    // LAST shard and rank them after every real score (NaN would
+    // otherwise compare greater than everything — shard 0, pos 1, the
+    // head of the curriculum)
+    val vOrd = when(!isnan(v), v) // NaN -> null, then nulls_last below
+    val shardCol = when(v.isNull || isnan(v), lit(shards - 1))
+      .otherwise(lit(shards - 1) - below)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
-      .orderBy(v.desc, md5Key(id, 12).asc, id.asc)
-    df.withColumn("shard", (lit(shards - 1) - below).cast(org.apache.spark.sql.types.LongType))
+      .orderBy(vOrd.desc_nulls_last, md5Key(id, 12).asc, id.asc)
+    df.withColumn("shard", shardCol.cast(org.apache.spark.sql.types.LongType))
       .withColumn("pos", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
   }
 
@@ -328,6 +367,14 @@ object Scale {
     // QueryExecution and leave this one un-finalized); count() ships
     // one long per partition, never rows
     df.queryExecution.toRdd.count()
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    // ANY shuffle exchange breaks the contract — hash, range,
+    // round-robin, or single-partition (the old hashpartitioning-only
+    // grep passed a sorted or repartitioned plan as "exchange-free").
+    // BroadcastExchange is not a shuffle and stays allowed.
+    // (ReusedExchange lines are skipped: if they reuse a shuffle, the
+    // original Exchange node appears elsewhere in the plan and is
+    // caught there)
+    !df.queryExecution.executedPlan.toString.linesIterator.exists(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
   }
 }

@@ -144,6 +144,25 @@ class ConeRuleSpec extends SparkSpec {
     assert(math.abs(v - 90.0) < 1e-9)
   }
 
+  test("near-antipodal points: ~180 deg, never NaN; whole-sky predicate keeps every row") {
+    // this exact pair pushed the haversine term a ulp past 1 before the
+    // clamp, making asin return NaN (review finding, verified)
+    val d = SphDist.sphdistDeg(85.85154731378853, 60.95418174294707,
+      265.85154730884375, -60.954181734055645)
+    assert(!d.isNaN && math.abs(d - 180.0) < 1e-6, s"antipodal distance: $d")
+    val row = spark.sql(
+      """SELECT 85.85154731378853 ra1, 60.95418174294707 dec1,
+                265.85154730884375 ra2, -60.954181734055645 dec2""")
+    val viaCol = row.select(Astro.sphdist(col("ra1"), col("dec1"), col("ra2"), col("dec2")))
+      .collect().head.getDouble(0)
+    assert(!viaCol.isNaN && math.abs(viaCol - 180.0) < 1e-6)
+    // a whole-sky cone must keep every (non-null) row
+    val nonNull = sky.na.drop().count()
+    val kept = sky.filter(
+      SphDist.sphdist(col("ra"), col("dec"), lit(123.0), lit(45.0)) <= lit(180.0)).count()
+    assert(kept == nonNull, s"whole-sky cone dropped rows: $kept of $nonNull")
+  }
+
   test("random cones: parity rule-on vs brute in both RA-guard modes") {
     val rnd = new scala.util.Random(19)
     (1 to 25).foreach { i =>

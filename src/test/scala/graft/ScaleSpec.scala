@@ -219,6 +219,50 @@ class ScaleSpec extends SparkSpec {
       Scale.mixSample(df, col("id"), col("src"), col("tok"), 0.5, 0L))
   }
 
+  test("review fixes: unscored rows drop, zero-mass sources keep nothing, outer salted join refused") {
+    // sampleByWeight: null/NaN score = quality unknown = certain-drop
+    val scored = spark.range(0, 100).select(col("id"),
+      when(col("id") < 50, lit(1.0)).otherwise(lit(null).cast("double")).as("p"))
+    val kept = Scale.sampleByWeight(scored, col("id"), col("p"))
+      .collect().map(_.getLong(0))
+    assert(kept.length == 50 && kept.forall(_ < 50), "null scores must drop, not keep")
+    val nanScored = scored.withColumn("p", when(col("id") < 50, lit(1.0))
+      .otherwise(lit(Double.NaN)))
+    assert(Scale.sampleByWeight(nanScored, col("id"), col("p")).count() == 50)
+    // mixSample: a zero-token source contributes nothing (0/0 must not
+    // become keep-everything)
+    val mix = Seq((1L, "a", 100L), (2L, "a", 100L), (3L, "z", 0L), (4L, "z", 0L))
+      .toDF("id", "src", "tok")
+    val sampled = Scale.mixSample(mix, col("id"), col("src"), col("tok"), 0.5, 100L)
+      .collect().map(r => r.getString(1))
+    assert(!sampled.contains("z"), "zero-mass source leaked through the budget")
+    // salted join: dim replication breaks right/full outer — refuse
+    val dims = Seq((1L, "x")).toDF("k", "label")
+    val facts = Seq((1L, 10L)).toDF("k", "v")
+    intercept[IllegalArgumentException](Scale.saltedJoin(facts, dims, "k", 4, how = "full"))
+    intercept[IllegalArgumentException](Scale.saltedJoin(facts, dims, "k", 4, how = "right"))
+    // caseless scratch guards
+    intercept[IllegalArgumentException](
+      Scale.deterministicShuffle(facts.withColumn("Shard", lit(1L)), col("k"), 4))
+    intercept[IllegalArgumentException](
+      Scale.capPerKey(facts.withColumn("_CAP_ORD", lit(1L)), "k", col("v"), 1))
+  }
+
+  test("curriculumOrder routes NaN/null scores to the last shard, ranked last") {
+    val df = spark.range(0, 100).select(col("id"),
+      when(col("id") < 90, col("id").cast("double"))
+        .when(col("id") < 95, lit(Double.NaN)).otherwise(lit(null).cast("double")).as("score"))
+    val out = Scale.curriculumOrder(df, col("id"), col("score"), shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val unscored = out.filter(_._1 >= 90)
+    assert(unscored.forall(_._2 == 3L), s"unscored rows must land in the last shard: ${unscored.toSeq}")
+    // and rank AFTER every real score in that shard
+    val lastShard = out.filter(_._2 == 3L).sortBy(_._3)
+    val (scoredPart, unscoredPart) = lastShard.partition(_._1 < 90)
+    assert(scoredPart.forall(s => unscoredPart.forall(u => s._3 < u._3)),
+      "unscored rows must rank after scored ones")
+  }
+
   test("curriculumOrder: descending shards, dense ranks, ties stay together, stable") {
     val df = spark.range(0, 1000).select(col("id"), (col("id") % 97).cast("long").as("score"))
     val out = Scale.curriculumOrder(df, col("id"), col("score"), shards = 4)
