@@ -2392,18 +2392,20 @@ object SparkEntry {
         |count(*) AS n, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY 1, 2, 3""".stripMargin.replace("\n", " "),
 
+    // mirror of the rounded-TOTAL-seconds decomposition (flooring the
+    // minutes before rounding the remainder could render ":60.00")
     "q41_deg2hms" ->
       """WITH c AS (SELECT l_orderkey, l_linenumber,
         |(CAST(l_orderkey % 24 AS DOUBLE) + CAST(l_partkey % 60 AS DOUBLE) / 60.0
         |+ CAST(l_suppkey % 60 AS DOUBLE) / 3600.0) * 15.0 AS deg FROM lineitem),
-        |m AS (SELECT l_orderkey, l_linenumber, deg, abs(deg) / 15.0 AS hours FROM c),
-        |n AS (SELECT *, floor(hours) AS h FROM m),
-        |o AS (SELECT *, floor((hours - h) * 60.0) AS mi FROM n)
+        |m AS (SELECT l_orderkey, l_linenumber, deg, round(abs(deg) * 240.0, 2) AS ts FROM c),
+        |n AS (SELECT *, floor(ts / 3600.0) AS h FROM m),
+        |o AS (SELECT *, floor((ts - h * 3600.0) / 60.0) AS mi FROM n)
         |SELECT l_orderkey, l_linenumber, round(deg, 6) AS deg,
         |CASE WHEN deg < 0 THEN '-' ELSE '' END ||
         |lpad(CAST(CAST(h AS INT) AS VARCHAR), 2, '0') || ':' ||
         |lpad(CAST(CAST(mi AS INT) AS VARCHAR), 2, '0') || ':' ||
-        |lpad(printf('%.2f', ((hours - h) * 60.0 - mi) * 60.0), 5, '0') AS hms
+        |lpad(printf('%.2f', ts - h * 3600.0 - mi * 60.0), 5, '0') AS hms
         |FROM o""".stripMargin.replace("\n", " "),
 
     "q42_weighted_hist" ->

@@ -22,9 +22,13 @@ object Astro {
     val a = pow(sin(dLat / 2), 2) +
       cos(radians(dec1)) * cos(radians(dec2)) * pow(sin(dLon / 2), 2)
     // clamp against the near-antipodal a > 1 rounding case (asin of
-    // 1 + ulp is NaN, and NaN orders above every double in Spark —
-    // see SphDist.sphdistDeg)
-    degrees(lit(2) * asin(least(lit(1.0), sqrt(a))))
+    // 1 + ulp is NaN, and NaN orders above every double in Spark — see
+    // SphDist.sphdistDeg).  when/otherwise, NOT least(): least skips
+    // nulls and orders NaN greatest, which would turn a null/NaN
+    // coordinate into a fabricated 180° separation; here null
+    // propagates and NaN stays NaN, matching the scalar kernel
+    val sq = sqrt(a)
+    degrees(lit(2) * asin(when(sq > lit(1.0) && !isnan(sq), lit(1.0)).otherwise(sq)))
   }
 
   /** Cone-search predicate: separation from (ra0, dec0) ≤ r degrees
@@ -70,7 +74,9 @@ object Astro {
   /** Sexagesimal "hh:mm:ss[.s]" → degrees (ezdata/simpletable.py:1107–1133).
     * Sign is carried by the hour field. */
   def hms2deg(hms: Column, delimiter: String = ":"): Column = {
-    val parts = split(hms, delimiter)
+    // split() takes a REGEX; quote so '.', '|', '+' delimiters split
+    // literally instead of silently nulling the whole column
+    val parts = split(hms, java.util.regex.Pattern.quote(delimiter))
     val sign = when(parts.getItem(0).startsWith("-"), lit(-1.0)).otherwise(lit(1.0))
     val h = abs(parts.getItem(0).cast(DoubleType))
     val m = coalesce(parts.getItem(1).cast(DoubleType), lit(0.0))
@@ -80,7 +86,7 @@ object Astro {
 
   /** Sexagesimal "[+-]dd:mm:ss[.s]" → degrees (ezdata/simpletable.py:1189–1214). */
   def dms2deg(dms: Column, delimiter: String = ":"): Column = {
-    val parts = split(dms, delimiter)
+    val parts = split(dms, java.util.regex.Pattern.quote(delimiter)) // regex-quoted, see hms2deg
     val sign = when(parts.getItem(0).startsWith("-"), lit(-1.0)).otherwise(lit(1.0))
     val d = abs(parts.getItem(0).cast(DoubleType))
     val m = coalesce(parts.getItem(1).cast(DoubleType), lit(0.0))
@@ -88,12 +94,17 @@ object Astro {
     sign * (d + m / 60.0 + s / 3600.0)
   }
 
-  /** Degrees → "hh:mm:ss.ss" (ezdata/simpletable.py:1135–1160). */
+  /** Degrees → "hh:mm:ss.ss" (ezdata/simpletable.py:1135–1160).
+    * Decomposed from the TOTAL seconds rounded to the rendered
+    * precision — rounding the seconds remainder after flooring the
+    * minutes could render the invalid "…:00:60.00" when the remainder
+    * rounds up (the reference prints the raw float and cannot hit
+    * this; the engine's fixed 2-decimal rendering can). */
   def deg2hms(deg: Column): Column = {
-    val hours = abs(deg) / 15.0
-    val h = floor(hours)
-    val m = floor((hours - h) * 60.0)
-    val s = ((hours - h) * 60.0 - m) * 60.0
+    val ts = round(abs(deg) * 240.0, 2) // total seconds of time, display precision
+    val h = floor(ts / 3600.0)
+    val m = floor((ts - h * 3600.0) / 60.0)
+    val s = ts - h * 3600.0 - m * 60.0
     concat(
       when(deg < 0, lit("-")).otherwise(lit("")),
       lpad(h.cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
@@ -101,12 +112,13 @@ object Astro {
       lpad(format_number(s, 2), 5, "0"))
   }
 
-  /** Degrees → "[+-]dd:mm:ss.ss" (ezdata/simpletable.py:1162–1187). */
+  /** Degrees → "[+-]dd:mm:ss.ss" (ezdata/simpletable.py:1162–1187).
+    * Same rounded-total decomposition as [[deg2hms]]. */
   def deg2dms(deg: Column): Column = {
-    val ad = abs(deg)
-    val d = floor(ad)
-    val m = floor((ad - d) * 60.0)
-    val s = ((ad - d) * 60.0 - m) * 60.0
+    val ts = round(abs(deg) * 3600.0, 2) // total arcseconds, display precision
+    val d = floor(ts / 3600.0)
+    val m = floor((ts - d * 3600.0) / 60.0)
+    val s = ts - d * 3600.0 - m * 60.0
     concat(
       when(deg < 0, lit("-")).otherwise(lit("+")),
       lpad(d.cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
@@ -197,7 +209,12 @@ object Astro {
     val sb = sin(b); val cb = cos(b)
     val cbsa = cb * sin(a)
     val bOut = -lit(stheta) * cbsa + lit(ctheta) * sb
-    val bClamped = least(bOut, lit(1.0))
+    // symmetric, null/NaN-preserving clamp: the former least(bOut, 1.0)
+    // missed the south-pole −1 − ulp case (asin → NaN) and turned a
+    // NULL latitude into +90° (least skips nulls)
+    val bClamped = when(bOut > lit(1.0) && !isnan(bOut), lit(1.0))
+      .when(bOut < lit(-1.0), lit(-1.0))
+      .otherwise(bOut)
     val bo = asin(bClamped)
     val aTmp = atan2(lit(ctheta) * cbsa + lit(stheta) * sb, cb * cos(a))
     val aoRad = aTmp + lit(psi + twopi)

@@ -41,6 +41,11 @@ object Similarity {
     val scored0 = c.crossJoin(broadcast(p))
     val scored1 = if (excludeSelf) scored0.filter(col("corpus_id") =!= col("probe_id")) else scored0
     val scored = scored1.withColumn("cos_sim", cosine(col("cvec"), col("pvec")))
+      // a zero-norm or null vector yields NaN/null cosine; NaN sorts
+      // ABOVE every real similarity in the desc ranking (Spark orders
+      // NaN greatest), so it would take rank 1 for every probe —
+      // exclude it, as lshPairs/exactPairs already do
+      .filter(col("cos_sim").isNotNull && !isnan(col("cos_sim")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("corpus_id").asc)
@@ -134,6 +139,9 @@ object Similarity {
     val scored = a.join(b, Seq("sig"))
       .filter(col("probe_id") =!= col("corpus_id"))
       .withColumn("cos_sim", cosine(col("pvec"), col("cvec")))
+      // NaN/null similarity (zero-norm or null vector) must not rank —
+      // NaN sorts above every real cosine in the desc top-k
+      .filter(col("cos_sim").isNotNull && !isnan(col("cos_sim")))
       .select(col("probe_id"), col("corpus_id"), round(col("cos_sim"), 6).as("cos_sim"))
     // bound rows BELOW the shuffle with the custom TopKPerKey operator:
     // a row_number window would shuffle and fully sort every scored
@@ -639,6 +647,11 @@ object Similarity {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
       .sortBy(_._1)
     require(centRows.nonEmpty, "ivfPqTopK: centroid set has no non-null vectors")
+    // same driver-bounded contract (and message) as collectCentroidLits —
+    // this path hand-collects because it needs Long ids + raw vectors
+    require(centRows.length <= 4096, s"ivfPqTopK: ${centRows.length} centroids — the " +
+      "literal-argmin assignment expects a driver-bounded centroid set " +
+      "(<= 4096 coarse cells); train fewer cells or shard the index")
     def scalaL2(a: Seq[Double], b: Seq[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < math.min(a.size, b.size)) { val d = a(i) - b(i); acc += d * d; i += 1 }
@@ -693,10 +706,17 @@ object Similarity {
     // to the former crossJoin + row_number formulation
     val spark = corpus.sparkSession
     import spark.implicits._
-    val probeCells = probeRows.flatMap { case (pid, pv) =>
+    val probeCellPairs: Seq[(Long, Long)] = probeRows.flatMap { case (pid, pv) =>
       centRows.map { case (ccid, cv) => (scalaL2(pv, cv), ccid) }
         .sorted.take(nprobe).map { case (_, ccid) => (ccid, pid) }
-    }.toDF("centroid_id", "probe_id")
+    }
+    // the residual LUT below is keyed (probe -> cell); only a probe's
+    // nprobe VISITED cells can ever be looked up (the probeCells join
+    // restricts rows to those pairs), so the literal map is bounded at
+    // |probes|·nprobe·k·m — not |probes|·|centroids|·k·m
+    val visitedCells: Map[Long, Set[Long]] =
+      probeCellPairs.groupBy(_._2).map { case (pid, cs) => pid -> cs.map(_._1).toSet }
+    val probeCells = probeCellPairs.toDF("centroid_id", "probe_id")
     // probe LUTs as literal nested maps; probe_id (and, for residual,
     // centroid_id) are data here, so lookups chain element_at calls.
     // Non-residual: probe -> code -> d².  Residual: the probe's own
@@ -709,7 +729,7 @@ object Similarity {
       } else {
         val bookS = book(s)
         val lutMap = probeRows.map { case (pid, pv) =>
-          pid -> centRows.map { case (ccid, cv) =>
+          pid -> centRows.filter { case (ccid, _) => visitedCells(pid)(ccid) }.map { case (ccid, cv) =>
             val qr = pv.zip(cv).map { case (a, b) => a - b }
             ccid -> bookS.map { case (cid, cw) =>
               // codewords are already per-subspace residual slices;

@@ -41,6 +41,10 @@ object ScaleRehearsal {
     if (mode == "join") { joinCorpus(spark, src, out, n); spark.stop(); return }
     if (mode == "ann") { annCorpus(spark, src, out, n); spark.stop(); return }
     val d = spark.read.parquet(s"$src/documents.parquet")
+    // rot i ≡ 0 (mod 26) is the identity rotation — copies would share
+    // ALL shingles, silently inverting the documented disjointness
+    require(mode != "rot" || n <= 26,
+      s"rot mode supports up to 26 disjoint copies (caesar rotations repeat mod 26), got $n")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val copies = (0 until n).map { i =>
       val salted =
@@ -73,7 +77,10 @@ object ScaleRehearsal {
     * the end-to-end cost scales ~linearly. */
   private def annCorpus(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val e = spark.read.parquet(s"$src/embeddings.parquet")
-    val dim = e.selectExpr("size(embedding)").limit(1).collect().head.getInt(0)
+    // probe a NON-NULL row (same pitfall Similarity.probeDim documents:
+    // an arbitrary null first vector would NPE the getInt)
+    val dim = e.where(col("embedding").isNotNull)
+      .selectExpr("size(embedding)").limit(1).collect().head.getInt(0)
     val copies = (0 until n).map { i =>
       val sh = i % dim
       val shifted =

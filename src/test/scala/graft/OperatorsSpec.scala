@@ -1216,6 +1216,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"kNN recall $recall collapsed (|approx|=${a.size}, |exact|=${exact.size})")
   }
 
+  test("zero-norm vectors never rank in top-k (NaN similarity excluded)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)), // zero norm: NaN against everything
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 1L)
+    val brute = Similarity.bruteForceTopK(corpus, probes, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(!brute.map(_._1).contains(0L), s"zero vector ranked: ${brute.toSeq}")
+    assert(brute.find(_._2 == 1).exists(_._1 == 2L), "true neighbor must rank first")
+    val viaLsh = Similarity.lshTopK(corpus, "vec_id", "embedding", k = 3, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!viaLsh.map(_._2).contains(0L), s"zero vector in LSH top-k: ${viaLsh.toSeq}")
+  }
+
   test("lshPairs maxBucket drops degenerate buckets, leaves normal ones intact") {
     import spark.implicits._
     // 60 identical vectors (one signature in every table) + 6 spread ones
@@ -1491,6 +1508,28 @@ class TextAnalysisSpec extends SparkSpec {
 
 class AstroSpec extends SparkSpec {
   import spark.implicits._
+
+  test("review fixes: sexagesimal rollover, regex delimiters, null propagation") {
+    // seconds that round to 60.00 must carry into the minute, never
+    // render ":60.00"
+    val roll = Seq(15.24998333, 1.0166655).toDF("deg")
+    val hms = roll.select(Astro.deg2hms(col("deg"))).collect().map(_.getString(0))
+    assert(hms(0) == "01:01:00.00", s"hms rollover: ${hms(0)}")
+    assert(!hms.exists(_.contains(":60")), s"invalid seconds: ${hms.toSeq}")
+    val dms = roll.select(Astro.deg2dms(col("deg"))).collect().map(_.getString(0))
+    assert(dms(1) == "+01:01:00.00", s"dms rollover: ${dms(1)}")
+    // delimiter is treated literally, not as a regex
+    val dotted = Seq("12.30.00").toDF("h")
+    val viaDot = dotted.select(Astro.hms2deg(col("h"), ".")).collect().head.getDouble(0)
+    assert(math.abs(viaDot - 187.5) < 1e-9, s"dot-delimited parse: $viaDot")
+    // null coordinates propagate as null, never a fabricated value
+    val nullRow = spark.sql("SELECT CAST(NULL AS DOUBLE) d, 10.0 r")
+    assert(nullRow.select(Astro.sphdist(col("r"), col("d"), lit(0.0), lit(0.0)))
+      .collect().head.isNullAt(0), "sphdist(null) must be null, not 180")
+    val (_, bo) = Astro.euler(col("r"), col("d"), select = 1)
+    assert(nullRow.select(bo).collect().head.isNullAt(0),
+      "euler(null lat) must be null, not +90")
+  }
 
   test("sphdist: zero, quarter-circle, pole distances") {
     val df = Seq((0.0, 0.0, 0.0, 0.0), (0.0, 0.0, 90.0, 0.0), (0.0, 0.0, 0.0, 90.0))
