@@ -2164,8 +2164,8 @@ object SparkEntry {
     "q19_text_quality" ->
       """SELECT doc_id,
         |CAST(length(text) AS BIGINT) AS n_chars,
-        |CASE WHEN length(text) = 0 THEN 0
-        |ELSE CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1 END AS n_tokens,
+        |CASE WHEN length(regexp_replace(trim(text), ' +', ' ', 'g')) = 0 THEN 0
+        |ELSE CAST((length(regexp_replace(trim(text), ' +', ' ', 'g')) - length(replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', ''))) AS BIGINT) + 1 END AS n_tokens,
         |round((CAST((length(text) - length(replace(text, '.', ''))) AS BIGINT)
         |+ CAST((length(text) - length(replace(text, ',', ''))) AS BIGINT)
         |+ CAST((length(text) - length(replace(text, '!', ''))) AS BIGINT)
@@ -2173,16 +2173,16 @@ object SparkEntry {
         |+ CAST((length(text) - length(replace(text, ';', ''))) AS BIGINT)
         |+ CAST((length(text) - length(replace(text, ':', ''))) AS BIGINT))
         |/ CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
-        |round((CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
-        |+ CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS BIGINT)
-        |+ CAST((length(text) - length(replace(text, ' of ', ''))) / 4 AS BIGINT)
-        |+ CAST((length(text) - length(replace(text, ' to ', ''))) / 4 AS BIGINT)
-        |+ CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS BIGINT))
-        |/ CAST(greatest(CASE WHEN length(text) = 0 THEN 0
-        |ELSE CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1 END, 1) AS DOUBLE), 6) AS stop_ratio,
+        |round((CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT)
+        |+ CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5 AS BIGINT)
+        |+ CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4 AS BIGINT)
+        |+ CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' to ', ''))) / 4 AS BIGINT)
+        |+ CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS BIGINT))
+        |/ CAST(greatest(CASE WHEN length(regexp_replace(trim(text), ' +', ' ', 'g')) = 0 THEN 0
+        |ELSE CAST((length(regexp_replace(trim(text), ' +', ' ', 'g')) - length(replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', ''))) AS BIGINT) + 1 END, 1) AS DOUBLE), 6) AS stop_ratio,
         |round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |/ CAST(greatest(CASE WHEN length(text) = 0 THEN 0
-        |ELSE CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1 END, 1) AS DOUBLE), 6) AS avg_token_len
+        |/ CAST(greatest(CASE WHEN length(regexp_replace(trim(text), ' +', ' ', 'g')) = 0 THEN 0
+        |ELSE CAST((length(regexp_replace(trim(text), ' +', ' ', 'g')) - length(replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', ''))) AS BIGINT) + 1 END, 1) AS DOUBLE), 6) AS avg_token_len
         |FROM documents""".stripMargin.replace("\n", " "),
 
     "q20_langid" -> {
@@ -2854,8 +2854,8 @@ object SparkEntry {
 
     "q60_pack_bins" ->
       """WITH w AS (SELECT doc_id,
-        |CASE WHEN length(text) = 0 THEN 0
-        |ELSE CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) + 1 END AS n_tokens
+        |CASE WHEN length(regexp_replace(trim(text), ' +', ' ', 'g')) = 0 THEN 0
+        |ELSE CAST(length(regexp_replace(trim(text), ' +', ' ', 'g')) - length(replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', '')) AS BIGINT) + 1 END AS n_tokens
         |FROM documents),
         |c AS (SELECT doc_id, n_tokens,
         |COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
@@ -2935,8 +2935,9 @@ object SparkEntry {
 
     "q66_corpus_pipeline" ->
       """WITH q AS (SELECT doc_id, text,
-        |CASE WHEN length(text) = 0 THEN 0
-        |ELSE CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) + 1 END AS n_tokens,
+        |CASE WHEN length(regexp_replace(trim(text), ' +', ' ', 'g')) = 0 THEN 0
+        |ELSE CAST(length(regexp_replace(trim(text), ' +', ' ', 'g'))
+        |- length(replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', '')) AS BIGINT) + 1 END AS n_tokens,
         |round((CAST((length(text) - length(replace(text, '.', ''))) AS BIGINT)
         |+ CAST((length(text) - length(replace(text, ',', ''))) AS BIGINT)
         |+ CAST((length(text) - length(replace(text, '!', ''))) AS BIGINT)
@@ -2958,8 +2959,9 @@ object SparkEntry {
         |c AS (SELECT doc_id, chunk_id,
         |substr(text, CAST(chunk_id * 400 + 1 AS INTEGER), 500) AS ct FROM e),
         |tk AS (SELECT doc_id, chunk_id,
-        |CASE WHEN length(ct) = 0 THEN 0
-        |ELSE CAST(length(ct) - length(replace(ct, ' ', '')) AS BIGINT) + 1 END AS chunk_tokens
+        |CASE WHEN length(regexp_replace(trim(ct), ' +', ' ', 'g')) = 0 THEN 0
+        |ELSE CAST(length(regexp_replace(trim(ct), ' +', ' ', 'g'))
+        |- length(replace(regexp_replace(trim(ct), ' +', ' ', 'g'), ' ', '')) AS BIGINT) + 1 END AS chunk_tokens
         |FROM c),
         |p AS (SELECT doc_id, chunk_tokens,
         |COALESCE(SUM(chunk_tokens) OVER (ORDER BY doc_id, chunk_id

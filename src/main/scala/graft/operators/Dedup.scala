@@ -12,22 +12,30 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Exact dedup by content hash.  One shuffle on the 128-bit hash;
-    * keeps the lowest id per group (deterministic winner). */
+    * keeps the lowest id per group (deterministic winner).  NULL text
+    * is absence of evidence, not identical content — null-text rows
+    * are excluded from the grouping entirely (md5(null) is null, and
+    * grouping on it would collapse every failed-extraction doc into
+    * one "duplicate" cluster; corpusDiff documents the same rule). */
   def exact(df: DataFrame, text: Column, id: Column): DataFrame =
-    df.groupBy(md5(text.cast(BinaryType)).as("content_hash"))
+    df.filter(text.isNotNull)
+      .groupBy(md5(text.cast(BinaryType)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("keep_id"))
 
   /** The deduplicated corpus itself: keeps exactly the winner row of
     * each content group (semi join against the winners — no row data
-    * moves through the aggregation). */
+    * moves through the aggregation).  Null-text rows carry no dedup
+    * evidence and pass through untouched. */
   def deduplicated(df: DataFrame, text: Column, id: Column): DataFrame = {
     val winners = exact(df, text, id).select(col("keep_id"))
     df.join(winners, id === col("keep_id"), "left_semi")
+      .unionByName(df.filter(text.isNull))
   }
 
   /** Exact near-dup on normalized text (case/punct-insensitive). */
   def exactNormalized(df: DataFrame, text: Column, id: Column): DataFrame =
-    df.groupBy(TextAnalysis.fingerprint(text).as("content_hash"))
+    df.filter(text.isNotNull) // null text: no evidence — same rule as exact()
+      .groupBy(TextAnalysis.fingerprint(text).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("keep_id"))
 
   /** MinHash signature: k independent hash functions simulated by
@@ -352,6 +360,17 @@ object Dedup {
                              portableHash: Boolean = false): DataFrame = {
     val b = if (portableHash) portableBanded(batch, text, id, shingleSize, bands, rowsPerBand)
             else mhBanded(batch, text, id, shingleSize, bands, rowsPerBand)
+    // eager geometry probe: a mismatched index (different k) produces
+    // essentially ZERO band-key collisions, so the per-row assert
+    // below would never evaluate and the operator would return a
+    // silently near-empty candidate set — probe one index row up
+    // front and fail fast instead
+    index.select(size(col("index_sig"))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == bands * rowsPerBand,
+        s"minhash index geometry mismatch: batch k=${bands * rowsPerBand} " +
+          s"!= index signature length ${r.getInt(0)} — rebuild the index with " +
+          "the same shingleSize/bands/rowsPerBand")
+    }
     val agree =
       if (portableHash) portableAgree(col("sig"), col("index_sig"))
       else graft.functions.VectorSim.agreeCount(col("sig"), col("index_sig"))
@@ -845,7 +864,12 @@ object Dedup {
     // it is referenced by both edge directions and the node set — four
     // unpersisted references would re-run the whole pipeline four
     // times (observed 4x wall time on the end-to-end near-dedup).
+    // a pair with a null endpoint carries no linkage evidence — and
+    // worse, the symmetrized edge join would emit spurious
+    // (node = null, component) rows while silently dropping the
+    // non-null direction
     val p0 = pairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // driver tier: orderable-primitive ids only (the union-find min
     // must reproduce the column ordering exactly; integral natural
@@ -1176,7 +1200,7 @@ object Dedup {
       return out
     }
     val comps = connectedComponents(df.select(id.as("nid")), "nid", verified,
-      reliableDir = reliableDir)
+      reliableDir = reliableDir, driverPairLimit = driverPairLimit)
     val out = keepComponentWinnersBy(df, id, comps, keepBy)
     prep.unpersist(blocking = false)
     out

@@ -237,6 +237,10 @@ object Dsir {
       keyed.withColumn("_all", lit(1)), Seq("_all"),
       Seq("gumbel_key" -> true, "doc_id" -> false), keep)
       .select(col("doc_id").as("keep_id"))
-    corpus.join(broadcast(top), id === col("keep_id"), "left_semi")
+    // NO broadcast hint: `keep` is routinely a fixed fraction of the
+    // corpus, so forcing broadcast would collect every keep_id on the
+    // driver — a scale cliff.  AQE broadcasts the id frame on its own
+    // whenever it actually fits the threshold.
+    corpus.join(top, id === col("keep_id"), "left_semi")
   }
 }

@@ -69,11 +69,15 @@ object Packing {
     try {
       val bounds = boot.agg(min(col("pack_key")), max(col("pack_key")),
         sum(when(col("pack_key").isNull, 1L).otherwise(0L))).head()
-      if (bounds.isNullAt(0))
-        return keyed.drop("pack_key").withColumn("bin_id", lit(0L)).limit(0)
-      require(bounds.getLong(2) == 0L,
+      // null-key check FIRST: an ALL-null key column also has a null
+      // min, and the empty-input early return below would silently
+      // swallow the whole dataset instead of raising
+      val nullKeys = if (bounds.isNullAt(2)) 0L else bounds.getLong(2)
+      require(nullKeys == 0L,
         "sequentialBins: order key contains nulls — packing order is undefined; " +
           "filter or impute the key column first")
+      if (bounds.isNullAt(0)) // genuinely empty input
+        return keyed.drop("pack_key").withColumn("bin_id", lit(0L)).limit(0)
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       // ceil without overflow: span/buckets rounded up, at least 1
       val width = math.max(1L, (hi - lo) / nBuckets + (if ((hi - lo) % nBuckets == 0) 0 else 1))

@@ -17,11 +17,17 @@ object TextAnalysis {
   def countOccurrences(text: Column, token: String): Column =
     ((length(text) - length(replace(text, lit(token), lit("")))) / token.length).cast(LongType)
 
-  /** Whitespace token count: single-space-separated corpora count
-    * tokens as spaces + 1 (empty text → 0). */
-  def tokenCount(text: Column): Column =
-    when(length(text) === 0, lit(0L))
-      .otherwise(countOccurrences(text, " ") + 1L)
+  /** Whitespace token count: non-empty space-separated segments.
+    * On a single-space-normalized corpus this is exactly spaces + 1
+    * (the oracle-mirrored contract); leading/trailing/repeated spaces
+    * are collapsed first so padded raw text cannot inflate the count
+    * (" a b " is 2 tokens, "   " is 0 — each stray space used to add a
+    * phantom token). */
+  def tokenCount(text: Column): Column = {
+    val squeezed = regexp_replace(trim(text), " +", " ")
+    when(length(squeezed) === 0, lit(0L))
+      .otherwise(countOccurrences(squeezed, " ") + 1L)
+  }
 
   /** BPE-ish subword-boundary token count: runs of letters, runs of
     * digits, runs of other symbols (each optionally space-prefixed) —
@@ -43,7 +49,11 @@ object TextAnalysis {
     val nChars = length(text).cast(LongType)
     val nTokens = tokenCount(text)
     val punct = Seq(".", ",", "!", "?", ";", ":").map(countOccurrences(text, _)).reduce(_ + _)
-    val stop = Seq(" the ", " and ", " of ", " to ", " a ").map(countOccurrences(text, _)).reduce(_ + _)
+    // pad like langId: the space-delimited markers can't otherwise
+    // match a stopword at the very start/end of the document, biasing
+    // stop_ratio low on short texts
+    val padded = concat(lit(" "), text, lit(" "))
+    val stop = Seq(" the ", " and ", " of ", " to ", " a ").map(countOccurrences(padded, _)).reduce(_ + _)
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nTokens,
