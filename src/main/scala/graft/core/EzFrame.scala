@@ -40,6 +40,11 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
 
   def spark: SparkSession = df.sparkSession
   def columns: Seq[String] = df.columns.toSeq
+
+  /** SQL-text escapes for generated selectExpr fragments: a column
+    * name carrying a quote or backtick must not break the built SQL. */
+  private def sqlStr(v: String): String = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+  private def sqlId(v: String): String = "`" + v.replace("`", "``") + "`"
   def schema: StructType = df.schema
 
   private def withDf(d: DataFrame): EzFrame = new EzFrame(d, meta.pruneFor(d.columns.toSeq))
@@ -160,7 +165,12 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
     // keep aliases pointing at the renamed physical columns
     val renames = mapping.map { case (f, t) => resolveAlias(f) -> t }.toMap
     val newAliases = meta.aliases.map { case (a, t) => a -> renames.getOrElse(t, t) }
-    new EzFrame(d, meta.copy(aliases = newAliases).pruneFor(d.columns.toSeq))
+    // units/comments key on the PHYSICAL name — remap them too, or
+    // pruneFor would silently drop the renamed columns' metadata
+    val newUnits = meta.units.map { case (k, v) => renames.getOrElse(k, k) -> v }
+    val newComments = meta.comments.map { case (k, v) => renames.getOrElse(k, k) -> v }
+    new EzFrame(d, meta.copy(aliases = newAliases, units = newUnits, comments = newComments)
+      .pruneFor(d.columns.toSeq))
   }
 
   // ----------------------------------------------------------- relational
@@ -268,9 +278,11 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
           percentile_approx(c, lit(0.5), lit(10000)).as(s"${k}__p50"),
           percentile_approx(c, lit(0.84), lit(10000)).as(s"${k}__p84")) else Seq.empty)
     }
+    require(numeric.nonEmpty,
+      s"stats: no numeric column matches '$fields' — nothing to aggregate")
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)
     val stackArgs = numeric.map { k =>
-      (s"'$k'" +: statNames.map(s => s"`${k}__$s`")).mkString(", ")
+      (sqlStr(k) +: statNames.map(s => sqlId(s"${k}__$s"))).mkString(", ")
     }.mkString(", ")
     one.selectExpr(
         s"stack(${numeric.length}, $stackArgs) as (column, ${statNames.mkString(", ")})")
@@ -307,10 +319,12 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
       val c = df.col(k).cast(DoubleType)
       fns.map { case (n, f) => f(c).cast(DoubleType).as(s"${k}__$n") }
     }
+    require(numeric.nonEmpty,
+      s"statsWith: no numeric column matches '$fields' — nothing to aggregate")
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)
     val statNames = fns.map(_._1)
     val stackArgs = numeric.map { k =>
-      (s"'$k'" +: statNames.map(s => s"`${k}__$s`")).mkString(", ")
+      (sqlStr(k) +: statNames.map(s => sqlId(s"${k}__$s"))).mkString(", ")
     }.mkString(", ")
     one.selectExpr(s"stack(${numeric.length}, $stackArgs) as (column, ${statNames.mkString(", ")})")
   }
@@ -433,19 +447,43 @@ object EzFrame {
       // spaces, so no in-band separator is safe within one blob
       if (f.metadata.contains(HeaderMetaKey)) {
         val header = f.metadata.getString(HeaderMetaKey).split("\n").filter(_.contains("\t")).map { l =>
-          val Array(k, v) = l.split("\t", 2); k -> v
+          val Array(k, v) = l.split("\t", 2); EzFrame.unesc(k) -> EzFrame.unesc(v)
         }
         meta = meta.copy(header = ListMap(header.toSeq: _*))
       }
       if (f.metadata.contains(AliasMetaKey)) {
         val aliases = f.metadata.getString(AliasMetaKey).split("\n").filter(_.contains("=")).map { l =>
-          val Array(a, t) = l.split("=", 2); a -> t
+          val Array(a, t) = l.split("=", 2); EzFrame.unescEq(a) -> EzFrame.unesc(t)
         }
         meta = meta.copy(aliases = aliases.toMap)
       }
     }
     new EzFrame(df, meta.pruneFor(df.columns.toSeq))
   }
+
+  /** Backslash-escape the metadata record separators (and, for alias
+    * NAMES, the '=' delimiter).  Unescape is a no-op on legacy
+    * unescaped blobs, so old files read back unchanged. */
+  private def esc(v: String): String =
+    v.replace("\\", "\\\\").replace("\n", "\\n").replace("\t", "\\t")
+  private def escEq(v: String): String = esc(v).replace("=", "\\u003d")
+  private[core] def unesc(v: String): String = {
+    // left-to-right scan: sequential replace() would mangle an escaped
+    // backslash followed by a literal 'n' ("\\" + "n" is not "\n")
+    val sb = new StringBuilder(v.length); var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) v.charAt(i + 1) match {
+        case 'n' => sb.append('\n'); i += 2
+        case 't' => sb.append('\t'); i += 2
+        case '\\' => sb.append('\\'); i += 2
+        case 'u' if v.regionMatches(i + 2, "003d", 0, 4) => sb.append('='); i += 6
+        case _ => sb.append(c); i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+  private[core] def unescEq(v: String): String = unesc(v)
 
   /** Write Parquet with metadata embedded in the schema: per-column
     * unit/description in each StructField, table header + alias map in
@@ -458,12 +496,16 @@ object EzFrame {
       ez.meta.units.get(f.name).foreach(mb.putString("unit", _))
       ez.meta.comments.get(f.name).foreach(mb.putString("description", _))
       if (i == 0) {
+        // escape the record separators INSIDE keys/values: a header
+        // value carrying a newline or tab (or an alias name carrying
+        // '=') would otherwise be silently misparsed or dropped on
+        // read-back
         if (ez.meta.header.nonEmpty)
           mb.putString(HeaderMetaKey,
-            ez.meta.header.map { case (k, v) => s"$k\t$v" }.mkString("\n"))
+            ez.meta.header.map { case (k, v) => s"${esc(k)}\t${esc(v)}" }.mkString("\n"))
         if (ez.meta.aliases.nonEmpty)
           mb.putString(AliasMetaKey,
-            ez.meta.aliases.map { case (a, t) => s"$a=$t" }.mkString("\n"))
+            ez.meta.aliases.map { case (a, t) => s"${escEq(a)}=${esc(t)}" }.mkString("\n"))
       }
       ez.df.col(f.name).as(f.name, mb.build())
     }

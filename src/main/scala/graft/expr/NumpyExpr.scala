@@ -227,6 +227,20 @@ object NumpyExpr {
       case Call(fn, args) => call(fn, args.map(go))
     }
 
+    // Double-preserving floor/ceil/trunc: Spark's floor/ceil return
+    // LongType, so NaN silently became 0 and infinity Long.MaxValue
+    // (or an ANSI cast crash) — NumPy keeps them float and propagates
+    // NaN/inf.  Beyond 2^53 every double is already integral (and the
+    // guard also passes NaN/±inf through), so the Long-returning
+    // builtin only ever runs where its result is exact and in range.
+    // (A remainder-based x − x%1 formulation is NOT usable here: 1.1%1
+    // carries FP error, and floor(1.1) must be exactly 1.0.)
+    def floorD(x: Column): Column =
+      when(isnan(x) || abs(x) >= lit(9007199254740992.0) /* 2^53 */, x)
+        .otherwise(floor(x).cast(DoubleType))
+    def ceilD(x: Column): Column = -floorD(-x)
+    def truncD(x: Column): Column = when(x >= 0, floorD(x)).otherwise(ceilD(x))
+
     def binOp(op: String, l: Typed, r: Typed): Typed = op match {
       case "+" if l.ty == TyStr && r.ty == TyStr => Typed(concat(l.col, r.col), TyStr)
       case "+"  => Typed(l.col + r.col, numJoin(l.ty, r.ty))
@@ -234,10 +248,10 @@ object NumpyExpr {
       case "*"  => Typed(l.col * r.col, numJoin(l.ty, r.ty))
       case "/"  => Typed(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)), TyFloat) // numpy true division
       case "//" =>
-        val q = floor(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)))
+        val q = floorD(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)))
         if (numJoin(l.ty, r.ty) == TyInt) Typed(q.cast(LongType), TyInt) else Typed(q, TyFloat)
       case "%"  => // numpy mod: floored (sign follows divisor)
-        val m = l.col - r.col * floor(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)))
+        val m = l.col - r.col * floorD(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)))
         if (numJoin(l.ty, r.ty) == TyInt) Typed(m.cast(LongType), TyInt) else Typed(m, TyFloat)
       case "**" => Typed(pow(l.col, r.col), TyFloat)
       // NumPy comparison semantics with NaN: every comparison is False
@@ -305,7 +319,13 @@ object NumpyExpr {
       case "log"     => f1(args)(npLog(log(_)))
       case "log10"   => f1(args)(npLog(log10(_)))
       case "log2"    => f1(args)(npLog(log2(_)))
-      case "log1p"   => f1(args)(c => npLog(x => log1p(x - lit(1.0)))(c + lit(1.0)))
+      // npLog's edge cases applied DIRECTLY on c: routing through
+      // (c+1)-1 cancels catastrophically for |c| < ~1e-16 — the exact
+      // inputs log1p exists for
+      case "log1p"   => f1(args)(c =>
+        when(c === lit(-1.0), lit(Double.NegativeInfinity))
+          .when(c < lit(-1.0), lit(Double.NaN))
+          .otherwise(log1p(c)))
       case "exp"     => f1(args)(exp(_))
       case "expm1"   => f1(args)(expm1(_))
       case "exp2"    => f1(args)(pow(lit(2.0), _))
@@ -317,10 +337,10 @@ object NumpyExpr {
         case _ => throw new IllegalArgumentException("abs expects 1 argument")
       }
       case "sign"    => f1(args)(signum(_))
-      case "floor"   => f1(args)(floor(_))
-      case "ceil"    => f1(args)(ceil(_).cast(DoubleType))
+      case "floor"   => f1(args)(floorD)
+      case "ceil"    => f1(args)(ceilD)
       case "rint" | "round" | "around" => f1(args)(bround(_, 0)) // numpy: half-to-even
-      case "trunc"   => f1(args)(c => c.cast(LongType).cast(DoubleType))
+      case "trunc"   => f1(args)(truncD) // the old cast(LongType) crashed under ANSI on NaN/1e20
       case "sin"     => f1(args)(sin(_))
       case "cos"     => f1(args)(cos(_))
       case "tan"     => f1(args)(tan(_))

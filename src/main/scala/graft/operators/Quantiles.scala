@@ -134,6 +134,8 @@ object Quantiles {
   def filterByQuantilePerGroup(df: DataFrame, group: Column, c: Column,
                                pLo: Double, pHi: Double): DataFrame = {
     require(pLo <= pHi, s"pLo must be <= pHi, got $pLo > $pHi")
+    require(!df.columns.exists(_.equalsIgnoreCase("_pr")),
+      "input already has a _pr column — rename it first (scratch column)")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(group).orderBy(c.asc)
     df.withColumn("_pr", percent_rank().over(w))
       .filter(col("_pr") >= pLo && col("_pr") <= pHi)

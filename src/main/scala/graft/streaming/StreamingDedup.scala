@@ -47,22 +47,32 @@ object StreamingDedup {
 
   private val Seed = 42L
 
-  /** Batch-identical normalization (TextAnalysis.normalize). */
+  /** JVM mirror of TextAnalysis.normalize — TEST surface only.  The
+    * streaming path itself normalizes through the SAME Catalyst
+    * expression as batch (see nearDupHits), so there is no lowercase-
+    * locale divergence in production; this copy exists for parity
+    * specs that drive [[signature]] directly with raw text. */
   private def normalize(s: String): String =
     s.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
 
-  /** Batch-identical MinHash signature: sig(i) = min over shingles of
-    * xxhash64(i, xxhash64(shingle)); null when the text yields no
-    * shingle (mirrors the batch formulation dropping such docs).
-    * Delegates to the fused batch kernel
-    * ([[graft.functions.MinHash.minhashData]]) — one implementation,
-    * so stream decisions agree with batch backfills by construction. */
-  private[graft] def signature(text: String, shingleSize: Int, k: Int): Array[Long] = {
-    val norm = normalize(if (text == null) "" else text)
-    val arr = graft.functions.MinHash.minhashData(UTF8String.fromString(norm), shingleSize, k)
+  /** Batch-identical MinHash signature over ALREADY-normalized text:
+    * sig(i) = min over shingles of xxhash64(i, xxhash64(shingle));
+    * null when the text yields no shingle (mirrors the batch
+    * formulation dropping such docs).  Delegates to the fused batch
+    * kernel ([[graft.functions.MinHash.minhashData]]) — one
+    * implementation, so stream decisions agree with batch backfills by
+    * construction. */
+  private[graft] def signatureNormalized(norm: String, shingleSize: Int, k: Int): Array[Long] = {
+    val arr = graft.functions.MinHash.minhashData(
+      UTF8String.fromString(if (norm == null) "" else norm), shingleSize, k)
     if (arr == null) null else arr.toLongArray()
   }
+
+  /** [[signatureNormalized]] over raw text (JVM-normalized) — parity
+    * specs only. */
+  private[graft] def signature(text: String, shingleSize: Int, k: Int): Array[Long] =
+    signatureNormalized(normalize(if (text == null) "" else text), shingleSize, k)
 
   /** Batch-identical band key: xxhash64(sig slice ++ band index). */
   private[graft] def bandKey(sig: Array[Long], band: Int, rowsPerBand: Int): Long = {
@@ -85,11 +95,16 @@ object StreamingDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = bands * rowsPerBand
-    val sigUdf = udf((t: String) => signature(t, shingleSize, k))
+    val sigUdf = udf((t: String) => signatureNormalized(t, shingleSize, k))
     val bandsUdf = udf((sig: Array[Long]) =>
       Array.tabulate(bands)(b => bandKey(sig, b, rowsPerBand)))
+    // normalize with the SAME Catalyst expression the batch operator
+    // uses — a JVM toLowerCase copy can disagree with Spark's lower()
+    // on non-ASCII text under exotic default locales, and would drift
+    // silently if TextAnalysis.normalize ever changed
     val banded = docs
-      .select(col(idCol).cast("long").as("doc_id"), sigUdf(col(textCol)).as("sig"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        sigUdf(graft.operators.TextAnalysis.normalize(col(textCol))).as("sig"))
       .where(col("sig").isNotNull)
       .select(col("doc_id"), col("sig"), explode(bandsUdf(col("sig"))).as("band_key"))
       .as[(Long, Array[Long], Long)]

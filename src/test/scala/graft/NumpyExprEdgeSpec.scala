@@ -67,4 +67,33 @@ class NumpyExprEdgeSpec extends SparkSpec {
     assert(ez.where("x > 1.5e0").count() == 2)
     assert(ez.where("x < 1e1").count() == 3)
   }
+
+  test("floor/ceil/trunc/floordiv propagate NaN and infinity like NumPy") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.sql(
+      """SELECT * FROM VALUES (double('NaN'), 0.0d), (5.0d, 0.0d), (1e20d, 2.0d),
+         (-2.5d, 2.0d) AS t(a, b)""")
+    val e = graft.core.EzFrame(df)
+    val out = e.df.select(
+      e.evalexpr("floor(a)").as("fl"), e.evalexpr("ceil(a)").as("ce"),
+      e.evalexpr("trunc(a)").as("tr"), e.evalexpr("a // b").as("fd"),
+      e.evalexpr("a % b").as("md")).collect()
+    // row 0: NaN operand -> NaN everywhere (the old LongType floor made it 0)
+    assert(out(0).getDouble(0).isNaN && out(0).getDouble(1).isNaN && out(0).getDouble(2).isNaN)
+    assert(out(0).getDouble(3).isNaN && out(0).getDouble(4).isNaN)
+    // row 1: 5.0 // 0.0 = inf (not Long.MaxValue), 5.0 % 0.0 = NaN
+    assert(out(1).getDouble(3).isPosInfinity && out(1).getDouble(4).isNaN)
+    // row 2: 1e20 passes through unharmed (the old trunc cast crashed under ANSI)
+    assert(out(2).getDouble(0) == 1e20 && out(2).getDouble(2) == 1e20)
+    // row 3: sign conventions unchanged on finite input
+    assert(out(3).getDouble(0) == -3.0 && out(3).getDouble(1) == -2.0 && out(3).getDouble(2) == -2.0)
+    assert(out(3).getDouble(3) == -2.0 && out(3).getDouble(4) == 1.5) // floored mod, sign of divisor
+  }
+
+  test("log1p is accurate for tiny arguments") {
+    val df = spark.sql("SELECT 1e-18d AS x")
+    val v = graft.core.EzFrame(df).df.select(
+      graft.core.EzFrame(df).evalexpr("log1p(x)")).collect().head.getDouble(0)
+    assert(v == 1e-18, s"log1p(1e-18) = $v (catastrophic cancellation)")
+  }
 }
