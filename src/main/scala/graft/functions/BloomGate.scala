@@ -21,13 +21,15 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomGate {
 
-  /** Count of array elements the filter might contain. */
+  /** Count of array elements the filter might contain (null elements
+    * carry no membership evidence and are skipped — matching
+    * VectorSim's null-element discipline). */
   def hitCountData(arr: ArrayData, bf: BloomFilter): Long = {
     val n = arr.numElements()
     var c = 0L
     var i = 0
     while (i < n) {
-      if (bf.mightContainLong(arr.getLong(i))) c += 1
+      if (!arr.isNullAt(i) && bf.mightContainLong(arr.getLong(i))) c += 1
       i += 1
     }
     c
@@ -47,10 +49,15 @@ object BloomGate {
     * unlike Spark's Murmur-based [[BloomFilter]]. */
   final case class PortableBloom(bits: Array[Long], m: Long, k: Int) {
     def mightContain(h: Long): Boolean = {
+      // the affine-permutation family is defined over [0, 2^32) inputs
+      // (the md5-prefix hashes); a 64-bit hash would overflow a*h and
+      // index an arbitrary bit — fail loudly, not subtly
+      require(h >= 0 && h <= 0xFFFFFFFFL,
+        s"PortableBloom hashes must be 32-bit non-negative (md5-prefix family), got $h")
       var i = 0
       while (i < k) {
-        val (a, b) = WindowHash.portablePerms(i)
-        val pos = ((a * h + b) % WindowHash.portableP) % m
+        val pos = ((WindowHash.portablePermA(i) * h + WindowHash.portablePermB(i)) %
+          WindowHash.portableP) % m
         if ((bits((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) return false
         i += 1
       }
@@ -67,12 +74,20 @@ object BloomGate {
         math.ceil(-(nItems.toDouble * math.log(fpp)) / (ln2 * ln2)).toLong)
       val k = math.min(WindowHash.portablePerms.size,
         math.max(1L, math.floor((m.toDouble / nItems.toDouble) * ln2 + 0.5).toLong)).toInt
+      // the double-mod geometry needs m <= P: bits above P could never
+      // be set (silently raising the real fpp), and a huge m would
+      // overflow the Int array size below
+      require(m <= WindowHash.portableP,
+        s"PortableBloom geometry m=$m exceeds the permutation modulus " +
+          s"${WindowHash.portableP} — shard the filter or raise fpp")
       val bits = new Array[Long](((m + 63) >>> 6).toInt)
       hashes.foreach { h =>
+        require(h >= 0 && h <= 0xFFFFFFFFL,
+          s"PortableBloom hashes must be 32-bit non-negative (md5-prefix family), got $h")
         var i = 0
         while (i < k) {
-          val (a, b) = WindowHash.portablePerms(i)
-          val pos = ((a * h + b) % WindowHash.portableP) % m
+          val pos = ((WindowHash.portablePermA(i) * h + WindowHash.portablePermB(i)) %
+            WindowHash.portableP) % m
           bits((pos >>> 6).toInt) |= 1L << (pos & 63)
           i += 1
         }
@@ -87,7 +102,7 @@ object BloomGate {
     var c = 0L
     var i = 0
     while (i < n) {
-      if (bf.mightContain(arr.getLong(i))) c += 1
+      if (!arr.isNullAt(i) && bf.mightContain(arr.getLong(i))) c += 1
       i += 1
     }
     c
@@ -107,7 +122,11 @@ object BloomGate {
   /** Column surface: `bloomMightContain(longCol, filter)`. */
   def bloomMightContain(h: Column, bf: BloomFilter): Column = {
     import org.apache.spark.sql.GraftBridge
-    GraftBridge.column(BloomMightContainExpr(GraftBridge.expression(h), bf))
+    // cast to LongType here (like VectorSim.agreeCount): the
+    // interpreted eval does h.asInstanceOf[Long], which would CCE on
+    // an IntegerType column even though codegen happens to widen
+    GraftBridge.column(BloomMightContainExpr(
+      GraftBridge.expression(h.cast(org.apache.spark.sql.types.LongType)), bf))
   }
 }
 

@@ -44,6 +44,23 @@ object MinHash {
   private def seeds(k: Int): Array[Long] =
     seedCache.computeIfAbsent(k, kk => Array.tabulate(kk)(i => XXH64.hashInt(i, 42L)))
 
+  /** Codepoint → byte-offset table for a multi-byte string (offsets(i)
+    * = byte start of codepoint i; offsets(nChars) = total bytes).  One
+    * O(L) pass, so the multi-byte shingle loops hash byte spans in
+    * place instead of paying substringSQL's O(pos) re-scan per window
+    * (which made non-ASCII documents O(L²)). */
+  private def cpOffsets(norm: UTF8String, nChars: Int): Array[Int] = {
+    val o = new Array[Int](nChars + 1)
+    var b = 0; var c = 0
+    while (c < nChars) {
+      o(c) = b
+      b += UTF8String.numBytesForFirstByte(norm.getByte(b))
+      c += 1
+    }
+    o(nChars) = norm.numBytes()
+    o
+  }
+
   /** Single-pass signature: min_i over shingles s of
     * hashLong(hashUTF8String(s, 42), hashInt(i, 42)).
     * Returns null when the text yields no shingle. */
@@ -55,16 +72,19 @@ object MinHash {
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val ascii = norm.numBytes() == nChars
+    val offs = if (ascii) null else cpOffsets(norm, nChars)
     var pos = 0
     while (pos < cnt) {
-      // xxhash64(substr(norm, pos+1, n)) — ASCII fast path hashes the
-      // byte window in place (no per-shingle allocation); multi-byte
-      // text falls back to the exact substringSQL the Column form uses
+      // xxhash64(substr(norm, pos+1, n)) — both paths hash the byte
+      // window IN PLACE (hashUTF8String over a substring view hashes
+      // exactly these bytes); multi-byte positions come from the
+      // precomputed offset table, keeping the loop O(L·k)
       val h =
         if (ascii)
           XXH64.hashUnsafeBytes(norm.getBaseObject, norm.getBaseOffset + pos, n, 42L)
         else
-          XXH64.hashUTF8String(norm.substringSQL(pos + 1, n), 42L)
+          XXH64.hashUnsafeBytes(norm.getBaseObject, norm.getBaseOffset + offs(pos),
+            offs(pos + n) - offs(pos), 42L)
       var i = 0
       while (i < k) {
         val hi = XXH64.hashLong(h, sd(i))
@@ -99,13 +119,15 @@ object MinHash {
     if (cnt < 1) return null
     val hs = new Array[Long](cnt)
     val ascii = norm.numBytes() == nChars
+    val offs = if (ascii) null else cpOffsets(norm, nChars)
     var pos = 0
     while (pos < cnt) {
       hs(pos) =
         if (ascii)
           XXH64.hashUnsafeBytes(norm.getBaseObject, norm.getBaseOffset + pos, n, 42L)
         else
-          XXH64.hashUTF8String(norm.substringSQL(pos + 1, n), 42L)
+          XXH64.hashUnsafeBytes(norm.getBaseObject, norm.getBaseOffset + offs(pos),
+            offs(pos + n) - offs(pos), 42L)
       pos += 1
     }
     java.util.Arrays.sort(hs)
@@ -123,11 +145,17 @@ object MinHash {
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0L
+    // null elements carry no membership evidence — skip them (a
+    // user-built array<long> may have containsNull=true)
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
     while (i < na && j < nb) {
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1
+      while (i < na && a.isNullAt(i)) i += 1
+      while (j < nb && b.isNullAt(j)) j += 1
     }
     c
   }

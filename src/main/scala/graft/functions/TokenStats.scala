@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ([[SimHash]]) kernels eliminated for signature generation.  At
   * 100 TB that token shuffle IS the repetition-filter cost.
   *
-  * This expression computes all four counters in one pass over the
+  * This expression computes all five counters (incl. entropy) in one pass over the
   * already-split token array, inside whole-stage codegen, with ZERO
   * shuffle: token multiplicities via one open hash map (exact string
   * keys — no hashing shortcut, so two distinct tokens can never
@@ -47,11 +47,15 @@ object TokenStats {
 
   private val SpaceUtf8 = UTF8String.fromString(" ")
 
-  /** One-pass (n_tokens, n_distinct, top_cnt, d2raw) over a token
-    * array. */
+  /** One-pass (n_tokens, n_distinct, top_cnt, d2raw, entropy) over a
+    * token array. */
   def tokenStatsData(toks: ArrayData): InternalRow = {
     val n = toks.numElements()
-    val counts = new java.util.HashMap[UTF8String, Integer](Math.max(16, n * 2))
+    // cap the pre-size: n*2 buckets per DOCUMENT is O(n_tokens) of
+    // transient garbage for low-distinct docs (and overflows Int past
+    // 2^30); beyond the cap the map grows as needed
+    val cap = Math.max(16, Math.min(n.toLong * 2L, 1L << 20).toInt)
+    val counts = new java.util.HashMap[UTF8String, Integer](cap)
     var top = 0
     var i = 0
     while (i < n) {
@@ -62,7 +66,7 @@ object TokenStats {
     }
     var distinctBigrams = 0
     if (n >= 2) {
-      val seen = new java.util.HashSet[UTF8String](Math.max(16, n * 2))
+      val seen = new java.util.HashSet[UTF8String](cap)
       var j = 0
       while (j < n - 1) {
         // tokens never contain the delimiter, so the concatenation is
@@ -106,7 +110,7 @@ object TokenStats {
   }
 }
 
-/** struct(n_tokens, n_distinct, top_cnt, d2raw) of a token-array
+/** struct(n_tokens, n_distinct, top_cnt, d2raw, entropy) of a token-array
   * column; null when the array is null (null upstream text). */
 case class TokenStatsExpr(child: Expression) extends UnaryExpression {
 

@@ -54,6 +54,11 @@ object WindowHash {
     * ([[graft.operators.Dedup.portableMinhashLanes]]) and portable
     * bloom ([[BloomGate.PortableBloom]]) both consume it. */
   val portableP: Long = 4294967311L
+  /** [[portablePerms]] as flat primitive arrays — the m·k hot loops
+    * (portable minhash, portable bloom) index these instead of paying
+    * Vector + boxed-Tuple2 indirection per iteration. */
+  lazy val portablePermA: Array[Long] = portablePerms.map(_._1).toArray
+  lazy val portablePermB: Array[Long] = portablePerms.map(_._2).toArray
   val portablePerms: IndexedSeq[(Long, Long)] = Vector(
     (373311599L, 944895323L), (176928720L, 767210581L), (691707871L, 1006346980L),
     (492862057L, 980358411L), (156203053L, 1040078385L), (852485826L, 579023709L),
@@ -199,8 +204,7 @@ object WindowHash {
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       var j = 0
       while (j < k) {
-        val (a, b) = portablePerms(j)
-        val v = (a * h + b) % portableP
+        val v = (portablePermA(j) * h + portablePermB(j)) % portableP
         if (v < mins(j)) mins(j) = v
         j += 1
       }

@@ -1641,6 +1641,30 @@ class MinHashPropertySpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.Dedup
 
+  test("multi-byte shingle hashing matches the substring formulation exactly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val texts = Seq("héllo wörld ünïcode", "中文文本去重测试中文文本", "a🦑b🦑c🦑d🦑e", "mixedé ascii ße中")
+    texts.foreach { t =>
+      val u = UTF8String.fromString(t)
+      val n = 3
+      val cnt = u.numChars() - (n - 1)
+      // reference: per-window substring hash (the old O(L²) fallback)
+      val ref = (0 until cnt).map(p => XXH64.hashUTF8String(u.substringSQL(p + 1, n), 42L)).toSet
+      val got = graft.functions.MinHash.shingleHashSetData(u, n)
+      assert(got.toLongArray().toSet == ref, s"byte-span hashing diverged for '$t'")
+      // and the signature kernel agrees with a fold over the reference hashes
+      val k = 8
+      val sig = graft.functions.MinHash.minhashData(u, n, k).toLongArray()
+      val seeds = Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+      val refSig = Array.tabulate(k) { i =>
+        (0 until cnt).map(p => XXH64.hashLong(
+          XXH64.hashUTF8String(u.substringSQL(p + 1, n), 42L), seeds(i))).min
+      }
+      assert(sig.toSeq == refSig.toSeq, s"signature diverged for '$t'")
+    }
+  }
+
   private val genText: Gen[String] = Gen.frequency(
     4 -> Gen.listOf(Gen.frequency(
       6 -> Gen.alphaNumChar.map(_.toString),
