@@ -27,7 +27,11 @@ object Binned {
     def width: Double = (hi - lo) / n
     def bucket: Column = {
       val raw = floor((expr - lit(lo)) / lit(width)).cast(LongType)
-      when(expr === lit(hi), lit(n.toLong - 1)).otherwise(raw)
+      // least(), not an ===hi equality clamp: FP division can push a
+      // value just BELOW hi to bucket n (e.g. lo=0, hi=1, n=3,
+      // x=0.9999999999999999), which the dense-grid join would then
+      // silently drop
+      least(raw, lit(n.toLong - 1))
     }
     def inRange: Column = expr >= lit(lo) && expr <= lit(hi)
     /** Bin centers for a generated dense axis. */
@@ -102,7 +106,11 @@ object Binned {
     * reaches the driver. */
   def guessBins(df: DataFrame, x: Column, name: String = "x"): Axis = {
     val distinctVals = df.select(x.cast(DoubleType).as("_v"))
-      .where(col("_v").isNotNull).distinct()
+      // NaN passes isNotNull and range-sorts LAST, so it would become
+      // hi and collapse the axis; ±inf would explode nBins to 2^31
+      .where(col("_v").isNotNull && !isnan(col("_v")) &&
+        abs(col("_v")) =!= lit(Double.PositiveInfinity))
+      .distinct()
     // (partitionIndex, min, max, minGap|NaN) per non-empty partition
     val parts = distinctVals
       .repartitionByRange(col("_v")).sortWithinPartitions(col("_v"))
@@ -199,7 +207,9 @@ object Binned {
     // column per category — an unbounded distinct-collect on a
     // high-cardinality column would OOM the driver (same guard as
     // Plotter.groupby)
-    val cats = df.select(cat.cast("string").as("c")).distinct()
+    val cats = df.select(cat.cast("string").as("c"))
+      .where(col("c").isNotNull) // a null category poisons pivot/na.fill
+      .distinct()
       .orderBy(col("c")).limit(maxCategories + 1).collect().map(_.getString(0)).toSeq
     require(cats.length <= maxCategories,
       s"more than $maxCategories categories for count_cat; " +

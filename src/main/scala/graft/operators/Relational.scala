@@ -27,8 +27,15 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                rightCols: Map[String, String]): DataFrame = {
+    // an output name colliding with a left column would make the
+    // window read the LEFT row's own value — silent wrong data
+    rightCols.values.foreach { o =>
+      require(!left.columns.exists(_.equalsIgnoreCase(o)),
+        s"asofJoin output column '$o' collides with a left column — rename it in rightCols")
+    }
     val sideCol = "_graft_side"
     val tsCol = "_graft_ts"
+    val payCol = "_graft_pay"
     val l = left
       .withColumn(sideCol, lit(1))
       .withColumn(tsCol, col(leftTs))
@@ -39,10 +46,16 @@ object Relational {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col(sideCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.values.foldLeft(unioned) { (df, out) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
-    }
-    carried.filter(col(sideCol) === 1).drop(sideCol, tsCol)
+    // carry ONE struct, built only on right rows: last(ignoreNulls)
+    // must skip LEFT filler rows yet still deliver a matched row whose
+    // payload value is genuinely null (per-column carry would reach
+    // past it to a stale older value — not as-of semantics)
+    val outs = rightCols.values.toSeq
+    val carried = unioned
+      .withColumn(payCol, when(col(sideCol) === 0, struct(outs.map(col): _*)))
+      .withColumn(payCol, last(col(payCol), ignoreNulls = true).over(w))
+    outs.foldLeft(carried) { (df, o) => df.withColumn(o, col(payCol).getField(o)) }
+      .filter(col(sideCol) === 1).drop(sideCol, tsCol, payCol)
   }
 
   /** Range (interval) join on event time: pairs within `windowSec`
@@ -55,6 +68,8 @@ object Relational {
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                 leftTs: String, rightTs: String, windowSec: Long,
                 rightCols: Map[String, String]): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive, got $windowSec " +
+      "(0 would divide by zero; negative matches nothing)")
     // microsecond-exact arithmetic (unix_timestamp would truncate to
     // seconds and silently change the predicate)
     val winUs = windowSec * 1000000L
@@ -139,12 +154,22 @@ object Relational {
                  fpp: Double = 0.01): DataFrame = {
     require(keys.nonEmpty, "bloomPrune needs at least one key column")
     require(fpp > 0.0 && fpp < 0.5, s"fpp in (0, 0.5), got $fpp")
+    // persist the small side: its plan is evaluated for the distinct
+    // count, the bloom build, and (in bloomPrunedJoin) the join itself
+    // — three executions of the "arbitrary transforms" lineage the
+    // operator exists for; worse, a NONDETERMINISTIC small plan
+    // (sample(), re-read mutable source) could build the filter from
+    // different keys than the join sees, manufacturing the false
+    // negatives the no-false-negative contract rules out.  The cache
+    // is bounded by the small-side contract; it stays alive for the
+    // lazily-returned join (callers can unpersist when done).
+    val smallP = small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyHash = xxhash64(keys.map(col): _*)
-    val nKeys = small.select(keys.map(col): _*).distinct().count()
+    val nKeys = smallP.select(keys.map(col): _*).distinct().count()
     require(nKeys <= 500000000L,
       s"small side has $nKeys distinct keys — a driver-held bloom past 5e8 keys " +
         "is the wrong tool; shard the filter or let the join shuffle")
-    val bf = small.select(keyHash.as("h"))
+    val bf = smallP.select(keyHash.as("h"))
       .stat.bloomFilter("h", math.max(nKeys, 1L), fpp)
     big.filter(graft.functions.BloomGate.bloomMightContain(keyHash, bf))
   }

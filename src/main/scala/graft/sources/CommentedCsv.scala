@@ -108,7 +108,7 @@ object CommentedCsv {
     * cannot collapse space runs, so rows parse as a distributed text
     * scan + regex split, typed by a driver-side sample. */
   def readWhitespace(spark: SparkSession, path: String, sampleRows: Int = 100): EzFrame = {
-    import org.apache.spark.sql.functions.{col, split, trim, element_at}
+    import org.apache.spark.sql.functions.{col, lit, split, trim, try_element_at}
     val h = scanHeader(path)
     val lines = spark.read.text(path)
       .filter(!col("value").startsWith("#") && trim(col("value")) =!= "")
@@ -125,8 +125,12 @@ object CommentedCsv {
     }
     val names =
       if (h.colNames.length == nCols) h.colNames else (0 until nCols).map(i => s"_c$i")
+    // try_element_at + try_cast: under Spark 4's default ANSI mode a
+    // ragged row (fewer fields) or a stray non-numeric value past the
+    // typing sample would otherwise kill the whole read — np.loadtxt
+    // inputs are exactly the files where that happens
     val cols = (0 until nCols).map { i =>
-      element_at(parts, i + 1).cast(typeOf(i)).as(names(i))
+      try_element_at(parts, lit(i + 1)).try_cast(typeOf(i)).as(names(i))
     }
     val df = lines.select(cols: _*)
     val meta = EzMeta(header = h.header, aliases = h.aliases, units = h.units, comments = h.comments)

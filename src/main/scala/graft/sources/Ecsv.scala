@@ -54,12 +54,17 @@ object Ecsv {
     val body = s.trim.stripPrefix("{").stripSuffix("}")
     // split on commas not inside quotes or brackets
     val parts = scala.collection.mutable.ListBuffer.empty[String]
-    var depth = 0; var inQuote = false; var cur = new StringBuilder
+    // quoteCh tracks WHICH character opened the span: a single flag
+    // would let an apostrophe inside a double-quoted value flip the
+    // state and swallow the following fields
+    var depth = 0; var quoteCh: Char = 0; var cur = new StringBuilder
     body.foreach {
-      case c @ ('\'' | '"') => inQuote = !inQuote; cur += c
-      case c @ ('[' | '{') if !inQuote => depth += 1; cur += c
-      case c @ (']' | '}') if !inQuote => depth -= 1; cur += c
-      case ',' if depth == 0 && !inQuote => parts += cur.toString; cur = new StringBuilder
+      case c @ ('\'' | '"') =>
+        if (quoteCh == 0) quoteCh = c else if (quoteCh == c) quoteCh = 0
+        cur += c
+      case c @ ('[' | '{') if quoteCh == 0 => depth += 1; cur += c
+      case c @ (']' | '}') if quoteCh == 0 => depth -= 1; cur += c
+      case ',' if depth == 0 && quoteCh == 0 => parts += cur.toString; cur = new StringBuilder
       case c => cur += c
     }
     if (cur.nonEmpty) parts += cur.toString
@@ -130,19 +135,28 @@ object Ecsv {
   }
 
   /** Generate the YAML header block (ezdata/ecsv.py:175–211). */
+  /** Quote a flow-map value when it carries YAML metacharacters —
+    * astropy always quotes such values; leaving them raw would corrupt
+    * the file's own round-trip (a comma truncates the value, a '}'
+    * breaks depth tracking). */
+  private def fmVal(v: String): String =
+    if (v.exists(c => ",:{}[]'\"".contains(c)))
+      "\"" + v.replace("\"", "") + "\"" // inner double-quotes dropped: the parser has no escape form
+    else v
+
   def generateHeader(ez: EzFrame): String = {
     val sb = new StringBuilder
     sb.append("# %ECSV 1.0\n# ---\n# datatype:\n")
     ez.schema.fields.foreach { f =>
-      val attrs = scala.collection.mutable.ListBuffer(s"name: ${f.name}")
+      val attrs = scala.collection.mutable.ListBuffer(s"name: ${fmVal(f.name)}")
       f.dataType match {
         case ArrayType(e, _) =>
           attrs += "datatype: string"
           attrs += s"subtype: ${ecsvType(e)}[null]"
         case dt => attrs += s"datatype: ${ecsvType(dt)}"
       }
-      ez.meta.units.get(f.name).foreach(u => attrs += s"unit: $u")
-      ez.meta.comments.get(f.name).foreach(d => attrs += s"description: $d")
+      ez.meta.units.get(f.name).foreach(u => attrs += s"unit: ${fmVal(u)}")
+      ez.meta.comments.get(f.name).foreach(d => attrs += s"description: ${fmVal(d)}")
       sb.append("# - {" + attrs.mkString(", ") + "}\n")
     }
     if (ez.meta.header.nonEmpty) {

@@ -6,6 +6,27 @@ import graft.operators.{Binned, Dedup, Similarity, TextAnalysis}
 import graft.functions.Astro
 
 class BinnedSpec extends SparkSpec {
+
+  test("review fixes: FP bucket boundary clamps, NaN/inf never poison axes or categories") {
+    import graft.operators.Binned
+    import spark.implicits._
+    // 0.9999999999999999 used to floor to bucket 3 of [0, 3) and be
+    // silently dropped by the dense-grid join
+    val ax = Binned.Axis("x", col("x"), 0.0, 1.0, 3)
+    val b = Seq(0.9999999999999999, 1.0, 0.0, 0.5).toDF("x")
+      .select(ax.bucket.as("b")).collect().map(_.getLong(0))
+    assert(b.toSeq == Seq(2L, 2L, 0L, 1L), s"buckets: ${b.toSeq}")
+    // NaN/inf must not become the axis extent
+    val vals = Seq(1.0, 2.0, 3.0, Double.NaN, Double.PositiveInfinity).toDF("v")
+    val axis = Binned.guessBins(vals, col("v"))
+    assert(axis.hi < 5.0 && axis.n < 100, s"axis poisoned: lo=${axis.lo} hi=${axis.hi} n=${axis.n}")
+    // null categories are excluded from the pivot rather than crashing it
+    val cat = Seq((0.1, 0.1, "a"), (0.2, 0.2, null.asInstanceOf[String]), (0.3, 0.3, "b"))
+      .toDF("x", "y", "c")
+    val r = Binned.rasterCat(cat, col("x"), col("y"),
+      0.0, 1.0, 0.0, 1.0, widthPx = 2, heightPx = 2, cat = col("c"))
+    assert(r.columns.toSet.intersect(Set("a", "b")) == Set("a", "b") && !r.columns.contains(null))
+  }
   import spark.implicits._
 
   test("1-D dense histogram keeps empty bins (xarray reindex semantics)") {

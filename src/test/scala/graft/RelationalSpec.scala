@@ -130,4 +130,26 @@ class RelationalSpec extends SparkSpec {
         s"bloom predicate must sit below the big side's exchange:\n$plan")
     }
   }
+
+  test("review fixes: as-of carries a matched null, rejects collisions; rangeJoin guards window") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val right = Seq(("k", 1L, Some(5.0)), ("k", 2L, None))
+      .toDF("key", "ts", "v")
+      .select(col("key"), col("ts").cast("timestamp").as("ts"), col("v"))
+    val left = Seq(("k", 3L)).toDF("key", "ts")
+      .select(col("key"), col("ts").cast("timestamp").as("ts"))
+    val j = Relational.asofJoin(left, right, Seq("key"), "ts", "ts", Map("v" -> "price"))
+      .collect()
+    // the LATEST match (ts=2) has v=null; per-column ignoreNulls carry
+    // used to reach past it to the stale ts=1 value 5.0
+    assert(j.length == 1 && j.head.isNullAt(j.head.fieldIndex("price")),
+      s"as-of must deliver the matched row's null, got ${j.toSeq}")
+    // an output name colliding with a left column is refused loudly
+    intercept[IllegalArgumentException](
+      Relational.asofJoin(left.withColumn("price", lit(1.0)), right,
+        Seq("key"), "ts", "ts", Map("v" -> "price")))
+    intercept[IllegalArgumentException](
+      Relational.rangeJoin(left, right, Seq("key"), "ts", "ts", windowSec = 0, Map("v" -> "p")))
+  }
 }
