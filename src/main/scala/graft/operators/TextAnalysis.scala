@@ -24,9 +24,17 @@ object TextAnalysis {
     * (" a b " is 2 tokens, "   " is 0 — each stray space used to add a
     * phantom token). */
   def tokenCount(text: Column): Column = {
+    // fast path for the common clean row: the regex squeeze costs real
+    // scan time (q66's gate + per-chunk counts regressed ~2x paying it
+    // unconditionally), and on text with no leading/trailing/repeated
+    // spaces both formulas agree exactly
+    val dirty = text.startsWith(" ") || text.endsWith(" ") || text.contains("  ")
+    val plain = when(length(text) === 0, lit(0L))
+      .otherwise(countOccurrences(text, " ") + 1L)
     val squeezed = regexp_replace(trim(text), " +", " ")
-    when(length(squeezed) === 0, lit(0L))
+    val squeezedCount = when(length(squeezed) === 0, lit(0L))
       .otherwise(countOccurrences(squeezed, " ") + 1L)
+    when(!dirty, plain).otherwise(squeezedCount)
   }
 
   /** BPE-ish subword-boundary token count: runs of letters, runs of
