@@ -36,9 +36,17 @@ object DistinctSketch {
   /** 64-bit portable value hash: first 8 bytes (big-endian) of
     * md5(UTF-8) — the same digest family as the engine's deterministic
     * sampling keys, reproducible by any engine. */
+  // ThreadLocal digest: getInstance per hashed VALUE is an allocation
+  // + provider lookup in the dense-mode hot path (the same cost
+  // WindowHash.md5Local exists to remove)
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
   def hash64(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong
   }
 
@@ -135,8 +143,14 @@ object DistinctSketch {
 
   /** Per-group distinct counts: (groupCols..., n_distinct, exact). */
   def perGroup(df: DataFrame, groupCols: Seq[Column], key: Column,
-               p: Int = 12, sparseCap: Int = 4096): DataFrame =
-    df.groupBy(groupCols: _*)
+               p: Int = 12, sparseCap: Int = 4096): DataFrame = {
+    val out = df.groupBy(groupCols: _*)
       .agg(countDistinctSketch(key, p, sparseCap).as("d"))
-      .select(groupCols :+ col("d.n_distinct").as("n_distinct") :+ col("d.exact").as("exact"): _*)
+    // re-select the agg output's OWN group columns (by name, from its
+    // schema): re-resolving the caller's expressions would throw for
+    // any non-attribute group (e.g. col("a") % 10) whose inputs no
+    // longer exist after the aggregation
+    val groupNames = out.columns.dropRight(1).map(col).toSeq
+    out.select(groupNames :+ col("d.n_distinct").as("n_distinct") :+ col("d.exact").as("exact"): _*)
+  }
 }

@@ -38,11 +38,21 @@ object HeavyHitters {
     // min-heap of (countAtPush, item); stale entries skipped on pop
     private val heap = mutable.PriorityQueue.empty[(Long, String)](
       Ordering.by[(Long, String), Long](_._1).reverse)
+    private[graft] def heapSize: Int = heap.size // spec surface for the bound
 
     def offer(item: String, inc: Long = 1L): Unit = counts.get(item) match {
       case Some(c) =>
         counts(item) = c + inc
         heap.enqueue((c + inc, item))
+        // compact the lazy-deletion heap: every tracked-item increment
+        // enqueues a fresh entry, so a few hot keys streaming 10^9
+        // occurrences would grow the heap with the STREAM, not the
+        // capacity — rebuilding from `counts` restores the O(capacity)
+        // bound at amortized O(1) per offer
+        if (heap.size > 4 * capacity) {
+          heap.clear()
+          counts.foreach { case (i2, c2) => heap.enqueue((c2, i2)) }
+        }
       case None if counts.size < capacity =>
         counts(item) = inc; errs(item) = 0L
         heap.enqueue((inc, item))
@@ -91,6 +101,13 @@ object HeavyHitters {
           (item, c, ss.errs(item), bound, pid)
         }
       }.toDF("item", "c", "err", "p_min", "pid")
+      // persist: the frame feeds TWO branches (total-min and the item
+      // aggregate); unpersisted, the whole scan + SpaceSaving pass
+      // would run twice — and a nondeterministically-ordered upstream
+      // could give the two runs DIFFERENT summaries, mixing bounds
+      // from different executions into one interval.  Bounded at
+      // partitions x capacity rows.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Σ_p absentBound_p as a broadcast one-row frame (bounded agg)
     val totalMin = partials.select(col("pid"), col("p_min")).distinct()
       .agg(coalesce(sum(col("p_min")), lit(0L)).as("total_min"))

@@ -127,6 +127,8 @@ object Multimodal {
     * explode-then-process shape is the real contract: downstream
     * per-frame operators are ordinary row operators. */
   def explodeFrames(df: DataFrame, payloadCol: String, maxFrames: Int): DataFrame = {
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames " +
+      "(0 would divide by zero and sequence() would run backwards)")
     val p = col(payloadCol)
     // ceil division so the frames tile the whole payload (last one short)
     val frameW = greatest(ceil(length(p).cast(DoubleType) / maxFrames).cast(IntegerType), lit(1))

@@ -53,7 +53,12 @@ object QuantileSketch {
     private val pending = mutable.HashMap.empty[Double, Long]
 
     def insert(v: Double): this.type = {
-      pending.update(v, pending.getOrElse(v, 0L) + 1L)
+      // normalize the zero: -0.0 and 0.0 are DISTINCT boxed map keys
+      // but numerically equal under <, which would hand -0.0 a
+      // cumulative rank that excludes the 0.0 items and break the
+      // rank-interval invariant (Spark SQL grouping normalizes too)
+      val vn = if (v == 0.0) 0.0 else v
+      pending.update(vn, pending.getOrElse(vn, 0L) + 1L)
       n += 1
       if (pending.size > 2 * capacity) flush()
       this
@@ -209,6 +214,12 @@ object QuantileSketch {
     * inputs are skipped like SQL aggregates. */
   final class Agg(p: Double, capacity: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Option[Double], Summary, GroupQuantile] {
+    // validate at CONSTRUCTION (driver-side): a bad p would otherwise
+    // fail in finish() on the executors after the whole scan ran, and
+    // the capacity cap mirrors quantiles()' task-boundedness guard
+    require(p >= 0.0 && p <= 1.0, s"quantile p in [0,1], got $p")
+    require(capacity >= 16 && capacity <= (1 << 16),
+      s"capacity in [16, 65536], got $capacity")
     def zero: Summary = new Summary(capacity)
     def reduce(b: Summary, a: Option[Double]): Summary =
       a.filterNot(_.isNaN).map(b.insert(_)).getOrElse(b)

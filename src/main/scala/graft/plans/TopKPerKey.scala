@@ -35,8 +35,19 @@ final case class TopKPerKeyNode(keys: Seq[Expression], orders: Seq[SortOrder], k
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, orders, k, child) =>
-      TopKPerKeyExec(keys, orders, k, partial = false,
-        TopKPerKeyExec(keys, orders, k, partial = true, planLater(child))) :: Nil
+      // float/double keys must be normalized like Spark's own
+      // Aggregate/Join keys (NormalizeFloatingNumbers only rewrites
+      // known node types, not custom ones): without this, -0.0 vs 0.0
+      // and distinct NaN bit patterns form SEPARATE groups in the raw
+      // UnsafeRow key map and can even hash to different partitions
+      val normKeys = keys.map {
+        case e if e.dataType == org.apache.spark.sql.types.DoubleType ||
+                  e.dataType == org.apache.spark.sql.types.FloatType =>
+          org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(e)
+        case e => e
+      }
+      TopKPerKeyExec(normKeys, orders, k, partial = false,
+        TopKPerKeyExec(normKeys, orders, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -80,4 +80,13 @@ class DistinctSketchSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), s"typed partial agg missing:\n$plan")
   }
+
+  test("perGroup accepts expression group columns") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"v${i % 7}")).toDF("id", "v")
+    val out = graft.operators.DistinctSketch.perGroup(
+      df, Seq((col("id") % 10).as("bucket")), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 10 && out.values.forall(n => n >= 1 && n <= 7), s"$out")
+  }
 }

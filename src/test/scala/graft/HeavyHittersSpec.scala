@@ -59,4 +59,13 @@ class HeavyHittersSpec extends SparkSpec {
     assert(plan.contains("SerializeFromObject") && plan.contains("MapPartitions"),
       s"bounded summary stage missing:\n$plan")
   }
+
+  test("heap stays bounded under a hot-key stream (lazy-deletion compaction)") {
+    val ss = new graft.operators.HeavyHitters.SpaceSaving(capacity = 8)
+    (1 to 200000).foreach(_ => ss.offer("hot"))
+    (1 to 50).foreach(i => ss.offer(s"k$i")) // force evictions too
+    assert(ss.heapSize <= 4 * 8 + 8,
+      s"heap grew with the stream: ${ss.heapSize} entries for capacity 8")
+    assert(ss.counts("hot") == 200000L)
+  }
 }

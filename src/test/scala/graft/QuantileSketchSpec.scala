@@ -128,4 +128,19 @@ class QuantileSketchSpec extends SparkSpec {
     assert(parts.nonEmpty)
     assert(runFold(0 until 7) == runFold((0 until 7).reverse))
   }
+
+  test("review fixes: signed zero ranks once; Agg validates at construction") {
+    import graft.operators.QuantileSketch
+    val sm = new QuantileSketch.Summary(capacity = 64)
+    (1 to 5).foreach(_ => sm.insert(-0.0))
+    (1 to 3).foreach(_ => sm.insert(0.0))
+    sm.insert(1.0)
+    val q = sm.query(0.5) // target rank 5 of 9 -> the zero group
+    assert(q.v == 0.0 && q.rmin == 8L && q.rmax == 8L,
+      s"signed zeros must collapse to one rank-8 group: $q")
+    intercept[IllegalArgumentException](QuantileSketch.groupQuantile(
+      org.apache.spark.sql.functions.col("v"), p = 1.5))
+    intercept[IllegalArgumentException](QuantileSketch.groupQuantile(
+      org.apache.spark.sql.functions.col("v"), p = 0.5, capacity = 1 << 20))
+  }
 }

@@ -52,4 +52,13 @@ class TopKSpec extends SparkSpec {
     val df = Seq((1L, 5.0), (2L, 9.0)).toDF("k", "v")
     assert(TopK.perKey(df, Seq("k"), "v", k = 10).count() == 2)
   }
+
+  test("float keys normalize: -0.0 and 0.0 form ONE group like Spark's own operators") {
+    import spark.implicits._
+    val df = Seq((-0.0, 1L), (0.0, 2L), (1.0, 3L)).toDF("k", "v")
+    val top = graft.plans.TopK.perKeyOrdered(df, Seq("k"), Seq("v" -> true), 1)
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(top.length == 2, s"signed zeros split into separate key groups: ${top.toSeq}")
+    assert(top.toMap.values.toSet == Set(2L, 3L)) // zero group keeps its max v
+  }
 }
