@@ -358,8 +358,19 @@ object Flac {
         r.bytePos = firstFrame
         var n = 0L
         val div = (1L << (si.bps - 1)).toDouble
+        // total-work cap: CONSTANT subframes amplify ~4096:1 (65535
+        // samples from an ~18-byte frame), so an adversarial stream
+        // could force billions of emits before the end-of-stream
+        // totalSamples check — bound by the DECLARED length (plus one
+        // frame of slack) or, when undeclared, a 2^26 ceiling (the
+        // image decoders' pixel-cap analogue)
+        val maxEmits =
+          if (si.totalSamples > 0) si.totalSamples * si.channels + 65536L
+          else (1L << 26)
         while (!r.atEnd) {
           decodeFrame(b, r, si) { (s, _) => f(s / div); n += 1 }
+          if (n > maxEmits)
+            throw new IllegalArgumentException(s"FLAC stream emits past its declared length ($n > $maxEmits)")
         }
         // a stream whose STREAMINFO declares a length must deliver it —
         // a truncation that happens to land on a frame boundary (or

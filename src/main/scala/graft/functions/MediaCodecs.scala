@@ -121,7 +121,11 @@ object MediaCodecs {
       } else if (id == "data") {
         data = Some((body, math.min(size, (b.length - body).toLong).toInt))
       }
-      at = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // advance in LONG space: body + size.toInt overflowed Int for a
+      // crafted ~2^31 chunk size, turning `at` negative and crashing
+      // the next header read — stop the walk (degrade) instead
+      val next = body.toLong + size + (size & 1L) // chunks are word-aligned
+      at = if (next <= at || next > b.length.toLong) b.length else next.toInt
     }
     for ((format, channels, rate, bits, blockAlign) <- fmt; (off, size) <- data)
       yield (format, channels, rate, bits, blockAlign, off, size)
@@ -854,7 +858,13 @@ object MediaCodecs {
     // a corrupt header can claim samples the buffer doesn't hold —
     // zero whole input frames means nothing to resample from
     if (nIn <= 0) return None
-    val nOut = math.max(1, (nIn.toLong * targetRate / sampleRate).toInt)
+    // LONG-space output sizing with a hard cap: a corrupt header
+    // claiming sampleRate=1 would otherwise upsample a KB input into
+    // gigabytes (or Int-overflow the array size to a crash) — the
+    // audio analogue of the image paths' pixel caps
+    val nOutL = math.max(1L, nIn.toLong * targetRate / sampleRate)
+    if (nOutL * frameBytes > (1L << 26)) return None // 64 MB output cap
+    val nOut = nOutL.toInt
     val outData = new Array[Byte](nOut * frameBytes)
     var i = 0
     while (i < nOut) {

@@ -102,7 +102,12 @@ object Mp4 {
       (ms, me) <- findBox(b, 0, b.length, "meta")
       (ps, pe) <- findBox(b, ms + 4, me, "iprp") // meta is a FullBox
       (cs, ce) <- findBox(b, ps, pe, "ipco")
-      (is, _)  <- findBox(b, cs, ce, "ispe")
+      (is, ie) <- findBox(b, cs, ce, "ispe")
+      // the ispe payload must actually span version/flags + w + h —
+      // a short box would read the SIBLING box's header bytes as
+      // dimensions; dims must also fit a positive Int
+      if ie - is >= 12 && u32(b, is + 4) > 0 && u32(b, is + 4) <= Int.MaxValue &&
+        u32(b, is + 8) > 0 && u32(b, is + 8) <= Int.MaxValue
     } yield {
       val w = u32(b, is + 4).toInt // ispe FullBox: version/flags, then w, h
       val h = u32(b, is + 8).toInt
@@ -238,8 +243,16 @@ object Mp4 {
       val sampleCount = u32(b, szs + 8)
       val nChunks = u32(b, cos + 4).toInt
       val nRuns = u32(b, scs + 4).toInt
-      if (nChunks < 0 || cos + 8 + nChunks * (if (wide) 8 else 4) > coe) return false
-      if (nRuns <= 0 || scs + 8 + nRuns * 12 > sce) return false
+      // LONG-space table bounds: nChunks * 8 overflowed Int for a
+      // claimed entry_count >= 2^28, letting the guard pass and the
+      // loop read offsets past the box
+      if (nChunks < 0 || cos + 8 + nChunks.toLong * (if (wide) 8L else 4L) > coe) return false
+      if (nRuns <= 0 || scs + 8 + nRuns.toLong * 12L > sce) return false
+      // total-work cap: a crafted table can alias every chunk onto the
+      // same in-bounds byte range with a 2^32-1 sample count — the
+      // audio analogue of the image decoders' pixel caps (PNG 2^26)
+      val maxTotalSamples = 1L << 26
+      var emitted = 0L
       var sampleIdx = 0L
       var run = 0
       var chunk = 1 // 1-based per spec
@@ -267,6 +280,8 @@ object Mp4 {
               if (little) ((b(p) & 0xff) | (b(p + 1) << 8)).toShort
               else (((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)).toShort
             f(raw / 32768.0)
+            emitted += 1
+            if (emitted > maxTotalSamples) return false
             p += 2
           }
           off += size
@@ -301,6 +316,11 @@ object Mp4 {
               (mis, mie) <- findBox(b, mds, mde, "minf")
               (sts, ste) <- findBox(b, mis, mie, "stbl")
               (sds, sde) <- findBox(b, sts, ste, "stsd")
+              // same sample-entry span validation as parseMovie's walk:
+              // the entry must cover the 16.16 rate field (>= 36 bytes)
+              // before fs+16 is read — this duplicate path previously
+              // leaned on the blanket Exception catch instead
+              if sds + 8 + 8 <= sde && u32(b, sds + 8) >= 36
             } yield {
               val entry = sds + 8
               val fmt = fourcc(b, entry + 4)
