@@ -172,7 +172,7 @@ object SparkEntry {
     // §2.4 groupBy on a computed NumPy expression
     "q08_groupby_expr" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      li.df.groupBy(li.evalexpr("floor(l_quantity / 10)").as("qty_bucket"))
+      li.df.groupBy(li.evalexpr("floor(l_quantity / 10)").cast(LongType).as("qty_bucket"))
         .agg(count(lit(1)).as("n"), sum(dec2(li.get("l_extendedprice"))).cast(DoubleType).as("sum_price"))
     }),
 

@@ -29,11 +29,31 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def num_class(s) -> str:
+    """integer / float / other — the driver's value hash renders 1 vs 1.0
+    differently, so an int-vs-float drift between Spark and the oracle is a
+    hash fail even when the values are numerically equal (round-13 q08)."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "integer"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
 def compare(name: str, a: pd.DataFrame, b: pd.DataFrame) -> str:
     if sorted(a.columns) != sorted(b.columns):
         return f"COLUMNS spark={sorted(a.columns)} oracle={sorted(b.columns)}"
     if len(a) != len(b):
         return f"ROWS spark={len(a)} oracle={len(b)}"
+    for c in sorted(a.columns):
+        ca, cb = num_class(a[c]), num_class(b[c])
+        # Decimal comes back as object from both engines; only flag when both
+        # sides are concretely numeric and the classes disagree.
+        if {ca, cb} == {"integer", "float"}:
+            return (f"TYPE-CLASS col={c} spark={a[c].dtype} oracle={b[c].dtype} "
+                    f"(driver hash renders these differently — cast one side)")
     a, b = norm(a), norm(b)
     for c in a.columns:
         av, bv = a[c], b[c]
