@@ -1307,6 +1307,74 @@ object SparkEntry {
                FROM q107_sky WHERE sphdist(ra, dec, 10.0, 20.0) <= 33.7""")
     }),
 
+    // Z-order layout END-TO-END, driver-gated (round-13 verdict #7):
+    // q100 oracles the key arithmetic; this slot actually WRITES a
+    // z-order-clustered copy of lineitem (one range exchange on the
+    // interleaved key), reads it back through a 2-D box predicate, and
+    // returns the matching rows.  The oracle is the PLAIN filter on the
+    // unclustered table — clustering must be invisible in the result
+    // (pure doubles round-trip parquet bit-exact; no arithmetic).  The
+    // row-group pruning yield of this exact layout is gated per-round
+    // in LayoutSpec ("row-group pruning bounds scan rows").
+    "q114_zorder_scan" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val zdir = s"/tmp/graft_q114_zorder_${Integer.toHexString(dir.hashCode)}"
+      operators.Layout.zOrderBy(li,
+          Seq(operators.Layout.quantize(col("l_extendedprice"), 0.0, 120000.0, 8),
+              operators.Layout.quantize(col("l_quantity"), 0.0, 64.0, 8)),
+          bits = 8, numPartitions = 16)
+        .write.mode("overwrite").parquet(zdir)
+      s.read.parquet(zdir)
+        .filter(col("l_extendedprice").between(10000.0, 20000.0) &&
+                col("l_quantity").between(10.0, 20.0))
+    }),
+
+    // PRODUCTION kNN path, driver-gated (round-13 verdict #3): the
+    // LSH-bucketed knnGraph actually runs in this slot (q110 runs the
+    // exact twin).  Output is an invariant table the oracle can check:
+    // 'exact_edges' is independently recomputed by DuckDB's window
+    // formulation, and the remaining rows are literal-pinned booleans
+    // computed from the REAL approx run — every approx edge must be a
+    // genuine pair with the true rounded cosine (containment), no
+    // source may exceed k edges, no self edges, and recall against the
+    // exact twin must clear the floor.  A production-path regression
+    // (collapsed recall, wrong cosine, k overflow) hash-mismatches.
+    "q110b_knn_production" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      val approx = Similarity.knnGraph(e, "vec_id", "embedding", k = 5, tables = 4)
+        .persist()
+      val exact = Similarity.knnGraphExact(e, "vec_id", "embedding", k = 5)
+        .select(col("src"), col("dst")).persist()
+      // all true pairs with their rounded cosine: containment reference
+      val allPairs = Similarity.exactPairs(e, "vec_id", "embedding", threshold = -1.0)
+      val canon = approx.select(
+        least(col("src"), col("dst")).as("id_a"),
+        greatest(col("src"), col("dst")).as("id_b"), col("cos_sim"))
+      val badCosine = canon.alias("c")
+        .join(allPairs.alias("p"), Seq("id_a", "id_b"), "left")
+        .filter(col("p.cos_sim").isNull || col("c.cos_sim") =!= col("p.cos_sim"))
+        .count()
+      val nExact = exact.count()
+      val nHit = approx.join(exact, Seq("src", "dst"), "left_semi").count()
+      val overK = approx.groupBy(col("src")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 5).count()
+      val selfEdges = approx.filter(col("src") === col("dst")).count()
+      val recall = if (nExact == 0) 1.0 else nHit.toDouble / nExact
+      approx.unpersist(); exact.unpersist()
+      // floor 0.30: measured 0.44 at both sf0.001 and sf0.01 (random
+      // near-orthogonal embeddings are the LSH-hostile regime; the
+      // floor detects recall collapse, not day-to-day jitter)
+      Seq(
+        ("bad_cosine_edges", badCosine),
+        ("exact_edges", nExact),
+        ("over_k_sources", overK),
+        ("recall_ge_300x", if (recall >= 0.30) 1L else 0L),
+        ("self_edges", selfEdges)
+      ).toDF("metric", "value")
+    }),
+
     // kNN graph (top-k neighbors per vector — the input to graph-based
     // curation).  Driver slot uses the EXACT twin so the oracle is a
     // plain self-join + window; the LSH-bucketed production path is
@@ -1675,6 +1743,31 @@ object SparkEntry {
         |SELECT f.src AS src, f.dst AS dst, f.cos_sim AS cos_sim
         |FROM k f JOIN k b ON f.src = b.dst AND f.dst = b.src
         |WHERE f.src < f.dst""".stripMargin.replace("\n", " "),
+
+    // zorder-scan mirror: the PLAIN box filter — the clustered layout
+    // must be invisible in the result set
+    "q114_zorder_scan" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_extendedprice BETWEEN 10000.0 AND 20000.0
+        |AND l_quantity BETWEEN 10.0 AND 20.0""".stripMargin.replace("\n", " "),
+
+    // production-knn mirror: DuckDB independently recomputes the exact
+    // twin's edge count; the invariant rows (containment, k bound,
+    // recall floor, no self edges) are literal-pinned — they are
+    // COMPUTED from the real LSH run on the Spark side, so a production
+    // regression flips a value and hash-mismatches
+    "q110b_knn_production" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |FROM embeddings WHERE vec_id < 1000),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT src, row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rn FROM p)
+        |SELECT 'bad_cosine_edges' AS metric, CAST(0 AS BIGINT) AS value
+        |UNION ALL SELECT 'exact_edges', (SELECT count(*) FROM r WHERE rn <= 5)
+        |UNION ALL SELECT 'over_k_sources', 0
+        |UNION ALL SELECT 'recall_ge_300x', 1
+        |UNION ALL SELECT 'self_edges', 0""".stripMargin.replace("\n", " "),
 
     // knn-graph mirror: all-pairs cosine + per-source window top-5,
     // ranked by the rounded similarity with dst as the tiebreak

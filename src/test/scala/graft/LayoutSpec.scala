@@ -97,6 +97,50 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("q114 layout: row-group pruning bounds scan rows vs the unclustered table") {
+    // the exact layout + predicate the q114 driver slot runs: scan-node
+    // numOutputRows counts rows in SURVIVING row groups (parquet pushed
+    // filters prune at row-group granularity by default; the Spark-side
+    // Filter re-evaluates per row), so clustering shows up directly
+    val tmp = java.nio.file.Files.createTempDirectory("q114gate").toFile
+    try {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val plainDir = s"${tmp.getAbsolutePath}/plain"
+      val zDir = s"${tmp.getAbsolutePath}/z"
+      li.repartition(16).write.parquet(plainDir)
+      Layout.zOrderBy(li,
+          Seq(Layout.quantize(col("l_extendedprice"), 0.0, 120000.0, 8),
+              Layout.quantize(col("l_quantity"), 0.0, 64.0, 8)),
+          bits = 8, numPartitions = 16)
+        .write.parquet(zDir)
+      def scanned(dir: String): (Long, Long) = {
+        val df = spark.read.parquet(dir)
+          .filter(col("l_extendedprice").between(10000.0, 20000.0) &&
+                  col("l_quantity").between(10.0, 20.0))
+        val matched = df.queryExecution.executedPlan.execute().count()
+        val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numOutputRows").value
+        }.get
+        (scan, matched)
+      }
+      val (plainScan, plainN) = scanned(plainDir)
+      val (zScan, zN) = scanned(zDir)
+      assert(zN == plainN, s"layout changed the result: $zN vs $plainN rows")
+      assert(zN > 0, "empty predicate box — the gate would be vacuous")
+      // unclustered: the random layout leaves every row group overlapping
+      // the box; clustered: only the box's hyper-box of files/groups scans
+      assert(zScan < plainScan / 2,
+        s"z-order pruning yield collapsed: scanned $zScan of clustered vs $plainScan plain")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("zValue rejects keys that overflow a signed long") {
     intercept[IllegalArgumentException] {
       Layout.zValue(Seq(col("a"), col("b")), 32)
