@@ -54,7 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.SqlScalars.all.foreach { case (name, arity, usage, f) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.Astro", name, usage),
+        // 5-arg (className, db, name, usage, extended): the 3-arg form
+        // is (className, db, name) — passing (className, name, usage)
+        // there registered the usage string as the function NAME
+        new ExpressionInfo("graft.functions.Astro", null, name, usage, ""),
         graft.functions.SqlScalars.builder(arity, usage, f)))
     }
   }

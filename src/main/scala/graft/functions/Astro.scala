@@ -99,7 +99,15 @@ object Astro {
     * precision — rounding the seconds remainder after flooring the
     * minutes could render the invalid "…:00:60.00" when the remainder
     * rounds up (the reference prints the raw float and cannot hit
-    * this; the engine's fixed 2-decimal rendering can). */
+    * this; the engine's fixed 2-decimal rendering can).
+    *
+    * NO INPUT CANONICALIZATION (same as the reference): deg is not
+    * folded into [0, 360), so |deg| >= 360 — or a value that ROUNDS to
+    * it at display precision, e.g. 359.9999999 — renders an hour field
+    * >= 24 ("24:00:00.00").  That is the faithful rendering of the
+    * given angle: [[hms2deg]] round-trips it exactly, whereas wrapping
+    * the top unit mod 24 would silently map 360° to 0°.  Callers
+    * needing canonical fields must fold the angle first. */
   def deg2hms(deg: Column): Column = {
     val ts = round(abs(deg) * 240.0, 2) // total seconds of time, display precision
     val h = floor(ts / 3600.0)
@@ -113,7 +121,9 @@ object Astro {
   }
 
   /** Degrees → "[+-]dd:mm:ss.ss" (ezdata/simpletable.py:1162–1187).
-    * Same rounded-total decomposition as [[deg2hms]]. */
+    * Same rounded-total decomposition — and same no-canonicalization
+    * contract — as [[deg2hms]]: out-of-range input renders an
+    * out-of-range degree field rather than silently wrapping. */
   def deg2dms(deg: Column): Column = {
     val ts = round(abs(deg) * 3600.0, 2) // total arcseconds, display precision
     val d = floor(ts / 3600.0)

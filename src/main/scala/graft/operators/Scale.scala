@@ -11,6 +11,34 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Columns of `df` that Spark's hash expressions accept: xxhash64
+    * rejects MapType anywhere in the type (map entry order is
+    * undefined, so a map hash would be nondeterministic — exactly what
+    * a retry-stable salt cannot be). */
+  private def hashableCols(df: DataFrame): Seq[Column] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case a: ArrayType => hasMap(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name))
+  }
+
+  /** The deterministic per-row salt — see [[saltedAggregate]].  Uses
+    * `saltSource` when given, else every map-free column. */
+  private def rowSalt(df: DataFrame, salt: Int, saltSource: Option[Column]): Column = {
+    val src = saltSource.map(Seq(_)).getOrElse {
+      val hs = hashableCols(df)
+      require(hs.nonEmpty,
+        "no hashable (map-free) column to derive a deterministic salt from — " +
+          "pass an explicit saltSource column")
+      hs
+    }
+    pmod(xxhash64(src: _*), lit(salt.toLong))
+  }
+
   /** Two-phase salted aggregation for skewed group keys.  Phase 1
     * groups by (keys, salt) so a hot key's rows spread over `salt`
     * reducers; phase 2 merges the partials.  Caller supplies the
@@ -19,9 +47,17 @@ object Scale {
     *
     * AQE's skew-join handling covers joins; this covers groupBy,
     * which AQE does not rebalance.
-    */
+    *
+    * CONTRACT — the salt is a deterministic row-content hash (map-typed
+    * columns excluded; xxhash64 rejects them): a task retry re-derives
+    * the same (key, salt) per row, which rules out any RNG/row-order
+    * source.  The flip side: fully IDENTICAL rows share one salt, so a
+    * hot key whose rows are byte-identical duplicates does not spread —
+    * pass `saltSource` (e.g. a pre-assigned shard id or a stable
+    * surrogate key column) to spread that shape. */
   def saltedAggregate(df: DataFrame, keys: Seq[Column], salt: Int,
-                      partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+                      partials: Seq[Column], merges: Seq[Column],
+                      saltSource: Option[Column] = None): DataFrame = {
     require(salt > 1, "salt must be > 1")
     require(!df.columns.exists(_.equalsIgnoreCase("_salt")),
       "input already has a _salt column — rename it first")
@@ -33,7 +69,7 @@ object Scale {
     // wrong under recomputation of a nondeterministically-ordered
     // upstream.  Fully identical rows share a salt; the hot KEY still
     // spreads because its rows differ in their other columns.
-    val salted = df.withColumn("_salt", pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong)))
+    val salted = df.withColumn("_salt", rowSalt(df, salt, saltSource))
     val phase1 = salted
       .groupBy(keys :+ col("_salt"): _*)
       .agg(partials.head, partials.tail: _*)
@@ -55,7 +91,7 @@ object Scale {
     * planned-ahead variant when one key holds most of the rows and the
     * dim side is small enough to replicate. */
   def saltedJoin(facts: DataFrame, dims: DataFrame, key: String, salt: Int,
-                 how: String = "inner"): DataFrame = {
+                 how: String = "inner", saltSource: Option[Column] = None): DataFrame = {
     require(salt > 1, "salt must be > 1")
     // the dim side is REPLICATED per salt, so an unmatched dim row
     // under right/full outer would surface `salt` times — same guard
@@ -66,7 +102,9 @@ object Scale {
       !dims.columns.exists(_.equalsIgnoreCase("_salt")),
       "input already has a _salt column — rename it first")
     // deterministic content hash, not row order — see saltedAggregate
-    val f = facts.withColumn("_salt", pmod(xxhash64(facts.columns.map(col): _*), lit(salt.toLong)))
+    // (same contract: map columns excluded, identical duplicate rows
+    // share a salt unless the caller passes saltSource)
+    val f = facts.withColumn("_salt", rowSalt(facts, salt, saltSource))
     val d = dims.withColumn("_salt", explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     f.join(d, Seq(key, "_salt"), how).drop("_salt")
   }

@@ -21,10 +21,16 @@ import graft.functions.SphDistExpr
   * constant center — including raw `spark.sql("… WHERE sphdist(…) <
   * r")` text no curated API ever sees:
   *
-  *  - declination band `dec ∈ [dec0−r, dec0+r]` — two plain attribute
+  *  - declination band `dec ∈ [dec0−r, dec0+r]` — attribute range
   *    comparisons, pushed to the scan as min/max-prunable filters.
-  *    Sound unconditionally for canonical dec ∈ [−90, 90] because the
-  *    great-circle separation is never smaller than |Δdec|.
+  *    Sound for canonical dec ∈ [−90, 90] because the great-circle
+  *    separation is never smaller than |Δdec|; for NON-canonical dec
+  *    each band carries an `OR |dec| > 90` escape so out-of-domain
+  *    rows fall through to the exact residual instead of being
+  *    silently banded out (the escape stays single-column-translatable
+  *    and is stats-impossible on canonical data, so pruning yield is
+  *    unchanged; the sargableRaBand flag asserts the canonical
+  *    convention for both coordinates and skips it).
   *  - RA guard, when the cap excludes the poles (|dec0|+r < 90): the
   *    cap's RA half-width is Δ = asin(sin r ⁄ cos dec0) (the spherical
   *    cap bounding box; same bound Q3C/pgSphere use).  Because RA is
@@ -109,9 +115,27 @@ object ConeZonePushdown extends Rule[LogicalPlan] with PredicateHelper {
 
   private def bands(ra: Expression, dec: Expression,
                     ra0: Double, dec0: Double, r: Double): Seq[Expression] = {
+    val sargable = conf.getConfString("spark.graft.cone.sargableRaBand", "false") == "true"
+    // SOUNDNESS ESCAPE for non-canonical declination: sep >= |Δdec| —
+    // the fact every band here rests on — only holds for dec ∈ [−90,
+    // 90] (outside it the haversine's cos(dec) terms can make the
+    // computed separation SMALLER than |Δdec|, so a bare band would
+    // drop rows the raw predicate keeps).  Rather than trusting an
+    // unverifiable data convention, each band lets out-of-domain rows
+    // fall through to the exact residual: `band OR |dec| > 90`.  The
+    // escape is PER CONJUNCT so the dec comparisons stay single-column
+    // Or-trees that still translate to parquet row-group filters (one
+    // combined Or would let the untranslatable pmod RA leaf poison the
+    // dec push entirely); on canonical-dec data the extra disjuncts are
+    // stats-impossible, so pruning yield is unchanged.  Under the
+    // sargableRaBand flag the caller asserts the canonical convention
+    // (for RA *and* dec) and the escape is skipped.
+    def escaped(band: Expression): Expression =
+      if (sargable) band
+      else Or(band, Or(LessThan(dec, Literal(-90.0)), GreaterThan(dec, Literal(90.0))))
     val decBand = Seq(
-      GreaterThanOrEqual(dec, Literal(dec0 - pad(math.max(r, 0.0)))),
-      LessThanOrEqual(dec, Literal(dec0 + pad(math.max(r, 0.0)))))
+      escaped(GreaterThanOrEqual(dec, Literal(dec0 - pad(math.max(r, 0.0))))),
+      escaped(LessThanOrEqual(dec, Literal(dec0 + pad(math.max(r, 0.0))))))
     val raGuard =
       if (r <= 0 || r >= 90 || math.abs(dec0) + r >= 90) Nil
       else {
@@ -121,10 +145,10 @@ object ConeZonePushdown extends Rule[LogicalPlan] with PredicateHelper {
           val half = pad(math.toDegrees(math.asin(sinRatio)))
           val lo = ra0 - half
           val hi = ra0 + half
-          val sargable = conf.getConfString("spark.graft.cone.sargableRaBand", "false") == "true"
           if (!sargable)
             // convention-free: ra is only defined mod 360
-            Seq(LessThanOrEqual(Pmod(Subtract(ra, Literal(lo)), Literal(360.0)), Literal(2 * half)))
+            Seq(escaped(
+              LessThanOrEqual(Pmod(Subtract(ra, Literal(lo)), Literal(360.0)), Literal(2 * half))))
           else if (lo >= 0 && hi <= 360)
             Seq(GreaterThanOrEqual(ra, Literal(lo)), LessThanOrEqual(ra, Literal(hi)))
           else {

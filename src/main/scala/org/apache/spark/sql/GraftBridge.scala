@@ -34,4 +34,12 @@ object GraftBridge {
   def installedOptimizerRules(ext: SparkSessionExtensions, spark: SparkSession)
       : Seq[org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     ext.buildOptimizerRules(spark)
+
+  /** Apply a bundle's injected functions to a registry
+    * (`registerFunctions` is private[sql]) — lets a spec assert the
+    * registered ExpressionInfo metadata without building a session. */
+  def registerInjectedFunctions(ext: SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(reg)
 }

@@ -83,6 +83,25 @@ class ConeRuleSpec extends SparkSpec {
     assert(flipped.count() == brute.count() && flipped.count() > 0)
   }
 
+  test("non-canonical dec (|dec| > 90): band escape keeps rule-on == rule-off") {
+    // sep >= |Δdec| fails outside [-90, 90], so without the escape the
+    // injected band can DROP rows the raw predicate keeps; the rule
+    // must be a no-op for such rows rather than trust the convention
+    val junk = spark.range(0, 2000).select(
+      (col("id") % 360).cast(DoubleType).as("ra"),
+      ((col("id") * 13 % 361) - 180).cast(DoubleType).as("dec")) // dec in [-180, 180]
+    for ((ra0, dec0, r) <- Seq((10.0, 20.0, 35.0), (350.0, -80.0, 15.0), (180.0, 85.0, 20.0))) {
+      val ruled = junk.filter(
+        SphDist.sphdist(col("ra"), col("dec"), lit(ra0), lit(dec0)) <= lit(r))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      val brute = junk.filter(
+        Astro.sphdist(col("ra"), col("dec"), lit(ra0), lit(dec0)) <= lit(r))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      assert(ruled == brute,
+        s"cone ($ra0, $dec0, $r): band dropped ${(brute -- ruled).take(5)} / kept extra ${(ruled -- brute).take(5)}")
+    }
+  }
+
   test("rule is idempotent (fixed-point safe)") {
     val q = sky.filter(SphDist.sphdist(col("ra"), col("dec"), lit(180.0), lit(20.0)) <= lit(15.0))
     val once = ConeZonePushdown(q.queryExecution.analyzed)
@@ -185,6 +204,24 @@ class ConeRuleSpec extends SparkSpec {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
     assert(GraftBridge.installedOptimizerRules(ext, spark).exists(_ eq ConeZonePushdown))
+  }
+
+  test("injected SqlScalars carry the function NAME in ExpressionInfo.name (not usage)") {
+    // regression: the 3-arg ExpressionInfo ctor is (className, db, name)
+    // — passing (className, name, usage) registered the usage string as
+    // the function name and the name as the db, corrupting DESCRIBE
+    // FUNCTION output for every injected scalar
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    org.apache.spark.sql.GraftBridge.registerInjectedFunctions(ext, reg)
+    for (name <- Seq("hms2deg", "deg2hms", "gaia_healpix")) {
+      val info = reg.lookupFunction(new org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+        .getOrElse(fail(s"$name not registered"))
+      assert(info.getName == name, s"name slot holds '${info.getName}'")
+      assert(info.getDb == null || info.getDb.isEmpty, s"db slot holds '${info.getDb}'")
+      assert(info.getUsage.contains(s"$name("), s"usage slot holds '${info.getUsage}'")
+    }
   }
 
   test("SQL-text scalars match the Column API value for value") {

@@ -1539,6 +1539,16 @@ class AstroSpec extends SparkSpec {
     assert(!hms.exists(_.contains(":60")), s"invalid seconds: ${hms.toSeq}")
     val dms = roll.select(Astro.deg2dms(col("deg"))).collect().map(_.getString(0))
     assert(dms(1) == "+01:01:00.00", s"dms rollover: ${dms(1)}")
+    // 360°-boundary contract (no input canonicalization, documented at
+    // deg2hms): an angle that rounds to a full turn renders the
+    // out-of-range-but-faithful "24:00:00.00" and round-trips exactly
+    // through hms2deg — it must NOT wrap to 00:00:00.00
+    val turn = Seq(359.9999999, 360.0001).toDF("deg")
+    val th = turn.select(Astro.deg2hms(col("deg")),
+      Astro.hms2deg(Astro.deg2hms(col("deg")))).collect()
+    assert(th(0).getString(0) == "24:00:00.00", s"boundary: ${th(0).getString(0)}")
+    assert(math.abs(th(0).getDouble(1) - 360.0) < 1e-9, "round-trip at the turn")
+    assert(th(1).getString(0) == "24:00:00.02", s"past the turn: ${th(1).getString(0)}")
     // delimiter is treated literally, not as a regex
     val dotted = Seq("12.30.00").toDF("h")
     val viaDot = dotted.select(Astro.hms2deg(col("h"), ".")).collect().head.getDouble(0)

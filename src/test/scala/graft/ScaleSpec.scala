@@ -19,6 +19,33 @@ class ScaleSpec extends SparkSpec {
     assert(salted(999L)._1 == 9000L)
   }
 
+  test("salting works on frames with map columns and spreads via saltSource") {
+    // map columns are unhashable by xxhash64 — the salt must derive
+    // from the remaining columns, not fail analysis
+    val withMap = spark.range(1000)
+      .select(lit(1L).as("k"), (col("id") % 100).cast("double").as("v"),
+        map(lit("a"), col("id")).as("m"))
+    val agg = Scale.saltedAggregate(withMap, Seq(col("k")), salt = 4,
+      partials = Seq(count(lit(1)).as("_n"), sum(col("v")).as("_s")),
+      merges = Seq(sum(col("_n")).as("n"), sum(col("_s")).as("s")))
+      .collect().head
+    assert(agg.getLong(1) == 1000L && agg.getDouble(2) == withMap.agg(sum("v")).head.getDouble(0))
+    // fully identical duplicate rows share one content salt (documented
+    // contract); an explicit saltSource spreads them
+    val dupes = spark.range(1000).select(lit(7L).as("k"), lit(1.0).as("v"), col("id"))
+    val spread = Scale.saltedAggregate(dupes, Seq(col("k")), salt = 4,
+      partials = Seq(count(lit(1)).as("_n")), merges = Seq(sum(col("_n")).as("n")),
+      saltSource = Some(col("id")))
+      .collect().head
+    assert(spread.getLong(1) == 1000L)
+    // all-map frame: loud requirement, not a silent misplan
+    val onlyMap = spark.range(10).select(map(lit("a"), col("id")).as("m"))
+    intercept[IllegalArgumentException] {
+      Scale.saltedAggregate(onlyMap, Seq(lit(1).as("k")), salt = 4,
+        partials = Seq(count(lit(1)).as("_n")), merges = Seq(sum(col("_n")).as("n")))
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
