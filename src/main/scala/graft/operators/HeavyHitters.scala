@@ -28,53 +28,89 @@ import scala.collection.mutable
   */
 object HeavyHitters {
 
-  /** SpaceSaving summary: `capacity` counters, lazy-deletion min-heap
-    * so a high-cardinality stream pays O(log capacity) per eviction,
-    * not a capacity scan. */
+  /** SpaceSaving summary — the canonical stream-summary structure of
+    * the paper (counter nodes grouped into count-ordered buckets)
+    * rather than a heap: every offer is O(1) amortized hash/bucket ops
+    * with ZERO steady-state allocation (the evicted node object is
+    * reused for the incoming item).  The earlier lazy-deletion-heap
+    * formulation was linear too, but its per-offer tuple boxing +
+    * enqueue/stale-pop churn made the 100M-row high-cardinality
+    * rehearsal (BASELINE.md round-14 sketch table) run 2× SLOWER per
+    * row at 5× data from GC pressure alone; this structure removed
+    * the allocation and the super-linearity.
+    *
+    * Buckets are keyed by count in a TreeMap (the log factor is over
+    * DISTINCT counter values, a handful in steady state where all
+    * counters ride the rising minimum); nodes within a bucket keep
+    * insertion order (LinkedHashSet), so eviction — oldest node of the
+    * minimum bucket — is deterministic for a given input order. */
   final class SpaceSaving(val capacity: Int) {
     require(capacity >= 1, s"capacity >= 1, got $capacity")
-    val counts = mutable.HashMap.empty[String, Long]
-    val errs = mutable.HashMap.empty[String, Long]
-    // min-heap of (countAtPush, item); stale entries skipped on pop
-    private val heap = mutable.PriorityQueue.empty[(Long, String)](
-      Ordering.by[(Long, String), Long](_._1).reverse)
-    private[graft] def heapSize: Int = heap.size // spec surface for the bound
+    private final class Node(var item: String, var count: Long, var err: Long)
+    private val nodes = new java.util.HashMap[String, Node](capacity * 2)
+    private val buckets = new java.util.TreeMap[Long, java.util.LinkedHashSet[Node]]()
+    // spec surface: total auxiliary entries must stay O(capacity)
+    private[graft] def heapSize: Int = nodes.size
 
-    def offer(item: String, inc: Long = 1L): Unit = counts.get(item) match {
-      case Some(c) =>
-        counts(item) = c + inc
-        heap.enqueue((c + inc, item))
-        // compact the lazy-deletion heap: every tracked-item increment
-        // enqueues a fresh entry, so a few hot keys streaming 10^9
-        // occurrences would grow the heap with the STREAM, not the
-        // capacity — rebuilding from `counts` restores the O(capacity)
-        // bound at amortized O(1) per offer
-        if (heap.size > 4 * capacity) {
-          heap.clear()
-          counts.foreach { case (i2, c2) => heap.enqueue((c2, i2)) }
-        }
-      case None if counts.size < capacity =>
-        counts(item) = inc; errs(item) = 0L
-        heap.enqueue((inc, item))
-      case None =>
-        // evict the current minimum (pop stale heap entries first)
-        var top = heap.dequeue()
-        while (!counts.get(top._2).contains(top._1)) top = heap.dequeue()
-        val (minC, minI) = top
-        counts.remove(minI); errs.remove(minI)
-        counts(item) = minC + inc; errs(item) = minC
-        heap.enqueue((minC + inc, item))
+    private def link(n: Node): Unit = {
+      var s = buckets.get(n.count)
+      if (s == null) { s = new java.util.LinkedHashSet[Node](4); buckets.put(n.count, s) }
+      s.add(n); ()
+    }
+    private def unlink(n: Node): Unit = {
+      val s = buckets.get(n.count)
+      s.remove(n)
+      if (s.isEmpty) { buckets.remove(n.count); () }
+    }
+
+    def offer(item: String, inc: Long = 1L): Unit = {
+      val n = nodes.get(item)
+      if (n != null) { unlink(n); n.count += inc; link(n) }
+      else if (nodes.size < capacity) {
+        val m = new Node(item, inc, 0L)
+        nodes.put(item, m); link(m)
+      } else {
+        // evict the oldest node at the minimum count, charging that
+        // minimum as the incoming item's overestimation error
+        val victim = buckets.firstEntry().getValue.iterator().next()
+        unlink(victim)
+        nodes.remove(victim.item)
+        victim.err = victim.count
+        victim.count += inc
+        victim.item = item
+        nodes.put(item, victim)
+        link(victim)
+      }
+      ()
+    }
+
+    /** Tracked counts (copy — the live structure stays private). */
+    def counts: mutable.Map[String, Long] = {
+      val m = mutable.HashMap.empty[String, Long]
+      nodes.forEach((k, v) => m(k) = v.count)
+      m
+    }
+
+    /** Tracked overestimation errors (copy, same contract). */
+    def errs: mutable.Map[String, Long] = {
+      val m = mutable.HashMap.empty[String, Long]
+      nodes.forEach((k, v) => m(k) = v.err)
+      m
+    }
+
+    /** One-pass (item, count, err) snapshot of the tracked nodes. */
+    private[graft] def entries: Iterator[(String, Long, Long)] = {
+      val b = Vector.newBuilder[(String, Long, Long)]
+      b.sizeHint(nodes.size)
+      nodes.forEach((k, v) => b += ((k, v.count, v.err)))
+      b.result().iterator
     }
 
     /** Upper bound on the count of any UNTRACKED item: 0 while the
       * summary has spare capacity (nothing was ever evicted), else the
       * current minimum counter. */
     def absentBound: Long =
-      if (counts.size < capacity) 0L
-      else {
-        while (!counts.get(heap.head._2).contains(heap.head._1)) heap.dequeue()
-        heap.head._1
-      }
+      if (nodes.size < capacity) 0L else buckets.firstKey()
   }
 
   /** Top-k heavy hitters of `key` with exact error intervals:
@@ -97,9 +133,9 @@ object HeavyHitters {
         it.foreach(ss.offer(_))
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val bound = ss.absentBound
-        ss.counts.iterator.map { case (item, c) =>
-          (item, c, ss.errs(item), bound, pid)
-        }
+        // single pass over the live nodes: counts/errs are COPIES, so
+        // per-item errs() lookups would rebuild the map capacity times
+        ss.entries.map { case (item, c, err) => (item, c, err, bound, pid) }
       }.toDF("item", "c", "err", "p_min", "pid")
       // persist: the frame feeds TWO branches (total-min and the item
       // aggregate); unpersisted, the whole scan + SpaceSaving pass

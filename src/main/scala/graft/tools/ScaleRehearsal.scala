@@ -40,6 +40,11 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "join") { joinCorpus(spark, src, out, n); spark.stop(); return }
     if (mode == "ann") { annCorpus(spark, src, out, n); spark.stop(); return }
+    if (mode == "sketch") {
+      sketchRehearsal(spark, out, n, if (args.length > 4) args(4) else "")
+      spark.stop(); return
+    }
+    if (mode == "events") { eventsRehearsal(spark, src, out, n); spark.stop(); return }
     val d = spark.read.parquet(s"$src/documents.parquet")
     // rot i ≡ 0 (mod 26) is the identity rotation — copies would share
     // ALL shingles, silently inverting the documented disjointness
@@ -105,6 +110,130 @@ object ScaleRehearsal {
     val t1 = time(s"$src/embeddings.parquet")
     val tn = time(s"$out/embeddings.parquet")
     println(f"knnGraph k=5: 1x $t1%.2f s, ${n}x $tn%.2f s — ratio ${tn / t1}%.2f at ${n}x data")
+  }
+
+  /** Wall seconds (min-of-2) + shuffle-write bytes (second run) for a
+    * thunk — the two numbers a scale claim needs.  The listener bus is
+    * async, so bytes are read after the counter holds still. */
+  private class Meter(spark: SparkSession) {
+    private val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        bytes.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+      }
+    })
+    private def drained(): Long = {
+      var last = -1L; var spins = 0
+      while (spins < 50 && last != bytes.get) { last = bytes.get; Thread.sleep(20); spins += 1 }
+      bytes.get
+    }
+    def apply(body: => Unit): (Double, Long) = {
+      def once(): (Double, Long) = {
+        val b0 = drained(); val t0 = System.nanoTime
+        body
+        ((System.nanoTime - t0) / 1e9, drained() - b0)
+      }
+      val a = once(); val b = once()
+      (math.min(a._1, b._1), b._2)
+    }
+  }
+
+  /** Sketch-family rehearsal (round-13 verdict #4): SpaceSaving top-k,
+    * GK quantiles (global + per-group), and HLL distinct counts vs
+    * their EXACT formulations, in the regime the sketches exist for —
+    * ~rows/2 DISTINCT keys (1× = 20M rows ≈ 10M distinct), where the
+    * exact groupBy/sort must shuffle every key but a sketch shuffles
+    * only fixed-size summaries.  Corpus: half the rows hit 20 hot keys
+    * (heavy-hitter signal, each 2.5% of mass), the rest are globally
+    * unique; v is a deterministic pseudo-uniform double. */
+  private def sketchRehearsal(spark: SparkSession, out: String, n: Int,
+                              armFilter: String = ""): Unit = {
+    val rows1x = 20000000L
+    def gen(rows: Long, path: String): Unit =
+      if (new java.io.File(path, "_SUCCESS").exists()) println(s"reusing $path")
+      else spark.range(rows).select(
+        col("id"),
+        when(pmod(col("id"), lit(2L)) === 0, concat(lit("hot"), pmod(col("id"), lit(40L))))
+          .otherwise(concat(lit("k"), col("id"))).as("key"),
+        (pmod(col("id") * lit(2654435761L), lit(1000000000L))
+          .cast(org.apache.spark.sql.types.DoubleType) / lit(1000.0)).as("v"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    gen(rows1x, s"$out/sketch_1x.parquet")
+    gen(rows1x * n, s"$out/sketch_${n}x.parquet")
+    val meter = new Meter(spark)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.executedPlan.execute().count(); ()
+    }
+    println(f"${"arm"}%-28s ${"1x_sec"}%8s ${"1x_shufMB"}%10s ${s"${n}x_sec"}%8s ${s"${n}x_shufMB"}%10s ratio")
+    def arm(name: String, run: org.apache.spark.sql.DataFrame => Unit): Unit = {
+      if (armFilter.nonEmpty && !name.contains(armFilter)) return
+      val d1 = spark.read.parquet(s"$out/sketch_1x.parquet")
+      val dn = spark.read.parquet(s"$out/sketch_${n}x.parquet")
+      val (t1, b1) = meter(run(d1))
+      val (tn, bn) = meter(run(dn))
+      println(f"$name%-28s $t1%8.2f ${b1 / 1e6}%10.1f $tn%8.2f ${bn / 1e6}%10.1f ${tn / t1}%5.2f")
+    }
+    arm("topk_spacesaving",
+      df => noop(graft.operators.HeavyHitters.topK(df, col("key"), k = 20, capacity = 4096)))
+    arm("topk_exact_groupby",
+      df => noop(df.groupBy("key").count().orderBy(desc("count"), col("key")).limit(20)))
+    arm("distinct_hll",
+      df => noop(df.agg(graft.operators.DistinctSketch.countDistinctSketch(col("key")))))
+    arm("distinct_exact",
+      df => noop(df.agg(countDistinct(col("key")))))
+    arm("quantile_gk",
+      df => noop(graft.operators.QuantileSketch.quantiles(df, col("v"), Seq(0.5, 0.9, 0.99))))
+    arm("quantile_exact_sort",
+      df => { graft.operators.Quantiles.exact(df, col("v"), Seq(0.5, 0.9, 0.99)); () })
+    arm("groupquantile_gk",
+      df => noop(df.groupBy(pmod(col("id"), lit(8L)).as("g"))
+        .agg(graft.operators.QuantileSketch.groupQuantile(col("v"), 0.5).as("q"))))
+    arm("groupquantile_exact",
+      df => noop(df.groupBy(pmod(col("id"), lit(8L)).as("g"))
+        .agg(expr("percentile(v, 0.5)").as("q"))))
+  }
+
+  /** Events/window-family rehearsal (round-13 verdict #8): N× events
+    * with ONE hot user_id absorbing ~20% of every non-first copy — the
+    * sessionization skew case.  Window functions partition by user_id,
+    * so the hot user's rows land on one task and sort there; this
+    * records how far that skews the wall clock vs the 1× corpus. */
+  private def eventsRehearsal(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val uType = ev.schema("user_id").dataType
+    val copies = (0 until n).map { i =>
+      val base = ev.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+      if (i == 0) base
+      else base.withColumn("user_id",
+        when(pmod(col("event_id"), lit(5L)) === 0, lit(1).cast(uType))
+          .otherwise(col("user_id")))
+    }
+    copies.reduce(_ unionByName _).repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+    println(s"wrote ${n}x events (hot user_id=1 on ${n - 1} copies) to $out")
+    val meter = new Meter(spark)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.executedPlan.execute().count(); ()
+    }
+    import org.apache.spark.sql.expressions.Window
+    def lagQ(df: org.apache.spark.sql.DataFrame) = df.select(col("event_id"), col("user_id"),
+      lag(col("value"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))).as("prev"))
+    def tumbleQ(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+    def sessionQ(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    println(f"${"arm"}%-16s ${"1x_sec"}%8s ${s"${n}x_sec"}%8s ratio  (linear would be ~$n.0)")
+    for ((name, q) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        ("window_lag", lagQ), ("tumbling_agg", tumbleQ), ("session_window", sessionQ))) {
+      val (t1, _) = meter(noop(q(spark.read.parquet(s"$src/events.parquet"))))
+      val (tn, _) = meter(noop(q(spark.read.parquet(s"$out/events.parquet"))))
+      println(f"$name%-16s $t1%8.2f $tn%8.2f ${tn / t1}%5.2f")
+    }
   }
 
   /** Join-family rehearsal corpus: dims verbatim, facts N× with a hot
