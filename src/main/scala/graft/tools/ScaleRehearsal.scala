@@ -203,16 +203,19 @@ object ScaleRehearsal {
   private def eventsRehearsal(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val ev = spark.read.parquet(s"$src/events.parquet")
     val uType = ev.schema("user_id").dataType
-    val copies = (0 until n).map { i =>
+    // two N× corpora: `uniform` replicates verbatim (volume control);
+    // `skew` redirects 20% of every non-first copy to ONE user, so the
+    // hot user holds ~20% of all rows — the single-window-task case
+    def copies(skew: Boolean) = (0 until n).map { i =>
       val base = ev.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
-      if (i == 0) base
+      if (i == 0 || !skew) base
       else base.withColumn("user_id",
         when(pmod(col("event_id"), lit(5L)) === 0, lit(1).cast(uType))
           .otherwise(col("user_id")))
-    }
-    copies.reduce(_ unionByName _).repartition(32)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
-    println(s"wrote ${n}x events (hot user_id=1 on ${n - 1} copies) to $out")
+    }.reduce(_ unionByName _).repartition(32)
+    copies(skew = false).write.mode(SaveMode.Overwrite).parquet(s"$out/events_uniform.parquet")
+    copies(skew = true).write.mode(SaveMode.Overwrite).parquet(s"$out/events_skew.parquet")
+    println(s"wrote ${n}x events uniform + skew (hot user_id=1, ~20% of rows) to $out")
     val meter = new Meter(spark)
     def noop(df: org.apache.spark.sql.DataFrame): Unit = {
       df.queryExecution.executedPlan.execute().count(); ()
@@ -227,12 +230,13 @@ object ScaleRehearsal {
     def sessionQ(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
-    println(f"${"arm"}%-16s ${"1x_sec"}%8s ${s"${n}x_sec"}%8s ratio  (linear would be ~$n.0)")
+    println(f"${"arm"}%-16s ${"1x_sec"}%8s ${s"${n}x_uni"}%8s ${s"${n}x_skew"}%9s skew/uni")
     for ((name, q) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
         ("window_lag", lagQ), ("tumbling_agg", tumbleQ), ("session_window", sessionQ))) {
       val (t1, _) = meter(noop(q(spark.read.parquet(s"$src/events.parquet"))))
-      val (tn, _) = meter(noop(q(spark.read.parquet(s"$out/events.parquet"))))
-      println(f"$name%-16s $t1%8.2f $tn%8.2f ${tn / t1}%5.2f")
+      val (tu, _) = meter(noop(q(spark.read.parquet(s"$out/events_uniform.parquet"))))
+      val (ts, _) = meter(noop(q(spark.read.parquet(s"$out/events_skew.parquet"))))
+      println(f"$name%-16s $t1%8.2f $tu%8.2f $ts%9.2f ${ts / tu}%5.2f")
     }
   }
 
