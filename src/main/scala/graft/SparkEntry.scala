@@ -1345,10 +1345,15 @@ object SparkEntry {
       val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
       val approx = Similarity.knnGraph(e, "vec_id", "embedding", k = 5, tables = 4)
         .persist()
-      val exact = Similarity.knnGraphExact(e, "vec_id", "embedding", k = 5)
-        .select(col("src"), col("dst")).persist()
-      // all true pairs with their rounded cosine: containment reference
+      // ONE O(n²) pair pass feeds both the containment reference and
+      // the exact twin (knnGraphExact would recompute the same pairs)
       val allPairs = Similarity.exactPairs(e, "vec_id", "embedding", threshold = -1.0)
+        .persist()
+      val exact = graft.plans.TopK.perKeyOrdered(
+          allPairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos_sim"))
+            .unionAll(allPairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos_sim"))),
+          Seq("src"), Seq("cos_sim" -> true, "dst" -> false), 5)
+        .select(col("src"), col("dst")).persist()
       val canon = approx.select(
         least(col("src"), col("dst")).as("id_a"),
         greatest(col("src"), col("dst")).as("id_b"), col("cos_sim"))
@@ -1362,7 +1367,7 @@ object SparkEntry {
         .filter(col("n") > 5).count()
       val selfEdges = approx.filter(col("src") === col("dst")).count()
       val recall = if (nExact == 0) 1.0 else nHit.toDouble / nExact
-      approx.unpersist(); exact.unpersist()
+      approx.unpersist(); exact.unpersist(); allPairs.unpersist()
       // floor 0.30: measured 0.44 at both sf0.001 and sf0.01 (random
       // near-orthogonal embeddings are the LSH-hostile regime; the
       // floor detects recall collapse, not day-to-day jitter)
