@@ -20,6 +20,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): EzFrame =
     EzFrame.readParquet(s, s"$dir/$name.parquet")
 
+  /** q114's clustered-write target: one fresh temp dir per JVM (reused
+    * across the bench's two passes via overwrite; unique per process,
+    * so concurrent harness runs never race on a shared path), removed
+    * on exit rather than accumulating lineitem copies in /tmp. */
+  private lazy val q114Dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_q114_zorder")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
+
   /** q93/q94 preamble: the fixture text carries no punctuation, so
     * sentence structure is synthesized deterministically — a period
     * appended to every 8th token (0-based index lambda; the oracle
@@ -1319,7 +1334,7 @@ object SparkEntry {
     "q114_zorder_scan" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").df
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      val zdir = s"/tmp/graft_q114_zorder_${Integer.toHexString(dir.hashCode)}"
+      val zdir = q114Dir
       operators.Layout.zOrderBy(li,
           Seq(operators.Layout.quantize(col("l_extendedprice"), 0.0, 120000.0, 8),
               operators.Layout.quantize(col("l_quantity"), 0.0, 64.0, 8)),
@@ -1349,10 +1364,7 @@ object SparkEntry {
       // the exact twin (knnGraphExact would recompute the same pairs)
       val allPairs = Similarity.exactPairs(e, "vec_id", "embedding", threshold = -1.0)
         .persist()
-      val exact = graft.plans.TopK.perKeyOrdered(
-          allPairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos_sim"))
-            .unionAll(allPairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos_sim"))),
-          Seq("src"), Seq("cos_sim" -> true, "dst" -> false), 5)
+      val exact = Similarity.knnFromPairs(allPairs, k = 5)
         .select(col("src"), col("dst")).persist()
       val canon = approx.select(
         least(col("src"), col("dst")).as("id_a"),

@@ -276,7 +276,10 @@ object Similarity {
   def knnGraphExact(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
     knnFromPairs(exactPairs(corpus, idCol, vecCol, threshold = -1.0), k)
 
-  private def knnFromPairs(pairs: DataFrame, k: Int): DataFrame = {
+  // private[graft]: the q110b gate derives its exact twin from an
+  // already-computed pair frame — sharing this keeps the top-k
+  // ordering/tie-break spec in exactly one place
+  private[graft] def knnFromPairs(pairs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // undirected candidate pairs -> directed edges (both orientations)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos_sim"))

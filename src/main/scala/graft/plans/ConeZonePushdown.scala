@@ -115,6 +115,12 @@ object ConeZonePushdown extends Rule[LogicalPlan] with PredicateHelper {
 
   private def bands(ra: Expression, dec: Expression,
                     ra0: Double, dec0: Double, r: Double): Seq[Expression] = {
+    // a NON-CANONICAL CENTER (|dec0| > 90, plan-time literal) breaks
+    // the sep >= |Δdec| fact for CANONICAL rows too (e.g. dec0=100:
+    // the row (ra0+180, 80) is at separation ~0 but outside any
+    // [dec0-r, dec0+r] band) — the row-side escape can't help there,
+    // so emit no bands at all and leave the raw predicate untouched
+    if (dec0 < -90.0 || dec0 > 90.0 || dec0.isNaN) return Nil
     val sargable = conf.getConfString("spark.graft.cone.sargableRaBand", "false") == "true"
     // SOUNDNESS ESCAPE for non-canonical declination: sep >= |Δdec| —
     // the fact every band here rests on — only holds for dec ∈ [−90,

@@ -213,9 +213,11 @@ object ScaleRehearsal {
         when(pmod(col("event_id"), lit(5L)) === 0, lit(1).cast(uType))
           .otherwise(col("user_id")))
     }.reduce(_ unionByName _).repartition(32)
-    copies(skew = false).write.mode(SaveMode.Overwrite).parquet(s"$out/events_uniform.parquet")
-    copies(skew = true).write.mode(SaveMode.Overwrite).parquet(s"$out/events_skew.parquet")
-    println(s"wrote ${n}x events uniform + skew (hot user_id=1, ~20% of rows) to $out")
+    for ((skew, path) <- Seq((false, s"$out/events_uniform.parquet"),
+                             (true, s"$out/events_skew.parquet")))
+      if (new java.io.File(path, "_SUCCESS").exists()) println(s"reusing $path")
+      else copies(skew).write.mode(SaveMode.Overwrite).parquet(path)
+    println(s"${n}x events uniform + skew (hot user_id=1, ~20% of rows) at $out")
     val meter = new Meter(spark)
     def noop(df: org.apache.spark.sql.DataFrame): Unit = {
       df.queryExecution.executedPlan.execute().count(); ()

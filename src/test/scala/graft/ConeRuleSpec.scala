@@ -102,6 +102,23 @@ class ConeRuleSpec extends SparkSpec {
     }
   }
 
+  test("non-canonical CENTER (|dec0| > 90): no bands emitted, parity holds") {
+    // dec0=100 makes sep >= |Δdec| fail even for canonical rows (the
+    // antipodal-ish row (ra0+180, 80) is at separation ~0); the rule
+    // must emit nothing rather than band canonical rows out
+    import spark.implicits._
+    // (190, 78) sits at separation 2.0° from the non-canonical center
+    // (10, 100) — the haversine's negative cos(dec0) term wraps it over
+    // the pole — yet any [dec0−r, dec0+r] band excludes dec=78
+    val pt = Seq((190.0, 78.0), (10.0, 85.0), (10.0, -80.0)).toDF("ra", "dec")
+    val ruled = pt.filter(SphDist.sphdist(col("ra"), col("dec"), lit(10.0), lit(100.0)) <= lit(5.0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val brute = pt.filter(Astro.sphdist(col("ra"), col("dec"), lit(10.0), lit(100.0)) <= lit(5.0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(ruled == brute, s"ruled=$ruled brute=$brute")
+    assert(brute.contains((190.0, 78.0)), "sanity: the antipodal-wrap row matches the raw predicate")
+  }
+
   test("rule is idempotent (fixed-point safe)") {
     val q = sky.filter(SphDist.sphdist(col("ra"), col("dec"), lit(180.0), lit(20.0)) <= lit(15.0))
     val once = ConeZonePushdown(q.queryExecution.analyzed)

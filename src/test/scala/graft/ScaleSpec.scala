@@ -30,14 +30,32 @@ class ScaleSpec extends SparkSpec {
       merges = Seq(sum(col("_n")).as("n"), sum(col("_s")).as("s")))
       .collect().head
     assert(agg.getLong(1) == 1000L && agg.getDouble(2) == withMap.agg(sum("v")).head.getDouble(0))
-    // fully identical duplicate rows share one content salt (documented
-    // contract); an explicit saltSource spreads them
-    val dupes = spark.range(1000).select(lit(7L).as("k"), lit(1.0).as("v"), col("id"))
-    val spread = Scale.saltedAggregate(dupes, Seq(col("k")), salt = 4,
-      partials = Seq(count(lit(1)).as("_n")), merges = Seq(sum(col("_n")).as("n")),
-      saltSource = Some(col("id")))
-      .collect().head
-    assert(spread.getLong(1) == 1000L)
+    // fully IDENTICAL duplicate rows (no distinguishing column at all)
+    // share one content salt — the documented contract — so phase 1
+    // collapses to ONE (key, salt) cell; an explicit saltSource spreads
+    // them across the salt space.  The merge counts phase-1 PARTIAL
+    // rows, pinning the cell count itself.
+    val dupes = spark.range(1000).select(lit(7L).as("k"), lit(1.0).as("v"))
+    def cells(saltSource: Option[org.apache.spark.sql.Column]): (Long, Long) = {
+      val r = Scale.saltedAggregate(dupes, Seq(col("k")), salt = 4,
+        partials = Seq(count(lit(1)).as("_n")),
+        merges = Seq(sum(col("_n")).as("n"), count(lit(1)).as("n_cells")),
+        saltSource = saltSource).collect().head
+      (r.getLong(1), r.getLong(2))
+    }
+    val (nPlain, cellsPlain) = cells(None)
+    assert(nPlain == 1000L && cellsPlain == 1L,
+      s"identical rows must share one content salt, got $cellsPlain cells")
+    // spread via a synthetic per-row source: spark_partition_id is not
+    // retry-stable (documented caveat) but serves to show the spread;
+    // a real caller passes a stable surrogate key column
+    val withId = spark.range(1000).select(lit(7L).as("k"), lit(1.0).as("v"), col("id"))
+    val spread = Scale.saltedAggregate(withId, Seq(col("k")), salt = 4,
+      partials = Seq(count(lit(1)).as("_n")),
+      merges = Seq(sum(col("_n")).as("n"), count(lit(1)).as("n_cells")),
+      saltSource = Some(col("id"))).collect().head
+    assert(spread.getLong(1) == 1000L && spread.getLong(2) == 4L,
+      s"saltSource must spread over the salt space, got ${spread.getLong(2)} cells")
     // all-map frame: loud requirement, not a silent misplan
     val onlyMap = spark.range(10).select(map(lit("a"), col("id")).as("m"))
     intercept[IllegalArgumentException] {

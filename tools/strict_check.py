@@ -85,19 +85,22 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     dumps = sorted(p.split("/")[-1] for p in glob.glob(f"{out}/*") if not p.endswith(".json"))
-    n_ok = n_checked = 0
+    n_ok = n_checked = n_bad = 0
     for name in dumps:
         if only and name not in only:
             continue
         spark_df = pd.read_parquet(f"{out}/{name}")
         if name not in oracle:
+            empty = len(spark_df) == 0
+            n_bad += int(empty)
             print(f"{name}: rows-only ({len(spark_df)} rows)"
-                  + ("" if len(spark_df) > 0 else " EMPTY!"))
+                  + ("" if not empty else " EMPTY!"))
             continue
         n_checked += 1
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
+            n_bad += 1
             print(f"{name}: ORACLE SQL ERROR: {e}")
             continue
         verdict = compare(name, spark_df, duck_df, verbose=True)
@@ -110,8 +113,17 @@ def main():
             n_ok += 1
             print(f"{name}: STRICT-OK (warn: {verdict})")
         else:
+            n_bad += 1
             print(f"{name}: MISMATCH {verdict}")
+    # queries that have an oracle but produced no dump = failed in Verify
+    missing = sorted(set(oracle) - set(dumps)) if not only else \
+        sorted(set(only) & set(oracle) - set(dumps))
+    for name in missing:
+        n_bad += 1
+        print(f"{name}: NO SPARK DUMP (query failed?)")
     print(f"\n{n_ok}/{n_checked} strict-OK")
+    # a gate that cannot fail is not a gate (round-14 review finding)
+    sys.exit(1 if n_bad else 0)
 
 
 if __name__ == "__main__":
