@@ -1322,6 +1322,19 @@ object SparkEntry {
                FROM q107_sky WHERE sphdist(ra, dec, 10.0, 20.0) <= 33.7""")
     }),
 
+    // Skew-immune lag (the round-14 window-rehearsal mitigation made
+    // concrete): identical semantics to q09's per-user lag — the
+    // oracle IS the plain window — but computed within (user, hour
+    // bucket) plus a boundary hand-off, so a hot user spreads over its
+    // buckets instead of sorting on one task.  ScaleSpec gates the
+    // plan shape (no bare-key window).
+    "q115_bucketed_lag" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Scale.bucketedLag(ev, Seq("user_id"), Seq(col("ts"), col("event_id")),
+          col("value"), date_trunc("hour", col("ts")), "prev_value")
+        .select(col("event_id"), col("user_id"), col("value"), col("prev_value"))
+    }),
+
     // Z-order layout END-TO-END, driver-gated (round-13 verdict #7):
     // q100 oracles the key arithmetic; this slot actually WRITES a
     // z-order-clustered copy of lineitem (one range exchange on the
@@ -1760,6 +1773,13 @@ object SparkEntry {
         |SELECT f.src AS src, f.dst AS dst, f.cos_sim AS cos_sim
         |FROM k f JOIN k b ON f.src = b.dst AND f.dst = b.src
         |WHERE f.src < f.dst""".stripMargin.replace("\n", " "),
+
+    // bucketed-lag mirror: the PLAIN per-key window — the bucketed
+    // decomposition must be invisible in the result
+    "q115_bucketed_lag" ->
+      """SELECT event_id, user_id, value,
+        |lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events""".stripMargin.replace("\n", " "),
 
     // zorder-scan mirror: the PLAIN box filter — the clustered layout
     // must be invisible in the result set

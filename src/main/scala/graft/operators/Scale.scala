@@ -171,6 +171,59 @@ object Scale {
       .drop("_cap_ord", "_cap_id")
   }
 
+  /** Skew-immune per-key lag: exactly `lag(value, 1) OVER (PARTITION
+    * BY part ORDER BY order)`, computed WITHOUT ever colocating a full
+    * key on one task.  The round-14 window rehearsal (BASELINE.md)
+    * measured the failure this avoids: an order-sensitive window must
+    * sort each key's rows on a single task, so a hot key holding 20%
+    * of the corpus makes that task the wall clock (2.7× there,
+    * proportional at 100 TB).  Decomposition:
+    *
+    *  1. lag + row_number within (part, bucket) — the exchange key
+    *     gains the bucket, so the hot key spreads over its buckets;
+    *  2. per-(part, bucket) LAST value via one map-side-combined
+    *     `max(struct(order..., value))` aggregate;
+    *  3. the previous NON-EMPTY bucket's last value via a lag over the
+    *     tiny per-bucket frame (one row per (part, bucket));
+    *  4. first-in-bucket rows take that boundary value through a join
+    *     on (part, bucket) — the same keys the window exchange used.
+    *
+    * CONTRACT: `bucket` must be MONOTONE in the order columns within
+    * each key (e.g. a date/hour truncation of the leading order
+    * column), and the order columns must be UNIQUE per key (the same
+    * condition a deterministic plain lag needs — with duplicate order
+    * keys the boundary pick among tied last rows may differ from the
+    * window's arbitrary one).  Value/order types must be orderable
+    * (struct-max).  Rows with a null leading order column land in the
+    * null bucket, which sorts first — matching the plain window's
+    * nulls-first order. */
+  def bucketedLag(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column],
+                  value: Column, bucket: Column, outCol: String): DataFrame = {
+    require(partCols.nonEmpty && orderCols.nonEmpty, "need partition and order columns")
+    val scratch = Seq("_blag_bkt", "_blag_rn", "_blag_prev", "_blag_last")
+    require(!df.columns.exists(c => scratch.exists(c.equalsIgnoreCase)),
+      s"input already has a ${scratch.mkString("/")} column — rename it first")
+    import org.apache.spark.sql.expressions.Window
+    val d = df.withColumn("_blag_bkt", bucket)
+    val wIn = Window.partitionBy(("_blag_bkt" +: partCols).map(col): _*)
+      .orderBy(orderCols: _*)
+    val within = d
+      .withColumn(outCol, lag(value, 1).over(wIn))
+      .withColumn("_blag_rn", row_number().over(wIn))
+    // last row per (part, bucket) by lexicographic (order..., value)
+    val lastPer = d.groupBy(("_blag_bkt" +: partCols).map(col): _*)
+      .agg(max(struct(orderCols :+ value.as("_v"): _*)).as("_m"))
+      .select((partCols.map(col) :+ col("_blag_bkt") :+ col("_m._v").as("_blag_last")): _*)
+    val wBkt = Window.partitionBy(partCols.map(col): _*).orderBy(col("_blag_bkt"))
+    val boundary = lastPer
+      .withColumn("_blag_prev", lag(col("_blag_last"), 1).over(wBkt))
+      .drop("_blag_last")
+    within.join(boundary, partCols :+ "_blag_bkt", "left")
+      .withColumn(outCol,
+        when(col("_blag_rn") === 1, col("_blag_prev")).otherwise(col(outCol)))
+      .drop("_blag_bkt", "_blag_rn", "_blag_prev")
+  }
+
   /** The shared md5-prefix key: first `hexChars` hex digits of
     * md5(id as string) as a long.  ONE definition for every
     * deterministic-hash contract in the engine (sampling buckets,

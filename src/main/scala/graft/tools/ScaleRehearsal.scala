@@ -226,6 +226,11 @@ object ScaleRehearsal {
     def lagQ(df: org.apache.spark.sql.DataFrame) = df.select(col("event_id"), col("user_id"),
       lag(col("value"), 1).over(
         Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))).as("prev"))
+    def bucketedLagQ(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Scale.bucketedLag(df, Seq("user_id"),
+          Seq(col("ts"), col("event_id")), col("value"),
+          date_trunc("hour", col("ts")), "prev")
+        .select(col("event_id"), col("user_id"), col("prev"))
     def tumbleQ(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(window(col("ts"), "1 hour"), col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
@@ -234,7 +239,8 @@ object ScaleRehearsal {
       .agg(count(lit(1)).as("n"))
     println(f"${"arm"}%-16s ${"1x_sec"}%8s ${s"${n}x_uni"}%8s ${s"${n}x_skew"}%9s skew/uni")
     for ((name, q) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
-        ("window_lag", lagQ), ("tumbling_agg", tumbleQ), ("session_window", sessionQ))) {
+        ("window_lag", lagQ), ("bucketed_lag", bucketedLagQ),
+        ("tumbling_agg", tumbleQ), ("session_window", sessionQ))) {
       val (t1, _) = meter(noop(q(spark.read.parquet(s"$src/events.parquet"))))
       val (tu, _) = meter(noop(q(spark.read.parquet(s"$out/events_uniform.parquet"))))
       val (ts, _) = meter(noop(q(spark.read.parquet(s"$out/events_skew.parquet"))))

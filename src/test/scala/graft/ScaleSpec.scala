@@ -64,6 +64,43 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketedLag equals plain per-key lag; no per-key-only window in the plan") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    import org.apache.spark.sql.expressions.Window
+    val plain = ev.select(col("event_id"),
+      lag(col("value"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))).as("prev"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val bucketed = Scale.bucketedLag(ev, Seq("user_id"), Seq(col("ts"), col("event_id")),
+        col("value"), date_trunc("hour", col("ts")), "prev")
+      .select(col("event_id"), col("prev"))
+    val got = bucketed.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got.size == plain.size)
+    val diff = plain.collect { case (k, v) if got(k) != v => (k, v, got(k)) }.take(5)
+    assert(diff.isEmpty, s"bucketedLag diverges from plain lag: $diff")
+    // the point of the operator: no window partitioned by the bare key
+    // (that shape serializes a hot key on one task); every WindowExec
+    // must carry the bucket alongside, or run on the tiny boundary frame
+    val windows = bucketed.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.map(_.sql)
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { spec =>
+      assert(spec.size >= 2 || spec.exists(_.contains("_blag_bkt")) ||
+             spec.forall(s => !s.contains("value")),
+        s"window partitioned by bare key only: $spec")
+    }
+    // degenerate inputs: one row per bucket, and a bucket gap
+    import spark.implicits._
+    val sparse = Seq((1L, 1L, 10.0), (1L, 5L, 20.0), (1L, 900L, 30.0), (2L, 2L, 5.0))
+      .toDF("user_id", "ts_n", "value")
+    val sp = Scale.bucketedLag(sparse, Seq("user_id"), Seq(col("ts_n")),
+        col("value"), floor(col("ts_n") / 10), "prev")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)))).toSet
+    assert(sp == Set((1L, 1L, None), (1L, 5L, Some(10.0)), (1L, 900L, Some(20.0)),
+      (2L, 2L, None)), s"sparse-bucket hand-off wrong: $sp")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
