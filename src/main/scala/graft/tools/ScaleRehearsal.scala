@@ -181,10 +181,15 @@ object ScaleRehearsal {
       df => noop(df.groupBy("key").count().orderBy(desc("count"), col("key")).limit(20)))
     arm("distinct_hll",
       df => noop(df.agg(graft.operators.DistinctSketch.countDistinctSketch(col("key")))))
+    arm("distinct_native_approx", // Spark's codegen'd HLL++, rsd 2.3%
+      df => noop(df.agg(approx_count_distinct(col("key")))))
     arm("distinct_exact",
       df => noop(df.agg(countDistinct(col("key")))))
     arm("quantile_gk",
       df => noop(graft.operators.QuantileSketch.quantiles(df, col("v"), Seq(0.5, 0.9, 0.99))))
+    arm("quantile_native_approx", // Spark's KLL-ish percentile_approx
+      df => noop(df.agg(percentile_approx(col("v"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)))))
     arm("quantile_exact_sort",
       df => { graft.operators.Quantiles.exact(df, col("v"), Seq(0.5, 0.9, 0.99)); () })
     arm("groupquantile_gk",
