@@ -1322,6 +1322,17 @@ object SparkEntry {
                FROM q107_sky WHERE sphdist(ra, dec, 10.0, 20.0) <= 33.7""")
     }),
 
+    // Skew-immune sessionization (two-phase: fragments within (user,
+    // hour bucket), island-merge over the compact fragment frame) —
+    // identical semantics to q33's one-phase session_window, and the
+    // oracle is the SAME event-level SQL.
+    "q116_bucketed_sessions" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Scale.bucketedSessions(ev, Seq("user_id"), col("ts"),
+          gapSeconds = 1800L, date_trunc("hour", col("ts")))
+        .select(col("user_id"), col("session_start"), col("n_events"), col("last_ts"))
+    }),
+
     // Skew-immune lag (the round-14 window-rehearsal mitigation made
     // concrete): identical semantics to q09's per-user lag — the
     // oracle IS the plain window — but computed within (user, hour
@@ -1773,6 +1784,19 @@ object SparkEntry {
         |SELECT f.src AS src, f.dst AS dst, f.cos_sim AS cos_sim
         |FROM k f JOIN k b ON f.src = b.dst AND f.dst = b.src
         |WHERE f.src < f.dst""".stripMargin.replace("\n", " "),
+
+    // bucketed-sessions mirror: q33's event-level session SQL — the
+    // two-phase decomposition must be invisible in the result
+    "q116_bucketed_sessions" ->
+      """WITH flagged AS (SELECT user_id, ts,
+        |CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |THEN 1 ELSE 0 END AS new_session FROM events),
+        |ids AS (SELECT user_id, ts,
+        |sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events, max(ts) AS last_ts
+        |FROM ids GROUP BY user_id, sid""".stripMargin.replace("\n", " "),
 
     // bucketed-lag mirror: the PLAIN per-key window — the bucketed
     // decomposition must be invisible in the result

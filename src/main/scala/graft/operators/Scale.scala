@@ -224,6 +224,71 @@ object Scale {
       .drop("_blag_bkt", "_blag_rn", "_blag_prev")
   }
 
+  /** Skew-immune sessionization: exactly `session_window(ts, gap)`
+    * per key — maximal event chains where consecutive gaps are ≤
+    * `gapSeconds` — without colocating a full key's events on one
+    * task (the 1.74× skew penalty the round-14 window rehearsal
+    * measured for the one-phase formulation; unbounded at 100 TB).
+    * Two phases:
+    *
+    *  1. sessionize WITHIN (key, bucket) — the event-level window
+    *     carries the bucket in its partition key, so a hot key spreads
+    *     over its buckets; output is one row per session fragment
+    *     (start, last, n), a frame ~|events| smaller than the input;
+    *  2. merge fragments per key by classic island detection over the
+    *     COMPACT fragment frame (cumulative-max of fragment ends; a
+    *     new island starts when the next fragment's start exceeds the
+    *     running max end by more than the gap) — transitively closing
+    *     chains that span any number of buckets.  The per-key window
+    *     here touches fragments, not events: a hot key with millions
+    *     of events contributes at most (#buckets + #true sessions)
+    *     rows.
+    *
+    * CONTRACT: `bucket` must be monotone in `ts` (a time truncation),
+    * so fragments from different buckets never overlap in time —
+    * island merging by sorted starts is then exactly the event-level
+    * transitive closure.  Output: (partCols..., session_start,
+    * n_events, last_ts). */
+  def bucketedSessions(df: DataFrame, partCols: Seq[String], ts: Column,
+                       gapSeconds: Long, bucket: Column): DataFrame = {
+    require(partCols.nonEmpty, "need partition columns")
+    require(gapSeconds > 0, s"gap must be positive, got $gapSeconds")
+    val scratch = Seq("_bs_bkt", "_bs_ts", "_bs_prev", "_bs_new", "_bs_sid",
+      "_bs_start", "_bs_last", "_bs_n", "_bs_pmax", "_bs_newisl", "_bs_isl")
+    require(!df.columns.exists(c => scratch.exists(c.equalsIgnoreCase)),
+      "input already has a _bs_* column — rename it first")
+    import org.apache.spark.sql.expressions.Window
+    val gapMicros = gapSeconds * 1000000L
+    // unix_micros rejects TIMESTAMP_NTZ; the engine-wide UTC session
+    // contract makes the NTZ->TIMESTAMP cast value-preserving
+    def micros(c: Column): Column =
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    val d = df.withColumn("_bs_bkt", bucket).withColumn("_bs_ts", ts)
+    val wIn = Window.partitionBy(("_bs_bkt" +: partCols).map(col): _*).orderBy(col("_bs_ts"))
+    val frag = d
+      .withColumn("_bs_prev", lag(col("_bs_ts"), 1).over(wIn))
+      .withColumn("_bs_new", when(col("_bs_prev").isNull ||
+        micros(col("_bs_ts")) - micros(col("_bs_prev")) > gapMicros, 1L).otherwise(0L))
+      .withColumn("_bs_sid", sum(col("_bs_new"))
+        .over(wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((("_bs_bkt" +: partCols) :+ "_bs_sid").map(col): _*)
+      .agg(min(col("_bs_ts")).as("_bs_start"), max(col("_bs_ts")).as("_bs_last"),
+        count(lit(1)).as("_bs_n"))
+    val wKey = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("_bs_start"), col("_bs_last"))
+    frag
+      .withColumn("_bs_pmax", max(col("_bs_last"))
+        .over(wKey.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_bs_newisl", when(col("_bs_pmax").isNull ||
+        micros(col("_bs_start")) - micros(col("_bs_pmax")) > gapMicros, 1L).otherwise(0L))
+      .withColumn("_bs_isl", sum(col("_bs_newisl"))
+        .over(wKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((partCols :+ "_bs_isl").map(col): _*)
+      .agg(min(col("_bs_start")).as("session_start"), sum(col("_bs_n")).as("n_events"),
+        max(col("_bs_last")).as("last_ts"))
+      .drop("_bs_isl")
+  }
+
   /** The shared md5-prefix key: first `hexChars` hex digits of
     * md5(id as string) as a long.  ONE definition for every
     * deterministic-hash contract in the engine (sampling buckets,

@@ -242,10 +242,14 @@ object ScaleRehearsal {
     def sessionQ(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
+    def bucketedSessQ(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Scale.bucketedSessions(df, Seq("user_id"), col("ts"),
+        gapSeconds = 1800L, date_trunc("hour", col("ts")))
     println(f"${"arm"}%-16s ${"1x_sec"}%8s ${s"${n}x_uni"}%8s ${s"${n}x_skew"}%9s skew/uni")
     for ((name, q) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
         ("window_lag", lagQ), ("bucketed_lag", bucketedLagQ),
-        ("tumbling_agg", tumbleQ), ("session_window", sessionQ))) {
+        ("tumbling_agg", tumbleQ), ("session_window", sessionQ),
+        ("bucketed_sessions", bucketedSessQ))) {
       val (t1, _) = meter(noop(q(spark.read.parquet(s"$src/events.parquet"))))
       val (tu, _) = meter(noop(q(spark.read.parquet(s"$out/events_uniform.parquet"))))
       val (ts, _) = meter(noop(q(spark.read.parquet(s"$out/events_skew.parquet"))))

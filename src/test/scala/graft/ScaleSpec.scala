@@ -101,6 +101,40 @@ class ScaleSpec extends SparkSpec {
       (2L, 2L, None)), s"sparse-bucket hand-off wrong: $sp")
   }
 
+  test("bucketedSessions equals one-phase session_window; chains merge across buckets") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plain = ev.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("last_ts"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2), r.get(3).toString)).toSet
+    val bucketed = Scale.bucketedSessions(ev, Seq("user_id"), col("ts"),
+        gapSeconds = 1800L, date_trunc("hour", col("ts")))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("last_ts"))
+    val got = bucketed.collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2), r.get(3).toString)).toSet
+    assert(got == plain,
+      s"sessions diverge: missing=${(plain -- got).take(3)} extra=${(got -- plain).take(3)}")
+    // event-level windows must all carry the bucket; the per-key window
+    // runs on the compact fragment frame only
+    val specs = bucketed.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.map(_.sql)
+    }
+    assert(specs.exists(_.exists(_.contains("_bs_bkt"))), s"no bucketed event window: $specs")
+    // synthetic: one activity chain spanning 4 hour-buckets (events
+    // every 20 min for 4 h) must come back as ONE session, while a
+    // >30 min gap inside a single bucket still splits
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    val chain = (0 until 13).map(i => (1L, new Timestamp(base + i * 20L * 60000)))  // 10:00..14:00
+    val split = Seq((2L, new Timestamp(base)), (2L, new Timestamp(base + 50L * 60000)))
+    val sdf = (chain ++ split).toDF("user_id", "ts")
+    val out = Scale.bucketedSessions(sdf, Seq("user_id"), col("ts"),
+        gapSeconds = 1800L, date_trunc("hour", col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toList.sorted
+    assert(out == List((1L, 13L), (2L, 1L), (2L, 1L)), s"got $out")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
