@@ -200,6 +200,13 @@ object Scale {
   def bucketedLag(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column],
                   value: Column, bucket: Column, outCol: String): DataFrame = {
     require(partCols.nonEmpty && orderCols.nonEmpty, "need partition and order columns")
+    // the boundary pick is max(struct(order...)) — ASCENDING lexicographic
+    // — so a .desc order column would silently hand the WRONG boundary
+    // row to the next bucket; fail loudly instead
+    require(orderCols.forall(c => !org.apache.spark.sql.GraftBridge.catalystExpression(c)
+        .isInstanceOf[org.apache.spark.sql.catalyst.expressions.SortOrder]),
+      "order columns must be plain (ascending) expressions — the per-bucket " +
+        "boundary struct-max assumes ascending order; invert the column value instead of .desc")
     val scratch = Seq("_blag_bkt", "_blag_rn", "_blag_prev", "_blag_last")
     require(!df.columns.exists(c => scratch.exists(c.equalsIgnoreCase)),
       s"input already has a ${scratch.mkString("/")} column — rename it first")

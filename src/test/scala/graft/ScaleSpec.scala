@@ -99,6 +99,11 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)))).toSet
     assert(sp == Set((1L, 1L, None), (1L, 5L, Some(10.0)), (1L, 900L, Some(20.0)),
       (2L, 2L, None)), s"sparse-bucket hand-off wrong: $sp")
+    // a .desc order column would silently corrupt the boundary pick
+    intercept[IllegalArgumentException] {
+      Scale.bucketedLag(sparse, Seq("user_id"), Seq(col("ts_n").desc),
+        col("value"), floor(col("ts_n") / 10), "prev")
+    }
   }
 
   test("bucketedSessions equals one-phase session_window; chains merge across buckets") {
