@@ -1279,6 +1279,19 @@ object SparkEntry {
       operators.HeavyHitters.topK(d, key, k = 10, capacity = 64)
     }),
 
+    // Per-GROUP heavy hitters (mergeable SpaceSaving as a typed
+    // Aggregator under groupBy — summaries move, the key stream never
+    // shuffles raw).  Exact regime: capacity 64 >= distinct keys per
+    // source, so intervals collapse and the oracle is the grouped
+    // count + per-group window top-k with the same (upper desc, item)
+    // tie order.
+    "q117_group_heavy_hitters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val key = concat(col("lang"), lit(":"), pmod(col("n_chars"), lit(10)))
+      operators.HeavyHitters.groupTopK(d, Seq(col("source")), key, k = 3, capacity = 64)
+        .orderBy(col("source"), col("n_upper").desc, col("item"))
+    }),
+
     // Memory-bounded quantiles (mergeable GK-style rank summary; exact
     // regime: distinct <= capacity collapses every interval to the true
     // cumulative count, independent of partitioning and merge order)
@@ -1699,6 +1712,17 @@ object SparkEntry {
         |FROM documents WHERE lang IS NOT NULL)
         |SELECT item, count(*)::BIGINT AS n_lower, count(*)::BIGINT AS n_upper
         |FROM k GROUP BY item ORDER BY n_upper DESC, item LIMIT 10""".stripMargin.replace("\n", " "),
+
+    // group-heavy-hitters mirror: exact regime collapses the intervals
+    // to the grouped count; per-group window top-3 with the same
+    // (upper desc, item) tie order
+    "q117_group_heavy_hitters" ->
+      """WITH k AS (SELECT source, lang || ':' || (n_chars % 10) AS item
+        |FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT source, item, count(*)::BIGINT AS n FROM k GROUP BY 1, 2),
+        |r AS (SELECT source, item, n,
+        |row_number() OVER (PARTITION BY source ORDER BY n DESC, item) AS rn FROM c)
+        |SELECT source, item, n AS n_lower, n AS n_upper FROM r WHERE rn <= 3""".stripMargin.replace("\n", " "),
 
     // quantile-sketch mirror: exact-regime summary = discrete lower
     // quantile off explicit cumulative counts, collapsed rank bounds

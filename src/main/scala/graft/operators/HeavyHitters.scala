@@ -44,11 +44,15 @@ object HeavyHitters {
     * counters ride the rising minimum); nodes within a bucket keep
     * insertion order (LinkedHashSet), so eviction — oldest node of the
     * minimum bucket — is deterministic for a given input order. */
-  final class SpaceSaving(val capacity: Int) {
+  final class SpaceSaving(val capacity: Int) extends Serializable {
     require(capacity >= 1, s"capacity >= 1, got $capacity")
     private final class Node(var item: String, var count: Long, var err: Long)
+      extends Serializable
     private val nodes = new java.util.HashMap[String, Node](capacity * 2)
     private val buckets = new java.util.TreeMap[Long, java.util.LinkedHashSet[Node]]()
+    // merge-truncation bound: any UNTRACKED item may hold up to `floor`
+    // occurrences (0 until a merge ever dropped items); see merge()
+    private var floor: Long = 0L
     // spec surface: total auxiliary entries must stay O(capacity)
     private[graft] def heapSize: Int = nodes.size
 
@@ -107,10 +111,50 @@ object HeavyHitters {
     }
 
     /** Upper bound on the count of any UNTRACKED item: 0 while the
-      * summary has spare capacity (nothing was ever evicted), else the
-      * current minimum counter. */
+      * summary has spare capacity and no merge ever truncated, else
+      * the max of the merge floor and the current minimum counter. */
     def absentBound: Long =
-      if (nodes.size < capacity) 0L else buckets.firstKey()
+      math.max(floor, if (nodes.size < capacity) 0L else buckets.firstKey())
+
+    /** Mergeable-summaries combine (Agarwal et al., PODS'12 §3, the
+      * SpaceSaving/MG algebra): for each item in either summary the
+      * merged interval is the SUM of per-side intervals, where an
+      * absent side contributes [0, absentBound].  The union is then
+      * truncated to the top `capacity` items by upper bound (ties by
+      * item, deterministic), and the floor records the largest bound a
+      * dropped or never-seen item could still hold.  When neither side
+      * ever evicted or truncated (exact regime), bounds collapse and
+      * the merge is exact — the property the q117 oracle gates.
+      * Mutates and returns `this`. */
+    def merge(o: SpaceSaving): SpaceSaving = {
+      require(o.capacity == capacity,
+        s"cannot merge summaries of different capacity: $capacity vs ${o.capacity}")
+      val b1 = absentBound
+      val b2 = o.absentBound
+      // (upper, lower) per union item
+      val m = new java.util.HashMap[String, (Long, Long)](2 * (nodes.size + o.nodes.size))
+      nodes.forEach((k, n) => m.put(k, (n.count + b2, n.count - n.err)))
+      o.nodes.forEach { (k, n2) =>
+        val prev = m.get(k)
+        if (prev == null) m.put(k, (b1 + n2.count, n2.count - n2.err))
+        else m.put(k, (prev._1 - b2 + n2.count, prev._2 + (n2.count - n2.err)))
+      }
+      val all = new Array[(String, Long, Long)](m.size)
+      var i = 0
+      m.forEach { (k, ul) => all(i) = (k, ul._1, ul._2); i += 1 }
+      // top `capacity` by upper desc, item asc — deterministic truncation
+      val sorted = all.sortBy { case (item, u, _) => (-u, item) }
+      val kept = sorted.take(capacity)
+      val dropped = sorted.drop(capacity)
+      nodes.clear(); buckets.clear()
+      floor = math.max(b1 + b2,
+        if (dropped.isEmpty) 0L else dropped.iterator.map(_._2).max)
+      kept.foreach { case (item, u, l) =>
+        val n = new Node(item, u, u - l)
+        nodes.put(item, n); link(n)
+      }
+      this
+    }
   }
 
   /** Top-k heavy hitters of `key` with exact error intervals:
@@ -156,5 +200,51 @@ object HeavyHitters {
         (col("c_sum") + (col("total_min") - col("mins_present"))).as("n_upper"))
       .orderBy(col("n_upper").desc, col("item"))
       .limit(k)
+  }
+
+  /** One reported heavy hitter: true count ∈ [n_lower, n_upper]. */
+  final case class HeavyHit(item: String, n_lower: Long, n_upper: Long)
+
+  /** Typed SpaceSaving Aggregator — the per-GROUP surface ([[topK]] is
+    * global).  One summary per (group, task) under ObjectHashAggregate:
+    * the exchange moves summaries, never the key stream, exactly the
+    * shape of [[QuantileSketch.groupQuantile]] and
+    * [[DistinctSketch.countDistinctSketch]]. */
+  final class TopKAgg(k: Int, capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, SpaceSaving, Seq[HeavyHit]] {
+    require(k >= 1 && capacity >= k, s"need capacity >= k >= 1, got k=$k capacity=$capacity")
+    require(capacity <= (1 << 16), s"capacity <= 2^16 keeps summaries task-bounded, got $capacity")
+    def zero: SpaceSaving = new SpaceSaving(capacity)
+    def reduce(b: SpaceSaving, a: String): SpaceSaving = {
+      if (a != null) b.offer(a)
+      b
+    }
+    def merge(b1: SpaceSaving, b2: SpaceSaving): SpaceSaving = b1.merge(b2)
+    def finish(r: SpaceSaving): Seq[HeavyHit] =
+      r.entries.toSeq
+        .map { case (item, c, err) => HeavyHit(item, c - err, c) }
+        .sortBy(h => (-h.n_upper, h.item))
+        .take(k)
+    def bufferEncoder: org.apache.spark.sql.Encoder[SpaceSaving] =
+      org.apache.spark.sql.Encoders.kryo[SpaceSaving]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[HeavyHit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HeavyHit]]()
+  }
+
+  /** Per-group top-k heavy hitters with error intervals: one row per
+    * (group, item), the k largest per group by upper bound (ties by
+    * item).  Null keys are ignored, like [[topK]]. */
+  def groupTopK(df: DataFrame, groupCols: Seq[Column], key: Column,
+                k: Int, capacity: Int): DataFrame = {
+    val agg = udaf(new TopKAgg(k, capacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    val out = df.groupBy(groupCols: _*).agg(agg(key.cast(StringType)).as("_hits"))
+    // re-select the agg output's OWN group columns by name (caller
+    // expressions may not re-resolve post-aggregation) — the same
+    // pattern as DistinctSketch.perGroup
+    val groupNames = out.columns.dropRight(1).map(col).toSeq
+    out.select(groupNames :+ explode(col("_hits")).as("_h"): _*)
+      .select(groupNames :+ col("_h.item").as("item") :+
+        col("_h.n_lower").as("n_lower") :+ col("_h.n_upper").as("n_upper"): _*)
   }
 }

@@ -60,6 +60,68 @@ class HeavyHittersSpec extends SparkSpec {
       s"bounded summary stage missing:\n$plan")
   }
 
+  test("merge unit: exact regime sums exactly; truncation sets a sound floor") {
+    // exact regime: disjoint + overlapping items, no evictions anywhere
+    val a = new HeavyHitters.SpaceSaving(8)
+    val b = new HeavyHitters.SpaceSaving(8)
+    Seq("x", "x", "y").foreach(a.offer(_))
+    Seq("x", "z").foreach(b.offer(_))
+    val m = a.merge(b)
+    assert(m.counts("x") == 3L && m.counts("y") == 1L && m.counts("z") == 1L)
+    assert(m.errs("x") == 0L && m.absentBound == 0L)
+    // truncation regime: capacity 2, union of 3 items — the dropped
+    // item's upper bound must be covered by the merged absentBound
+    val c = new HeavyHitters.SpaceSaving(2)
+    val d = new HeavyHitters.SpaceSaving(2)
+    Seq("p", "p", "p", "q").foreach(c.offer(_))
+    Seq("p", "r", "r").foreach(d.offer(_))
+    val t = c.merge(d)
+    assert(t.counts.size == 2)
+    assert(t.counts("p") == 4L && t.errs("p") == 0L, s"${t.counts} ${t.errs}")
+    // q (true 1) was dropped: any untracked item's bound must cover it
+    assert(t.absentBound >= 1L, s"floor ${t.absentBound} lost the dropped item's mass")
+  }
+
+  test("groupTopK: exact regime equals the window formulation; intervals collapse") {
+    val df = spark.range(0, 30000).toDF("i").select(
+      pmod(col("i"), lit(3)).as("g"),
+      concat(lit("k"), pmod(col("i") * col("i") + col("i"), lit(29))).as("key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("count").desc, col("key"))
+    val exact = df.groupBy("g", "key").count()
+      .withColumn("rn", row_number().over(win)).filter(col("rn") <= 4)
+      .select(col("g"), col("key"), col("count"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = HeavyHitters.groupTopK(df, Seq(col("g")), col("key"), k = 4, capacity = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2, t._4)).toSet == exact, s"got ${got.toSeq}")
+    got.foreach { case (_, _, lo, hi) => assert(lo == hi, "exact regime must collapse bounds") }
+    // plan: summaries move through ObjectHashAggregate, keys never shuffle raw
+    val plan = HeavyHitters.groupTopK(df, Seq(col("g")), col("key"), 4, 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"summary aggregate missing:\n$plan")
+  }
+
+  test("groupTopK approximate regime: per-group truth inside the intervals") {
+    val rows = for {
+      g <- 0 to 2
+      r <- (1 to 6).flatMap(j => Seq.fill(3000 / j)(s"g${g}hot$j")) ++
+           (0 until 3000).map(i => s"g${g}tail${i % 900}")
+    } yield (g.toLong, r)
+    val df = new scala.util.Random(7).shuffle(rows).toDF("g", "key")
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = HeavyHitters.groupTopK(df, Seq(col("g")), col("key"), k = 4, capacity = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (g, item, lo, hi) =>
+      val t = truth((g, item))
+      assert(lo <= t && t <= hi, s"($g, $item): true $t outside [$lo, $hi]")
+    }
+    // each group's unambiguous giant must be reported for its own group
+    for (g <- 0 to 2)
+      assert(got.exists(r => r._1 == g && r._2 == s"g${g}hot1"), s"g${g}hot1 missing")
+  }
+
   test("heap stays bounded under a hot-key stream (lazy-deletion compaction)") {
     val ss = new graft.operators.HeavyHitters.SpaceSaving(capacity = 8)
     (1 to 200000).foreach(_ => ss.offer("hot"))
