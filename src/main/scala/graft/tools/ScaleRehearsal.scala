@@ -192,6 +192,17 @@ object ScaleRehearsal {
         array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)))))
     arm("quantile_exact_sort",
       df => { graft.operators.Quantiles.exact(df, col("v"), Seq(0.5, 0.9, 0.99)); () })
+    arm("grouptopk_spacesaving",
+      df => noop(graft.operators.HeavyHitters.groupTopK(df,
+        Seq(pmod(col("id"), lit(8L)).as("g")), col("key"), k = 10, capacity = 4096)))
+    arm("grouptopk_exact",
+      df => noop {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("n").desc, col("key"))
+        df.groupBy(pmod(col("id"), lit(8L)).as("g"), col("key"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      })
     arm("groupquantile_gk",
       df => noop(df.groupBy(pmod(col("id"), lit(8L)).as("g"))
         .agg(graft.operators.QuantileSketch.groupQuantile(col("v"), 0.5).as("q"))))
