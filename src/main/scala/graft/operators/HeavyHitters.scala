@@ -51,8 +51,16 @@ object HeavyHitters {
     private val nodes = new java.util.HashMap[String, Node](capacity * 2)
     private val buckets = new java.util.TreeMap[Long, java.util.LinkedHashSet[Node]]()
     // merge-truncation bound: any UNTRACKED item may hold up to `floor`
-    // occurrences (0 until a merge ever dropped items); see merge()
+    // occurrences (0 until a merge ever dropped items); see merge().
+    // Under the current code paths floor > 0 implies the summary is
+    // full with firstKey >= floor (kept-min >= dropped-max >= floor by
+    // the truncation sort), so the max() in absentBound is defensive —
+    // kept because the invariant lives three methods apart.
     private var floor: Long = 0L
+    // a summary that NEVER evicted or truncated tracks every item its
+    // substream contained — an untracked item's true count there is 0,
+    // even when the summary happens to sit exactly at capacity
+    private var evicted: Boolean = false
     // spec surface: total auxiliary entries must stay O(capacity)
     private[graft] def heapSize: Int = nodes.size
 
@@ -76,6 +84,7 @@ object HeavyHitters {
       } else {
         // evict the oldest node at the minimum count, charging that
         // minimum as the incoming item's overestimation error
+        evicted = true
         val victim = buckets.firstEntry().getValue.iterator().next()
         unlink(victim)
         nodes.remove(victim.item)
@@ -111,10 +120,13 @@ object HeavyHitters {
     }
 
     /** Upper bound on the count of any UNTRACKED item: 0 while the
-      * summary has spare capacity and no merge ever truncated, else
-      * the max of the merge floor and the current minimum counter. */
+      * summary never evicted NOR truncated (it then tracks its whole
+      * substream — true even at exactly-capacity distinct, the
+      * boundary the q117 exact-regime contract needs), else the max of
+      * the merge floor and the current minimum counter. */
     def absentBound: Long =
-      math.max(floor, if (nodes.size < capacity) 0L else buckets.firstKey())
+      if (!evicted && floor == 0L) 0L
+      else math.max(floor, if (nodes.size < capacity) 0L else buckets.firstKey())
 
     /** Mergeable-summaries combine (Agarwal et al., PODS'12 §3, the
       * SpaceSaving/MG algebra): for each item in either summary the
@@ -147,8 +159,11 @@ object HeavyHitters {
       val kept = sorted.take(capacity)
       val dropped = sorted.drop(capacity)
       nodes.clear(); buckets.clear()
-      floor = math.max(b1 + b2,
-        if (dropped.isEmpty) 0L else dropped.iterator.map(_._2).max)
+      evicted = evicted || o.evicted || dropped.nonEmpty
+      floor =
+        if (!evicted) 0L
+        else math.max(b1 + b2,
+          if (dropped.isEmpty) 0L else dropped.iterator.map(_._2).max)
       kept.foreach { case (item, u, l) =>
         val n = new Node(item, u, u - l)
         nodes.put(item, n); link(n)
@@ -239,6 +254,11 @@ object HeavyHitters {
     val agg = udaf(new TopKAgg(k, capacity),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
     val out = df.groupBy(groupCols: _*).agg(agg(key.cast(StringType)).as("_hits"))
+    // group columns may not collide with the scratch/output names —
+    // same loud-failure pattern as Scale.bucketedLag/bucketedSessions
+    val reserved = Seq("_hits", "_h", "item", "n_lower", "n_upper")
+    require(!out.columns.dropRight(1).exists(c => reserved.exists(c.equalsIgnoreCase)),
+      s"group column collides with ${reserved.mkString("/")} — alias it first")
     // re-select the agg output's OWN group columns by name (caller
     // expressions may not re-resolve post-aggregation) — the same
     // pattern as DistinctSketch.perGroup

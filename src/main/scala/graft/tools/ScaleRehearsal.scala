@@ -181,7 +181,7 @@ object ScaleRehearsal {
       df => noop(df.groupBy("key").count().orderBy(desc("count"), col("key")).limit(20)))
     arm("distinct_hll",
       df => noop(df.agg(graft.operators.DistinctSketch.countDistinctSketch(col("key")))))
-    arm("distinct_native_approx", // Spark's codegen'd HLL++, rsd 2.3%
+    arm("distinct_native_approx", // Spark's codegen'd HLL++, default rsd 5%
       df => noop(df.agg(approx_count_distinct(col("key")))))
     arm("distinct_exact",
       df => noop(df.agg(countDistinct(col("key")))))

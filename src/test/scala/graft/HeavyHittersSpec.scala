@@ -60,6 +60,25 @@ class HeavyHittersSpec extends SparkSpec {
       s"bounded summary stage missing:\n$plan")
   }
 
+  test("exactly-at-capacity distinct without eviction: absentBound stays 0") {
+    // a summary that never evicted tracks its whole substream — an
+    // untracked item's true count there is 0 even when full (the q117
+    // exact-regime boundary: distinct == capacity must stay exact)
+    val ss = new HeavyHitters.SpaceSaving(4)
+    Seq("a", "b", "c", "d", "a").foreach(ss.offer(_))
+    assert(ss.counts.size == 4 && ss.absentBound == 0L,
+      s"full-but-never-evicted summary must bound absents at 0, got ${ss.absentBound}")
+    ss.offer("e") // first true eviction
+    assert(ss.absentBound > 0L)
+    // and merging two never-evicted full summaries stays exact
+    val x = new HeavyHitters.SpaceSaving(2)
+    val y = new HeavyHitters.SpaceSaving(2)
+    Seq("p", "q").foreach(x.offer(_))
+    Seq("p", "q").foreach(y.offer(_))
+    val m = x.merge(y)
+    assert(m.counts("p") == 2L && m.errs("p") == 0L && m.absentBound == 0L)
+  }
+
   test("merge unit: exact regime sums exactly; truncation sets a sound floor") {
     // exact regime: disjoint + overlapping items, no evictions anywhere
     val a = new HeavyHitters.SpaceSaving(8)

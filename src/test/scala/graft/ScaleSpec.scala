@@ -78,17 +78,22 @@ class ScaleSpec extends SparkSpec {
     assert(got.size == plain.size)
     val diff = plain.collect { case (k, v) if got(k) != v => (k, v, got(k)) }.take(5)
     assert(diff.isEmpty, s"bucketedLag diverges from plain lag: $diff")
-    // the point of the operator: no window partitioned by the bare key
-    // (that shape serializes a hot key on one task); every WindowExec
-    // must carry the bucket alongside, or run on the tiny boundary frame
-    val windows = bucketed.queryExecution.sparkPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.map(_.sql)
+    // the point of the operator: the EVENT-LEVEL window must carry the
+    // bucket in its partition key (a bare-key event window serializes a
+    // hot key on one task); a bare-key window is only allowed on the
+    // compact boundary frame, identified by computing _blag_prev
+    val wins = bucketed.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(windows.nonEmpty)
-    windows.foreach { spec =>
-      assert(spec.size >= 2 || spec.exists(_.contains("_blag_bkt")) ||
-             spec.forall(s => !s.contains("value")),
-        s"window partitioned by bare key only: $spec")
+    assert(wins.nonEmpty)
+    val (withBkt, bareKey) =
+      wins.partition(_.partitionSpec.map(_.sql).exists(_.contains("_blag_bkt")))
+    assert(withBkt.nonEmpty, "event-level window lost the bucket from its partition key")
+    bareKey.foreach { w =>
+      val exprs = w.windowExpression.map(_.sql).mkString(";")
+      assert(exprs.contains("_blag_prev") || exprs.contains("_blag_last"),
+        s"bare-key window over the EVENT frame: " +
+          s"partition=${w.partitionSpec.map(_.sql)} exprs=$exprs")
     }
     // degenerate inputs: one row per bucket, and a bucket gap
     import spark.implicits._
@@ -119,12 +124,21 @@ class ScaleSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2), r.get(3).toString)).toSet
     assert(got == plain,
       s"sessions diverge: missing=${(plain -- got).take(3)} extra=${(got -- plain).take(3)}")
-    // event-level windows must all carry the bucket; the per-key window
-    // runs on the compact fragment frame only
-    val specs = bucketed.queryExecution.sparkPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.map(_.sql)
+    // event-level windows must all carry the bucket; a bare-key window
+    // is only allowed on the compact FRAGMENT frame (identified by the
+    // island-merge expressions it computes)
+    val wins = bucketed.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(specs.exists(_.exists(_.contains("_bs_bkt"))), s"no bucketed event window: $specs")
+    val (withBkt, bareKey) =
+      wins.partition(_.partitionSpec.map(_.sql).exists(_.contains("_bs_bkt")))
+    assert(withBkt.nonEmpty, s"no bucketed event window: ${wins.map(_.partitionSpec.map(_.sql))}")
+    bareKey.foreach { w =>
+      val exprs = w.windowExpression.map(_.sql).mkString(";")
+      assert(exprs.contains("_bs_pmax") || exprs.contains("_bs_isl") || exprs.contains("_bs_newisl"),
+        s"bare-key window over the EVENT frame: " +
+          s"partition=${w.partitionSpec.map(_.sql)} exprs=$exprs")
+    }
     // synthetic: one activity chain spanning 4 hour-buckets (events
     // every 20 min for 4 h) must come back as ONE session, while a
     // >30 min gap inside a single bucket still splits
