@@ -46,9 +46,8 @@ class ScaleSpec extends SparkSpec {
     val (nPlain, cellsPlain) = cells(None)
     assert(nPlain == 1000L && cellsPlain == 1L,
       s"identical rows must share one content salt, got $cellsPlain cells")
-    // spread via a synthetic per-row source: spark_partition_id is not
-    // retry-stable (documented caveat) but serves to show the spread;
-    // a real caller passes a stable surrogate key column
+    // spread via an explicit stable per-row source column (the shape a
+    // real caller uses for byte-identical hot rows: a surrogate key)
     val withId = spark.range(1000).select(lit(7L).as("k"), lit(1.0).as("v"), col("id"))
     val spread = Scale.saltedAggregate(withId, Seq(col("k")), salt = 4,
       partials = Seq(count(lit(1)).as("_n")),
