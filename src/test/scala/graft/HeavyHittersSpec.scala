@@ -141,6 +141,54 @@ class HeavyHittersSpec extends SparkSpec {
       assert(got.exists(r => r._1 == g && r._2 == s"g${g}hot1"), s"g${g}hot1 missing")
   }
 
+  test("merge property: random streams, random split points, random merge trees — sound intervals") {
+    // the mergeable-summaries contract must hold for ANY partition of
+    // the stream and ANY merge order: true count within [lower, upper]
+    // for every tracked item, and absentBound covers every untracked one
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 20) {
+      val cap = 4 + rnd.nextInt(12)
+      val n = 200 + rnd.nextInt(800)
+      // zipf-ish stream over a key space larger than capacity
+      val stream = Vector.fill(n) {
+        val r = rnd.nextInt(100)
+        if (r < 40) s"hot${rnd.nextInt(3)}"
+        else s"k${rnd.nextInt(cap * 4)}"
+      }
+      val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      // random split into 1..6 parts
+      val parts = {
+        val cuts = Vector.fill(rnd.nextInt(5))(rnd.nextInt(n + 1)).sorted
+        (Vector(0) ++ cuts ++ Vector(n)).sliding(2).map {
+          case Vector(a, b) => stream.slice(a, b)
+        }.toVector
+      }
+      val summaries = parts.map { p =>
+        val s = new HeavyHitters.SpaceSaving(cap); p.foreach(s.offer(_)); s
+      }
+      // random merge tree: repeatedly merge two random summaries
+      val pool = scala.collection.mutable.ArrayBuffer(summaries: _*)
+      while (pool.size > 1) {
+        val i = rnd.nextInt(pool.size)
+        val a = pool.remove(i)
+        val j = rnd.nextInt(pool.size)
+        pool(j) = pool(j).merge(a)
+      }
+      val m = pool.head
+      val bound = m.absentBound
+      val cs = m.counts; val es = m.errs
+      truth.foreach { case (item, t) =>
+        cs.get(item) match {
+          case Some(c) =>
+            assert(c - es(item) <= t && t <= c,
+              s"trial $trial cap $cap: $item true $t outside [${c - es(item)}, $c]")
+          case None =>
+            assert(t <= bound, s"trial $trial: untracked $item true $t > bound $bound")
+        }
+      }
+    }
+  }
+
   test("heap stays bounded under a hot-key stream (lazy-deletion compaction)") {
     val ss = new graft.operators.HeavyHitters.SpaceSaving(capacity = 8)
     (1 to 200000).foreach(_ => ss.offer("hot"))

@@ -153,6 +153,56 @@ class ScaleSpec extends SparkSpec {
     assert(out == List((1L, 13L), (2L, 1L), (2L, 1L)), s"got $out")
   }
 
+  test("bucketed window property: random corpora and spans match the one-phase plans") {
+    // parity must hold for ANY data shape: random keys, clustered and
+    // sparse timestamps, random bucket spans (always >= nothing — the
+    // contract only needs monotonicity, which floor-division gives)
+    val rnd = new scala.util.Random(77)
+    import org.apache.spark.sql.expressions.Window
+    for (trial <- 1 to 5) {
+      val n = 200 + rnd.nextInt(400)
+      val span = Seq(7L, 10L, 50L, 1000L)(rnd.nextInt(4))
+      val gap = 1L + rnd.nextInt(30)
+      val rows = (0 until n).map { i =>
+        // clustered bursts + uniform tail → sessions of varied shapes
+        val t = if (rnd.nextBoolean()) rnd.nextInt(500).toLong
+                else 500L + rnd.nextInt(100000)
+        (rnd.nextInt(5).toLong, t, i.toLong, rnd.nextDouble())
+      }
+      val df = rows.toDF("k", "ts_n", "uid", "v")
+      // lag parity (ts_n ties broken by uid — unique order per key)
+      val plainLag = df.select(col("uid"),
+          lag(col("v"), 1).over(Window.partitionBy(col("k")).orderBy(col("ts_n"), col("uid"))).as("p"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val bLag = Scale.bucketedLag(df, Seq("k"), Seq(col("ts_n"), col("uid")),
+          col("v"), floor(col("ts_n") / span), "p")
+        .select(col("uid"), col("p"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(bLag == plainLag, s"trial $trial span $span: lag diverged")
+      // sessions parity vs the event-level island SQL (same rule the
+      // q116 oracle uses: new session when diff > gap)
+      val sFlag = df.select(col("k"), col("ts_n"), col("uid"),
+          lag(col("ts_n"), 1).over(Window.partitionBy(col("k")).orderBy(col("ts_n"), col("uid"))).as("p"))
+        .withColumn("ns", when(col("p").isNull || col("ts_n") - col("p") > gap, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("ns")).over(
+          Window.partitionBy(col("k")).orderBy(col("ts_n"), col("uid"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("k"), col("sid"))
+        .agg(min(col("ts_n")).as("s"), count(lit(1)).as("n"), max(col("ts_n")).as("e"))
+        .select(col("k"), col("s"), col("n"), col("e"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val bSess = Scale.bucketedSessions(
+          df.withColumn("t", timestamp_seconds(col("ts_n"))), Seq("k"), col("t"),
+          gapSeconds = gap, floor(col("ts_n") / span))
+        .select(col("k"), unix_timestamp(col("session_start")).as("s"), col("n_events"),
+          unix_timestamp(col("last_ts")).as("e"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(bSess == sFlag,
+        s"trial $trial span $span gap $gap: sessions diverged " +
+          s"missing=${(sFlag -- bSess).take(3)} extra=${(bSess -- sFlag).take(3)}")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
