@@ -20,20 +20,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): EzFrame =
     EzFrame.readParquet(s, s"$dir/$name.parquet")
 
-  /** q114's clustered-write target: one fresh temp dir per JVM (reused
-    * across the bench's two passes via overwrite; unique per process,
-    * so concurrent harness runs never race on a shared path), removed
-    * on exit rather than accumulating lineitem copies in /tmp. */
-  private lazy val q114Dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_q114_zorder")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d.toFile)
-    }))
-    d.toString
-  }
+  /** Write-then-read slots' scratch space: one fresh temp dir per
+    * (tag, JVM) — reused across the bench's two passes via overwrite;
+    * unique per process, so concurrent harness runs never race on a
+    * shared path — removed on exit rather than accumulating copies in
+    * /tmp. */
+  private val scratchDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def scratchDir(tag: String): String =
+    scratchDirs.computeIfAbsent(tag, { _ =>
+      val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d.toFile)
+      }))
+      d.toString
+    })
+  private def q114Dir: String = scratchDir("q114_zorder")
 
   /** q93/q94 preamble: the fixture text carries no punctuation, so
     * sentence structure is synthesized deterministically — a period
@@ -1335,6 +1339,24 @@ object SparkEntry {
                FROM q107_sky WHERE sphdist(ra, dec, 10.0, 20.0) <= 33.7""")
     }),
 
+    // Persistable-sketch incremental accounting: per-day HLL sketches
+    // of the user population are computed ONCE and STORED as binary
+    // columns; the total is a merge of the stored sketches — the raw
+    // events are never re-read (phase 2 reads only the sketch table).
+    // Exact regime (distinct users < sparseCap), so the oracle is the
+    // plain count(DISTINCT) with exact=true.
+    "q118_sketch_accounting" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(operators.DistinctSketch.hllSketch(col("user_id")).as("sketch"))
+      val sketchDir = s"${scratchDir("q118_sketches")}/daily"
+      daily.write.mode("overwrite").parquet(sketchDir)
+      s.read.parquet(sketchDir)
+        .agg(operators.DistinctSketch.hllMerge(col("sketch")).as("total"))
+        .select(operators.DistinctSketch.hllEstimate(col("total")).as("e"))
+        .select(col("e.n_distinct").as("n_distinct"), col("e.exact").as("exact"))
+    }),
+
     // Skew-immune sessionization (two-phase: fragments within (user,
     // hour bucket), island-merge over the compact fragment frame) —
     // identical semantics to q33's one-phase session_window, and the
@@ -1808,6 +1830,11 @@ object SparkEntry {
         |SELECT f.src AS src, f.dst AS dst, f.cos_sim AS cos_sim
         |FROM k f JOIN k b ON f.src = b.dst AND f.dst = b.src
         |WHERE f.src < f.dst""".stripMargin.replace("\n", " "),
+
+    // sketch-accounting mirror: the exact regime collapses the stored
+    // daily sketches' merge to the plain global distinct count
+    "q118_sketch_accounting" ->
+      "SELECT count(DISTINCT user_id)::BIGINT AS n_distinct, true AS exact FROM events",
 
     // bucketed-sessions mirror: q33's event-level session SQL — the
     // two-phase decomposition must be invisible in the result

@@ -141,6 +141,121 @@ object DistinctSketch {
   def countDistinctSketch(key: Column, p: Int = 12, sparseCap: Int = 4096): Column =
     udaf(new Agg(p, sparseCap)).apply(key.cast("string"))
 
+  // ---------------------------------------------------------------
+  // Persistable sketch columns — the INCREMENTAL accounting surface.
+  // At 100 TB the point of a mergeable sketch is that yesterday's scan
+  // is never repeated: per-partition (per-day, per-source) sketches
+  // are computed once, STORED as binary columns, and every later
+  // question (this week's distinct users, the quarter's) is a merge of
+  // stored sketches — the same never-re-read discipline as the
+  // minhash band index (q86).  The wire format is engine-independent
+  // (md5 value hashes + plain registers), so any reader can
+  // reimplement it from this doc:
+  //   byte 0: version (1)
+  //   byte 1: p;  bytes 2..5: sparseCap (int32 BE);  byte 6: mode
+  //   mode 0 (sparse-exact): int32 n, then n × (int32 len, UTF-8)
+  //   mode 1 (dense):        2^p register bytes
+  // ---------------------------------------------------------------
+
+  /** Compact portable bytes for a sketch (format above). */
+  def serialize(h: Hll): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeByte(1); out.writeByte(h.p); out.writeInt(h.sparseCap)
+    if (h.regs == null) {
+      out.writeByte(0)
+      out.writeInt(h.sparse.size)
+      // sorted for byte-determinism: the same value SET must serialize
+      // to the same bytes regardless of insertion order
+      h.sparse.toArray.sorted.foreach { s =>
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(b.length); out.write(b)
+      }
+    } else {
+      out.writeByte(1)
+      out.write(h.regs)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Inverse of [[serialize]]; validates the header. */
+  def deserialize(bytes: Array[Byte]): Hll = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val ver = in.readByte()
+    require(ver == 1, s"unknown sketch version $ver")
+    val p = in.readByte().toInt
+    val cap = in.readInt()
+    val h = new Hll(p, cap)
+    in.readByte() match {
+      case 0 =>
+        val n = in.readInt()
+        require(n >= 0 && n <= cap, s"corrupt sparse sketch: $n values for cap $cap")
+        var i = 0
+        while (i < n) {
+          val len = in.readInt()
+          require(len >= 0 && len <= bytes.length, s"corrupt sketch: value length $len")
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          h.sparse.add(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+          i += 1
+        }
+      case 1 =>
+        h.regs = new Array[Byte](1 << p)
+        h.sparse = null
+        in.readFully(h.regs)
+      case other => throw new IllegalArgumentException(s"unknown sketch mode $other")
+    }
+    h
+  }
+
+  /** Aggregator: raw keys → serialized sketch bytes. */
+  final class SketchAgg(p: Int, sparseCap: Int)
+      extends Aggregator[String, Hll, Array[Byte]] {
+    def zero: Hll = new Hll(p, sparseCap)
+    def reduce(b: Hll, a: String): Hll = if (a == null) b else b.add(a)
+    def merge(b1: Hll, b2: Hll): Hll = b1.merge(b2)
+    def finish(r: Hll): Array[Byte] = serialize(r)
+    def bufferEncoder: Encoder[Hll] = Encoders.kryo[Hll]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Aggregator: stored sketch bytes → merged sketch bytes.  All
+    * input sketches must share this instance's precision `p` (the
+    * register spaces are incompatible otherwise — Hll.merge enforces
+    * it); null rows are skipped. */
+  final class MergeAgg(p: Int, sparseCap: Int)
+      extends Aggregator[Array[Byte], Hll, Array[Byte]] {
+    def zero: Hll = new Hll(p, sparseCap)
+    def reduce(b: Hll, a: Array[Byte]): Hll =
+      if (a == null) b else b.merge(deserialize(a))
+    def merge(b1: Hll, b2: Hll): Hll = b1.merge(b2)
+    def finish(r: Hll): Array[Byte] = serialize(r)
+    def bufferEncoder: Encoder[Hll] = Encoders.kryo[Hll]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** `hllSketch(keyCol)` in any groupBy — a BinaryType column holding
+    * the group's sketch, ready to persist. */
+  def hllSketch(key: Column, p: Int = 12, sparseCap: Int = 4096): Column =
+    udaf(new SketchAgg(p, sparseCap)).apply(key.cast("string"))
+
+  /** `hllMerge(sketchCol)` in any groupBy — merges STORED sketches
+    * (e.g. daily partitions) into one, without touching raw data. */
+  def hllMerge(sketch: Column, p: Int = 12, sparseCap: Int = 4096): Column =
+    udaf(new MergeAgg(p, sparseCap),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]())
+      .apply(sketch)
+
+  /** Scalar: sketch bytes → struct (n_distinct, exact). */
+  def hllEstimate(sketch: Column): Column = {
+    val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else { val (n, e) = deserialize(b).result; DistinctEst(n, e) }
+    }
+    f(sketch)
+  }
+
   /** Per-group distinct counts: (groupCols..., n_distinct, exact). */
   def perGroup(df: DataFrame, groupCols: Seq[Column], key: Column,
                p: Int = 12, sparseCap: Int = 4096): DataFrame = {

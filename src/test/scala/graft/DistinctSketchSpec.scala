@@ -81,6 +81,69 @@ class DistinctSketchSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"typed partial agg missing:\n$plan")
   }
 
+  test("persistable sketches: byte-deterministic round trip in both modes") {
+    import graft.operators.DistinctSketch
+    // sparse: bytes independent of insertion order; deserialize inverts
+    val a = new DistinctSketch.Hll(10, 64)
+    val b = new DistinctSketch.Hll(10, 64)
+    Seq("x", "y", "z", "héllo").foreach(a.add(_))
+    Seq("héllo", "z", "x", "y").foreach(b.add(_))
+    val ba = DistinctSketch.serialize(a)
+    assert(ba.sameElements(DistinctSketch.serialize(b)), "sparse bytes must be order-free")
+    assert(DistinctSketch.deserialize(ba).result == ((4L, true)))
+    // dense: promotion path independent of order; round trip preserves registers
+    val c = new DistinctSketch.Hll(8, 4)
+    (0 until 1000).foreach(i => c.add(s"v$i"))
+    val bc = DistinctSketch.serialize(c)
+    assert(DistinctSketch.deserialize(bc).result == c.result)
+    // corrupt input fails loudly
+    intercept[IllegalArgumentException](DistinctSketch.deserialize(Array[Byte](9, 9, 9)))
+  }
+
+  test("incremental accounting: stored daily sketches merge to the direct global answer") {
+    import graft.operators.DistinctSketch
+    import spark.implicits._
+    // 20 "days", overlapping user populations
+    val rows = for (d <- 0 until 20; i <- 0 until 300)
+      yield (d, s"user${(d * 13 + i * 7) % 900}")
+    val df = rows.toDF("day", "uid")
+    val tmp = java.nio.file.Files.createTempDirectory("hll_inc").toFile
+    try {
+      // phase 1: per-day sketches, STORED — the raw data is never reread
+      df.groupBy(col("day")).agg(DistinctSketch.hllSketch(col("uid")).as("sketch"))
+        .write.parquet(s"$tmp/daily")
+      // phase 2: merge the stored sketches only
+      val merged = spark.read.parquet(s"$tmp/daily")
+        .agg(DistinctSketch.hllMerge(col("sketch")).as("total"))
+        .select(DistinctSketch.hllEstimate(col("total")).as("est"))
+        .select(col("est.n_distinct"), col("est.exact")).head
+      val direct = df.select(countDistinct(col("uid"))).head.getLong(0)
+      assert(merged.getLong(0) == direct && merged.getBoolean(1),
+        s"stored-merge ${merged.getLong(0)} != direct $direct (exact=${merged.getBoolean(1)})")
+      // dense regime: same equivalence (merged-of-parts == whole, registers max)
+      val big = (0 until 30000).map(i => (i % 10, s"k$i")).toDF("part", "k")
+      val dtmp = s"$tmp/dense"
+      big.groupBy(col("part")).agg(DistinctSketch.hllSketch(col("k"), p = 10, sparseCap = 16).as("s"))
+        .write.parquet(dtmp)
+      val mergedDense = spark.read.parquet(dtmp)
+        .agg(DistinctSketch.hllMerge(col("s"), p = 10, sparseCap = 16).as("t"))
+        .select(DistinctSketch.hllEstimate(col("t")).as("e"))
+        .select(col("e.n_distinct")).head.getLong(0)
+      val directDense = {
+        val h = new DistinctSketch.Hll(10, 16)
+        (0 until 30000).foreach(i => h.add(s"k$i"))
+        h.result._1
+      }
+      assert(mergedDense == directDense,
+        s"dense merged-of-parts $mergedDense != whole-stream sketch $directDense")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("perGroup accepts expression group columns") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"v${i % 7}")).toDF("id", "v")
