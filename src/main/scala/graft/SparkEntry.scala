@@ -1339,6 +1339,31 @@ object SparkEntry {
                FROM q107_sky WHERE sphdist(ra, dec, 10.0, 20.0) <= 33.7""")
     }),
 
+    // Persistable GK sketches (the quantile twin of q118's story):
+    // per-source rank summaries stored as binary, merged from the
+    // stored table alone into global quantiles.  Exact regime (512
+    // distinct values < capacity 1024), so the merged result equals
+    // the discrete lower quantiles off explicit cumulative counts —
+    // the same oracle shape as q103.
+    "q119_gk_accounting" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val daily = d.groupBy(col("source"))
+        .agg(operators.QuantileSketch.gkSketch(
+          pmod(col("n_chars"), lit(512)).cast(DoubleType)).as("sketch"))
+      val sketchDir = s"${scratchDir("q119_sketches")}/by_source"
+      daily.write.mode("overwrite").parquet(sketchDir)
+      val stored = s.read.parquet(sketchDir)
+        .agg(operators.QuantileSketch.gkMerge(col("sketch")).as("total"))
+      Seq(0.16, 0.5, 0.84).map { p =>
+        stored.select(lit(p).as("p"),
+          operators.QuantileSketch.gkQuantile(col("total"), p).as("q"))
+      }.reduce(_ unionAll _)
+        .select(col("p"), col("q.value").as("value"),
+          col("q.rank_lo").as("rank_lo"), col("q.rank_hi").as("rank_hi"),
+          col("q.exact").as("exact"))
+        .orderBy(col("p"))
+    }),
+
     // Persistable-sketch incremental accounting: per-day HLL sketches
     // of the user population are computed ONCE and STORED as binary
     // columns; the total is a merge of the stored sketches — the raw
@@ -1830,6 +1855,20 @@ object SparkEntry {
         |SELECT f.src AS src, f.dst AS dst, f.cos_sim AS cos_sim
         |FROM k f JOIN k b ON f.src = b.dst AND f.dst = b.src
         |WHERE f.src < f.dst""".stripMargin.replace("\n", " "),
+
+    // gk-accounting mirror: q103's discrete-lower-quantile SQL — the
+    // stored-sketch round trip must be invisible in the exact regime
+    "q119_gk_accounting" ->
+      """WITH vals AS (SELECT (n_chars % 512)::DOUBLE AS v FROM documents),
+        |cnt AS (SELECT v, count(*) AS k FROM vals GROUP BY v),
+        |cc AS (SELECT v, sum(k) OVER (ORDER BY v) AS cum FROM cnt),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM vals),
+        |ps AS (SELECT unnest([0.16, 0.5, 0.84]) AS p),
+        |tg AS (SELECT p, greatest(1, cast(ceil(p * nn.n) AS BIGINT)) AS target FROM ps, nn),
+        |sel AS (SELECT tg.p, min(cc.v) AS value FROM tg JOIN cc ON cc.cum >= tg.target GROUP BY tg.p)
+        |SELECT sel.p AS p, sel.value AS value, cc.cum::BIGINT AS rank_lo,
+        |cc.cum::BIGINT AS rank_hi, true AS exact
+        |FROM sel JOIN cc ON cc.v = sel.value ORDER BY p""".stripMargin.replace("\n", " "),
 
     // sketch-accounting mirror: the exact regime collapses the stored
     // daily sketches' merge to the plain global distinct count

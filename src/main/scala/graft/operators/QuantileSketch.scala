@@ -244,4 +244,108 @@ object QuantileSketch {
     udaf(new Agg(p, capacity),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]())
       .apply(value.cast(DoubleType))
+
+  // ---------------------------------------------------------------
+  // Persistable sketch columns — same incremental-accounting surface
+  // as DistinctSketch (per-partition summaries stored once as binary,
+  // merged later without re-reading raw values; the quantile twin of
+  // that story is the telemetry case: daily latency summaries merged
+  // into weekly/quarterly percentiles).  Wire format (big-endian):
+  //   byte 0: version (1); int32 capacity; int64 n; byte lossless;
+  //   int32 #tuples, then per tuple (float64 v, int64 g, rmin, rmax)
+  // Bytes are canonical in the exact regime (flushed exact tuples are
+  // the sorted cumulative counts); in the lossy regime they depend on
+  // compression history — intervals remain valid either way.
+  // ---------------------------------------------------------------
+
+  /** Compact portable bytes for a flushed summary (format above). */
+  def serialize(s: Summary): Array[Byte] = {
+    s.flush()
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeByte(1); out.writeInt(s.capacity); out.writeLong(s.n)
+    out.writeBoolean(s.lossless); out.writeInt(s.tuples.length)
+    s.tuples.foreach { t =>
+      out.writeDouble(t.v); out.writeLong(t.g); out.writeLong(t.rmin); out.writeLong(t.rmax)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Inverse of [[serialize]]; validates the header. */
+  def deserialize(bytes: Array[Byte]): Summary = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val ver = in.readByte()
+    require(ver == 1, s"unknown quantile-sketch version $ver")
+    val s = new Summary(in.readInt())
+    s.n = in.readLong()
+    s.lossless = in.readBoolean()
+    val len = in.readInt()
+    require(len >= 0 && len <= s.capacity,
+      s"corrupt quantile sketch: $len tuples for capacity ${s.capacity}")
+    s.tuples = Array.fill(len)(
+      Tuple(in.readDouble(), in.readLong(), in.readLong(), in.readLong()))
+    s
+  }
+
+  /** Aggregator: raw values → serialized summary bytes. */
+  final class SketchBytesAgg(capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Option[Double], Summary, Array[Byte]] {
+    require(capacity >= 16 && capacity <= (1 << 16), s"capacity in [16, 65536], got $capacity")
+    def zero: Summary = new Summary(capacity)
+    def reduce(b: Summary, a: Option[Double]): Summary =
+      a.filterNot(_.isNaN).map(b.insert(_)).getOrElse(b)
+    def merge(b1: Summary, b2: Summary): Summary = b1.merge(b2)
+    def finish(r: Summary): Array[Byte] = serialize(r)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Summary] =
+      org.apache.spark.sql.Encoders.kryo[Summary]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Aggregator: stored summary bytes → merged summary bytes.  Stored
+    * capacities may differ; the result compresses to THIS instance's
+    * capacity (intervals stay valid under compression). */
+  final class MergeBytesAgg(capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Summary, Array[Byte]] {
+    require(capacity >= 16 && capacity <= (1 << 16), s"capacity in [16, 65536], got $capacity")
+    def zero: Summary = new Summary(capacity)
+    def reduce(b: Summary, a: Array[Byte]): Summary =
+      if (a == null) b else b.merge(deserialize(a))
+    def merge(b1: Summary, b2: Summary): Summary = b1.merge(b2)
+    def finish(r: Summary): Array[Byte] = serialize(r)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Summary] =
+      org.apache.spark.sql.Encoders.kryo[Summary]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** `gkSketch(valueCol)` in any groupBy — a BinaryType column holding
+    * the group's rank summary, ready to persist. */
+  def gkSketch(value: Column, capacity: Int = 1024): Column =
+    udaf(new SketchBytesAgg(capacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Option[Double]]())
+      .apply(value.cast(DoubleType))
+
+  /** `gkMerge(sketchCol)` in any groupBy — merges STORED summaries
+    * without touching raw values. */
+  def gkMerge(sketch: Column, capacity: Int = 1024): Column =
+    udaf(new MergeBytesAgg(capacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]())
+      .apply(sketch)
+
+  /** Scalar: sketch bytes + probability → struct (value, rank_lo,
+    * rank_hi, exact); null for a null or empty sketch. */
+  def gkQuantile(sketch: Column, p: Double): Column = {
+    require(p >= 0.0 && p <= 1.0, s"p in [0,1], got $p")
+    val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val s = deserialize(b)
+        if (s.n == 0L) null
+        else { val t = s.query(p); GroupQuantile(t.v, t.rmin, t.rmax, s.isExact) }
+      }
+    }
+    f(sketch)
+  }
 }

@@ -143,4 +143,49 @@ class QuantileSketchSpec extends SparkSpec {
     intercept[IllegalArgumentException](QuantileSketch.groupQuantile(
       org.apache.spark.sql.functions.col("v"), p = 0.5, capacity = 1 << 20))
   }
+
+  test("persistable sketches: round trip, stored-merge parity, lossy intervals stay valid") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // unit round trip, exact and lossy
+    val u = new QuantileSketch.Summary(16)
+    (1 to 10).foreach(i => u.insert(i.toDouble))
+    val back = QuantileSketch.deserialize(QuantileSketch.serialize(u))
+    assert(back.n == 10L && back.isExact && back.query(0.5).v == u.query(0.5).v)
+    val lossy = new QuantileSketch.Summary(8)
+    (1 to 1000).foreach(i => lossy.insert(i.toDouble))
+    val lb = QuantileSketch.deserialize(QuantileSketch.serialize(lossy))
+    assert(!lb.isExact && lb.n == 1000L)
+    // thinning keeps intervals collapsed at the retained value's exact
+    // rank (the lossless flag, not the width, is the exactness
+    // witness) — the round-tripped interval must still be the valid
+    // rank of the returned value (values 1..1000 → rank(v) == v)
+    val t = lb.query(0.5)
+    assert(t.rmin <= t.v && t.v <= t.rmax, s"rank interval [${t.rmin}, ${t.rmax}] excludes ${t.v}")
+    assert(t.v == lossy.query(0.5).v, "round trip changed the query result")
+    intercept[IllegalArgumentException](QuantileSketch.deserialize(Array[Byte](7, 7)))
+    // incremental: per-part sketches stored to parquet, merged from the
+    // stored table alone; exact regime must equal the direct path
+    val df = (0 until 5000).map(i => (i % 10, (i % 300).toDouble)).toDF("part", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("gk_inc").toFile
+    try {
+      df.groupBy(col("part")).agg(QuantileSketch.gkSketch(col("v")).as("s"))
+        .write.parquet(s"$tmp/daily")
+      val merged = spark.read.parquet(s"$tmp/daily")
+        .agg(QuantileSketch.gkMerge(col("s")).as("t"))
+        .select(QuantileSketch.gkQuantile(col("t"), 0.5).as("q"))
+        .select(col("q.value"), col("q.rank_lo"), col("q.rank_hi"), col("q.exact")).head
+      val direct = QuantileSketch.quantiles(df, col("v"), Seq(0.5))
+        .select(col("value"), col("rank_lo"), col("rank_hi")).head
+      assert(merged.getDouble(0) == direct.getDouble(0) &&
+        merged.getLong(1) == direct.getLong(1) && merged.getLong(2) == direct.getLong(2) &&
+        merged.getBoolean(3),
+        s"stored-merge $merged != direct $direct")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
 }
