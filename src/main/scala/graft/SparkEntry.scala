@@ -29,12 +29,8 @@ object SparkEntry {
   private def scratchDir(tag: String): String =
     scratchDirs.computeIfAbsent(tag, { _ =>
       val d = java.nio.file.Files.createTempDirectory(s"graft_$tag")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(d.toFile)
-      }))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile): Unit))
       d.toString
     })
   private def q114Dir: String = scratchDir("q114_zorder")
@@ -1352,12 +1348,19 @@ object SparkEntry {
           pmod(col("n_chars"), lit(512)).cast(DoubleType)).as("sketch"))
       val sketchDir = s"${scratchDir("q119_sketches")}/by_source"
       daily.write.mode("overwrite").parquet(sketchDir)
-      val stored = s.read.parquet(sketchDir)
+      // ONE merge pass feeds all three probabilities (a per-p unionAll
+      // would re-run the stored-table aggregate — the expensive phase-2
+      // step at scale — once per branch), then stack to rows
+      val ps = Seq(0.16, 0.5, 0.84)
+      val merged = s.read.parquet(sketchDir)
         .agg(operators.QuantileSketch.gkMerge(col("sketch")).as("total"))
-      Seq(0.16, 0.5, 0.84).map { p =>
-        stored.select(lit(p).as("p"),
-          operators.QuantileSketch.gkQuantile(col("total"), p).as("q"))
-      }.reduce(_ unionAll _)
+        .select(ps.zipWithIndex.map { case (p, i) =>
+          operators.QuantileSketch.gkQuantile(col("total"), p).as(s"q$i")
+        }: _*)
+      merged.select(expr(
+          s"stack(${ps.length}, " +
+            ps.zipWithIndex.map { case (p, i) => s"CAST($p AS DOUBLE), q$i" }.mkString(", ") +
+            ") AS (p, q)"))
         .select(col("p"), col("q.value").as("value"),
           col("q.rank_lo").as("rank_lo"), col("q.rank_hi").as("rank_hi"),
           col("q.exact").as("exact"))

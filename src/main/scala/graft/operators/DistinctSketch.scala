@@ -120,19 +120,26 @@ object DistinctSketch {
 
   final case class DistinctEst(n_distinct: Long, exact: Boolean)
 
-  /** Typed aggregator — Spark plans it as ObjectHashAggregate with
-    * map-side partial merge, so the exchange moves sketches, not
-    * keys.  Nulls are skipped like SQL `count(DISTINCT ...)`. */
-  final class Agg(p: Int, sparseCap: Int)
-      extends Aggregator[String, Hll, DistinctEst] {
-    def zero: Hll = new Hll(p, sparseCap)
-    def reduce(b: Hll, a: String): Hll = if (a == null) b else b.add(a)
-    def merge(b1: Hll, b2: Hll): Hll = b1.merge(b2)
+  /** Shared raw-key aggregation core (zero/reduce/merge/buffer are
+    * identical across output shapes — one definition so a null/NaN or
+    * encoder fix can never drift between them).  Spark plans these as
+    * ObjectHashAggregate with map-side partial merge, so the exchange
+    * moves sketches, not keys.  Nulls are skipped like SQL
+    * `count(DISTINCT ...)`. */
+  sealed abstract class HllAggBase[OUT](p: Int, sparseCap: Int)
+      extends Aggregator[String, Hll, OUT] {
+    final def zero: Hll = new Hll(p, sparseCap)
+    final def reduce(b: Hll, a: String): Hll = if (a == null) b else b.add(a)
+    final def merge(b1: Hll, b2: Hll): Hll = b1.merge(b2)
+    final def bufferEncoder: Encoder[Hll] = Encoders.kryo[Hll]
+  }
+
+  /** Typed aggregator: raw keys → (n_distinct, exact). */
+  final class Agg(p: Int, sparseCap: Int) extends HllAggBase[DistinctEst](p, sparseCap) {
     def finish(r: Hll): DistinctEst = {
       val (n, exact) = r.result
       DistinctEst(n, exact)
     }
-    def bufferEncoder: Encoder[Hll] = Encoders.kryo[Hll]
     def outputEncoder: Encoder[DistinctEst] = Encoders.product[DistinctEst]
   }
 
@@ -209,14 +216,10 @@ object DistinctSketch {
     h
   }
 
-  /** Aggregator: raw keys → serialized sketch bytes. */
-  final class SketchAgg(p: Int, sparseCap: Int)
-      extends Aggregator[String, Hll, Array[Byte]] {
-    def zero: Hll = new Hll(p, sparseCap)
-    def reduce(b: Hll, a: String): Hll = if (a == null) b else b.add(a)
-    def merge(b1: Hll, b2: Hll): Hll = b1.merge(b2)
+  /** Aggregator: raw keys → serialized sketch bytes (shares the
+    * [[HllAggBase]] core). */
+  final class SketchAgg(p: Int, sparseCap: Int) extends HllAggBase[Array[Byte]](p, sparseCap) {
     def finish(r: Hll): Array[Byte] = serialize(r)
-    def bufferEncoder: Encoder[Hll] = Encoders.kryo[Hll]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 

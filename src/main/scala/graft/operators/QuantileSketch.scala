@@ -212,18 +212,27 @@ object QuantileSketch {
     * partial merge (ObjectHashAggregate): the exchange moves one
     * bounded summary per (group, mapper), never the values.  Null
     * inputs are skipped like SQL aggregates. */
-  final class Agg(p: Double, capacity: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Option[Double], Summary, GroupQuantile] {
-    // validate at CONSTRUCTION (driver-side): a bad p would otherwise
-    // fail in finish() on the executors after the whole scan ran, and
-    // the capacity cap mirrors quantiles()' task-boundedness guard
-    require(p >= 0.0 && p <= 1.0, s"quantile p in [0,1], got $p")
+  /** Shared raw-value aggregation core (zero/reduce/merge/buffer and
+    * the construction-time capacity guard are identical across output
+    * shapes — one definition so a NaN or encoder fix can never drift
+    * between them). */
+  sealed abstract class SummaryAggBase[OUT](capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Option[Double], Summary, OUT] {
+    // validate at CONSTRUCTION (driver-side): a bad arg would otherwise
+    // fail on the executors after the whole scan ran; the capacity cap
+    // mirrors quantiles()' task-boundedness guard
     require(capacity >= 16 && capacity <= (1 << 16),
       s"capacity in [16, 65536], got $capacity")
-    def zero: Summary = new Summary(capacity)
-    def reduce(b: Summary, a: Option[Double]): Summary =
+    final def zero: Summary = new Summary(capacity)
+    final def reduce(b: Summary, a: Option[Double]): Summary =
       a.filterNot(_.isNaN).map(b.insert(_)).getOrElse(b)
-    def merge(b1: Summary, b2: Summary): Summary = b1.merge(b2)
+    final def merge(b1: Summary, b2: Summary): Summary = b1.merge(b2)
+    final def bufferEncoder: org.apache.spark.sql.Encoder[Summary] =
+      org.apache.spark.sql.Encoders.kryo[Summary]
+  }
+
+  final class Agg(p: Double, capacity: Int) extends SummaryAggBase[GroupQuantile](capacity) {
+    require(p >= 0.0 && p <= 1.0, s"quantile p in [0,1], got $p")
     def finish(r: Summary): GroupQuantile = {
       r.flush()
       if (r.n == 0L) GroupQuantile(Double.NaN, 0L, 0L, r.isExact)
@@ -232,8 +241,6 @@ object QuantileSketch {
         GroupQuantile(t.v, t.rmin, t.rmax, r.isExact)
       }
     }
-    def bufferEncoder: org.apache.spark.sql.Encoder[Summary] =
-      org.apache.spark.sql.Encoders.kryo[Summary]
     def outputEncoder: org.apache.spark.sql.Encoder[GroupQuantile] =
       org.apache.spark.sql.Encoders.product[GroupQuantile]
   }
@@ -272,33 +279,33 @@ object QuantileSketch {
     bos.toByteArray
   }
 
-  /** Inverse of [[serialize]]; validates the header. */
+  /** Inverse of [[serialize]]; validates the header — corrupt bytes
+    * must fail LOUDLY, never allocate from attacker-controlled sizes
+    * (same degrade-don't-crash discipline as DistinctSketch and the
+    * media codecs). */
   def deserialize(bytes: Array[Byte]): Summary = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val ver = in.readByte()
     require(ver == 1, s"unknown quantile-sketch version $ver")
-    val s = new Summary(in.readInt())
+    val cap = in.readInt()
+    require(cap >= 8 && cap <= (1 << 16), s"corrupt quantile sketch: capacity $cap")
+    val s = new Summary(cap)
     s.n = in.readLong()
+    require(s.n >= 0L, s"corrupt quantile sketch: negative n ${s.n}")
     s.lossless = in.readBoolean()
     val len = in.readInt()
-    require(len >= 0 && len <= s.capacity,
-      s"corrupt quantile sketch: $len tuples for capacity ${s.capacity}")
+    // 32 bytes per tuple: the declared count must fit the actual payload
+    require(len >= 0 && len <= cap && len.toLong * 32 <= bytes.length,
+      s"corrupt quantile sketch: $len tuples for capacity $cap in ${bytes.length} bytes")
     s.tuples = Array.fill(len)(
       Tuple(in.readDouble(), in.readLong(), in.readLong(), in.readLong()))
     s
   }
 
-  /** Aggregator: raw values → serialized summary bytes. */
-  final class SketchBytesAgg(capacity: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[Option[Double], Summary, Array[Byte]] {
-    require(capacity >= 16 && capacity <= (1 << 16), s"capacity in [16, 65536], got $capacity")
-    def zero: Summary = new Summary(capacity)
-    def reduce(b: Summary, a: Option[Double]): Summary =
-      a.filterNot(_.isNaN).map(b.insert(_)).getOrElse(b)
-    def merge(b1: Summary, b2: Summary): Summary = b1.merge(b2)
+  /** Aggregator: raw values → serialized summary bytes (shares the
+    * [[SummaryAggBase]] core). */
+  final class SketchBytesAgg(capacity: Int) extends SummaryAggBase[Array[Byte]](capacity) {
     def finish(r: Summary): Array[Byte] = serialize(r)
-    def bufferEncoder: org.apache.spark.sql.Encoder[Summary] =
-      org.apache.spark.sql.Encoders.kryo[Summary]
     def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
       org.apache.spark.sql.Encoders.BINARY
   }

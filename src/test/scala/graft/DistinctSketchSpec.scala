@@ -136,12 +136,7 @@ class DistinctSketchSpec extends SparkSpec {
       }
       assert(mergedDense == directDense,
         s"dense merged-of-parts $mergedDense != whole-stream sketch $directDense")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(tmp)
-    }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
   test("perGroup accepts expression group columns") {

@@ -133,12 +133,7 @@ class LayoutSpec extends SparkSpec {
       // the box; clustered: only the box's hyper-box of files/groups scans
       assert(zScan < plainScan / 2,
         s"z-order pruning yield collapsed: scanned $zScan of clustered vs $plainScan plain")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(tmp)
-    }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
   test("zValue rejects keys that overflow a signed long") {

@@ -181,11 +181,6 @@ class QuantileSketchSpec extends SparkSpec {
         merged.getLong(1) == direct.getLong(1) && merged.getLong(2) == direct.getLong(2) &&
         merged.getBoolean(3),
         s"stored-merge $merged != direct $direct")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(tmp)
-    }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 }
