@@ -31,6 +31,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HLL sketch aggregator runs unchanged in a streaming window (batch parity)") {
+    // the sketch family's streaming twin: windowed distinct users via
+    // the same typed Aggregator the batch surface uses — state per
+    // (window, group) is one bounded sketch, never the key set
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF.toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(graft.operators.DistinctSketch.countDistinctSketch(col("user_id")).as("d"))
+      .select(col("window.start").as("ws"), col("d.n_distinct"), col("d.exact"))
+    val q = agg.writeStream.format("memory").queryName("hll_stream_test")
+      .outputMode("update").start()
+    try {
+      // window 10:00: users 1,2,1,3 → 3 distinct; window 10:15: 2,2 → 1
+      input.addData((ts(1), 1L), (ts(3), 2L), (ts(5), 1L), (ts(9), 3L),
+        (ts(16), 2L), (ts(18), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("hll_stream_test").collect()
+        .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(rows("2024-01-01 10:00:00.0") == ((3L, true)), s"$rows")
+      assert(rows("2024-01-01 10:15:00.0") == ((1L, true)), s"$rows")
+    } finally q.stop()
+  }
+
   test("fused TokenStats kernel runs unchanged on a stream (batch parity)") {
     // repetitionSignals/tokenEntropy are pure scan-stage projections
     // (custom codegen'd expression, zero shuffle), so they compose
