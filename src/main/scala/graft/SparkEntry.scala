@@ -1335,6 +1335,25 @@ object SparkEntry {
                FROM q107_sky WHERE sphdist(ra, dec, 10.0, 20.0) <= 33.7""")
     }),
 
+    // Persistable SpaceSaving sketches — the heavy-hitter member of
+    // the incremental trio (q118 HLL, q119 GK): per-source summaries
+    // stored as binary, merged from the stored table alone into the
+    // global top-10.  Exact regime (distinct keys < capacity in every
+    // source AND globally), so the oracle is the grouped count.
+    "q120_ss_accounting" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val key = concat(col("lang"), lit(":"), pmod(col("n_chars"), lit(10)))
+      val perSource = d.groupBy(col("source"))
+        .agg(operators.HeavyHitters.ssSketch(key, capacity = 64).as("sketch"))
+      val sketchDir = s"${scratchDir("q120_sketches")}/by_source"
+      perSource.write.mode("overwrite").parquet(sketchDir)
+      s.read.parquet(sketchDir)
+        .agg(operators.HeavyHitters.ssMerge(col("sketch"), capacity = 64).as("total"))
+        .select(explode(operators.HeavyHitters.ssTopK(col("total"), 10)).as("h"))
+        .select(col("h.item"), col("h.n_lower"), col("h.n_upper"))
+        .orderBy(col("n_upper").desc, col("item"))
+    }),
+
     // Persistable GK sketches (the quantile twin of q118's story):
     // per-source rank summaries stored as binary, merged from the
     // stored table alone into global quantiles.  Exact regime (512
@@ -1858,6 +1877,14 @@ object SparkEntry {
         |SELECT f.src AS src, f.dst AS dst, f.cos_sim AS cos_sim
         |FROM k f JOIN k b ON f.src = b.dst AND f.dst = b.src
         |WHERE f.src < f.dst""".stripMargin.replace("\n", " "),
+
+    // ss-accounting mirror: q102's grouped-count SQL — the stored
+    // per-source sketches' merge must collapse to exact counts
+    "q120_ss_accounting" ->
+      """WITH k AS (SELECT lang || ':' || (n_chars % 10) AS item
+        |FROM documents WHERE lang IS NOT NULL)
+        |SELECT item, count(*)::BIGINT AS n_lower, count(*)::BIGINT AS n_upper
+        |FROM k GROUP BY item ORDER BY n_upper DESC, item LIMIT 10""".stripMargin.replace("\n", " "),
 
     // gk-accounting mirror: q103's discrete-lower-quantile SQL — the
     // stored-sketch round trip must be invisible in the exact regime

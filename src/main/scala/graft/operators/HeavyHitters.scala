@@ -111,6 +111,20 @@ object HeavyHitters {
       m
     }
 
+    // codec surface (serialize/deserialize below): state accessors and
+    // reconstruction hooks that keep nodes/buckets private
+    private[operators] def everEvicted: Boolean = evicted
+    private[operators] def floorBound: Long = floor
+    private[operators] def restore(item: String, count: Long, err: Long): Unit = {
+      require(nodes.size < capacity, "restore past capacity")
+      require(!nodes.containsKey(item), s"duplicate item in sketch bytes: $item")
+      val n = new Node(item, count, err)
+      nodes.put(item, n); link(n)
+    }
+    private[operators] def restoreBounds(ev: Boolean, fl: Long): Unit = {
+      evicted = ev; floor = fl
+    }
+
     /** One-pass (item, count, err) snapshot of the tracked nodes. */
     private[graft] def entries: Iterator[(String, Long, Long)] = {
       val b = Vector.newBuilder[(String, Long, Long)]
@@ -220,30 +234,149 @@ object HeavyHitters {
   /** One reported heavy hitter: true count ∈ [n_lower, n_upper]. */
   final case class HeavyHit(item: String, n_lower: Long, n_upper: Long)
 
+  // ---------------------------------------------------------------
+  // Persistable sketch columns — the heavy-hitter member of the
+  // incremental-accounting trio (HLL = DistinctSketch, rank summaries
+  // = QuantileSketch): per-partition summaries stored once as binary,
+  // merged later without re-reading keys.  Wire format (big-endian):
+  //   byte 0: version (1); int32 capacity; byte everEvicted;
+  //   int64 floor; int32 #items, then per item
+  //   (int32 len, UTF-8 bytes, int64 count, int64 err)
+  // Items are written in sorted order, so the same summary STATE
+  // serializes to the same bytes regardless of insertion history's
+  // incidental ordering.
+  // ---------------------------------------------------------------
+
+  /** Compact portable bytes for a summary (format above). */
+  def serialize(ss: SpaceSaving): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeByte(1); out.writeInt(ss.capacity)
+    out.writeBoolean(ss.everEvicted); out.writeLong(ss.floorBound)
+    val items = ss.entries.toArray.sortBy(_._1)
+    out.writeInt(items.length)
+    items.foreach { case (item, c, err) =>
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c); out.writeLong(err)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Inverse of [[serialize]]; validates the header (corrupt bytes
+    * fail loudly, never allocate from attacker-controlled sizes). */
+  def deserialize(bytes: Array[Byte]): SpaceSaving = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val ver = in.readByte()
+    require(ver == 1, s"unknown heavy-hitter sketch version $ver")
+    val cap = in.readInt()
+    require(cap >= 1 && cap <= (1 << 16), s"corrupt sketch: capacity $cap")
+    val ss = new SpaceSaving(cap)
+    val ev = in.readBoolean()
+    val fl = in.readLong()
+    require(fl >= 0L, s"corrupt sketch: negative floor $fl")
+    val n = in.readInt()
+    require(n >= 0 && n <= cap && n.toLong * 20 <= bytes.length,
+      s"corrupt sketch: $n items for capacity $cap in ${bytes.length} bytes")
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      require(len >= 0 && len <= bytes.length, s"corrupt sketch: item length $len")
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val c = in.readLong(); val err = in.readLong()
+      require(c >= 0L && err >= 0L && err <= c, s"corrupt sketch: count $c err $err")
+      ss.restore(new String(b, java.nio.charset.StandardCharsets.UTF_8), c, err)
+      i += 1
+    }
+    ss.restoreBounds(ev, fl)
+    ss
+  }
+
   /** Typed SpaceSaving Aggregator — the per-GROUP surface ([[topK]] is
     * global).  One summary per (group, task) under ObjectHashAggregate:
     * the exchange moves summaries, never the key stream, exactly the
     * shape of [[QuantileSketch.groupQuantile]] and
     * [[DistinctSketch.countDistinctSketch]]. */
-  final class TopKAgg(k: Int, capacity: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[String, SpaceSaving, Seq[HeavyHit]] {
-    require(k >= 1 && capacity >= k, s"need capacity >= k >= 1, got k=$k capacity=$capacity")
-    require(capacity <= (1 << 16), s"capacity <= 2^16 keeps summaries task-bounded, got $capacity")
-    def zero: SpaceSaving = new SpaceSaving(capacity)
-    def reduce(b: SpaceSaving, a: String): SpaceSaving = {
+  /** Shared raw-key aggregation core (one definition of
+    * zero/reduce/merge/buffer across output shapes — the same
+    * anti-drift pattern as HllAggBase / SummaryAggBase).  Nulls are
+    * ignored, like [[topK]]. */
+  sealed abstract class SsAggBase[OUT](capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, SpaceSaving, OUT] {
+    require(capacity >= 1 && capacity <= (1 << 16),
+      s"capacity in [1, 65536] keeps summaries task-bounded, got $capacity")
+    final def zero: SpaceSaving = new SpaceSaving(capacity)
+    final def reduce(b: SpaceSaving, a: String): SpaceSaving = {
       if (a != null) b.offer(a)
       b
     }
-    def merge(b1: SpaceSaving, b2: SpaceSaving): SpaceSaving = b1.merge(b2)
+    final def merge(b1: SpaceSaving, b2: SpaceSaving): SpaceSaving = b1.merge(b2)
+    final def bufferEncoder: org.apache.spark.sql.Encoder[SpaceSaving] =
+      org.apache.spark.sql.Encoders.kryo[SpaceSaving]
+  }
+
+  final class TopKAgg(k: Int, capacity: Int) extends SsAggBase[Seq[HeavyHit]](capacity) {
+    require(k >= 1 && capacity >= k, s"need capacity >= k >= 1, got k=$k capacity=$capacity")
     def finish(r: SpaceSaving): Seq[HeavyHit] =
       r.entries.toSeq
         .map { case (item, c, err) => HeavyHit(item, c - err, c) }
         .sortBy(h => (-h.n_upper, h.item))
         .take(k)
-    def bufferEncoder: org.apache.spark.sql.Encoder[SpaceSaving] =
-      org.apache.spark.sql.Encoders.kryo[SpaceSaving]
     def outputEncoder: org.apache.spark.sql.Encoder[Seq[HeavyHit]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HeavyHit]]()
+  }
+
+  /** Aggregator: raw keys → serialized summary bytes (shares the
+    * [[SsAggBase]] core). */
+  final class SketchBytesAgg(capacity: Int) extends SsAggBase[Array[Byte]](capacity) {
+    def finish(r: SpaceSaving): Array[Byte] = serialize(r)
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Aggregator: stored summary bytes → merged summary bytes (the
+    * PODS'12 algebra of [[SpaceSaving.merge]]); null rows skipped. */
+  final class MergeBytesAgg(capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], SpaceSaving, Array[Byte]] {
+    require(capacity >= 1 && capacity <= (1 << 16), s"capacity in [1, 65536], got $capacity")
+    def zero: SpaceSaving = new SpaceSaving(capacity)
+    def reduce(b: SpaceSaving, a: Array[Byte]): SpaceSaving =
+      if (a == null) b else b.merge(deserialize(a))
+    def merge(b1: SpaceSaving, b2: SpaceSaving): SpaceSaving = b1.merge(b2)
+    def finish(r: SpaceSaving): Array[Byte] = serialize(r)
+    def bufferEncoder: org.apache.spark.sql.Encoder[SpaceSaving] =
+      org.apache.spark.sql.Encoders.kryo[SpaceSaving]
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** `ssSketch(keyCol)` in any groupBy — a BinaryType column holding
+    * the group's summary, ready to persist. */
+  def ssSketch(key: Column, capacity: Int = 4096): Column =
+    udaf(new SketchBytesAgg(capacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+      .apply(key.cast(StringType))
+
+  /** `ssMerge(sketchCol)` in any groupBy — merges STORED summaries
+    * without touching raw keys. */
+  def ssMerge(sketch: Column, capacity: Int = 4096): Column =
+    udaf(new MergeBytesAgg(capacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]())
+      .apply(sketch)
+
+  /** Scalar: sketch bytes → top-k array of (item, n_lower, n_upper)
+    * structs (upper desc, item asc); null for a null sketch. */
+  def ssTopK(sketch: Column, k: Int): Column = {
+    require(k >= 1, s"k >= 1, got $k")
+    val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else deserialize(b).entries.toSeq
+        .map { case (item, c, err) => HeavyHit(item, c - err, c) }
+        .sortBy(h => (-h.n_upper, h.item))
+        .take(k)
+    }
+    f(sketch)
   }
 
   /** Per-group top-k heavy hitters with error intervals: one row per

@@ -189,6 +189,44 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("persistable sketches: byte-deterministic round trip; stored-merge parity") {
+    // round trip preserves counts, errors, and bounds in both regimes
+    val a = new HeavyHitters.SpaceSaving(4)
+    Seq("x", "y", "x", "z").foreach(a.offer(_))
+    val ba = HeavyHitters.serialize(a)
+    val ra = HeavyHitters.deserialize(ba)
+    assert(ra.counts == a.counts && ra.errs == a.errs && ra.absentBound == a.absentBound)
+    // same STATE from a different insertion order → same bytes
+    val a2 = new HeavyHitters.SpaceSaving(4)
+    Seq("z", "x", "y", "x").foreach(a2.offer(_))
+    assert(HeavyHitters.serialize(a2).sameElements(ba), "bytes must be state-determined")
+    // evicted regime: bounds survive the round trip
+    val e = new HeavyHitters.SpaceSaving(2)
+    Seq("p", "p", "q", "r").foreach(e.offer(_))
+    val re = HeavyHitters.deserialize(HeavyHitters.serialize(e))
+    assert(re.absentBound == e.absentBound && re.counts == e.counts && re.errs == e.errs)
+    intercept[IllegalArgumentException](HeavyHitters.deserialize(Array[Byte](3, 1, 4)))
+    // incremental: per-part sketches stored to parquet, merged from the
+    // stored table alone; exact regime equals the grouped count
+    import spark.implicits._
+    val df = (0 until 8000).map(i => (i % 8, s"k${(i * i + i) % 37}")).toDF("part", "key")
+    val tmp = java.nio.file.Files.createTempDirectory("ss_inc").toFile
+    try {
+      df.groupBy(col("part")).agg(HeavyHitters.ssSketch(col("key"), capacity = 64).as("s"))
+        .write.parquet(s"$tmp/daily")
+      val hits = spark.read.parquet(s"$tmp/daily")
+        .agg(HeavyHitters.ssMerge(col("s"), capacity = 64).as("t"))
+        .select(explode(HeavyHitters.ssTopK(col("t"), 5)).as("h"))
+        .select(col("h.item"), col("h.n_lower"), col("h.n_upper"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = df.groupBy("key").count()
+        .orderBy(col("count").desc, col("key")).limit(5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(hits.map(h => (h._1, h._3)) == want, s"got $hits want $want")
+      hits.foreach { case (_, lo, hi) => assert(lo == hi, "exact regime must collapse bounds") }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("heap stays bounded under a hot-key stream (lazy-deletion compaction)") {
     val ss = new graft.operators.HeavyHitters.SpaceSaving(capacity = 8)
     (1 to 200000).foreach(_ => ss.offer("hot"))
