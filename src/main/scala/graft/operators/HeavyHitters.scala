@@ -153,8 +153,10 @@ object HeavyHitters {
       * the merge is exact — the property the q117 oracle gates.
       * Mutates and returns `this`. */
     def merge(o: SpaceSaving): SpaceSaving = {
-      require(o.capacity == capacity,
-        s"cannot merge summaries of different capacity: $capacity vs ${o.capacity}")
+      // differing capacities are fine (the GK twin's contract too): the
+      // per-side bounds are each side's own, and the union truncates to
+      // THIS summary's capacity — a stored high-resolution sketch can
+      // be merged into a coarser accumulator, never the reverse claim
       val b1 = absentBound
       val b2 = o.absentBound
       // (upper, lower) per union item
@@ -263,9 +265,11 @@ object HeavyHitters {
     bos.toByteArray
   }
 
-  /** Inverse of [[serialize]]; validates the header (corrupt bytes
-    * fail loudly, never allocate from attacker-controlled sizes). */
-  def deserialize(bytes: Array[Byte]): SpaceSaving = {
+  /** Inverse of [[serialize]]; validates the header AND the stated
+    * invariants (corrupt bytes fail loudly with one exception type,
+    * never allocate from attacker-controlled sizes — truncated streams
+    * are converted from EOFException to the same loud contract). */
+  def deserialize(bytes: Array[Byte]): SpaceSaving = try {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val ver = in.readByte()
     require(ver == 1, s"unknown heavy-hitter sketch version $ver")
@@ -275,6 +279,10 @@ object HeavyHitters {
     val ev = in.readBoolean()
     val fl = in.readLong()
     require(fl >= 0L, s"corrupt sketch: negative floor $fl")
+    // genuine sketches never carry dropped mass without the evicted
+    // flag — accepting that shape would let a later merge silently
+    // reset the floor and report unsound 'exact' bounds
+    require(fl == 0L || ev, s"corrupt sketch: floor $fl without the evicted flag")
     val n = in.readInt()
     require(n >= 0 && n <= cap && n.toLong * 20 <= bytes.length,
       s"corrupt sketch: $n items for capacity $cap in ${bytes.length} bytes")
@@ -291,6 +299,9 @@ object HeavyHitters {
     }
     ss.restoreBounds(ev, fl)
     ss
+  } catch {
+    case e: java.io.IOException =>
+      throw new IllegalArgumentException(s"corrupt sketch: truncated bytes (${e.getMessage})")
   }
 
   /** Typed SpaceSaving Aggregator — the per-GROUP surface ([[topK]] is
@@ -316,13 +327,18 @@ object HeavyHitters {
       org.apache.spark.sql.Encoders.kryo[SpaceSaving]
   }
 
+  /** ONE definition of the ranking chain (upper desc, item asc) shared
+    * by the aggregator finish and the ssTopK scalar, so tie-break or
+    * bound-formula fixes can never drift between them. */
+  private def topHits(ss: SpaceSaving, k: Int): Seq[HeavyHit] =
+    ss.entries.toSeq
+      .map { case (item, c, err) => HeavyHit(item, c - err, c) }
+      .sortBy(h => (-h.n_upper, h.item))
+      .take(k)
+
   final class TopKAgg(k: Int, capacity: Int) extends SsAggBase[Seq[HeavyHit]](capacity) {
     require(k >= 1 && capacity >= k, s"need capacity >= k >= 1, got k=$k capacity=$capacity")
-    def finish(r: SpaceSaving): Seq[HeavyHit] =
-      r.entries.toSeq
-        .map { case (item, c, err) => HeavyHit(item, c - err, c) }
-        .sortBy(h => (-h.n_upper, h.item))
-        .take(k)
+    def finish(r: SpaceSaving): Seq[HeavyHit] = topHits(r, k)
     def outputEncoder: org.apache.spark.sql.Encoder[Seq[HeavyHit]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HeavyHit]]()
   }
@@ -359,7 +375,9 @@ object HeavyHitters {
       .apply(key.cast(StringType))
 
   /** `ssMerge(sketchCol)` in any groupBy — merges STORED summaries
-    * without touching raw keys. */
+    * without touching raw keys.  Stored capacities may differ; the
+    * result truncates to THIS call's capacity (same contract as the
+    * GK twin). */
   def ssMerge(sketch: Column, capacity: Int = 4096): Column =
     udaf(new MergeBytesAgg(capacity),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]())
@@ -370,11 +388,7 @@ object HeavyHitters {
   def ssTopK(sketch: Column, k: Int): Column = {
     require(k >= 1, s"k >= 1, got $k")
     val f = org.apache.spark.sql.functions.udf { (b: Array[Byte]) =>
-      if (b == null) null
-      else deserialize(b).entries.toSeq
-        .map { case (item, c, err) => HeavyHit(item, c - err, c) }
-        .sortBy(h => (-h.n_upper, h.item))
-        .take(k)
+      if (b == null) null else topHits(deserialize(b), k)
     }
     f(sketch)
   }

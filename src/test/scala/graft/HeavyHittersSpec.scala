@@ -206,6 +206,27 @@ class HeavyHittersSpec extends SparkSpec {
     val re = HeavyHitters.deserialize(HeavyHitters.serialize(e))
     assert(re.absentBound == e.absentBound && re.counts == e.counts && re.errs == e.errs)
     intercept[IllegalArgumentException](HeavyHitters.deserialize(Array[Byte](3, 1, 4)))
+    // truncated-but-valid-header bytes fail with the SAME loud contract
+    intercept[IllegalArgumentException](
+      HeavyHitters.deserialize(HeavyHitters.serialize(a).dropRight(6)))
+    // floor-without-evicted is an invariant genuine sketches never
+    // violate — accepting it would let a merge silently drop the floor
+    val crafted = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      o.writeByte(1); o.writeInt(4); o.writeBoolean(false); o.writeLong(7L); o.writeInt(0)
+      bos.toByteArray
+    }
+    intercept[IllegalArgumentException](HeavyHitters.deserialize(crafted))
+    // cross-capacity merge: stored high-res sketch into a coarser
+    // accumulator truncates soundly instead of throwing
+    val wide = new HeavyHitters.SpaceSaving(8)
+    Seq("a", "a", "b", "c").foreach(wide.offer(_))
+    val narrow = new HeavyHitters.SpaceSaving(2)
+    narrow.offer("a")
+    val xm = narrow.merge(wide)
+    assert(xm.counts.size <= 2 && xm.counts("a") == 3L)
+    assert(xm.absentBound >= 1L, "dropped single-count items must be covered by the floor")
     // incremental: per-part sketches stored to parquet, merged from the
     // stored table alone; exact regime equals the grouped count
     import spark.implicits._
