@@ -52,10 +52,11 @@ object HeavyHitters {
     private val buckets = new java.util.TreeMap[Long, java.util.LinkedHashSet[Node]]()
     // merge-truncation bound: any UNTRACKED item may hold up to `floor`
     // occurrences (0 until a merge ever dropped items); see merge().
-    // Under the current code paths floor > 0 implies the summary is
-    // full with firstKey >= floor (kept-min >= dropped-max >= floor by
-    // the truncation sort), so the max() in absentBound is defensive —
-    // kept because the invariant lives three methods apart.
+    // NOTE: floor > 0 does NOT imply the summary is full — merging a
+    // full, evicted low-capacity sketch into a larger accumulator
+    // leaves nodes.size < capacity with floor > 0, so both offer()
+    // branches must charge max(floor, min-counter) as the incoming
+    // item's error, and absentBound's max() over floor is load-bearing.
     private var floor: Long = 0L
     // a summary that NEVER evicted or truncated tracks every item its
     // substream contained — an untracked item's true count there is 0,
@@ -79,17 +80,23 @@ object HeavyHitters {
       val n = nodes.get(item)
       if (n != null) { unlink(n); n.count += inc; link(n) }
       else if (nodes.size < capacity) {
-        val m = new Node(item, inc, 0L)
+        // after a lossy merge an untracked item may already hold up to
+        // `floor` occurrences, so a below-capacity insert is only
+        // error-free while floor == 0; charging the floor keeps the
+        // interval sound (count = inc + floor upper-bounds the truth,
+        // count - err = inc stays a valid lower bound)
+        val m = new Node(item, inc + floor, floor)
         nodes.put(item, m); link(m)
       } else {
-        // evict the oldest node at the minimum count, charging that
-        // minimum as the incoming item's overestimation error
+        // evict the oldest node at the minimum count, charging the
+        // incoming item's full absent bound — max(min counter, merge
+        // floor) — as its overestimation error
         evicted = true
         val victim = buckets.firstEntry().getValue.iterator().next()
         unlink(victim)
         nodes.remove(victim.item)
-        victim.err = victim.count
-        victim.count += inc
+        victim.err = math.max(victim.count, floor)
+        victim.count = victim.err + inc
         victim.item = item
         nodes.put(item, victim)
         link(victim)
