@@ -186,34 +186,52 @@ object DistinctSketch {
     bos.toByteArray
   }
 
-  /** Inverse of [[serialize]]; validates the header. */
-  def deserialize(bytes: Array[Byte]): Hll = {
+  /** Inverse of [[serialize]]; validates the header AND the payload's
+    * structural invariants — corrupt bytes fail LOUDLY at decode with
+    * one exception type (truncated streams are converted from
+    * EOFException), never corrupt a later merge (same discipline as
+    * [[HeavyHitters.deserialize]] / [[QuantileSketch.deserialize]]). */
+  def deserialize(bytes: Array[Byte]): Hll = try {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val ver = in.readByte()
     require(ver == 1, s"unknown sketch version $ver")
     val p = in.readByte().toInt
     val cap = in.readInt()
-    val h = new Hll(p, cap)
+    val h = new Hll(p, cap) // constructor rejects p/cap out of range
     in.readByte() match {
       case 0 =>
         val n = in.readInt()
-        require(n >= 0 && n <= cap, s"corrupt sparse sketch: $n values for cap $cap")
+        require(n >= 0 && n <= cap && n.toLong * 4 <= bytes.length,
+          s"corrupt sparse sketch: $n values for cap $cap in ${bytes.length} bytes")
         var i = 0
         while (i < n) {
           val len = in.readInt()
           require(len >= 0 && len <= bytes.length, s"corrupt sketch: value length $len")
           val b = new Array[Byte](len)
           in.readFully(b)
-          h.sparse.add(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+          val s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+          require(h.sparse.add(s), s"corrupt sparse sketch: duplicate value at entry $i")
           i += 1
         }
       case 1 =>
         h.regs = new Array[Byte](1 << p)
         h.sparse = null
         in.readFully(h.regs)
+        // a genuine register holds a leading-zero rank in [0, 65-p];
+        // out-of-range bytes would poison every future max-merge
+        var i = 0
+        val maxRho = 65 - p
+        while (i < h.regs.length) {
+          require(h.regs(i) >= 0 && h.regs(i) <= maxRho,
+            s"corrupt dense sketch: register $i = ${h.regs(i)} outside [0, $maxRho]")
+          i += 1
+        }
       case other => throw new IllegalArgumentException(s"unknown sketch mode $other")
     }
     h
+  } catch {
+    case e: java.io.IOException =>
+      throw new IllegalArgumentException(s"corrupt sketch: truncated bytes (${e.getMessage})")
   }
 
   /** Aggregator: raw keys → serialized sketch bytes (shares the

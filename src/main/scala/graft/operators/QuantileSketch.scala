@@ -279,11 +279,13 @@ object QuantileSketch {
     bos.toByteArray
   }
 
-  /** Inverse of [[serialize]]; validates the header — corrupt bytes
-    * must fail LOUDLY, never allocate from attacker-controlled sizes
-    * (same degrade-don't-crash discipline as DistinctSketch and the
-    * media codecs). */
-  def deserialize(bytes: Array[Byte]): Summary = {
+  /** Inverse of [[serialize]]; validates the header AND the summary's
+    * structural invariants — corrupt bytes must fail LOUDLY at decode
+    * (truncated streams are converted from EOFException to the same
+    * single exception type), never allocate from attacker-controlled
+    * sizes, and never hand a later merge a summary whose intervals are
+    * unsound (same discipline as [[HeavyHitters.deserialize]]). */
+  def deserialize(bytes: Array[Byte]): Summary = try {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val ver = in.readByte()
     require(ver == 1, s"unknown quantile-sketch version $ver")
@@ -299,7 +301,34 @@ object QuantileSketch {
       s"corrupt quantile sketch: $len tuples for capacity $cap in ${bytes.length} bytes")
     s.tuples = Array.fill(len)(
       Tuple(in.readDouble(), in.readLong(), in.readLong(), in.readLong()))
+    // structural invariants a genuine serialize() can never violate;
+    // accepting them would corrupt LATER merges instead of failing here
+    var i = 0
+    var prevRmax = 0L
+    while (i < s.tuples.length) {
+      val t = s.tuples(i)
+      require(!t.v.isNaN, s"corrupt quantile sketch: NaN value at tuple $i")
+      // strict order for i > 0 (a -Infinity FIRST tuple is legitimate)
+      require(i == 0 || t.v > s.tuples(i - 1).v,
+        s"corrupt quantile sketch: unsorted values at tuple $i (${t.v} after ${s.tuples(i - 1).v})")
+      require(t.g >= 1L, s"corrupt quantile sketch: g ${t.g} < 1 at tuple $i")
+      require(t.rmin <= t.rmax, s"corrupt quantile sketch: rmin ${t.rmin} > rmax ${t.rmax} at tuple $i")
+      require(t.rmin >= 1L && t.rmax <= s.n,
+        s"corrupt quantile sketch: rank interval [${t.rmin}, ${t.rmax}] outside [1, ${s.n}] at tuple $i")
+      require(t.rmax >= prevRmax, s"corrupt quantile sketch: rmax not monotone at tuple $i")
+      require(!s.lossless || t.rmin == t.rmax,
+        s"corrupt quantile sketch: lossless flag with open interval at tuple $i")
+      prevRmax = t.rmax
+      i += 1
+    }
+    require(s.tuples.nonEmpty || s.n == 0L,
+      s"corrupt quantile sketch: n ${s.n} with zero tuples")
+    require(!s.lossless || s.tuples.lastOption.forall(_.rmax == s.n),
+      s"corrupt quantile sketch: lossless but last rmax != n ${s.n}")
     s
+  } catch {
+    case e: java.io.IOException =>
+      throw new IllegalArgumentException(s"corrupt quantile sketch: truncated bytes (${e.getMessage})")
   }
 
   /** Aggregator: raw values → serialized summary bytes (shares the
