@@ -122,8 +122,17 @@ object Bench {
     // the suite running between them.  A query that succeeds in either
     // pass is a success (a transient failure in the other pass keeps the
     // good measurement and does not fail the run).
-    val passA = selected.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
-    val passB = selected.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+    // progress line per query per pass: early stdout (cut by the
+    // driver's tail capture — that's fine), but a hung or crashed run
+    // leaves the last attempted query on record
+    def runPass(pass: String): Map[String, (Double, Int, Int)] =
+      selected.map { case (name, fn) =>
+        val r = runOnce(name, fn)
+        println(s"""{"pass":"$pass","q":"$name","sec":${r._1}}""")
+        name -> r
+      }.toMap
+    val passA = runPass("A")
+    val passB = runPass("B")
     val results = selected.map { case (name, _) =>
       val a = passA(name)
       val b = passB(name)
@@ -146,6 +155,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _, _)) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"profiles":$profiles,"errors":$errJson,"sf":"$sfDir"}""")
+    // COMPACT full per-query map, second-to-last: the driver keeps only
+    // ~2 KB of stdout tail, which cut the big line above to its last
+    // ~29 entries in rounds 14/15.  Shortening names to their unique
+    // qNN prefix and rounding to ms fits all 125 timings in ~1.7 KB, so
+    // the complete map survives any tail capture.  Keys: the qNN prefix
+    // when unique, the full name on prefix collision (q107_sky vs
+    // q107_cone_sql).
+    val prefixCount = results.groupBy { case (k, _) => k.split("_")(0) }
+      .map { case (p, g) => p -> g.size }
+    val compact = results.map { case (k, (sec, _, _)) =>
+      val p = k.split("_")(0)
+      val key = if (prefixCount(p) == 1) p else k
+      "\"" + key + "\":" + (math.rint(sec * 1000) / 1000)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"per_query","unit":"sec","value":$total,"queries":$compact}""")
     // totals-only line LAST: the driver keeps only the TAIL of stdout
     // (BENCH_r04's capture cut the HEAD of the big line above, losing
     // the recorded total), so the exact total is repeated in a short

@@ -233,7 +233,13 @@ object Scale {
 
   /** Skew-immune sessionization: exactly `session_window(ts, gap)`
     * per key — maximal event chains where consecutive gaps are ≤
-    * `gapSeconds` — without colocating a full key's events on one
+    * `gapSeconds`.  CLOSED gap boundary: two events spaced EXACTLY
+    * `gapSeconds` apart stay in one session — Spark's session merge
+    * coalesces windows with next.start ≤ current.end, so the window's
+    * exclusive end does NOT split the boundary pair; the exact-gap
+    * parity spec in ScaleSpec pins this empirically, and the q33/q116
+    * oracles encode the same `diff > gap` split rule.  All this
+    * without colocating a full key's events on one
     * task (the 1.74× skew penalty the round-14 window rehearsal
     * measured for the one-phase formulation; unbounded at 100 TB).
     * Two phases:
@@ -245,7 +251,7 @@ object Scale {
     *  2. merge fragments per key by classic island detection over the
     *     COMPACT fragment frame (cumulative-max of fragment ends; a
     *     new island starts when the next fragment's start exceeds the
-    *     running max end by more than the gap) — transitively closing
+    *     running max end by MORE than the gap) — transitively closing
     *     chains that span any number of buckets.  The per-key window
     *     here touches fragments, not events: a hot key with millions
     *     of events contributes at most (#buckets + #true sessions)

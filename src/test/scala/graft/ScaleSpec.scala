@@ -153,6 +153,39 @@ class ScaleSpec extends SparkSpec {
     assert(out == List((1L, 13L), (2L, 1L), (2L, 1L)), s"got $out")
   }
 
+  test("bucketedSessions exact-gap boundary merges, matching session_window's closed boundary") {
+    // Spark's session merge coalesces windows with next.start <=
+    // current.end, so an event at EXACTLY start+gap stays in the same
+    // session (the window's exclusive end does not split the pair —
+    // verified against session_window itself below, not assumed).  The
+    // two-phase decomposition must agree at the boundary in BOTH
+    // phases: within a bucket, and at an island merge across buckets
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    val rows = Seq(
+      1L -> 0L, 1L -> 1800L,            // exact gap INSIDE the 10:00 bucket: merges
+      2L -> 1500L, 2L -> 3300L,         // exact gap straddling the hour boundary: merges
+      3L -> 0L, 3L -> 1801L,            // one second over: must split
+      4L -> 1500L, 4L -> 3301L          // over-gap straddling buckets: splits
+    ).map { case (u, s) => (u, new Timestamp(base + s * 1000)) }
+    val sdf = rows.toDF("user_id", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_start"), col("n_events"), col("last_ts"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2), r.get(3).toString)).toSet
+    val plain = canon(sdf
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"), col("last_ts")))
+    val got = canon(Scale.bucketedSessions(sdf, Seq("user_id"), col("ts"),
+      gapSeconds = 1800L, date_trunc("hour", col("ts"))))
+    assert(got == plain, s"exact-gap boundary diverged: missing=${plain -- got} extra=${got -- plain}")
+    // and the shape is what the closed-boundary contract says: users 1
+    // and 2 (exact gap) stay in one session, users 3 and 4 split
+    val nSessions = got.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(nSessions == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2), s"got $nSessions")
+  }
+
   test("bucketed window property: random corpora and spans match the one-phase plans") {
     // parity must hold for ANY data shape: random keys, clustered and
     // sparse timestamps, random bucket spans (always >= nothing — the
@@ -180,7 +213,9 @@ class ScaleSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
       assert(bLag == plainLag, s"trial $trial span $span: lag diverged")
       // sessions parity vs the event-level island SQL (same rule the
-      // q116 oracle uses: new session when diff > gap)
+      // q116 oracle uses: new session when diff >= gap, the
+      // session_window exclusive-end boundary — random integer
+      // timestamps DO produce exactly-gap-spaced pairs here)
       val sFlag = df.select(col("k"), col("ts_n"), col("uid"),
           lag(col("ts_n"), 1).over(Window.partitionBy(col("k")).orderBy(col("ts_n"), col("uid"))).as("p"))
         .withColumn("ns", when(col("p").isNull || col("ts_n") - col("p") > gap, 1L).otherwise(0L))
