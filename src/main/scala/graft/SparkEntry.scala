@@ -1340,6 +1340,51 @@ object SparkEntry {
     // stored as binary, merged from the stored table alone into the
     // global top-10.  Exact regime (distinct keys < capacity in every
     // source AND globally), so the oracle is the grouped count.
+    // §2.9 streaming sketch twin, DRIVER-GATED (round-14 verdict #6):
+    // a GENUINE readStream micro-batch — file source over the events
+    // parquet → watermarked 15-min tumbling window → the SAME HLL
+    // Aggregator the batch surface uses (DistinctSketch
+    // .countDistinctSketch) → memory sink in complete mode.  One
+    // deterministic batch; every window stays in the sparse-exact
+    // regime (distinct users per window << sparseCap), so the result
+    // equals DuckDB's per-window count(DISTINCT user_id) and the
+    // streaming machinery sits under the STRICT oracle, not a
+    // rows-only snapshot.
+    "q121_stream_sketch" -> ((s, dir) => {
+      val iso = s.newSession()
+      iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      iso.conf.set("spark.sql.session.timeZone", "UTC")
+      val rawSchema = iso.read.parquet(s"$dir/events.parquet").schema
+      // the file STREAM source only accepts a directory: testdata ships
+      // events.parquet as a single file, so point the source at the
+      // table dir and glob-filter to the one file (a directory-shaped
+      // table streams directly)
+      val evPath = new java.io.File(s"$dir/events.parquet")
+      val raw =
+        if (evPath.isDirectory) iso.readStream.schema(rawSchema).parquet(evPath.getPath)
+        else iso.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = rawSchema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => raw
+        case other => throw new IllegalStateException(
+          s"events.parquet: unsupported ts type $other")
+      }
+      val agg = ev.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "15 minutes"))
+        .agg(operators.DistinctSketch.countDistinctSketch(col("user_id")).as("d"))
+        .select(col("window.start").as("w_start"),
+          col("d.n_distinct").as("n_distinct"), col("d.exact").as("exact"))
+      // unique sink name: Bench/Verify may run the slot several times
+      // in one JVM and a memory-sink query name cannot be reused
+      val sink = "q121_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      iso.table(sink)
+    }),
+
     "q120_ss_accounting" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
       val key = concat(col("lang"), lit(":"), pmod(col("n_chars"), lit(10)))
@@ -1463,7 +1508,11 @@ object SparkEntry {
     // (collapsed recall, wrong cosine, k overflow) hash-mismatches.
     "q110b_knn_production" -> ((s, dir) => {
       import s.implicits._
-      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      // 700-vector slice (was 1000; round-14 verdict #5): the gate's
+      // deliberate O(n²) oracle dominates the bench suite's tail, and
+      // the invariants (exact cosine parity, k-bound, self-edge-free,
+      // recall floor) carry identical power at ~half the pair count
+      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 700)
       val approx = Similarity.knnGraph(e, "vec_id", "embedding", k = 5, tables = 4)
         .persist()
       // ONE O(n²) pair pass feeds both the containment reference and
@@ -1878,6 +1927,16 @@ object SparkEntry {
         |FROM k f JOIN k b ON f.src = b.dst AND f.dst = b.src
         |WHERE f.src < f.dst""".stripMargin.replace("\n", " "),
 
+    // stream-sketch mirror: per-15-min-window exact distinct users —
+    // the readStream micro-batch + HLL aggregator must be invisible
+    // in the sparse-exact regime.  Epoch arithmetic (not time_bucket)
+    // keeps the bucket origin unambiguous across engines; Spark's
+    // window() is epoch-aligned and 1970-01-01 is a 15-min boundary.
+    "q121_stream_sketch" ->
+      """SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS w_start,
+        |count(DISTINCT user_id)::BIGINT AS n_distinct, true AS exact
+        |FROM events GROUP BY 1""".stripMargin.replace("\n", " "),
+
     // ss-accounting mirror: q102's grouped-count SQL — the stored
     // per-source sketches' merge must collapse to exact counts
     "q120_ss_accounting" ->
@@ -1939,7 +1998,7 @@ object SparkEntry {
     // regression flips a value and hash-mismatches
     "q110b_knn_production" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |FROM embeddings WHERE vec_id < 1000),
+        |FROM embeddings WHERE vec_id < 700),
         |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
         |round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
         |FROM v a JOIN v b ON a.vec_id <> b.vec_id),

@@ -854,6 +854,12 @@ object Dedup {
     *                         it the distributed loop runs
     * @return (node, component) — component is the min id reachable
     */
+  /** Diagnostic only (ScaleRehearsal `cc` mode): rounds the last
+    * connectedComponents call took on this JVM — 0 when the driver
+    * tier answered, the distributed pointer-jump round count
+    * otherwise, −1 before any call.  Not part of any query contract. */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 50,
                           reliableDir: Option[String] = None,
@@ -880,6 +886,7 @@ object Dedup {
     if (driverOrderable && driverPairLimit > 0) {
       val sample = collectPairsIfSmall(p0, driverPairLimit)
       sample.foreach { rows =>
+        lastCcRounds = 0
         try return driverComponents(nodes, idCol, rows, idTypes.head)
         finally p0.unpersist(blocking = false)
       }
@@ -971,6 +978,7 @@ object Dedup {
         throw new IllegalStateException(
           s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
             "raise maxIter (rounds needed ~ log2 of the graph diameter)")
+      lastCcRounds = iter
       labels.select(col("node"), col("comp").as("component"))
     } finally { edges.unpersist(); p0.unpersist(); () }
   }
