@@ -41,6 +41,11 @@ object ScaleRehearsal {
     val mode = if (args.length > 3) args(3) else "rot"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // iterative arms (cc) write shuffle files per round that are only
+      // deleted when the owning RDDs are GC'd — force a periodic GC so
+      // a big-corpus run frees disk as it goes instead of accumulating
+      // every round's shuffle until the heap happens to collect
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "join") { joinCorpus(spark, src, out, n); spark.stop(); return }
@@ -127,8 +132,14 @@ object ScaleRehearsal {
         body
         ((System.nanoTime - t0) / 1e9, drained() - b0)
       }
-      val a = once(); val b = once()
-      (math.min(a._1, b._1), b._2)
+      // SPARK_GRAFT_METER_ONCE=1: single-pass metering for corpora
+      // whose double-pass shuffle volume would exceed local disk (the
+      // 25x cc rehearsal); the record must note single-pass timing
+      if (sys.env.contains("SPARK_GRAFT_METER_ONCE")) once()
+      else {
+        val a = once(); val b = once()
+        (math.min(a._1, b._1), b._2)
+      }
     }
   }
 
