@@ -183,6 +183,39 @@ class SketchWireFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("mutation fuzz: corrupt bytes decode or throw IllegalArgumentException, nothing else") {
+    // the fail-loudly contract is ONE exception type: a random
+    // corruption may still decode (flipping a count byte yields a
+    // different valid sketch) but must never escape as EOFException /
+    // NegativeArraySizeException / OOM-sized allocation / etc.
+    val rnd = new scala.util.Random(42)
+    val blobs = Seq[(String, Array[Byte], Array[Byte] => Any)](
+      ("hll_sparse", DistinctSketch.serialize(hllSparse), DistinctSketch.deserialize(_)),
+      ("hll_dense", DistinctSketch.serialize(hllDense), DistinctSketch.deserialize(_)),
+      ("gk_lossless", QuantileSketch.serialize(gkLossless), QuantileSketch.deserialize(_)),
+      ("gk_lossy", QuantileSketch.serialize(gkLossy), QuantileSketch.deserialize(_)),
+      ("ss_exact", HeavyHitters.serialize(ssExact), HeavyHitters.deserialize(_)),
+      ("ss_lossy", HeavyHitters.serialize(ssLossy), HeavyHitters.deserialize(_)))
+    for ((name, bytes, decode) <- blobs; trial <- 1 to 200) {
+      val mutated = bytes.clone()
+      // 1-3 random byte flips, occasionally a truncation or extension
+      (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      val candidate = rnd.nextInt(10) match {
+        case 0 => mutated.take(rnd.nextInt(mutated.length))
+        case 1 => mutated ++ Array.fill(1 + rnd.nextInt(8))(rnd.nextInt(256).toByte)
+        case _ => mutated
+      }
+      try { decode(candidate); () }
+      catch {
+        case _: IllegalArgumentException => () // the documented loud failure
+        case e: Throwable =>
+          fail(s"$name trial $trial: ${e.getClass.getName} escaped the decode contract: ${e.getMessage}")
+      }
+    }
+  }
+
   test("structurally invalid payloads are rejected, not silently accepted") {
     // GK: swap the first two tuples' values (unsorted) — craft by
     // editing the first tuple's float64 to exceed the second's
