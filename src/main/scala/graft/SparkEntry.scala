@@ -1507,12 +1507,18 @@ object SparkEntry {
     // exact twin must clear the floor.  A production-path regression
     // (collapsed recall, wrong cosine, k overflow) hash-mismatches.
     "q110b_knn_production" -> ((s, dir) => {
-      import s.implicits._
       // 700-vector slice (was 1000; round-14 verdict #5): the gate's
       // deliberate O(n²) oracle dominates the bench suite's tail, and
       // the invariants (exact cosine parity, k-bound, self-edge-free,
       // recall floor) carry identical power at ~half the pair count
       val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 700)
+      // ONE returned plan (round-16): the five invariant metrics used
+      // to be five sequential driver actions — each a scheduling round
+      // trip over the same persisted frames — costing ~2 s of pure job
+      // latency on the bench box.  As a union of aggregates over the
+      // persisted approx/allPairs frames, the caller's single write
+      // materializes everything in one job; the caches are scoped to
+      // the action (Bench clears the block manager between queries).
       val approx = Similarity.knnGraph(e, "vec_id", "embedding", k = 5, tables = 4)
         .persist()
       // ONE O(n²) pair pass feeds both the containment reference and
@@ -1521,30 +1527,40 @@ object SparkEntry {
         .persist()
       val exact = Similarity.knnFromPairs(allPairs, k = 5)
         .select(col("src"), col("dst")).persist()
+      // two warm-up probes: the union below reads every cache from
+      // several branches at once — on COLD caches those branches race
+      // and recompute the LSH/O(n²) pipelines concurrently; two probe
+      // jobs (approx; exact, which materializes allPairs transitively)
+      // pin the caches so the final job is pure cached-read aggregation
+      approx.count()
+      exact.count()
       val canon = approx.select(
         least(col("src"), col("dst")).as("id_a"),
         greatest(col("src"), col("dst")).as("id_b"), col("cos_sim"))
       val badCosine = canon.alias("c")
         .join(allPairs.alias("p"), Seq("id_a", "id_b"), "left")
         .filter(col("p.cos_sim").isNull || col("c.cos_sim") =!= col("p.cos_sim"))
-        .count()
-      val nExact = exact.count()
-      val nHit = approx.join(exact, Seq("src", "dst"), "left_semi").count()
+        .agg(count(lit(1)).as("v")).select(lit("bad_cosine_edges").as("metric"),
+          col("v").as("value"))
+      val exactEdges = exact.agg(count(lit(1)).as("v"))
+        .select(lit("exact_edges").as("metric"), col("v").as("value"))
       val overK = approx.groupBy(col("src")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 5).count()
-      val selfEdges = approx.filter(col("src") === col("dst")).count()
-      val recall = if (nExact == 0) 1.0 else nHit.toDouble / nExact
-      approx.unpersist(); exact.unpersist(); allPairs.unpersist()
+        .filter(col("n") > 5).agg(count(lit(1)).as("v"))
+        .select(lit("over_k_sources").as("metric"), col("v").as("value"))
       // floor 0.30: measured 0.44 at both sf0.001 and sf0.01 (random
       // near-orthogonal embeddings are the LSH-hostile regime; the
       // floor detects recall collapse, not day-to-day jitter)
-      Seq(
-        ("bad_cosine_edges", badCosine),
-        ("exact_edges", nExact),
-        ("over_k_sources", overK),
-        ("recall_ge_300x", if (recall >= 0.30) 1L else 0L),
-        ("self_edges", selfEdges)
-      ).toDF("metric", "value")
+      val recall = approx.join(exact, Seq("src", "dst"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(lit("recall_ge_300x").as("metric"),
+          when(col("n_exact") === 0L ||
+            col("n_hit").cast(DoubleType) / col("n_exact") >= 0.30, 1L)
+            .otherwise(0L).as("value"))
+      val selfEdges = approx.filter(col("src") === col("dst"))
+        .agg(count(lit(1)).as("v"))
+        .select(lit("self_edges").as("metric"), col("v").as("value"))
+      badCosine.union(exactEdges).union(overK).union(recall).union(selfEdges)
     }),
 
     // kNN graph (top-k neighbors per vector — the input to graph-based
