@@ -187,12 +187,19 @@ object Dsir {
             slice(col("ts"), lit(2), size(col("ts")) - 1),
             (a, b) => concat(a, lit(" "), b)))
           .otherwise(array()))).as("g"))
-    def flagged = grams // fresh plan per reference: no shuffle-file aliasing
+    // persisted: BOTH references (the driver ratio aggregate and the
+    // per-doc scoring join) read this frame, and it is the COMPACT
+    // side — ≤ docs × buckets rows vs the gram stream it condenses —
+    // so caching it halves the heavy tokenize+explode+hash pass
+    // instead of re-running it per reference.  All inputs are
+    // deterministic (md5 buckets), so plan reuse is value-safe.
+    val flagged = grams
       .select(col("doc_id"), col("_t"),
         (conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10).cast(LongType)
           % buckets).as("bucket"))
       .groupBy(col("doc_id"), col("_t"), col("bucket"))
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // ONE eager aggregate: per-bucket corpus total AND target total
     val np = new Array[Long](buckets); val nq = new Array[Long](buckets)
     flagged.groupBy(col("bucket"))
