@@ -1340,6 +1340,28 @@ object SparkEntry {
     // stored as binary, merged from the stored table alone into the
     // global top-10.  Exact regime (distinct keys < capacity in every
     // source AND globally), so the oracle is the grouped count.
+    // M6 incremental exact-substring accounting (the span member of
+    // the store-once/merge-later family, alongside q86 minhash bands
+    // and q118/q119/q120 sketches): the corpus arrives as three
+    // doc-disjoint ingest batches, each scanned ONCE into a stored
+    // span-evidence parquet; the global repeated-span report is then
+    // computed from the stored evidence alone.  A span unique within
+    // every single batch but present in two of them is only
+    // discoverable at the merge — the case a per-batch minDocs filter
+    // would silently lose, and exactly what the oracle (q79's
+    // whole-corpus SQL) verifies.
+    "q122_span_accounting" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val evDir = s"${scratchDir("q122_evidence")}/batches"
+      (0 until 3).foreach { b =>
+        operators.Dedup.spanEvidenceBatch(
+            d.filter(pmod(col("doc_id"), lit(3)) === b),
+            col("text"), col("doc_id"), width = 60)
+          .write.mode(if (b == 0) "overwrite" else "append").parquet(evDir)
+      }
+      operators.Dedup.mergeSpanEvidence(s.read.parquet(evDir), minDocs = 2)
+    }),
+
     // §2.9 streaming sketch twin, DRIVER-GATED (round-14 verdict #6):
     // a GENUINE readStream micro-batch — file source over the events
     // parquet → watermarked 15-min tumbling window → the SAME HLL
@@ -1942,6 +1964,18 @@ object SparkEntry {
         |SELECT f.src AS src, f.dst AS dst, f.cos_sim AS cos_sim
         |FROM k f JOIN k b ON f.src = b.dst AND f.dst = b.src
         |WHERE f.src < f.dst""".stripMargin.replace("\n", " "),
+
+    // span-accounting mirror: q79's whole-corpus repeated-span SQL —
+    // the three-batch evidence store + merge must be invisible
+    "q122_span_accounting" ->
+      """WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, length(t) - 58)) AS p
+        |FROM norm WHERE length(t) >= 60),
+        |spans AS (SELECT doc_id, md5(substr(t, p, 60)) AS h FROM pos)
+        |SELECT h AS span_hash, count(DISTINCT doc_id) AS n_docs,
+        |count(*) AS n_occurrences, min(doc_id) AS first_doc
+        |FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2""".stripMargin.replace("\n", " "),
 
     // stream-sketch mirror: per-15-min-window exact distinct users —
     // the readStream micro-batch + HLL aggregator must be invisible

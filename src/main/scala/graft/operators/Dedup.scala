@@ -782,6 +782,73 @@ object Dedup {
         coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"))
   }
 
+  /** Per-batch exact-substring span EVIDENCE, mergeable across
+    * doc-disjoint batches — the incremental-accounting member of the
+    * span family, completing the pattern the engine already ships for
+    * MinHash bands (incremental band index), HLL, GK, and SpaceSaving:
+    * each ingest batch is scanned ONCE, its evidence is STORED, and
+    * every later question is a merge of stored evidence — the corpus
+    * is never re-read.
+    *
+    * Why the evidence cannot pre-filter on `minDocs`: a span unique in
+    * batch A and unique in batch B is REPEATED globally — only the
+    * merge can see that — so the batch frame keeps every span with its
+    * counts (one row per DISTINCT span in the batch, each carrying the
+    * 60-char exemplar text so the merged output can emit the portable
+    * md5 without revisiting any document).
+    *
+    * CONTRACT: batches must be doc-disjoint (each document's text
+    * processed in exactly ONE batch — the natural per-day / per-source
+    * ingest shape).  Then `count(DISTINCT doc)` per span SUMS across
+    * batches, occurrences sum, and first_doc is the min — exactly what
+    * [[mergeSpanEvidence]] computes.  Span identity is the fused
+    * two-lane rolling hash (h1, h2); the collision bound documented at
+    * [[repeatedSpans]] applies.
+    *
+    * Output: (h1, h2, span, n_docs, n_occurrences, first_doc). */
+  def spanEvidenceBatch(df: DataFrame, text: Column, id: Column,
+                        width: Int = 60): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val normed = df.select(id.as("doc_id"), TextAnalysis.normalize(text).as("norm"))
+    val live = normed.filter(length(col("norm")) - lit(width - 1) >= 1)
+    val agg = live
+      .select(col("doc_id"),
+        posexplode(graft.functions.WindowHash.windowHashPairs(col("norm"), width))
+          .as(Seq("pos0", "hs")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        col("hs.h1").as("h1"), col("hs.h2").as("h2"))
+      .groupBy(col("h1"), col("h2"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occurrences"),
+           min(col("doc_id")).as("first_doc"),
+           min(struct(col("doc_id"), col("pos"))).as("ex"))
+    // one exemplar extraction per distinct span: the (doc, pos) min is
+    // deterministic, and the join streams the batch's docs past the
+    // aggregated evidence
+    agg.join(normed.select(col("doc_id").as("ex_doc"), col("norm")),
+        col("ex.doc_id") === col("ex_doc"))
+      .select(col("h1"), col("h2"),
+        col("norm").substr(col("ex.pos"), lit(width)).as("span"),
+        col("n_docs"), col("n_occurrences"), col("first_doc"))
+  }
+
+  /** Merge STORED span evidence (any number of doc-disjoint batches,
+    * any number of merge generations — the algebra is associative)
+    * into the global repeated-span report: same schema and portable
+    * md5 span_hash as [[repeatedSpans]] with `portableHash = true`,
+    * computed from the stored table alone. */
+  def mergeSpanEvidence(stored: DataFrame, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    stored.groupBy(col("h1"), col("h2"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+           sum(col("n_occurrences")).as("n_occurrences"),
+           min(col("first_doc")).as("first_doc"),
+           min(col("span")).as("span"))
+      .filter(col("n_docs") >= minDocs)
+      .select(md5(col("span").cast(BinaryType)).as("span_hash"),
+        col("n_docs"), col("n_occurrences"), col("first_doc"))
+  }
+
   /** Connected components of the near-dup pair graph by iterative
     * min-label propagation: every node starts labeled with its own id;
     * each round a node takes the minimum label among itself and its

@@ -338,6 +338,51 @@ class DedupSpec extends SparkSpec {
     assert(fast == portable)
   }
 
+  test("span evidence: doc-disjoint batches merge to the whole-corpus report") {
+    // the incremental span family's core claim: evidence computed per
+    // batch and merged from the stored frames alone equals the global
+    // repeatedSpans report — INCLUDING the cross-batch case, a span
+    // unique inside every single batch (invisible to any per-batch
+    // minDocs filter) that only the merge can see
+    val shared = "the common shared span here xyz"
+    val batchA = Seq((1L, s"prefix one $shared suffix alpha")).toDF("doc_id", "text")
+    val batchB = Seq((2L, s"other beginning $shared different tail")).toDF("doc_id", "text")
+    val batchC = Seq((3L, "completely unrelated text with nothing repeated at all here"))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val whole = canon(Dedup.repeatedSpans(batchA.union(batchB).union(batchC),
+      col("text"), col("doc_id"), width = 20, minDocs = 2, portableHash = true))
+    val evidence = Dedup.spanEvidenceBatch(batchA, col("text"), col("doc_id"), width = 20)
+      .union(Dedup.spanEvidenceBatch(batchB, col("text"), col("doc_id"), width = 20))
+      .union(Dedup.spanEvidenceBatch(batchC, col("text"), col("doc_id"), width = 20))
+    val merged = canon(Dedup.mergeSpanEvidence(evidence, minDocs = 2))
+    assert(merged == whole,
+      s"stored-evidence merge diverged: missing=${whole -- merged} extra=${merged -- whole}")
+    assert(merged.nonEmpty, "the cross-batch shared span must be discovered at the merge")
+    // per-batch evidence alone never crosses minDocs (each batch holds
+    // one doc) — the repeated verdict exists ONLY after merging
+    assert(Dedup.mergeSpanEvidence(
+      Dedup.spanEvidenceBatch(batchA, col("text"), col("doc_id"), width = 20),
+      minDocs = 2).count() == 0L)
+    // the algebra is associative: merging a pre-merged store with a
+    // later batch equals merging all three at once.  A re-merged store
+    // keeps (h1, h2, span, summed counts) — simulate by merging A+B
+    // WITHOUT the minDocs filter via minDocs = 1 on raw evidence
+    // columns, which is exactly the stored-generation shape
+    val gen1 = evidence.filter(col("first_doc") < 3L) // batches A+B stored together
+    val regrouped = gen1.groupBy(col("h1"), col("h2"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_occurrences")).as("n_occurrences"),
+        min(col("first_doc")).as("first_doc"), min(col("span")).as("span"))
+    val viaGenerations = canon(Dedup.mergeSpanEvidence(
+      regrouped.select(col("h1"), col("h2"), col("span"), col("n_docs"),
+        col("n_occurrences"), col("first_doc"))
+        .union(Dedup.spanEvidenceBatch(batchC, col("text"), col("doc_id"), width = 20)
+          .select(col("h1"), col("h2"), col("span"), col("n_docs"),
+            col("n_occurrences"), col("first_doc"))), minDocs = 2))
+    assert(viaGenerations == whole, "generation-wise merge must equal the one-shot merge")
+  }
+
   test("removeRepeatedSpans cuts repeats from non-first docs; Scala reference") {
     // width 10 over normalized text; "common run here" repeated across
     // docs 1/2/3 — doc 1 (first) keeps its copy, 2 and 3 lose theirs
