@@ -56,6 +56,7 @@ object ScaleRehearsal {
     }
     if (mode == "events") { eventsRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "cc") { ccRehearsal(spark, out, n); spark.stop(); return }
+    if (mode == "span") { spanRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "sim") { simRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "media") { mediaRehearsal(spark, src, out, n); spark.stop(); return }
     val d = spark.read.parquet(s"$src/documents.parquet")
@@ -403,6 +404,53 @@ object ScaleRehearsal {
       graft.operators.Multimodal.decodeMedia(mkFlac(col("doc_id"), col("n_chars"))).as("m"))))
     arm("mp4_roundtrip", d => noop(d.select(col("doc_id"),
       graft.operators.Multimodal.decodeMedia(mkMp4(col("doc_id"), col("n_chars"))).as("m"))))
+  }
+
+  /** Span-evidence family rehearsal (`span`): the q122 incremental
+    * store+merge at 1× and N× rot documents (caesar-rotated copies —
+    * disjoint span sets, so the stored evidence GROWS linearly: the
+    * storage-stress case; tag copies would collapse to shared spans).
+    * Arms: evidence build+store (3 hash batches, one tagged write)
+    * and merge-from-store.  Both should scale ~linearly — the build
+    * is one corpus scan + one groupBy per batch, the merge touches
+    * only the stored evidence. */
+  private def spanRehearsal(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    require(n <= 26, s"rot-copy synthesis repeats mod 26, got $n")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val docsPath = s"$out/documents.parquet"
+    if (new java.io.File(docsPath, "_SUCCESS").exists()) println(s"reusing $docsPath")
+    else {
+      val d = spark.read.parquet(s"$src/documents.parquet")
+      (0 until n).map { i =>
+        val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+        d.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", if (i == 0) col("text")
+            else translate(col("text"), alpha + alpha.toUpperCase, rot + rot.toUpperCase))
+      }.reduce(_ unionByName _).repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(docsPath)
+    }
+    val meter = new Meter(spark)
+    println(f"${"arm"}%-16s ${"1x_sec"}%8s ${"1x_shufMB"}%10s ${s"${n}x_sec"}%8s ${s"${n}x_shufMB"}%10s ratio")
+    def evidence(d: DataFrame, evDir: String): Unit =
+      (0 until 3).map { b =>
+        graft.operators.Dedup.spanEvidenceBatch(
+            d.filter(pmod(col("doc_id"), lit(3)) === b),
+            col("text"), col("doc_id"), width = 60)
+          .withColumn("batch", lit(b))
+      }.reduce(_ unionByName _).write.mode(SaveMode.Overwrite).parquet(evDir)
+    def arm(name: String, run: (DataFrame, String) => Unit): Unit = {
+      val d1 = spark.read.parquet(s"$src/documents.parquet")
+      val dn = spark.read.parquet(docsPath)
+      val (t1, b1) = meter(run(d1, s"$out/ev_1x"))
+      val (tn, bn) = meter(run(dn, s"$out/ev_${n}x"))
+      println(f"$name%-16s $t1%8.2f ${b1 / 1e6}%10.1f $tn%8.2f ${bn / 1e6}%10.1f ${tn / t1}%5.2f")
+    }
+    arm("evidence_store", (d, dir) => evidence(d, dir))
+    arm("merge_stored", (_, dir) => {
+      graft.operators.Dedup.mergeSpanEvidence(spark.read.parquet(dir), minDocs = 2)
+        .queryExecution.executedPlan.execute().count(); ()
+    })
   }
 
   /** N× embeddings via the orthogonal cyclic coordinate shift (shared
