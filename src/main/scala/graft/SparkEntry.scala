@@ -1340,6 +1340,24 @@ object SparkEntry {
     // stored as binary, merged from the stored table alone into the
     // global top-10.  Exact regime (distinct keys < capacity in every
     // source AND globally), so the oracle is the grouped count.
+    // M6 benchmark DECONTAMINATION action (the removal q65's detection
+    // feeds): every 50-char window of a doc that appears in the
+    // benchmark (q65's bench: 120-char normalized prefixes of docs
+    // with doc_id % 97 == 0) is cut via the SpanCut kernel.  Output
+    // reduces the cleaned text to its length, like q88; the oracle
+    // mirrors the whole surgery through the covered-length union
+    // arithmetic on raw span TEXT.
+    "q123_bench_decontam" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df
+      val bench = d.filter(col("doc_id") % 97 === 0)
+        .select(substring(TextAnalysis.normalize(col("text")), 1, 120).as("btext"))
+      operators.Contamination.removeBenchmarkSpans(
+          d, col("doc_id"), col("text"), bench, col("btext"), width = 50)
+        .select(col("doc_id"),
+          length(col("text_clean")).cast(LongType).as("n_chars_clean"),
+          col("n_spans_cut"))
+    }),
+
     // M6 incremental exact-substring accounting (the span member of
     // the store-once/merge-later family, alongside q86 minhash bands
     // and q118/q119/q120 sketches): the corpus arrives as three
@@ -1972,6 +1990,29 @@ object SparkEntry {
         |SELECT f.src AS src, f.dst AS dst, f.cos_sim AS cos_sim
         |FROM k f JOIN k b ON f.src = b.dst AND f.dst = b.src
         |WHERE f.src < f.dst""".stripMargin.replace("\n", " "),
+
+    // bench-decontam mirror: q88's covered-length union arithmetic
+    // with the evidence side being the benchmark's distinct 50-char
+    // spans (on raw span TEXT; Spark matches rolling hashes — equal
+    // absent collisions, the q88 contract)
+    "q123_bench_decontam" ->
+      """WITH norm AS MATERIALIZED (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM documents),
+        |bt AS (SELECT trim(substr(t, 1, 120)) AS b FROM norm WHERE doc_id % 97 = 0),
+        |ev AS (SELECT DISTINCT substr(b, p, 50) AS s FROM
+        |(SELECT b, unnest(range(1, length(b) - 48)) AS p FROM bt WHERE length(b) >= 50)),
+        |spans AS (SELECT doc_id, CAST(p AS BIGINT) AS p, substr(t, p, 50) AS s FROM
+        |(SELECT doc_id, t, unnest(range(1, length(t) - 48)) AS p
+        |FROM norm WHERE length(t) >= 50)),
+        |cutpos AS (SELECT doc_id, p FROM spans WHERE s IN (SELECT s FROM ev)),
+        |cov AS (SELECT doc_id, least(50,
+        |coalesce(lead(p) OVER (PARTITION BY doc_id ORDER BY p) - p, 50)) AS c
+        |FROM cutpos),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS covered,
+        |CAST(count(*) AS BIGINT) AS n_cut FROM cov GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(length(n.t) - coalesce(a.covered, 0) AS BIGINT) AS n_chars_clean,
+        |coalesce(a.n_cut, 0) AS n_spans_cut
+        |FROM norm n LEFT JOIN agg a ON n.doc_id = a.doc_id""".stripMargin.replace("\n", " "),
 
     // span-accounting mirror: q79's whole-corpus repeated-span SQL —
     // the three-batch evidence store + merge must be invisible

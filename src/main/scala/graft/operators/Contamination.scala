@@ -20,6 +20,53 @@ import org.apache.spark.sql.types._
   */
 object Contamination {
 
+  /** Benchmark DECONTAMINATION by span surgery — the removal ACTION
+    * the detection surfaces ([[containment]], [[bloomPrefilter]]) feed:
+    * every width-`width` window of a document's normalized text that
+    * also appears anywhere in the benchmark's normalized text is CUT
+    * (overlapping cut windows merge — the same
+    * [[graft.functions.SpanCut]] kernel as
+    * [[Dedup.removeRepeatedSpans]]), so no benchmark `width`-gram
+    * survives into training.  This is the standard eval-
+    * decontamination action (cut the overlap, keep the document).
+    *
+    * Scale shape: the benchmark evidence is its DISTINCT window-hash
+    * set — small by construction (eval sets), broadcast by AQE — so
+    * the corpus pays one linear rolling-hash scan and a broadcast
+    * semi-join per window; no corpus shuffle on the span hash.  The
+    * per-doc surgery is one sorted position list into the codegen'd
+    * cut kernel.  Span matching uses the 64-bit lane-1 rolling hash
+    * (collision bound as documented at [[Dedup.repeatedSpans]]).
+    *
+    * @return (doc_id, text_clean, n_spans_cut) — cleaned NORMALIZED
+    *         text, like [[Dedup.removeRepeatedSpans]] */
+  def removeBenchmarkSpans(docs: DataFrame, docId: Column, docText: Column,
+                           bench: DataFrame, benchText: Column,
+                           width: Int = 50): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    import graft.functions.WindowHash
+    val normed = docs.select(docId.as("doc_id"), TextAnalysis.normalize(docText).as("norm"))
+    val evidence = bench
+      .select(TextAnalysis.normalize(benchText).as("bnorm"))
+      .filter(length(col("bnorm")) - lit(width - 1) >= 1)
+      .select(explode(WindowHash.windowHashes(col("bnorm"), width)).as("h"))
+      .distinct()
+    val hits = normed.filter(length(col("norm")) - lit(width - 1) >= 1)
+      .select(col("doc_id"),
+        posexplode(WindowHash.windowHashes(col("norm"), width)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("h"))
+      .join(evidence, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("cut_positions"),
+           count(lit(1)).as("n_spans_cut"))
+    normed.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cut_positions").isNotNull,
+            graft.functions.SpanCut.cutSpans(col("norm"), col("cut_positions"), width))
+          .otherwise(col("norm")).as("text_clean"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"))
+  }
+
   /** All (doc, bench) pairs with containment ≥ `threshold`.
     *
     * @param docs    corpus (idCol, textCol)

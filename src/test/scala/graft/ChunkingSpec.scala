@@ -54,6 +54,39 @@ class ChunkingSpec extends SparkSpec {
     assert(out.forall(_._2 == 100L))
   }
 
+  test("removeBenchmarkSpans cuts exactly the benchmark's windows; Scala reference") {
+    // doc 1 embeds the planted benchmark run; doc 2 is clean; doc 3 IS
+    // the benchmark source (self-decontamination cuts its prefix too)
+    val planted = "the solar wind carries charged particles"  // 40 chars normalized
+    val docs = Seq(
+      (1L, s"intro words here $planted and trailing content follows after"),
+      (2L, "completely different musings about database engines and storage"),
+      (3L, s"$planted outward from the corona"))
+      .toDF("doc_id", "text")
+    val bench = Seq(planted).toDF("btext")
+    val width = 20
+    val out = Contamination.removeBenchmarkSpans(docs, col("doc_id"), col("text"),
+        bench, col("btext"), width = width)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // Scala reference: cut every width-window of normalized doc text
+    // that occurs in the normalized benchmark text, union the ranges
+    def norm(s: String) = s.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+      .replaceAll(" +", " ").trim
+    val bwin = norm(planted).sliding(width).toSet
+    for ((id, raw) <- Seq(1L -> s"intro words here $planted and trailing content follows after",
+                          2L -> "completely different musings about database engines and storage",
+                          3L -> s"$planted outward from the corona")) {
+      val t = norm(raw)
+      val cuts = (0 to t.length - width).filter(p => bwin(t.substring(p, p + width)))
+      val keep = Array.fill(t.length)(true)
+      cuts.foreach(p => (p until p + width).foreach(keep(_) = false))
+      val expect = t.zipWithIndex.collect { case (c, i) if keep(i) => c }.mkString
+      assert(out(id)._1 == expect, s"doc $id: got '${out(id)._1}' want '$expect'")
+      assert(out(id)._2 == cuts.length.toLong, s"doc $id cut count")
+    }
+    assert(out(2L)._2 == 0L && out(1L)._2 > 0L && out(3L)._2 > 0L)
+  }
+
   test("bloomPrefilter: no false negatives vs exact overlap; fpp-bounded extras") {
     // controlled corpus: 300 docs of unique seeded words; the
     // benchmark sentence is planted verbatim into 5 of them
