@@ -260,6 +260,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), s"map-side combine missing:\n$plan")
   }
 
+  test("removeBenchmarkSpans broadcasts the bench evidence; no span-hash corpus shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(substring(col("text"), 1, 120).as("btext"))
+    val plan = planOf(graft.operators.Contamination.removeBenchmarkSpans(
+      docs, col("doc_id"), col("text"), bench, col("btext"), width = 50))
+    // the semi-join against the benchmark's distinct hash set must be
+    // a broadcast — a sort-merge/shuffled-hash semi would shuffle the
+    // corpus-wide window stream on the span hash
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"bench evidence must broadcast into a semi join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus window stream shuffled on the span hash:\n$plan")
+    // exactly one corpus-side explode feeds the surgery
+    assert(plan.linesIterator.count(l => l.contains("Generate") && l.contains("doc_id")) == 1,
+      s"expected a single corpus-side explode:\n$plan")
+  }
+
+  test("span evidence batches: a single explode per batch, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = planOf(graft.operators.Dedup.spanEvidenceBatch(
+      docs, col("text"), col("doc_id"), width = 60))
+    assert(plan.linesIterator.count(_.contains("Generate")) == 1,
+      s"expected a single explode:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unbroadcast cross join:\n$plan")
+    assert(plan.contains("partial_count"), s"map-side combine missing:\n$plan")
+  }
+
   test("capPerKey bounds rows below the shuffle via the partial TopKPerKey") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.operators.Scale.capPerKey(
