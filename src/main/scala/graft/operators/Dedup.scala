@@ -839,6 +839,13 @@ object Dedup {
     * computed from the stored table alone. */
   def mergeSpanEvidence(stored: DataFrame, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    // fail loudly on a frame that is not span evidence (extra columns
+    // like a batch tag are fine; missing ones are silent-corruption
+    // bait under groupBy's analysis errors)
+    val needed = Seq("h1", "h2", "span", "n_docs", "n_occurrences", "first_doc")
+    val missing = needed.filterNot(c => stored.columns.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"stored frame is missing span-evidence columns: ${missing.mkString(", ")}")
     stored.groupBy(col("h1"), col("h2"))
       .agg(sum(col("n_docs")).as("n_docs"),
            sum(col("n_occurrences")).as("n_occurrences"),
