@@ -158,8 +158,9 @@ object Bench {
     // COMPACT full per-query map, second-to-last: the driver keeps only
     // ~2 KB of stdout tail, which cut the big line above to its last
     // ~29 entries in rounds 14/15.  Shortening names to their unique
-    // qNN prefix and rounding to ms fits all 125 timings in ~1.7 KB, so
-    // the complete map survives any tail capture.  Keys: the qNN prefix
+    // qNN prefix and rounding to ms fits the whole suite in ~13 bytes
+    // per query (~1.6 KB at 128 queries; headroom to ~150), so the
+    // complete map survives any tail capture.  Keys: the qNN prefix
     // when unique, the full name on prefix collision (q107_sky vs
     // q107_cone_sql).
     val prefixCount = results.groupBy { case (k, _) => k.split("_")(0) }

@@ -57,14 +57,11 @@ object SparkEntry {
     * same SparkContext, own SQLConf — instead of mutating the caller's
     * session.  The flag is inert for non-NANOS files, so one flagged
     * read serves as both probe and data path. */
-  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
-    val iso = s.newSession()
-    iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the NTZ→LTZ cast below is only value-preserving at UTC; pin it on
-    // the child session (which exists precisely to hold per-read conf)
-    // so a caller with a non-UTC session can't silently shift every ts
-    iso.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = iso.read.parquet(s"$dir/events.parquet")
+  /** The events.parquet ts-encoding contract, ONE definition shared by
+    * the batch reader and the q121 readStream source (the corpus has
+    * shipped multiple encodings over the project's life; a second copy
+    * of this match would silently diverge on the next one). */
+  private def normalizeEventsTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType => // legacy corpus: nanos-as-long → truncate to µs
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -73,7 +70,19 @@ object SparkEntry {
       case other => throw new IllegalStateException(
         s"events.parquet: unsupported ts type $other (expected long nanos, timestamp_ntz, or timestamp)")
     }
+
+  /** Isolated child session for reading events.parquet: holds the
+    * legacy-nanos flag and the UTC pin (the NTZ→LTZ cast is only
+    * value-preserving at UTC) without mutating the caller's session. */
+  private def eventsSession(s: SparkSession): SparkSession = {
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    iso.conf.set("spark.sql.session.timeZone", "UTC")
+    iso
   }
+
+  private[graft] def events(s: SparkSession, dir: String): DataFrame =
+    normalizeEventsTs(eventsSession(s).read.parquet(s"$dir/events.parquet"))
 
   /** BMP pixel-array order (bottom-up rows, BGR) → image-order packed
     * RGB24, so the q95 JPEG members encode the IDENTICAL image the BMP
@@ -1399,9 +1408,7 @@ object SparkEntry {
     // streaming machinery sits under the STRICT oracle, not a
     // rows-only snapshot.
     "q121_stream_sketch" -> ((s, dir) => {
-      val iso = s.newSession()
-      iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      iso.conf.set("spark.sql.session.timeZone", "UTC")
+      val iso = eventsSession(s)
       val rawSchema = iso.read.parquet(s"$dir/events.parquet").schema
       // the file STREAM source only accepts a directory: testdata ships
       // events.parquet as a single file, so point the source at the
@@ -1412,13 +1419,7 @@ object SparkEntry {
         if (evPath.isDirectory) iso.readStream.schema(rawSchema).parquet(evPath.getPath)
         else iso.readStream.schema(rawSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = rawSchema("ts").dataType match {
-        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-        case TimestampType    => raw
-        case other => throw new IllegalStateException(
-          s"events.parquet: unsupported ts type $other")
-      }
+      val ev = normalizeEventsTs(raw)
       val agg = ev.withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "15 minutes"))
         .agg(operators.DistinctSketch.countDistinctSketch(col("user_id")).as("d"))

@@ -856,6 +856,12 @@ object Dedup {
         col("n_docs"), col("n_occurrences"), col("first_doc"))
   }
 
+  /** Diagnostic only (ScaleRehearsal `cc` mode): rounds the last
+    * connectedComponents call took on this JVM — 0 when the driver
+    * tier answered, the distributed pointer-jump round count
+    * otherwise, −1 before any call.  Not part of any query contract. */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   /** Connected components of the near-dup pair graph by iterative
     * min-label propagation: every node starts labeled with its own id;
     * each round a node takes the minimum label among itself and its
@@ -928,12 +934,6 @@ object Dedup {
     *                         it the distributed loop runs
     * @return (node, component) — component is the min id reachable
     */
-  /** Diagnostic only (ScaleRehearsal `cc` mode): rounds the last
-    * connectedComponents call took on this JVM — 0 when the driver
-    * tier answered, the distributed pointer-jump round count
-    * otherwise, −1 before any call.  Not part of any query contract. */
-  @volatile private[graft] var lastCcRounds: Int = -1
-
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 50,
                           reliableDir: Option[String] = None,

@@ -193,6 +193,11 @@ object Dsir {
     // so caching it halves the heavy tokenize+explode+hash pass
     // instead of re-running it per reference.  All inputs are
     // deterministic (md5 buckets), so plan reuse is value-safe.
+    // LIFECYCLE: the cache must outlive the returned (lazy) frame, so
+    // it cannot be unpersisted here; the harness entry points (Bench
+    // cleanBlocks, Verify's per-query clear) free it after the
+    // consuming action, and a long-lived library session should
+    // `spark.catalog.clearCache()` likewise once scores are consumed.
     val flagged = grams
       .select(col("doc_id"), col("_t"),
         (conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10).cast(LongType)

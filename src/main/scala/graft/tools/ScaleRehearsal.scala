@@ -27,12 +27,13 @@ import org.apache.spark.sql.functions._
   * Deterministic — no RNG, rerunnable to the same bytes.
   *
   * Usage: runMain graft.tools.ScaleRehearsal <srcSfDir> <outDir> <N>
-  *   [rot|tag|join|ann|sketch|events|cc|sim|media]
+  *   [rot|tag|join|ann|sketch|events|cc|sim|media|span]
   * (writes the scaled tables under <outDir>; never touches the
   * source).  `cc` = distributed connected components above the driver
   * cutoff; `sim` = PQ/ADC/IVF+PQ (q87/q89/q91); `media` = WAV/BMP/
-  * FLAC/MP4 decode linearity; `events` = the standing window-family
-  * skew rehearsal (uniform + hot-user corpora). */
+  * FLAC/MP4 decode linearity; `span` = the q122 span-evidence
+  * store+merge; `events` = the standing window-family skew rehearsal
+  * (uniform + hot-user corpora). */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -213,9 +213,10 @@ class ScaleSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
       assert(bLag == plainLag, s"trial $trial span $span: lag diverged")
       // sessions parity vs the event-level island SQL (same rule the
-      // q116 oracle uses: new session when diff >= gap, the
-      // session_window exclusive-end boundary — random integer
-      // timestamps DO produce exactly-gap-spaced pairs here)
+      // q116 oracle uses: new session only when diff > gap — the
+      // CLOSED boundary session_window itself exhibits; random integer
+      // timestamps DO produce exactly-gap-spaced pairs here, so this
+      // property run covers the boundary continuously)
       val sFlag = df.select(col("k"), col("ts_n"), col("uid"),
           lag(col("ts_n"), 1).over(Window.partitionBy(col("k")).orderBy(col("ts_n"), col("uid"))).as("p"))
         .withColumn("ns", when(col("p").isNull || col("ts_n") - col("p") > gap, 1L).otherwise(0L))
