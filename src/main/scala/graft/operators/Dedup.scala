@@ -969,9 +969,18 @@ object Dedup {
     }
     // symmetrized edges, reused each round -> persist serialized (the
     // left join below keeps every node, so no self-loops are needed)
+    // STATIC across rounds, so cache it already hash-partitioned on
+    // the join key: distinct() leaves the frame partitioned on
+    // (src, dst), which does NOT satisfy the per-round join on src —
+    // every round would re-exchange the full edge set (measured: the
+    // dominant term of the cc rehearsal's per-round shuffle).  With
+    // the explicit repartition the cached relation's outputPartitioning
+    // matches the join, and each round exchanges only the (node, comp)
+    // labels, which change per round and cannot be avoided.
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // src of the symmetrized edges covers every pair endpoint
     val ids = nodes.select(col(idCol).as("node"))
