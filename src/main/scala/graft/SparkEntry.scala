@@ -1954,7 +1954,7 @@ object SparkEntry {
         |(SELECT min(v) FROM cc WHERE cum >= (SELECT ceil(s.s * n / 8.0) FROM nn)) AS fence
         |FROM (SELECT unnest(range(1, 8)) AS s) s),
         |b AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v,
-        |7 - (SELECT count(*) FROM f WHERE f.fence <= CAST(d.n_chars AS DOUBLE)) AS shard
+        |7 - (SELECT count(*) FROM f WHERE f.fence < CAST(d.n_chars AS DOUBLE)) AS shard
         |FROM documents d)
         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
         |CAST(row_number() OVER (PARTITION BY shard ORDER BY v DESC,

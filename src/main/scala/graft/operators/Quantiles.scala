@@ -85,18 +85,31 @@ object Quantiles {
     // below, never escapes the call.
     sorted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
-      val sizes = sorted.mapPartitions(it => Iterator(it.length), preservesPartitioning = true)
-        .collect()
-      val n = sizes.map(_.toLong).sum
+      // Long-counted sizes and indices: Iterator.length / zipWithIndex
+      // are Int-typed, and a range-sorted partition can exceed 2^31
+      // rows at the 100 TB posture — a silent wrap would corrupt every
+      // offset and select values from the wrong ranks
+      val sizes = sorted.mapPartitions({ it =>
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1 }
+        Iterator(c)
+      }, preservesPartitioning = true).collect()
+      val n = sizes.sum
       if (n == 0) return ps.map(_ => Double.NaN)
-      val offsets = sizes.map(_.toLong).scanLeft(0L)(_ + _)
+      val offsets = sizes.scanLeft(0L)(_ + _)
       val targets = ps.flatMap { p =>
         val pos = p * (n - 1)
         Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
       }.toSet
       val picked = sorted.mapPartitionsWithIndex { (pid, it) =>
-        val off = offsets(pid)
-        it.zipWithIndex.collect { case (v, i) if targets(off + i) => (off + i, v) }
+        var i = offsets(pid)
+        val b = Seq.newBuilder[(Long, Double)]
+        while (it.hasNext) {
+          val v = it.next()
+          if (targets(i)) b += ((i, v))
+          i += 1
+        }
+        b.result().iterator
       }.collect().toMap
       ps.map { p =>
         val pos = p * (n - 1)
@@ -136,8 +149,14 @@ object Quantiles {
     require(pLo <= pHi, s"pLo must be <= pHi, got $pLo > $pHi")
     require(!df.columns.exists(_.equalsIgnoreCase("_pr")),
       "input already has a _pr column — rename it first (scratch column)")
+    // null/NaN values carry no rank evidence and are DROPPED, matching
+    // [[exact]]/[[filterByQuantile]] — unfiltered they would occupy
+    // the band's edges (nulls sort first, NaN last) and push every
+    // real value's percent_rank upward
+    val cd = c.cast(DoubleType)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(group).orderBy(c.asc)
-    df.withColumn("_pr", percent_rank().over(w))
+    df.filter(cd.isNotNull && !isnan(cd))
+      .withColumn("_pr", percent_rank().over(w))
       .filter(col("_pr") >= pLo && col("_pr") <= pHi)
       .drop("_pr")
   }
@@ -157,8 +176,9 @@ object Quantiles {
     require(n >= 1, s"n must be >= 1, got $n")
     // withColumn would silently OVERWRITE a pre-existing `bucket`
     // column — losing caller data in a frame that happens to carry
-    // one; refuse instead
-    require(!df.columns.contains("bucket"),
+    // one; refuse instead.  Caseless: withColumn resolves
+    // case-insensitively under the default spark.sql.caseSensitive
+    require(!df.columns.exists(_.equalsIgnoreCase("bucket")),
       "ntileBuckets: input already has a `bucket` column — rename it first " +
         "(the output column name is fixed to `bucket`)")
     val w = org.apache.spark.sql.expressions.Window

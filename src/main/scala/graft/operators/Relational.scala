@@ -36,12 +36,24 @@ object Relational {
     val sideCol = "_graft_side"
     val tsCol = "_graft_ts"
     val payCol = "_graft_pay"
+    // scratch columns must not already exist on either side — the
+    // union would read caller data as the side/ts markers (same loud
+    // contract as Scale's _salt/_bs_* guards)
+    Seq(sideCol, tsCol, payCol).foreach { sc =>
+      require(!(left.columns ++ right.columns).exists(_.equalsIgnoreCase(sc)),
+        s"asofJoin scratch column '$sc' already exists on an input — rename it first")
+    }
     val l = left
       .withColumn(sideCol, lit(1))
       .withColumn(tsCol, col(leftTs))
     val r0 = right.select((keys.map(col) :+ col(rightTs).as(tsCol)) ++
       rightCols.map { case (from, to) => col(from).as(to) }: _*)
       .withColumn(sideCol, lit(0))
+      // a null right timestamp satisfies no `right.ts <= left.ts`
+      // predicate, but nulls sort FIRST under asc — unfiltered, such a
+      // row's payload would be carried into every left row before the
+      // first real right row, manufacturing matches
+      .filter(col(tsCol).isNotNull)
     val unioned = l.unionByName(r0, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col(sideCol).asc)
@@ -73,6 +85,18 @@ object Relational {
     // microsecond-exact arithmetic (unix_timestamp would truncate to
     // seconds and silently change the predicate)
     val winUs = windowSec * 1000000L
+    // scratch + output name guards (same contract as asofJoin): a
+    // pre-existing _graft_bucket/_graft_rts would be clobbered then
+    // dropped; a left 'matched_ts' (e.g. the output of a previous
+    // rangeJoin) would make the renamed right ts ambiguous downstream
+    Seq("_graft_bucket", "_graft_rts", "matched_ts").foreach { sc =>
+      require(!(left.columns ++ right.columns).exists(_.equalsIgnoreCase(sc)),
+        s"rangeJoin scratch/output column '$sc' already exists on an input — rename it first")
+    }
+    rightCols.values.foreach { o =>
+      require(!left.columns.exists(_.equalsIgnoreCase(o)),
+        s"rangeJoin output column '$o' collides with a left column — rename it in rightCols")
+    }
     val lb = "_graft_bucket"
     val l = left.withColumn(lb,
       explode(array(Seq(-1L, 0L, 1L).map(d => floor(unix_micros(col(leftTs)) / winUs) + d): _*)))

@@ -276,7 +276,11 @@ object Scale {
     // contract makes the NTZ->TIMESTAMP cast value-preserving
     def micros(c: Column): Column =
       unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+    // session_window drops null-timestamp rows; parity requires the
+    // same here — unfiltered, every null-ts event would become its own
+    // (null, null) one-row session via the null lag
     val d = df.withColumn("_bs_bkt", bucket).withColumn("_bs_ts", ts)
+      .filter(col("_bs_ts").isNotNull)
     val wIn = Window.partitionBy(("_bs_bkt" +: partCols).map(col): _*).orderBy(col("_bs_ts"))
     val frag = d
       .withColumn("_bs_prev", lag(col("_bs_ts"), 1).over(wIn))
@@ -377,9 +381,12 @@ object Scale {
         s"deterministicShuffle: input already has a '$c' column; rename it first " +
           "(shard/pos are this operator's output columns)")
     }
-    // The scratch key column picks a name the input provably lacks.
+    // The scratch key column picks a name the input provably lacks
+    // (caseless, like the shard/pos guard: withColumn resolves
+    // case-insensitively, so a '_SHUF_KEY' column would otherwise be
+    // clobbered and then dropped).
     val key = Iterator.from(0).map(i => if (i == 0) "_shuf_key" else s"_shuf_key$i")
-      .find(n => !df.columns.contains(n)).get
+      .find(n => !df.columns.exists(_.equalsIgnoreCase(n))).get
     import org.apache.spark.sql.expressions.Window
     val keyed = df.withColumn(key, md5Key(id, 12))
       .withColumn("shard", pmod(col(key), lit(shards.toLong)))
@@ -444,7 +451,11 @@ object Scale {
             lit(budgetTokens.toDouble) * (col("__mix_p") / col("__mix_ptot")) / col("__mix_tok")), 6))
           .otherwise(lit(0.0))
           .as("__mix_keep"))
-    df.join(broadcast(keep), source === col("__mix_src"))
+    // null-safe equality: groupBy keeps a null-source group, so a
+    // plain === join would silently DROP every null-source row while
+    // its token mass still diluted __mix_ptot — the null group is a
+    // group like any other and spends its own share
+    df.join(broadcast(keep), source <=> col("__mix_src"))
       .filter(hashBucket(id).cast(D) < col("__mix_keep") * 1000.0)
       .drop("__mix_src", "__mix_keep")
   }
@@ -494,8 +505,14 @@ object Scale {
     val fences =
       if (n == 0) Seq.empty[Double]
       else (1 until shards).map(s => fenceAt(math.ceil(s.toDouble * n / shards).toLong))
+    // STRICTLY above: fence s is the smallest score whose cumulative
+    // count reaches shard s's quota, i.e. the row that COMPLETES the
+    // lower-score shard — it belongs below the fence.  `v >= f` would
+    // push every fence value one shard up, leaving populations
+    // unequal even with fully distinct scores (e.g. 10 distinct over
+    // 5 shards: 3,2,2,2,1 instead of 2,2,2,2,2).
     val below = fences.foldLeft(lit(0)) { (acc, f) =>
-      acc + when(v >= lit(f), 1).otherwise(0)
+      acc + when(v > lit(f), 1).otherwise(0)
     }
     // null/NaN scores carry no quality evidence: route them to the
     // LAST shard and rank them after every real score (NaN would

@@ -824,6 +824,17 @@ class DedupSpec extends SparkSpec {
       single, col("grp"), col("v"), 0.0, 0.9).count() == 1L)
     assert(graft.operators.Quantiles.filterByQuantilePerGroup(
       single, col("grp"), col("v"), 0.1, 0.9).count() == 0L)
+    // null/NaN values are dropped and do NOT occupy the band's edges,
+    // matching the global filterByQuantile (unfiltered, nulls sat at
+    // percent_rank 0 — kept at pLo=0 — and pushed real ranks upward)
+    val withJunk = (Seq.fill(5)(("j", null.asInstanceOf[java.lang.Double])) ++
+      Seq(("j", java.lang.Double.valueOf(Double.NaN))) ++
+      (1 to 5).map(i => ("j", java.lang.Double.valueOf(i.toDouble))))
+      .toDF("grp", "v")
+    val cleaned = graft.operators.Quantiles.filterByQuantilePerGroup(
+        withJunk, col("grp"), col("v"), 0.0, 0.5)
+      .collect().map(_.getDouble(1)).sorted.toSeq
+    assert(cleaned == Seq(1.0, 2.0, 3.0), s"null/NaN leaked into the band: $cleaned")
   }
 
   test("ntileBuckets: deterministic equal-population deciles per group") {

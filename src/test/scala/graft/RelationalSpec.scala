@@ -27,6 +27,27 @@ class RelationalSpec extends SparkSpec {
     assert(j(4L).isEmpty)         // acct 9 has no quotes -> null (left semantics)
   }
 
+  test("asofJoin ignores null right timestamps; scratch collisions fail loudly") {
+    // a null-ts quote satisfies no `right.ts <= left.ts` predicate, but
+    // nulls sort FIRST under asc — unfiltered, its payload was carried
+    // into every trade before the first real quote
+    val nullQuotes = Seq((9L, null.asInstanceOf[Timestamp], 999.0))
+      .toDF("acct", "t", "px").unionByName(quotes)
+    val j = Relational.asofJoin(trades, nullQuotes, Seq("acct"), "t", "t",
+        Map("px" -> "quote_px"))
+      .select("trade_id", "quote_px").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(j(4L).isEmpty, s"null-ts right row manufactured a match: ${j(4L)}")
+    assert(j(1L).contains(100.0) && j(2L).contains(110.0) && j(3L).contains(50.0))
+    // scratch-column collisions refuse instead of silently misjoining
+    intercept[IllegalArgumentException](Relational.asofJoin(
+      trades.withColumn("_graft_side", lit(1)), quotes, Seq("acct"), "t", "t", Map("px" -> "q")))
+    intercept[IllegalArgumentException](Relational.rangeJoin(
+      trades.withColumn("matched_ts", lit(1)), quotes, Seq("acct"), "t", "t", 300L, Map("px" -> "q")))
+    intercept[IllegalArgumentException](Relational.rangeJoin(
+      trades, quotes, Seq("acct"), "t", "t", 300L, Map("px" -> "t")))
+  }
+
   test("asofJoin is one shuffle, not a nested-loop join") {
     val j = Relational.asofJoin(trades, quotes, Seq("acct"), "t", "t", Map("px" -> "q"))
     val plan = j.queryExecution.executedPlan.toString

@@ -184,6 +184,13 @@ class ScaleSpec extends SparkSpec {
     // and 2 (exact gap) stay in one session, users 3 and 4 split
     val nSessions = got.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
     assert(nSessions == Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2), s"got $nSessions")
+    // null timestamps: session_window drops them; parity must hold —
+    // unfiltered they each became their own (null, null) session
+    val withNulls = sdf.unionByName(Seq((1L, null.asInstanceOf[Timestamp]),
+      (9L, null.asInstanceOf[Timestamp])).toDF("user_id", "ts"))
+    val gotN = canon(Scale.bucketedSessions(withNulls, Seq("user_id"), col("ts"),
+      gapSeconds = 1800L, date_trunc("hour", col("ts"))))
+    assert(gotN == plain, s"null-ts rows leaked into sessions: extra=${gotN -- plain}")
   }
 
   test("bucketed window property: random corpora and spans match the one-phase plans") {
@@ -430,6 +437,14 @@ class ScaleSpec extends SparkSpec {
     // deterministic: same rows on re-evaluation, and membership uses the
     // engine-wide md5 contract (a permille-p sample of a uniform source
     // equals sampleByHash at that permille)
+    // a null source is a group like any other: its rows must survive
+    // the keep-probability join (a plain === join silently dropped
+    // them while their mass still diluted every real source's share)
+    val withNull = df.withColumn("src",
+      when(col("id") % 10 === 0, lit(null).cast("string")).otherwise(col("src")))
+    val nullKept = Scale.mixSample(withNull, col("id"), col("src"), col("tok"), 0.5, 20000L)
+      .filter(col("src").isNull).count()
+    assert(nullKept > 0L, "null-source rows must spend their own budget share, not vanish")
     val again = Scale.mixSample(df, col("id"), col("src"), col("tok"), 0.5, 20000L)
       .collect().map(_.getLong(0)).toSet
     assert(again == out.collect().map(_.getLong(0)).toSet)
@@ -511,6 +526,13 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException](Scale.curriculumOrder(df, col("id"), col("score"), 0))
     intercept[IllegalArgumentException](
       Scale.curriculumOrder(df.withColumn("shard", lit(1L)), col("id"), col("score"), 4))
+    // fully distinct scores -> EXACTLY equal populations (the fence
+    // value completes the lower shard's quota; `v >= fence` was the
+    // off-by-one that gave 3,2,2,2,1 over 10 distinct scores)
+    val distinct10 = spark.range(0, 10).select(col("id"), (col("id") + 1).cast("long").as("score"))
+    val pops = Scale.curriculumOrder(distinct10, col("id"), col("score"), shards = 5)
+      .groupBy("shard").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pops == (0L to 4L).map(_ -> 2L).toMap, s"unequal shard populations: $pops")
   }
 
   test("leakageSafeSplit: validates cut fences") {
