@@ -3364,7 +3364,7 @@ object SparkEntry {
         |SELECT ov.doc_id, ov.bench_id, ov.n_overlap,
         |round(ov.n_overlap / CAST(bsz.sz AS DOUBLE), 6) AS containment
         |FROM ov JOIN bsz USING (bench_id)
-        |WHERE ov.n_overlap / CAST(bsz.sz AS DOUBLE) >= 0.8""".stripMargin.replace("\n", " "),
+        |WHERE round(ov.n_overlap / CAST(bsz.sz AS DOUBLE), 6) >= 0.8""".stripMargin.replace("\n", " "),
 
     "q66_corpus_pipeline" ->
       """WITH q AS (SELECT doc_id, text,

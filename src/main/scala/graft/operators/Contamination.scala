@@ -38,6 +38,13 @@ object Contamination {
     * cut kernel.  Span matching uses the 64-bit lane-1 rolling hash
     * (collision bound as documented at [[Dedup.repeatedSpans]]).
     *
+    * SHORT-ITEM CAVEAT (the same class [[bloomPrefilter]] documents):
+    * a benchmark item whose NORMALIZED text is shorter than `width`
+    * has no width-char window and contributes nothing to the evidence
+    * — its contamination is NOT cut by this operator.  Pick `width` ≤
+    * the shortest benchmark item you must cover, or route short items
+    * through [[containment]] with a small shingle `n` instead.
+    *
     * @return (doc_id, text_clean, n_spans_cut) — cleaned NORMALIZED
     *         text, like [[Dedup.removeRepeatedSpans]] */
   def removeBenchmarkSpans(docs: DataFrame, docId: Column, docText: Column,
@@ -88,7 +95,11 @@ object Contamination {
         graft.functions.MinHash.intersectCount(col("dhs"), col("bhs")))
       .withColumn("containment",
         round(col("n_overlap").cast(DoubleType) / size(col("bhs")).cast(DoubleType), 6))
-      .filter(col("n_overlap").cast(DoubleType) / size(col("bhs")).cast(DoubleType) >= threshold)
+      // gate on the ROUNDED value the caller sees (the exactPairs /
+      // lshPairs convention): filtering the raw ratio while reporting
+      // the rounded one could exclude a row whose visible containment
+      // equals the threshold exactly
+      .filter(col("containment") >= threshold)
       .select(col("doc_id"), col("bench_id"), col("n_overlap"), col("containment"))
   }
 

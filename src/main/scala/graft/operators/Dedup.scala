@@ -47,10 +47,18 @@ object Dedup {
     * Catalyst's project-collapse blow the tree up k-fold (observed:
     * ~10 min of optimizer time at k=32).  [[minhashSignatures]] below
     * is the explode/groupBy formulation that avoids the hazard. */
-  def minhashSignature(shingleArr: Column, k: Int = 32): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
-    }: _*)
+  def minhashSignature(shingleArr: Column, k: Int = 32): Column = {
+    // an EMPTY shingle array must yield a null signature, not an array
+    // of k nulls: the all-null array passes isNotNull filters, and
+    // banding it is worse — xxhash64 skips null inputs, so every short
+    // doc would share identical band keys in every band, forming one
+    // quadratic all-pairs bucket (the sibling kernels minhashSig /
+    // portableMinhashSig return null for this case)
+    when(size(shingleArr) > 0,
+      array((0 until k).map { i =>
+        array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
+      }: _*))
+  }
 
   /** MinHash signatures in ONE codegen'd pass — no explode, no
     * shuffle: the fused [[graft.functions.MinHash]] kernel folds every
@@ -310,16 +318,7 @@ object Dedup {
         .filter(col("est_jaccard") >= minEst)
       // every cand endpoint is in prep by construction (inner joins
       // drop nothing); arithmetic is ngramJaccard's exactly
-      val verified = cand
-        .join(prep.select(col("doc_id").as("sid_a"), col("hs").as("hs_a")),
-          col("id_a") === col("sid_a"))
-        .join(prep.select(col("doc_id").as("sid_b"), col("hs").as("hs_b")),
-          col("id_b") === col("sid_b"))
-        .withColumn("sz_a", size(col("hs_a")).cast(LongType))
-        .withColumn("sz_b", size(col("hs_b")).cast(LongType))
-        .withColumn("n_inter", graft.functions.MinHash.intersectCount(col("hs_a"), col("hs_b")))
-        .withColumn("jaccard", round(col("n_inter").cast(DoubleType) /
-          greatest(col("sz_a") + col("sz_b") - col("n_inter"), lit(1L)).cast(DoubleType), 6))
+      val verified = exactJaccardOfPairs(cand, prep)
         .select(col("id_a"), col("id_b"), col("jaccard"))
       reliableDir.foreach { dir =>
         val sc = df.sparkSession.sparkContext
@@ -832,20 +831,48 @@ object Dedup {
         col("n_docs"), col("n_occurrences"), col("first_doc"))
   }
 
-  /** Merge STORED span evidence (any number of doc-disjoint batches,
-    * any number of merge generations — the algebra is associative)
-    * into the global repeated-span report: same schema and portable
-    * md5 span_hash as [[repeatedSpans]] with `portableHash = true`,
-    * computed from the stored table alone. */
-  def mergeSpanEvidence(stored: DataFrame, minDocs: Int = 2): DataFrame = {
-    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+  /** Compact STORED span evidence into ONE evidence row per span —
+    * the GENERATION merge: the output keeps the full evidence schema
+    * (h1, h2, span, summed counts, min first_doc) and applies NO
+    * minDocs cut, so it can be stored and merged again with later
+    * batches indefinitely (the algebra is associative, and a span
+    * whose doc count only crosses the threshold in a later generation
+    * is preserved).  [[mergeSpanEvidence]] is the terminal REPORT. */
+  def compactSpanEvidence(stored: DataFrame): DataFrame = {
+    requireSpanEvidenceSchema(stored)
+    stored.groupBy(col("h1"), col("h2"))
+      .agg(min(col("span")).as("span"),
+           sum(col("n_docs")).as("n_docs"),
+           sum(col("n_occurrences")).as("n_occurrences"),
+           min(col("first_doc")).as("first_doc"))
+      .select(col("h1"), col("h2"), col("span"),
+        col("n_docs"), col("n_occurrences"), col("first_doc"))
+  }
+
+  private def requireSpanEvidenceSchema(stored: DataFrame): Unit = {
     // fail loudly on a frame that is not span evidence (extra columns
     // like a batch tag are fine; missing ones are silent-corruption
-    // bait under groupBy's analysis errors)
+    // bait under groupBy's analysis errors).  In particular a
+    // mergeSpanEvidence REPORT (span_hash, no h1/h2/span) is not
+    // re-mergeable — store compactSpanEvidence output instead.
     val needed = Seq("h1", "h2", "span", "n_docs", "n_occurrences", "first_doc")
     val missing = needed.filterNot(c => stored.columns.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty,
-      s"stored frame is missing span-evidence columns: ${missing.mkString(", ")}")
+      s"stored frame is missing span-evidence columns: ${missing.mkString(", ")}" +
+        " — merge generations with compactSpanEvidence output, not the final report")
+  }
+
+  /** Merge STORED span evidence (any number of doc-disjoint batches
+    * and/or [[compactSpanEvidence]] generations) into the TERMINAL
+    * global repeated-span report: same schema and portable md5
+    * span_hash as [[repeatedSpans]] with `portableHash = true`,
+    * computed from the stored table alone.  The report drops the
+    * (h1, h2, span) evidence columns and applies the minDocs cut, so
+    * it is NOT itself re-mergeable — keep the compacted evidence when
+    * later generations are expected. */
+  def mergeSpanEvidence(stored: DataFrame, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    requireSpanEvidenceSchema(stored)
     stored.groupBy(col("h1"), col("h2"))
       .agg(sum(col("n_docs")).as("n_docs"),
            sum(col("n_occurrences")).as("n_occurrences"),
@@ -1269,16 +1296,7 @@ object Dedup {
     // and at scale both prep probes hash the same key over the same
     // cached child.  Every cand endpoint is in prep by construction
     // (inner joins drop nothing); arithmetic is ngramJaccard's exactly.
-    val verified = cand
-      .join(prep.select(col("doc_id").as("sid_a"), col("hs").as("hs_a")),
-        col("id_a") === col("sid_a"))
-      .join(prep.select(col("doc_id").as("sid_b"), col("hs").as("hs_b")),
-        col("id_b") === col("sid_b"))
-      .withColumn("sz_a", size(col("hs_a")).cast(LongType))
-      .withColumn("sz_b", size(col("hs_b")).cast(LongType))
-      .withColumn("n_inter", graft.functions.MinHash.intersectCount(col("hs_a"), col("hs_b")))
-      .withColumn("jaccard", round(col("n_inter").cast(DoubleType) /
-        greatest(col("sz_a") + col("sz_b") - col("n_inter"), lit(1L)).cast(DoubleType), 6))
+    val verified = exactJaccardOfPairs(cand, prep)
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"))
     // keepMinIdWinners' driver-tier collect (or connectedComponents'
@@ -1296,6 +1314,26 @@ object Dedup {
     prep.unpersist(blocking = false)
     out
   }
+
+  /** ONE definition of the exact-Jaccard verification kernel shared by
+    * [[verifiedPairs]] and [[nearDedupCorpus]]: join the candidate
+    * (id_a, id_b) frame against the cached (doc_id, hs) shingle sets
+    * on both endpoints and compute [[ngramJaccard]]'s exact arithmetic
+    * (a drift in the rounding or the ≥1 denominator guard would
+    * otherwise desynchronize the two spec-pinned callers).  Every cand
+    * endpoint must exist in `prep` — both callers build cand from prep
+    * via inner joins. */
+  private def exactJaccardOfPairs(cand: DataFrame, prep: DataFrame): DataFrame =
+    cand
+      .join(prep.select(col("doc_id").as("sid_a"), col("hs").as("hs_a")),
+        col("id_a") === col("sid_a"))
+      .join(prep.select(col("doc_id").as("sid_b"), col("hs").as("hs_b")),
+        col("id_b") === col("sid_b"))
+      .withColumn("sz_a", size(col("hs_a")).cast(LongType))
+      .withColumn("sz_b", size(col("hs_b")).cast(LongType))
+      .withColumn("n_inter", graft.functions.MinHash.intersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard", round(col("n_inter").cast(DoubleType) /
+        greatest(col("sz_a") + col("sz_b") - col("n_inter"), lit(1L)).cast(DoubleType), 6))
 
   /** Min-id keep over a duplicate-pair graph with the driver-tier
     * loser anti-join fast path (see [[nearDedupCorpus]]'s scaladoc):
@@ -1335,8 +1373,12 @@ object Dedup {
           finally p0.unpersist(blocking = false)
       }
     }
+    // forward the caller's bound: driverPairLimit = 0 means FORCE the
+    // distributed loop (connectedComponents' documented contract) —
+    // defaulting here would silently re-enable the driver tier with
+    // 2M pairs exactly when the caller forbade driver collection
     val comps = connectedComponents(df.select(id.as("nid")), "nid", pairs,
-      reliableDir = reliableDir)
+      reliableDir = reliableDir, driverPairLimit = driverPairLimit)
     keepComponentWinners(df, id, comps)
   }
 

@@ -109,6 +109,24 @@ object Similarity {
     if (planes > 0) planes
     else planesFor(if (knownCount > 0) knownCount else corpus.count())
 
+  /** ONE definition of the bounded per-probe rank tail shared by
+    * [[lshTopK]] / [[pqTopK]] / [[ivfPqTopK]] / [[ivfTopK]]:
+    * TopK.perKeyOrdered ships at most k rows per probe per partition,
+    * then the rank window runs over the ≤ k·|probes| survivors — a
+    * bounded, cheap window.  `scoreDesc` = true ranks higher scores
+    * first (cosine), false ranks lower first (ADC distance); ties
+    * break on corpus_id ascending.  A tie-break or rank-dtype change
+    * here reaches all four search surfaces at once. */
+  private def rankPerProbe(scored: DataFrame, scoreCol: String,
+                           scoreDesc: Boolean, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perKeyOrdered(scored, Seq("probe_id"),
+      Seq(scoreCol -> scoreDesc, "corpus_id" -> false), k)
+    val ord = if (scoreDesc) col(scoreCol).desc else col(scoreCol).asc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(ord, col("corpus_id").asc)
+    top.withColumn("rank", row_number().over(w))
+  }
+
   /** LSH-bucketed ANN: score only pairs sharing a signature cell.
     * One shuffle on the signature; bucket sizes ~ n / 2^planes keep the
     * intra-bucket pairing bounded.  Recall < 1 by construction — the
@@ -148,12 +166,7 @@ object Similarity {
     // pair; the two-phase operator ships at most k rows per probe per
     // partition.  The rank column is recomputed over the ≤ k·|probes|
     // survivors — a bounded, cheap window.
-    val top = graft.plans.TopK.perKeyOrdered(scored, Seq("probe_id"),
-      Seq("cos_sim" -> true, "corpus_id" -> false), k)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id"))
-      .orderBy(col("cos_sim").desc, col("corpus_id").asc)
-    top.withColumn("rank", row_number().over(w))
+    rankPerProbe(scored, "cos_sim", scoreDesc = true, k)
       .select(col("probe_id"), col("corpus_id"), col("cos_sim"), col("rank"))
   }
 
@@ -183,8 +196,14 @@ object Similarity {
                maxBucket: Int = 0): DataFrame = {
     // empty / all-null corpus: no row to probe dimensionality from —
     // return an empty pair frame (with the REAL id dtype) instead of
-    // throwing at plan-build time
-    val dim = probeDim(corpus, vecCol).getOrElse(return emptyPairFrame(corpus, idCol))
+    // throwing at plan-build time.  Plain match, not getOrElse(return):
+    // a non-local return inside a by-name argument is a
+    // NonLocalReturnControl throw — the hazard lshTopK's comment
+    // documents — and would escape or be swallowed under refactoring
+    val dim = probeDim(corpus, vecCol) match {
+      case None    => return emptyPairFrame(corpus, idCol)
+      case Some(d) => d
+    }
     val nPlanes = resolvePlanes(corpus, planes, corpusCount)
     val v = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val perTable = (0 until tables).map { tbl =>
@@ -383,11 +402,23 @@ object Similarity {
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int = 2): DataFrame = {
     require(k >= 1 && iters >= 1, s"k and iters must be >= 1, got k=$k iters=$iters")
+    requireIntegralId(corpus, idCol, "kmeansFit")
     import org.apache.spark.storage.StorageLevel
     val spark = corpus.sparkSession
     import spark.implicits._
+    // ragged vector lengths would corrupt centroids silently (tail
+    // dims averaged over only the longer members) and make n_members
+    // nondeterministic — the same invariant meanPool enforces; the
+    // assert is folded into the vector column so pruning keeps it
+    val dim = probeDim(corpus, vecCol).getOrElse(
+      throw new IllegalArgumentException("kmeansFit: corpus has no non-null vectors"))
     val v = corpus.select(col(idCol).cast(LongType).as("vid"), asDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
+      .select(col("vid"),
+        when(assert_true(size(col("v")) === lit(dim),
+            lit(s"kmeansFit: ragged vector lengths — every vector must have " +
+              s"dimensionality $dim")).isNull,
+          col("v")).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     try {
       val seedKey = Scale.md5Key(col("vid"), 6)
@@ -536,10 +567,24 @@ object Similarity {
           typedlit(cvec)).as("d"),
         lit(cid).as("cid")) }: _*))
 
+  /** kmeansFit/pqSetup key their internal state on a LONG vid; a
+    * non-integral id column would cast to null and die in an obscure
+    * NPE at the seed collect — refuse loudly instead.  String-id
+    * corpora: derive a long id first (e.g. `Scale.md5Key(id, 12)`,
+    * the engine-wide deterministic hash contract). */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit =
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$op requires an integral id column (internal state keys on a Long vid); " +
+          s"'$idCol' is $other — derive a long id first (e.g. a 12-hex md5 prefix)")
+    }
+
   /** Shared PQ setup: non-null corpus projection, the deterministic
     * md5-order seed codebook, and the subspace width. */
   private def pqSetup(corpus: DataFrame, idCol: String, vecCol: String,
                       m: Int, k: Int): (DataFrame, Seq[(Long, Seq[Double])], Int) = {
+    requireIntegralId(corpus, idCol, "pq")
     val v = corpus.select(col(idCol).cast(LongType).as("vid"), asDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
     val dim = probeDim(corpus, vecCol).getOrElse(
@@ -603,11 +648,7 @@ object Similarity {
       .select(col("vid").as("corpus_id"), explode(array(perProbe: _*)).as("p"))
       .select(col("p.probe_id").as("probe_id"), col("corpus_id"), col("p.adc2").as("adc2"))
       .filter(col("probe_id") =!= col("corpus_id"))
-    val top = graft.plans.TopK.perKeyOrdered(scored, Seq("probe_id"),
-      Seq("adc2" -> false, "corpus_id" -> false), topK)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id")).orderBy(col("adc2").asc, col("corpus_id").asc)
-    top.withColumn("rank", row_number().over(w))
+    rankPerProbe(scored, "adc2", scoreDesc = false, topK)
       .select(col("probe_id"), col("corpus_id"),
         round(sqrt(col("adc2")), 6).as("adc_dist"), col("rank"))
   }
@@ -750,11 +791,7 @@ object Similarity {
     val scored = probeCells.join(corpusCells, Seq("centroid_id"))
       .filter(col("probe_id") =!= col("corpus_id"))
       .select(col("probe_id"), col("corpus_id"), adc2.as("adc2"))
-    val top = graft.plans.TopK.perKeyOrdered(scored, Seq("probe_id"),
-      Seq("adc2" -> false, "corpus_id" -> false), topK)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id")).orderBy(col("adc2").asc, col("corpus_id").asc)
-    top.withColumn("rank", row_number().over(w))
+    rankPerProbe(scored, "adc2", scoreDesc = false, topK)
       .select(col("probe_id"), col("corpus_id"),
         round(sqrt(col("adc2")), 6).as("adc_dist"), col("rank"))
   }
@@ -861,11 +898,7 @@ object Similarity {
       .filter(col("probe_id") =!= col("corpus_id"))
       .select(col("probe_id"), col("corpus_id"),
         round(cosine(col("pvec"), col("cvec")), 6).as("cos_sim"))
-    val top = graft.plans.TopK.perKeyOrdered(scored, Seq("probe_id"),
-      Seq("cos_sim" -> true, "corpus_id" -> false), k)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id")).orderBy(col("cos_sim").desc, col("corpus_id").asc)
-    top.withColumn("rank", row_number().over(w))
+    rankPerProbe(scored, "cos_sim", scoreDesc = true, k)
       .select(col("probe_id"), col("corpus_id"), col("cos_sim"), col("rank"))
   }
 }

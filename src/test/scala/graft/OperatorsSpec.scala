@@ -365,22 +365,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.mergeSpanEvidence(
       Dedup.spanEvidenceBatch(batchA, col("text"), col("doc_id"), width = 20),
       minDocs = 2).count() == 0L)
-    // the algebra is associative: merging a pre-merged store with a
-    // later batch equals merging all three at once.  A re-merged store
-    // keeps (h1, h2, span, summed counts) — simulate by merging A+B
-    // WITHOUT the minDocs filter via minDocs = 1 on raw evidence
-    // columns, which is exactly the stored-generation shape
-    val gen1 = evidence.filter(col("first_doc") < 3L) // batches A+B stored together
-    val regrouped = gen1.groupBy(col("h1"), col("h2"))
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_occurrences")).as("n_occurrences"),
-        min(col("first_doc")).as("first_doc"), min(col("span")).as("span"))
+    // the algebra is associative: compact batches A+B into a stored
+    // GENERATION (full evidence schema, no minDocs cut — a span that
+    // only crosses the threshold in a later generation survives),
+    // then merge the generation with batch C's fresh evidence
+    val gen1 = Dedup.compactSpanEvidence(
+      evidence.filter(col("first_doc") < 3L)) // batches A+B stored together
     val viaGenerations = canon(Dedup.mergeSpanEvidence(
-      regrouped.select(col("h1"), col("h2"), col("span"), col("n_docs"),
-        col("n_occurrences"), col("first_doc"))
-        .union(Dedup.spanEvidenceBatch(batchC, col("text"), col("doc_id"), width = 20)
-          .select(col("h1"), col("h2"), col("span"), col("n_docs"),
-            col("n_occurrences"), col("first_doc"))), minDocs = 2))
+      gen1.unionByName(
+        Dedup.spanEvidenceBatch(batchC, col("text"), col("doc_id"), width = 20)),
+      minDocs = 2))
     assert(viaGenerations == whole, "generation-wise merge must equal the one-shot merge")
+    // the terminal REPORT is not re-mergeable — refuse loudly
+    intercept[IllegalArgumentException](
+      Dedup.mergeSpanEvidence(Dedup.mergeSpanEvidence(evidence, 2), 2))
   }
 
   test("removeRepeatedSpans cuts repeats from non-first docs; Scala reference") {
@@ -859,6 +857,38 @@ class DedupSpec extends SparkSpec {
         df.withColumnRenamed("v", "bucket"), col("grp"), col("bucket"), col("id"), n = 4)
     }
     assert(ex.getMessage.contains("bucket"))
+  }
+
+  test("kmeansFit/pq refuse non-integral ids and ragged vectors loudly") {
+    // a string id would cast to null and die in an obscure NPE at the
+    // seed collect; the guard names the fix (hash to a long first)
+    val strIds = Seq(("doc-1", Seq(1.0, 2.0)), ("doc-2", Seq(2.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.kmeansFit(strIds, "vec_id", "embedding", k = 1))
+    assert(e1.getMessage.contains("integral id"), e1.getMessage)
+    intercept[IllegalArgumentException](
+      Similarity.pqEncode(strIds, "vec_id", "embedding", m = 2, k = 1))
+    // ragged vector lengths would corrupt centroids silently (tail
+    // dims averaged over fewer members) — the folded assert fires
+    val ragged = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0, 2.0, 3.0, 4.0)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Similarity.kmeansFit(ragged, "vec_id", "embedding", k = 1).collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("ragged"), s"${e2.getMessage}")
+  }
+
+  test("minhashSignature: empty shingle array yields a NULL signature, not k nulls") {
+    // [null x k] passes isNotNull filters and — since xxhash64 skips
+    // null inputs — shares identical band keys in every band, forming
+    // one quadratic all-short-docs bucket
+    val df = Seq((1L, Seq("abcde", "bcdef")), (2L, Seq.empty[String]))
+      .toDF("doc_id", "shingles")
+      .select(col("doc_id"), Dedup.minhashSignature(col("shingles"), k = 4).as("sig"))
+    val rows = df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(1L).isDefined, "real shingles must produce a signature")
+    assert(rows(2L).isEmpty, "empty shingle array must produce a NULL signature")
   }
 
   test("kmeansFit refuses an empty / all-null-vector corpus loudly") {
