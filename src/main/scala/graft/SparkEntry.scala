@@ -3122,7 +3122,9 @@ object SparkEntry {
          |FROM d2) u WHERE length(trim(u.s)) > 0)
          |SELECT $fp AS sentence_fp, count(DISTINCT doc_id) AS n_docs,
          |count(*) AS n_occurrences, min(doc_id) AS first_doc
-         |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin.replace("\n", " ")
+         |FROM s WHERE length(trim(regexp_replace(regexp_replace(lower(sentence),
+         |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) > 0
+         |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin.replace("\n", " ")
     },
 
     "q83_mix_weights" ->

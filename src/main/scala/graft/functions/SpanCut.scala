@@ -39,10 +39,17 @@ object SpanCut {
     var i = 0 // byte/char cursor, 0-based
     var pi = 0
     var cutEnd = -1 // exclusive end of the active cut range
+    var prevSt = Int.MinValue // sorted-contract check rides the merge loop
     while (i < len) {
       // open/extend the active range with every window starting here
       while (pi < n && positions.getLong(pi).toInt - 1 <= i) {
         val st = positions.getLong(pi).toInt - 1
+        // an unsorted array would open late ranges after their bytes
+        // were already copied — silently WRONG output; fail loudly
+        // (one comparison per position, the sketch-codec discipline)
+        if (st < prevSt) throw new IllegalArgumentException(
+          s"span_cut: positions must be sorted ascending (got ${st + 1} after ${prevSt + 1})")
+        prevSt = st
         val en = st + width
         if (en > cutEnd) cutEnd = en
         pi += 1

@@ -24,6 +24,17 @@ object Binned {
     * [0, n); values on the upper edge fall in the last bin, matching
     * numpy.histogram's closed-right last bin. */
   final case class Axis(name: String, expr: Column, lo: Double, hi: Double, n: Int) {
+    // fail loudly on a degenerate axis: width 0 makes every bucket id
+    // NaN→null, and least() SKIPS nulls, so every in-range row would
+    // silently clamp into the last bin with all centers collapsed at
+    // `lo` (numpy.histogram raises on max <= min too).  Data-derived
+    // extents of a constant column should be padded first — see
+    // [[padDegenerate]].
+    require(n >= 1, s"Axis '$name' needs n >= 1 bins, got $n")
+    require(hi > lo,
+      s"Axis '$name' has a degenerate range [$lo, $hi] — hi must exceed lo; " +
+        "for a data-derived extent of a constant column, pad it (padDegenerate) " +
+        "or pass an explicit range")
     def width: Double = (hi - lo) / n
     def bucket: Column = {
       val raw = floor((expr - lit(lo)) / lit(width)).cast(LongType)
@@ -89,6 +100,13 @@ object Binned {
         "column) — pass an explicit range")
     (r.getDouble(0), r.getDouble(1))
   }
+
+  /** Widen a data-derived degenerate extent (constant column: min ==
+    * max) to a unit-wide window around the value — numpy.histogram's
+    * convention for constant data — so [[Axis]]'s hi > lo contract
+    * holds.  Non-degenerate extents pass through unchanged. */
+  def padDegenerate(lo: Double, hi: Double): (Double, Double) =
+    if (hi > lo) (lo, hi) else (lo - 0.5, hi + 0.5)
 
   /** Bin-width heuristic from the reference (ezdata/xarray.py:23–30
     * guess_bins): dx = the smallest gap between consecutive distinct

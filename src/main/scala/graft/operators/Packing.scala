@@ -40,9 +40,27 @@ object Packing {
     * parallelism at 1/64th of the data per task at scale (the r4
     * review's hazard #3).  Results are bucket-count-invariant
     * (spec-pinned), so the knob only moves parallelism, never values. */
+  /** Fail loudly on a non-integral order key: a fractional (or string)
+    * key silently truncates under the long cast, merging distinct keys
+    * into equal `pack_key`s — and the RANGE window frame then gives
+    * tied rows identical running sums, so bins are undefined exactly
+    * where the contract ("a numeric, unique key") was violated.  Same
+    * discipline as kmeansFit/pqSetup's id columns. */
+  private def requireIntegralOrder(df: DataFrame, order: Column, who: String): Unit = {
+    val dt = df.select(order).schema.head.dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"$who: order key must be an integral type, got $dt — " +
+      "a fractional/string key truncates under the long cast and merges " +
+      "distinct keys; rank or hash the key to a long first")
+  }
+
   def sequentialBins(df: DataFrame, order: Column, weight: Column, budget: Long,
                      buckets: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    requireIntegralOrder(df, order, "sequentialBins")
     import org.apache.spark.storage.StorageLevel
     val spark = df.sparkSession
     // scale signal WITHOUT executing the plan: `df.rdd.getNumPartitions`
@@ -108,6 +126,7 @@ object Packing {
     * definition the distributed version is spec-verified against. */
   private[graft] def sequentialBinsGlobal(df: DataFrame, order: Column, weight: Column,
                                           budget: Long): DataFrame = {
+    requireIntegralOrder(df, order, "sequentialBinsGlobal")
     val w = Window.orderBy(order.cast(LongType))
     df.withColumn("pack_weight", coalesce(weight.cast(LongType), lit(0L)))
       .withColumn("bin_id",

@@ -21,13 +21,31 @@ import org.apache.spark.sql.types._
   *
   * Ordering contract for packing: chunks pack in (doc, chunk) order
   * via the synthetic key `doc_id · 2^20 + chunk_id` — exact as long as
-  * chunk counts stay below 2^20 per document; a 500-wide/400-stride
+  * chunk counts stay below 2^20 per document (a 500-wide/400-stride
   * chunker would need a ~420 M-char document to break that, beyond
-  * any realistic web document (and near Spark's 2 GB string ceiling).
+  * any realistic web document and near Spark's 2 GB string ceiling)
+  * AND doc ids stay in [0, 2^42): a 64-bit hash id would overflow the
+  * multiply and can COLLIDE mod 2^44, silently violating packing's
+  * unique-key contract — both bounds are asserted in the plan (rank or
+  * zipWithIndex hash ids down first).
   */
 object Pipeline {
 
   val ChunkKeyShift = 20
+
+  /** doc_id bound for the synthetic pack key: doc_id · 2^20 + chunk_id
+    * stays strictly inside a signed long for doc_id < 2^42. */
+  val MaxDocId: Long = 1L << (62 - ChunkKeyShift)
+
+  /** The synthetic (doc, chunk) pack key with its validity asserted
+    * in-plan (the kmeansFit ragged-vector discipline: a dropped
+    * standalone check column would be pruned and never evaluate). */
+  private def packOrder: Column =
+    when(assert_true(col("doc_id") >= 0 && col("doc_id") < MaxDocId,
+        lit(s"pretrainCorpus: doc_id must be in [0, 2^${62 - ChunkKeyShift}) for the " +
+          "synthetic (doc, chunk) pack key — 64-bit hash ids would overflow or " +
+          "collide; rank or zipWithIndex ids down to a dense long first")).isNull,
+      col("doc_id") * (1L << ChunkKeyShift) + col("chunk_id"))
 
   /** Per-packed-sequence summary of the cleaned, deduped, chunked,
     * packed corpus. */
@@ -47,8 +65,7 @@ object Pipeline {
     val chunks = Chunking.chunk(deduped, col("doc_id"), col("text"), width, stride)
       .withColumn("chunk_tokens", TextAnalysis.tokenCount(col("chunk_text")))
     // 5: pack chunks into fixed token budgets, in (doc, chunk) order
-    val keyed = chunks.withColumn("pack_order",
-      col("doc_id") * (1L << ChunkKeyShift) + col("chunk_id"))
+    val keyed = chunks.withColumn("pack_order", packOrder)
     val binned = Packing.sequentialBins(
       keyed, col("pack_order"), col("chunk_tokens"), budget)
     binned.groupBy(col("bin_id"))
@@ -90,8 +107,7 @@ object Pipeline {
       .withColumn("chunk_tokens", TextAnalysis.tokenCount(col("chunk_text")))
       .observe("chunks", count(lit(1)).as("n_chunks"),
         sum(col("chunk_tokens")).as("n_tokens"))
-    val keyed = chunks.withColumn("pack_order",
-      col("doc_id") * (1L << ChunkKeyShift) + col("chunk_id"))
+    val keyed = chunks.withColumn("pack_order", packOrder)
     val binned = Packing.sequentialBins(
       keyed, col("pack_order"), col("chunk_tokens"), budget)
     binned.groupBy(col("bin_id"))

@@ -14,8 +14,13 @@ object TextAnalysis {
 
   /** Occurrences of a literal substring, via length differencing —
     * avoids regex engines (dialect-portable and codegen'd). */
-  def countOccurrences(text: Column, token: String): Column =
+  def countOccurrences(text: Column, token: String): Column = {
+    // the length-differencing formula divides by token.length — an
+    // empty token would be a silent divide-by-zero (null under ANSI
+    // off), not the "0 occurrences" a caller might expect
+    require(token.nonEmpty, "countOccurrences: token must be non-empty")
     ((length(text) - length(replace(text, lit(token), lit("")))) / token.length).cast(LongType)
+  }
 
   /** Whitespace token count: non-empty space-separated segments.
     * On a single-space-normalized corpus this is exactly spaces + 1
@@ -425,7 +430,14 @@ object TextAnalysis {
   def repeatedSentences(df: org.apache.spark.sql.DataFrame, id: Column, text: Column,
                         minDocs: Int = 2): org.apache.spark.sql.DataFrame =
     sentences(df, id, text)
-      .groupBy(fingerprint(col("sentence")).as("sentence_fp"))
+      // sentences that NORMALIZE to empty (punctuation/symbol-only —
+      // "¡¡¡" vs "???") carry no content evidence, yet all share the
+      // md5("") fingerprint and would be falsely merged into one
+      // "boilerplate" row; drop them (the normalized text is computed
+      // once and reused for the fingerprint)
+      .select(col("doc_id"), normalize(col("sentence")).as("_norm"))
+      .filter(length(col("_norm")) > 0)
+      .groupBy(md5(col("_norm").cast(BinaryType)).as("sentence_fp"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
         min(col("doc_id")).as("first_doc"))

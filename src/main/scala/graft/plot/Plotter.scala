@@ -201,7 +201,12 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
   def hist(x: String, bins: Int = 10, range: Option[(Double, Double)] = None,
            weights: Option[String] = None): PlotSpec = {
     val xc = ez.get(x)
-    val (lo, hi) = range.getOrElse(Binned.extent(ez.df, xc))
+    // a data-derived extent of a constant column is degenerate — pad it
+    // (numpy.histogram convention); an EXPLICIT degenerate range still
+    // fails loudly in Axis
+    val (lo, hi) = range.getOrElse {
+      val (l, h0) = Binned.extent(ez.df, xc); Binned.padDegenerate(l, h0)
+    }
     val h = Binned.histogram(ez.df, xc, lo, hi, bins, weights.map(ez.get))
       .select(col("x_center").as(x), col("value").as("count"))
     PlotSpec("bar", collectMaps(h), Map(
@@ -215,8 +220,12 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
              xRange: Option[(Double, Double)] = None,
              yRange: Option[(Double, Double)] = None): PlotSpec = {
     val (xc, yc) = (ez.get(x), ez.get(y))
-    val (xlo, xhi) = xRange.getOrElse(Binned.extent(ez.df, xc))
-    val (ylo, yhi) = yRange.getOrElse(Binned.extent(ez.df, yc))
+    val (xlo, xhi) = xRange.getOrElse {
+      val (l, h) = Binned.extent(ez.df, xc); Binned.padDegenerate(l, h)
+    }
+    val (ylo, yhi) = yRange.getOrElse {
+      val (l, h) = Binned.extent(ez.df, yc); Binned.padDegenerate(l, h)
+    }
     val cube = Binned.denseCube(ez.df,
       Seq(Binned.Axis("x", xc, xlo, xhi, bins), Binned.Axis("y", yc, ylo, yhi, bins)),
       Seq(count(lit(1)).as("count")), fill = Map("count" -> 0L))
@@ -455,7 +464,8 @@ final class Group(val items: Seq[(String, Plotter)]) {
     // shared axes across facets: compute the global extent once
     val globalRange = range.orElse {
       val extents = items.map { case (_, p) => Binned.extent(p.ez.df, p.ez.get(x)) }
-      Some((extents.map(_._1).min, extents.map(_._2).max))
+      // data-derived: pad a degenerate global extent (all facets constant)
+      Some(Binned.padDegenerate(extents.map(_._1).min, extents.map(_._2).max))
     }
     FacetSpec(items.map { case (lbl, p) => lbl -> p.hist(x, bins, globalRange) })
   }
