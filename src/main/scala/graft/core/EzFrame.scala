@@ -161,7 +161,14 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
   def drop(fields: String): EzFrame = withDf(df.drop(keys(fields): _*))
 
   def rename(mapping: (String, String)*): EzFrame = {
-    val d = mapping.foldLeft(df) { case (acc, (from, to)) => acc.withColumnRenamed(resolveAlias(from), to) }
+    val d = mapping.foldLeft(df) { case (acc, (from, to)) =>
+      val physical = resolveAlias(from)
+      // withColumnRenamed onto an EXISTING name silently yields two
+      // columns with the same name — every later reference is ambiguous
+      require(to == physical || !acc.columns.contains(to),
+        s"rename: target '$to' already exists — drop or rename it first")
+      acc.withColumnRenamed(physical, to)
+    }
     // keep aliases pointing at the renamed physical columns
     val renames = mapping.map { case (f, t) => resolveAlias(f) -> t }.toMap
     val newAliases = meta.aliases.map { case (a, t) => a -> renames.getOrElse(t, t) }
@@ -189,6 +196,10 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
     // (before suffix renaming), matching the reference where the key
     // expression is evalexpr'ed on each side (simpletable.py:2507).
     val keyCol = "_graft_join_key"
+    // withColumn REPLACES an existing column of the same name — a user
+    // column spelled like the internal key would be silently clobbered
+    require(!df.columns.contains(keyCol) && !other.df.columns.contains(keyCol),
+      s"join: '$keyCol' is reserved for the internal join key; rename that column first")
     def withKey(f: EzFrame, k: String): DataFrame =
       if (f.df.columns.contains(f.resolveAlias(k))) f.df.withColumn(keyCol, f.df.col(f.resolveAlias(k)))
       else f.df.withColumn(keyCol, f.evalexpr(k))
@@ -215,11 +226,18 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
   }
 
   /** Vertical concat with missing-column defaults
-    * (ezdata/simpletable.py:2400–2424 `stack_arrays` + defaults). */
+    * (ezdata/simpletable.py:2400–2424 `stack_arrays` + defaults).
+    * Defaults fill ONLY the side a column is missing from —
+    * numpy's stack_arrays fills masked (absent) fields; a genuine
+    * null/NaN in a column present on both sides is data and survives
+    * (a whole-union na.fill would silently overwrite it). */
   def stack(other: EzFrame, defaults: Map[String, Any] = Map.empty): EzFrame = {
-    val u = df.unionByName(other.df, allowMissingColumns = true)
-    val filled = defaults.foldLeft(u) { case (d, (c, v)) => d.na.fill(Map(c -> v)) }
-    withDf(filled)
+    def addMissing(d: DataFrame, missing: Set[String]): DataFrame =
+      defaults.filter { case (c, _) => missing.contains(c) }
+        .foldLeft(d) { case (acc, (c, v)) => acc.withColumn(c, lit(v)) }
+    val l = addMissing(df, other.df.columns.toSet -- df.columns.toSet)
+    val r = addMissing(other.df, df.columns.toSet -- other.df.columns.toSet)
+    withDf(l.unionByName(r, allowMissingColumns = true))
   }
 
   /** Whole-row duplicate detection (ezdata/simpletable.py:2691–2708) as a

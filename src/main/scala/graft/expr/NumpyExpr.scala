@@ -224,6 +224,12 @@ object NumpyExpr {
         if (t.ty == TyBool) Typed(!t.col, TyBool) else Typed(bitwise_not(t.col), TyInt)
       case Un("not", x) => Typed(!go(x).col, TyBool)
       case Bin(op, l, r) => binOp(op, go(l), go(r))
+      // np.round(x, decimals): the scale must be a literal — bround's
+      // scale is a plan-time constant.  Matched on the RAW ast (before
+      // compile) because a compiled Column can't be read back as an int.
+      case Call("round" | "around", x :: Num(n) :: Nil)
+          if !n.contains('.') && !n.toLowerCase.contains('e') =>
+        Typed(bround(go(x).col, n.toInt), TyFloat)
       case Call(fn, args) => call(fn, args.map(go))
     }
 
@@ -339,7 +345,12 @@ object NumpyExpr {
       case "sign"    => f1(args)(signum(_))
       case "floor"   => f1(args)(floorD)
       case "ceil"    => f1(args)(ceilD)
-      case "rint" | "round" | "around" => f1(args)(bround(_, 0)) // numpy: half-to-even
+      case "rint" | "round" | "around" => args match { // numpy: half-to-even
+        case a :: Nil => Typed(bround(a.col, 0), TyFloat)
+        case _ :: _ :: Nil => throw new IllegalArgumentException(
+          s"$fn(x, decimals): decimals must be an integer literal (it is a plan-time constant)")
+        case _ => throw new IllegalArgumentException(s"$fn expects 1 argument")
+      }
       case "trunc"   => f1(args)(truncD) // the old cast(LongType) crashed under ANSI on NaN/1e20
       case "sin"     => f1(args)(sin(_))
       case "cos"     => f1(args)(cos(_))
@@ -379,24 +390,42 @@ object NumpyExpr {
         case _ => throw new IllegalArgumentException("fmax expects 2 arguments")
       }
       case "clip" => args match {
-        case x :: lo :: hi :: Nil => Typed(least(greatest(x.col, lo.col), hi.col), numJoin(x.ty, numJoin(lo.ty, hi.ty)))
+        case x :: lo :: hi :: Nil =>
+          val ty = numJoin(x.ty, numJoin(lo.ty, hi.ty))
+          val base = least(greatest(x.col, lo.col), hi.col)
+          // numpy clip = minimum(maximum(x, lo), hi) — NaN PROPAGATES;
+          // Spark's least/greatest order NaN greatest, so clip(NaN,0,1)
+          // silently returned hi.  Int-typed clips skip the guard so
+          // their result type stays integral.
+          val guarded = if (ty == TyFloat)
+            when(x.col.isNull || isnan(x.col) || lo.col.isNull || isnan(lo.col) ||
+              hi.col.isNull || isnan(hi.col), lit(Double.NaN)).otherwise(base)
+          else base
+          Typed(guarded, ty)
         case _ => throw new IllegalArgumentException("clip expects 3 arguments")
       }
       case "where" => args match {
         case c :: a :: b :: Nil => Typed(when(c.col, a.col).otherwise(b.col), numJoin(a.ty, b.ty))
         case _ => throw new IllegalArgumentException("where expects 3 arguments")
       }
+      // Nulls stand for NumPy's domain-error NaNs (SURVEY.md §7.1.1) —
+      // the same convention nanPropagating/npCmp already apply — so the
+      // classification trio must treat null AS NaN and return GENUINE
+      // booleans: Spark's isnan(null) is false and `null === inf` is
+      // null, which poisons `~isfinite(x)` into a row-dropping null.
       case "isnan"    => args match {
-        case a :: Nil => Typed(isnan(a.col), TyBool)
+        case a :: Nil => Typed(a.col.isNull || isnan(a.col), TyBool)
         case _ => throw new IllegalArgumentException("isnan expects 1 argument")
       }
       case "isfinite" => args match {
         case a :: Nil =>
-          Typed(!(isnan(a.col) || a.col === lit(Double.PositiveInfinity) || a.col === lit(Double.NegativeInfinity)), TyBool)
+          Typed(!(a.col.isNull || isnan(a.col) ||
+            a.col === lit(Double.PositiveInfinity) || a.col === lit(Double.NegativeInfinity)), TyBool)
         case _ => throw new IllegalArgumentException("isfinite expects 1 argument")
       }
       case "isinf" => args match {
-        case a :: Nil => Typed(a.col === lit(Double.PositiveInfinity) || a.col === lit(Double.NegativeInfinity), TyBool)
+        case a :: Nil => Typed(!a.col.isNull &&
+          (a.col === lit(Double.PositiveInfinity) || a.col === lit(Double.NegativeInfinity)), TyBool)
         case _ => throw new IllegalArgumentException("isinf expects 1 argument")
       }
       case "logical_and" => f2Bool(args)(_ && _)

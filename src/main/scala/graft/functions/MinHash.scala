@@ -141,16 +141,29 @@ object MinHash {
     new GenericArrayData(if (w == cnt) hs else java.util.Arrays.copyOf(hs, w))
   }
 
-  /** |A ∩ B| of two SORTED distinct long arrays via a merge walk. */
+  /** |A ∩ B| of two SORTED distinct long arrays via a merge walk.
+    * The sorted contract is CHECKED as the walk consumes elements (one
+    * comparison per step, the span_cut discipline): an unsorted input
+    * silently undercounts the intersection, which then inflates every
+    * downstream Jaccard verdict.  Elements past the shorter side's
+    * exhaustion are never read, so only the consumed prefix is checked
+    * — partial loudness over silent corruption. */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0L
+    var prevX = Long.MinValue; var seenX = false
+    var prevY = Long.MinValue; var seenY = false
     // null elements carry no membership evidence — skip them (a
     // user-built array<long> may have containsNull=true)
     while (i < na && a.isNullAt(i)) i += 1
     while (j < nb && b.isNullAt(j)) j += 1
     while (i < na && j < nb) {
       val x = a.getLong(i); val y = b.getLong(j)
+      if (seenX && x < prevX) throw new IllegalArgumentException(
+        s"sorted_intersect_count: left array must be sorted ascending (got $x after $prevX)")
+      if (seenY && y < prevY) throw new IllegalArgumentException(
+        s"sorted_intersect_count: right array must be sorted ascending (got $y after $prevY)")
+      prevX = x; seenX = true; prevY = y; seenY = true
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.EzFrame
+import graft.functions.MinHash
+
+/** Regressions for the fourth adversarial operator-review batch:
+  * null≡NaN consistency of the NumpyExpr classification trio, clip NaN
+  * propagation, literal-decimals round, stack default scope, join/rename
+  * name-collision loudness, sorted-intersect contract. */
+class ReviewBatch4Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val nanDf = Seq(
+    (1L, Option(1.5)), (2L, Option(Double.NaN)), (3L, None: Option[Double]))
+    .toDF("i", "v")
+  private lazy val ez = EzFrame(nanDf)
+
+  test("isnan/isfinite/isinf treat null as NaN and return genuine booleans") {
+    // null stands for a domain-error NaN (SURVEY §7.1.1): isnan(null)
+    // must be TRUE, and ~isfinite(null) must KEEP the row (a null
+    // boolean would silently drop it from the filter)
+    assert(ez.where("isnan(v)").count() == 2)       // NaN + null
+    assert(ez.where("isfinite(v)").count() == 1)    // only 1.5
+    assert(ez.where("~isfinite(v)").count() == 2)   // negation stays genuine
+    assert(ez.where("isinf(v)").count() == 0)
+    assert(ez.where("~isinf(v)").count() == 3)
+    val inf = EzFrame(Seq(Double.PositiveInfinity, 1.0).toDF("v"))
+    assert(inf.where("isinf(v)").count() == 1)
+    assert(inf.where("isfinite(v)").count() == 1)
+  }
+
+  test("clip propagates NaN/null instead of returning hi") {
+    // Spark's least/greatest order NaN greatest, so the unguarded form
+    // returned hi for a NaN input — numpy clip(NaN, 0, 1) is NaN
+    val out = nanDf.select(ez.evalexpr("clip(v, 0, 1)").as("c"))
+      .collect().map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    assert(out(0) == 1.0 && out(1).isNaN && out(2).isNaN)
+    // int clip keeps an integral result type (no NaN branch widening)
+    val ints = EzFrame(Seq(5L, -1L).toDF("k"))
+    val dt = ints.df.select(ints.evalexpr("clip(k, 0, 3)")).schema.head.dataType
+    assert(dt == org.apache.spark.sql.types.LongType)
+  }
+
+  test("round(x, decimals) with a literal scale; non-literal stays loud") {
+    val df2 = Seq(1.23456, 2.5).toDF("x")
+    val e = EzFrame(df2)
+    val r = df2.select(e.evalexpr("round(x, 2)").cast("double")).collect().map(_.getDouble(0))
+    assert(r.toSeq == Seq(1.23, 2.5))
+    assert(df2.select(e.evalexpr("round(x)").cast("double")).collect()
+      .map(_.getDouble(0)).toSeq == Seq(1.0, 2.0)) // half-to-even
+    val err = intercept[IllegalArgumentException] { e.evalexpr("round(x, x)") }
+    assert(err.getMessage.contains("literal"))
+  }
+
+  test("stack defaults fill only the missing side, not genuine nulls") {
+    val a = EzFrame(Seq((1L, Option("real")), (2L, None: Option[String])).toDF("id", "tag"))
+    val b = EzFrame(Seq((3L, 7.0)).toDF("id", "w"))
+    val rows = a.stack(b, defaults = Map("tag" -> "NONE", "w" -> 0.0))
+      .df.orderBy("id").collect()
+    assert(rows(0).getAs[String]("tag") == "real" && rows(0).getAs[Double]("w") == 0.0)
+    // id=2's tag is a GENUINE null in a column both sides have after
+    // the fill — stack_arrays keeps it; the old whole-union na.fill
+    // overwrote it with "NONE"
+    assert(rows(1).isNullAt(rows(1).fieldIndex("tag")))
+    assert(rows(2).getAs[String]("tag") == "NONE" && rows(2).getAs[Double]("w") == 7.0)
+  }
+
+  test("join refuses a frame carrying the reserved internal key column") {
+    val l = EzFrame(Seq((1L, 2L)).toDF("k", "_graft_join_key"))
+    val r = EzFrame(Seq((1L, 3L)).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] { l.join(r, on = "k") }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("rename onto an existing column fails loudly instead of duplicating") {
+    val f = EzFrame(Seq((1L, 2L)).toDF("a", "b"))
+    val e = intercept[IllegalArgumentException] { f.rename("a" -> "b") }
+    assert(e.getMessage.contains("already exists"))
+    assert(f.rename("a" -> "a").columns == Seq("a", "b")) // self-rename is a no-op
+  }
+
+  test("sorted_intersect_count fails loudly on unsorted input") {
+    val ok = Seq((Array(1L, 3L, 9L), Array(3L, 9L, 11L))).toDF("a", "b")
+      .select(MinHash.intersectCount(col("a"), col("b"))).head().getLong(0)
+    assert(ok == 2L)
+    val bad = Seq((Array(3L, 1L, 9L), Array(1L, 9L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(MinHash.intersectCount(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    assert(messages(e).exists(_.contains("sorted ascending")))
+  }
+}
