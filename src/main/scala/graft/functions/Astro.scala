@@ -115,9 +115,12 @@ object Astro {
     val s = ts - h * 3600.0 - m * 60.0
     concat(
       when(deg < 0, lit("-")).otherwise(lit("")),
-      lpad(h.cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
-      lpad(m.cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
-      lpad(format_number(s, 2), 5, "0"))
+      // format_string pads WITHOUT truncating (Java %02d) — lpad
+      // truncates a 3-digit field to 2, silently corrupting the
+      // faithful out-of-range rendering this contract promises
+      format_string("%02d", h.cast(IntegerType)), lit(":"),
+      format_string("%02d", m.cast(IntegerType)), lit(":"),
+      lpad(format_number(s, 2), 5, "0")) // s < 60 by construction: never truncates
   }
 
   /** Degrees → "[+-]dd:mm:ss.ss" (ezdata/simpletable.py:1162–1187).
@@ -131,8 +134,8 @@ object Astro {
     val s = ts - d * 3600.0 - m * 60.0
     concat(
       when(deg < 0, lit("-")).otherwise(lit("+")),
-      lpad(d.cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
-      lpad(m.cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
+      format_string("%02d", d.cast(IntegerType)), lit(":"), // no-truncate pad, see deg2hms
+      format_string("%02d", m.cast(IntegerType)), lit(":"),
       lpad(format_number(s, 2), 5, "0"))
   }
 

@@ -74,9 +74,17 @@ object Healpix {
     }
   }
 
-  /** Astronomy convention entry: lon/lat (ra/dec) in degrees. */
-  def ang2pixNestLonLat(order: Int, lonDeg: Double, latDeg: Double): Long =
+  /** Astronomy convention entry: lon/lat (ra/dec) in degrees.
+    * Longitude wraps mod 360; latitude beyond ±90 (or any NaN) fails
+    * LOUDLY — NaN.toLong is 0 in the face math, so a NaN coordinate
+    * would otherwise land silently in a valid-looking polar pixel
+    * (healpy raises on theta outside [0, π] the same way). */
+  def ang2pixNestLonLat(order: Int, lonDeg: Double, latDeg: Double): Long = {
+    if (lonDeg.isNaN || latDeg.isNaN || latDeg < -90.0 || latDeg > 90.0)
+      throw new IllegalArgumentException(
+        s"ang2pix: latitude must be in [-90, 90] and coordinates non-NaN, got lon=$lonDeg lat=$latDeg")
     ang2pixNestZPhi(order, math.sin(math.toRadians(latDeg)), math.toRadians(lonDeg))
+  }
 
   /** Column surface: `healpix(order, lon, lat)` in degrees. */
   def ang2pix(order: Int, lonDeg: Column, latDeg: Column): Column = {

@@ -80,6 +80,44 @@ class ReviewBatch4Spec extends SparkSpec {
     assert(f.rename("a" -> "a").columns == Seq("a", "b")) // self-rename is a no-op
   }
 
+  test("deg2hms/deg2dms render out-of-range fields faithfully (no lpad truncation)") {
+    import graft.functions.Astro
+    val df = Seq(123.508333333, -100.5, 15.5).toDF("deg")
+    val dms = df.select(Astro.deg2dms(col("deg")).as("s")).collect().map(_.getString(0))
+    // lpad truncated "123" to "12" — a silently wrong coordinate; the
+    // contract is faithful rendering of the given angle
+    assert(dms(0).startsWith("+123:"))
+    assert(dms(1).startsWith("-100:"))
+    assert(dms(2) == "+15:30:00.00")
+    val hms = Seq(1500.0).toDF("deg")
+      .select(Astro.deg2hms(col("deg")).as("s")).head().getString(0)
+    assert(hms.startsWith("100:")) // 1500° = 100 h, kept intact
+    // in-range values keep the 2-digit zero pad (q41's pinned shape)
+    val pad = Seq(7.5).toDF("deg").select(Astro.deg2hms(col("deg"))).head().getString(0)
+    assert(pad == "00:30:00.00")
+  }
+
+  test("ang2pix fails loudly on NaN or out-of-range latitude") {
+    import graft.functions.Healpix
+    val e = intercept[Exception] {
+      Seq((0.0, Double.NaN)).toDF("ra", "dec")
+        .select(Healpix.ang2pix(4, col("ra"), col("dec"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    assert(messages(e).exists(_.contains("non-NaN")))
+    val e2 = intercept[Exception] {
+      Seq((0.0, 95.0)).toDF("ra", "dec")
+        .select(Healpix.ang2pix(4, col("ra"), col("dec"))).collect()
+    }
+    assert(messages(e2).exists(_.contains("[-90, 90]")))
+    // poles and wrap-around longitudes stay valid
+    val ok = Seq((720.5, 90.0), (-10.0, -90.0)).toDF("ra", "dec")
+      .select(Healpix.ang2pix(4, col("ra"), col("dec"))).collect()
+    assert(ok.length == 2)
+  }
+
   test("sorted_intersect_count fails loudly on unsorted input") {
     val ok = Seq((Array(1L, 3L, 9L), Array(3L, 9L, 11L))).toDF("a", "b")
       .select(MinHash.intersectCount(col("a"), col("b"))).head().getLong(0)
