@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions.udaf
   * Columns where possible and to Aggregators for anything custom). */
 object Aggregators {
 
-  /** NaN-aware weighted mean: Σwx / Σw over rows where both value and
-    * weight are finite — the reference's nan-handling stats posture
-    * applied to a weighted statistic Spark lacks as a builtin. */
+  /** NaN-aware weighted mean: Σwx / Σw over rows where neither value
+    * nor weight is NaN (infinities propagate, exactly numpy's nanmean
+    * posture) — the reference's nan-handling applied to a weighted
+    * statistic Spark lacks as a builtin. */
   object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
     def zero: (Double, Double) = (0.0, 0.0)
     def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) = {

@@ -94,6 +94,16 @@ object Astro {
     sign * (d + m / 60.0 + s / 3600.0)
   }
 
+  /** Zero-pad an integral field to AT LEAST two digits, never
+    * truncating (a plain `lpad(s, 2, "0")` cuts "123" to "12").
+    * Conditional concat keeps the whole formatter inside codegen'd
+    * string ops — format_string("%02d") measured ~2× the full deg2hms
+    * query at sf0.1 via java.util.Formatter. */
+  private def pad2(v: Column): Column = {
+    val s = v.cast(IntegerType).cast(StringType)
+    when(length(s) === 1, concat(lit("0"), s)).otherwise(s)
+  }
+
   /** Degrees → "hh:mm:ss.ss" (ezdata/simpletable.py:1135–1160).
     * Decomposed from the TOTAL seconds rounded to the rendered
     * precision — rounding the seconds remainder after flooring the
@@ -115,11 +125,11 @@ object Astro {
     val s = ts - h * 3600.0 - m * 60.0
     concat(
       when(deg < 0, lit("-")).otherwise(lit("")),
-      // format_string pads WITHOUT truncating (Java %02d) — lpad
-      // truncates a 3-digit field to 2, silently corrupting the
-      // faithful out-of-range rendering this contract promises
-      format_string("%02d", h.cast(IntegerType)), lit(":"),
-      format_string("%02d", m.cast(IntegerType)), lit(":"),
+      // pad2 pads WITHOUT truncating — lpad truncates a 3-digit field
+      // to 2, silently corrupting the faithful out-of-range rendering
+      // this contract promises (and format_string's java.util.Formatter
+      // costs ~2x the whole query; a conditional concat stays cheap)
+      pad2(h), lit(":"), pad2(m), lit(":"),
       lpad(format_number(s, 2), 5, "0")) // s < 60 by construction: never truncates
   }
 
@@ -134,8 +144,7 @@ object Astro {
     val s = ts - d * 3600.0 - m * 60.0
     concat(
       when(deg < 0, lit("-")).otherwise(lit("+")),
-      format_string("%02d", d.cast(IntegerType)), lit(":"), // no-truncate pad, see deg2hms
-      format_string("%02d", m.cast(IntegerType)), lit(":"),
+      pad2(d), lit(":"), pad2(m), lit(":"), // no-truncate pad, see deg2hms
       lpad(format_number(s, 2), 5, "0"))
   }
 

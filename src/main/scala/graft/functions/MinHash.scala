@@ -151,26 +151,39 @@ object MinHash {
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0L
-    var prevX = Long.MinValue; var seenX = false
-    var prevY = Long.MinValue; var seenY = false
     // null elements carry no membership evidence — skip them (a
     // user-built array<long> may have containsNull=true)
     while (i < na && a.isNullAt(i)) i += 1
     while (j < nb && b.isNullAt(j)) j += 1
-    while (i < na && j < nb) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (seenX && x < prevX) throw new IllegalArgumentException(
-        s"sorted_intersect_count: left array must be sorted ascending (got $x after $prevX)")
-      if (seenY && y < prevY) throw new IllegalArgumentException(
-        s"sorted_intersect_count: right array must be sorted ascending (got $y after $prevY)")
-      prevX = x; seenX = true; prevY = y; seenY = true
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-      while (i < na && a.isNullAt(i)) i += 1
-      while (j < nb && b.isNullAt(j)) j += 1
+    if (i >= na || j >= nb) return 0L
+    var x = a.getLong(i); var y = b.getLong(j)
+    // each element is read ONCE, on advance, and compared against the
+    // previous element of its own side right there — so the contract
+    // check is one branch per consumed element, not per loop turn
+    def unsorted(side: String, prev: Long, nxt: Long): Nothing =
+      throw new IllegalArgumentException(
+        s"sorted_intersect_count: $side array must be sorted ascending (got $nxt after $prev)")
+    while (true) {
+      if (x == y) c += 1
+      val advanceA = x <= y; val advanceB = y <= x
+      if (advanceA) {
+        i += 1
+        while (i < na && a.isNullAt(i)) i += 1
+        if (i >= na) return c
+        val nx = a.getLong(i)
+        if (nx < x) unsorted("left", x, nx)
+        x = nx
+      }
+      if (advanceB) {
+        j += 1
+        while (j < nb && b.isNullAt(j)) j += 1
+        if (j >= nb) return c
+        val ny = b.getLong(j)
+        if (ny < y) unsorted("right", y, ny)
+        y = ny
+      }
     }
-    c
+    c // unreachable; the loop returns on exhaustion
   }
 
   def shingleHashSet(text: Column, n: Int): Column = {
