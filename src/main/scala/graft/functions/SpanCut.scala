@@ -49,6 +49,11 @@ object SpanCut {
         // (one comparison per position, the sketch-codec discipline)
         if (st < prevSt) throw new IllegalArgumentException(
           s"span_cut: positions must be sorted ascending (got ${st + 1} after ${prevSt + 1})")
+        // positions are 1-BASED: pos <= 0 maps to st < 0 and would
+        // silently cut a shifted [0, width-1) range (a Long position
+        // past 2^31 also wraps negative through toInt and lands here)
+        if (st < 0) throw new IllegalArgumentException(
+          s"span_cut: positions are 1-based and must be >= 1, got ${st + 1}")
         prevSt = st
         val en = st + width
         if (en > cutEnd) cutEnd = en

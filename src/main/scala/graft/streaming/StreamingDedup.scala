@@ -171,11 +171,17 @@ object StreamingDedup {
                               shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
                               threshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
-    val sigUdf = udf((t: String) => signature(t, shingleSize, k))
+    val sigUdf = udf((t: String) => signatureNormalized(t, shingleSize, k))
     val bandsUdf = udf((sig: Array[Long]) =>
       Array.tabulate(bands)(b => bandKey(sig, b, rowsPerBand)))
     docs
-      .select(col(idCol).cast("long").as("doc_id"), sigUdf(col(textCol)).as("sig"))
+      // normalize through the SAME Catalyst expression as the batch
+      // operator and [[nearDupHits]] — the JVM toLowerCase copy can
+      // disagree with Spark's lower() on non-ASCII text under exotic
+      // default locales (the drift nearDupHits already guards against;
+      // this operator had kept the JVM path)
+      .select(col(idCol).cast("long").as("doc_id"),
+        sigUdf(graft.operators.TextAnalysis.normalize(col(textCol))).as("sig"))
       .where(col("sig").isNotNull)
       .select(col("doc_id"), col("sig"), explode(bandsUdf(col("sig"))).as("band_key"))
       .join(index, Seq("band_key"))

@@ -118,6 +118,17 @@ class ReviewBatch4Spec extends SparkSpec {
     assert(ok.length == 2)
   }
 
+  test("span_cut rejects non-positive positions (1-based contract)") {
+    val df = Seq(("abcdefghij", Array(0L, 5L))).toDF("t", "pos")
+    val e = intercept[Exception] {
+      df.select(graft.functions.SpanCut.cutSpans(col("t"), col("pos"), 3)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    assert(messages(e).exists(_.contains("1-based")))
+  }
+
   test("sorted_intersect_count fails loudly on unsorted input") {
     val ok = Seq((Array(1L, 3L, 9L), Array(3L, 9L, 11L))).toDF("a", "b")
       .select(MinHash.intersectCount(col("a"), col("b"))).head().getLong(0)
