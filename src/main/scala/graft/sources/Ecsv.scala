@@ -95,6 +95,8 @@ object Ecsv {
         else if (t.startsWith("delimiter:")) delimiter = t.drop(10).trim.stripPrefix("'").stripSuffix("'")
         else if (section == "datatype" && t.startsWith("- {")) {
           val m = parseFlowMap(t.stripPrefix("- "))
+          require(m.contains("name"),
+            s"$path: ECSV datatype entry has no 'name' field: $t")
           cols += ColSpec(m("name"), m.getOrElse("datatype", "string"),
             m.get("unit"), m.get("description"), m.get("subtype"))
         } else if (section == "meta" && t.contains(":") && !t.startsWith("-")) {

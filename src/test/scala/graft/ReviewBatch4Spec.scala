@@ -118,6 +118,28 @@ class ReviewBatch4Spec extends SparkSpec {
     assert(ok.length == 2)
   }
 
+  test("ECSV/VOTable readers fail loudly on malformed headers") {
+    import graft.sources.{Ecsv, VoTable}
+    def tmp(content: String): String = {
+      val f = java.nio.file.Files.createTempFile("graft_bad", ".txt")
+      java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+      f.toString
+    }
+    // not an ECSV file at all
+    val e1 = intercept[IllegalArgumentException] {
+      Ecsv.readHeader(tmp("a,b\n1,2\n"))
+    }
+    assert(e1.getMessage.contains("not an ECSV"))
+    // datatype entry without a name used to die as a cryptic
+    // NoSuchElementException("key not found: name")
+    val e2 = intercept[IllegalArgumentException] {
+      Ecsv.readHeader(tmp("# %ECSV 1.0\n# ---\n# datatype:\n# - {datatype: int64}\n# ---\na\n1\n"))
+    }
+    assert(e2.getMessage.contains("no 'name'"))
+    // malformed XML is a loud parse error, not an empty frame
+    intercept[Exception] { VoTable.read(spark, tmp("<VOTABLE><RESOURCE>")) }
+  }
+
   test("span_cut rejects non-positive positions (1-based contract)") {
     val df = Seq(("abcdefghij", Array(0L, 5L))).toDF("t", "pos")
     val e = intercept[Exception] {
