@@ -898,6 +898,12 @@ object Similarity {
       .filter(col("probe_id") =!= col("corpus_id"))
       .select(col("probe_id"), col("corpus_id"),
         round(cosine(col("pvec"), col("cvec")), 6).as("cos_sim"))
+      // NaN/null cosine (zero-norm or null corpus vector in a visited
+      // cell) must not rank — NaN sorts above every real similarity in
+      // the desc top-k, so it would take rank 1 for every probe
+      // visiting that cell (the lshTopK/bruteForceTopK guard; this
+      // surface had missed it)
+      .filter(col("cos_sim").isNotNull && !isnan(col("cos_sim")))
     rankPerProbe(scored, "cos_sim", scoreDesc = true, k)
       .select(col("probe_id"), col("corpus_id"), col("cos_sim"), col("rank"))
   }

@@ -118,6 +118,21 @@ class ReviewBatch4Spec extends SparkSpec {
     assert(ok.length == 2)
   }
 
+  test("ivfTopK excludes zero-norm corpus vectors from ranking (NaN guard)") {
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)), // zero-norm: cosine NaN — must never rank
+      (4L, Array(0.0f, 1.0f))).toDF("id", "vec")
+    val cents = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f))).toDF("id", "vec")
+    val probes = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val out = Similarity.ivfTopK(corpus, cents, probes, "id", "vec", k = 3, nprobe = 2)
+      .collect()
+    // NaN sorted greatest would have put id=3 at rank 1
+    assert(!out.exists(_.getAs[Long]("corpus_id") == 3L))
+    assert(out.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("corpus_id") == 2L)
+  }
+
   test("ECSV/VOTable readers fail loudly on malformed headers") {
     import graft.sources.{Ecsv, VoTable}
     def tmp(content: String): String = {
