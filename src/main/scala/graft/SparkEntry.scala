@@ -1356,6 +1356,24 @@ object SparkEntry {
     // reduces the cleaned text to its length, like q88; the oracle
     // mirrors the whole surgery through the covered-length union
     // arithmetic on raw span TEXT.
+    // §2.3 fact⋈dimension broadcast join — the one corpus table no
+    // other slot reads (part): TPC-H Q14/Q19-flavored revenue rollup.
+    // part is a bounded dimension at ANY scale factor (catalog-sized),
+    // so the explicit broadcast() keeps the 100 TB fact side
+    // shuffle-free — the join is a map-side hash probe in the scan
+    // stage, and the groupBy's map-side combine collapses to
+    // (25 brands × 6 types) rows per partition before the exchange.
+    "q124_part_dim_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val part = t(s, dir, "part").df.filter(col("p_size") <= 20)
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+    }),
+
     "q123_bench_decontam" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
       val bench = d.filter(col("doc_id") % 97 === 0)
@@ -1996,6 +2014,13 @@ object SparkEntry {
     // with the evidence side being the benchmark's distinct 50-char
     // spans (on raw span TEXT; Spark matches rolling hashes — equal
     // absent collisions, the q88 contract)
+    "q124_part_dim_join" ->
+      """SELECT p_brand, p_type, count(*) AS n_items,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 20 GROUP BY p_brand, p_type""".stripMargin.replace("\n", " "),
+
     "q123_bench_decontam" ->
       """WITH norm AS MATERIALIZED (SELECT doc_id, trim(regexp_replace(regexp_replace(
         |lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM documents),

@@ -39,6 +39,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "degenerate nested-loop join present")
   }
 
+  test("q124 part-dimension join broadcasts; fact side pays no pre-join exchange") {
+    val df = SparkEntry.queries("q124_part_dim_join")(spark, sf)
+    df.collect() // finalize AQE
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"part dimension not broadcast:\n$plan")
+    assert(plan.contains("partial_sum"), "map-side combine missing on the revenue rollup")
+    // the ONLY shuffle is the (p_brand, p_type) aggregate exchange —
+    // the fact scan feeds the broadcast probe directly.  Count inside
+    // the FINAL plan only: AdaptiveSparkPlan's toString repeats the
+    // whole tree under '== Initial Plan ==' and would double-count
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val shuffles = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
+    assert(shuffles <= 1, s"expected at most the aggregate exchange, got $shuffles:\n$finalPlan")
+  }
+
   test("aggregation is partial+final hash agg inside whole-stage codegen") {
     val df = SparkEntry.queries("q02_agg_pricing")(spark, sf)
     df.collect() // finalize the AQE plan so codegen stages are visible
