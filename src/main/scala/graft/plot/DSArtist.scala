@@ -59,8 +59,13 @@ object DSArtist {
   def apply(p: Plotter, x: String, y: String,
             widthPx: Int = 256, heightPx: Int = 256,
             what: String = "count(*)"): DSArtist = {
-    val (xlo, xhi) = Binned.extent(p.ez.df, p.ez.get(x))
-    val (ylo, yhi) = Binned.extent(p.ez.df, p.ez.get(y))
+    // data-derived extents: pad a degenerate (constant-column) range
+    // like Plotter.hist/hist2d — Axis fails loudly on hi == lo, and a
+    // session opened on constant data should render one hot pixel, not
+    // throw (an EXPLICIT degenerate viewport from zoom() still fails
+    // loudly in Axis, which is correct: the UI asked for zero width)
+    val (xlo, xhi) = { val (l, h) = Binned.extent(p.ez.df, p.ez.get(x)); Binned.padDegenerate(l, h) }
+    val (ylo, yhi) = { val (l, h) = Binned.extent(p.ez.df, p.ez.get(y)); Binned.padDegenerate(l, h) }
     val home = (xlo, xhi, ylo, yhi)
     new DSArtist(p, x, y, widthPx, heightPx, what, home, home)
   }

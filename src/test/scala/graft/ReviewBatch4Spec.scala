@@ -118,6 +118,19 @@ class ReviewBatch4Spec extends SparkSpec {
     assert(ok.length == 2)
   }
 
+  test("DSArtist opens on a constant column (padded home viewport)") {
+    // batch 3 made Axis fail loudly on degenerate ranges; a session
+    // opened on constant data must pad its DATA-DERIVED home extent
+    // (like Plotter.hist) and render one hot pixel, not throw
+    val ez = EzFrame(Seq((5.0, 1.0), (5.0, 2.0), (5.0, 3.0)).toDF("cx", "y"))
+    val art = graft.plot.DSArtist(new graft.plot.Plotter(ez), "cx", "y",
+      widthPx = 4, heightPx = 4)
+    val f = art.frame()
+    assert(f.data.map(r => r("value").asInstanceOf[Long]).sum == 3L)
+    // zoom/pan still compose on the padded viewport
+    assert(art.zoom(2.0).pan(0.25, 0.0).frame().data.nonEmpty)
+  }
+
   test("ivfTopK excludes zero-norm corpus vectors from ranking (NaN guard)") {
     import graft.operators.Similarity
     val corpus = Seq(
