@@ -30,6 +30,31 @@ class ReviewBatch4Spec extends SparkSpec {
     assert(inf.where("isfinite(v)").count() == 1)
   }
 
+  test("isnan/isinf/isfinite partition every value exactly (property)") {
+    // the classification trio must be a PARTITION under the null≡NaN
+    // convention: for every double (incl. null, NaN, ±inf) exactly one
+    // of {isnan, isinf, isfinite} holds — so filters and their
+    // negations tile the corpus with no dropped rows
+    val rnd = new scala.util.Random(11)
+    val vals: Seq[Option[Double]] =
+      Seq(None, Some(Double.NaN), Some(Double.PositiveInfinity),
+        Some(Double.NegativeInfinity), Some(0.0), Some(-0.0)) ++
+        Seq.fill(50)(Some(rnd.nextDouble() * 1e12 - 5e11))
+    val df = vals.toDF("v")
+    val e = EzFrame(df)
+    val n = df.count()
+    val classes = Seq("isnan(v)", "isinf(v)", "isfinite(v)")
+    assert(classes.map(c => e.where(c).count()).sum == n)
+    // pairwise disjoint
+    assert(e.where("isnan(v) & isinf(v)").count() == 0)
+    assert(e.where("isnan(v) & isfinite(v)").count() == 0)
+    assert(e.where("isinf(v) & isfinite(v)").count() == 0)
+    // negation complements exactly (genuine booleans, no null leak)
+    classes.foreach { c =>
+      assert(e.where(c).count() + e.where(s"~$c").count() == n, s"negation leak in $c")
+    }
+  }
+
   test("clip propagates NaN/null instead of returning hi") {
     // Spark's least/greatest order NaN greatest, so the unguarded form
     // returned hi for a NaN input — numpy clip(NaN, 0, 1) is NaN
