@@ -58,7 +58,10 @@ object Colors {
       val b = element_at(anchors, i0 + 2)
       a + (b - a) * frac
     }
-    when(c.isNull, lit(null)).otherwise(
+    // NaN maps to null like null input — matplotlib routes NaN to the
+    // 'bad' (transparent) color; the unguarded clamp ordered NaN
+    // greatest and silently painted it as vmax
+    when(c.isNull || isnan(c.cast("double")), lit(null)).otherwise(
       array(channel(_._1), channel(_._2), channel(_._3), lit(1.0)))
   }
 

@@ -143,6 +143,15 @@ class ReviewBatch4Spec extends SparkSpec {
     assert(ok.length == 2)
   }
 
+  test("colorify maps NaN to null, not the vmax anchor") {
+    import graft.functions.Colors
+    val df = Seq(Option(0.0), Option(Double.NaN), None, Option(10.0)).toDF("v")
+    val out = df.select(Colors.colorify(col("v"), lit(0.0), lit(10.0)).as("c")).collect()
+    assert(!out(0).isNullAt(0) && !out(3).isNullAt(0))
+    // NaN painted as vmax would silently plot undefined values as hot
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0))
+  }
+
   test("DSArtist opens on a constant column (padded home viewport)") {
     // batch 3 made Axis fail loudly on degenerate ranges; a session
     // opened on constant data must pad its DATA-DERIVED home extent
