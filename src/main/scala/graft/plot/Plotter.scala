@@ -171,7 +171,10 @@ final class Plotter(val ez: EzFrame, val label: String = "") {
       s"more than $maxGroups groups for '$key'; facet on a coarser key or raise maxGroups")
     new Group(values.toSeq.map { v =>
       val lbl = s"$key=$v"
-      lbl -> new Plotter(EzFrame(ez.df.filter(col(k) === lit(v)), ez.meta), lbl)
+      // null-safe equality (the EzFrame.groupbyIter contract): the
+      // distinct group list KEEPS a null group, but `=== lit(null)` is
+      // never true — the null facet would silently render empty
+      lbl -> new Plotter(EzFrame(ez.df.filter(col(k) <=> lit(v)), ez.meta), lbl)
     })
   }
 

@@ -143,6 +143,16 @@ class ReviewBatch4Spec extends SparkSpec {
     assert(ok.length == 2)
   }
 
+  test("Plotter.groupby renders the null group's facet (null-safe filter)") {
+    val ez = EzFrame(Seq((Option("a"), 1.0), (None, 2.0), (None, 3.0))
+      .toDF("g", "v"))
+    val facets = new graft.plot.Plotter(ez).groupby("g").hist("v", bins = 2)
+    // distinct() keeps the null group; with `===` its facet silently
+    // rendered empty (pivotPlot already used <=> — groupby had missed it)
+    val nullFacet = facets.facets.find(_._1 == "g=null").get._2
+    assert(nullFacet.data.map(r => r("count").asInstanceOf[Long]).sum == 2L)
+  }
+
   test("colorify maps NaN to null, not the vmax anchor") {
     import graft.functions.Colors
     val df = Seq(Option(0.0), Option(Double.NaN), None, Option(10.0)).toDF("v")
