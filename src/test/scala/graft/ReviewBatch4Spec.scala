@@ -30,6 +30,10 @@ class ReviewBatch4Spec extends SparkSpec {
     assert(inf.where("isfinite(v)").count() == 1)
   }
 
+  test("driver smoke contract: SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("isnan/isinf/isfinite partition every value exactly (property)") {
     // the classification trio must be a PARTITION under the null≡NaN
     // convention: for every double (incl. null, NaN, ±inf) exactly one
