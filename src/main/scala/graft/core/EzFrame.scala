@@ -230,13 +230,21 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
     * Defaults fill ONLY the side a column is missing from —
     * numpy's stack_arrays fills masked (absent) fields; a genuine
     * null/NaN in a column present on both sides is data and survives
-    * (a whole-union na.fill would silently overwrite it). */
+    * (a whole-union na.fill would silently overwrite it).
+    *
+    * The injected default is CAST to the present side's column type,
+    * so a compatible-but-differently-typed default (e.g. `0` for a
+    * double column) unions cleanly; a genuinely incompatible default
+    * (e.g. a non-numeric string for a numeric column) fails loudly at
+    * the ANSI cast instead of a type-mismatch error deep inside
+    * unionByName analysis. */
   def stack(other: EzFrame, defaults: Map[String, Any] = Map.empty): EzFrame = {
-    def addMissing(d: DataFrame, missing: Set[String]): DataFrame =
+    def addMissing(d: DataFrame, donor: DataFrame, missing: Set[String]): DataFrame =
       defaults.filter { case (c, _) => missing.contains(c) }
-        .foldLeft(d) { case (acc, (c, v)) => acc.withColumn(c, lit(v)) }
-    val l = addMissing(df, other.df.columns.toSet -- df.columns.toSet)
-    val r = addMissing(other.df, df.columns.toSet -- other.df.columns.toSet)
+        .foldLeft(d) { case (acc, (c, v)) =>
+          acc.withColumn(c, lit(v).cast(donor.schema(c).dataType)) }
+    val l = addMissing(df, other.df, other.df.columns.toSet -- df.columns.toSet)
+    val r = addMissing(other.df, df, df.columns.toSet -- other.df.columns.toSet)
     withDf(l.unionByName(r, allowMissingColumns = true))
   }
 

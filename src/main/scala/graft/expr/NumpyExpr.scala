@@ -230,6 +230,12 @@ object NumpyExpr {
       case Call("round" | "around", x :: Num(n) :: Nil)
           if !n.contains('.') && !n.toLowerCase.contains('e') =>
         Typed(bround(go(x).col, n.toInt), TyFloat)
+      // negative decimals (np.round(x, -1) rounds to tens): the parser
+      // yields Un("-", Num) for a negative literal — bround supports a
+      // negative scale directly
+      case Call("round" | "around", x :: Un("-", Num(n)) :: Nil)
+          if !n.contains('.') && !n.toLowerCase.contains('e') =>
+        Typed(bround(go(x).col, -n.toInt), TyFloat)
       case Call(fn, args) => call(fn, args.map(go))
     }
 

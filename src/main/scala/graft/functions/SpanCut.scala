@@ -41,19 +41,24 @@ object SpanCut {
     var cutEnd = -1 // exclusive end of the active cut range
     var prevSt = Int.MinValue // sorted-contract check rides the merge loop
     while (i < len) {
-      // open/extend the active range with every window starting here
-      while (pi < n && positions.getLong(pi).toInt - 1 <= i) {
+      // open/extend the active range with every window starting here.
+      // Positions are 1-BASED Longs but the cursor is an Int: validate
+      // the RAW Long before truncating — a value in [2^32, 2^32+len]
+      // wraps through toInt to a small POSITIVE int and would silently
+      // cut a wrong range (negative wraps were caught by an st < 0
+      // check, positive wraps were not).
+      while (pi < n && {
+        val pL = positions.getLong(pi)
+        if (pL < 1L || pL > Int.MaxValue.toLong) throw new IllegalArgumentException(
+          s"span_cut: positions are 1-based and must be in [1, 2^31-1], got $pL")
+        pL.toInt - 1 <= i
+      }) {
         val st = positions.getLong(pi).toInt - 1
         // an unsorted array would open late ranges after their bytes
         // were already copied — silently WRONG output; fail loudly
         // (one comparison per position, the sketch-codec discipline)
         if (st < prevSt) throw new IllegalArgumentException(
           s"span_cut: positions must be sorted ascending (got ${st + 1} after ${prevSt + 1})")
-        // positions are 1-BASED: pos <= 0 maps to st < 0 and would
-        // silently cut a shifted [0, width-1) range (a Long position
-        // past 2^31 also wraps negative through toInt and lands here)
-        if (st < 0) throw new IllegalArgumentException(
-          s"span_cut: positions are 1-based and must be >= 1, got ${st + 1}")
         prevSt = st
         val en = st + width
         if (en > cutEnd) cutEnd = en

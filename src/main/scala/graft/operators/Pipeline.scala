@@ -40,11 +40,15 @@ object Pipeline {
   /** The synthetic (doc, chunk) pack key with its validity asserted
     * in-plan (the kmeansFit ragged-vector discipline: a dropped
     * standalone check column would be pruned and never evaluate). */
-  private def packOrder: Column =
-    when(assert_true(col("doc_id") >= 0 && col("doc_id") < MaxDocId,
-        lit(s"pretrainCorpus: doc_id must be in [0, 2^${62 - ChunkKeyShift}) for the " +
-          "synthetic (doc, chunk) pack key — 64-bit hash ids would overflow or " +
-          "collide; rank or zipWithIndex ids down to a dense long first")).isNull,
+  private[graft] def packOrder: Column =
+    when(assert_true(
+        col("doc_id") >= 0 && col("doc_id") < MaxDocId &&
+        col("chunk_id") >= 0 && col("chunk_id") < (1L << ChunkKeyShift),
+        lit(s"pretrainCorpus: doc_id must be in [0, 2^${62 - ChunkKeyShift}) and " +
+          s"chunk_id in [0, 2^$ChunkKeyShift) for the synthetic (doc, chunk) pack " +
+          "key — 64-bit hash ids would overflow or collide, and an oversized " +
+          "chunk_id would bleed into the doc bits; rank or zipWithIndex ids " +
+          "down to a dense long first")).isNull,
       col("doc_id") * (1L << ChunkKeyShift) + col("chunk_id"))
 
   /** Per-packed-sequence summary of the cleaned, deduped, chunked,
