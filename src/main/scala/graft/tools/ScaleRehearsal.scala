@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * Deterministic — no RNG, rerunnable to the same bytes.
   *
   * Usage: runMain graft.tools.ScaleRehearsal <srcSfDir> <outDir> <N>
-  *   [rot|tag|join|ann|sketch|events|cc|sim|media|span]
+  *   [rot|tag|join|ann|sketch|events|cc|sim|media|span|spangen]
   * (writes the scaled tables under <outDir>; never touches the
   * source).  `cc` = distributed connected components above the driver
   * cutoff; `sim` = PQ/ADC/IVF+PQ (q87/q89/q91); `media` = WAV/BMP/
@@ -58,6 +58,7 @@ object ScaleRehearsal {
     if (mode == "events") { eventsRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "cc") { ccRehearsal(spark, out, n); spark.stop(); return }
     if (mode == "span") { spanRehearsal(spark, src, out, n); spark.stop(); return }
+    if (mode == "spangen") { spanGenRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "sim") { simRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "media") { mediaRehearsal(spark, src, out, n); spark.stop(); return }
     val d = spark.read.parquet(s"$src/documents.parquet")
@@ -452,6 +453,75 @@ object ScaleRehearsal {
       graft.operators.Dedup.mergeSpanEvidence(spark.read.parquet(dir), minDocs = 2)
         .queryExecution.executedPlan.execute().count(); ()
     })
+  }
+
+  /** Generational span-store rehearsal (`spangen`, n = generations):
+    * the months-of-ingest shape q122 advertises.  Each generation is a
+    * doc-DISJOINT batch (shifted doc ids) whose TEXT repeats — the
+    * recurring-boilerplate regime where the same spans arrive every
+    * day — so an append-only raw store grows linearly in generations
+    * while the span population stays constant.  Two store policies
+    * race on every generation:
+    *
+    *  - `raw`: append the generation's evidence, terminal merge reads
+    *    ALL stored rows → rows and merge wall grow ~linearly in G;
+    *  - `compacted`: fold the new evidence into the running
+    *    [[graft.operators.Dedup.compactSpanEvidence]] generation
+    *    (previous compact ∪ new batch → one row per span) → store
+    *    size and merge wall stay ~FLAT, paying a ~constant per-
+    *    generation compaction instead.
+    *
+    * Every generation also asserts the two policies' terminal reports
+    * are IDENTICAL (count + per-row checksum) — the compaction
+    * associativity contract, end-to-end through parquet. */
+  private def spanGenRehearsal(spark: SparkSession, src: String, out: String, gens: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val d = spark.read.parquet(s"$src/documents.parquet")
+    val meter = new Meter(spark)
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime; body; (System.nanoTime - t0) / 1e9
+    }
+    def reportSig(r: DataFrame): (Long, Long) = {
+      val row = r.agg(count(lit(1)),
+        sum(crc32(concat_ws("|", col("span_hash"), col("n_docs"),
+          col("n_occurrences"), col("first_doc"))))).collect().head
+      (row.getLong(0), row.getLong(1))
+    }
+    println(f"${"gen"}%4s ${"raw_rows"}%10s ${"raw_merge_s"}%12s ${"cpt_rows"}%10s ${"cpt_merge_s"}%12s ${"compact_s"}%10s ${"report"}%8s")
+    val rawDirs = scala.collection.mutable.ArrayBuffer[String]()
+    for (g <- 0 until gens) {
+      val gd = d.withColumn("doc_id", col("doc_id") + lit(g.toLong * 10000000L))
+      val rawDir = s"$out/raw_g$g"
+      graft.operators.Dedup.spanEvidenceBatch(gd, col("text"), col("doc_id"), width = 60)
+        .withColumn("gen", lit(g))
+        .write.mode(SaveMode.Overwrite).parquet(rawDir)
+      rawDirs += rawDir
+      // compacted store: fold the new batch into the running generation
+      val cptDir = s"$out/compact_g$g"
+      val tCompact = time {
+        val newEv = spark.read.parquet(rawDir).drop("gen")
+        val unioned = if (g == 0) newEv
+          else spark.read.parquet(s"$out/compact_g${g - 1}").unionByName(newEv)
+        graft.operators.Dedup.compactSpanEvidence(unioned)
+          .write.mode(SaveMode.Overwrite).parquet(cptDir)
+      }
+      val rawStore = spark.read.parquet(rawDirs.toSeq: _*)
+      val cptStore = spark.read.parquet(cptDir)
+      val (rawRows, cptRows) = (rawStore.count(), cptStore.count())
+      val (tRaw, _) = meter {
+        graft.operators.Dedup.mergeSpanEvidence(rawStore, minDocs = 2)
+          .queryExecution.executedPlan.execute().count(); ()
+      }
+      val (tCpt, _) = meter {
+        graft.operators.Dedup.mergeSpanEvidence(cptStore, minDocs = 2)
+          .queryExecution.executedPlan.execute().count(); ()
+      }
+      val sigRaw = reportSig(graft.operators.Dedup.mergeSpanEvidence(rawStore, minDocs = 2))
+      val sigCpt = reportSig(graft.operators.Dedup.mergeSpanEvidence(cptStore, minDocs = 2))
+      require(sigRaw == sigCpt,
+        s"generation $g: raw vs compacted terminal reports DIVERGED ($sigRaw vs $sigCpt)")
+      println(f"$g%4d $rawRows%10d $tRaw%12.2f $cptRows%10d $tCpt%12.2f $tCompact%10.2f ${if (sigRaw == sigCpt) "SAME" else "DIFF"}%8s")
+    }
   }
 
   /** N× embeddings via the orthogonal cyclic coordinate shift (shared
