@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * Deterministic — no RNG, rerunnable to the same bytes.
   *
   * Usage: runMain graft.tools.ScaleRehearsal <srcSfDir> <outDir> <N>
-  *   [rot|tag|join|ann|sketch|events|cc|sim|media|span|spangen]
+  *   [rot|tag|join|ann|sketch|events|cc|sim|media|span|spangen|suite]
   * (writes the scaled tables under <outDir>; never touches the
   * source).  `cc` = distributed connected components above the driver
   * cutoff; `sim` = PQ/ADC/IVF+PQ (q87/q89/q91); `media` = WAV/BMP/
@@ -60,6 +60,7 @@ object ScaleRehearsal {
     if (mode == "span") { spanRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "spangen") { spanGenRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "sim") { simRehearsal(spark, src, out, n); spark.stop(); return }
+    if (mode == "suite") { suiteCorpus(spark, src, out, n); spark.stop(); return }
     if (mode == "media") { mediaRehearsal(spark, src, out, n); spark.stop(); return }
     val d = spark.read.parquet(s"$src/documents.parquet")
     // rot i ≡ 0 (mod 26) is the identity rotation — copies would share
@@ -522,6 +523,61 @@ object ScaleRehearsal {
         s"generation $g: raw vs compacted terminal reports DIVERGED ($sigRaw vs $sigCpt)")
       println(f"$g%4d $rawRows%10d $tRaw%12.2f $cptRows%10d $tCpt%12.2f $tCompact%10.2f ${if (sigRaw == sigCpt) "SAME" else "DIFF"}%8s")
     }
+  }
+
+  /** Whole-SUITE N× corpus (`suite`): every Bench table replicated
+    * N× with FK-CONSISTENT key shifts, so the full 129-query Bench
+    * runs unmodified against a corpus one order of magnitude past the
+    * driver's sf0.1 — the whole-suite scale evidence the per-family
+    * rehearsals can't give (BASELINE.md "round-17 whole-suite run").
+    *
+    * Shapes per table (copy i shifts every key by i·10⁷, cast back to
+    * the source dtype so the parquet schema is byte-identical):
+    *  - region/nation: verbatim (fixed dims — TPC-H's own scaling);
+    *  - customer/supplier/part: shifted primary keys;
+    *  - orders: o_orderkey AND o_custkey shifted together, so each
+    *    copy joins its own customer copy (join fan-out stays 1:1);
+    *  - lineitem: l_orderkey/l_partkey/l_suppkey shifted together;
+    *  - events: event_id/user_id shifted, ts verbatim — every time
+    *    window densifies N× (the window-agg stress direction);
+    *  - documents: caesar-rot copies (disjoint shingles — cluster
+    *    COUNT scales, cluster size doesn't, the clean dedup regime);
+    *  - embeddings: cyclic coordinate-shift copies (intra-copy cosine
+    *    structure exactly preserved). */
+  private def suiteCorpus(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    require(n <= 26, s"documents use rot copies (disjoint mod 26), got $n")
+    def copies(df: DataFrame, keys: Seq[String])(extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until n).map { i =>
+        val shifted = keys.foldLeft(df) { (acc, k) =>
+          acc.withColumn(k, (col(k) + lit(i.toLong * 10000000L)).cast(df.schema(k).dataType))
+        }
+        extra(shifted, i)
+      }.reduce(_ unionByName _)
+    def write(df: DataFrame, table: String): Unit = {
+      df.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$out/$table.parquet")
+      println(s"wrote $table")
+    }
+    for (dim <- Seq("region", "nation"))
+      write(spark.read.parquet(s"$src/$dim.parquet"), dim)
+    write(copies(spark.read.parquet(s"$src/customer.parquet"), Seq("c_custkey"))(), "customer")
+    write(copies(spark.read.parquet(s"$src/supplier.parquet"), Seq("s_suppkey"))(), "supplier")
+    write(copies(spark.read.parquet(s"$src/part.parquet"), Seq("p_partkey"))(), "part")
+    write(copies(spark.read.parquet(s"$src/orders.parquet"),
+      Seq("o_orderkey", "o_custkey"))(), "orders")
+    write(copies(spark.read.parquet(s"$src/lineitem.parquet"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))(), "lineitem")
+    write(copies(spark.read.parquet(s"$src/events.parquet"),
+      Seq("event_id", "user_id"))(), "events")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    write(copies(spark.read.parquet(s"$src/documents.parquet"), Seq("doc_id")) { (d, i) =>
+      if (i == 0) d else {
+        val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+        d.withColumn("text", translate(col("text"), alpha + alpha.toUpperCase, rot + rot.toUpperCase))
+      }
+    }, "documents")
+    scaleEmbeddings(spark, src, out, n)
+    println(s"suite corpus (${n}x sf0.1-shape) complete at $out")
   }
 
   /** N× embeddings via the orthogonal cyclic coordinate shift (shared
