@@ -1374,6 +1374,26 @@ object SparkEntry {
             .cast(DoubleType).as("revenue"))
     }),
 
+    // §2.12 compressed-bitstream container metadata (the AAC/AV1 tier
+    // of the media seam): even ids are ADTS AAC streams whose EVERY
+    // frame header is walked (exact 1024·blocks sample count), odd
+    // ids IVF AV01 containers — ids ≡ 1 (mod 4) carry a real AV1
+    // sequence-header OBU decoded bit-by-bit (its dims override the
+    // container's), ids ≡ 3 (mod 4) exercise the container-dims
+    // fallback.  The entropy layer stays behind the documented seam,
+    // so the oracle recomputes every field from the synth arithmetic.
+    "q125_bitstream_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df.filter(col("doc_id") < 400)
+      d.select(col("doc_id"),
+          operators.Multimodal.decodeMedia(
+            operators.Multimodal.synthBitstream(col("doc_id"))).as("m"))
+        .select(col("doc_id"), col("m.mime").as("mime"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.channels").as("channels"), col("m.sample_rate").as("sample_rate"),
+          col("m.n_samples").as("n_samples"),
+          round(col("m.duration_s"), 6).as("dur"))
+    }),
+
     "q123_bench_decontam" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
       val bench = d.filter(col("doc_id") % 97 === 0)
@@ -2020,6 +2040,22 @@ object SparkEntry {
         |CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 20 GROUP BY p_brand, p_type""".stripMargin.replace("\n", " "),
+
+    // q125: both bitstream arms recomputed from the synth arithmetic
+    // alone — the container layer is parsed for real Spark-side, the
+    // entropy layer is behind the seam so no signal stats exist
+    "q125_bitstream_meta" ->
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 2 = 0 THEN 'audio/aac' ELSE 'video/av1' END AS mime,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 16 + (doc_id % 17) END AS INT) AS width,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 16 + ((doc_id * 3) % 17) END AS INT) AS height,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 3) ELSE NULL END AS INT) AS channels,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE NULL END AS INT) AS sample_rate,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 1024 * (2 + (doc_id % 7))
+        |ELSE 1 + (doc_id % 4) END AS BIGINT) AS n_samples,
+        |round(CASE WHEN doc_id % 2 = 0 THEN (1024 * (2 + (doc_id % 7))) / 44100.0
+        |ELSE (1 + (doc_id % 4)) / 30.0 END, 6) AS dur
+        |FROM documents WHERE doc_id < 400""".stripMargin.replace("\n", " "),
 
     "q123_bench_decontam" ->
       """WITH norm AS MATERIALIZED (SELECT doc_id, trim(regexp_replace(regexp_replace(

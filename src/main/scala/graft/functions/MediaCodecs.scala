@@ -899,6 +899,19 @@ object MediaCodecs {
           InternalRow(UTF8String.fromString("audio/flac"), null, null,
             w.channels, w.sampleRate, w.bits, w.nSamples, w.durationS,
             w.rms, w.peak, null, null, null, size)
+        // ADTS AAC: container-layer metadata tier (every frame header
+        // walked — exact sample count/duration; spectral decode stays
+        // behind the seam, so rms/peak are null).  The 0xFFF sync plus
+        // layer==00 requirement excludes MP3 (layer 00 is reserved
+        // there) and JPEG (0xFFD8 fails the second sync nibble).  The
+        // cheap two-byte sync pre-check keeps the full frame walk off
+        // every non-AAC payload's path.
+        case None if b.length >= 2 && (b(0) & 0xff) == 0xff &&
+            (b(1) & 0xf6) == 0xf0 && Bitstream.parseAdts(b).isDefined =>
+          val a = Bitstream.parseAdts(b).get
+          InternalRow(UTF8String.fromString("audio/aac"), null, null,
+            a.channels, a.sampleRate, null, a.nSamples, a.durationS,
+            null, null, null, null, null, size)
         case None if Mp4.looksIsobmff(b) => Mp4.parseIsobmff(b) match {
           // ISOBMFF (MP4 / AVIF): real container metadata for any
           // well-formed file; signal stats only for PCM-in-MP4 audio
@@ -919,6 +932,18 @@ object MediaCodecs {
   }
 
   private def decodeImageRow(b: Array[Byte], size: Long): InternalRow = {
+    // IVF (AV1/VP9/VP8): container metadata tier — frame records
+    // walked and cross-checked, AV1 OBU sequence-header dims override
+    // the container's when parseable; tile decode stays behind the
+    // seam.  n_samples carries the frame count (the Mp4 video
+    // convention), bits/rms/peak are null.
+    Bitstream.parseIvf(b) match {
+      case Some(v) =>
+        return InternalRow(UTF8String.fromString(v.mime), v.width, v.height,
+          null, null, null, v.nFrames.toLong, v.durationS,
+          null, null, null, null, null, size)
+      case None => ()
+    }
     parseBmp(b) match {
         case Some(m) =>
           InternalRow(UTF8String.fromString("image/bmp"), m.width, m.height,

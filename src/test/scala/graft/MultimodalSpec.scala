@@ -951,4 +951,93 @@ class MultimodalSpec extends SparkSpec {
     val noIspe = new String(avif, "ISO-8859-1").replace("ispe", "xspe").getBytes("ISO-8859-1")
     assert(Mp4.parseIsobmff(noIspe).isEmpty)
   }
+
+  test("decodeMedia parses ADTS AAC: frame walk, sample count, duration") {
+    import graft.functions.Bitstream
+    // even ids synthesize ADTS; spot-check the arithmetic end to end
+    val m = Seq(6L, 14L).toDF("id")
+      .select(col("id"), Multimodal.decodeMedia(Multimodal.synthBitstream(col("id"))).as("m"))
+      .select(col("id"), col("m.mime"), col("m.channels"), col("m.sample_rate"),
+        col("m.n_samples"), col("m.duration_s"), col("m.bits"), col("m.rms"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, r) <- m) {
+      assert(r.getString(1) == "audio/aac")
+      assert(r.getInt(2) == 1 + (id % 3).toInt)
+      assert(r.getInt(3) == 44100)
+      val frames = 2 + (id % 7)
+      assert(r.getLong(4) == 1024L * frames)
+      assert(math.abs(r.getDouble(5) - 1024.0 * frames / 44100) < 1e-12)
+      assert(r.isNullAt(6) && r.isNullAt(7)) // no bit depth, no decoded signal
+    }
+    // CRC-present header (protection_absent = 0): 9-byte header parses
+    val withCrc = {
+      val frameLen = 9 + 4
+      Array[Int](0xff, 0xf0, 0x50, 0x40 | ((frameLen >> 11) & 3),
+        (frameLen >> 3) & 0xff, ((frameLen & 7) << 5) | 0x1f, 0xfc,
+        0xab, 0xcd, 1, 2, 3, 4).map(_.toByte)
+    }
+    val crc = Bitstream.parseAdts(withCrc).get
+    assert(crc.nFrames == 1 && crc.nSamples == 1024 && crc.sampleRate == 44100)
+    // truncated mid-frame and mid-stream parameter changes are rejects
+    assert(Bitstream.parseAdts(withCrc.dropRight(1)).isEmpty)
+    val aac = {
+      val udfBytes = Multimodal.synthBitstream(lit(6L))
+      Seq(1).toDF("x").select(udfBytes.as("b")).head().getAs[Array[Byte]](0)
+    }
+    val drift = aac.clone()
+    // second frame starts at frame 0's length; flip its freq index
+    val f0len = ((aac(3) & 3) << 11) | ((aac(4) & 0xff) << 3) | ((aac(5) >> 5) & 7)
+    drift(f0len + 2) = (drift(f0len + 2) ^ 0x04).toByte
+    assert(Bitstream.parseAdts(drift).isEmpty)
+  }
+
+  test("decodeMedia parses IVF AV1: OBU sequence-header dims override the container") {
+    import graft.functions.Bitstream
+    // id ≡ 1 (mod 4): first frame carries a real sequence-header OBU;
+    // id ≡ 3 (mod 4): temporal delimiter only → container dims
+    val m = Seq(5L, 7L).toDF("id")
+      .select(col("id"), Multimodal.decodeMedia(Multimodal.synthBitstream(col("id"))).as("m"))
+      .select(col("id"), col("m.mime"), col("m.width"), col("m.height"),
+        col("m.n_samples"), col("m.duration_s"), col("m.channels"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, r) <- m) {
+      assert(r.getString(1) == "video/av1")
+      assert(r.getInt(2) == 16 + (id % 17).toInt)
+      assert(r.getInt(3) == 16 + (id * 3 % 17).toInt)
+      val frames = 1 + (id % 4)
+      assert(r.getLong(4) == frames)
+      assert(math.abs(r.getDouble(5) - frames / 30.0) < 1e-12)
+      assert(r.isNullAt(6)) // no audio fields on the video arm
+    }
+    // the OBU dims genuinely OVERRIDE: hand-build an IVF whose header
+    // lies (container says 99x98, sequence header says 40x30)
+    def ivf(fourcc: String, w: Int, h: Int, payloads: Seq[Array[Byte]]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(32 + payloads.map(12 + _.length).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("DKIF".getBytes("US-ASCII")).putShort(0).putShort(32)
+        .put(fourcc.getBytes("US-ASCII")).putShort(w.toShort).putShort(h.toShort)
+        .putInt(30).putInt(1).putInt(payloads.length).putInt(0)
+      payloads.zipWithIndex.foreach { case (p, i) => bb.putInt(p.length).putLong(i.toLong).put(p) }
+      bb.array()
+    }
+    val seqObu = {
+      // reuse the production synth's OBU via a 40x30 id is impossible
+      // (dims are id-derived), so build the same bit layout by hand
+      val bits = new scala.collection.mutable.ArrayBuffer[Int]()
+      def put(v: Int, n: Int): Unit = { var k = n - 1; while (k >= 0) { bits += (v >> k) & 1; k -= 1 } }
+      put(0, 3); put(0, 1); put(0, 1); put(0, 1); put(0, 1); put(0, 5)
+      put(0, 12); put(0, 5); put(15, 4); put(15, 4); put(39, 16); put(29, 16)
+      while (bits.length % 8 != 0) bits += 0
+      val payload = bits.grouped(8).map(_.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+      Array(0x0a.toByte, payload.length.toByte) ++ payload
+    }
+    val lying = Bitstream.parseIvf(ivf("AV01", 99, 98, Seq(seqObu))).get
+    assert(lying.width == 40 && lying.height == 30 && lying.profile.contains(0))
+    // VP9 fourcc maps through; unknown fourcc and frame-count lies reject
+    assert(Bitstream.parseIvf(ivf("VP90", 320, 240, Seq(Array[Byte](1, 2)))).get.mime == "video/vp9")
+    assert(Bitstream.parseIvf(ivf("XXXX", 320, 240, Seq(Array[Byte](1, 2)))).isEmpty)
+    val countLie = ivf("AV01", 10, 10, Seq(Array[Byte](0x12, 0x00)))
+    countLie(24) = 9 // declared frame count != walked
+    assert(Bitstream.parseIvf(countLie).isEmpty)
+  }
 }
