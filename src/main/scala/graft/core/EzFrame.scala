@@ -12,8 +12,13 @@ import graft.expr.NumpyExpr
   * (ezdata/simpletable.py:1453–1460) as an immutable value.
   */
 final case class EzMeta(
+    // alias -> physical column.  INSERTION-ordered by default (the
+    // reference's _aliases is a dict): under caseless resolution the
+    // LAST-defined of two caselessly-colliding alias keys wins, so
+    // the map's iteration order is contract, not cosmetics.  setAlias
+    // preserves the order (redefinition updates in place, dict-style).
     header: ListMap[String, String] = ListMap.empty,
-    aliases: Map[String, String] = Map.empty, // alias -> physical column
+    aliases: Map[String, String] = ListMap.empty,
     units: Map[String, String] = Map.empty,
     comments: Map[String, String] = Map.empty,
     caseless: Boolean = false) {
@@ -51,20 +56,26 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
   private def withMeta(m: EzMeta): EzFrame = new EzFrame(df, m)
 
   // ----------------------------------------------------------- name resolution
-  /** alias → physical name; caseless fallback matches the reference's
-    * caseless SimpleTable variant (ezdata/simpletable.py:2014–2017). */
-  def resolveAlias(name: String): String = {
-    if (df.columns.contains(name)) name
-    else meta.aliases.get(name) match {
-      case Some(t) => t
-      case None if meta.caseless =>
-        val lower = name.toLowerCase
-        df.columns.find(_.toLowerCase == lower)
-          .orElse(meta.aliases.collectFirst { case (a, t) if a.toLowerCase == lower => t })
-          .getOrElse(name)
-      case None => name
-    }
-  }
+  /** alias → physical name, with the reference's EXACT resolution
+    * order (ezdata/simpletable.py:2002–2019, property-pinned in
+    * AliasResolutionPropertySpec):
+    *
+    *  - non-caseless: `aliases.get(name, name)` — an alias key that
+    *    SHADOWS a physical column resolves to the alias target (the
+    *    reference places no column-first check here);
+    *  - caseless: ONE lowercase map is built aliases-first and then
+    *    overwritten by the physical columns, so a caseless column
+    *    collision beats ANY alias — even an exact-case alias match —
+    *    and among colliding alias keys the LAST defined wins (dict
+    *    build order; aliases is insertion-ordered, see [[EzMeta]]).
+    */
+  def resolveAlias(name: String): String =
+    if (meta.caseless) {
+      val m = collection.mutable.LinkedHashMap.empty[String, String]
+      meta.aliases.foreach { case (k, v) => m(k.toLowerCase) = v }
+      df.columns.foreach(c => m(c.toLowerCase) = c)
+      m.getOrElse(name.toLowerCase, name)
+    } else meta.aliases.getOrElse(name, name)
 
   def reverseAlias(physical: String): Seq[String] =
     meta.aliases.collect { case (a, t) if t == physical => a }.toSeq
@@ -94,7 +105,14 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
   // ----------------------------------------------------------- metadata ops
   def setAlias(alias: String, column: String): EzFrame = {
     require(df.columns.contains(column), s"alias target '$column' does not exist")
-    withMeta(meta.copy(aliases = meta.aliases + (alias -> column)))
+    // dict-style redefinition: an existing key keeps its ORIGINAL
+    // position (Python dict update semantics — position feeds the
+    // caseless last-wins rule), a new key appends
+    val updated =
+      if (meta.aliases.contains(alias))
+        meta.aliases.map { case (k, v) => k -> (if (k == alias) column else v) }
+      else meta.aliases + (alias -> column)
+    withMeta(meta.copy(aliases = updated))
   }
   def setUnit(column: String, unit: String): EzFrame =
     withMeta(meta.copy(units = meta.units + (resolveAlias(column) -> unit)))
