@@ -12,13 +12,16 @@ import graft.expr.NumpyExpr
   * (ezdata/simpletable.py:1453–1460) as an immutable value.
   */
 final case class EzMeta(
-    // alias -> physical column.  INSERTION-ordered by default (the
+    // alias -> physical column.  INSERTION-ordered BY TYPE (the
     // reference's _aliases is a dict): under caseless resolution the
     // LAST-defined of two caselessly-colliding alias keys wins, so
-    // the map's iteration order is contract, not cosmetics.  setAlias
-    // preserves the order (redefinition updates in place, dict-style).
+    // the map's iteration order is contract, not cosmetics — hence
+    // ListMap in the signature, not Map-with-a-ListMap-default, so a
+    // caller constructing EzMeta(aliases = ...) cannot silently hand
+    // in an unordered HashMap.  setAlias preserves the order
+    // (redefinition updates in place, dict-style).
     header: ListMap[String, String] = ListMap.empty,
-    aliases: Map[String, String] = ListMap.empty,
+    aliases: ListMap[String, String] = ListMap.empty,
     units: Map[String, String] = Map.empty,
     comments: Map[String, String] = Map.empty,
     caseless: Boolean = false) {
@@ -70,12 +73,32 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
     *    build order; aliases is insertion-ordered, see [[EzMeta]]).
     */
   def resolveAlias(name: String): String =
-    if (meta.caseless) {
-      val m = collection.mutable.LinkedHashMap.empty[String, String]
-      meta.aliases.foreach { case (k, v) => m(k.toLowerCase) = v }
-      df.columns.foreach(c => m(c.toLowerCase) = c)
-      m.getOrElse(name.toLowerCase, name)
-    } else meta.aliases.getOrElse(name, name)
+    if (meta.caseless) caselessMap.getOrElse(name.toLowerCase, name)
+    else meta.aliases.getOrElse(name, name)
+
+  /** The merged caseless resolution map, built ONCE per frame (EzFrame
+    * is immutable, so aliases and columns never change under it):
+    * aliases first in insertion order, then the physical columns
+    * overriding.  Memoized per the r17 review — a wide frame resolving
+    * many names otherwise paid O(cols+aliases) per lookup — and it
+    * makes the resolution order a constructed-once artifact the
+    * property spec can probe directly.
+    *
+    * CONTRACT for caseless-COLLIDING physical columns ("Vmag"/"vmag"):
+    * the reference's recarray allows such schemas and its resolver
+    * simply maps both lowercase keys to the LAST column in order
+    * (dict overwrite); this map reproduces that, so NAME resolution
+    * (resolveAlias/keys) works on colliding frames.  Column ACCESS
+    * (get/select/evalexpr) then goes through Spark's resolver, which
+    * under the default spark.sql.caseSensitive=false throws
+    * AMBIGUOUS_REFERENCE — pinned in AliasResolutionPropertySpec; a
+    * user with such data must rename or enable case sensitivity. */
+  private lazy val caselessMap: Map[String, String] = {
+    val m = collection.mutable.LinkedHashMap.empty[String, String]
+    meta.aliases.foreach { case (k, v) => m(k.toLowerCase) = v }
+    df.columns.foreach(c => m(c.toLowerCase) = c)
+    m.toMap
+  }
 
   def reverseAlias(physical: String): Seq[String] =
     meta.aliases.collect { case (a, t) if t == physical => a }.toSeq
@@ -499,7 +522,7 @@ object EzFrame {
         val aliases = f.metadata.getString(AliasMetaKey).split("\n").filter(_.contains("=")).map { l =>
           val Array(a, t) = l.split("=", 2); EzFrame.unescEq(a) -> EzFrame.unesc(t)
         }
-        meta = meta.copy(aliases = aliases.toMap)
+        meta = meta.copy(aliases = ListMap(aliases.toSeq: _*))
       }
     }
     new EzFrame(df, meta.pruneFor(df.columns.toSeq))

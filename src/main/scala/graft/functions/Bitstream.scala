@@ -115,7 +115,10 @@ object Bitstream {
       frames += 1
       off += 12 + sz.toInt
     }
-    if (frames == 0 || frames.toLong != declared) return None
+    // real-world IVF writers commonly leave the header count 0 (it is
+    // widely treated as unreliable): trust the frame walk then, and
+    // keep the strict cross-check only against a NONZERO declaration
+    if (frames == 0 || (declared != 0 && frames.toLong != declared)) return None
     val seq = if (mime == "video/av1" && firstPayload != null) av1SeqHeader(firstPayload) else None
     Some(IvfMeta(mime,
       seq.map(_._2).getOrElse(w), seq.map(_._3).getOrElse(h),
@@ -185,10 +188,14 @@ object Bitstream {
     val level = bits(5) // seq_level_idx[0]
     if (level < 0) return None
     if (level > 7 && bits(1) < 0) return None // seq_tier[0]
-    val wBits = bits(4) + 1
-    val hBits = bits(4) + 1
-    val w = bits(wBits) + 1
-    val h = bits(hBits) + 1
+    val wb = bits(4)
+    val hb = bits(4)
+    // a payload exhausted exactly here would turn the -1 sentinel into
+    // a 0-bit size read and fabricate 1×1 dims that then OVERRIDE the
+    // container's — reject the truncation explicitly instead
+    if (wb < 0 || hb < 0) return None
+    val w = bits(wb + 1) + 1
+    val h = bits(hb + 1) + 1
     if (w <= 0 || h <= 0) None else Some((profile, w, h))
   }
 }

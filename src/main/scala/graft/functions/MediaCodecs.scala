@@ -905,28 +905,34 @@ object MediaCodecs {
         // layer==00 requirement excludes MP3 (layer 00 is reserved
         // there) and JPEG (0xFFD8 fails the second sync nibble).  The
         // cheap two-byte sync pre-check keeps the full frame walk off
-        // every non-AAC payload's path.
-        case None if b.length >= 2 && (b(0) & 0xff) == 0xff &&
-            (b(1) & 0xf6) == 0xf0 && Bitstream.parseAdts(b).isDefined =>
-          val a = Bitstream.parseAdts(b).get
-          InternalRow(UTF8String.fromString("audio/aac"), null, null,
-            a.channels, a.sampleRate, null, a.nSamples, a.durationS,
-            null, null, null, null, null, size)
-        case None if Mp4.looksIsobmff(b) => Mp4.parseIsobmff(b) match {
-          // ISOBMFF (MP4 / AVIF): real container metadata for any
-          // well-formed file; signal stats only for PCM-in-MP4 audio
-          // (AAC / AV1 bitstreams stay behind the documented stub seam)
-          case Some(m) =>
-            InternalRow(UTF8String.fromString(m.mime),
-              m.width.map(Int.box).orNull, m.height.map(Int.box).orNull,
-              m.channels.map(Int.box).orNull, m.sampleRate.map(Int.box).orNull,
-              m.bits.map(Int.box).orNull, m.nSamples.map(Long.box).orNull,
-              m.durationS.map(Double.box).orNull,
-              m.rms.map(Double.box).orNull, m.peak.map(Double.box).orNull,
-              null, null, null, size)
-          case None => decodeImageRow(b, size)
-        }
-        case None => decodeImageRow(b, size)
+        // every non-AAC payload's path; the walk itself runs ONCE per
+        // row (the Option is bound, not re-parsed in the body).
+        case None =>
+          val adts =
+            if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xf6) == 0xf0)
+              Bitstream.parseAdts(b)
+            else None
+          adts match {
+            case Some(a) =>
+              InternalRow(UTF8String.fromString("audio/aac"), null, null,
+                a.channels, a.sampleRate, null, a.nSamples, a.durationS,
+                null, null, null, null, null, size)
+            case None if Mp4.looksIsobmff(b) => Mp4.parseIsobmff(b) match {
+              // ISOBMFF (MP4 / AVIF): real container metadata for any
+              // well-formed file; signal stats only for PCM-in-MP4 audio
+              // (AAC / AV1 bitstreams stay behind the documented stub seam)
+              case Some(m) =>
+                InternalRow(UTF8String.fromString(m.mime),
+                  m.width.map(Int.box).orNull, m.height.map(Int.box).orNull,
+                  m.channels.map(Int.box).orNull, m.sampleRate.map(Int.box).orNull,
+                  m.bits.map(Int.box).orNull, m.nSamples.map(Long.box).orNull,
+                  m.durationS.map(Double.box).orNull,
+                  m.rms.map(Double.box).orNull, m.peak.map(Double.box).orNull,
+                  null, null, null, size)
+              case None => decodeImageRow(b, size)
+            }
+            case None => decodeImageRow(b, size)
+          }
       }
     }
   }

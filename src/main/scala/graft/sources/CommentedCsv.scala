@@ -29,7 +29,7 @@ object CommentedCsv {
       header: ListMap[String, String],
       units: Map[String, String],
       comments: Map[String, String],
-      aliases: Map[String, String],
+      aliases: ListMap[String, String],
       colNames: Seq[String],
       nHeaderLines: Int)
 
@@ -41,7 +41,7 @@ object CommentedCsv {
       var header = ListMap.empty[String, String]
       var units = Map.empty[String, String]
       var comments = Map.empty[String, String]
-      var aliases = Map.empty[String, String]
+      var aliases = ListMap.empty[String, String]
       var lastCommentLine: String = null
       var n = 0
       val it = src.getLines()

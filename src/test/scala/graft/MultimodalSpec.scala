@@ -1039,5 +1039,17 @@ class MultimodalSpec extends SparkSpec {
     val countLie = ivf("AV01", 10, 10, Seq(Array[Byte](0x12, 0x00)))
     countLie(24) = 9 // declared frame count != walked
     assert(Bitstream.parseIvf(countLie).isEmpty)
+    // declared count 0 is NOT a lie: real IVF writers commonly leave it
+    // zero/stale, so the walk's count is trusted and the stream parses
+    val countZero = ivf("AV01", 10, 10, Seq(Array[Byte](0x12, 0x00)))
+    countZero(24) = 0
+    val z = Bitstream.parseIvf(countZero).get
+    assert(z.nFrames == 1 && z.width == 10 && z.height == 10)
+    // a sequence header truncated EXACTLY at frame_width_bits_minus_1
+    // (29 zero bits + pad = 4 bytes) must not fabricate 1x1 dims that
+    // override the container — it rejects and falls back to IVF dims
+    val truncObu = Array[Byte](0x0a, 4, 0, 0, 0, 0)
+    val trunc = Bitstream.parseIvf(ivf("AV01", 99, 98, Seq(truncObu))).get
+    assert(trunc.width == 99 && trunc.height == 98 && trunc.profile.isEmpty)
   }
 }
