@@ -1394,6 +1394,31 @@ object SparkEntry {
           round(col("m.duration_s"), 6).as("dur"))
     }),
 
+    // §2.12 layout maintenance: small-files compaction proven
+    // content-preserving through the full write→compact→scan cycle.
+    // lineitem is written as 64 deliberately-tiny files (an
+    // incremental writer's output shape), compacted by the
+    // shuffle-free coalesce pass (Layout.compactSmallFiles), and the
+    // aggregation over the COMPACTED copy must match the oracle's
+    // aggregation over the original table — any row lost or duplicated
+    // in the rewrite breaks the hash.  The file-count economics are
+    // measured in ScaleRehearsal's `files` mode (BASELINE.md).
+    "q126_compact_scan" -> ((s, dir) => {
+      // l_orderkey < 30000 slice (the q122/q34b bounded-slot
+      // precedent): covers the whole sf0.01 gate corpus (orderkeys
+      // top out at 14,999 there) while keeping the bench slot's
+      // write+compact cost flat at any corpus scale — the file-count
+      // ECONOMICS are measured unbounded in ScaleRehearsal `files`
+      val li = t(s, dir, "lineitem").df.filter(col("l_orderkey") < 30000)
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q126").getAbsolutePath
+      li.repartition(64).write.mode("overwrite").parquet(s"$base/tiny")
+      operators.Layout.compactSmallFiles(s, s"$base/tiny", s"$base/compacted", 32L << 20)
+      s.read.parquet(s"$base/compacted").groupBy(col("l_returnflag"))
+        .agg(sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
     "q123_bench_decontam" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
       val bench = d.filter(col("doc_id") % 97 === 0)
@@ -2056,6 +2081,15 @@ object SparkEntry {
         |round(CASE WHEN doc_id % 2 = 0 THEN (1024 * (2 + (doc_id % 7))) / 44100.0
         |ELSE (1 + (doc_id % 4)) / 30.0 END, 6) AS dur
         |FROM documents WHERE doc_id < 400""".stripMargin.replace("\n", " "),
+
+    // q126: the Spark side aggregates the COMPACTED rewrite of
+    // lineitem; the oracle aggregates the original table directly —
+    // equality proves the compaction rewrote every row exactly once
+    "q126_compact_scan" ->
+      """SELECT l_returnflag,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |count(*) AS n FROM lineitem WHERE l_orderkey < 30000
+        |GROUP BY l_returnflag""".stripMargin.replace("\n", " "),
 
     "q123_bench_decontam" ->
       """WITH norm AS MATERIALIZED (SELECT doc_id, trim(regexp_replace(regexp_replace(

@@ -1411,10 +1411,25 @@ object Dedup {
     *         semantic duplicate cluster) */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     k: Int, threshold: Double, iters: Int = 2,
-                    driverPairLimit: Int = 2000000): DataFrame = {
+                    driverPairLimit: Int = 2000000,
+                    targetCell: Int = 250, corpusCount: Long = -1L): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"cosine threshold must lie in [-1, 1], got $threshold")
-    val cents = Similarity.kmeansFit(corpus, idCol, vecCol, k, iters)
+    require(k >= 0, s"k must be >= 0 (0 = auto from corpus size), got $k")
+    require(targetCell >= 1, s"targetCell must be positive, got $targetCell")
+    // k = 0 ⇒ population discipline as the DEFAULT, not documentation:
+    // k ≈ n/targetCell keeps per-cell occupancy (the quadratic pair
+    // term) constant at any corpus size — the same auto-resolution
+    // convention as lshPairs' planes=0 (the r18 25× suite run measured
+    // the fixed-k alternative at 32× wall for 25× data; the
+    // disciplined path is 3.4×, BASELINE.md semdedup rehearsal)
+    val kEff =
+      if (k > 0) k
+      else {
+        val n = if (corpusCount >= 0) corpusCount else corpus.count()
+        math.max(8L, n / targetCell).min(1000000L).toInt
+      }
+    val cents = Similarity.kmeansFit(corpus, idCol, vecCol, kEff, iters)
       .select(col("centroid_id").as(idCol), col("centroid").as(vecCol))
     val cells = Similarity.cellAssigned(corpus, cents, idCol, vecCol)
     val pairs = cells.alias("a").join(cells.alias("b"), col("a.cell") === col("b.cell"))

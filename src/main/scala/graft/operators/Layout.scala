@@ -69,6 +69,35 @@ object Layout {
       .drop(key)
   }
 
+  /** Compact a small-files parquet directory into ~`targetFileBytes`
+    * files WITHOUT an exchange: the scan packs many small files into
+    * each input partition (`spark.sql.files.maxPartitionBytes` plus
+    * the per-file `openCostInBytes` padding), and `coalesce` merges
+    * those partitions through a narrow dependency — no shuffle, no
+    * sort, every row moves at most once from source file to target
+    * file.  This is the maintenance pass a 100 TB ingest pipeline runs
+    * behind streaming/incremental writers, whose many small output
+    * files otherwise tax every later scan with per-file open cost and
+    * driver-side listing; measured in ScaleRehearsal's `files` mode.
+    * For compaction WITH multi-dimensional clustering, use [[zOrderBy]]
+    * and pay its one range exchange instead.
+    *
+    * Returns the target file count (the byte-derived coalesce width;
+    * the writer emits at most this many files).  The driver-side
+    * `getContentSummary` is metadata-only — O(files) listing, no data
+    * read. */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession, inPath: String,
+                        outPath: String, targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes >= (1L << 20), s"target below 1 MiB recreates the problem: $targetFileBytes")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath).coalesce(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** Bucketed write: persist `df` hash-partitioned into `buckets` by
     * `key` (and sorted inside each bucket), registered as `table` with
     * data at `path`.  Two tables bucketed the same way JOIN WITH ZERO

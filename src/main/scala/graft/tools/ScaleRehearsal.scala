@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * Deterministic — no RNG, rerunnable to the same bytes.
   *
   * Usage: runMain graft.tools.ScaleRehearsal <srcSfDir> <outDir> <N>
-  *   [rot|tag|join|ann|sketch|events|cc|sim|media|span|spangen|suite]
+  *   [rot|tag|join|ann|sketch|events|cc|sim|media|span|spangen|suite|files|semdedup]
   * (writes the scaled tables under <outDir>; never touches the
   * source).  `cc` = distributed connected components above the driver
   * cutoff; `sim` = PQ/ADC/IVF+PQ (q87/q89/q91); `media` = WAV/BMP/
@@ -62,6 +62,8 @@ object ScaleRehearsal {
     if (mode == "sim") { simRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "suite") { suiteCorpus(spark, src, out, n); spark.stop(); return }
     if (mode == "media") { mediaRehearsal(spark, src, out, n); spark.stop(); return }
+    if (mode == "files") { filesRehearsal(spark, src, out, n); spark.stop(); return }
+    if (mode == "semdedup") { semDedupRehearsal(spark, src, out, n); spark.stop(); return }
     val d = spark.read.parquet(s"$src/documents.parquet")
     // rot i ≡ 0 (mod 26) is the identity rotation — copies would share
     // ALL shingles, silently inverting the documented disjointness
@@ -85,6 +87,90 @@ object ScaleRehearsal {
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     println(s"wrote ${n}x documents ($mode) to $out")
     spark.stop()
+  }
+
+  /** File-count rehearsal (the small-files tax, measured): the SAME
+    * lineitem bytes written three ways — `n` tiny files (a streaming/
+    * incremental writer's output shape), 8 chunky files (the
+    * well-laid-out control), and the tiny directory re-compacted by
+    * [[graft.operators.Layout.compactSmallFiles]] (shuffle-free
+    * coalesce) — then an identical full-scan aggregation timed on
+    * each (min-of-3).  Reported per variant: file count, scan task
+    * count (the `openCostInBytes` padding inflates it with file
+    * count), and scan+agg wall.  The compacted run must return to the
+    * control's cost; the aggregation results are cross-checked
+    * identical so the compaction is proven content-preserving on the
+    * way.  At 100 TB this is the maintenance economics of running a
+    * compaction pass behind incremental writers: pay one linear
+    * rewrite, recover every subsequent scan. */
+  private def filesRehearsal(spark: SparkSession, src: String, out: String, nTiny: Int): Unit = {
+    import org.apache.spark.sql.Row
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val tiny = s"$out/tiny"; val chunky = s"$out/chunky"; val compacted = s"$out/compacted"
+    li.repartition(nTiny).write.mode(SaveMode.Overwrite).parquet(tiny)
+    li.repartition(8).write.mode(SaveMode.Overwrite).parquet(chunky)
+    def files(dir: String): Int =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    // decimal-cast sums: exact under ANY partitioning, so the tiny-vs-
+    // compacted cross-check is order-of-addition-proof (double sums
+    // are not associative and WOULD drift across layouts)
+    def agg(path: String) = spark.read.parquet(path).groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("p"), count(lit(1)).as("n"))
+    def bench(path: String): (Double, Int) = {
+      val tasks = agg(path).rdd.getNumPartitions.max(
+        spark.read.parquet(path).rdd.getNumPartitions)
+      val wall = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); agg(path).collect(); (System.nanoTime() - t0) / 1e9
+      }.min
+      (wall, tasks)
+    }
+    val (tTiny, kTiny) = bench(tiny)
+    val (tChunky, kChunky) = bench(chunky)
+    val c0 = System.nanoTime()
+    val target = graft.operators.Layout.compactSmallFiles(spark, tiny, compacted, 32L << 20)
+    val compactWall = (System.nanoTime() - c0) / 1e9
+    val (tCpt, kCpt) = bench(compacted)
+    def sig(path: String): Seq[Row] = agg(path).orderBy("l_returnflag").collect().toSeq
+    require(sig(tiny) == sig(compacted),
+      "compaction changed the aggregation result — content not preserved")
+    println(f"${"variant"}%10s ${"files"}%7s ${"scan_tasks"}%11s ${"scan_agg_s"}%11s")
+    println(f"${"tiny"}%10s ${files(tiny)}%7d ${kTiny}%11d $tTiny%11.3f")
+    println(f"${"chunky"}%10s ${files(chunky)}%7d ${kChunky}%11d $tChunky%11.3f")
+    println(f"${"compacted"}%10s ${files(compacted)}%7d ${kCpt}%11d $tCpt%11.3f")
+    println(f"compaction (coalesce to target $target files, no exchange): $compactWall%.3f s")
+  }
+
+  /** SemDeDup population-discipline rehearsal (the round-18 25× suite
+    * run surfaced this: q96's bench slot pins k=8 for its SQL oracle,
+    * so at 25× data its cells hold 25× vectors and the intra-cell
+    * pair term grows quadratically — 32× wall at 25× input, the
+    * expected behavior of the DIAGNOSTIC slot, not of the operator).
+    * The operator's contract (Dedup.semanticDedup scaladoc) is
+    * k ≈ n / targetCell; this mode runs that disciplined path at 1×
+    * and N× (cyclic-shift embedding copies — intra-copy cosine
+    * structure exactly preserved) plus the UNdisciplined fixed-k run
+    * at N× as the contrast row, and reports walls: disciplined must
+    * scale ~linearly, fixed-k shows the quadratic cliff the
+    * discipline exists to avoid. */
+  private def semDedupRehearsal(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    val big = scaleEmbeddings(spark, src, out, n)
+    val targetCell = 250
+    def run(path: String, label: String, kOverride: Option[Int]): Unit = {
+      val e = spark.read.parquet(path)
+      val cnt = e.count()
+      val k = kOverride.getOrElse(math.max(8, (cnt / targetCell).toInt))
+      val wallKept = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val kept = graft.operators.Dedup
+          .semanticDedup(e, "vec_id", "embedding", k, 0.35).count()
+        ((System.nanoTime() - t0) / 1e9, kept)
+      }.minBy(_._1)
+      println(f"$label%18s n=$cnt%7d k=$k%5d kept=${wallKept._2}%7d wall=${wallKept._1}%8.2f s")
+    }
+    run(s"$src/embeddings.parquet", "1x disciplined", None)
+    run(big, s"${n}x disciplined", None)
+    run(big, s"${n}x FIXED k=8", Some(8))
   }
 
   /** ANN-family rehearsal: N× embeddings where copy i's vectors are

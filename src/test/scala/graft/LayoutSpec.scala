@@ -173,4 +173,35 @@ class LayoutSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("compactSmallFiles merges a tiny-files table shuffle-free and preserves every row") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toFile
+    try {
+      val base = tmp.getAbsolutePath
+      spark.range(10000)
+        .select(col("id"), (col("id") % 7).as("k"), (col("id") * 31 % 1000).as("v"))
+        .repartition(64).write.parquet(s"$base/tiny")
+      def files(dir: String): Int =
+        new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files(s"$base/tiny") == 64)
+      val n = Layout.compactSmallFiles(spark, s"$base/tiny", s"$base/out", 1L << 20)
+      assert(files(s"$base/out") <= n && files(s"$base/out") < 64)
+      // content-preserving: the identical multiset of rows survives
+      val a = spark.read.parquet(s"$base/tiny").orderBy("id").collect().toSeq
+      val b = spark.read.parquet(s"$base/out").orderBy("id").collect().toSeq
+      assert(a == b)
+      // the compaction is a narrow dependency — no exchange anywhere
+      val plan = spark.read.parquet(s"$base/tiny").coalesce(n)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      // a sub-MiB target would recreate the small-files problem: loud
+      assertThrows[IllegalArgumentException](
+        Layout.compactSmallFiles(spark, s"$base/tiny", s"$base/out2", 1000L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
 }

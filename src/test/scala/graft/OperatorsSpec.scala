@@ -759,6 +759,27 @@ class DedupSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(k4.intersect(Set(0L, 1L, 2L, 3L)).nonEmpty &&
       k4.size >= 6 && k4.size <= rows.size + 1, s"k=4 kept $k4")
+    // k = 0 auto-resolves the population discipline (k ≈ n/targetCell,
+    // floored at 8): with 15 rows and targetCell=1 → kEff = 15, and the
+    // result must equal the SAME explicit k — the auto path is pure
+    // parameter derivation, never a semantics change
+    val auto = Dedup.semanticDedup(df, "vec_id", "embedding", k = 0,
+        threshold = 0.999, targetCell = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val explicit = Dedup.semanticDedup(df, "vec_id", "embedding", k = 15,
+        threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(auto == explicit, s"auto $auto vs explicit $explicit")
+    // tiny corpora floor at k = 8 (n/targetCell below the floor)
+    val floored = Dedup.semanticDedup(df, "vec_id", "embedding", k = 0,
+        threshold = 0.999, targetCell = 1000)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val explicit8 = Dedup.semanticDedup(df, "vec_id", "embedding", k = 8,
+        threshold = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(floored == explicit8, s"floored $floored vs explicit8 $explicit8")
+    assertThrows[IllegalArgumentException](
+      Dedup.semanticDedup(df, "vec_id", "embedding", k = -1, threshold = 0.5))
   }
 
   test("maxBucket caps band buckets before the self-join squares them") {
