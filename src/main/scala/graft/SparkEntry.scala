@@ -1419,6 +1419,29 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // §2.12 incremental semantic dedup (the embedding member of the
+    // store-once/merge-later family, next to q86 minhash bands and
+    // q122 span evidence): even vec_ids play the standing KEPT store,
+    // odd ids the arriving batch, cells FROZEN at 8 literal one-hot
+    // centroids — the exact literals the oracle carries, so the
+    // DuckDB mirror replays the identical argmin assignment, pair
+    // set (store×store excluded), components, and verdicts (any
+    // store member kills the whole component; min batch id wins the
+    // batch-only ones).  vec_id < 800 covers the whole sf0.01 gate
+    // corpus and keeps the bench slot flat at scale.
+    "q127_semdedup_incr" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 800)
+      val store = e.filter(col("vec_id") % 2 === 0)
+      val batch = e.filter(col("vec_id") % 2 === 1)
+      val cents = (0 until 8)
+        .map(j => (j.toLong, Seq.tabulate(64)(d => if (d == 8 * j) 1.0 else 0.0)))
+        .toDF("vec_id", "embedding")
+      operators.Dedup.semanticDedupIncremental(
+          store, batch, cents, "vec_id", "embedding", threshold = 0.30)
+        .select(col("vec_id"))
+    }),
+
     "q123_bench_decontam" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
       val bench = d.filter(col("doc_id") % 97 === 0)
@@ -2081,6 +2104,42 @@ object SparkEntry {
         |round(CASE WHEN doc_id % 2 = 0 THEN (1024 * (2 + (doc_id % 7))) / 44100.0
         |ELSE (1 + (doc_id % 4)) / 30.0 END, 6) AS dur
         |FROM documents WHERE doc_id < 400""".stripMargin.replace("\n", " "),
+
+    // q127: the full incremental flow replayed in SQL — the same 8
+    // one-hot centroid literals (built by the same Scala expression),
+    // the same argmin tie rule (distance then cid, mirroring
+    // nearestCell), pairs with the store×store quadrant excluded,
+    // recursive-CTE reachability for components, and the
+    // store-contaminates / min-batch-wins verdicts
+    "q127_semdedup_incr" -> {
+      val centLits = (0 until 8).map(j =>
+        s"($j, [${(0 until 64).map(d => if (d == 8 * j) "1.0" else "0.0").mkString(", ")}]::DOUBLE[])")
+        .mkString(", ")
+      s"""WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |WHERE embedding IS NOT NULL AND vec_id < 800),
+         |cents(cid, cv) AS (VALUES $centLits),
+         |a AS (SELECT vec_id, v, cid,
+         |row_number() OVER (PARTITION BY vec_id ORDER BY list_distance(v, cv), cid) AS rn
+         |FROM v CROSS JOIN cents),
+         |cells AS MATERIALIZED (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+         |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM cells x
+         |JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |WHERE NOT (x.vec_id % 2 = 0 AND y.vec_id % 2 = 0)
+         |AND isfinite(round(list_cosine_similarity(x.v, y.v), 6))
+         |AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.30),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+         |r AS (SELECT src AS node, src AS reach FROM e
+         |UNION SELECT r.node, e.dst FROM r JOIN e ON r.reach = e.src),
+         |lab AS (SELECT node, min(reach) AS comp FROM r GROUP BY node),
+         |allv AS (SELECT vec_id AS node FROM v),
+         |lab2 AS (SELECT node, coalesce(comp, node) AS comp FROM allv LEFT JOIN lab USING (node)),
+         |st AS (SELECT comp, max(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS has_store,
+         |min(CASE WHEN node % 2 = 1 THEN node END) AS min_batch FROM lab2 GROUP BY comp)
+         |SELECT node AS vec_id FROM lab2 JOIN st USING (comp)
+         |WHERE node % 2 = 1 AND has_store = 0 AND node = min_batch
+         |UNION ALL SELECT vec_id FROM embeddings
+         |WHERE embedding IS NULL AND vec_id % 2 = 1 AND vec_id < 800""".stripMargin.replace("\n", " ")
+    },
 
     // q126: the Spark side aggregates the COMPACTED rewrite of
     // lineitem; the oracle aggregates the original table directly —

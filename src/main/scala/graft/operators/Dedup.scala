@@ -1443,6 +1443,74 @@ object Dedup {
     keepMinIdWinners(corpus, col(idCol), pairs, driverPairLimit)
   }
 
+  /** Incremental SemDeDup: dedup a NEW batch of embeddings against an
+    * existing KEPT store under FIXED cells — the embedding member of
+    * the store-once/merge-later family (q86 minhash bands, q122 span
+    * evidence, q118–q120 sketch columns).  Ingest day N never
+    * re-scores the store against itself: cells come from the provided
+    * `centroids` (train once — e.g. [[Similarity.kmeansFit]] on the
+    * first corpus — then FREEZE, so assignment stays reproducible
+    * across ingests), only pairs with at least one batch endpoint are
+    * cosine-scored (store×store is resolved by construction), and a
+    * batch row survives iff its duplicate component contains NO store
+    * row and it is the minimum batch id in the component.  The
+    * survivors are exactly the rows to APPEND to the store.
+    *
+    * Scale shape: assignment is a literal argmin projection on both
+    * sides (zero shuffle, the ivfAssign shape); the within-cell join
+    * excludes the store×store quadrant, so its quadratic term is
+    * per-cell batch×(store+batch) — bounded by the same population
+    * discipline as [[semanticDedup]] (grow the centroid count with
+    * the store); components ride [[connectedComponents]] (driver
+    * union-find for small pair graphs, log-diameter loop above).
+    *
+    * Divergence contract vs a full batch [[semanticDedup]] over the
+    * union (inherent to ANY incremental dedup): a batch row similar
+    * only to a REMOVED earlier duplicate — not to its surviving
+    * representative — is KEPT here (the removed row is gone, so no
+    * edge exists), where the full run would have linked them
+    * transitively.  Spec-pinned in both directions.
+    *
+    * Batch rows with null vectors carry no similarity evidence and
+    * are KEPT; null-id rows are dropped (the [[keepMinIdWinners]]
+    * convention).
+    *
+    * @return the surviving rows of `batch` */
+  def semanticDedupIncremental(store: DataFrame, batch: DataFrame, centroids: DataFrame,
+                               idCol: String, vecCol: String, threshold: Double,
+                               driverPairLimit: Int = 2000000): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must lie in [-1, 1], got $threshold")
+    val s = Similarity.cellAssigned(store, centroids, idCol, vecCol)
+      .withColumn("st", lit(true))
+    val b = Similarity.cellAssigned(batch, centroids, idCol, vecCol)
+      .withColumn("st", lit(false))
+    val all = s.unionByName(b)
+    val pairs = all.alias("a").join(all.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid") &&
+          !(col("a.st") && col("b.st")))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        round(graft.functions.VectorSim.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      // NaN (zero-norm) sorts greater than every double — drop, never
+      // let it pass a >= threshold gate
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comps = connectedComponents(all.select(col("vid").as("nid")), "nid", pairs,
+      driverPairLimit = driverPairLimit)
+    val tagged = comps.join(all.select(col("vid"), col("st")), col("node") === col("vid"))
+    // per-component verdicts: any store member contaminates the whole
+    // component (store rows are immutable survivors — min-id cannot
+    // overrule them); among batch-only components the min id wins
+    val stats = tagged.groupBy(col("component"))
+      .agg(max(when(col("st"), 1).otherwise(0)).as("has_store"),
+        min(when(!col("st"), col("node"))).as("min_batch"))
+    val losers = tagged.filter(!col("st")).join(stats, "component")
+      .filter(col("has_store") === 1 || col("node") =!= col("min_batch"))
+      .select(col("node").as("lose_id"))
+    batch.filter(col(idCol).isNotNull)
+      .join(losers, col(idCol) === col("lose_id"), "left_anti")
+  }
+
   /** The r3 explode + two-groupBy Jaccard (kept as the independent
     * reference implementation the fused kernel is spec-verified
     * against). */

@@ -782,6 +782,50 @@ class DedupSpec extends SparkSpec {
       Dedup.semanticDedup(df, "vec_id", "embedding", k = -1, threshold = 0.5))
   }
 
+  test("semanticDedupIncremental: store contaminates, min batch id wins, nulls survive, divergence pinned") {
+    // one centroid = one cell: decision semantics exact (every pair
+    // scored); the cell-BOUNDING path is q127's oracle territory
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val t9 = 0.9
+    def deg(d: Double) = math.toRadians(d)
+    def v(angle: Double) = Seq(math.cos(deg(angle)), math.sin(deg(angle)), 0.0, 0.0)
+    // store: R at 0°, S far away on another axis pair
+    val store = Seq((0L, v(0)), (2L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "embedding")
+    // batch: 1 ≈ R (dies: component contains store); 3 ≈ 5 mutually
+    // but far from store (3 = min batch id survives, 5 dies); 7 is a
+    // singleton (survives); 9 carries no vector (kept); 11 chains to
+    // the store THROUGH batch row 1 (1 at 20°, 11 at 40°: cos(1,11) =
+    // cos20° ≈ .94 ≥ 0.9 and cos(R,1) = cos20° ≥ 0.9, while
+    // cos(R,11) = cos40° ≈ .77 < 0.9 — transitive contamination must
+    // still kill 11)
+    val batch = Seq(
+        (1L, v(20)), (11L, v(40)),
+        (3L, Seq(0.0, 0.0, 0.0, 1.0)), (5L, Seq(0.0, 0.0, 0.1, 0.995)),
+        (7L, Seq(0.0, -1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq((9L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding"))
+    val kept = Dedup.semanticDedupIncremental(store, batch, cents,
+        "vec_id", "embedding", threshold = t9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 7L, 9L), s"got $kept")
+    // the divergence contract, both directions: N (at 50°) is similar
+    // to the REMOVED doc A (at 25°) but not to the surviving rep R
+    // (at 0°).  Incremental (A absent from the store) KEEPS N; the
+    // full batch run over {R, A, N} links R–A–N transitively and
+    // keeps only R.
+    val n = Seq((31L, v(50))).toDF("vec_id", "embedding")
+    val keptIncr = Dedup.semanticDedupIncremental(
+        Seq((0L, v(0))).toDF("vec_id", "embedding"), n, cents,
+        "vec_id", "embedding", threshold = t9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptIncr == Set(31L))
+    val full = Dedup.semanticDedup(
+        Seq((0L, v(0)), (21L, v(25)), (31L, v(50))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, threshold = t9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full == Set(0L))
+  }
+
   test("maxBucket caps band buckets before the self-join squares them") {
     // a boilerplate cluster of 30 near-identical docs (one token
     // differs) floods its band buckets; two small genuine near-dup
