@@ -1478,11 +1478,26 @@ object Dedup {
     * @return the surviving rows of `batch` */
   def semanticDedupIncremental(store: DataFrame, batch: DataFrame, centroids: DataFrame,
                                idCol: String, vecCol: String, threshold: Double,
-                               driverPairLimit: Int = 2000000): DataFrame = {
+                               driverPairLimit: Int = 2000000,
+                               storeCellCol: Option[String] = None): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"cosine threshold must lie in [-1, 1], got $threshold")
-    val s = Similarity.cellAssigned(store, centroids, idCol, vecCol)
-      .withColumn("st", lit(true))
+    // storeCellCol: the store's cell assignments PERSISTED from earlier
+    // ingests (they are stable while the centroids stay frozen), so the
+    // per-ingest assignment cost is batch-only instead of re-walking
+    // the whole store every generation — the amortized-flat ingest
+    // pattern the `semincr` rehearsal measures.  Reassign (and drop
+    // the column for one call) after any centroid refit.
+    val s = storeCellCol match {
+      case Some(c) =>
+        store.select(col(idCol).as("vid"), Similarity.asDouble(col(vecCol)).as("v"),
+            col(c).cast("long").as("cell"))
+          .filter(col("v").isNotNull)
+          .withColumn("st", lit(true))
+      case None =>
+        Similarity.cellAssigned(store, centroids, idCol, vecCol)
+          .withColumn("st", lit(true))
+    }
     val b = Similarity.cellAssigned(batch, centroids, idCol, vecCol)
       .withColumn("st", lit(false))
     val all = s.unionByName(b)

@@ -28,7 +28,7 @@ object Similarity {
 
   def l2Distance(a: Column, b: Column): Column = graft.functions.VectorSim.l2(a, b)
 
-  private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+  private[graft] def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
 
   /** Brute-force cosine top-k per probe vector: probes × corpus scored
     * pairwise, ranked by a window.  Exact; O(|probes|·|corpus|). The

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * Deterministic — no RNG, rerunnable to the same bytes.
   *
   * Usage: runMain graft.tools.ScaleRehearsal <srcSfDir> <outDir> <N>
-  *   [rot|tag|join|ann|sketch|events|cc|sim|media|span|spangen|suite|files|semdedup]
+  *   [rot|tag|join|ann|sketch|events|cc|sim|media|span|spangen|suite|files|semdedup|semincr]
   * (writes the scaled tables under <outDir>; never touches the
   * source).  `cc` = distributed connected components above the driver
   * cutoff; `sim` = PQ/ADC/IVF+PQ (q87/q89/q91); `media` = WAV/BMP/
@@ -64,6 +64,7 @@ object ScaleRehearsal {
     if (mode == "media") { mediaRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "files") { filesRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "semdedup") { semDedupRehearsal(spark, src, out, n); spark.stop(); return }
+    if (mode == "semincr") { semIncrRehearsal(spark, src, out, n); spark.stop(); return }
     val d = spark.read.parquet(s"$src/documents.parquet")
     // rot i ≡ 0 (mod 26) is the identity rotation — copies would share
     // ALL shingles, silently inverting the documented disjointness
@@ -171,6 +172,154 @@ object ScaleRehearsal {
     run(s"$src/embeddings.parquet", "1x disciplined", None)
     run(big, s"${n}x disciplined", None)
     run(big, s"${n}x FIXED k=8", Some(8))
+  }
+
+  /** Incremental-SemDeDup generational rehearsal (the q127 operator's
+    * months-of-ingest cost shape, the embedding analog of `spangen`):
+    * `gens` generations of embedding batches arrive (cyclic-shift
+    * copies — intra-batch duplicate structure identical every
+    * generation, cross-batch decorrelated), each deduped against the
+    * growing kept store by semanticDedupIncremental and appended.
+    * Two arms per generation:
+    *
+    *  - FROZEN cells (centroids fitted once on generation 0): the
+    *    within-cell batch×store term grows linearly with the store —
+    *    per-generation wall must trend up, the cost of never growing
+    *    the cells;
+    *  - DISCIPLINED cells (k ≈ (store+batch)/targetCell, re-fit each
+    *    generation): per-cell population stays constant, so the pair
+    *    term per ingest is ~batch×targetCell and the per-generation
+    *    wall stays ~flat (the fit itself is linear in the store).
+    *
+    * Correctness is q127's oracle territory; this mode measures COST
+    * SHAPE only and prints store sizes so the kept-per-generation
+    * arithmetic is visible. */
+  private def semIncrRehearsal(spark: SparkSession, src: String, out: String, gens: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    require(gens >= 2 && gens <= 60, s"gens in [2, 60] (cyclic shifts must stay distinct), got $gens")
+    val base = spark.read.parquet(s"$src/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+    val dim = base.selectExpr("size(embedding)").limit(1).collect().head.getInt(0)
+    val batchRows = base.count()
+    val targetCell = 250
+    def gen(g: Int): DataFrame = {
+      val sh = g % dim
+      val shifted =
+        if (sh == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${sh + 1}, ${dim - sh}), slice(embedding, 1, $sh))")
+      base.select((col("vec_id") + lit(g.toLong * 10000000L)).as("vec_id"),
+        shifted.as("embedding"))
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    // threshold 0.6 everywhere: sparse enough that most of each batch
+    // SURVIVES (the store genuinely grows ~batchRows per generation) —
+    // the cost shape under test is batch x store, which a
+    // kill-everything threshold would hide behind a never-growing store
+    val thr = 0.60
+
+    /** naive arms: `refitEveryGen = false` freezes generation-0 cells
+      * (pair term grows ~linearly with the store; the whole store is
+      * also REASSIGNED every generation), `true` re-fits full-corpus
+      * k-means each generation (fit + assignment cost ~ store x k with
+      * k ~ store — the quadratic trap). */
+    def runNaive(label: String, refitEveryGen: Boolean): Seq[(Long, Double)] = {
+      val storeDir = s"$out/semincr_$label"
+      rm(new java.io.File(storeDir))
+      var frozen: DataFrame = null
+      (0 until gens).map { g =>
+        val batch = gen(g)
+        val store = if (g == 0) batch.limit(0) else spark.read.parquet(storeDir)
+        val storeN = if (g == 0) 0L else store.count()
+        val t0 = System.nanoTime()
+        val cents =
+          if (!refitEveryGen) {
+            if (frozen == null) {
+              val k0 = math.max(8L, batchRows / targetCell).toInt
+              frozen = graft.operators.Similarity
+                .kmeansFit(batch, "vec_id", "embedding", k0, 2)
+                .select(col("centroid_id").as("vec_id"), col("centroid").as("embedding"))
+                .cache()
+              frozen.count()
+            }
+            frozen
+          } else {
+            val kg = math.max(8L, (storeN + batchRows) / targetCell).toInt
+            graft.operators.Similarity
+              .kmeansFit(store.unionByName(batch), "vec_id", "embedding", kg, 2)
+              .select(col("centroid_id").as("vec_id"), col("centroid").as("embedding"))
+          }
+        graft.operators.Dedup
+          .semanticDedupIncremental(store, batch, cents, "vec_id", "embedding", thr)
+          .write.mode(SaveMode.Append).parquet(storeDir)
+        val wall = (System.nanoTime() - t0) / 1e9
+        (storeN, wall)
+      }
+    }
+
+    /** The production discipline — both linear terms amortized away:
+      * cell assignments are PERSISTED with the store (the operator's
+      * storeCellCol seam), so a normal generation assigns only the
+      * batch; centroids re-fit only when the store DOUBLES, on a
+      * deterministic bounded sample (fit cost ~ sample x k, never
+      * store x k), and the one whole-store reassignment per refit is
+      * paid at doublings only (log-many, amortized O(1) per ingest). */
+    def runAmortized(label: String): Seq[(Long, Double, String)] = {
+      var ver = 0
+      var storePath = s"$out/semincr_${label}_v0"
+      rm(new java.io.File(storePath))
+      var cents: DataFrame = null
+      var lastFit = 0L
+      (0 until gens).map { g =>
+        val batch = gen(g)
+        val store = if (g == 0) null else spark.read.parquet(storePath)
+        val storeN = if (g == 0) 0L else store.count()
+        val t0 = System.nanoTime()
+        var note = ""
+        if (cents == null || storeN >= 2L * math.max(lastFit, batchRows)) {
+          note = "refit"
+          val kg = math.max(8L, (storeN + batchRows) / targetCell).toInt
+          val fitSrc =
+            if (store == null) batch
+            else store.select(col("vec_id"), col("embedding")).unionByName(batch)
+          val every = math.max(1L, (storeN + batchRows) / 2000L)
+          val sample = fitSrc.filter(pmod(col("vec_id"), lit(every)) === 0)
+          if (cents != null) { cents.unpersist(); () }
+          cents = graft.operators.Similarity
+            .kmeansFit(sample, "vec_id", "embedding", kg, 2)
+            .select(col("centroid_id").as("vec_id"), col("centroid").as("embedding"))
+            .cache()
+          cents.count()
+          lastFit = storeN
+          if (store != null) { // one whole-store reassignment per refit
+            ver += 1
+            val np = s"$out/semincr_${label}_v$ver"
+            rm(new java.io.File(np))
+            graft.operators.Similarity.cellAssigned(store, cents, "vec_id", "embedding")
+              .select(col("vid").as("vec_id"), col("v").as("embedding"), col("cell"))
+              .write.mode(SaveMode.Overwrite).parquet(np)
+            storePath = np
+          }
+        }
+        val st =
+          if (g == 0) gen(0).limit(0).withColumn("cell", lit(0L))
+          else spark.read.parquet(storePath)
+        val kept = graft.operators.Dedup.semanticDedupIncremental(
+          st, batch, cents, "vec_id", "embedding", thr, storeCellCol = Some("cell"))
+        graft.operators.Similarity.cellAssigned(kept, cents, "vec_id", "embedding")
+          .select(col("vid").as("vec_id"), col("v").as("embedding"), col("cell"))
+          .write.mode(SaveMode.Append).parquet(storePath)
+        val wall = (System.nanoTime() - t0) / 1e9
+        (storeN, wall, note)
+      }
+    }
+    val frozenArm = runNaive("frozen", refitEveryGen = false)
+    val refitArm = runNaive("refit", refitEveryGen = true)
+    val amortArm = runAmortized("amort")
+    println(f"${"gen"}%4s ${"store"}%7s ${"frozen_s"}%9s ${"refit_s"}%9s ${"amort_s"}%9s  note")
+    for (g <- 0 until gens)
+      println(f"$g%4d ${amortArm(g)._1}%7d ${frozenArm(g)._2}%9.2f ${refitArm(g)._2}%9.2f ${amortArm(g)._2}%9.2f  ${amortArm(g)._3}")
   }
 
   /** ANN-family rehearsal: N× embeddings where copy i's vectors are

@@ -824,6 +824,24 @@ class DedupSpec extends SparkSpec {
         "vec_id", "embedding", k = 1, threshold = t9)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(full == Set(0L))
+    // the persisted-cell seam (storeCellCol): a store carrying its own
+    // cell assignments must decide EXACTLY like the recomputed path —
+    // the seam is an assignment-cost optimization, never a semantics
+    // change (with one centroid every true cell is 0)
+    val storeWithCells = store.withColumn("cell", lit(0L))
+    val keptSeam = Dedup.semanticDedupIncremental(storeWithCells, batch, cents,
+        "vec_id", "embedding", threshold = t9, storeCellCol = Some("cell"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptSeam == kept, s"seam $keptSeam vs recomputed $kept")
+    // ...and the stored column is genuinely HONORED: exiling store row
+    // 0 (the rep R) to a bogus cell removes its pairs, so the {1, 11}
+    // chain becomes a batch-only component — min id 1 now survives
+    val storeExiled = store.withColumn("cell",
+      when(col("vec_id") === 0L, lit(99L)).otherwise(lit(0L)))
+    val keptExiled = Dedup.semanticDedupIncremental(storeExiled, batch, cents,
+        "vec_id", "embedding", threshold = t9, storeCellCol = Some("cell"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptExiled == Set(1L, 3L, 7L, 9L), s"got $keptExiled")
   }
 
   test("maxBucket caps band buckets before the self-join squares them") {
