@@ -98,6 +98,70 @@ object Layout {
     n
   }
 
+  /** Partition-aware compaction — [[compactSmallFiles]] for
+    * PARTITIONED tables (the daily-ingest shape: `dt=.../hour=...`
+    * directories, each leaking small files from incremental writers).
+    * A flat coalesce would erase the physical partitioning, and the
+    * naive `repartition(n).write.partitionBy(cols)` re-EXPLODES files
+    * (every task writes one file per partition value it holds).  The
+    * correct shape, done here: size each partition from a
+    * metadata-only listing, give it `ceil(bytes / targetFileBytes)`
+    * salt slots, hash-exchange on (partition cols, salt) so one
+    * output file's rows land in exactly one task, and write back
+    * `partitionBy` the same columns.  One exchange of the data; each
+    * partition emits AT MOST its salt budget of files (hash
+    * collisions between salt slots merge into fewer, larger files —
+    * never the per-task explosion), so skewed partitions get more
+    * files instead of skewing one task.
+    *
+    * @param partitionCols the table's physical partition columns, in
+    *        directory order (e.g. `Seq("dt")`)
+    * @return partition-value path suffix → target file count */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession, inPath: String,
+                         outPath: String, partitionCols: Seq[String],
+                         targetFileBytes: Long = 128L << 20): Map[String, Int] = {
+    require(partitionCols.nonEmpty, "use compactSmallFiles for unpartitioned tables")
+    require(targetFileBytes >= (1L << 20), s"target below 1 MiB recreates the problem: $targetFileBytes")
+    val root = new org.apache.hadoop.fs.Path(inPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // walk partition directories depth = partitionCols.size (listing
+    // only — O(dirs + files) names, no data reads); the suffix is
+    // built from directory NAMES during the walk, never by string-
+    // stripping the root (listStatus returns fully-qualified URIs)
+    def leaves(p: org.apache.hadoop.fs.Path, suffix: String,
+               depth: Int): Seq[(org.apache.hadoop.fs.Path, String)] =
+      if (depth == 0) Seq((p, suffix))
+      else fs.listStatus(p).toSeq.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap { d =>
+          val name = d.getPath.getName
+          leaves(d.getPath, if (suffix.isEmpty) name else s"$suffix/$name", depth - 1)
+        }
+    val plan: Map[String, Int] = leaves(root, "", partitionCols.size).map { case (dir, suffix) =>
+      val bytes = fs.getContentSummary(dir).getLength
+      suffix -> math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    }.toMap
+    require(plan.nonEmpty, s"no partition directories under $inPath")
+    import spark.implicits._
+    val nFiles = plan.toSeq.map { case (suffix, n) =>
+      // dt=2024-01-01/hour=3 → ("2024-01-01", "3", n)
+      val values = suffix.split("/").map(_.split("=", 2)(1))
+      (values.toSeq, n)
+    }.toDF("__pvals", "__nfiles")
+    val df = spark.read.parquet(inPath)
+    val pvals = array(partitionCols.map(c => col(c).cast(StringType)): _*)
+    // salt: deterministic per-row hash modulo the partition's file
+    // budget — rows of one partition spread over exactly __nfiles
+    // tasks, so the writer emits __nfiles files for it
+    val salted = df.join(broadcast(nFiles), pvals === col("__pvals"))
+      .withColumn("__salt",
+        pmod(xxhash64(struct(df.columns.map(col): _*)), col("__nfiles").cast("long")))
+    salted
+      .repartition(partitionCols.map(col) :+ col("__salt"): _*)
+      .drop("__pvals", "__nfiles", "__salt")
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outPath)
+    plan
+  }
+
   /** Bucketed write: persist `df` hash-partitioned into `buckets` by
     * `key` (and sorted inside each bucket), registered as `table` with
     * data at `path`.  Two tables bucketed the same way JOIN WITH ZERO

@@ -174,6 +174,53 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compactPartitioned keeps the physical layout, budgets files by partition bytes, preserves rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cpart").toFile
+    try {
+      val base = tmp.getAbsolutePath
+      // skewed daily partitions: dt=0 holds ~40x the rows of dt=1/dt=2
+      // (and more than one 1 MiB target unit), every partition written
+      // as 16 deliberately-tiny files
+      val df = spark.range(410000).select(
+        when(col("id") < 400000, lit(0)).otherwise((col("id") % 2 + 1).cast("int")).as("dt"),
+        col("id"), (col("id") * 37 % 1000).as("v"))
+      df.repartition(16).write.partitionBy("dt").parquet(s"$base/in")
+      def files(dir: String): Int =
+        Option(new java.io.File(dir).listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+      assert(files(s"$base/in/dt=0") == 16 && files(s"$base/in/dt=1") == 16)
+      // ~600 KB total in dt=0 → a 1 MiB target gives it 1 file; tiny
+      // partitions also 1 — use a sub-partition target to see budgets
+      val plan = Layout.compactPartitioned(spark, s"$base/in", s"$base/out",
+        Seq("dt"), targetFileBytes = 1L << 20)
+      assert(plan.keySet == Set("dt=0", "dt=1", "dt=2"), plan.toString)
+      // the skewed partition's byte budget is strictly larger — files
+      // scale with PARTITION bytes, not with a global constant
+      assert(plan("dt=0") > plan("dt=1") && plan("dt=1") == 1, plan.toString)
+      // every budget honored as a CAP (salt-slot hash collisions may
+      // merge slots into fewer, larger files — never an explosion)
+      for ((suffix, budget) <- plan) {
+        val got = files(s"$base/out/$suffix")
+        assert(got >= 1 && got <= budget, s"$suffix: $got files vs budget $budget")
+      }
+      // physical layout survived: partition dirs, not a flat table
+      assert(new java.io.File(s"$base/out/dt=0").isDirectory)
+      // content: identical multiset of rows (dt comes back as the
+      // partition column)
+      val a = spark.read.parquet(s"$base/in").select("dt", "id", "v")
+        .orderBy("id").collect().toSeq
+      val b = spark.read.parquet(s"$base/out").select("dt", "id", "v")
+        .orderBy("id").collect().toSeq
+      assert(a == b)
+      assertThrows[IllegalArgumentException](
+        Layout.compactPartitioned(spark, s"$base/in", s"$base/out2", Seq.empty))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("compactSmallFiles merges a tiny-files table shuffle-free and preserves every row") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toFile
     try {
