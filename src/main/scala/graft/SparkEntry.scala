@@ -1419,6 +1419,32 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // §2.12 atomic versioned ingest store (manifest commits): the
+    // documents slice arrives as TWO appends into a ManifestStore,
+    // the store is compacted (new manifest, immutable data files),
+    // and the aggregation over the LATEST SNAPSHOT must match the
+    // oracle's direct aggregation of the same slice — a torn,
+    // duplicated, or dropped file anywhere in commit/compact breaks
+    // the hash.  doc_id < 2500: the q122 bounded-slot precedent.
+    "q128_manifest_store" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df.filter(col("doc_id") < 2500)
+        .select(col("doc_id"), col("text"))
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_q128").getAbsolutePath
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(base))
+      sources.ManifestStore.commitAppend(s, base,
+        d.filter(col("doc_id") % 2 === 0).repartition(8), "even")
+      sources.ManifestStore.commitAppend(s, base,
+        d.filter(col("doc_id") % 2 === 1).repartition(8), "odd")
+      sources.ManifestStore.compact(s, base, 1L << 20)
+      sources.ManifestStore.read(s, base)
+        .groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("n_chars"))
+    }),
+
     // §2.12 incremental semantic dedup (the embedding member of the
     // store-once/merge-later family, next to q86 minhash bands and
     // q122 span evidence): even vec_ids play the standing KEPT store,
@@ -2104,6 +2130,14 @@ object SparkEntry {
         |round(CASE WHEN doc_id % 2 = 0 THEN (1024 * (2 + (doc_id % 7))) / 44100.0
         |ELSE (1 + (doc_id % 4)) / 30.0 END, 6) AS dur
         |FROM documents WHERE doc_id < 400""".stripMargin.replace("\n", " "),
+
+    // q128: the Spark side aggregates the manifest store's latest
+    // snapshot after two appends + one compaction; the oracle
+    // aggregates the same slice directly
+    "q128_manifest_store" ->
+      """SELECT doc_id % 10 AS bucket, count(*) AS n,
+        |CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id < 2500 GROUP BY 1""".stripMargin.replace("\n", " "),
 
     // q127: the full incremental flow replayed in SQL — the same 8
     // one-hot centroid literals (built by the same Scala expression),

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.ManifestStore
+
+class ManifestStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRoot(body: String => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_manifest").toFile
+    try body(tmp.getAbsolutePath)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("append commits version, reads see exactly the committed snapshot") {
+    withRoot { root =>
+      assert(ManifestStore.currentVersion(spark, root).isEmpty)
+      val v0 = ManifestStore.commitAppend(spark, root, Seq(1L, 2L, 3L).toDF("x"), "day0")
+      val v1 = ManifestStore.commitAppend(spark, root, Seq(4L, 5L).toDF("x"), "day1")
+      assert(v0 == 0L && v1 == 1L)
+      assert(ManifestStore.currentVersion(spark, root).contains(1L))
+      // snapshot isolation / time travel: v0 is still exactly day0
+      val at0 = ManifestStore.read(spark, root, Some(0L)).as[Long].collect().sorted.toSeq
+      val at1 = ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq
+      assert(at0 == Seq(1L, 2L, 3L) && at1 == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
+
+  test("uncommitted data files are unobservable (the torn-read the directory store had)") {
+    withRoot { root =>
+      ManifestStore.commitAppend(spark, root, Seq(1L).toDF("x"), "day0")
+      // an in-flight writer's files: in data/, but referenced by no manifest
+      Seq(99L).toDF("x").write.parquet(s"$root/data/v1-inflight")
+      assert(ManifestStore.read(spark, root).as[Long].collect().toSeq == Seq(1L))
+      // the directory listing WOULD have seen the torn state
+      val torn = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$root/data").as[Long].collect().toSet
+      assert(torn == Set(1L, 99L))
+    }
+  }
+
+  test("compact rewrites the current set only; pinned readers and row content survive; vacuum reclaims") {
+    withRoot { root =>
+      // many tiny commits = many tiny files
+      for (d <- 0 until 6)
+        ManifestStore.commitAppend(spark, root,
+          spark.range(d * 100, (d + 1) * 100).toDF("x").repartition(4), s"day$d")
+      val before = ManifestStore.files(spark, root).size
+      assert(before >= 24)
+      val vc = ManifestStore.compact(spark, root, targetFileBytes = 1L << 20)
+      assert(vc == 6L)
+      val after = ManifestStore.files(spark, root)
+      assert(after.size < before && after.forall(_.contains("v6-compact")))
+      // content identical through the rewrite
+      val want = (0L until 600L).toSeq
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == want)
+      // a pinned pre-compaction reader still resolves its old files
+      assert(ManifestStore.read(spark, root, Some(5L)).as[Long]
+        .collect().sorted.toSeq == want)
+      // vacuum to the newest 1 version: the old tiny files are deleted,
+      // their manifests dropped, the current version unharmed
+      val deleted = ManifestStore.vacuum(spark, root, keepVersions = 1)
+      assert(deleted.nonEmpty && deleted.forall(!_.contains("v6-compact")))
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == want)
+      assertThrows[IllegalArgumentException](
+        ManifestStore.files(spark, root, Some(0L))) // vacuumed manifest is gone
+    }
+  }
+
+  test("racing committers of the same version: exactly one wins, no torn manifest") {
+    withRoot { root =>
+      ManifestStore.commitAppend(spark, root, Seq(1L).toDF("x"), "day0")
+      // drive the REAL race at the publish primitive: both committers
+      // read current = 0 and target version 1; the second publish of
+      // v1 must lose LOUDLY (FileContext.rename refuses the existing
+      // target — plain FileSystem.rename on the local fs would have
+      // silently overwritten the winner)
+      val keep = ManifestStore.files(spark, root)
+      ManifestStore.publish(spark, root, 1L, keep) // the winner
+      assertThrows[java.util.ConcurrentModificationException](
+        ManifestStore.publish(spark, root, 1L, keep ++ Seq("phantom.parquet")))
+      // the loser's throw left the winner's manifest intact
+      assert(ManifestStore.files(spark, root, Some(1L)) == keep)
+      assert(ManifestStore.read(spark, root).as[Long].collect().toSeq == Seq(1L))
+    }
+  }
+}
