@@ -119,6 +119,44 @@ object ManifestStore {
     next
   }
 
+  /** Exactly-once streaming sink step: commit one micro-batch,
+    * IDEMPOTENT on `batchId`.  Structured Streaming's `foreachBatch`
+    * re-delivers a batch after a failure with the SAME batchId; a
+    * plain parquet append would duplicate those rows, and a plain
+    * [[commitAppend]] would commit them twice.  Here the batchId is
+    * baked into the data directory name, so a replay finds the
+    * already-committed directory and returns the existing version —
+    * end-to-end exactly-once from a replayable source down to the
+    * table, the manifest analog of the parquet sink's log.
+    *
+    * Use as `stream.writeStream.foreachBatch { (df, id) =>
+    * ManifestStore.commitStreamBatch(df.sparkSession, root, df, id); () }`.
+    *
+    * @return the version holding this batch (new or already present) */
+  def commitStreamBatch(spark: SparkSession, root: String, df: DataFrame,
+                        batchId: Long): Long = {
+    val f = fs(spark, root)
+    // batchId keys the data directory, so the replay probe is ONE
+    // exists() — no manifest scan on the happy path
+    val dataDir = new Path(root, s"data/batch$batchId")
+    val cur = currentVersion(spark, root)
+    if (f.exists(dataDir)) {
+      val marker = s"/data/batch$batchId/"
+      val committed = cur.map(c => (c to 0L by -1L)).getOrElse(Seq.empty)
+        .filter(v => f.exists(manifestPath(root, v)))
+        .find(v => files(spark, root, Some(v)).exists(_.contains(marker)))
+      committed match {
+        case Some(v) => return v // already committed — the replay is a no-op
+        case None => f.delete(dataDir, true); () // torn pre-publish write: redo
+      }
+    }
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val next = cur.map(_ + 1).getOrElse(0L)
+    publish(spark, root, next,
+      cur.map(v => files(spark, root, Some(v))).getOrElse(Nil) ++ listParquet(spark, dataDir))
+    next
+  }
+
   /** Delete data files referenced by NO manifest among the newest
     * `keepVersions`, then drop the older manifests.  Returns the
     * deleted file paths.  Run it only when every reader has moved

@@ -72,6 +72,38 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("commitStreamBatch: exactly-once through foreachBatch, replays are no-ops, torn writes redo") {
+    withRoot { root =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Long]
+      val q = input.toDF().writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          ManifestStore.commitStreamBatch(df.sparkSession, root, df, id); ()
+        }.start()
+      try {
+        input.addData(1L, 2L); q.processAllAvailable()
+        input.addData(3L); q.processAllAvailable()
+      } finally q.stop()
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      val vBefore = ManifestStore.currentVersion(spark, root).get
+      // a REPLAY of batch 1 (the failure-recovery path foreachBatch
+      // takes): same batchId, possibly different plan — must be a
+      // no-op returning the original version, never a duplicate
+      val replayed = ManifestStore.commitStreamBatch(spark, root, Seq(3L).toDF("value"), 1L)
+      assert(replayed <= vBefore &&
+        ManifestStore.currentVersion(spark, root).contains(vBefore))
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      // a TORN pre-publish write (crash between data write and
+      // publish): data dir exists, no manifest lists it — the retry
+      // must clear and commit it exactly once
+      Seq(9L).toDF("value").write.parquet(s"$root/data/batch7")
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      ManifestStore.commitStreamBatch(spark, root, Seq(9L).toDF("value"), 7L)
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 9L))
+    }
+  }
+
   test("racing committers of the same version: exactly one wins, no torn manifest") {
     withRoot { root =>
       ManifestStore.commitAppend(spark, root, Seq(1L).toDF("x"), "day0")
