@@ -149,12 +149,17 @@ object Layout {
     }.toDF("__pvals", "__nfiles")
     val df = spark.read.parquet(inPath)
     val pvals = array(partitionCols.map(c => col(c).cast(StringType)): _*)
-    // salt: deterministic per-row hash modulo the partition's file
-    // budget — rows of one partition spread over exactly __nfiles
-    // tasks, so the writer emits __nfiles files for it
-    val salted = df.join(broadcast(nFiles), pvals === col("__pvals"))
+    // LEFT join + in-plan assert, not an inner join: a partition value
+    // that Hive-ESCAPES in its directory name (or a null partition)
+    // would not match its directory-derived string here, and an inner
+    // join would silently DROP those rows from the rewrite — fail loud
+    // instead (the caller renames or handles such partitions first)
+    val salted = df.join(broadcast(nFiles), pvals === col("__pvals"), "left")
       .withColumn("__salt",
-        pmod(xxhash64(struct(df.columns.map(col): _*)), col("__nfiles").cast("long")))
+        when(assert_true(col("__nfiles").isNotNull,
+            lit("compactPartitioned: a row's partition value has no matching " +
+              "partition directory (escaped or null partition values are not supported)")).isNull,
+          pmod(xxhash64(struct(df.columns.map(col): _*)), col("__nfiles").cast("long"))))
     salted
       .repartition(partitionCols.map(col) :+ col("__salt"): _*)
       .drop("__pvals", "__nfiles", "__salt")

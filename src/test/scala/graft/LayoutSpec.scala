@@ -213,6 +213,19 @@ class LayoutSpec extends SparkSpec {
       assert(a == b)
       assertThrows[IllegalArgumentException](
         Layout.compactPartitioned(spark, s"$base/in", s"$base/out2", Seq.empty))
+      // a NULL partition value Hive-encodes as __HIVE_DEFAULT_PARTITION__,
+      // which can never match the row's real (null) value — the rewrite
+      // must FAIL LOUD, not silently drop those rows
+      spark.range(10).select(
+          when(col("id") < 5, lit(null).cast("int")).otherwise(lit(1)).as("dt"),
+          col("id"))
+        .write.partitionBy("dt").parquet(s"$base/in_null")
+      val err = intercept[Exception](
+        Layout.compactPartitioned(spark, s"$base/in_null", s"$base/out3", Seq("dt"),
+          targetFileBytes = 1L << 20))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(err).exists(_.contains("no matching partition directory")), err.toString)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
