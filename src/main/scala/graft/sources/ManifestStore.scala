@@ -45,7 +45,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ManifestStore {
 
   private def fs(spark: SparkSession, root: String): FileSystem =
-    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    new Path(root).getFileSystem(hadoopConf(spark))
+
+  // newHadoopConf() clones the WHOLE Spark conf into a fresh Hadoop
+  // Configuration (~tens of ms); a commit touches the filesystem
+  // handle several times, and for a streaming sink that cost is paid
+  // per micro-batch — cache one conf per session (Hadoop Configuration
+  // is effectively read-only here)
+  private val confCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, org.apache.hadoop.conf.Configuration]()
+  private def hadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    confCache.computeIfAbsent(spark, s => s.sessionState.newHadoopConf())
 
   private def manifestDir(root: String) = new Path(root, "_manifests")
   private def manifestPath(root: String, v: Long) =
@@ -197,7 +207,7 @@ object ManifestStore {
     // java File.renameTo is POSIX rename(2)): the losing committer of
     // a race throws here, never publishes a torn manifest
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      target.toUri, spark.sessionState.newHadoopConf())
+      target.toUri, hadoopConf(spark))
     try fc.rename(tmp, target)
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * Deterministic — no RNG, rerunnable to the same bytes.
   *
   * Usage: runMain graft.tools.ScaleRehearsal <srcSfDir> <outDir> <N>
-  *   [rot|tag|join|ann|sketch|events|cc|sim|media|span|spangen|suite|files|semdedup|semincr]
+  *   [rot|tag|join|ann|sketch|events|cc|sim|media|span|spangen|suite|files|semdedup|semincr|manifest]
   * (writes the scaled tables under <outDir>; never touches the
   * source).  `cc` = distributed connected components above the driver
   * cutoff; `sim` = PQ/ADC/IVF+PQ (q87/q89/q91); `media` = WAV/BMP/
@@ -65,6 +65,7 @@ object ScaleRehearsal {
     if (mode == "files") { filesRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "semdedup") { semDedupRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "semincr") { semIncrRehearsal(spark, src, out, n); spark.stop(); return }
+    if (mode == "manifest") { manifestRehearsal(spark, src, out, n); spark.stop(); return }
     val d = spark.read.parquet(s"$src/documents.parquet")
     // rot i ≡ 0 (mod 26) is the identity rotation — copies would share
     // ALL shingles, silently inverting the documented disjointness
@@ -88,6 +89,53 @@ object ScaleRehearsal {
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     println(s"wrote ${n}x documents ($mode) to $out")
     spark.stop()
+  }
+
+  /** Manifest-store overhead rehearsal: `n` ingest commits of
+    * lineitem slices through [[graft.sources.ManifestStore]] vs the
+    * same writes as RAW parquet appends — the atomicity layer must
+    * cost a constant few milliseconds per commit (one tmp write + one
+    * rename + a listing), independent of the data size; then one
+    * manifest compaction + vacuum, with row counts cross-checked at
+    * every step.  Run it against the 25× suite corpus to see the
+    * constant hold at scale. */
+  private def manifestRehearsal(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    import graft.sources.ManifestStore
+    require(n >= 2 && n <= 64, s"commits in [2, 64], got $n")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val total = li.count()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    val mRoot = s"$out/manifest_store"; val rawRoot = s"$out/raw_append"
+    rm(new java.io.File(mRoot)); rm(new java.io.File(rawRoot))
+    def slice(i: Int) = li.filter(pmod(col("l_orderkey"), lit(n)) === i)
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime; body; (System.nanoTime - t0) / 1e9
+    }
+    // one throwaway write first: the session's FIRST parquet write
+    // job pays global committer/codec setup, and whichever side ran
+    // it was billed ~+0.2 s/commit of pure warmup
+    spark.range(10).write.parquet(s"$out/warmup_${System.nanoTime}")
+    // alternate which system writes first: the first writer of a slice
+    // pays its codegen/page-cache warmup, so a fixed order would bill
+    // the warmup entirely to one side (measured +0.5 s/commit of pure
+    // ordering bias before this)
+    val (mWalls, rWalls) = (0 until n).map { i =>
+      def raw(): Double = time { slice(i).write.parquet(s"$rawRoot/slice$i") }
+      def man(): Double = time { ManifestStore.commitAppend(spark, mRoot, slice(i), s"slice$i"); () }
+      if (i % 2 == 0) { val m = man(); val r = raw(); (m, r) }
+      else { val r = raw(); val m = man(); (m, r) }
+    }.unzip
+    require(ManifestStore.read(spark, mRoot).count() == total, "manifest store lost rows")
+    val cWall = time { ManifestStore.compact(spark, mRoot, 32L << 20); () }
+    require(ManifestStore.read(spark, mRoot).count() == total, "compaction lost rows")
+    val vWall = time { ManifestStore.vacuum(spark, mRoot, keepVersions = 1); () }
+    require(ManifestStore.read(spark, mRoot).count() == total, "vacuum broke the current version")
+    println(f"manifest rehearsal over $total%,d rows x $n commits:")
+    println(f"  per-commit wall: manifest mean ${mWalls.sum / n}%.3f s vs raw append mean ${rWalls.sum / n}%.3f s " +
+      f"(atomicity overhead ${(mWalls.sum - rWalls.sum) / n}%+.3f s/commit)")
+    println(f"  compact ${cWall}%.2f s, vacuum ${vWall}%.2f s, counts identical at every step")
   }
 
   /** File-count rehearsal (the small-files tax, measured): the SAME
