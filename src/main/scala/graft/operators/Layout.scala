@@ -89,6 +89,8 @@ object Layout {
   def compactSmallFiles(spark: org.apache.spark.sql.SparkSession, inPath: String,
                         outPath: String, targetFileBytes: Long = 128L << 20): Int = {
     require(targetFileBytes >= (1L << 20), s"target below 1 MiB recreates the problem: $targetFileBytes")
+    require(new org.apache.hadoop.fs.Path(inPath) != new org.apache.hadoop.fs.Path(outPath),
+      "in-place compaction would overwrite the table while scanning it — write to a new path")
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val bytes = fs.getContentSummary(p).getLength
@@ -122,6 +124,8 @@ object Layout {
                          targetFileBytes: Long = 128L << 20): Map[String, Int] = {
     require(partitionCols.nonEmpty, "use compactSmallFiles for unpartitioned tables")
     require(targetFileBytes >= (1L << 20), s"target below 1 MiB recreates the problem: $targetFileBytes")
+    require(new org.apache.hadoop.fs.Path(inPath) != new org.apache.hadoop.fs.Path(outPath),
+      "in-place compaction would overwrite the table while scanning it — write to a new path")
     val root = new org.apache.hadoop.fs.Path(inPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     // walk partition directories depth = partitionCols.size (listing

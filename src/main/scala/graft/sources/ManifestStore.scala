@@ -103,7 +103,15 @@ object ManifestStore {
     val dataDir = new Path(root, s"data/v$next-$label")
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val newFiles = listParquet(spark, dataDir)
-    publish(spark, root, next, prev.map(v => files(spark, root, Some(v))).getOrElse(Nil) ++ newFiles)
+    try publish(spark, root, next,
+      prev.map(v => files(spark, root, Some(v))).getOrElse(Nil) ++ newFiles)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // the loser's data files are referenced by nothing and never
+        // will be — reclaim them now instead of leaking an orphan dir
+        fs(spark, root).delete(dataDir, true)
+        throw e
+    }
     next
   }
 
