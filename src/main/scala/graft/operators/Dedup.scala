@@ -837,7 +837,11 @@ object Dedup {
     * minDocs cut, so it can be stored and merged again with later
     * batches indefinitely (the algebra is associative, and a span
     * whose doc count only crosses the threshold in a later generation
-    * is preserved).  [[mergeSpanEvidence]] is the terminal REPORT. */
+    * is preserved).  [[mergeSpanEvidence]] is the terminal REPORT.
+    * Publish each generation's evidence through
+    * [[graft.sources.ManifestStore]] (atomic, versioned, exactly-once
+    * per stream batch) rather than raw directory appends, which a
+    * concurrent reader can observe torn. */
   def compactSpanEvidence(stored: DataFrame): DataFrame = {
     requireSpanEvidenceSchema(stored)
     stored.groupBy(col("h1"), col("h2"))
@@ -1470,6 +1474,11 @@ object Dedup {
     * representative — is KEPT here (the removed row is gone, so no
     * edge exists), where the full run would have linked them
     * transitively.  Spec-pinned in both directions.
+    *
+    * Publish the survivors (and the persisted-cell store generally)
+    * through [[graft.sources.ManifestStore]] — a raw directory append
+    * is torn-readable by a concurrent consumer; the manifest commit
+    * is atomic, idempotent per stream batch, and versioned.
     *
     * Batch rows with null vectors carry no similarity evidence and
     * are KEPT; null-id rows are dropped (the [[keepMinIdWinners]]
