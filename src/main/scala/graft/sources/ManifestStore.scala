@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Atomic, versioned table commits for the incremental ingest stores
   * (the span evidence of q122, the sketch columns of q118–q120, the
@@ -73,8 +74,20 @@ object ManifestStore {
   }
 
   /** The file list of `version` (default: current).  Paths are the
-    * absolute strings the manifest recorded. */
-  def files(spark: SparkSession, root: String, version: Option[Long] = None): Seq[String] = {
+    * absolute strings the manifest recorded; `#`-prefixed header
+    * lines (the committed schema) are skipped. */
+  def files(spark: SparkSession, root: String, version: Option[Long] = None): Seq[String] =
+    manifestLines(spark, root, version).filterNot(_.startsWith("#"))
+
+  /** The schema the table committed (recorded in the manifest header),
+    * None for manifests written before schema tracking. */
+  def schemaOf(spark: SparkSession, root: String, version: Option[Long] = None): Option[StructType] =
+    manifestLines(spark, root, version).find(_.startsWith(SchemaHeader))
+      .map(l => DataType.fromJson(l.stripPrefix(SchemaHeader)).asInstanceOf[StructType])
+
+  private val SchemaHeader = "#schema\t"
+
+  private def manifestLines(spark: SparkSession, root: String, version: Option[Long]): Seq[String] = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val p = manifestPath(root, v)
@@ -84,6 +97,22 @@ object ManifestStore {
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  /** Loud schema gate for appends: a mismatched batch would not fail
+    * here but at some LATER read as missing columns or type errors —
+    * name the drift at the commit that introduces it.  Field order is
+    * irrelevant (parquet resolves by name); names and types must
+    * match exactly. */
+  private def requireSameSchema(stored: StructType, incoming: StructType, root: String): Unit = {
+    def norm(s: StructType) = s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    if (norm(stored) != norm(incoming)) {
+      val a = norm(stored).map { case (n, t) => s"$n: ${t.simpleString}" }.mkString(", ")
+      val b = norm(incoming).map { case (n, t) => s"$n: ${t.simpleString}" }.mkString(", ")
+      throw new IllegalArgumentException(
+        s"schema drift on append to $root — stored [$a] vs incoming [$b]; " +
+          "migrate with an explicit rewrite, never a silent append")
+    }
   }
 
   /** Snapshot read: exactly the files `version` (default: current)
@@ -99,11 +128,14 @@ object ManifestStore {
                    label: String = "append"): Long = {
     require(label.matches("[A-Za-z0-9_-]+"), s"label must be path-safe, got '$label'")
     val prev = currentVersion(spark, root)
+    // schema gate BEFORE the data write: fail without spending the job
+    prev.flatMap(v => schemaOf(spark, root, Some(v)))
+      .foreach(stored => requireSameSchema(stored, df.schema, root))
     val next = prev.map(_ + 1).getOrElse(0L)
     val dataDir = new Path(root, s"data/v$next-$label")
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val newFiles = listParquet(spark, dataDir)
-    try publish(spark, root, next,
+    try publish(spark, root, next, df.schema,
       prev.map(v => files(spark, root, Some(v))).getOrElse(Nil) ++ newFiles)
     catch {
       case e: java.util.ConcurrentModificationException =>
@@ -131,9 +163,12 @@ object ManifestStore {
     val bytes = cur.map(p => f.getFileStatus(new Path(p)).getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val dataDir = new Path(root, s"data/v$next-compact")
-    spark.read.parquet(cur: _*).coalesce(n)
+    val rewritten = spark.read.parquet(cur: _*)
+    rewritten.coalesce(n)
       .write.mode("errorifexists").parquet(dataDir.toString)
-    publish(spark, root, next, listParquet(spark, dataDir))
+    publish(spark, root, next,
+      schemaOf(spark, root, Some(prev)).getOrElse(rewritten.schema),
+      listParquet(spark, dataDir))
     next
   }
 
@@ -168,9 +203,11 @@ object ManifestStore {
         case None => f.delete(dataDir, true); () // torn pre-publish write: redo
       }
     }
+    cur.flatMap(v => schemaOf(spark, root, Some(v)))
+      .foreach(stored => requireSameSchema(stored, df.schema, root))
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val next = cur.map(_ + 1).getOrElse(0L)
-    publish(spark, root, next,
+    publish(spark, root, next, df.schema,
       cur.map(v => files(spark, root, Some(v))).getOrElse(Nil) ++ listParquet(spark, dataDir))
     next
   }
@@ -201,13 +238,14 @@ object ManifestStore {
   }
 
   private[graft] def publish(spark: SparkSession, root: String, version: Long,
-                             fileList: Seq[String]): Unit = {
+                             schema: StructType, fileList: Seq[String]): Unit = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root),
       s".tmp-$version-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
-    try out.write((fileList.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((SchemaHeader + schema.json + "\n" +
+      fileList.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val target = manifestPath(root, version)
     // FileContext.rename with no OVERWRITE option REFUSES an existing

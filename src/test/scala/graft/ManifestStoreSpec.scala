@@ -72,6 +72,32 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("schema drift is rejected at the commit that introduces it, named in the error") {
+    withRoot { root =>
+      ManifestStore.commitAppend(spark, root, Seq((1L, "a")).toDF("id", "text"), "day0")
+      // the committed schema is recorded and readable
+      val stored = ManifestStore.schemaOf(spark, root).get
+      assert(stored.fieldNames.sorted.toSeq == Seq("id", "text"))
+      // a renamed column must fail LOUDLY at commit time — a silent
+      // append would only surface at some later read as null columns
+      val drift = intercept[IllegalArgumentException](
+        ManifestStore.commitAppend(spark, root, Seq((2L, "b")).toDF("id", "body"), "day1"))
+      assert(drift.getMessage.contains("schema drift") && drift.getMessage.contains("body"))
+      // ...and the failed commit left no new version and no data dir
+      assert(ManifestStore.currentVersion(spark, root).contains(0L))
+      assert(!new java.io.File(s"$root/data/v1-day1").exists())
+      // a type change fails too; field ORDER does not matter
+      assertThrows[IllegalArgumentException](
+        ManifestStore.commitAppend(spark, root, Seq((2, "b")).toDF("id", "text"), "day1"))
+      ManifestStore.commitAppend(spark, root,
+        Seq(("c", 3L)).toDF("text", "id").select(col("text"), col("id")), "day1")
+      assert(ManifestStore.read(spark, root).count() == 2)
+      // compaction carries the schema through
+      ManifestStore.compact(spark, root, 1L << 20)
+      assert(ManifestStore.schemaOf(spark, root).get.fieldNames.sorted.toSeq == Seq("id", "text"))
+    }
+  }
+
   test("commitStreamBatch: exactly-once through foreachBatch, replays are no-ops, torn writes redo") {
     withRoot { root =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -113,9 +139,10 @@ class ManifestStoreSpec extends SparkSpec {
       // target — plain FileSystem.rename on the local fs would have
       // silently overwritten the winner)
       val keep = ManifestStore.files(spark, root)
-      ManifestStore.publish(spark, root, 1L, keep) // the winner
+      val schema = ManifestStore.schemaOf(spark, root).get
+      ManifestStore.publish(spark, root, 1L, schema, keep) // the winner
       assertThrows[java.util.ConcurrentModificationException](
-        ManifestStore.publish(spark, root, 1L, keep ++ Seq("phantom.parquet")))
+        ManifestStore.publish(spark, root, 1L, schema, keep ++ Seq("phantom.parquet")))
       // the loser's throw left the winner's manifest intact
       assert(ManifestStore.files(spark, root, Some(1L)) == keep)
       assert(ManifestStore.read(spark, root).as[Long].collect().toSeq == Seq(1L))
