@@ -130,6 +130,38 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("model fuzz: random append/compact/vacuum sequences always read back the committed multiset") {
+    withRoot { root =>
+      val rnd = new scala.util.Random(42) // seeded: deterministic everywhere
+      var model = Vector.empty[Long] // every value ever committed
+      var nextVal = 0L
+      // one pinned old version + its expected content, valid until a
+      // vacuum may have dropped it
+      var pinned: Option[(Long, Vector[Long])] = None
+      for (step <- 0 until 30) {
+        val op = rnd.nextInt(10)
+        if (op < 6 || model.isEmpty) {
+          val batch = Vector.fill(rnd.nextInt(5) + 1) { nextVal += 1; nextVal }
+          val v = ManifestStore.commitAppend(spark, root, batch.toDF("x"), s"s$step")
+          model ++= batch
+          if (pinned.isEmpty && rnd.nextBoolean()) pinned = Some((v, model))
+        } else if (op < 8) {
+          ManifestStore.compact(spark, root, 1L << 20)
+        } else {
+          ManifestStore.vacuum(spark, root, keepVersions = 2)
+          pinned = None // the pinned version may be gone now
+        }
+        val got = ManifestStore.read(spark, root).as[Long].collect().sorted.toVector
+        assert(got == model.sorted, s"step $step: latest snapshot diverged from the model")
+        pinned.foreach { case (v, want) =>
+          val at = ManifestStore.read(spark, root, Some(v)).as[Long].collect().sorted.toVector
+          assert(at == want.sorted, s"step $step: pinned version $v diverged")
+        }
+      }
+      assert(model.nonEmpty && ManifestStore.currentVersion(spark, root).nonEmpty)
+    }
+  }
+
   test("racing committers of the same version: exactly one wins, no torn manifest") {
     withRoot { root =>
       ManifestStore.commitAppend(spark, root, Seq(1L).toDF("x"), "day0")
