@@ -147,6 +147,29 @@ object ManifestStore {
     next
   }
 
+  /** Replace the ENTIRE table as a new version: the manifest lists
+    * only the new data files; previous files stay readable for pinned
+    * versions until [[vacuum]].  This is the EXPLICIT-rewrite
+    * migration path the append-time schema gate points at (a store
+    * reassignment after a centroid refit, a global re-shuffle, a
+    * schema migration) — the schema may legitimately change here and
+    * the new one is recorded. */
+  def commitReplace(spark: SparkSession, root: String, df: DataFrame,
+                    label: String = "replace"): Long = {
+    require(label.matches("[A-Za-z0-9_-]+"), s"label must be path-safe, got '$label'")
+    val prev = currentVersion(spark, root)
+    val next = prev.map(_ + 1).getOrElse(0L)
+    val dataDir = new Path(root, s"data/v$next-$label")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    try publish(spark, root, next, df.schema, listParquet(spark, dataDir))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        fs(spark, root).delete(dataDir, true)
+        throw e
+    }
+    next
+  }
+
   /** Rewrite the CURRENT file set into ~targetFileBytes files (the
     * small-files maintenance pass, manifest edition): shuffle-free
     * coalesce sized from the manifest's own byte count, then a new
