@@ -130,6 +130,22 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("commitReplace migrates the table (and schema) explicitly; pinned readers survive") {
+    withRoot { root =>
+      ManifestStore.commitAppend(spark, root, Seq((1L, "a")).toDF("id", "text"), "day0")
+      ManifestStore.commitReplace(spark, root, Seq((1L, 2L)).toDF("id", "tokens"), "migrate")
+      assert(ManifestStore.schemaOf(spark, root).get.fieldNames.sorted.toSeq == Seq("id", "tokens"))
+      // the append gate now enforces the MIGRATED schema
+      assertThrows[IllegalArgumentException](
+        ManifestStore.commitAppend(spark, root, Seq((2L, "b")).toDF("id", "text"), "old"))
+      ManifestStore.commitAppend(spark, root, Seq((2L, 4L)).toDF("id", "tokens"), "new")
+      assert(ManifestStore.read(spark, root).count() == 2)
+      // a reader pinned before the migration still sees the old world
+      assert(ManifestStore.read(spark, root, Some(0L)).columns.sorted.toSeq == Seq("id", "text"))
+      assert(ManifestStore.schemaOf(spark, root, Some(0L)).get.fieldNames.contains("text"))
+    }
+  }
+
   test("model fuzz: random append/compact/vacuum sequences always read back the committed multiset") {
     withRoot { root =>
       val rnd = new scala.util.Random(42) // seeded: deterministic everywhere
