@@ -432,13 +432,17 @@ object Similarity {
       require(cents.nonEmpty, "kmeansFit: corpus has no non-null vectors")
       var lastCounts: Map[Long, Long] = Map.empty
       for (_ <- 0 until iters) {
-        // argmin over k literal centroids: lexicographic struct-min on
-        // (dist, cid) evaluates each l2 kernel ONCE and breaks ties
-        // toward the lowest centroid id — identical semantics to the
-        // `first cid where d == min(d)` fold, at half the kernel evals
-        val cidExpr = array_min(array(cents.map { case (cid, c) =>
-          struct(graft.functions.VectorSim.l2(col("v"), typedlit(c)).as("d"),
-            lit(cid).as("cid")) }: _*)).getField("cid")
+        // argmin over the k-centroid matrix: lexicographic (dist, cid)
+        // with ties toward the lowest centroid id — identical
+        // semantics to the unrolled literal struct-min it replaces,
+        // but the generated code stays CONSTANT-size at any k (the
+        // unrolled form blew Janino's 64 KB limit past ~80 centroids
+        // and dropped the fit to interpreted eval)
+        val cidExpr = org.apache.spark.sql.GraftBridge.column(
+          graft.functions.NearestCentroids(
+            org.apache.spark.sql.GraftBridge.expression(col("v")),
+            cents.map(_._1).toArray, cents.map(_._2.toArray).toArray, 1))
+          .getItem(0).getField("cid")
         val stats = v.withColumn("cid", cidExpr)
           .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
           .groupBy(col("cid"), col("dim"))
@@ -711,10 +715,10 @@ object Similarity {
       else seeds.map { case (sid, sv) =>
         sid -> sv.zip(cellOf(sv)._2).map { case (a, b) => a - b } },
       m, sub)
-    // coarse-cell assignment via the literal argmin ([[nearestCell]]) —
+    // coarse-cell assignment via the matrix argmin ([[nearestCell]]) —
     // a pure projection, no exchange on the corpus at any size
-    val centLits: Seq[(Column, Seq[Double])] =
-      centRows.map { case (cid, cv) => (lit(cid), cv) }
+    val centLits: (Array[Long], Array[Array[Double]]) =
+      (centRows.map(_._1).toArray, centRows.map(_._2.toArray).toArray)
     val assigned = v.select(col("vid").as("corpus_id"), col("v"))
       .withColumn("centroid_id", nearestCell(col("v"), centLits).getField("cid"))
     // the encoded vector: raw, or the residual against the assigned
@@ -802,37 +806,46 @@ object Similarity {
     * Centroid sets are driver-bounded by contract (they are the
     * codebook, not data); the cap fails an oversized set fast instead
     * of silently building a megabyte literal plan. */
-  private def collectCentroidLits(cents: DataFrame, what: String): Seq[(Column, Seq[Double])] = {
+  private def collectCentroidLits(cents: DataFrame, what: String): (Array[Long], Array[Array[Double]]) = {
     // a null centroid vector would NPE the getSeq below; drop it like
     // the probe-row collects drop null probe vectors
     val rows = cents.filter(col(cents.columns(1)).isNotNull).collect()
     require(rows.nonEmpty, s"$what: centroid set has no non-null vectors")
-    require(rows.length <= 4096, s"$what: ${rows.length} centroids — the " +
-      "literal-argmin assignment expects a driver-bounded centroid set " +
-      "(<= 4096 coarse cells); train fewer cells or shard the index")
-    rows.toSeq.map(r => (lit(r.get(0)), r.getSeq[Double](1).toList))
+    require(rows.length <= 65536, s"$what: ${rows.length} centroids — " +
+      "assignment expects a driver-bounded centroid set (<= 65536 " +
+      "coarse cells); train fewer cells or shard the index")
+    val ids = rows.map { r =>
+      r.get(0) match {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"$what: centroid ids must be integral, got ${other.getClass.getSimpleName}")
+      }
+    }
+    (ids, rows.map(_.getSeq[Double](1).toArray))
   }
 
-  /** Lexicographic (l2, centroid_id) argmin over literal centroids — a
-    * pure scan-stage projection (kmeansFit's assignment shape: k
-    * codegen'd l2 kernels + one struct array_min, ZERO shuffle).  The
-    * former crossJoin × row_number formulation multiplied the corpus
-    * by |centroids| and then shuffled AND sorted all those rows on the
-    * corpus id just to pick the min — the dominant exchange of the
-    * whole plan at scale.  Ties break toward the lowest centroid id,
-    * exactly the window's (dist asc, centroid_id asc) order. */
-  private def nearestCell(vec: Column, cents: Seq[(Column, Seq[Double])]): Column =
-    array_min(array(cents.map { case (cid, cv) =>
-      struct(l2Distance(vec, typedlit(cv)).as("d"), cid.as("cid")) }: _*))
+  /** Lexicographic (l2, centroid_id) argmin over the driver-collected
+    * centroid MATRIX — a pure scan-stage projection, ZERO shuffle, and
+    * (since r18) constant generated-code size at ANY centroid count:
+    * [[graft.functions.NearestCentroids]] carries the matrix as a
+    * referenced object, where the former unrolled literal formulation
+    * (k inlined l2 kernels + struct array_min) blew Janino's 64 KB
+    * method limit past ~80 centroids and dropped the whole stage to
+    * interpreted eval — exactly when the population discipline makes
+    * k large.  Ties break toward the lowest centroid id, exactly the
+    * old window's (dist asc, centroid_id asc) order; centroid ids are
+    * integral and emitted as BIGINT. */
+  private def nearestCell(vec: Column, cents: (Array[Long], Array[Array[Double]])): Column =
+    nearestCells(vec, cents, 1).getItem(0)
 
   /** The `nprobe` nearest cells in (l2, centroid_id) order — the probe
-    * side of the same zero-shuffle shape: one sorted literal-struct
-    * array sliced to nprobe, in the scan stage. */
-  private def nearestCells(vec: Column, cents: Seq[(Column, Seq[Double])],
-                           nprobe: Int): Column =
-    slice(array_sort(array(cents.map { case (cid, cv) =>
-      struct(l2Distance(vec, typedlit(cv)).as("d"), cid.as("cid")) }: _*)),
-      1, nprobe)
+    * side of the same zero-shuffle, constant-codegen shape. */
+  private def nearestCells(vec: Column, cents: (Array[Long], Array[Array[Double]]),
+                           nprobe: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.NearestCentroids(
+      GraftBridge.expression(vec.cast(ArrayType(DoubleType))), cents._1, cents._2, nprobe))
+  }
 
   /** Cell assignment that keeps the VECTOR alongside (vid, cell) — the
     * within-cell pairing feed of [[graft.operators.Dedup.semanticDedup]]
