@@ -1427,11 +1427,16 @@ object Dedup {
     // convention as lshPairs' planes=0 (the r18 25× suite run measured
     // the fixed-k alternative at 32× wall for 25× data; the
     // disciplined path is 3.4×, BASELINE.md semdedup rehearsal)
+    // clamp to the assignment tier's own centroid bound
+    // ([[Similarity.MaxCentroids]]): past ~MaxCentroids*targetCell rows
+    // the population discipline saturates (cells grow instead) rather
+    // than training a centroid set collectCentroidLits would reject
+    // AFTER the k-means fit was already paid
     val kEff =
       if (k > 0) k
       else {
         val n = if (corpusCount >= 0) corpusCount else corpus.count()
-        math.max(8L, n / targetCell).min(1000000L).toInt
+        math.max(8L, n / targetCell).min(Similarity.MaxCentroids.toLong).toInt
       }
     val cents = Similarity.kmeansFit(corpus, idCol, vecCol, kEff, iters)
       .select(col("centroid_id").as(idCol), col("centroid").as(vecCol))

@@ -92,7 +92,9 @@ object Layout {
     require(new org.apache.hadoop.fs.Path(inPath) != new org.apache.hadoop.fs.Path(outPath),
       "in-place compaction would overwrite the table while scanning it — write to a new path")
     val p = new org.apache.hadoop.fs.Path(inPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // per-context cached conf — newHadoopConf() clones the whole
+    // Spark conf (~tens of ms) on every call
+    val fs = p.getFileSystem(graft.sources.ManifestStore.hadoopConf(spark))
     val bytes = fs.getContentSummary(p).getLength
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(inPath).coalesce(n)
@@ -127,7 +129,7 @@ object Layout {
     require(new org.apache.hadoop.fs.Path(inPath) != new org.apache.hadoop.fs.Path(outPath),
       "in-place compaction would overwrite the table while scanning it — write to a new path")
     val root = new org.apache.hadoop.fs.Path(inPath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = root.getFileSystem(graft.sources.ManifestStore.hadoopConf(spark))
     // walk partition directories depth = partitionCols.size (listing
     // only — O(dirs + files) names, no data reads); the suffix is
     // built from directory NAMES during the walk, never by string-

@@ -20,6 +20,14 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** The driver-bounded centroid-set contract, in one place: every
+    * literal-argmin assignment path ([[collectCentroidLits]]) rejects
+    * a larger set, so any code that CHOOSES a k (e.g. semanticDedup's
+    * auto-k population discipline) must clamp to the same bound — a
+    * k the fit will train but the assignment will refuse is a job
+    * that burns the whole k-means pass and then throws. */
+  val MaxCentroids: Int = 65536
+
   /** Cosine similarity between two array columns (computed in double;
     * zero-norm input yields NaN, never an ANSI divide error). */
   def cosine(a: Column, b: Column): Column = graft.functions.VectorSim.cosine(a, b)
@@ -811,8 +819,8 @@ object Similarity {
     // the probe-row collects drop null probe vectors
     val rows = cents.filter(col(cents.columns(1)).isNotNull).collect()
     require(rows.nonEmpty, s"$what: centroid set has no non-null vectors")
-    require(rows.length <= 65536, s"$what: ${rows.length} centroids — " +
-      "assignment expects a driver-bounded centroid set (<= 65536 " +
+    require(rows.length <= MaxCentroids, s"$what: ${rows.length} centroids — " +
+      s"assignment expects a driver-bounded centroid set (<= $MaxCentroids " +
       "coarse cells); train fewer cells or shard the index")
     val ids = rows.map { r =>
       r.get(0) match {

@@ -19,8 +19,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Layout:
   * {{{
-  * <root>/data/v<version>-<label>/part-*.parquet   immutable once committed
-  * <root>/_manifests/v%020d.json                   one line per data file
+  * <root>/data/v<version>-<label>-<uuid8>/part-*.parquet  immutable once committed
+  * <root>/data/batch<id>/part-*.parquet                   streaming micro-batches
+  * <root>/_manifests/v%020d.json                   header lines + one line per data file
+  * <root>/_manifests/_latest                       version pointer (hint; listing fallback)
+  * <root>/_manifests/_batches                      batchId -> version ledger (hint; header fallback)
   * }}}
   *
   * The commit protocol — classic write-ahead + atomic publish:
@@ -32,7 +35,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     concurrency: two racing committers of version N cannot both
   *     win (the loser throws; retry on the new current version).
   *     NOT atomic on bare S3 — front it with a locking catalog there,
-  *     the same caveat every manifest design carries.
+  *     the same caveat every manifest design carries.  On the LOCAL
+  *     filesystem FileContext's no-overwrite rename is an exists
+  *     check followed by rename(2) — a TOCTOU window for two truly
+  *     concurrent committers; a per-root JVM lock serializes
+  *     same-process publishes (the realistic local case: tests and
+  *     local-mode drivers), and cross-PROCESS local races remain the
+  *     documented local-fs caveat.
   *
   * Readers resolve ONE manifest (latest or a pinned `version`) and
   * read exactly the files it lists — a torn state is unobservable,
@@ -42,6 +51,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * and publishes a manifest listing only the rewritten files — data
   * files are never mutated, so concurrent pinned readers are
   * untouched.
+  *
+  * Discovery is O(1), not O(versions): publishes refresh a
+  * `_latest` pointer, [[currentVersion]] reads it and forward-probes
+  * the (contiguous) versions above it — the directory listing is
+  * only the fallback for a missing/corrupt pointer (counted by
+  * [[listingFallbacks]] so the spec can assert commit cost stays
+  * flat over long histories).  Likewise [[commitStreamBatch]]'s
+  * replay probe is one ledger read on the happy path; the manifest
+  * headers (`#batch` lines, written atomically WITH the commit)
+  * remain the ground truth the ledger is rebuilt from.
   */
 object ManifestStore {
 
@@ -51,31 +70,126 @@ object ManifestStore {
   // newHadoopConf() clones the WHOLE Spark conf into a fresh Hadoop
   // Configuration (~tens of ms); a commit touches the filesystem
   // handle several times, and for a streaming sink that cost is paid
-  // per micro-batch — cache one conf per session (Hadoop Configuration
-  // is effectively read-only here)
+  // per micro-batch.  Cache ONE conf per SparkContext — NOT per
+  // SparkSession: this codebase mints throwaway sessions
+  // (newSession() in Dedup.collectPairsIfSmall), and a session-keyed
+  // strong map would pin each of them for the JVM's lifetime.  The
+  // context is the JVM-singleton whose conf is what actually gets
+  // cloned, so the cache holds at most one live entry.
   private val confCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, org.apache.hadoop.conf.Configuration]()
-  private def hadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
-    confCache.computeIfAbsent(spark, s => s.sessionState.newHadoopConf())
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, org.apache.hadoop.conf.Configuration]()
+  private[graft] def hadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    confCache.computeIfAbsent(spark.sparkContext, _ => spark.sessionState.newHadoopConf())
+
+  // versioned data dirs carry a uuid tail: two racing committers of
+  // the same version (or a retry after a crash that left debris) must
+  // never collide on the DATA path — only the manifest rename decides
+  // the race, and loser/crash dirs are reclaimed (catch blocks below,
+  // vacuum's orphan sweep) instead of blocking every future attempt
+  // at that version with errorifexists.  Batch dirs stay deterministic
+  // on purpose: the batchId-keyed path is how a replay finds and
+  // clears its own torn write.
+  private def versionedDataDir(root: String, v: Long, label: String): Path =
+    new Path(root, s"data/v$v-$label-${java.util.UUID.randomUUID().toString.take(8)}")
 
   private def manifestDir(root: String) = new Path(root, "_manifests")
   private def manifestPath(root: String, v: Long) =
     new Path(manifestDir(root), f"v$v%020d.json")
+  private def pointerPath(root: String) = new Path(manifestDir(root), "_latest")
+  private def ledgerPath(root: String) = new Path(manifestDir(root), "_batches")
 
-  /** Newest committed version, None for an empty/uninitialized root. */
+  /** Listing-fallback counter: every [[currentVersion]] that could
+    * not resolve through the `_latest` pointer bumps it.  Spec-level
+    * observability for the O(1)-discovery contract — a long commit
+    * history must not grow this per commit. */
+  private[graft] val listingFallbacks = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // serializes same-JVM publishes per root (the local-fs TOCTOU note
+  // in the publish scaladoc); cross-process races are the fs's problem
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    publishLocks.computeIfAbsent(root, _ => new Object)
+
+  /** Newest committed version, None for an empty/uninitialized root.
+    * O(1): pointer read + forward-probe of the contiguous versions
+    * above it (zero when the pointer is fresh, which every publish
+    * keeps it); directory listing only as the fallback. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, root)
+    readPointer(f, root) match {
+      case Some(v) if f.exists(manifestPath(root, v)) =>
+        var cur = v
+        while (f.exists(manifestPath(root, cur + 1))) cur += 1
+        Some(cur)
+      case _ =>
+        listingFallbacks.incrementAndGet()
+        if (sys.props.contains("graft.manifest.debugFallback")) {
+          val ptr = readPointer(f, root)
+          val raw = try {
+            val in = f.open(pointerPath(root))
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+          } catch { case e: Throwable => s"<${e.getClass.getSimpleName}: ${e.getMessage}>" }
+          new Exception(s"listing fallback for $root — pointer=$ptr raw='$raw' " +
+            s"manifestExists=${ptr.map(v => f.exists(manifestPath(root, v)))}").printStackTrace()
+        }
+        listVersions(f, root).lastOption
+    }
+  }
+
+  /** All committed versions present on disk, ascending (gaps where
+    * [[vacuum]] dropped manifests).  One directory listing. */
+  private def listVersions(f: FileSystem, root: String): Seq[Long] = {
     val dir = manifestDir(root)
-    if (!f.exists(dir)) return None
-    val vs = f.listStatus(dir).toSeq.map(_.getPath.getName)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
-    if (vs.isEmpty) None else Some(vs.max)
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong).sorted
+  }
+
+  // hint files live OUTSIDE the checksum layer: the local
+  // ChecksumFileSystem/ChecksumFs pair leaves stale or missing .crc
+  // siblings when a file is repeatedly rename-overwritten, turning a
+  // perfectly good pointer into intermittent ChecksumExceptions.
+  // Hints are self-validating (a parseable long / tsv, with a correct
+  // fallback path behind them), so raw bytes + POSIX rename is the
+  // honest tier for them.
+  private def rawFs(f: FileSystem): FileSystem = f match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  private def readPointer(f: FileSystem, root: String): Option[Long] = {
+    val p = pointerPath(root)
+    val rf = rawFs(f)
+    if (!rf.exists(p)) return None
+    try {
+      val in = rf.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+      Some(s.toLong)
+    } catch { case scala.util.control.NonFatal(_) => None } // corrupt hint: fall back
+  }
+
+  // hint files are rewritten whole via tmp + rename — atomic overwrite
+  // on the raw local fs (rename(2)); on filesystems whose rename
+  // refuses an existing target, delete-then-rename (a torn hint just
+  // means the correct, slower fallback path)
+  private def writeHint(spark: SparkSession, root: String, target: Path, body: String): Unit = {
+    val f = rawFs(fs(spark, root))
+    f.mkdirs(manifestDir(root))
+    val tmp = new Path(manifestDir(root),
+      s".hint-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, target)) {
+      f.delete(target, false)
+      if (!f.rename(tmp, target)) { f.delete(tmp, false); () }
+    }
   }
 
   /** The file list of `version` (default: current).  Paths are the
     * absolute strings the manifest recorded; `#`-prefixed header
-    * lines (the committed schema) are skipped. */
+    * lines (the committed schema, the batch id) are skipped. */
   def files(spark: SparkSession, root: String, version: Option[Long] = None): Seq[String] =
     manifestLines(spark, root, version).filterNot(_.startsWith("#"))
 
@@ -86,6 +200,7 @@ object ManifestStore {
       .map(l => DataType.fromJson(l.stripPrefix(SchemaHeader)).asInstanceOf[StructType])
 
   private val SchemaHeader = "#schema\t"
+  private val BatchHeader = "#batch\t"
 
   private def manifestLines(spark: SparkSession, root: String, version: Option[Long]): Seq[String] = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
@@ -96,6 +211,22 @@ object ManifestStore {
     val in = f.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** The streaming batch id `version` committed, None for non-batch
+    * commits.  Reads ONLY the header lines (headers precede file
+    * lines by construction), so a replay probe over a version delta
+    * never pays a full manifest read. */
+  private def headerBatchOf(spark: SparkSession, root: String, v: Long): Option[Long] = {
+    val p = manifestPath(root, v)
+    val f = fs(spark, root)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty)
+      .takeWhile(_.startsWith("#"))
+      .collectFirst { case l if l.startsWith(BatchHeader) => l.stripPrefix(BatchHeader).toLong }
     finally in.close()
   }
 
@@ -132,7 +263,7 @@ object ManifestStore {
     prev.flatMap(v => schemaOf(spark, root, Some(v)))
       .foreach(stored => requireSameSchema(stored, df.schema, root))
     val next = prev.map(_ + 1).getOrElse(0L)
-    val dataDir = new Path(root, s"data/v$next-$label")
+    val dataDir = versionedDataDir(root, next, label)
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val newFiles = listParquet(spark, dataDir)
     try publish(spark, root, next, df.schema,
@@ -159,7 +290,7 @@ object ManifestStore {
     require(label.matches("[A-Za-z0-9_-]+"), s"label must be path-safe, got '$label'")
     val prev = currentVersion(spark, root)
     val next = prev.map(_ + 1).getOrElse(0L)
-    val dataDir = new Path(root, s"data/v$next-$label")
+    val dataDir = versionedDataDir(root, next, label)
     df.write.mode("errorifexists").parquet(dataDir.toString)
     try publish(spark, root, next, df.schema, listParquet(spark, dataDir))
     catch {
@@ -185,13 +316,22 @@ object ManifestStore {
     val cur = files(spark, root, Some(prev))
     val bytes = cur.map(p => f.getFileStatus(new Path(p)).getLen).sum
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val dataDir = new Path(root, s"data/v$next-compact")
+    val dataDir = versionedDataDir(root, next, "compact")
     val rewritten = spark.read.parquet(cur: _*)
     rewritten.coalesce(n)
       .write.mode("errorifexists").parquet(dataDir.toString)
-    publish(spark, root, next,
+    try publish(spark, root, next,
       schemaOf(spark, root, Some(prev)).getOrElse(rewritten.schema),
       listParquet(spark, dataDir))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // same reclaim as commitAppend: a losing compaction's rewrite
+        // is referenced by nothing — without this it would leak
+        // permanently (vacuum only reclaims files DROPPED manifests
+        // referenced, never never-referenced ones)
+        f.delete(dataDir, true)
+        throw e
+    }
     next
   }
 
@@ -199,51 +339,119 @@ object ManifestStore {
     * IDEMPOTENT on `batchId`.  Structured Streaming's `foreachBatch`
     * re-delivers a batch after a failure with the SAME batchId; a
     * plain parquet append would duplicate those rows, and a plain
-    * [[commitAppend]] would commit them twice.  Here the batchId is
-    * baked into the data directory name, so a replay finds the
-    * already-committed directory and returns the existing version —
-    * end-to-end exactly-once from a replayable source down to the
-    * table, the manifest analog of the parquet sink's log.
+    * [[commitAppend]] would commit them twice.
+    *
+    * Replay detection is DURABLE, not inferred from data-dir
+    * presence: each batch commit records `#batch <id>` in its
+    * manifest header (atomic with the commit itself) and mirrors it
+    * into the `_batches` ledger.  A replay resolves through the
+    * ledger in one read; a ledger missing the id (crash between
+    * publish and ledger write, or a rebuilt root) falls back to
+    * scanning only the manifest HEADERS of the versions the ledger
+    * has not yet covered.  In particular a [[compact]] + [[vacuum]]
+    * between a batch's commit and its crash-recovery replay — which
+    * rewrites the batch's files and may delete its data dir — no
+    * longer misclassifies the replay as a torn write (the failure
+    * mode of the r18 data-dir probe): the ledger entry survives both.
+    * Retention note: [[vacuum]] never touches the ledger; it must
+    * simply not drop manifests newer than the stream's checkpointed
+    * batch before that batch's ledger entry exists (the crash window
+    * is one batch wide).
     *
     * Use as `stream.writeStream.foreachBatch { (df, id) =>
     * ManifestStore.commitStreamBatch(df.sparkSession, root, df, id); () }`.
+    * One streaming writer per root — the ledger is single-writer.
     *
     * @return the version holding this batch (new or already present) */
   def commitStreamBatch(spark: SparkSession, root: String, df: DataFrame,
                         batchId: Long): Long = {
     val f = fs(spark, root)
-    // batchId keys the data directory, so the replay probe is ONE
-    // exists() — no manifest scan on the happy path
     val dataDir = new Path(root, s"data/batch$batchId")
-    val cur = currentVersion(spark, root)
-    if (f.exists(dataDir)) {
-      val marker = s"/data/batch$batchId/"
-      val committed = cur.map(c => (c to 0L by -1L)).getOrElse(Seq.empty)
-        .filter(v => f.exists(manifestPath(root, v)))
-        .find(v => files(spark, root, Some(v)).exists(_.contains(marker)))
-      committed match {
-        case Some(v) => return v // already committed — the replay is a no-op
-        case None => f.delete(dataDir, true); () // torn pre-publish write: redo
-      }
+    val (ledger, coveredThrough) = readLedger(f, root)
+    ledger.get(batchId) match {
+      case Some(v) => return v // already committed — the replay is a no-op
+      case None => ()
     }
+    val cur = currentVersion(spark, root)
+    // the ledger is a hint; manifest headers are truth.  Cover the
+    // delta the ledger has not seen (normally empty or the interleaved
+    // non-batch commits since the last batch).
+    val fromV = math.max(coveredThrough + 1, 0L)
+    val committed = cur.toSeq.flatMap(c => c to fromV by -1L)
+      .find(v => headerBatchOf(spark, root, v).contains(batchId))
+    committed match {
+      case Some(v) =>
+        writeLedger(spark, root, ledger + (batchId -> v), math.max(coveredThrough, cur.getOrElse(v)))
+        return v
+      case None => ()
+    }
+    // definitely not committed: a leftover data dir is a torn
+    // pre-publish write — clear and redo
+    if (f.exists(dataDir)) { f.delete(dataDir, true); () }
     cur.flatMap(v => schemaOf(spark, root, Some(v)))
       .foreach(stored => requireSameSchema(stored, df.schema, root))
     df.write.mode("errorifexists").parquet(dataDir.toString)
     val next = cur.map(_ + 1).getOrElse(0L)
-    publish(spark, root, next, df.schema,
-      cur.map(v => files(spark, root, Some(v))).getOrElse(Nil) ++ listParquet(spark, dataDir))
+    try publish(spark, root, next, df.schema,
+      cur.map(v => files(spark, root, Some(v))).getOrElse(Nil) ++ listParquet(spark, dataDir),
+      batchId = Some(batchId))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        f.delete(dataDir, true)
+        throw e // the restarted query replays this batchId and recommits
+    }
+    writeLedger(spark, root, ledger + (batchId -> next), next)
     next
   }
 
+  // ledger format: "#through\t<version>" (headers scanned so far),
+  // then "<batchId>\t<version>" lines.  ~20 bytes/batch; rewritten
+  // whole per batch commit via the atomic hint write.
+  private def readLedger(f0: FileSystem, root: String): (Map[Long, Long], Long) = {
+    val f = rawFs(f0)
+    val p = ledgerPath(root)
+    if (!f.exists(p)) return (Map.empty, -1L)
+    try {
+      val in = f.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList finally in.close()
+      val through = lines.collectFirst {
+        case l if l.startsWith("#through\t") => l.stripPrefix("#through\t").toLong
+      }.getOrElse(-1L)
+      val entries = lines.filterNot(_.startsWith("#")).map { l =>
+        val Array(b, v) = l.split('\t'); b.toLong -> v.toLong
+      }.toMap
+      (entries, through)
+    } catch { case scala.util.control.NonFatal(_) => (Map.empty, -1L) } // corrupt hint: full header scan
+  }
+
+  private def writeLedger(spark: SparkSession, root: String,
+                          entries: Map[Long, Long], through: Long): Unit =
+    writeHint(spark, root, ledgerPath(root),
+      s"#through\t$through\n" +
+        entries.toSeq.sortBy(_._1).map { case (b, v) => s"$b\t$v" }.mkString("\n") + "\n")
+
+  /** Batch-id → version ledger entries (spec/observability surface). */
+  private[graft] def batchLedger(spark: SparkSession, root: String): Map[Long, Long] =
+    readLedger(fs(spark, root), root)._1
+
   /** Delete data files referenced by NO manifest among the newest
-    * `keepVersions`, then drop the older manifests.  Returns the
-    * deleted file paths.  Run it only when every reader has moved
-    * past the dropped versions — the standard retention contract. */
+    * `keepVersions`, then drop the older manifests, then sweep
+    * crash-orphaned data dirs (a committer that died between its data
+    * write and its publish, before its own cleanup ran) that no
+    * surviving manifest references: versioned dirs older than the
+    * oldest retained manifest, and batch dirs whose id the ledger
+    * already maps to a version (committed, files since compacted
+    * away).  An UNLEDGERED batch dir is never touched — it may be the
+    * live stream's in-flight write.  Returns the deleted file paths.
+    * Run it only when every reader has moved past the dropped
+    * versions and no committer is mid-flight on a version at or below
+    * them — the standard retention contract. */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the current version")
     val f = fs(spark, root)
-    val cur = currentVersion(spark, root).getOrElse(return Nil)
-    val all = (0L to cur).filter(v => f.exists(manifestPath(root, v)))
+    val all = listVersions(f, root)
+    if (all.isEmpty) return Nil
     val keep = all.takeRight(keepVersions)
     val keepFiles = keep.flatMap(v => files(spark, root, Some(v))).toSet
     val dropVs = all.dropRight(keepVersions)
@@ -251,6 +459,24 @@ object ManifestStore {
       .filterNot(keepFiles.contains)
     dropFiles.foreach(p => f.delete(new Path(p), false))
     dropVs.foreach(v => f.delete(manifestPath(root, v), false))
+    // orphan sweep: data dirs referenced by no surviving manifest
+    val dataRoot = new Path(root, "data")
+    val ledgered = readLedger(f, root)._1.keySet
+    val oldestKept = keep.head
+    val orphanDirs =
+      if (!f.exists(dataRoot)) Nil
+      else f.listStatus(dataRoot).toSeq.filter(_.isDirectory).map(_.getPath).filter { d =>
+        val referenced = keepFiles.exists(_.startsWith(d.toString + "/"))
+        val name = d.getName
+        !referenced && (name match {
+          case s if s.startsWith("batch") =>
+            s.stripPrefix("batch").toLongOption.exists(ledgered.contains)
+          case s if s.startsWith("v") =>
+            s.stripPrefix("v").takeWhile(_.isDigit).toLongOption.exists(_ < oldestKept)
+          case _ => false
+        })
+      }
+    orphanDirs.foreach(d => f.delete(d, true))
     dropFiles
   }
 
@@ -261,30 +487,38 @@ object ManifestStore {
   }
 
   private[graft] def publish(spark: SparkSession, root: String, version: Long,
-                             schema: StructType, fileList: Seq[String]): Unit = {
+                             schema: StructType, fileList: Seq[String],
+                             batchId: Option[Long] = None): Unit = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root),
       s".tmp-$version-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
-    try out.write((SchemaHeader + schema.json + "\n" +
-      fileList.mkString("\n") + "\n").getBytes("UTF-8"))
+    val headers = SchemaHeader + schema.json + "\n" +
+      batchId.map(b => BatchHeader + b + "\n").getOrElse("")
+    try out.write((headers + fileList.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val target = manifestPath(root, version)
     // FileContext.rename with no OVERWRITE option REFUSES an existing
-    // target (FileSystem.rename on the local fs silently overwrites —
-    // java File.renameTo is POSIX rename(2)): the losing committer of
-    // a race throws here, never publishes a torn manifest
+    // target — server-side-atomic on HDFS; on the LOCAL fs it is an
+    // exists check + rename(2), so the per-root JVM lock closes the
+    // same-process TOCTOU window (cross-process local races remain
+    // the fs's caveat, like bare S3's)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, hadoopConf(spark))
-    try fc.rename(tmp, target)
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException |
-           _: org.apache.hadoop.fs.ParentNotDirectoryException =>
-        f.delete(tmp, false)
-        throw new java.util.ConcurrentModificationException(
-          s"version $version was committed concurrently under $root — re-read and retry")
+    lockFor(root).synchronized {
+      try fc.rename(tmp, target)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+          f.delete(tmp, false)
+          throw new java.util.ConcurrentModificationException(
+            s"version $version was committed concurrently under $root — re-read and retry")
+      }
+      // refresh the O(1)-discovery pointer (a hint: losing it only
+      // costs the next reader one listing)
+      writeHint(spark, root, pointerPath(root), version.toString + "\n")
     }
   }
 }
