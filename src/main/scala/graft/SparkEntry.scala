@@ -713,16 +713,45 @@ object SparkEntry {
       Similarity.exactPairs(e, "vec_id", "embedding", threshold = 0.2)
     }),
 
-    // M6 streaming MinHash-LSH near-dup, exercised in batch mode (one
-    // micro-batch over the corpus; state starts empty, per-bucket
-    // processing is id-sorted → deterministic).  Rows-only: stateful
-    // streaming semantics have no DuckDB equivalent.  distinct()
-    // collapses the documented at-least-once multi-band emissions.
+    // M6 streaming MinHash-LSH near-dup under the STRICT oracle (the
+    // q121 pattern, r18 verdict #2): a GENUINE readStream file source
+    // over three deterministic micro-batch files (doc_id % 3, mtime-
+    // ordered, maxFilesPerTrigger=1), the PORTABLE md5+LCG signature
+    // family (the q26/q40 lanes DuckDB recomputes arithmetically),
+    // and maxPerBucket high enough that FIFO eviction never fires —
+    // so the stateful flatMapGroupsWithState core is exactly leader
+    // clustering per band bucket in (batch, doc_id) order, replayed
+    // in SQL by a recursive CTE carrying each bucket's representative
+    // list.  distinct() collapses the documented at-least-once
+    // multi-band emissions (same pair in several buckets agrees on
+    // est by construction — lane agreement is bucket-independent).
     "q59_stream_neardup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
-      graft.streaming.StreamingDedup.nearDupHits(
-          d.select(col("doc_id"), col("text")), "doc_id", "text", threshold = 0.5)
-        .toDF().distinct()
+      val docs = t(s, dir, "documents").df.select(col("doc_id"), col("text"))
+      val streamDir = new java.io.File(
+        scratchDir("q59_stream_" + java.lang.Integer.toHexString(dir.hashCode)))
+      if (!new java.io.File(streamDir, "batch2.parquet").exists()) {
+        val base = 1700000000000L // fixed epoch: mtime order == batch order
+        for (b <- 0 until 3) {
+          val tmp = java.nio.file.Files.createTempDirectory("q59_batch").toFile
+          docs.filter(pmod(col("doc_id"), lit(3)) === b).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.getPath)
+          val part = tmp.listFiles.find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(streamDir, s"batch$b.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(base + b * 60000L)
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        }
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+      val hits = graft.streaming.StreamingDedup.nearDupHitsPortable(
+        stream, "doc_id", "text", threshold = 0.5)
+      val sink = "q59_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = hits.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).distinct()
     }),
 
     // §2.4 distinct aggregation (exact; HLL approx_count_distinct is the
@@ -2569,6 +2598,59 @@ object SparkEntry {
         |FROM pairs p JOIN lanes la ON la.doc_id = p.id_a
         |JOIN lanes lb ON lb.doc_id = p.id_b AND lb.lane = la.lane
         |GROUP BY p.id_a, p.id_b""".stripMargin.replace("\n", " "),
+
+    // Streaming leader-clustering near-dup, replayed exactly: the
+    // portable lanes/bands CTEs, then per band bucket a recursive CTE
+    // walks docs in (micro-batch = doc_id % 3, doc_id) order carrying
+    // the bucket's representative list — a doc whose best lane
+    // agreement against the current reps clears the threshold is a
+    // hit (max agree, min rep id tiebreak — the flatMapGroupsWithState
+    // core's rule); otherwise it joins the reps.  Pairwise agreement
+    // is precomputed per doc as an (agree DESC, id ASC)-sorted
+    // candidate LIST (cand) so the recursive term is a plain join +
+    // list_filter lambda — the first candidate that is a current rep
+    // IS the argmax.  Deliberately NO `LEFT JOIN LATERAL` in the
+    // recursive term: DuckDB 1.0 drops recursion rows
+    // non-deterministically when the recursive half carries a LATERAL
+    // under multi-threaded execution (observed 6/12/22/24 rows across
+    // identical runs; threads=1 always 24 — the list_filter form is
+    // stable at 24 under full parallelism).
+    "q59_stream_neardup" ->
+      s"""${mhLanesCtes.replaceFirst("WITH norm", "WITH RECURSIVE norm")}
+        |db AS MATERIALIZED (SELECT bk, doc_id,
+        |row_number() OVER (PARTITION BY bk ORDER BY doc_id % 3, doc_id) AS ord FROM bands),
+        |pag AS MATERIALIZED (SELECT p.ia, p.ib,
+        |count(*) FILTER (WHERE la.mh = lb.mh) AS agree
+        |FROM (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |FROM db a JOIN db b ON a.bk = b.bk AND a.doc_id <> b.doc_id) p
+        |JOIN lanes la ON la.doc_id = p.ia
+        |JOIN lanes lb ON lb.doc_id = p.ib AND lb.lane = la.lane
+        |GROUP BY p.ia, p.ib),
+        |cand AS MATERIALIZED (SELECT d.bk, d.doc_id, d.ord,
+        |list(struct_pack(ia := e.doc_id, agree := p.agree)
+        |ORDER BY p.agree DESC, e.doc_id ASC)
+        |FILTER (WHERE e.doc_id IS NOT NULL) AS cands
+        |FROM db d
+        |LEFT JOIN db e ON e.bk = d.bk AND e.ord < d.ord
+        |LEFT JOIN pag p ON p.ib = d.doc_id AND p.ia = e.doc_id
+        |GROUP BY d.bk, d.doc_id, d.ord),
+        |rec AS (SELECT bk, 0 AS step, CAST([] AS BIGINT[]) AS reps,
+        |CAST(NULL AS BIGINT) AS hit_doc, CAST(NULL AS BIGINT) AS hit_rep,
+        |CAST(NULL AS DOUBLE) AS hit_est
+        |FROM (SELECT DISTINCT bk FROM db)
+        |UNION ALL
+        |SELECT r.bk, r.step + 1,
+        |CASE WHEN list_filter(d.cands, c -> list_contains(r.reps, c.ia))[1].agree / 32.0 >= 0.5
+        |THEN r.reps ELSE list_append(r.reps, d.doc_id) END,
+        |CASE WHEN list_filter(d.cands, c -> list_contains(r.reps, c.ia))[1].agree / 32.0 >= 0.5
+        |THEN d.doc_id END,
+        |CASE WHEN list_filter(d.cands, c -> list_contains(r.reps, c.ia))[1].agree / 32.0 >= 0.5
+        |THEN list_filter(d.cands, c -> list_contains(r.reps, c.ia))[1].ia END,
+        |CASE WHEN list_filter(d.cands, c -> list_contains(r.reps, c.ia))[1].agree / 32.0 >= 0.5
+        |THEN round(list_filter(d.cands, c -> list_contains(r.reps, c.ia))[1].agree / 32.0, 6) END
+        |FROM rec r JOIN cand d ON d.bk = r.bk AND d.ord = r.step + 1)
+        |SELECT DISTINCT hit_doc AS doc_id, hit_rep AS dup_of, hit_est AS est_jaccard
+        |FROM rec WHERE hit_doc IS NOT NULL""".stripMargin.replace("\n", " "),
 
     // Portable-simhash fingerprint values (the q67 construction's fp
     // stage, surfaced directly)

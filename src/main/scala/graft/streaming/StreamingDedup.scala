@@ -96,19 +96,60 @@ object StreamingDedup {
     import spark.implicits._
     val k = bands * rowsPerBand
     val sigUdf = udf((t: String) => signatureNormalized(t, shingleSize, k))
-    val bandsUdf = udf((sig: Array[Long]) =>
-      Array.tabulate(bands)(b => bandKey(sig, b, rowsPerBand)))
     // normalize with the SAME Catalyst expression the batch operator
     // uses — a JVM toLowerCase copy can disagree with Spark's lower()
     // on non-ASCII text under exotic default locales, and would drift
     // silently if TextAnalysis.normalize ever changed
-    val banded = docs
+    val sigs = docs
       .select(col(idCol).cast("long").as("doc_id"),
         sigUdf(graft.operators.TextAnalysis.normalize(col(textCol))).as("sig"))
-      .where(col("sig").isNotNull)
+    nearDupHitsCore(banded(sigs, bands, rowsPerBand), k, threshold, maxPerBucket, stateTtl)
+  }
+
+  /** The ORACLE-PORTABLE twin of [[nearDupHits]]: same stateful
+    * leader-clustering core, but the per-document signature is the
+    * portable md5+LCG minhash ([[graft.functions.WindowHash
+    * .portableMinhashSig]], the q26/q40 lane family DuckDB can
+    * recompute arithmetically).  Banding still uses [[bandKey]] —
+    * any deterministic injective-modulo-collisions function of the
+    * band slice partitions identically to grouping by the slice
+    * values themselves, which is what the SQL mirror does.  With
+    * `maxPerBucket` large enough that FIFO eviction never fires, the
+    * semantics are exactly leader clustering per bucket in
+    * (micro-batch, doc_id) order — a recursive-CTE replay (the q59
+    * oracle). */
+  def nearDupHitsPortable(docs: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+                          threshold: Double = 0.7, maxPerBucket: Int = 1 << 20,
+                          stateTtl: Option[String] = None): Dataset[NearDupHit] = {
+    val k = bands * rowsPerBand
+    val sigs = docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.functions.WindowHash.portableMinhashSig(
+        graft.operators.TextAnalysis.normalize(col(textCol)), shingleSize, k).as("sig"))
+    nearDupHitsCore(banded(sigs, bands, rowsPerBand), k, threshold, maxPerBucket, stateTtl)
+  }
+
+  /** (doc_id, sig) → one row per (doc, band) with the band's bucket
+    * key; null signatures (no shingle) dropped, the batch contract. */
+  private def banded(sigs: DataFrame, bands: Int,
+                     rowsPerBand: Int): Dataset[(Long, Array[Long], Long)] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val bandsUdf = udf((sig: Array[Long]) =>
+      Array.tabulate(bands)(b => bandKey(sig, b, rowsPerBand)))
+    sigs.where(col("sig").isNotNull)
       .select(col("doc_id"), col("sig"), explode(bandsUdf(col("sig"))).as("band_key"))
       .as[(Long, Array[Long], Long)]
+  }
 
+  /** The stateful leader-clustering core over pre-banded rows —
+    * signature-agnostic (xxhash64 and portable variants share it, so
+    * stream decisions agree with their batch twins by construction). */
+  private def nearDupHitsCore(banded: Dataset[(Long, Array[Long], Long)], k: Int,
+                              threshold: Double, maxPerBucket: Int,
+                              stateTtl: Option[String]): Dataset[NearDupHit] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
     val timeoutConf =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
