@@ -1135,7 +1135,65 @@ object SparkEntry {
     // exact cosine: image dedup IS embedding dedup after the content
     // projection, regardless of container.  Rows-only (codecs +
     // histogram not SQL-expressible); snapshot-pinned.
+    // Cross-format image near-dup, ORACLE-EXACT end to end (r18
+    // verdict #3): the three members of class c carry the SAME
+    // closed-form 8×8 image — byte k (image-order RGB) is
+    // (c*12 + k%13) % 256, xor 128 at k = member*3 — shipped through
+    // three REAL lossless containers: member 0 as 24-bit BMP
+    // (bottom-up BGR storage), member 1 as PNG (zlib IDAT, real
+    // CRCs), member 2 as GIF89a (LZW, global palette).  Lossless
+    // decode means DuckDB recomputes the whole decode → 16-bin/channel
+    // histogram → cosine-pair pipeline from arithmetic while Spark
+    // runs the REAL codecs.  The lossy JPEG arms (DCT rounding has no
+    // honest closed-form mirror) live in q95d under the golden
+    // snapshot instead — the per-arm split the oracle documents.
     "q95_image_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df.filter(col("doc_id") < 60)
+      val mkImage = udf((docId: Long) => {
+        val cls = (docId % 20).toInt
+        val member = (docId / 20).toInt
+        val rgb = Array.tabulate(192)(k => (((cls * 12 + k % 13) % 256).toByte))
+        rgb(member * 3) = (rgb(member * 3) ^ 0x80).toByte // one-pixel tweak
+        member match {
+          case 0 =>
+            // image-order RGB → BMP storage (bottom-up rows, BGR)
+            val px = new Array[Byte](192)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val src = (y * 8 + x) * 3
+                val dst = ((7 - y) * 8 + x) * 3
+                px(dst) = rgb(src + 2); px(dst + 1) = rgb(src + 1); px(dst + 2) = rgb(src)
+                x += 1
+              }
+              y += 1
+            }
+            val stride = 8 * 3 // 24 bytes per row, already 4-aligned
+            val bb = java.nio.ByteBuffer.allocate(54 + stride * 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * 8)
+            bb.putInt(0).putInt(54).putInt(40).putInt(8).putInt(8)
+            bb.putShort(1).putShort(24).putInt(0).putInt(stride * 8)
+            bb.putInt(2835).putInt(2835).putInt(0).putInt(0)
+            bb.put(px)
+            bb.array()
+          case 1 => graft.functions.MediaCodecs.pngEncodeRgb(8, 8, rgb)
+          case _ => graft.functions.MediaCodecs.gifEncodeRgb(8, 8, rgb)
+        }
+      })
+      val emb = d.select(col("doc_id"),
+          operators.Multimodal.imageEmbedding(mkImage(col("doc_id"))).as("emb"))
+        .filter(col("emb").isNotNull)
+      operators.Similarity.exactPairs(emb, "doc_id", "emb", threshold = 0.95)
+    }),
+
+    // The LOSSY arm of cross-format image near-dup: BMP + baseline
+    // JPEG + progressive JPEG (quality 100) of a seeded-random image.
+    // DCT rounding has no honest closed-form SQL mirror, so this slot
+    // is rows-only and byte-pinned by the golden snapshot — the
+    // documented per-arm exception to q95's oracle.
+    "q95d_jpeg_neardup" -> ((s, dir) => {
       val d = t(s, dir, "documents").df.filter(col("doc_id") < 60)
       val mkImage = udf((docId: Long) => {
         val cls = (docId % 20).toInt
@@ -2417,6 +2475,36 @@ object SparkEntry {
     // centroids (round-2 means, empty cells keep round-1) -> argmin
     // cells -> within-cell cosine pairs -> recursive-CTE components ->
     // keep ids that reach nothing smaller
+    // q95: cross-format (BMP/PNG/GIF) image near-dup recomputed from
+    // the closed-form pixel arithmetic — byte k (IMAGE-order RGB) of
+    // doc d is (d%20)*12 + k%13, xor 128 at k=(d/20)*3; all three
+    // containers are lossless so every member decodes to exactly
+    // these bytes; k%3 = 0/1/2 maps to embedding channel block 0/1/2;
+    // bin = v/16; weights = count/64 pixels; the cosine and its
+    // round-then-threshold match exactPairs exactly.  (q95d, the
+    // lossy-JPEG arm, stays under the golden snapshot: DCT rounding
+    // has no honest closed-form mirror.)
+    "q95_image_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |px AS (SELECT i.doc_id, k.k,
+        |  CASE WHEN k.k = (i.doc_id // 20) * 3
+        |       THEN xor(((i.doc_id % 20) * 12 + (k.k % 13)) % 256, 128)
+        |       ELSE ((i.doc_id % 20) * 12 + (k.k % 13)) % 256 END AS v
+        |FROM ids i, generate_series(0, 191) AS k(k)),
+        |emb AS (SELECT doc_id, (k % 3) * 16 + (v // 16) AS dim,
+        |  count(*) / 64.0 AS w
+        |FROM px GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, sum(w * w) AS s FROM emb GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb, sum(a.w * b.w) AS dot
+        |FROM emb a JOIN emb b ON a.dim = b.dim AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2)
+        |SELECT p.pa AS id_a, p.pb AS id_b,
+        |  round(p.dot / (sqrt(na.s) * sqrt(nb.s)), 6) AS cos_sim
+        |FROM pairs p
+        |JOIN norms na ON na.doc_id = p.pa
+        |JOIN norms nb ON nb.doc_id = p.pb
+        |WHERE round(p.dot / (sqrt(na.s) * sqrt(nb.s)), 6) >= 0.95""".stripMargin,
+
     // q95b: the BMP arm recomputed from the closed-form pixel
     // arithmetic — byte k of doc d is (d%20)*12 + k%13, xor 128 at
     // k=(d/20)*3; BMP stores BGR so byte k%3 = 0/1/2 maps to embedding

@@ -557,6 +557,72 @@ object MediaCodecs {
       (fw, fh, out)
     }
 
+  /** Packed RGB24 → standards-valid GIF89a: one image block, global
+    * color table of the image's distinct colors (at most 256, the GIF
+    * ceiling — loud require above it), LZW data with a CLEAR code
+    * before every pixel code so the decoder's dictionary never grows
+    * past `eoi + 1` and the code width stays constant at
+    * `minCode + 1`.  ~2 bytes/pixel: this is the LOSSLESS fixture
+    * tier (the q95 GIF arm of cross-format image near-dup), not a
+    * production compressor — external readers accept the output, not
+    * just [[gifFirstFrame]]. */
+  private[graft] def gifEncodeRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != $w*$h*3")
+    val palette = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    val idx = new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) {
+      val c = ((rgb(3 * p) & 0xff) << 16) | ((rgb(3 * p + 1) & 0xff) << 8) | (rgb(3 * p + 2) & 0xff)
+      idx(p) = palette.getOrElseUpdate(c, palette.size)
+      p += 1
+    }
+    require(palette.size <= 256,
+      s"${palette.size} distinct colors — GIF caps the global color table at 256")
+    // GCT holds 2^(sizeBits+1) entries; LZW min code size covers the
+    // palette and is >= 2 per the spec
+    var sizeBits = 0
+    while ((2 << sizeBits) < palette.size) sizeBits += 1
+    val palEntries = 2 << sizeBits
+    val minCode = math.max(2, sizeBits + 1)
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val width = minCode + 1
+    // LSB-first packing at CONSTANT width (see scaladoc)
+    val bits = new java.io.ByteArrayOutputStream(idx.length * 2 * width / 8 + 2)
+    var acc = 0L
+    var nAcc = 0
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nAcc; nAcc += width
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; nAcc -= 8 }
+    }
+    idx.foreach { i => put(clear); put(i) }
+    put(eoi)
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    val data = bits.toByteArray
+    val out = new java.io.ByteArrayOutputStream(
+      32 + palEntries * 3 + data.length + data.length / 255 + 4)
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    def u2le(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    u2le(w); u2le(h)
+    out.write(0x80 | (sizeBits << 4) | sizeBits) // GCT present; color res; GCT size
+    out.write(0); out.write(0)                   // background index, pixel aspect
+    palette.keysIterator.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    var pad = palette.size
+    while (pad < palEntries) { out.write(0); out.write(0); out.write(0); pad += 1 }
+    out.write(0x2C); u2le(0); u2le(0); u2le(w); u2le(h); out.write(0) // descriptor, no LCT
+    out.write(minCode)
+    var at = 0
+    while (at < data.length) {
+      val n = math.min(255, data.length - at)
+      out.write(n); out.write(data, at, n); at += n
+    }
+    out.write(0)    // sub-block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
   /** Container walk + LZW decode of the first frame: (screen w/h,
     * frame w/h, palette, indices) — every index verified within the
     * palette, so consumers can resolve without bounds checks. */

@@ -52,7 +52,7 @@ class GoldenSnapshotSpec extends SparkSpec {
     "q34_multimodal", "q40_dedup_verified", "q49_embedding_neardup",
     "q59_stream_neardup", "q67_simhash_neardup", "q70_neardup_corpus",
     "q86_minhash_index", "q88_span_removal", "q90_bloom_prefilter",
-    "q92_bpe_merges", "q95_image_neardup")
+    "q92_bpe_merges", "q95d_jpeg_neardup")
 
   for (name <- snapshotQueries) {
     test(s"$name matches its committed sf0.01 golden snapshot") {

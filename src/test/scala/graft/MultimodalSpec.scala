@@ -542,6 +542,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("gifEncodeRgb round-trips pixel-exact; histograms match PNG of the same pixels") {
+    import graft.functions.MediaCodecs
+    val rnd = new scala.util.Random(95)
+    for (_ <- 0 until 20) {
+      val w = 1 + rnd.nextInt(14); val h = 1 + rnd.nextInt(14)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val gif = MediaCodecs.gifEncodeRgb(w, h, rgb)
+      val (dw, dh, back) = MediaCodecs.gifDecodeRgb(gif).get
+      assert(dw == w && dh == h && back.toSeq == rgb.toSeq,
+        s"GIF encode/decode must be the pixel identity at ${w}x$h")
+      assert(MediaCodecs.imageHistogram(gif, 16).get.toSeq ==
+        MediaCodecs.imageHistogram(MediaCodecs.pngEncodeRgb(w, h, rgb), 16).get.toSeq,
+        "GIF and PNG of the same pixels must histogram identically")
+    }
+    // two colors exercises the minCode=2 spec floor; one color the 2-entry GCT pad
+    val tiny = Array[Byte](0, 0, 0, -1, -1, -1, 0, 0, 0, -1, -1, -1)
+    assert(MediaCodecs.gifDecodeRgb(MediaCodecs.gifEncodeRgb(2, 2, tiny)).get._3.toSeq
+      == tiny.toSeq)
+    val solid = Array.fill(27)(7.toByte)
+    assert(MediaCodecs.gifDecodeRgb(MediaCodecs.gifEncodeRgb(3, 3, solid)).get._3.toSeq
+      == solid.toSeq)
+    // more than 256 distinct colors is a loud reject, never silent quantization
+    val big = Array.tabulate(289 * 3) { k =>
+      val p = k / 3
+      (k % 3 match { case 0 => p & 0xff; case 1 => p >> 8; case _ => 0 }).toByte
+    }
+    assertThrows[IllegalArgumentException](MediaCodecs.gifEncodeRgb(17, 17, big))
+  }
+
   test("imageEmbedding: format-independent histograms drive image near-dup") {
     import graft.functions.MediaCodecs
     val rnd = new scala.util.Random(31)
