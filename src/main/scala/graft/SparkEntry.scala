@@ -1581,19 +1581,27 @@ object SparkEntry {
       // whole sf0.01 gate corpus while keeping the bench slot's
       // three-batch store+merge under the suite-tail budget at sf0.1
       val d = t(s, dir, "documents").df.filter(col("doc_id") < 2500)
-      val evDir = s"${scratchDir("q122_evidence")}/batches"
-      // each batch's evidence is computed independently (its union
-      // branch sees only its own docs — the doc-disjoint contract),
-      // but all three land in ONE tagged write job instead of three
-      // sequential write+commit round trips
-      (0 until 3).map { b =>
-        operators.Dedup.spanEvidenceBatch(
-            d.filter(pmod(col("doc_id"), lit(3)) === b),
-            col("text"), col("doc_id"), width = 60)
-          .withColumn("batch", lit(b))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(evDir)
-      operators.Dedup.mergeSpanEvidence(s.read.parquet(evDir), minDocs = 2)
+      // the store-once/merge-later family DOGFOODS the store it
+      // recommends: each ingest batch lands as a ManifestStore
+      // commitAppend (write-ahead data + atomic manifest publish,
+      // schema gated at the commit), and the merge reads the LATEST
+      // SNAPSHOT — never a raw directory listing that could observe a
+      // torn write.  A fresh per-invocation root keeps the slot
+      // idempotent when Bench re-runs it in one JVM (appends to a
+      // shared root would compound evidence across runs).
+      val root = s"${scratchDir("q122_evidence")}/store_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      (0 until 3).foreach { b =>
+        sources.ManifestStore.commitAppend(s,
+          root,
+          operators.Dedup.spanEvidenceBatch(
+              d.filter(pmod(col("doc_id"), lit(3)) === b),
+              col("text"), col("doc_id"), width = 60)
+            .withColumn("batch", lit(b)),
+          label = s"batch$b")
+      }
+      operators.Dedup.mergeSpanEvidence(
+        sources.ManifestStore.read(s, root), minDocs = 2)
     }),
 
     // §2.9 streaming sketch twin, DRIVER-GATED (round-14 verdict #6):
