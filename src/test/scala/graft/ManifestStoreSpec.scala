@@ -274,6 +274,29 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("500-version history: discovery stays pointer-resolved, commits on top stay flat") {
+    withRoot { root =>
+      ManifestStore.commitAppend(spark, root, Seq(0L).toDF("x"), "seed")
+      // drive the version counter to 500 through the REAL publish path
+      // (manifest write + atomic rename + pointer refresh) without
+      // paying 500 parquet jobs — the O(1)-discovery contract under
+      // test is about manifest-HISTORY length, not data volume
+      val files0 = ManifestStore.files(spark, root)
+      val schema = Seq(0L).toDF("x").schema
+      (1L to 500L).foreach(v => ManifestStore.publish(spark, root, v, schema, files0))
+      val before = ManifestStore.listingFallbacks.get()
+      assert(ManifestStore.currentVersion(spark, root).contains(500L))
+      // a real commit on top of the 500-version history, then reads:
+      // none of it may regress to a directory listing
+      val v = ManifestStore.commitAppend(spark, root, Seq(1L).toDF("x"), "tail")
+      assert(v == 501L)
+      (0 until 20).foreach(_ => ManifestStore.currentVersion(spark, root))
+      assert(ManifestStore.listingFallbacks.get() == before,
+        "a 500-version history must resolve through the pointer, never a listing")
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+    }
+  }
+
   test("racing committers of the same version: exactly one wins, no torn manifest") {
     withRoot { root =>
       ManifestStore.commitAppend(spark, root, Seq(1L).toDF("x"), "day0")
