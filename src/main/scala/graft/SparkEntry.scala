@@ -739,7 +739,12 @@ object SparkEntry {
           val dst = new java.io.File(streamDir, s"batch$b.parquet")
           java.nio.file.Files.move(part.toPath, dst.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.setLastModified(base + b * 60000L)
+          // the file-source processes in mtime order — a silently
+          // failed mtime write would let same-timestamp tie-breaking
+          // pick the batch order and the strict oracle would report a
+          // genuine-looking operator mismatch for a fixture problem
+          require(dst.setLastModified(base + b * 60000L),
+            s"could not pin mtime on $dst — micro-batch order would be undefined")
           org.apache.commons.io.FileUtils.deleteQuietly(tmp)
         }
       }
@@ -1589,7 +1594,14 @@ object SparkEntry {
       // torn write.  A fresh per-invocation root keeps the slot
       // idempotent when Bench re-runs it in one JVM (appends to a
       // shared root would compound evidence across runs).
-      val root = s"${scratchDir("q122_evidence")}/store_" +
+      // reclaim prior invocations' stores first (their readers are
+      // done — Bench/Verify collect a slot's result before the next
+      // invocation starts), so repeated runs in one JVM hold ONE store
+      // on disk, not one per run
+      val evBase = new java.io.File(scratchDir("q122_evidence"))
+      Option(evBase.listFiles).foreach(_.filter(_.getName.startsWith("store_"))
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly))
+      val root = s"$evBase/store_" +
         java.util.UUID.randomUUID().toString.take(8)
       (0 until 3).foreach { b =>
         sources.ManifestStore.commitAppend(s,

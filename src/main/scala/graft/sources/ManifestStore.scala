@@ -70,16 +70,25 @@ object ManifestStore {
   // newHadoopConf() clones the WHOLE Spark conf into a fresh Hadoop
   // Configuration (~tens of ms); a commit touches the filesystem
   // handle several times, and for a streaming sink that cost is paid
-  // per micro-batch.  Cache ONE conf per SparkContext — NOT per
-  // SparkSession: this codebase mints throwaway sessions
-  // (newSession() in Dedup.collectPairsIfSmall), and a session-keyed
-  // strong map would pin each of them for the JVM's lifetime.  The
-  // context is the JVM-singleton whose conf is what actually gets
-  // cloned, so the cache holds at most one live entry.
-  private val confCache =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, org.apache.hadoop.conf.Configuration]()
-  private[graft] def hadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration =
-    confCache.computeIfAbsent(spark.sparkContext, _ => spark.sessionState.newHadoopConf())
+  // per micro-batch.  Cache per SESSION — sessions can carry their own
+  // runtime-set hadoop options (fs.*, credentials), so a context-wide
+  // cache would silently serve the first caller's conf to every later
+  // session — but through WEAK keys, so the throwaway sessions this
+  // codebase mints (newSession() in Dedup.collectPairsIfSmall) are
+  // collectable the moment they are unreachable, never pinned by the
+  // cache.  A benign double-compute under concurrency beats a lock
+  // held across the clone.
+  private val confCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, org.apache.hadoop.conf.Configuration]())
+  private[graft] def hadoopConf(spark: SparkSession): org.apache.hadoop.conf.Configuration = {
+    val cached = confCache.get(spark)
+    if (cached != null) cached
+    else {
+      val fresh = spark.sessionState.newHadoopConf()
+      confCache.put(spark, fresh)
+      fresh
+    }
+  }
 
   // versioned data dirs carry a uuid tail: two racing committers of
   // the same version (or a retry after a crash that left debris) must
@@ -105,7 +114,11 @@ object ManifestStore {
   private[graft] val listingFallbacks = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // serializes same-JVM publishes per root (the local-fs TOCTOU note
-  // in the publish scaladoc); cross-process races are the fs's problem
+  // in the publish scaladoc); cross-process races are the fs's problem.
+  // Deliberately never evicted: a lock must stay CANONICAL per root
+  // for the JVM's life (weak eviction could hand two committers two
+  // different locks for one root), and the cost is one bare Object
+  // per distinct root string ever touched.
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(root: String): Object =
@@ -124,15 +137,6 @@ object ManifestStore {
         Some(cur)
       case _ =>
         listingFallbacks.incrementAndGet()
-        if (sys.props.contains("graft.manifest.debugFallback")) {
-          val ptr = readPointer(f, root)
-          val raw = try {
-            val in = f.open(pointerPath(root))
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-          } catch { case e: Throwable => s"<${e.getClass.getSimpleName}: ${e.getMessage}>" }
-          new Exception(s"listing fallback for $root — pointer=$ptr raw='$raw' " +
-            s"manifestExists=${ptr.map(v => f.exists(manifestPath(root, v)))}").printStackTrace()
-        }
         listVersions(f, root).lastOption
     }
   }
@@ -367,7 +371,7 @@ object ManifestStore {
                         batchId: Long): Long = {
     val f = fs(spark, root)
     val dataDir = new Path(root, s"data/batch$batchId")
-    val (ledger, coveredThrough) = readLedger(f, root)
+    val (ledger, coveredThrough, ledgerFloor) = readLedger(f, root)
     ledger.get(batchId) match {
       case Some(v) => return v // already committed — the replay is a no-op
       case None => ()
@@ -381,13 +385,36 @@ object ManifestStore {
       .find(v => headerBatchOf(spark, root, v).contains(batchId))
     committed match {
       case Some(v) =>
-        writeLedger(spark, root, ledger + (batchId -> v), math.max(coveredThrough, cur.getOrElse(v)))
+        writeLedger(spark, root, ledger + (batchId -> v),
+          math.max(coveredThrough, cur.getOrElse(v)), ledgerFloor)
         return v
       case None => ()
     }
-    // definitely not committed: a leftover data dir is a torn
-    // pre-publish write — clear and redo
-    if (f.exists(dataDir)) { f.delete(dataDir, true); () }
+    // ledger and header-delta both missed.  Before treating a leftover
+    // data dir as a torn pre-publish write, one LAST guard: never
+    // delete a dir the CURRENT manifest references.  The ledger can
+    // miss a genuinely committed batch (a store written by a release
+    // that predates '#batch' headers, or an id pruned past the ledger
+    // tail after a checkpoint reset) — deleting its dir would corrupt
+    // every version that lists those files.  The full newest-first
+    // file-list scan here is the rare-path cost (paid only when hint +
+    // header scan both missed AND the dir exists), and it re-seeds the
+    // ledger so the next replay is one read again.
+    if (f.exists(dataDir)) {
+      val marker = s"/data/batch$batchId/"
+      val curFiles = cur.map(v => files(spark, root, Some(v))).getOrElse(Nil)
+      if (curFiles.exists(_.contains(marker))) {
+        val v = cur.map(c => c to 0L by -1L).getOrElse(Seq.empty)
+          .filter(v => f.exists(manifestPath(root, v)))
+          .find(v => files(spark, root, Some(v)).exists(_.contains(marker)))
+          .getOrElse(cur.get)
+        writeLedger(spark, root, ledger + (batchId -> v),
+          math.max(coveredThrough, cur.getOrElse(v)), ledgerFloor)
+        return v
+      }
+      // torn pre-publish write: clear and redo
+      f.delete(dataDir, true); ()
+    }
     cur.flatMap(v => schemaOf(spark, root, Some(v)))
       .foreach(stored => requireSameSchema(stored, df.schema, root))
     df.write.mode("errorifexists").parquet(dataDir.toString)
@@ -400,17 +427,33 @@ object ManifestStore {
         f.delete(dataDir, true)
         throw e // the restarted query replays this batchId and recommits
     }
-    writeLedger(spark, root, ledger + (batchId -> next), next)
+    writeLedger(spark, root, ledger + (batchId -> next), next, ledgerFloor)
     next
   }
 
   // ledger format: "#through\t<version>" (headers scanned so far),
   // then "<batchId>\t<version>" lines.  ~20 bytes/batch; rewritten
-  // whole per batch commit via the atomic hint write.
-  private def readLedger(f0: FileSystem, root: String): (Map[Long, Long], Long) = {
+  // whole per batch commit via the atomic hint write — and BOUNDED to
+  // the most recent MaxLedgerEntries batch ids so the per-commit
+  // rewrite stays constant-size over an unbounded stream (a year of
+  // minute-batches is ~525k batches; an unbounded ledger would make
+  // every commit rewrite megabytes).  Pruning is safe because
+  // Structured Streaming re-delivers only batches at/after the
+  // checkpoint — the crash window is ONE batch wide, and 10k retained
+  // ids give ~10k windows of margin; a replay of a batch older than
+  // the retained tail means the user reset the checkpoint, where
+  // exactly-once is void by definition.
+  // var ONLY so the spec can exercise the pruning/floor arms without
+  // paying 10k real commits; production never writes it
+  private[graft] var MaxLedgerEntries = 10000
+  /** (entries, through, floor): `through` = highest version whose
+    * headers are folded in; `floor` = smallest batchId NOT pruned off
+    * the tail (ids below it were once ledgered and then aged out —
+    * vacuum may reclaim their unreferenced dirs). */
+  private def readLedger(f0: FileSystem, root: String): (Map[Long, Long], Long, Long) = {
     val f = rawFs(f0)
     val p = ledgerPath(root)
-    if (!f.exists(p)) return (Map.empty, -1L)
+    if (!f.exists(p)) return (Map.empty, -1L, Long.MinValue)
     try {
       val in = f.open(p)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -418,18 +461,38 @@ object ManifestStore {
       val through = lines.collectFirst {
         case l if l.startsWith("#through\t") => l.stripPrefix("#through\t").toLong
       }.getOrElse(-1L)
+      val floor = lines.collectFirst {
+        case l if l.startsWith("#floor\t") => l.stripPrefix("#floor\t").toLong
+      }.getOrElse(Long.MinValue)
       val entries = lines.filterNot(_.startsWith("#")).map { l =>
         val Array(b, v) = l.split('\t'); b.toLong -> v.toLong
       }.toMap
-      (entries, through)
-    } catch { case scala.util.control.NonFatal(_) => (Map.empty, -1L) } // corrupt hint: full header scan
+      (entries, through, floor)
+    } catch {
+      case scala.util.control.NonFatal(_) => (Map.empty, -1L, Long.MinValue)
+    } // corrupt hint: full header scan
   }
 
   private def writeLedger(spark: SparkSession, root: String,
-                          entries: Map[Long, Long], through: Long): Unit =
-    writeHint(spark, root, ledgerPath(root),
-      s"#through\t$through\n" +
-        entries.toSeq.sortBy(_._1).map { case (b, v) => s"$b\t$v" }.mkString("\n") + "\n")
+                          entries: Map[Long, Long], through: Long,
+                          priorFloor: Long): Unit = {
+    val sorted = entries.toSeq.sortBy(_._1)
+    val kept = sorted.takeRight(MaxLedgerEntries)
+    // the floor is monotonic: once ids age off the tail, later writes
+    // must keep saying so even though the pruned ids are no longer in
+    // the map to count
+    val floor =
+      if (kept.size < sorted.size) math.max(priorFloor, kept.head._1) else priorFloor
+    val floorLine = if (floor == Long.MinValue) "" else s"#floor\t$floor\n"
+    // BEST-EFFORT: the ledger is a hint (manifest headers are truth —
+    // a lost write is healed by the next replay's header scan); it is
+    // written after a durable publish, so an IO failure here must not
+    // fail the batch and kill the stream
+    try writeHint(spark, root, ledgerPath(root),
+      s"#through\t$through\n" + floorLine +
+        kept.map { case (b, v) => s"$b\t$v" }.mkString("\n") + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Batch-id → version ledger entries (spec/observability surface). */
   private[graft] def batchLedger(spark: SparkSession, root: String): Map[Long, Long] =
@@ -459,9 +522,16 @@ object ManifestStore {
       .filterNot(keepFiles.contains)
     dropFiles.foreach(p => f.delete(new Path(p), false))
     dropVs.foreach(v => f.delete(manifestPath(root, v), false))
-    // orphan sweep: data dirs referenced by no surviving manifest
+    // orphan sweep: data dirs referenced by no surviving manifest.
+    // A batch dir is reclaimable when its id is LEDGERED (committed,
+    // files since compacted away) or BELOW THE LEDGER FLOOR (was
+    // ledgered, then aged off the bounded tail — an in-flight write's
+    // id is always >= the newest ledgered id, so never below the
+    // floor); an unledgered-above-floor batch dir may be the live
+    // stream's in-flight write and is never touched.
     val dataRoot = new Path(root, "data")
-    val ledgered = readLedger(f, root)._1.keySet
+    val (ledgerMap, _, ledgerFloor) = readLedger(f, root)
+    val ledgered = ledgerMap.keySet
     val oldestKept = keep.head
     val orphanDirs =
       if (!f.exists(dataRoot)) Nil
@@ -470,7 +540,8 @@ object ManifestStore {
         val name = d.getName
         !referenced && (name match {
           case s if s.startsWith("batch") =>
-            s.stripPrefix("batch").toLongOption.exists(ledgered.contains)
+            s.stripPrefix("batch").toLongOption
+              .exists(id => ledgered.contains(id) || id < ledgerFloor)
           case s if s.startsWith("v") =>
             s.stripPrefix("v").takeWhile(_.isDigit).toLongOption.exists(_ < oldestKept)
           case _ => false
@@ -516,9 +587,14 @@ object ManifestStore {
           throw new java.util.ConcurrentModificationException(
             s"version $version was committed concurrently under $root — re-read and retry")
       }
-      // refresh the O(1)-discovery pointer (a hint: losing it only
-      // costs the next reader one listing)
-      writeHint(spark, root, pointerPath(root), version.toString + "\n")
+      // refresh the O(1)-discovery pointer.  BEST-EFFORT by contract:
+      // the rename above already committed the version durably, so a
+      // hint failure here (disk pressure, permissions on the .hint
+      // tmp) must not surface as a failed commit — a caller that
+      // retried a "failed" append would double-commit the same rows.
+      // A lost hint only costs the next reader one listing.
+      try writeHint(spark, root, pointerPath(root), version.toString + "\n")
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }

@@ -274,6 +274,70 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("replay NEVER deletes a batch dir the current manifest references (pre-ledger stores)") {
+    withRoot { root =>
+      // simulate a store written by a release that predates '#batch'
+      // headers and the ledger: data in a batchId-keyed dir, manifest
+      // listing it, no header, no ledger
+      val dataDir = s"$root/data/batch7"
+      Seq(1L, 2L).toDF("x").write.parquet(dataDir)
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val parts = fsys.listStatus(new org.apache.hadoop.fs.Path(dataDir)).toSeq
+        .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      ManifestStore.publish(spark, root, 0L, Seq(1L).toDF("x").schema, parts)
+      // replay of batch 7: ledger misses, header scan misses — the
+      // old code classified this as a torn write, deleted the LIVE
+      // dir, and republished dead paths; the guard must instead
+      // recognize the current manifest references it
+      val v = ManifestStore.commitStreamBatch(spark, root, Seq(1L, 2L).toDF("x"), 7L)
+      assert(v == 0L, "pre-ledger committed batch must be recognized, not redone")
+      assert(new java.io.File(dataDir).exists(), "a referenced data dir must never be deleted")
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+      // ...and the guard re-seeded the ledger: the next replay is one read
+      assert(ManifestStore.batchLedger(spark, root) == Map(7L -> 0L))
+    }
+  }
+
+  test("bounded ledger: pruning keeps a monotonic floor; vacuum reclaims below-floor batch dirs") {
+    val saved = ManifestStore.MaxLedgerEntries
+    ManifestStore.MaxLedgerEntries = 3
+    try withRoot { root =>
+      (0L until 6L).foreach(b =>
+        ManifestStore.commitStreamBatch(spark, root, Seq(b).toDF("x"), b))
+      // only the newest 3 ids survive in the hint; replays of RETAINED
+      // ids stay one-read no-ops
+      assert(ManifestStore.batchLedger(spark, root).keySet == Set(3L, 4L, 5L))
+      assert(ManifestStore.commitStreamBatch(spark, root, Seq(4L).toDF("x"), 4L) == 4L)
+      // compact rewrites every batch's files; vacuum may now reclaim
+      // the below-floor batch dirs (ledgered ones were already
+      // reclaimable) — nothing is lost because nothing references them
+      ManifestStore.compact(spark, root, 1L << 20)
+      ManifestStore.vacuum(spark, root, keepVersions = 1)
+      (0 until 6).foreach(b => assert(!new java.io.File(s"$root/data/batch$b").exists(),
+        s"batch$b dir should be reclaimed (ledgered or below the pruned floor)"))
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq ==
+        (0L until 6L).toSeq)
+      // a pruned id whose files ARE still referenced is recognized via
+      // the guard, never re-deleted: rebuild that shape explicitly
+      val dataDir = s"$root/data/batch0"
+      Seq(9L).toDF("x").write.parquet(dataDir)
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val parts = fsys.listStatus(new org.apache.hadoop.fs.Path(dataDir)).toSeq
+        .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      val cur = ManifestStore.files(spark, root)
+      ManifestStore.publish(spark, root,
+        ManifestStore.currentVersion(spark, root).get + 1,
+        Seq(9L).toDF("x").schema, cur ++ parts)
+      ManifestStore.commitStreamBatch(spark, root, Seq(9L).toDF("x"), 0L)
+      assert(new java.io.File(dataDir).exists(),
+        "a referenced below-floor batch dir must never be deleted on replay")
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq ==
+        ((0L until 6L) :+ 9L).toSeq)
+    } finally ManifestStore.MaxLedgerEntries = saved
+  }
+
   test("500-version history: discovery stays pointer-resolved, commits on top stay flat") {
     withRoot { root =>
       ManifestStore.commitAppend(spark, root, Seq(0L).toDF("x"), "seed")
