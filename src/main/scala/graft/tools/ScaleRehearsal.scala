@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * Deterministic — no RNG, rerunnable to the same bytes.
   *
   * Usage: runMain graft.tools.ScaleRehearsal <srcSfDir> <outDir> <N>
-  *   [rot|tag|join|ann|sketch|events|cc|sim|media|span|spangen|suite|files|semdedup|semincr|manifest]
+  *   [rot|tag|join|ann|sketch|events|cc|sim|media|span|spangen|suite|files|semdedup|semincr|manifest|sink]
   * (writes the scaled tables under <outDir>; never touches the
   * source).  `cc` = distributed connected components above the driver
   * cutoff; `sim` = PQ/ADC/IVF+PQ (q87/q89/q91); `media` = WAV/BMP/
@@ -66,6 +66,7 @@ object ScaleRehearsal {
     if (mode == "semdedup") { semDedupRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "semincr") { semIncrRehearsal(spark, src, out, n); spark.stop(); return }
     if (mode == "manifest") { manifestRehearsal(spark, src, out, n); spark.stop(); return }
+    if (mode == "sink") { sinkRehearsal(spark, src, out, n); spark.stop(); return }
     val d = spark.read.parquet(s"$src/documents.parquet")
     // rot i ≡ 0 (mod 26) is the identity rotation — copies would share
     // ALL shingles, silently inverting the documented disjointness
@@ -136,6 +137,50 @@ object ScaleRehearsal {
     println(f"  per-commit wall: manifest mean ${mWalls.sum / n}%.3f s vs raw append mean ${rWalls.sum / n}%.3f s " +
       f"(atomicity overhead ${(mWalls.sum - rWalls.sum) / n}%+.3f s/commit)")
     println(f"  compact ${cWall}%.2f s, vacuum ${vWall}%.2f s, counts identical at every step")
+  }
+
+  /** Streaming-sink rehearsal: `n` micro-batches through the
+    * exactly-once commitStreamBatch path — the per-micro-batch cost a
+    * minute-stream pays forever, so the contract is FLAT: the replay
+    * probe is one ledger read, discovery one pointer read, and the
+    * ledger rewrite is bounded, so batch n-1 must cost what batch 0
+    * did.  A compact+vacuum and a post-maintenance REPLAY are
+    * interleaved mid-stream so the shape includes the maintenance a
+    * real table sees (and exercises the durable-ledger no-op after
+    * the batch's own manifest was vacuumed).  Prints first- vs
+    * last-quartile mean per-batch wall. */
+  private def sinkRehearsal(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    import graft.sources.ManifestStore
+    require(n >= 8 && n <= 512, s"batches in [8, 512], got $n")
+    val batchDf = spark.read.parquet(s"$src/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity")).limit(5000).cache()
+    val batchRows = batchDf.count()
+    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); () }
+    val root = s"$out/sink_store"
+    rm(new java.io.File(root))
+    spark.range(10).write.parquet(s"$out/warmup_${System.nanoTime}") // committer warmup
+    val walls = (0 until n).map { b =>
+      val t0 = System.nanoTime
+      ManifestStore.commitStreamBatch(spark, root, batchDf, b.toLong)
+      val w = (System.nanoTime - t0) / 1e9
+      if (b == n / 2) {
+        ManifestStore.compact(spark, root, 64L << 20)
+        ManifestStore.vacuum(spark, root, keepVersions = 2)
+        // replay of an already-committed batch whose own manifest was
+        // just vacuumed: the ledger must make it a no-op
+        ManifestStore.commitStreamBatch(spark, root, batchDf, (b - 1).toLong)
+        require(ManifestStore.read(spark, root).count() == batchRows * (b + 1),
+          "post-maintenance replay duplicated rows")
+      }
+      w
+    }
+    require(ManifestStore.read(spark, root).count() == batchRows * n, "sink lost or duplicated rows")
+    val q = n / 4
+    val first = walls.take(q).sum / q
+    val last = walls.takeRight(q).sum / q
+    println(f"sink rehearsal: $n micro-batches x $batchRows%,d rows, compact+vacuum+replay at n/2")
+    println(f"  per-batch wall: first-quartile mean $first%.3f s, last-quartile mean $last%.3f s " +
+      f"(flatness ratio ${last / first}%.2f)")
   }
 
   /** File-count rehearsal (the small-files tax, measured): the SAME
