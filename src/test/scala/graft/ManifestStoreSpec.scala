@@ -178,6 +178,48 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("model fuzz: stream batches, replays, maintenance, and hint crashes keep exactly-once") {
+    // small ledger bound so the fuzz exercises pruning + floor paths
+    val saved = ManifestStore.MaxLedgerEntries
+    ManifestStore.MaxLedgerEntries = 3
+    try withRoot { root =>
+      val rnd = new scala.util.Random(19) // seeded: deterministic everywhere
+      var model = Vector.empty[Long]
+      var nextVal = 0L
+      var nextBatch = 0L
+      for (step <- 0 until 40) {
+        val op = rnd.nextInt(10)
+        if (op < 4 || model.isEmpty) { // new micro-batch
+          val batch = Vector.fill(rnd.nextInt(4) + 1) { nextVal += 1; nextVal }
+          ManifestStore.commitStreamBatch(spark, root, batch.toDF("x"), nextBatch)
+          nextBatch += 1
+          model ++= batch
+        } else if (op < 6 && nextBatch > 0) {
+          // replay within the stream's legal window (the checkpoint
+          // re-delivers recent batches only — always inside the
+          // retained ledger tail here): MUST be a pure no-op
+          val b = nextBatch - 1 - rnd.nextInt(math.min(2L, nextBatch).toInt)
+          ManifestStore.commitStreamBatch(spark, root, Seq(-999L).toDF("x"), b)
+        } else if (op < 7) {
+          val batch = Vector.fill(rnd.nextInt(4) + 1) { nextVal += 1; nextVal }
+          ManifestStore.commitAppend(spark, root, batch.toDF("x"), s"s$step")
+          model ++= batch
+        } else if (op < 8) {
+          ManifestStore.compact(spark, root, 1L << 20)
+        } else if (op < 9) {
+          ManifestStore.vacuum(spark, root, keepVersions = 2)
+        } else { // crash a hint: both are rebuildable by contract
+          val victim = if (rnd.nextBoolean()) "_batches" else "_latest"
+          new java.io.File(s"$root/_manifests/$victim").delete()
+        }
+        val got = ManifestStore.read(spark, root).as[Long].collect().sorted.toVector
+        assert(got == model.sorted,
+          s"step $step: snapshot diverged from the model (exactly-once or hint-crash recovery broke)")
+      }
+      assert(nextBatch > 5, "fuzz should have committed several stream batches")
+    } finally ManifestStore.MaxLedgerEntries = saved
+  }
+
   test("replay after compact+vacuum is still a no-op (durable ledger, not data-dir inference)") {
     withRoot { root =>
       // commit batches 0 and 1 through the sink step
