@@ -357,10 +357,10 @@ object ManifestStore {
     * rewrites the batch's files and may delete its data dir — no
     * longer misclassifies the replay as a torn write (the failure
     * mode of the r18 data-dir probe): the ledger entry survives both.
-    * Retention note: [[vacuum]] never touches the ledger; it must
-    * simply not drop manifests newer than the stream's checkpointed
-    * batch before that batch's ledger entry exists (the crash window
-    * is one batch wide).
+    * Retention note: [[vacuum]] folds the `#batch` headers of the
+    * manifests it drops INTO the ledger before dropping them, so the
+    * replay contract survives any single loss — headers heal a lost
+    * ledger hint, the ledger preserves dropped headers.
     *
     * Use as `stream.writeStream.foreachBatch { (df, id) =>
     * ManifestStore.commitStreamBatch(df.sparkSession, root, df, id); () }`.
@@ -518,6 +518,17 @@ object ManifestStore {
     val keep = all.takeRight(keepVersions)
     val keepFiles = keep.flatMap(v => files(spark, root, Some(v))).toSet
     val dropVs = all.dropRight(keepVersions)
+    // BEFORE dropping manifests, fold their '#batch' headers into the
+    // ledger: the headers are the durable replay truth, and this is
+    // the moment they would otherwise be destroyed.  Without the fold,
+    // a lost ledger hint + a vacuum past a batch's manifest + a replay
+    // of that batch would re-commit it (duplicate rows); with it, the
+    // replay-window contract survives any SINGLE loss — headers heal a
+    // lost ledger, the ledger heals dropped headers.
+    val (ledger0, through0, floor0) = readLedger(f, root)
+    val folded = dropVs.flatMap(v => headerBatchOf(spark, root, v).map(_ -> v)).toMap
+    if (folded.exists { case (b, _) => !ledger0.contains(b) })
+      writeLedger(spark, root, folded ++ ledger0, through0, floor0)
     val dropFiles = dropVs.flatMap(v => files(spark, root, Some(v))).distinct
       .filterNot(keepFiles.contains)
     dropFiles.foreach(p => f.delete(new Path(p), false))

@@ -316,6 +316,23 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("vacuum folds dropped '#batch' headers into the ledger: replay survives ledger loss + vacuum") {
+    withRoot { root =>
+      ManifestStore.commitStreamBatch(spark, root, Seq(1L, 2L).toDF("x"), 0L)
+      ManifestStore.commitStreamBatch(spark, root, Seq(3L).toDF("x"), 1L)
+      ManifestStore.compact(spark, root, 1L << 20)
+      // the DOUBLE failure: the ledger hint is lost, THEN vacuum drops
+      // the batch manifests (whose headers were the remaining truth)
+      new java.io.File(s"$root/_manifests/_batches").delete()
+      ManifestStore.vacuum(spark, root, keepVersions = 1)
+      // the fold preserved the mapping at the instant the headers died
+      assert(ManifestStore.batchLedger(spark, root) == Map(0L -> 0L, 1L -> 1L))
+      val v = ManifestStore.commitStreamBatch(spark, root, Seq(3L).toDF("x"), 1L)
+      assert(v == 1L, "replay after ledger loss + vacuum must still be a no-op")
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+  }
+
   test("replay NEVER deletes a batch dir the current manifest references (pre-ledger stores)") {
     withRoot { root =>
       // simulate a store written by a release that predates '#batch'
