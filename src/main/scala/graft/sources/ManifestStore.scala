@@ -121,8 +121,13 @@ object ManifestStore {
   // per distinct root string ever touched.
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(root: String): Object =
-    publishLocks.computeIfAbsent(root, _ => new Object)
+  // keyed by the fs-QUALIFIED path, never the raw string: '/x/store',
+  // '/x/store/' and 'file:/x/store' are one physical root and must
+  // share one lock — distinct keys would reopen the TOCTOU the lock
+  // closes
+  private def lockFor(f: FileSystem, root: String): Object =
+    publishLocks.computeIfAbsent(
+      f.makeQualified(new Path(root)).toString, _ => new Object)
 
   /** Newest committed version, None for an empty/uninitialized root.
     * O(1): pointer read + forward-probe of the contiguous versions
@@ -183,11 +188,26 @@ object ManifestStore {
     f.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root),
       s".hint-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = f.create(tmp, false)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, target)) {
-      f.delete(target, false)
-      if (!f.rename(tmp, target)) { f.delete(tmp, false); () }
+    try {
+      val out = f.create(tmp, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (!f.rename(tmp, target)) {
+        // rename refused an existing target: replace via direct
+        // overwrite-create rather than delete-then-rename — a second
+        // rename failure after the delete would leave NO hint at all
+        // (for the ledger that means losing replay entries whose
+        // manifests vacuum already dropped, not just a slow listing)
+        val direct = f.create(target, true)
+        try direct.write(body.getBytes("UTF-8")) finally direct.close()
+        f.delete(tmp, false); ()
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // never leak .hint tmp debris on a failed write (a streaming
+        // sink under sustained disk pressure would mint one per
+        // micro-batch otherwise)
+        try { f.delete(tmp, false); () } catch { case scala.util.control.NonFatal(_) => () }
+        throw e
     }
   }
 
@@ -227,10 +247,14 @@ object ManifestStore {
     val f = fs(spark, root)
     if (!f.exists(p)) return None
     val in = f.open(p)
+    // toLongOption: a corrupt '#batch' line degrades to "no batch
+    // header" (the readPointer/readLedger convention), never a
+    // NumberFormatException that aborts a replay probe or vacuum fold
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty)
       .takeWhile(_.startsWith("#"))
-      .collectFirst { case l if l.startsWith(BatchHeader) => l.stripPrefix(BatchHeader).toLong }
+      .collectFirst { case l if l.startsWith(BatchHeader) => l.stripPrefix(BatchHeader).trim }
+      .flatMap(_.toLongOption)
     finally in.close()
   }
 
@@ -366,54 +390,80 @@ object ManifestStore {
     * ManifestStore.commitStreamBatch(df.sparkSession, root, df, id); () }`.
     * One streaming writer per root — the ledger is single-writer.
     *
+    * Pass `runId` (e.g. the streaming query's id) to arm the
+    * checkpoint-reset guard: a NEW run against an old root reuses
+    * batch ids from 0, and without the guard its batches would be
+    * silently classified as replays and DROPPED; with it the mismatch
+    * fails loudly (resume the original checkpoint or use a new root).
+    *
     * @return the version holding this batch (new or already present) */
   def commitStreamBatch(spark: SparkSession, root: String, df: DataFrame,
-                        batchId: Long): Long = {
+                        batchId: Long, runId: Option[String] = None): Long = {
     val f = fs(spark, root)
     val dataDir = new Path(root, s"data/batch$batchId")
-    val (ledger, coveredThrough, ledgerFloor) = readLedger(f, root)
+    val led = readLedger(f, root)
+    val (ledger, coveredThrough, ledgerFloor) = (led.entries, led.through, led.floor)
+    // checkpoint-reset guard (opt-in): a NEW stream run with a fresh
+    // checkpoint numbers batches from 0 again, and the ledger would
+    // classify every reused id as a replay — silently DROPPING the new
+    // run's rows, which is worse than the duplicates a reset already
+    // voids.  A caller that passes its query's runId gets a loud
+    // failure instead: resume the old checkpoint, or start a new root.
+    runId.foreach { r =>
+      led.run.foreach(prev => require(prev == r,
+        s"stream run '$r' does not match the run '$prev' that wrote $root — " +
+          "a reset checkpoint reuses batch ids and its batches would be dropped " +
+          "as replays; resume the original checkpoint or write to a fresh root"))
+    }
+    val runRec = runId.orElse(led.run)
     ledger.get(batchId) match {
       case Some(v) => return v // already committed — the replay is a no-op
       case None => ()
     }
     val cur = currentVersion(spark, root)
-    // the ledger is a hint; manifest headers are truth.  Cover the
-    // delta the ledger has not seen (normally empty or the interleaved
-    // non-batch commits since the last batch).
+    // the ledger is a hint; manifest headers are truth.  Fold EVERY
+    // batch id the uncovered delta contains, not just the one sought:
+    // '#through' will claim the whole delta as covered, so an id
+    // observed here but discarded would become permanently unledgered
+    // — invisible to later replays and unreclaimable by vacuum's
+    // sweep.  (The delta is normally empty or a few interleaved
+    // non-batch commits; the one full walk is first adoption of a
+    // root with a long pre-stream history.)
     val fromV = math.max(coveredThrough + 1, 0L)
-    val committed = cur.toSeq.flatMap(c => c to fromV by -1L)
-      .find(v => headerBatchOf(spark, root, v).contains(batchId))
-    committed match {
+    val deltaIds: Map[Long, Long] = cur.toSeq.flatMap(c => fromV to c)
+      .flatMap(v => headerBatchOf(spark, root, v).map(_ -> v)).toMap
+    deltaIds.get(batchId) match {
       case Some(v) =>
-        writeLedger(spark, root, ledger + (batchId -> v),
-          math.max(coveredThrough, cur.getOrElse(v)), ledgerFloor)
+        writeLedger(spark, root, ledger ++ deltaIds,
+          math.max(coveredThrough, cur.getOrElse(v)), ledgerFloor, runRec)
         return v
       case None => ()
     }
     // ledger and header-delta both missed.  Before treating a leftover
     // data dir as a torn pre-publish write, one LAST guard: never
-    // delete a dir the CURRENT manifest references.  The ledger can
+    // delete a dir ANY surviving manifest references.  The ledger can
     // miss a genuinely committed batch (a store written by a release
     // that predates '#batch' headers, or an id pruned past the ledger
-    // tail after a checkpoint reset) — deleting its dir would corrupt
-    // every version that lists those files.  The full newest-first
-    // file-list scan here is the rare-path cost (paid only when hint +
-    // header scan both missed AND the dir exists), and it re-seeds the
-    // ledger so the next replay is one read again.
+    // tail) — and a compaction may have removed the dir's files from
+    // the CURRENT manifest while older retained manifests (pinned
+    // time-travel readers) still list them, so the guard must scan
+    // every surviving version, newest-first.  This is the rare-path
+    // cost (paid only when hint + header scan both missed AND the dir
+    // exists), and it re-seeds the ledger so the next replay is one
+    // read again.
     if (f.exists(dataDir)) {
       val marker = s"/data/batch$batchId/"
-      val curFiles = cur.map(v => files(spark, root, Some(v))).getOrElse(Nil)
-      if (curFiles.exists(_.contains(marker))) {
-        val v = cur.map(c => c to 0L by -1L).getOrElse(Seq.empty)
-          .filter(v => f.exists(manifestPath(root, v)))
-          .find(v => files(spark, root, Some(v)).exists(_.contains(marker)))
-          .getOrElse(cur.get)
-        writeLedger(spark, root, ledger + (batchId -> v),
-          math.max(coveredThrough, cur.getOrElse(v)), ledgerFloor)
-        return v
+      val referencedAt = listVersions(f, root).reverse
+        .find(v => files(spark, root, Some(v)).exists(_.contains(marker)))
+      referencedAt match {
+        case Some(v) =>
+          writeLedger(spark, root, ledger ++ deltaIds + (batchId -> v),
+            math.max(coveredThrough, cur.getOrElse(v)), ledgerFloor, runRec)
+          return v
+        case None =>
+          // torn pre-publish write: clear and redo
+          f.delete(dataDir, true); ()
       }
-      // torn pre-publish write: clear and redo
-      f.delete(dataDir, true); ()
     }
     cur.flatMap(v => schemaOf(spark, root, Some(v)))
       .foreach(stored => requireSameSchema(stored, df.schema, root))
@@ -427,7 +477,8 @@ object ManifestStore {
         f.delete(dataDir, true)
         throw e // the restarted query replays this batchId and recommits
     }
-    writeLedger(spark, root, ledger + (batchId -> next), next, ledgerFloor)
+    writeLedger(spark, root, ledger ++ deltaIds + (batchId -> next), next, ledgerFloor,
+      runRec)
     next
   }
 
@@ -450,10 +501,14 @@ object ManifestStore {
     * headers are folded in; `floor` = smallest batchId NOT pruned off
     * the tail (ids below it were once ledgered and then aged out —
     * vacuum may reclaim their unreferenced dirs). */
-  private def readLedger(f0: FileSystem, root: String): (Map[Long, Long], Long, Long) = {
+  private final case class BatchLedger(entries: Map[Long, Long], through: Long,
+                                       floor: Long, run: Option[String])
+  private val EmptyLedger = BatchLedger(Map.empty, -1L, Long.MinValue, None)
+
+  private def readLedger(f0: FileSystem, root: String): BatchLedger = {
     val f = rawFs(f0)
     val p = ledgerPath(root)
-    if (!f.exists(p)) return (Map.empty, -1L, Long.MinValue)
+    if (!f.exists(p)) return EmptyLedger
     try {
       val in = f.open(p)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -464,18 +519,21 @@ object ManifestStore {
       val floor = lines.collectFirst {
         case l if l.startsWith("#floor\t") => l.stripPrefix("#floor\t").toLong
       }.getOrElse(Long.MinValue)
+      val run = lines.collectFirst {
+        case l if l.startsWith("#run\t") => l.stripPrefix("#run\t")
+      }.filter(_.nonEmpty)
       val entries = lines.filterNot(_.startsWith("#")).map { l =>
         val Array(b, v) = l.split('\t'); b.toLong -> v.toLong
       }.toMap
-      (entries, through, floor)
+      BatchLedger(entries, through, floor, run)
     } catch {
-      case scala.util.control.NonFatal(_) => (Map.empty, -1L, Long.MinValue)
+      case scala.util.control.NonFatal(_) => EmptyLedger
     } // corrupt hint: full header scan
   }
 
   private def writeLedger(spark: SparkSession, root: String,
                           entries: Map[Long, Long], through: Long,
-                          priorFloor: Long): Unit = {
+                          priorFloor: Long, run: Option[String]): Unit = {
     val sorted = entries.toSeq.sortBy(_._1)
     val kept = sorted.takeRight(MaxLedgerEntries)
     // the floor is monotonic: once ids age off the tail, later writes
@@ -484,19 +542,21 @@ object ManifestStore {
     val floor =
       if (kept.size < sorted.size) math.max(priorFloor, kept.head._1) else priorFloor
     val floorLine = if (floor == Long.MinValue) "" else s"#floor\t$floor\n"
+    val runLine = run.map(r => s"#run\t$r\n").getOrElse("")
     // BEST-EFFORT: the ledger is a hint (manifest headers are truth —
     // a lost write is healed by the next replay's header scan); it is
     // written after a durable publish, so an IO failure here must not
-    // fail the batch and kill the stream
+    // fail the batch and kill the stream.  (vacuum's fold, where the
+    // write IS load-bearing, verifies the result and aborts loudly.)
     try writeHint(spark, root, ledgerPath(root),
-      s"#through\t$through\n" + floorLine +
+      s"#through\t$through\n" + floorLine + runLine +
         kept.map { case (b, v) => s"$b\t$v" }.mkString("\n") + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Batch-id → version ledger entries (spec/observability surface). */
   private[graft] def batchLedger(spark: SparkSession, root: String): Map[Long, Long] =
-    readLedger(fs(spark, root), root)._1
+    readLedger(fs(spark, root), root).entries
 
   /** Delete data files referenced by NO manifest among the newest
     * `keepVersions`, then drop the older manifests, then sweep
@@ -525,10 +585,22 @@ object ManifestStore {
     // of that batch would re-commit it (duplicate rows); with it, the
     // replay-window contract survives any SINGLE loss — headers heal a
     // lost ledger, the ledger heals dropped headers.
-    val (ledger0, through0, floor0) = readLedger(f, root)
+    val led0 = readLedger(f, root)
     val folded = dropVs.flatMap(v => headerBatchOf(spark, root, v).map(_ -> v)).toMap
-    if (folded.exists { case (b, _) => !ledger0.contains(b) })
-      writeLedger(spark, root, folded ++ ledger0, through0, floor0)
+    if (folded.exists { case (b, _) => !led0.entries.contains(b) }) {
+      writeLedger(spark, root, folded ++ led0.entries, led0.through, led0.floor, led0.run)
+      // the fold is LOAD-BEARING here, not a hint: the manifests about
+      // to be dropped are the only other record of these batch ids, so
+      // a swallowed hint-write failure would silently destroy the
+      // replay truth.  Verify the ids landed (or were legitimately
+      // pruned below the new floor) and abort the vacuum BEFORE any
+      // manifest is deleted otherwise — the caller retries later.
+      val after = readLedger(f, root)
+      val lost = folded.keySet.filterNot(b => after.entries.contains(b) || b < after.floor)
+      require(lost.isEmpty,
+        s"vacuum aborted: could not fold batch ids $lost of the to-be-dropped manifests " +
+          s"into the ledger under $root — retry when the ledger is writable")
+    }
     val dropFiles = dropVs.flatMap(v => files(spark, root, Some(v))).distinct
       .filterNot(keepFiles.contains)
     dropFiles.foreach(p => f.delete(new Path(p), false))
@@ -541,8 +613,8 @@ object ManifestStore {
     // floor); an unledgered-above-floor batch dir may be the live
     // stream's in-flight write and is never touched.
     val dataRoot = new Path(root, "data")
-    val (ledgerMap, _, ledgerFloor) = readLedger(f, root)
-    val ledgered = ledgerMap.keySet
+    val ledAfter = readLedger(f, root)
+    val (ledgered, ledgerFloor) = (ledAfter.entries.keySet, ledAfter.floor)
     val oldestKept = keep.head
     val orphanDirs =
       if (!f.exists(dataRoot)) Nil
@@ -559,6 +631,20 @@ object ManifestStore {
         })
       }
     orphanDirs.foreach(d => f.delete(d, true))
+    // sweep stale publish/hint debris (a committer that died between
+    // create and rename, a failed hint write).  Age-gated a full hour
+    // so a CONCURRENT publisher's in-flight .tmp is never pulled out
+    // from under its rename.
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    val mdir = manifestDir(root)
+    if (f.exists(mdir))
+      f.listStatus(mdir).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          (n.startsWith(".hint-") || n.startsWith(".tmp-")) &&
+            s.getModificationTime < cutoff
+        }
+        .foreach(s => f.delete(s.getPath, false))
     dropFiles
   }
 
@@ -588,7 +674,7 @@ object ManifestStore {
     // the fs's caveat, like bare S3's)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       target.toUri, hadoopConf(spark))
-    lockFor(root).synchronized {
+    lockFor(f, root).synchronized {
       try fc.rename(tmp, target)
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |

@@ -316,6 +316,23 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint-reset run guard: a different runId fails loudly instead of dropping batches") {
+    withRoot { root =>
+      ManifestStore.commitStreamBatch(spark, root, Seq(1L).toDF("x"), 0L, Some("runA"))
+      // same run: replays stay no-ops, new batches flow
+      assert(ManifestStore.commitStreamBatch(spark, root, Seq(1L).toDF("x"), 0L, Some("runA")) == 0L)
+      ManifestStore.commitStreamBatch(spark, root, Seq(2L).toDF("x"), 1L, Some("runA"))
+      // a NEW run reusing id 0 would have been silently dropped as a
+      // replay — armed, it is loud
+      val e = intercept[IllegalArgumentException](
+        ManifestStore.commitStreamBatch(spark, root, Seq(9L).toDF("x"), 0L, Some("runB")))
+      assert(e.getMessage.contains("runB") && e.getMessage.contains("runA"))
+      // unarmed callers keep the documented replay semantics
+      assert(ManifestStore.commitStreamBatch(spark, root, Seq(9L).toDF("x"), 0L) == 0L)
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    }
+  }
+
   test("vacuum folds dropped '#batch' headers into the ledger: replay survives ledger loss + vacuum") {
     withRoot { root =>
       ManifestStore.commitStreamBatch(spark, root, Seq(1L, 2L).toDF("x"), 0L)
