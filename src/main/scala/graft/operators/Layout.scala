@@ -63,10 +63,29 @@ object Layout {
   def zOrderBy(df: DataFrame, quantized: Seq[Column], bits: Int,
                numPartitions: Int): DataFrame = {
     val key = "__zorder"
+    require(!df.columns.contains(key),
+      s"input already has a '$key' column — it would be silently overwritten and dropped")
     df.withColumn(key, zValue(quantized, bits))
       .repartitionByRange(numPartitions, col(key))
       .sortWithinPartitions(col(key))
       .drop(key)
+  }
+
+  /** Shared compaction guards: a sub-MiB target recreates the
+    * small-files problem, and in-place compaction — the SAME physical
+    * directory spelled two ways (scheme-qualified vs defaultFS-
+    * relative, trailing slash, `..` segments) — would overwrite the
+    * table while lazily scanning it.  Paths are fs-qualified and
+    * URI-normalized before comparing, so aliases cannot slip past. */
+  private def compactionGuard(fs: org.apache.hadoop.fs.FileSystem,
+                              inPath: String, outPath: String,
+                              targetFileBytes: Long): Unit = {
+    require(targetFileBytes >= (1L << 20),
+      s"target below 1 MiB recreates the problem: $targetFileBytes")
+    def canon(p: String) =
+      fs.makeQualified(new org.apache.hadoop.fs.Path(p)).toUri.normalize()
+    require(canon(inPath) != canon(outPath),
+      "in-place compaction would overwrite the table while scanning it — write to a new path")
   }
 
   /** Compact a small-files parquet directory into ~`targetFileBytes`
@@ -88,13 +107,11 @@ object Layout {
     * read. */
   def compactSmallFiles(spark: org.apache.spark.sql.SparkSession, inPath: String,
                         outPath: String, targetFileBytes: Long = 128L << 20): Int = {
-    require(targetFileBytes >= (1L << 20), s"target below 1 MiB recreates the problem: $targetFileBytes")
-    require(new org.apache.hadoop.fs.Path(inPath) != new org.apache.hadoop.fs.Path(outPath),
-      "in-place compaction would overwrite the table while scanning it — write to a new path")
     val p = new org.apache.hadoop.fs.Path(inPath)
-    // per-context cached conf — newHadoopConf() clones the whole
+    // per-session cached conf — newHadoopConf() clones the whole
     // Spark conf (~tens of ms) on every call
     val fs = p.getFileSystem(graft.sources.ManifestStore.hadoopConf(spark))
+    compactionGuard(fs, inPath, outPath, targetFileBytes)
     val bytes = fs.getContentSummary(p).getLength
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(inPath).coalesce(n)
@@ -125,11 +142,9 @@ object Layout {
                          outPath: String, partitionCols: Seq[String],
                          targetFileBytes: Long = 128L << 20): Map[String, Int] = {
     require(partitionCols.nonEmpty, "use compactSmallFiles for unpartitioned tables")
-    require(targetFileBytes >= (1L << 20), s"target below 1 MiB recreates the problem: $targetFileBytes")
-    require(new org.apache.hadoop.fs.Path(inPath) != new org.apache.hadoop.fs.Path(outPath),
-      "in-place compaction would overwrite the table while scanning it — write to a new path")
     val root = new org.apache.hadoop.fs.Path(inPath)
     val fs = root.getFileSystem(graft.sources.ManifestStore.hadoopConf(spark))
+    compactionGuard(fs, inPath, outPath, targetFileBytes)
     // walk partition directories depth = partitionCols.size (listing
     // only — O(dirs + files) names, no data reads); the suffix is
     // built from directory NAMES during the walk, never by string-
@@ -143,17 +158,31 @@ object Layout {
           leaves(d.getPath, if (suffix.isEmpty) name else s"$suffix/$name", depth - 1)
         }
     val plan: Map[String, Int] = leaves(root, "", partitionCols.size).map { case (dir, suffix) =>
-      val bytes = fs.getContentSummary(dir).getLength
+      // one shallow listing per leaf (data files live at the leaf) —
+      // not getContentSummary, whose RECURSIVE walk re-lists on every
+      // call and turns 10k partitions into 10k serial deep RPCs on an
+      // object store before any work starts
+      val bytes = fs.listStatus(dir).filter(_.isFile).map(_.getLen).sum
       suffix -> math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     }.toMap
     require(plan.nonEmpty, s"no partition directories under $inPath")
-    import spark.implicits._
+    // read through a child session with partition-type INFERENCE OFF:
+    // the join key below is the directory-derived string, and an
+    // inferred type re-rendered to string canonicalizes (hour=03 → 3,
+    // score=1.50 → 1.5) — every row of such a partition would then
+    // fail the escaped-or-null assert on a perfectly valid table.
+    // String partition columns round-trip the directory names exactly
+    // (and partitionBy writes the same strings back, preserving the
+    // physical layout byte-for-byte).
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    import iso.implicits._
     val nFiles = plan.toSeq.map { case (suffix, n) =>
       // dt=2024-01-01/hour=3 → ("2024-01-01", "3", n)
       val values = suffix.split("/").map(_.split("=", 2)(1))
       (values.toSeq, n)
     }.toDF("__pvals", "__nfiles")
-    val df = spark.read.parquet(inPath)
+    val df = iso.read.parquet(inPath)
     val pvals = array(partitionCols.map(c => col(c).cast(StringType)): _*)
     // LEFT join + in-plan assert, not an inner join: a partition value
     // that Hive-ESCAPES in its directory name (or a null partition)
@@ -161,13 +190,23 @@ object Layout {
     // join would silently DROP those rows from the rewrite — fail loud
     // instead (the caller renames or handles such partitions first)
     val salted = df.join(broadcast(nFiles), pvals === col("__pvals"), "left")
+      // salt = per-partition row counter, NOT a content hash: duplicate
+      // rows all share one content hash, so a duplicate-heavy partition
+      // would collapse into one salt slot — one task, one giant file,
+      // the exact skew the salt exists to prevent.  The id is stable
+      // per (input split, row order), which is all a rewrite needs.
       .withColumn("__salt",
         when(assert_true(col("__nfiles").isNotNull,
             lit("compactPartitioned: a row's partition value has no matching " +
               "partition directory (escaped or null partition values are not supported)")).isNull,
-          pmod(xxhash64(struct(df.columns.map(col): _*)), col("__nfiles").cast("long"))))
+          pmod(monotonically_increasing_id(), col("__nfiles").cast("long"))))
+    // explicit exchange width = the total salt-slot budget: the
+    // default spark.sql.shuffle.partitions would cap BOTH parallelism
+    // and per-partition file counts (800k slots hashed into 200 tasks
+    // writes 5 GiB files no matter what the budget says)
+    val slots = math.min(plan.values.map(_.toLong).sum, 1L << 20).toInt.max(1)
     salted
-      .repartition(partitionCols.map(col) :+ col("__salt"): _*)
+      .repartition(slots, partitionCols.map(col) :+ col("__salt"): _*)
       .drop("__pvals", "__nfiles", "__salt")
       .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outPath)
     plan
