@@ -158,7 +158,11 @@ object Similarity {
       case Some(d) => d
     }
     val nPlanes = resolvePlanes(corpus, planes, corpusCount)
+    // drop null vectors BEFORE signing (the lshPairs rationale: they
+    // would all collide in signature 0 and square in the self-join,
+    // scoring pairs the NaN/null filter below discards anyway)
     val sig = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .where(col("v").isNotNull)
       .withColumn("sig", lshSignature(col("v"), nPlanes, dim))
     val a = sig.select(col("sig"), col("vid").as("probe_id"), col("v").as("pvec"))
     val b = sig.select(col("sig"), col("vid").as("corpus_id"), col("v").as("cvec"))
@@ -213,7 +217,14 @@ object Similarity {
       case Some(d) => d
     }
     val nPlanes = resolvePlanes(corpus, planes, corpusCount)
+    // null vectors must not reach the signature: every `when(proj >=
+    // 0, …).otherwise(0)` term yields 0 for a null projection, so ALL
+    // null-vector rows would share signature 0 — one quadratic bucket
+    // of rows whose cosines can never rank (and whose null cos_sim
+    // would pass the !isnan filter below: isnan(null) is FALSE in
+    // Spark, not null)
     val v = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .where(col("v").isNotNull)
     val perTable = (0 until tables).map { tbl =>
       // identical projections on both sides -> the signature shuffle
       // canonicalizes equal and is computed once per table
@@ -294,8 +305,10 @@ object Similarity {
     * on the fixture corpus); [[knnGraphExact]] is the O(n²) oracle
     * twin.  Output (src, dst, cos_sim), ties broken by dst. */
   def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-               planes: Int = 0, tables: Int = 2, maxBucket: Int = 0): DataFrame =
-    knnFromPairs(lshPairs(corpus, idCol, vecCol, planes, tables, maxBucket = maxBucket), k)
+               planes: Int = 0, tables: Int = 2, maxBucket: Int = 0,
+               corpusCount: Long = -1L): DataFrame =
+    knnFromPairs(lshPairs(corpus, idCol, vecCol, planes, tables,
+      corpusCount = corpusCount, maxBucket = maxBucket), k)
 
   /** Exact kNN graph — brute-force twin of [[knnGraph]] for oracles
     * and small corpora (same broadcast nested-loop scope caveat as
@@ -363,7 +376,16 @@ object Similarity {
     * extra aggregate) fails the job loudly. */
   def meanPool(df: DataFrame, key: Column, vecCol: Column): DataFrame =
     df.filter(vecCol.isNotNull)
-      .select(key.as("group_id"), posexplode(asDouble(vecCol)).as(Seq("dim", "x")))
+      // an EMPTY vector is a ragged length the min(n)==max(n) probe
+      // below cannot see: posexplode emits no rows for it, so the
+      // member silently vanishes from both the mean and n_members —
+      // assert before the explode (the generator evaluates its child,
+      // so empty arrays still trip the guard)
+      .select(key.as("group_id"), posexplode(
+        when(assert_true(size(asDouble(vecCol)) > 0,
+            lit("meanPool: empty vector — an empty member is a ragged length " +
+              "and would silently vanish from the mean and n_members")).isNull,
+          asDouble(vecCol))).as(Seq("dim", "x")))
       .groupBy(col("group_id"), col("dim"))
       .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
       .groupBy(col("group_id"))
@@ -410,6 +432,11 @@ object Similarity {
   def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int = 2): DataFrame = {
     require(k >= 1 && iters >= 1, s"k and iters must be >= 1, got k=$k iters=$iters")
+    // the single shared bound (scaladoc at MaxCentroids): a k the fit
+    // trains but collectCentroidLits-tier assignment refuses burns the
+    // whole k-means pass and then throws — fail BEFORE the pass
+    require(k <= MaxCentroids,
+      s"kmeansFit: k=$k exceeds the driver-bounded centroid contract (<= $MaxCentroids)")
     requireIntegralId(corpus, idCol, "kmeansFit")
     import org.apache.spark.storage.StorageLevel
     val spark = corpus.sparkSession
@@ -422,7 +449,14 @@ object Similarity {
       throw new IllegalArgumentException("kmeansFit: corpus has no non-null vectors"))
     val v = corpus.select(col(idCol).cast(LongType).as("vid"), asDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull)
-      .select(col("vid"),
+      .select(
+        // a null id would sort FIRST into the seed set (md5(null) is
+        // null, asc = nulls first) and NPE at getLong in the collect —
+        // the same obscure failure requireIntegralId names, via a null
+        // VALUE instead of a wrong dtype; fail with the contract
+        when(assert_true(col("vid").isNotNull,
+            lit("kmeansFit: null id — ids must be non-null integral")).isNull,
+          col("vid")).as("vid"),
         when(assert_true(size(col("v")) === lit(dim),
             lit(s"kmeansFit: ragged vector lengths — every vector must have " +
               s"dimensionality $dim")).isNull,
@@ -597,17 +631,57 @@ object Similarity {
   private def pqSetup(corpus: DataFrame, idCol: String, vecCol: String,
                       m: Int, k: Int): (DataFrame, Seq[(Long, Seq[Double])], Int) = {
     requireIntegralId(corpus, idCol, "pq")
-    val v = corpus.select(col(idCol).cast(LongType).as("vid"), asDouble(col(vecCol)).as("v"))
-      .filter(col("v").isNotNull)
     val dim = probeDim(corpus, vecCol).getOrElse(
       throw new IllegalArgumentException("pq: corpus has no non-null vectors"))
     require(dim % m == 0, s"pq: dim=$dim not divisible by m=$m subspaces")
+    // ragged corpora corrupt PQ codes SILENTLY: a short vector's tail
+    // subspaces l2-fold over zero elements → distance 0 → always the
+    // minimum codeword — enforce the same loud uniform-length contract
+    // kmeansFit and meanPool carry; null ids would NPE at the seed
+    // collect (the kmeansFit rationale)
+    val v = corpus.select(col(idCol).cast(LongType).as("vid"), asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull)
+      .select(
+        when(assert_true(col("vid").isNotNull,
+            lit("pq: null id — ids must be non-null integral")).isNull,
+          col("vid")).as("vid"),
+        when(assert_true(size(col("v")) === lit(dim),
+            lit(s"pq: ragged vector lengths — every vector must have " +
+              s"dimensionality $dim")).isNull,
+          col("v")).as("v"))
     val seedKey = Scale.md5Key(col("vid"), 6)
     val seeds: Seq[(Long, Seq[Double])] = v
       .orderBy(seedKey.asc, col("vid").asc).limit(k)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
       .sortBy(_._1)
     (v, seeds, dim / m)
+  }
+
+  /** Driver-collected probe rows shared by [[pqTopK]]/[[ivfPqTopK]]:
+    * non-null vectors, non-null LongType ids, dimensionality == the
+    * corpus `dim` (a short probe would index past its end in the
+    * driver-side LUT arithmetic — an obscure IndexOutOfBounds), and
+    * the 1024 bound (per-probe literal LUTs are plan state). */
+  private def collectProbes(probes: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, what: String): Seq[(Long, Seq[Double])] = {
+    val rows = probes
+      .select(col(idCol).cast(LongType).as("pid"), asDouble(col(vecCol)).as("pv"))
+      .filter(col("pv").isNotNull)
+      .collect().map { r =>
+        require(!r.isNullAt(0), s"$what: null probe id — ids must be non-null integral")
+        r.getLong(0) -> r.getSeq[Double](1).toList
+      }.toList.sortBy(_._1)
+    require(rows.nonEmpty, s"$what: probe set has no non-null vectors")
+    require(rows.forall(_._2.size == dim),
+      s"$what: every probe must have the corpus dimensionality $dim")
+    // each probe contributes a k-entry literal LUT per subspace to the
+    // scan-stage plan: bounded like the kmeansFit centroids, so an
+    // oversized probe frame must fail fast, not build a huge plan that
+    // degrades every executor (per-lookup cost is linear in |probes|)
+    require(rows.size <= 1024, s"$what: ${rows.size} probes — " +
+      "the per-probe literal LUTs require a driver-bounded probe set " +
+      "(<= 1024); batch larger probe frames")
+    rows
   }
 
   /** ADC (asymmetric-distance) top-k over PQ codes — the query side of
@@ -636,19 +710,7 @@ object Similarity {
     val book = pqSlicedBook(seeds, m, sub)
     val enc = v.select(col("vid") +:
       (0 until m).map(s => pqArgminSub(col("v"), book(s), s, sub).getField("cid").as(s"c$s")): _*)
-    val probeRows: Seq[(Long, Seq[Double])] = probes
-      .select(col(idCol).cast(LongType).as("pid"), asDouble(col(vecCol)).as("pv"))
-      .filter(col("pv").isNotNull)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
-      .sortBy(_._1)
-    require(probeRows.nonEmpty, "pqTopK: probe set has no non-null vectors")
-    // each probe contributes a k-entry literal LUT per subspace to the
-    // scan-stage plan: bounded like the kmeansFit centroids, so an
-    // oversized probe frame must fail fast, not build a huge plan that
-    // degrades every executor (per-lookup cost is linear in |probes|)
-    require(probeRows.size <= 1024, s"pqTopK: ${probeRows.size} probes — " +
-      "the per-probe literal LUTs require a driver-bounded probe set " +
-      "(<= 1024); batch larger probe frames")
+    val probeRows = collectProbes(probes, idCol, vecCol, sub * m, "pqTopK")
     val perProbe = probeRows.map { case (pid, pv) =>
       val adc2 = (0 until m).map { s =>
         val lut = seeds.map { case (cid, c) => cid -> pqD2(pv, c, s, sub) }.toMap
@@ -703,11 +765,14 @@ object Similarity {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
       .sortBy(_._1)
     require(centRows.nonEmpty, "ivfPqTopK: centroid set has no non-null vectors")
-    // same driver-bounded contract (and message) as collectCentroidLits —
-    // this path hand-collects because it needs Long ids + raw vectors
-    require(centRows.length <= 4096, s"ivfPqTopK: ${centRows.length} centroids — the " +
-      "literal-argmin assignment expects a driver-bounded centroid set " +
-      "(<= 4096 coarse cells); train fewer cells or shard the index")
+    // the ONE shared driver-bounded centroid contract ([[MaxCentroids]],
+    // same bound collectCentroidLits enforces — the coarse assignment
+    // below rides the constant-size NearestCentroids kernel, so no
+    // tighter codegen-era cap applies); this path hand-collects because
+    // the residual LUTs need the (Long id, Seq[Double]) rows themselves
+    require(centRows.length <= MaxCentroids, s"ivfPqTopK: ${centRows.length} centroids — " +
+      s"assignment expects a driver-bounded centroid set (<= $MaxCentroids " +
+      "coarse cells); train fewer cells or shard the index")
     def scalaL2(a: Seq[Double], b: Seq[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < math.min(a.size, b.size)) { val d = a(i) - b(i); acc += d * d; i += 1 }
@@ -743,18 +808,7 @@ object Similarity {
       .select(col("centroid_id") +: col("corpus_id") +:
         (0 until m).map(s => pqArgminSub(col("enc"), book(s), s, sub)
           .getField("cid").as(s"c$s")): _*)
-    val probeRows: Seq[(Long, Seq[Double])] = probes
-      .select(col(idCol).cast(LongType).as("pid"), asDouble(col(vecCol)).as("pv"))
-      .filter(col("pv").isNotNull)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
-      .sortBy(_._1)
-    require(probeRows.nonEmpty, "ivfPqTopK: probe set has no non-null vectors")
-    // same driver-bounded-probe contract as pqTopK: the nested
-    // per-probe (× per-cell, when residual) LUTs are literal plan
-    // state — fail an oversized probe frame fast
-    require(probeRows.size <= 1024, s"ivfPqTopK: ${probeRows.size} probes — " +
-      "the per-probe literal LUTs require a driver-bounded probe set " +
-      "(<= 1024); batch larger probe frames")
+    val probeRows = collectProbes(probes, idCol, vecCol, sub * m, "ivfPqTopK")
     // probe cells computed ON THE DRIVER from the already-collected
     // probe and centroid rows (both driver-bounded by contract) — no
     // window, no shuffle; scalaL2 accumulates in the same order as the
