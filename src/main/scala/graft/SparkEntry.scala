@@ -3008,9 +3008,15 @@ object SparkEntry {
         s"SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM mm"
     },
 
+    // mirrors TextAnalysis.fingerprint including the raw-text fallback
+    // for documents that normalize to empty (CJK/punctuation-only —
+    // absent from this corpus, but the oracle states the full contract)
     "q21_text_fingerprint" ->
-      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
-        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp FROM documents""".stripMargin.replace("\n", " "),
+      """SELECT doc_id, md5(CASE WHEN length(trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) > 0
+        |THEN trim(regexp_replace(regexp_replace(lower(text),
+        |'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))
+        |ELSE chr(0) || 'raw' || chr(0) || text END) AS fp FROM documents""".stripMargin.replace("\n", " "),
 
     "q22_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
@@ -3410,8 +3416,12 @@ object SparkEntry {
         |WHERE pr >= 0.1 AND pr <= 0.9""".stripMargin.replace("\n", " "),
 
     "q80_corpus_diff" -> {
-      val fp = "md5(trim(regexp_replace(regexp_replace(lower(text)," +
-        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+      // the q21 fingerprint contract incl. the raw-text fallback for
+      // empty-normalizing documents
+      val norm = "trim(regexp_replace(regexp_replace(lower(text)," +
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+      val fp = s"md5(CASE WHEN length($norm) > 0 THEN $norm " +
+        "ELSE chr(0) || 'raw' || chr(0) || text END)"
       s"""WITH newg AS (
          |SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' revised' ELSE text END AS text
          |FROM documents WHERE doc_id % 17 <> 0

@@ -228,11 +228,13 @@ object Dedup {
       explodedBandKeys(col("sig"), bands, rowsPerBand, portable = true).as("band_key"))
   }
 
-  /** Lane-agreement count between two portable signatures (arrays of
-    * hex lanes).  Interpreted higher-order fold — runs on candidate
-    * PAIRS only, never the corpus stream. */
-  private def portableAgree(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+  // portable signatures are array<long> exactly like the xxhash64
+  // family, so the codegen'd VectorSim.agreeCount kernel serves BOTH —
+  // the interpreted zip_with fold this file once used for the portable
+  // arms cost ~µs per band-collision row inside the distinct grouping
+  // key (the exact penalty the non-portable branch's comment
+  // documents), for zero portability benefit: the agree count never
+  // reaches the oracle SQL, only its value does.
 
   def minhashLsh(df: DataFrame, text: Column, id: Column,
                  shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
@@ -243,8 +245,8 @@ object Dedup {
       return banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(portableAgree(col("a.sig"), col("b.sig")).cast(DoubleType) /
-            lit(bands * rowsPerBand), 6).as("est_jaccard"))
+          round(graft.functions.VectorSim.agreeCount(col("a.sig"), col("b.sig"))
+            .cast(DoubleType) / lit(bands * rowsPerBand), 6).as("est_jaccard"))
         .distinct()
     }
     val banded = capBuckets(mhBanded(df, text, id, shingleSize, bands, rowsPerBand), maxBucket)
@@ -306,11 +308,8 @@ object Dedup {
           explodedBandKeys(col("sig"), bands, rowsPerBand, portableHash).as("band_key")),
         maxBucket)
       val est =
-        if (portableHash)
-          round(portableAgree(col("a.sig"), col("b.sig")).cast(DoubleType) / lit(k), 6)
-        else
-          round(graft.functions.VectorSim.agreeCount(col("a.sig"), col("b.sig"))
-            .cast(DoubleType) / lit(k), 6)
+        round(graft.functions.VectorSim.agreeCount(col("a.sig"), col("b.sig"))
+          .cast(DoubleType) / lit(k), 6)
       val cand = banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), est.as("est_jaccard"))
@@ -343,7 +342,15 @@ object Dedup {
                        portableHash: Boolean = false): DataFrame =
     (if (portableHash) portableBanded(df, text, id, shingleSize, bands, rowsPerBand)
      else mhBanded(df, text, id, shingleSize, bands, rowsPerBand))
-      .select(col("doc_id").as("index_id"), col("sig").as("index_sig"), col("band_key"))
+      .select(col("doc_id").as("index_id"), col("sig").as("index_sig"), col("band_key"),
+        // full geometry metadata, carried WITH the index: a same-k
+        // bands/rowsPerBand split (4x8 vs 8x4) or a shingleSize
+        // mismatch folds different signature slices per band — ~zero
+        // band-key collisions, and the signature-LENGTH probe in
+        // [[minhashLshAgainstIndex]] cannot see it (k is equal).  The
+        // probe checks this column when present.
+        lit(s"$shingleSize:$bands:$rowsPerBand:" + (if (portableHash) "p" else "x"))
+          .as("index_geom"))
 
   /** Near-dup candidates of a NEW batch against an existing
     * [[minhashBandIndex]]: the batch pays signature computation and
@@ -359,21 +366,31 @@ object Dedup {
                              portableHash: Boolean = false): DataFrame = {
     val b = if (portableHash) portableBanded(batch, text, id, shingleSize, bands, rowsPerBand)
             else mhBanded(batch, text, id, shingleSize, bands, rowsPerBand)
-    // eager geometry probe: a mismatched index (different k) produces
-    // essentially ZERO band-key collisions, so the per-row assert
-    // below would never evaluate and the operator would return a
-    // silently near-empty candidate set — probe one index row up
-    // front and fail fast instead
-    index.select(size(col("index_sig"))).limit(1).collect().headOption.foreach { r =>
+    // eager geometry probe: a mismatched index produces essentially
+    // ZERO band-key collisions, so the per-row assert below would
+    // never evaluate and the operator would return a silently
+    // near-empty candidate set — probe one index row up front and fail
+    // fast instead.  Indexes built by [[minhashBandIndex]] carry FULL
+    // geometry metadata (shingleSize/bands/rowsPerBand/hash family —
+    // a same-k 4x8 vs 8x4 split or a shingle mismatch is invisible to
+    // the signature-length check); legacy geom-less indexes fall back
+    // to the k-length probe.
+    if (index.columns.contains("index_geom")) {
+      val want = s"$shingleSize:$bands:$rowsPerBand:" + (if (portableHash) "p" else "x")
+      index.select(col("index_geom")).limit(1).collect().headOption.foreach { r =>
+        require(r.getString(0) == want,
+          s"minhash index geometry mismatch: batch is '$want' " +
+            s"(shingleSize:bands:rowsPerBand:hashFamily) but the index was built " +
+            s"with '${r.getString(0)}' — rebuild one side to match")
+      }
+    } else index.select(size(col("index_sig"))).limit(1).collect().headOption.foreach { r =>
       require(r.getInt(0) == bands * rowsPerBand,
         s"minhash index geometry mismatch: batch k=${bands * rowsPerBand} " +
           s"!= index signature length ${r.getInt(0)} — rebuild the index with " +
           "the same shingleSize/bands/rowsPerBand")
     }
-    val agree =
-      if (portableHash) portableAgree(col("sig"), col("index_sig"))
-      else graft.functions.VectorSim.agreeCount(col("sig"), col("index_sig"))
-    b.join(index, Seq("band_key"))
+    val agree = graft.functions.VectorSim.agreeCount(col("sig"), col("index_sig"))
+    b.join(index.drop("index_geom"), Seq("band_key"))
       .select(col("doc_id").as("batch_id"), col("index_id"),
         col("sig"), col("index_sig"))
       // geometry guard: a mismatched index (different k) would survive
@@ -482,7 +499,7 @@ object Dedup {
     */
   def simhashNearDup(df: DataFrame, text: Column, id: Column,
                      bands: Int = 4, maxHamming: Int = 3,
-                     portableHash: Boolean = false): DataFrame = {
+                     portableHash: Boolean = false, maxBucket: Int = 0): DataFrame = {
     val fpBits = if (portableHash) 60 else 64
     require(bands >= 2 && bands <= 32 && fpBits % bands == 0,
       s"bands must be a divisor of $fpBits in [2, 32], got $bands")
@@ -490,11 +507,15 @@ object Dedup {
     val width = fpBits / bands
     val mask = (1L << width) - 1L // width <= 32, no overflow
     val fps = if (portableHash) portableSimhash(df, text, id) else simhash(df, text, id)
-    val banded = fps.select(col("doc_id"), col("simhash"),
+    // maxBucket: the same quadratic-bucket mitigation the minhash
+    // family exposes (capBuckets) — boilerplate/template corpora put
+    // thousands of near-identical fingerprints in one exact band
+    // bucket, and the self-join below squares it
+    val banded = capBuckets(fps.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map { b =>
         lit(b.toLong << width) +
           shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))
-      }: _*)).as("band_key"))
+      }: _*)).as("band_key")), maxBucket)
     banded.alias("a").join(banded.alias("b"), col("a.band_key") === col("b.band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -1524,7 +1545,16 @@ object Dedup {
       // let it pass a >= threshold gate
       .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"))
-    val comps = connectedComponents(all.select(col("vid").as("nid")), "nid", pairs,
+    // node universe: the BATCH only — connectedComponents unions pair
+    // endpoints in defensively, so every store row that shares an edge
+    // with the batch is present, and a store row in NO pair is a
+    // singleton that can never be a loser (the !st filter) nor affect
+    // has_store.  Passing the full store+batch id set here made every
+    // ingest distinct/shuffle the ENTIRE store for the node universe —
+    // store-proportional work per generation, the exact growth the
+    // amortized-flat ingest contract (and the `semincr` rehearsal)
+    // rules out.
+    val comps = connectedComponents(b.select(col("vid").as("nid")), "nid", pairs,
       driverPairLimit = driverPairLimit)
     val tagged = comps.join(all.select(col("vid"), col("st")), col("node") === col("vid"))
     // per-component verdicts: any store member contaminates the whole

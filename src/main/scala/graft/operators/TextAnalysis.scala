@@ -448,8 +448,21 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
-  /** Content fingerprint of the normalized text (md5 hex). */
-  def fingerprint(text: Column): Column = md5(normalize(text).cast(BinaryType))
+  /** Content fingerprint (md5 hex): the NORMALIZED text when
+    * normalization leaves anything, otherwise the RAW text behind a
+    * NUL-framed prefix (collision-proof against any normalized
+    * string, which is [a-z0-9 ] only).  Without the fallback every
+    * document outside [a-z0-9 ] — CJK, Cyrillic, emoji-only — would
+    * fingerprint to md5("") and falsely compare/cluster as identical
+    * content (exactNormalized would merge distinct non-Latin docs
+    * into one "duplicate" group; corpusDiff would report a total
+    * rewrite as 'unchanged').  Null text still fingerprints to null —
+    * absence of evidence, the documented rule. */
+  def fingerprint(text: Column): Column = {
+    val norm = normalize(text)
+    md5(when(length(norm) > 0, norm)
+      .otherwise(concat(lit("\u0000raw\u0000"), text)).cast(BinaryType))
+  }
 
   /** Character n-gram (shingle) set of the normalized text — feeds
     * MinHash / Jaccard dedup. */

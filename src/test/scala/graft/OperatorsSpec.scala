@@ -472,6 +472,25 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed"))
   }
 
+  test("non-Latin text never false-clusters: fingerprint falls back to raw text") {
+    // every char outside [a-z0-9 ] normalizes away, so without the raw
+    // fallback these all fingerprint to md5("") — two UNRELATED CJK
+    // docs would group as "duplicates" and a full CJK rewrite would
+    // diff as 'unchanged'
+    val docs = Seq((1L, "你好世界"), (2L, "совершенно другой"), (3L, "你好世界"),
+      (4L, "!!!"), (5L, "hello world")).toDF("doc_id", "text")
+    val groups = Dedup.exactNormalized(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap // keep_id -> n_copies
+    assert(groups == Map(1L -> 2L, 2L -> 1L, 4L -> 1L, 5L -> 1L),
+      s"only the identical CJK pair may cluster, got $groups")
+    val st = Dedup.corpusDiff(
+        Seq((1L, "你好世界"), (2L, "!!!")).toDF("doc_id", "text"),
+        Seq((1L, "完全不同的内容"), (2L, "!!!")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "changed", 2L -> "unchanged"))
+  }
+
   test("connectedComponents: chain, clique, singleton, pair-only node") {
     // chain 1-2-3 (transitive: 1~3 never a pair), clique 10-11-12,
     // singleton 20, and node 30 appearing ONLY in pairs (not in nodes)
