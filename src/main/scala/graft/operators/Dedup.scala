@@ -122,7 +122,7 @@ object Dedup {
     * each band's lanes into one xxhash64 long (an array-typed join key
     * cannot hash-join); portable keys are md5 hex of the lanes joined
     * by '|' with the band index appended, mirrored in oracle SQL. */
-  private def explodedBandKeys(sig: Column, bands: Int, rowsPerBand: Int,
+  private[graft] def explodedBandKeys(sig: Column, bands: Int, rowsPerBand: Int,
                                portable: Boolean): Column =
     if (portable)
       explode(array((0 until bands).map { b =>

@@ -92,17 +92,15 @@ object StreamingDedup {
                   shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
                   threshold: Double = 0.7, maxPerBucket: Int = 64,
                   stateTtl: Option[String] = None): Dataset[NearDupHit] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val k = bands * rowsPerBand
-    val sigUdf = udf((t: String) => signatureNormalized(t, shingleSize, k))
-    // normalize with the SAME Catalyst expression the batch operator
-    // uses — a JVM toLowerCase copy can disagree with Spark's lower()
-    // on non-ASCII text under exotic default locales, and would drift
-    // silently if TextAnalysis.normalize ever changed
+    // the CODEGEN'D batch kernel, not a UDF wrapper around it: the UDF
+    // form deserialized every row UTF8String->String->UTF8String and
+    // blocked whole-stage codegen for the same bit-identical values
+    // (signatureNormalized remains the JVM seam the parity specs pin)
     val sigs = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        sigUdf(graft.operators.TextAnalysis.normalize(col(textCol))).as("sig"))
+        graft.functions.MinHash.minhashSig(
+          graft.operators.TextAnalysis.normalize(col(textCol)), shingleSize, k).as("sig"))
     nearDupHitsCore(banded(sigs, bands, rowsPerBand), k, threshold, maxPerBucket, stateTtl)
   }
 
@@ -130,15 +128,21 @@ object StreamingDedup {
   }
 
   /** (doc_id, sig) → one row per (doc, band) with the band's bucket
-    * key; null signatures (no shingle) dropped, the batch contract. */
+    * key; null signatures (no shingle) dropped, the batch contract.
+    * The key expression IS the batch family's
+    * ([[graft.operators.Dedup.explodedBandKeys]], non-portable arm —
+    * xxhash64 over the band's lanes + band index, seed 42, value-equal
+    * to the row-local [[bandKey]] the specs pin), so stream keys join
+    * batch-built indexes by construction instead of by a hand-kept
+    * duplicate of the fold. */
   private def banded(sigs: DataFrame, bands: Int,
                      rowsPerBand: Int): Dataset[(Long, Array[Long], Long)] = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val bandsUdf = udf((sig: Array[Long]) =>
-      Array.tabulate(bands)(b => bandKey(sig, b, rowsPerBand)))
     sigs.where(col("sig").isNotNull)
-      .select(col("doc_id"), col("sig"), explode(bandsUdf(col("sig"))).as("band_key"))
+      .select(col("doc_id"), col("sig"),
+        graft.operators.Dedup.explodedBandKeys(col("sig"), bands, rowsPerBand,
+          portable = false).as("band_key"))
       .as[(Long, Array[Long], Long)]
   }
 
@@ -150,6 +154,10 @@ object StreamingDedup {
                               stateTtl: Option[String]): Dataset[NearDupHit] = {
     val spark = banded.sparkSession
     import spark.implicits._
+    // maxPerBucket <= 0 means UNBOUNDED — the batch capBuckets
+    // convention.  (takeRight(0) would silently empty the rep list
+    // after every doc: zero hits forever, mistaken for a clean corpus.)
+    val cap = if (maxPerBucket <= 0) Int.MaxValue else maxPerBucket
     val timeoutConf =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
@@ -179,10 +187,19 @@ object StreamingDedup {
               }
               if (bestAgree.toDouble / k >= threshold)
                 out += NearDupHit(id, bestId,
-                  math.rint(bestAgree.toDouble / k * 1e6) / 1e6)
-              else
-                // FIFO bound: newest rep appended, oldest evicted
-                reps = (reps :+ (id, sig)).takeRight(maxPerBucket)
+                  // HALF_UP like Spark's round() (the batch operators'
+                  // rendering) — math.rint's half-even would disagree
+                  // with a batch backfill of the same pair on .5
+                  // boundaries (non-power-of-two k); est >= 0 so the
+                  // +0.5 floor IS HALF_UP
+                  math.floor(bestAgree.toDouble / k * 1e6 + 0.5) / 1e6)
+              else if (!reps.exists(_._1 == id))
+                // FIFO bound: newest rep appended, oldest evicted.
+                // A REDELIVERED id (at-least-once source: Kafka replay,
+                // re-ingested file) is already a representative — it
+                // must not burn a second FIFO slot and evict a distinct
+                // doc early (silent recall loss beyond the bound)
+                reps = (reps :+ (id, sig)).takeRight(cap)
             }
             state.update(reps)
             stateTtl.foreach(state.setTimeoutDuration)
@@ -212,20 +229,30 @@ object StreamingDedup {
                               shingleSize: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
                               threshold: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
-    val sigUdf = udf((t: String) => signatureNormalized(t, shingleSize, k))
-    val bandsUdf = udf((sig: Array[Long]) =>
-      Array.tabulate(bands)(b => bandKey(sig, b, rowsPerBand)))
-    docs
-      // normalize through the SAME Catalyst expression as the batch
-      // operator and [[nearDupHits]] — the JVM toLowerCase copy can
-      // disagree with Spark's lower() on non-ASCII text under exotic
-      // default locales (the drift nearDupHits already guards against;
-      // this operator had kept the JVM path)
-      .select(col(idCol).cast("long").as("doc_id"),
-        sigUdf(graft.operators.TextAnalysis.normalize(col(textCol))).as("sig"))
-      .where(col("sig").isNotNull)
-      .select(col("doc_id"), col("sig"), explode(bandsUdf(col("sig"))).as("band_key"))
-      .join(index, Seq("band_key"))
+    // eager geometry probe, exactly like the batch twin: the INDEX
+    // side is static (collectable even inside a streaming query), and
+    // a same-k bands/rowsPerBand split, a shingle mismatch, or a
+    // PORTABLE-family index (string md5 band keys — the long=string
+    // join would coerce and match nothing) all produce a silently
+    // near-empty hit stream the signature-LENGTH assert below can
+    // never see.  Legacy geom-less indexes keep the length probe.
+    if (index.columns.contains("index_geom")) {
+      val want = s"$shingleSize:$bands:$rowsPerBand:x"
+      index.select(col("index_geom")).limit(1).collect().headOption.foreach { r =>
+        require(r.getString(0) == want,
+          s"minhash index geometry mismatch: stream is '$want' " +
+            s"(shingleSize:bands:rowsPerBand:hashFamily) but the index was built " +
+            s"with '${r.getString(0)}' — rebuild one side to match")
+      }
+    }
+    // signature + banding through the SAME code as [[nearDupHits]]
+    // (one shape to fix, never two drifting copies), which itself
+    // delegates to the batch kernel/key expressions
+    val sigs = docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.functions.MinHash.minhashSig(
+        graft.operators.TextAnalysis.normalize(col(textCol)), shingleSize, k).as("sig"))
+    banded(sigs, bands, rowsPerBand).toDF("doc_id", "sig", "band_key")
+      .join(index.drop("index_geom"), Seq("band_key"))
       .filter(col("doc_id") =!= col("index_id"))
       // same fail-fast geometry guard as the batch operator (folded
       // into the kept expression so column pruning can't drop it)

@@ -25,6 +25,39 @@ class StreamingDedupSpec extends SparkSpec {
     assert(StreamingDedup.signature("ab", 5, 32) == null)
   }
 
+  test("maxPerBucket <= 0 means unbounded (the batch capBuckets convention), never disabled") {
+    // takeRight(0) would silently empty the representative list after
+    // every doc — zero hits forever, mistaken for a clean corpus
+    val docs = Seq((1L, docA), (2L, docA)).toDF("doc_id", "text")
+    val hits = StreamingDedup.nearDupHits(docs, "doc_id", "text",
+        threshold = 0.5, maxPerBucket = 0)
+      .toDF().distinct().collect()
+    assert(hits.length == 1 && hits.head.getLong(0) == 2L && hits.head.getLong(1) == 1L,
+      s"identical pair must be flagged under an unbounded cap, got ${hits.toSeq}")
+  }
+
+  test("against-index geometry mismatch fails loudly (same-k split and portable-family)") {
+    val d = Seq((1L, docA), (2L, docA2)).toDF("doc_id", "text")
+    // portable index: string md5 band keys — the long=string join would
+    // coerce and silently match nothing
+    val idxPortable = Dedup.minhashBandIndex(d, col("text"), col("doc_id"), portableHash = true)
+    val e1 = intercept[IllegalArgumentException](
+      StreamingDedup.nearDupHitsAgainstIndex(d, "doc_id", "text", idxPortable))
+    assert(e1.getMessage.contains("geometry mismatch"))
+    // same-k bands/rowsPerBand split: invisible to a signature-LENGTH probe
+    val idx48 = Dedup.minhashBandIndex(d, col("text"), col("doc_id"),
+      bands = 4, rowsPerBand = 8)
+    val e2 = intercept[IllegalArgumentException](
+      StreamingDedup.nearDupHitsAgainstIndex(d, "doc_id", "text", idx48))
+    assert(e2.getMessage.contains("geometry mismatch"))
+    // matching geometry still flags the near-dup pair
+    val idx = Dedup.minhashBandIndex(d, col("text"), col("doc_id"))
+    val hits = StreamingDedup.nearDupHitsAgainstIndex(d, "doc_id", "text", idx,
+        threshold = 0.5)
+      .filter(col("doc_id") =!= col("dup_of")).distinct().collect()
+    assert(hits.nonEmpty, "matching geometry must still produce the near-dup hit")
+  }
+
   test("streaming near-dup flags arrivals against earlier representatives") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
