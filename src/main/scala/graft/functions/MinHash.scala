@@ -61,6 +61,21 @@ object MinHash {
     o
   }
 
+  /** xxhash64(substr(norm, pos+1, n)) — hashes the byte window IN
+    * PLACE; multi-byte positions come from the precomputed offset
+    * table.  ONE definition shared by the signature and verification
+    * kernels: their bit-identity (to each other and to Spark's
+    * xxhash64) is spec-pinned, and a fix applied to one hand-kept
+    * copy but not the other would silently desynchronize LSH
+    * candidates from exact-Jaccard verification. */
+  @inline private def windowHash(norm: UTF8String, offs: Array[Int],
+                                 ascii: Boolean, pos: Int, n: Int): Long =
+    if (ascii)
+      XXH64.hashUnsafeBytes(norm.getBaseObject, norm.getBaseOffset + pos, n, 42L)
+    else
+      XXH64.hashUnsafeBytes(norm.getBaseObject, norm.getBaseOffset + offs(pos),
+        offs(pos + n) - offs(pos), 42L)
+
   /** Single-pass signature: min_i over shingles s of
     * hashLong(hashUTF8String(s, 42), hashInt(i, 42)).
     * Returns null when the text yields no shingle. */
@@ -75,16 +90,7 @@ object MinHash {
     val offs = if (ascii) null else cpOffsets(norm, nChars)
     var pos = 0
     while (pos < cnt) {
-      // xxhash64(substr(norm, pos+1, n)) — both paths hash the byte
-      // window IN PLACE (hashUTF8String over a substring view hashes
-      // exactly these bytes); multi-byte positions come from the
-      // precomputed offset table, keeping the loop O(L·k)
-      val h =
-        if (ascii)
-          XXH64.hashUnsafeBytes(norm.getBaseObject, norm.getBaseOffset + pos, n, 42L)
-        else
-          XXH64.hashUnsafeBytes(norm.getBaseObject, norm.getBaseOffset + offs(pos),
-            offs(pos + n) - offs(pos), 42L)
+      val h = windowHash(norm, offs, ascii, pos, n)
       var i = 0
       while (i < k) {
         val hi = XXH64.hashLong(h, sd(i))
@@ -93,7 +99,9 @@ object MinHash {
       }
       pos += 1
     }
-    new GenericArrayData(mins)
+    // fromPrimitiveArray, not GenericArrayData: the generic ctor boxes
+    // every long (one java.lang.Long per lane per ROW on this hot path)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
   /** Column surface: `minhashSig(normalizedText, n, k)`. */
@@ -122,12 +130,7 @@ object MinHash {
     val offs = if (ascii) null else cpOffsets(norm, nChars)
     var pos = 0
     while (pos < cnt) {
-      hs(pos) =
-        if (ascii)
-          XXH64.hashUnsafeBytes(norm.getBaseObject, norm.getBaseOffset + pos, n, 42L)
-        else
-          XXH64.hashUnsafeBytes(norm.getBaseObject, norm.getBaseOffset + offs(pos),
-            offs(pos + n) - offs(pos), 42L)
+      hs(pos) = windowHash(norm, offs, ascii, pos, n)
       pos += 1
     }
     java.util.Arrays.sort(hs)
@@ -138,7 +141,8 @@ object MinHash {
       if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
       r += 1
     }
-    new GenericArrayData(if (w == cnt) hs else java.util.Arrays.copyOf(hs, w))
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      if (w == cnt) hs else java.util.Arrays.copyOf(hs, w))
   }
 
   /** |A ∩ B| of two SORTED distinct long arrays via a merge walk.
@@ -162,7 +166,8 @@ object MinHash {
     // check is one branch per consumed element, not per loop turn
     def unsorted(side: String, prev: Long, nxt: Long): Nothing =
       throw new IllegalArgumentException(
-        s"sorted_intersect_count: $side array must be sorted ascending (got $nxt after $prev)")
+        s"sorted_intersect_count: $side array must be sorted ascending with DISTINCT " +
+          s"elements (got $nxt after $prev)")
     while (true) {
       if (x == y) c += 1
       val advanceA = x <= y; val advanceB = y <= x
@@ -171,7 +176,10 @@ object MinHash {
         while (i < na && a.isNullAt(i)) i += 1
         if (i >= na) return c
         val nx = a.getLong(i)
-        if (nx < x) unsorted("left", x, nx)
+        // <=: a DUPLICATE element (contract says sorted DISTINCT)
+        // would re-count the same set member and inflate containment
+        // past 1.0 downstream — loud, like the order violation
+        if (nx <= x) unsorted("left", x, nx)
         x = nx
       }
       if (advanceB) {
@@ -179,7 +187,7 @@ object MinHash {
         while (j < nb && b.isNullAt(j)) j += 1
         if (j >= nb) return c
         val ny = b.getLong(j)
-        if (ny < y) unsorted("right", y, ny)
+        if (ny <= y) unsorted("right", y, ny)
         y = ny
       }
     }
@@ -193,8 +201,12 @@ object MinHash {
 
   def intersectCount(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftBridge
+    // cast to array<long> like VectorSim.agreeCount: a user-built
+    // array<int> would otherwise read 8-byte strides over 4-byte
+    // slots (garbage counts) or ClassCastException interpreted
     GraftBridge.column(SortedIntersectCount(
-      GraftBridge.expression(a), GraftBridge.expression(b)))
+      GraftBridge.expression(a.cast(ArrayType(LongType))),
+      GraftBridge.expression(b.cast(ArrayType(LongType)))))
   }
 }
 
@@ -203,6 +215,18 @@ object MinHash {
 case class MinHashSigExpr(child: Expression, n: Int, k: Int)
     extends UnaryExpression {
   require(n >= 1 && k >= 1, s"minhash_sig needs n >= 1 and k >= 1, got n=$n k=$k")
+
+  // analysis-time reject of a wrong-typed child: without this, codegen
+  // fails to Janino-compile (stage drops to interpreted) and the
+  // interpreted path throws ClassCastException mid-job instead of a
+  // clean AnalysisException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string child, got ${other.catalogString}")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -227,6 +251,18 @@ case class ShingleHashSetExpr(child: Expression, n: Int)
     extends UnaryExpression {
   require(n >= 1, s"shingle_hash_set needs n >= 1, got $n")
 
+  // analysis-time reject of a wrong-typed child: without this, codegen
+  // fails to Janino-compile (stage drops to interpreted) and the
+  // interpreted path throws ClassCastException mid-job instead of a
+  // clean AnalysisException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string child, got ${other.catalogString}")
+    }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "shingle_hash_set"
@@ -247,6 +283,19 @@ case class ShingleHashSetExpr(child: Expression, n: Int)
 /** Merge-walk |A ∩ B| over two sorted distinct `array<long>` columns. */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  // analysis-time reject: both sides must be array<long> (the Column
+  // surface casts; a direct constructor caller gets a clean
+  // AnalysisException instead of garbage 8-byte strides over int slots)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint> children, got ${l.catalogString} and ${r.catalogString}")
+    }
+  }
+
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
 

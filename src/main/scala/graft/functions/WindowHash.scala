@@ -93,7 +93,7 @@ object WindowHash {
       out(p) = h
       p += 1
     }
-    new GenericArrayData(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Column surface: array of all width-window hashes of `text`. */
@@ -147,6 +147,21 @@ object WindowHash {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** md5 of bytes[pos, pos+width) packed as the unsigned 32-bit value
+    * of the first 4 digest bytes — ONE definition shared by
+    * [[md5WindowHashes]] and [[portableMinhashSig]]: the portable
+    * contract requires both to stay bit-identical to the oracle SQL
+    * forever, and a tweak applied to one hand-kept copy but not the
+    * other would silently break oracle hash-equality. */
+  @inline private def md5Window32(md: java.security.MessageDigest,
+                                  bytes: Array[Byte], pos: Int, width: Int): Long = {
+    md.reset()
+    md.update(bytes, pos, width)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** The PORTABLE base hash of every width-window in one pass: the
     * first 4 md5 bytes of the window as an unsigned 32-bit value —
     * bit-identical to `conv(substr(md5(substr(text, p, w)), 1, 8), 16,
@@ -164,14 +179,13 @@ object WindowHash {
     val out = new Array[Long](m)
     var i = 0
     while (i < m) {
-      md.reset()
-      md.update(bytes, i, width)
-      val d = md.digest()
-      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      out(i) = md5Window32(md, bytes, i, width)
       i += 1
     }
-    new GenericArrayData(out)
+    // fromPrimitiveArray, not GenericArrayData: the generic ctor boxes
+    // every long — one java.lang.Long per WINDOW per row on the kernel
+    // whose whole purpose is removing per-window overhead
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Column surface: array of md5-derived 32-bit window base hashes. */
@@ -197,11 +211,7 @@ object WindowHash {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < m) {
-      md.reset()
-      md.update(bytes, i, width)
-      val d = md.digest()
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h = md5Window32(md, bytes, i, width)
       var j = 0
       while (j < k) {
         val v = (portablePermA(j) * h + portablePermB(j)) % portableP
@@ -210,7 +220,7 @@ object WindowHash {
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
   /** Column surface: k-lane portable minhash signature array. */
@@ -225,6 +235,18 @@ object WindowHash {
 case class WindowHashesExpr(child: Expression, width: Int, base: Long)
     extends UnaryExpression {
   require(width >= 1, s"window_hashes needs width >= 1, got $width")
+
+  // analysis-time reject of a wrong-typed child: without this, codegen
+  // fails to Janino-compile (stage drops to interpreted) and the
+  // interpreted path throws ClassCastException mid-job instead of a
+  // clean AnalysisException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string child, got ${other.catalogString}")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "window_hashes"
@@ -246,6 +268,18 @@ case class PortableMinhashSigExpr(child: Expression, width: Int, k: Int)
     extends UnaryExpression {
   require(width >= 1 && k >= 1 && k <= WindowHash.portablePerms.size,
     s"portable_minhash_sig needs width >= 1 and k in [1, ${WindowHash.portablePerms.size}]")
+
+  // analysis-time reject of a wrong-typed child: without this, codegen
+  // fails to Janino-compile (stage drops to interpreted) and the
+  // interpreted path throws ClassCastException mid-job instead of a
+  // clean AnalysisException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string child, got ${other.catalogString}")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -269,6 +303,18 @@ case class Md5WindowHashesExpr(child: Expression, width: Int)
     extends UnaryExpression {
   require(width >= 1, s"md5_window_hashes needs width >= 1, got $width")
 
+  // analysis-time reject of a wrong-typed child: without this, codegen
+  // fails to Janino-compile (stage drops to interpreted) and the
+  // interpreted path throws ClassCastException mid-job instead of a
+  // clean AnalysisException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string child, got ${other.catalogString}")
+    }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_window_hashes"
 
@@ -289,6 +335,18 @@ case class Md5WindowHashesExpr(child: Expression, width: Int)
 case class WindowHashPairsExpr(child: Expression, width: Int)
     extends UnaryExpression {
   require(width >= 1, s"window_hash_pairs needs width >= 1, got $width")
+
+  // analysis-time reject of a wrong-typed child: without this, codegen
+  // fails to Janino-compile (stage drops to interpreted) and the
+  // interpreted path throws ClassCastException mid-job instead of a
+  // clean AnalysisException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string child, got ${other.catalogString}")
+    }
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("h1", LongType, nullable = false),

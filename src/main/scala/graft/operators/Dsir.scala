@@ -245,9 +245,14 @@ object Dsir {
       .cast(DoubleType) + lit(0.5)) / lit(4294967296.0)
     val keyed = s.withColumn("gumbel_key",
       col("logw") - log(-log(u)))
-    val top = graft.plans.TopK.perKeyOrdered(
-      keyed.withColumn("_all", lit(1)), Seq("_all"),
-      Seq("gumbel_key" -> true, "doc_id" -> false), keep)
+    // GLOBAL top-keep, so delegate to Spark's own sort+limit regime
+    // handling (TakeOrderedAndProject below topKSortFallbackThreshold,
+    // spillable sort + limit above it).  TopKPerKey under one constant
+    // key is the operator's documented anti-regime: it buffers 2·keep
+    // rows per task heap with NO spill, and `keep` here is routinely a
+    // fixed fraction of the corpus — executor OOM exactly at scale.
+    val top = keyed.orderBy(col("gumbel_key").desc, col("doc_id").asc)
+      .limit(keep)
       .select(col("doc_id").as("keep_id"))
     // NO broadcast hint: `keep` is routinely a fixed fraction of the
     // corpus, so forcing broadcast would collect every keep_id on the

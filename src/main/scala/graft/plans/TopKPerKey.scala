@@ -39,13 +39,11 @@ object TopKStrategy extends SparkStrategy {
       // Aggregate/Join keys (NormalizeFloatingNumbers only rewrites
       // known node types, not custom ones): without this, -0.0 vs 0.0
       // and distinct NaN bit patterns form SEPARATE groups in the raw
-      // UnsafeRow key map and can even hash to different partitions
-      val normKeys = keys.map {
-        case e if e.dataType == org.apache.spark.sql.types.DoubleType ||
-                  e.dataType == org.apache.spark.sql.types.FloatType =>
-          org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(e)
-        case e => e
-      }
+      // UnsafeRow key map and can even hash to different partitions.
+      // Spark's recursive normalizer (via the bridge) also reaches
+      // floats NESTED in struct/array keys — a top-level-only check
+      // would leave struct<x:double> keys split on -0.0/NaN bytes.
+      val normKeys = keys.map(GraftBridge.normalizeFloatKey)
       TopKPerKeyExec(normKeys, orders, k, partial = false,
         TopKPerKeyExec(normKeys, orders, k, partial = true, planLater(child))) :: Nil
     case _ => Nil
@@ -124,8 +122,13 @@ object TopK {
                     orders: Seq[(String, Boolean)], k: Int): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    // synchronized check-then-append (the ConeZonePushdown.install
+    // pattern): two concurrent registrars would otherwise read the
+    // same old Seq and one registration would be lost
+    synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    }
     val keyExprs: Seq[Expression] = keyCols.map(n => UnresolvedAttribute.quotedString(n))
     val sortOrders = orders.map { case (name, desc) =>
       SortOrder(UnresolvedAttribute.quotedString(name), if (desc) Descending else Ascending)

@@ -42,4 +42,21 @@ object GraftBridge {
       reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(reg)
+
+  /** Spark's own recursive float-key normalization
+    * (`NormalizeFloatingNumbers` is private[sql]): -0.0 → 0.0 and one
+    * canonical NaN, INCLUDING inside struct/array/map types — what
+    * grouping/join keys need before raw-bytes comparison.  Returns the
+    * expression unchanged when its type carries no floating point. */
+  def normalizeFloatKey(e: Expression): Expression = {
+    // needNormalize is private[optimizer]; the type test it performs is
+    // "contains a float anywhere" — reproduce that and let Spark's own
+    // normalize do the (recursive) rewrite
+    val hasFloat = e.dataType.existsRecursively {
+      case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+    if (hasFloat) org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+    else e
+  }
 }
