@@ -66,12 +66,7 @@ object Contamination {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("cut_positions"),
            count(lit(1)).as("n_spans_cut"))
-    normed.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("cut_positions").isNotNull,
-            graft.functions.SpanCut.cutSpans(col("norm"), col("cut_positions"), width))
-          .otherwise(col("norm")).as("text_clean"),
-        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"))
+    Dedup.applySpanCuts(normed, hits, width)
   }
 
   /** All (doc, bench) pairs with containment ≥ `threshold`.
@@ -84,6 +79,12 @@ object Contamination {
   def containment(docs: DataFrame, docId: Column, docText: Column,
                   bench: DataFrame, benchId: Column, benchText: Column,
                   n: Int = 5, threshold: Double = 0.8): DataFrame = {
+    // the bloomPrefilter tier's contract, enforced here too: a
+    // degenerate threshold (<= 0) would silently emit the full
+    // doc x bench cross product instead of a pruned result
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must lie in (0, 1], got $threshold")
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     val dsets = docs.select(docId.as("doc_id"),
         graft.functions.MinHash.shingleHashSet(TextAnalysis.normalize(docText), n).as("dhs"))
       .filter(col("dhs").isNotNull)

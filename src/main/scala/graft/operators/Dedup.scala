@@ -794,13 +794,24 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("cut_positions"),
            count(lit(1)).as("n_spans_cut"))
+    applySpanCuts(normed, hits, width)
+  }
+
+  /** The per-doc cut surgery shared by [[removeRepeatedSpans]] and
+    * [[graft.operators.Contamination.removeBenchmarkSpans]]: left-join
+    * the (doc_id, cut_positions, n_spans_cut) hits frame back onto the
+    * normalized (doc_id, norm) docs and cut — the 1-based position
+    * convention, the coalesce-0 n_spans_cut contract, and the
+    * untouched-doc passthrough live HERE, once (two hand-kept copies
+    * could drift on any of those). */
+  private[operators] def applySpanCuts(normed: DataFrame, hits: DataFrame,
+                                       width: Int): DataFrame =
     normed.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("cut_positions").isNotNull,
             graft.functions.SpanCut.cutSpans(col("norm"), col("cut_positions"), width))
           .otherwise(col("norm")).as("text_clean"),
         coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"))
-  }
 
   /** Per-batch exact-substring span EVIDENCE, mergeable across
     * doc-disjoint batches — the incremental-accounting member of the

@@ -86,7 +86,8 @@ object Packing {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val bounds = boot.agg(min(col("pack_key")), max(col("pack_key")),
-        sum(when(col("pack_key").isNull, 1L).otherwise(0L))).head()
+        sum(when(col("pack_key").isNull, 1L).otherwise(0L)),
+        count(col("pack_key")), count_distinct(col("pack_key"))).head()
       // null-key check FIRST: an ALL-null key column also has a null
       // min, and the empty-input early return below would silently
       // swallow the whole dataset instead of raising
@@ -96,12 +97,28 @@ object Packing {
           "filter or impute the key column first")
       if (bounds.isNullAt(0)) // genuinely empty input
         return keyed.drop("pack_key").withColumn("bin_id", lit(0L)).limit(0)
+      // DUPLICATE keys merge distinct rows in the RANGE-frame running
+      // sum (tied keys share one prefix) and silently shift every later
+      // bin — the same corruption class the null/fractional checks
+      // reject, so reject it with the same loudness (the counts ride
+      // the bounds aggregate on the cached 16-byte frame: free)
+      require(bounds.getLong(3) == bounds.getLong(4),
+        s"sequentialBins: order key has ${bounds.getLong(3) - bounds.getLong(4)} duplicate " +
+          "values — packing order must be a total order; derive a unique key first")
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      // ceil without overflow: span/buckets rounded up, at least 1
-      val width = math.max(1L, (hi - lo) / nBuckets + (if ((hi - lo) % nBuckets == 0) 0 else 1))
-      // key-lo >= 0 and spans beyond 2^53 would need `div`; doc keys are
-      // far below that, so double floor-division is exact here
-      def asBucket(c: Column): Column = floor((c - lit(lo)) / lit(width))
+      // EXACT span arithmetic: the documented remedy for non-integral
+      // keys is hashing to a long, which uses the FULL 2^64 range —
+      // `hi - lo` in long wraps there, making buckets non-monotone and
+      // bin ids silently wrong (inverted vs sequentialBinsGlobal).
+      // BigInt on the driver, DECIMAL(38,0) on the executors: exact
+      // for any long span, not merely monotone like the double path.
+      val span = BigInt(hi) - BigInt(lo)
+      val width = (span / nBuckets + (if (span % nBuckets == 0) BigInt(0) else BigInt(1)))
+        .max(BigInt(1))
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      def asBucket(c: Column): Column =
+        floor((c.cast(dec) - lit(new java.math.BigDecimal(lo))) /
+          lit(new java.math.BigDecimal(width.bigInteger))).cast(LongType)
       // per-bucket totals -> exclusive prefix offsets, folded on the
       // driver (≤ buckets rows) and broadcast back as a tiny dim join
       val totals = boot.groupBy(asBucket(col("pack_key")).as("pack_bucket"))

@@ -56,28 +56,9 @@ object Pipeline {
   def pretrainCorpus(docs: DataFrame, id: Column, text: Column,
                      minTokens: Long = 50, maxPunctRatio: Double = 0.1,
                      width: Int = 500, stride: Int = 400,
-                     budget: Long = 512): DataFrame = {
-    val sig = TextAnalysis.qualitySignals(text).toMap
-    // 1–2: quality gate, then scrub (scrub AFTER the gate: ratios are
-    // judged on the original text, and <EMAIL> tokens must not skew them)
-    val clean = docs
-      .filter(sig("n_tokens") >= minTokens && sig("punct_ratio") <= maxPunctRatio)
-      .select(id.as("doc_id"), TextAnalysis.scrubPii(text).as("text"))
-    // 3: exact dedup — keep the lowest doc id of each content group
-    val deduped = Dedup.deduplicated(clean, col("text"), col("doc_id"))
-    // 4: overlapping chunks with whitespace token counts
-    val chunks = Chunking.chunk(deduped, col("doc_id"), col("text"), width, stride)
-      .withColumn("chunk_tokens", TextAnalysis.tokenCount(col("chunk_text")))
-    // 5: pack chunks into fixed token budgets, in (doc, chunk) order
-    val keyed = chunks.withColumn("pack_order", packOrder)
-    val binned = Packing.sequentialBins(
-      keyed, col("pack_order"), col("chunk_tokens"), budget)
-    binned.groupBy(col("bin_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-           count_distinct(col("doc_id")).as("n_docs"),
-           sum(col("chunk_tokens")).as("sum_tokens"),
-           min(col("doc_id")).as("first_doc"))
-  }
+                     budget: Long = 512): DataFrame =
+    build(docs, id, text, minTokens, maxPunctRatio, width, stride, budget,
+      observed = false)
 
   /** [[pretrainCorpus]] with OBSERVABILITY: the same single plan, with
     * `CollectMetrics` (df.observe) nodes riding the stage boundaries
@@ -99,18 +80,37 @@ object Pipeline {
   def pretrainCorpusObserved(docs: DataFrame, id: Column, text: Column,
                              minTokens: Long = 50, maxPunctRatio: Double = 0.1,
                              width: Int = 500, stride: Int = 400,
-                             budget: Long = 512): DataFrame = {
+                             budget: Long = 512): DataFrame =
+    build(docs, id, text, minTokens, maxPunctRatio, width, stride, budget,
+      observed = true)
+
+  /** ONE plan definition for both public entry points — the observed
+    * variant differs ONLY by the CollectMetrics nodes, and a hand-kept
+    * twin body would let a stage-wiring fix (gate-before-scrub order,
+    * the packOrder key, the final aggregate) silently land on one of
+    * them. */
+  private def build(docs: DataFrame, id: Column, text: Column,
+                    minTokens: Long, maxPunctRatio: Double,
+                    width: Int, stride: Int, budget: Long,
+                    observed: Boolean): DataFrame = {
     val sig = TextAnalysis.qualitySignals(text).toMap
-    val clean = docs
+    // 1–2: quality gate, then scrub (scrub AFTER the gate: ratios are
+    // judged on the original text, and <EMAIL> tokens must not skew them)
+    val clean0 = docs
       .filter(sig("n_tokens") >= minTokens && sig("punct_ratio") <= maxPunctRatio)
       .select(id.as("doc_id"), TextAnalysis.scrubPii(text).as("text"))
-      .observe("gate", count(lit(1)).as("n_gated"))
-    val deduped = Dedup.deduplicated(clean, col("text"), col("doc_id"))
-      .observe("dedup", count(lit(1)).as("n_deduped"))
-    val chunks = Chunking.chunk(deduped, col("doc_id"), col("text"), width, stride)
+    val clean = if (observed) clean0.observe("gate", count(lit(1)).as("n_gated")) else clean0
+    // 3: exact dedup — keep the lowest doc id of each content group
+    val deduped0 = Dedup.deduplicated(clean, col("text"), col("doc_id"))
+    val deduped = if (observed) deduped0.observe("dedup", count(lit(1)).as("n_deduped"))
+                  else deduped0
+    // 4: overlapping chunks with whitespace token counts
+    val chunks0 = Chunking.chunk(deduped, col("doc_id"), col("text"), width, stride)
       .withColumn("chunk_tokens", TextAnalysis.tokenCount(col("chunk_text")))
-      .observe("chunks", count(lit(1)).as("n_chunks"),
+    val chunks = if (observed) chunks0.observe("chunks", count(lit(1)).as("n_chunks"),
         sum(col("chunk_tokens")).as("n_tokens"))
+      else chunks0
+    // 5: pack chunks into fixed token budgets, in (doc, chunk) order
     val keyed = chunks.withColumn("pack_order", packOrder)
     val binned = Packing.sequentialBins(
       keyed, col("pack_order"), col("chunk_tokens"), budget)

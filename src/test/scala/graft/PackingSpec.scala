@@ -78,6 +78,25 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("duplicate order keys fail loudly; full-range hashed keys pack exactly") {
+    import graft.operators.Packing
+    // tied keys share one RANGE-frame prefix — silent bin corruption
+    // without the check (the null/fractional-key loudness convention)
+    val dup = Seq((1L, 6L), (1L, 6L), (2L, 6L)).toDF("k", "w")
+    val e = intercept[IllegalArgumentException](
+      Packing.sequentialBins(dup, col("k"), col("w"), 10L).collect())
+    assert(e.getMessage.contains("duplicate"))
+    // keys spanning more than Long.MaxValue (the hash-the-key remedy
+    // uses the full 2^64 range): long `hi - lo` wraps — the old double
+    // path inverted bucket order and swapped the two rows' bins
+    val wide = Seq((-(1L << 62), 6L), (1L << 62, 6L)).toDF("k", "w")
+    val got = Packing.sequentialBins(wide, col("k"), col("w"), budget = 6L, buckets = 4)
+      .select(col("k"), col("bin_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map((-(1L << 62)) -> 0L, (1L << 62) -> 1L),
+      s"a span wider than Long.MaxValue must keep key order, got $got")
+  }
+
   test("null order keys are rejected with a clear error") {
     val df = Seq((Some(1L), 4L), (None, 4L)).toDF("k", "w")
     val err = intercept[IllegalArgumentException](
