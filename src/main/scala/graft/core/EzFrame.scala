@@ -154,14 +154,11 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
 
   private def resolveTyped(name: String): Option[NumpyExpr.Typed] = {
     val physical = resolveAlias(name)
+    // the ONE DataType -> Ty mapping lives in NumpyExpr (a second
+    // hand-kept copy here could drift and change how '&|^~' and
+    // NaN-aware comparisons compile for a type)
     schema.fields.find(_.name == physical).map { f =>
-      NumpyExpr.Typed(df.col(physical), f.dataType match {
-        case BooleanType => NumpyExpr.TyBool
-        case IntegerType | LongType | ShortType | ByteType => NumpyExpr.TyInt
-        case FloatType | DoubleType | _: DecimalType => NumpyExpr.TyFloat
-        case StringType => NumpyExpr.TyStr
-        case _ => NumpyExpr.TyOther
-      })
+      NumpyExpr.Typed(df.col(physical), NumpyExpr.tyOf(f.dataType))
     }
   }
 
@@ -210,8 +207,20 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
         s"rename: target '$to' already exists — drop or rename it first")
       acc.withColumnRenamed(physical, to)
     }
-    // keep aliases pointing at the renamed physical columns
-    val renames = mapping.map { case (f, t) => resolveAlias(f) -> t }.toMap
+    // keep aliases pointing at the renamed physical columns — following
+    // CHAINS end-to-end: rename(a->b, b->c) moves column 'a' to 'c',
+    // and a one-step map would point a's metadata at the intermediate
+    // 'b', which pruneFor below then silently drops.  The tracker
+    // replays the fold's own steps (same resolveAlias per step) so the
+    // metadata mapping matches the column mapping exactly.
+    val renames: Map[String, String] = {
+      var track = df.columns.map(c => c -> c).toMap
+      mapping.foreach { case (from, to) =>
+        val cur = resolveAlias(from)
+        track = track.map { case (o, c) => o -> (if (c == cur) to else c) }
+      }
+      track.filter { case (o, c) => o != c }
+    }
     val newAliases = meta.aliases.map { case (a, t) => a -> renames.getOrElse(t, t) }
     // units/comments key on the PHYSICAL name — remap them too, or
     // pruneFor would silently drop the renamed columns' metadata
@@ -248,13 +257,28 @@ final class EzFrame(val df: DataFrame, val meta: EzMeta) {
     val rKeyed = withKey(other, rk)
     val lRenamed = overlap.foldLeft(lKeyed)((d, c) => d.withColumnRenamed(c, c + lsuffix))
     val rRenamed = overlap.foldLeft(rKeyed)((d, c) => d.withColumnRenamed(c, c + rsuffix))
+    // suffixing an overlap column onto an EXISTING name (left has
+    // {x, x_l}, right has {x}) silently yields two 'x_l' columns and
+    // every later reference throws AMBIGUOUS_REFERENCE far from the
+    // join that caused it — fail here, at the cause
+    Seq(("l", lsuffix, lRenamed), ("r", rsuffix, rRenamed)).foreach { case (side, sfx, d) =>
+      val dups = d.columns.groupBy(identity).collect { case (c, hits) if hits.length > 1 => c }
+      require(dups.isEmpty,
+        s"join: suffixing overlap columns with '$sfx' collides with existing " +
+          s"$side-side column(s) ${dups.mkString(", ")} — rename them or pick other suffixes")
+    }
     val joined = lRenamed.alias("l")
       .join(rRenamed.alias("r"), col(s"l.$keyCol") === col(s"r.$keyCol"), how)
       .drop(keyCol)
+    // units/comments key on PHYSICAL names: overlap columns were just
+    // suffixed, so their metadata keys must follow (the rename()
+    // discipline) or pruneFor drops every overlapping column's metadata
+    def remapMeta(m: Map[String, String], sfx: String): Map[String, String] =
+      m.map { case (k, v) => (if (overlap.contains(k)) k + sfx else k) -> v }
     new EzFrame(joined, EzMeta(
       header = meta.header ++ other.meta.header,
-      units = meta.units ++ other.meta.units,
-      comments = meta.comments ++ other.meta.comments,
+      units = remapMeta(meta.units, lsuffix) ++ remapMeta(other.meta.units, rsuffix),
+      comments = remapMeta(meta.comments, lsuffix) ++ remapMeta(other.meta.comments, rsuffix),
       caseless = meta.caseless).pruneFor(joined.columns.toSeq))
   }
 

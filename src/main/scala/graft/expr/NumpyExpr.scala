@@ -56,8 +56,24 @@ object NumpyExpr {
         val sb = new StringBuilder
         i += 1
         while (i < n && s.charAt(i) != quote) {
-          if (s.charAt(i) == '\\' && i + 1 < n) { sb += s.charAt(i + 1); i += 2 }
-          else { sb += s.charAt(i); i += 1 }
+          if (s.charAt(i) == '\\' && i + 1 < n) {
+            // Python escape semantics (the reference evals these with
+            // Python literals): '\n' is a NEWLINE, not the letter n —
+            // treating it as skip-and-keep-raw silently diverged every
+            // comparison against control characters.  Unknown escapes
+            // keep the backslash (Python's own behavior for e.g. '\d').
+            sb += (s.charAt(i + 1) match {
+              case 'n' => '\n'
+              case 't' => '\t'
+              case 'r' => '\r'
+              case '0' => '\u0000'
+              case '\\' => '\\'
+              case '\'' => '\''
+              case '"' => '"'
+              case other => sb += '\\'; other
+            })
+            i += 2
+          } else { sb += s.charAt(i); i += 1 }
         }
         if (i >= n) throw new IllegalArgumentException(s"unterminated string literal in: $s")
         i += 1
@@ -182,7 +198,7 @@ object NumpyExpr {
 
   final case class Typed(col: Column, ty: Ty)
 
-  private def tyOf(dt: DataType): Ty = dt match {
+  private[graft] def tyOf(dt: DataType): Ty = dt match {
     case BooleanType                                      => TyBool
     case _: IntegerType | _: LongType | ShortType | ByteType => TyInt
     case _: FloatType | _: DoubleType | _: DecimalType    => TyFloat
@@ -260,11 +276,16 @@ object NumpyExpr {
       case "*"  => Typed(l.col * r.col, numJoin(l.ty, r.ty))
       case "/"  => Typed(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)), TyFloat) // numpy true division
       case "//" =>
-        val q = floorD(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)))
-        if (numJoin(l.ty, r.ty) == TyInt) Typed(q.cast(LongType), TyInt) else Typed(q, TyFloat)
+        if (numJoin(l.ty, r.ty) == TyInt)
+          Typed(intFloorDiv(l.col.cast(LongType), r.col.cast(LongType)), TyInt)
+        else Typed(floorD(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType))), TyFloat)
       case "%"  => // numpy mod: floored (sign follows divisor)
-        val m = l.col - r.col * floorD(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)))
-        if (numJoin(l.ty, r.ty) == TyInt) Typed(m.cast(LongType), TyInt) else Typed(m, TyFloat)
+        if (numJoin(l.ty, r.ty) == TyInt)
+          Typed(intFloorMod(l.col.cast(LongType), r.col.cast(LongType)), TyInt)
+        else {
+          val m = l.col - r.col * floorD(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)))
+          Typed(m, TyFloat)
+        }
       case "**" => Typed(pow(l.col, r.col), TyFloat)
       // NumPy comparison semantics with NaN: every comparison is False
       // except '!=' (True).  Spark/SQL instead orders NaN greatest and
@@ -302,12 +323,43 @@ object NumpyExpr {
         .otherwise(zsign * signum(l) * lit(Double.PositiveInfinity))
     }
 
+    // EXACT integer floor division / floored mod, entirely in longs —
+    // NumPy parity on BOTH counts the old double round-trip missed:
+    //  - values past 2^53 rounded silently (a // 1 could be off by one);
+    //  - a zero divisor threw under ANSI where NumPy yields 0 (with a
+    //    RuntimeWarning) for integer // and %.
+    // Formula: r0 = a % b (sign of dividend, exact); NumPy mod moves it
+    // to the divisor's sign; (a - mod) is then exactly divisible by b,
+    // so one DECIMAL(38,0) division is exact at any long magnitude.
+    // (Remaining documented divergence: Long.MinValue // -1 throws
+    // under ANSI where NumPy wraps — the one unrepresentable quotient.)
+    def intFloorMod(a: Column, b: Column): Column = {
+      val r0 = a % b
+      when(b === 0L, lit(0L))
+        .otherwise(when(r0 =!= 0L && (r0 < 0L) =!= (b < 0L), r0 + b).otherwise(r0))
+    }
+    def intFloorDiv(a: Column, b: Column): Column = {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      when(b === 0L, lit(0L))
+        .otherwise(((a.cast(dec) - intFloorMod(a, b).cast(dec)) / b.cast(dec))
+          .cast(LongType))
+    }
+
     // shiftleft/shiftright builtins take a literal Int count; generic shift
-    // via pow-of-two multiply keeps variable shift counts working.
+    // via pow-of-two multiply keeps variable shift counts working (every
+    // power of two through 2^62 is an exact double).  Counts outside
+    // [0, 62] are a LOUD error: a negative count silently produced 0
+    // (NumPy raises 'negative shift count'), and 63 overflowed the long
+    // cast mid-job under ANSI with an unhelpful message.
+    def shiftCountGuard(r: Column): Column =
+      when(assert_true(r >= 0 && r <= 62,
+          lit("shift count must lie in [0, 62] (NumPy raises on negative " +
+            "counts; 2^63 does not fit a signed long)")).isNull, r)
     def expr_shiftleft(l: Typed, r: Typed): Column =
-      (l.col.cast(LongType) * pow(lit(2.0), r.col).cast(LongType)).cast(LongType)
+      (l.col.cast(LongType) * pow(lit(2.0), shiftCountGuard(r.col)).cast(LongType))
+        .cast(LongType)
     def expr_shiftright(l: Typed, r: Typed): Column =
-      floor(l.col.cast(DoubleType) / pow(lit(2.0), r.col)).cast(LongType)
+      floor(l.col.cast(DoubleType) / pow(lit(2.0), shiftCountGuard(r.col))).cast(LongType)
 
     def f1(args: List[Typed])(f: Column => Column): Typed = args match {
       case a :: Nil => Typed(f(a.col), TyFloat)

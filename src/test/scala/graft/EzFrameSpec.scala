@@ -128,4 +128,22 @@ class EzFrameSpec extends SparkSpec {
     assert(EzFrame.prettySizePrint(BigInt(3L * 1024 * 1024)).endsWith(" MB"))
     assert(EzFrame.prettySizePrint(BigInt(1024L * 1024 * 1024 * 1024 * 5)).endsWith(" TB"))
   }
+
+  test("chained rename carries metadata end-to-end; join remaps suffixed metadata loudly") {
+    // a->b then b->c moves column a to c — the unit must follow the
+    // CHAIN, not stop at the intermediate name (which pruneFor drops)
+    val t = EzFrame(Seq((1.0, 2.0)).toDF("a", "q")).setUnit("a", "mag")
+    val r = t.rename("a" -> "b", "b" -> "c")
+    assert(r.columns == Seq("c", "q") && r.meta.units.get("c").contains("mag"))
+    // join: an overlapping column's unit follows its suffix
+    val l = EzFrame(Seq((1L, 2.0)).toDF("k", "x")).setUnit("x", "mag")
+    val rr = EzFrame(Seq((1L, 3.0)).toDF("k", "x"))
+    val j = l.join(rr, on = "k")
+    assert(j.meta.units.get("x_l").contains("mag"))
+    // suffixing onto an existing name would make an ambiguous frame —
+    // loud at the join, not at some later reference
+    val bad = EzFrame(Seq((1L, 2.0, 3.0)).toDF("k", "x", "x_l"))
+    val e = intercept[IllegalArgumentException](bad.join(rr, on = "k"))
+    assert(e.getMessage.contains("suffix"))
+  }
 }

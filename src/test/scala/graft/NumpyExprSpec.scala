@@ -46,6 +46,29 @@ class NumpyExprSpec extends SparkSpec {
     assert(evalDoubles("7 % 3").head == 1.0)
     // numpy floored mod: sign follows divisor
     assert(evalDoubles("(0 - 7) % 3").head == 2.0)
+    assert(evalDoubles("(0 - 7) % (0 - 3)").head == -1.0)
+    assert(evalDoubles("(0 - 7) // 3").head == -3.0)
+    // numpy INTEGER division/mod by zero yields 0 (with a
+    // RuntimeWarning), never an ANSI exception
+    assert(evalDoubles("i // 0") == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(evalDoubles("i % 0") == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("integer floor division is exact past 2^53 (no double round-trip)") {
+    import spark.implicits._
+    val big = 4611686018427387905L // 2^62 + 1: rounds under a double round-trip
+    val t = graft.core.EzFrame(Seq(big).toDF("a"))
+    assert(t.df.select(t.evalexpr("a // 1").as("v")).collect().head.getLong(0) == big)
+    assert(t.df.select(t.evalexpr("a % 1000000007").as("v")).collect().head.getLong(0)
+      == big % 1000000007L)
+  }
+
+  test("string escapes follow Python: backslash-n is a newline, not the letter n") {
+    import spark.implicits._
+    val t = graft.core.EzFrame(Seq("\n", "n", "a\tb").toDF("sep"))
+    assert(t.where("sep == '\\n'").count() == 1)
+    assert(t.where("sep == 'n'").count() == 1)
+    assert(t.where("sep == 'a\\tb'").count() == 1)
   }
 
   test("ufuncs: log10, sqrt, abs, where, clip, arctan2, minimum") {
