@@ -60,19 +60,57 @@ object NumpyExpr {
             // Python escape semantics (the reference evals these with
             // Python literals): '\n' is a NEWLINE, not the letter n —
             // treating it as skip-and-keep-raw silently diverged every
-            // comparison against control characters.  Unknown escapes
-            // keep the backslash (Python's own behavior for e.g. '\d').
-            sb += (s.charAt(i + 1) match {
-              case 'n' => '\n'
-              case 't' => '\t'
-              case 'r' => '\r'
-              case '0' => '\u0000'
-              case '\\' => '\\'
-              case '\'' => '\''
-              case '"' => '"'
-              case other => sb += '\\'; other
-            })
-            i += 2
+            // comparison against control characters.  Numeric escapes
+            // follow Python exactly: \ooo is 1–3 OCTAL digits (so
+            // '\01' is ONE char, 0o1 — never NUL + '1'), \xhh requires
+            // exactly 2 hex digits (fewer is a Python SyntaxError —
+            // throw; silently keeping the backslash diverged for
+            // '\x41'), \uXXXX / \UXXXXXXXX take 4 / 8 hex digits and
+            // \U may exceed the BMP (surrogate-pair append).  Unknown
+            // escapes keep the backslash (Python's own behavior for
+            // e.g. '\d').
+            def hexRun(from: Int, count: Int, kind: String): Int = {
+              val end = from + count
+              if (end > n || !(from until end).forall(j => Character.digit(s.charAt(j), 16) >= 0))
+                throw new IllegalArgumentException(
+                  s"truncated \\$kind escape (needs $count hex digits) in: $s")
+              java.lang.Long.parseLong(s.substring(from, end), 16).toInt
+            }
+            s.charAt(i + 1) match {
+              case 'n' => sb += '\n'; i += 2
+              case 't' => sb += '\t'; i += 2
+              case 'r' => sb += '\r'; i += 2
+              case 'a' => sb += '\u0007'; i += 2
+              case 'b' => sb += '\b'; i += 2
+              case 'f' => sb += '\f'; i += 2
+              case 'v' => sb += '\u000B'; i += 2
+              case '\\' => sb += '\\'; i += 2
+              case '\'' => sb += '\''; i += 2
+              case '"' => sb += '"'; i += 2
+              case d if d >= '0' && d <= '7' =>
+                var j = i + 1
+                var v = 0
+                while (j < n && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+                  v = v * 8 + (s.charAt(j) - '0'); j += 1
+                }
+                sb += v.toChar // Python caps \ooo at \777 = 511: always one char
+                i = j
+              case 'x' =>
+                sb += hexRun(i + 2, 2, "x").toChar; i += 4
+              case 'u' =>
+                sb += hexRun(i + 2, 4, "u").toChar; i += 6
+              case 'U' =>
+                val cp = hexRun(i + 2, 8, "U")
+                if (!Character.isValidCodePoint(cp))
+                  throw new IllegalArgumentException(s"\\U escape out of range in: $s")
+                sb ++= new String(Character.toChars(cp)); i += 10
+              case 'N' =>
+                // Python's \N{UNICODE NAME}: no JVM name table worth
+                // shipping — refusing loudly beats silent divergence
+                throw new IllegalArgumentException(
+                  s"named escape \\N{...} is not supported in: $s")
+              case other => sb += '\\'; sb += other; i += 2
+            }
           } else { sb += s.charAt(i); i += 1 }
         }
         if (i >= n) throw new IllegalArgumentException(s"unterminated string literal in: $s")

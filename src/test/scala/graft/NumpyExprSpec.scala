@@ -71,6 +71,31 @@ class NumpyExprSpec extends SparkSpec {
     assert(t.where("sep == 'a\\tb'").count() == 1)
   }
 
+  test("numeric escapes follow Python: \\xhh, octal runs, \\uXXXX, \\UXXXXXXXX") {
+    import spark.implicits._
+    def lit(expr: String): String = {
+      val toks = graft.expr.NumpyExpr.tokenize(expr)
+      toks.collectFirst { case graft.expr.NumpyExpr.TStr(v) => v }.get
+    }
+    assert(lit("'\\x41'") == "A")              // Python: '\x41' == 'A'
+    assert(lit("'\\101'") == "A")              // octal 0o101 == 65
+    assert(lit("'\\01'") == "\u0001")   // ONE char, never NUL + '1'
+    assert(lit("'\\0'") == "\u0000")    // single-digit octal still NUL
+    assert(lit("'\\7770'") == "\u01FF" + "0") // octal stops at 3 digits: \777 then '0'
+    assert(lit("'\\u00e9'") == "é")
+    assert(lit("'\\U0001F600'") == new String(Character.toChars(0x1F600)))
+    assert(lit("'\\a\\v\\b\\f'") == "\u0007\u000B\b\f")
+    assert(lit("'\\d'") == "\\d")              // unknown escape keeps the backslash
+    // truncated numeric escapes are Python SyntaxErrors — loud, not silent
+    assertThrows[IllegalArgumentException](lit("'\\x4'"))
+    assertThrows[IllegalArgumentException](lit("'\\u00e'"))
+    assertThrows[IllegalArgumentException](lit("'\\UFFFFFFFF'")) // out of code-point range
+    assertThrows[IllegalArgumentException](lit("'\\N{BULLET}'")) // refused, never diverged
+    // end-to-end through a predicate
+    val t = graft.core.EzFrame(Seq("A", "x41").toDF("s"))
+    assert(t.where("s == '\\x41'").count() == 1)
+  }
+
   test("ufuncs: log10, sqrt, abs, where, clip, arctan2, minimum") {
     assert(evalDoubles("log10(y)") == Seq(1.0, 2.0, 3.0, 4.0))
     assert(evalDoubles("abs(x)") == Seq(2.0, 3.0, 4.0, 0.5))
