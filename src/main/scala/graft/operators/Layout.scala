@@ -200,6 +200,31 @@ object Layout {
             lit("compactPartitioned: a row's partition value has no matching " +
               "partition directory (escaped or null partition values are not supported)")).isNull,
           pmod(monotonically_increasing_id(), col("__nfiles").cast("long"))))
+    // INVARIANT (SPARK-23207 class): the nondeterministic salt feeds a
+    // hash repartition, which is only retry-safe while everything
+    // BELOW the salt is a narrow, order-deterministic recompute — a
+    // parquet scan plus a broadcast join re-reads the same splits in
+    // the same order, so the salt reassigns identically on a map-task
+    // retry.  Any SHUFFLE under the salt would make retried partitions
+    // recompute in a different row order and silently lose/duplicate
+    // rows mid-rewrite.  Pin that executably: the pre-salt plan must
+    // contain no shuffle exchange (the broadcast exchange is fine —
+    // it is replicated, not row-partitioned).
+    // under AQE the executed plan is an AdaptiveSparkPlanExec wrapper
+    // whose collect() does not descend; initialPlan is the real tree
+    // AFTER EnsureRequirements inserted any exchanges
+    val physical = salted.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val preSaltShuffles = physical.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }
+    require(preSaltShuffles.isEmpty,
+      "compactPartitioned: the plan below the row-position salt acquired a shuffle " +
+        "exchange — a retried task would recompute rows in a different order and the " +
+        "salted rewrite could silently lose or duplicate rows (SPARK-23207); keep the " +
+        s"pre-salt plan shuffle-free: ${preSaltShuffles.map(_.nodeName).mkString(", ")}")
     // explicit exchange width = the total salt-slot budget: the
     // default spark.sql.shuffle.partitions would cap BOTH parallelism
     // and per-partition file counts (800k slots hashed into 200 tasks
