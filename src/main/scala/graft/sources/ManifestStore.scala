@@ -20,10 +20,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Layout:
   * {{{
   * <root>/data/v<version>-<label>-<uuid8>/part-*.parquet  immutable once committed
-  * <root>/data/batch<id>/part-*.parquet                   streaming micro-batches
+  * <root>/data/batch<id>/part-*.parquet            streaming micro-batches (unarmed run)
+  * <root>/data/batch<id>__<runTag>/part-*.parquet  micro-batches of an armed (runId) stream
   * <root>/_manifests/v%020d.json                   header lines + one line per data file
   * <root>/_manifests/_latest                       version pointer (hint; listing fallback)
-  * <root>/_manifests/_batches                      batchId -> version ledger (hint; header fallback)
+  * <root>/_manifests/_batches                      (run, batchId) -> version ledger (hint; header fallback)
   * }}}
   *
   * The commit protocol — classic write-ahead + atomic publish:
@@ -226,6 +227,32 @@ object ManifestStore {
   private val SchemaHeader = "#schema\t"
   private val BatchHeader = "#batch\t"
 
+  /** Path-safe directory tag for a run id: the id itself when it is
+    * already path-safe (UUIDs, the common case), else a stable hex
+    * digest.  "" (the unarmed single-writer namespace) keeps the
+    * legacy `batch<id>` dir shape. */
+  private[graft] def runTag(run: String): String =
+    if (run.isEmpty || run.matches("[A-Za-z0-9_-]{1,64}")) run
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(run.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    }
+
+  private def batchDirName(run: String, batchId: Long): String =
+    if (run.isEmpty) s"batch$batchId" else s"batch${batchId}__${runTag(run)}"
+
+  /** Parse a batch data-dir name back to (batchId, tag): `batch7` →
+    * (7, "") and `batch7__<tag>` → (7, tag); None for non-batch dirs. */
+  private def parseBatchDirName(name: String): Option[(Long, String)] = {
+    if (!name.startsWith("batch")) return None
+    val rest = name.stripPrefix("batch")
+    val digits = rest.takeWhile(_.isDigit)
+    if (digits.isEmpty) return None
+    val tail = rest.drop(digits.length)
+    val tag = if (tail.isEmpty) "" else if (tail.startsWith("__")) tail.drop(2) else return None
+    digits.toLongOption.map(_ -> tag)
+  }
+
   private def manifestLines(spark: SparkSession, root: String, version: Option[Long]): Seq[String] = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
@@ -238,11 +265,12 @@ object ManifestStore {
     finally in.close()
   }
 
-  /** The streaming batch id `version` committed, None for non-batch
-    * commits.  Reads ONLY the header lines (headers precede file
-    * lines by construction), so a replay probe over a version delta
-    * never pays a full manifest read. */
-  private def headerBatchOf(spark: SparkSession, root: String, v: Long): Option[Long] = {
+  /** The (run, batchId) `version` committed, None for non-batch
+    * commits; run "" for unarmed (pre-multi-run) headers.  Reads ONLY
+    * the header lines (headers precede file lines by construction),
+    * so a replay probe over a version delta never pays a full
+    * manifest read. */
+  private def headerBatchOf(spark: SparkSession, root: String, v: Long): Option[(String, Long)] = {
     val p = manifestPath(root, v)
     val f = fs(spark, root)
     if (!f.exists(p)) return None
@@ -253,8 +281,12 @@ object ManifestStore {
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty)
       .takeWhile(_.startsWith("#"))
-      .collectFirst { case l if l.startsWith(BatchHeader) => l.stripPrefix(BatchHeader).trim }
-      .flatMap(_.toLongOption)
+      .collectFirst { case l if l.startsWith(BatchHeader) => l.stripPrefix(BatchHeader) }
+      .flatMap { body =>
+        val parts = body.split('\t') // "<id>" or "<id>\t<run>"
+        parts.headOption.map(_.trim).flatMap(_.toLongOption)
+          .map(id => (if (parts.length > 1) parts(1) else "") -> id)
+      }
     finally in.close()
   }
 
@@ -388,38 +420,54 @@ object ManifestStore {
     *
     * Use as `stream.writeStream.foreachBatch { (df, id) =>
     * ManifestStore.commitStreamBatch(df.sparkSession, root, df, id); () }`.
-    * One streaming writer per root — the ledger is single-writer.
     *
-    * Pass `runId` (e.g. the streaming query's id) to arm the
-    * checkpoint-reset guard: a NEW run against an old root reuses
-    * batch ids from 0, and without the guard its batches would be
-    * silently classified as replays and DROPPED; with it the mismatch
-    * fails loudly (resume the original checkpoint or use a new root).
+    * Pass `runId` (the streaming query's `id` — stable across restarts
+    * of the SAME checkpoint, fresh for a new one) to give the stream
+    * its own batch-id NAMESPACE, the Delta `txnAppId` shape: several
+    * pipelines with distinct runIds may then ingest into one root
+    * concurrently, each exactly-once on (runId, batchId), their data
+    * dirs disambiguated as `data/batch<id>__<runTag>`.  A reset
+    * checkpoint mints a new query id and therefore a fresh namespace —
+    * its re-read of the source commits as genuinely new data
+    * (duplicates of the old run where the reads overlap, the inherent
+    * price of a reset) rather than being silently dropped as replays.
+    * Do NOT pass a hand-invented constant that survives a checkpoint
+    * reset: a reset under an unchanged runId restarts batch ids inside
+    * a namespace that already committed them, and those batches ARE
+    * dropped as replays (exactly-once is void across a reset by
+    * definition).  Unarmed callers (no runId) share the "" namespace —
+    * one unarmed streaming writer per root, the legacy contract.
+    * Ledger writes from concurrent armed streams are serialized
+    * through the same-process per-root lock; cross-PROCESS concurrent
+    * streams into one root remain subject to the local-fs/S3 publish
+    * caveats above.
     *
-    * @return the version holding this batch (new or already present) */
+    * @return the version holding this batch (new or already present);
+    *         for a replay below the run's ledger prune floor — known
+    *         committed, exact version aged out — the CURRENT version
+    *         (which contains the batch's rows) is returned */
   def commitStreamBatch(spark: SparkSession, root: String, df: DataFrame,
                         batchId: Long, runId: Option[String] = None): Long = {
+    val run = runId.getOrElse("")
+    require(!run.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "runId must not contain tab/newline (ledger wire format)")
     val f = fs(spark, root)
-    val dataDir = new Path(root, s"data/batch$batchId")
+    val dataDir = new Path(root, s"data/${batchDirName(run, batchId)}")
     val led = readLedger(f, root)
-    val (ledger, coveredThrough, ledgerFloor) = (led.entries, led.through, led.floor)
-    // checkpoint-reset guard (opt-in): a NEW stream run with a fresh
-    // checkpoint numbers batches from 0 again, and the ledger would
-    // classify every reused id as a replay — silently DROPPING the new
-    // run's rows, which is worse than the duplicates a reset already
-    // voids.  A caller that passes its query's runId gets a loud
-    // failure instead: resume the old checkpoint, or start a new root.
-    runId.foreach { r =>
-      led.run.foreach(prev => require(prev == r,
-        s"stream run '$r' does not match the run '$prev' that wrote $root — " +
-          "a reset checkpoint reuses batch ids and its batches would be dropped " +
-          "as replays; resume the original checkpoint or write to a fresh root"))
-    }
-    val runRec = runId.orElse(led.run)
-    ledger.get(batchId) match {
+    led.entries.get((run, batchId)) match {
       case Some(v) => return v // already committed — the replay is a no-op
       case None => ()
     }
+    // below the run's prune floor = KNOWN COMMITTED (the id was
+    // ledgered, then aged off the bounded tail; an in-flight id is
+    // always >= the newest ledgered id, never below the floor).  A
+    // crash-recovery replay from a very old checkpoint backup must be
+    // classified here — the exact version is gone with the pruned
+    // entry, but re-committing would duplicate every row of the
+    // batch.  The current version contains its rows; return that.
+    if (batchId < led.floorOf(run))
+      return currentVersion(spark, root).getOrElse(throw new IllegalStateException(
+        s"ledger floor exists but no version is committed under $root — corrupt root"))
     val cur = currentVersion(spark, root)
     // the ledger is a hint; manifest headers are truth.  Fold EVERY
     // batch id the uncovered delta contains, not just the one sought:
@@ -429,13 +477,12 @@ object ManifestStore {
     // sweep.  (The delta is normally empty or a few interleaved
     // non-batch commits; the one full walk is first adoption of a
     // root with a long pre-stream history.)
-    val fromV = math.max(coveredThrough + 1, 0L)
-    val deltaIds: Map[Long, Long] = cur.toSeq.flatMap(c => fromV to c)
+    val fromV = math.max(led.through + 1, 0L)
+    val deltaIds: Map[(String, Long), Long] = cur.toSeq.flatMap(c => fromV to c)
       .flatMap(v => headerBatchOf(spark, root, v).map(_ -> v)).toMap
-    deltaIds.get(batchId) match {
+    deltaIds.get((run, batchId)) match {
       case Some(v) =>
-        writeLedger(spark, root, ledger ++ deltaIds,
-          math.max(coveredThrough, cur.getOrElse(v)), ledgerFloor, runRec)
+        writeLedger(spark, root, deltaIds, math.max(led.through, cur.getOrElse(v)))
         return v
       case None => ()
     }
@@ -452,13 +499,13 @@ object ManifestStore {
     // exists), and it re-seeds the ledger so the next replay is one
     // read again.
     if (f.exists(dataDir)) {
-      val marker = s"/data/batch$batchId/"
+      val marker = s"/data/${batchDirName(run, batchId)}/"
       val referencedAt = listVersions(f, root).reverse
         .find(v => files(spark, root, Some(v)).exists(_.contains(marker)))
       referencedAt match {
         case Some(v) =>
-          writeLedger(spark, root, ledger ++ deltaIds + (batchId -> v),
-            math.max(coveredThrough, cur.getOrElse(v)), ledgerFloor, runRec)
+          writeLedger(spark, root, deltaIds + ((run, batchId) -> v),
+            math.max(led.through, cur.getOrElse(v)))
           return v
         case None =>
           // torn pre-publish write: clear and redo
@@ -468,42 +515,72 @@ object ManifestStore {
     cur.flatMap(v => schemaOf(spark, root, Some(v)))
       .foreach(stored => requireSameSchema(stored, df.schema, root))
     df.write.mode("errorifexists").parquet(dataDir.toString)
-    val next = cur.map(_ + 1).getOrElse(0L)
-    try publish(spark, root, next, df.schema,
-      cur.map(v => files(spark, root, Some(v))).getOrElse(Nil) ++ listParquet(spark, dataDir),
-      batchId = Some(batchId))
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        f.delete(dataDir, true)
-        throw e // the restarted query replays this batchId and recommits
+    val newFiles = listParquet(spark, dataDir)
+    // optimistic-retry publish: with several ARMED streams sharing the
+    // root, two micro-batches legitimately race for the same version
+    // number — the loser must NOT kill its stream (the commitAppend
+    // contract) but re-read the new current and publish on top.  The
+    // data files are already written and (run, batchId) is uniquely
+    // ours, so only the version race is retried; each loss means
+    // another committer progressed, so the loop terminates.  Bounded
+    // anyway: a pathological publisher should fail loudly, not spin.
+    var next = -1L
+    var attempts = 0
+    while (next < 0) {
+      attempts += 1
+      val c2 = if (attempts == 1) cur else currentVersion(spark, root)
+      if (attempts > 1) // another commit landed: re-gate the schema against it
+        c2.flatMap(v => schemaOf(spark, root, Some(v)))
+          .foreach(stored => requireSameSchema(stored, df.schema, root))
+      val candidate = c2.map(_ + 1).getOrElse(0L)
+      try {
+        publish(spark, root, candidate, df.schema,
+          c2.map(v => files(spark, root, Some(v))).getOrElse(Nil) ++ newFiles,
+          batch = Some((run, batchId)))
+        next = candidate
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempts >= 1000) { f.delete(dataDir, true); throw e }
+      }
     }
-    writeLedger(spark, root, ledger ++ deltaIds + (batchId -> next), next, ledgerFloor,
-      runRec)
+    writeLedger(spark, root, deltaIds + ((run, batchId) -> next), next)
     next
   }
 
-  // ledger format: "#through\t<version>" (headers scanned so far),
-  // then "<batchId>\t<version>" lines.  ~20 bytes/batch; rewritten
-  // whole per batch commit via the atomic hint write — and BOUNDED to
-  // the most recent MaxLedgerEntries batch ids so the per-commit
-  // rewrite stays constant-size over an unbounded stream (a year of
-  // minute-batches is ~525k batches; an unbounded ledger would make
-  // every commit rewrite megabytes).  Pruning is safe because
-  // Structured Streaming re-delivers only batches at/after the
-  // checkpoint — the crash window is ONE batch wide, and 10k retained
-  // ids give ~10k windows of margin; a replay of a batch older than
-  // the retained tail means the user reset the checkpoint, where
-  // exactly-once is void by definition.
+  // ledger format v2:
+  //   "#through\t<version>"            headers scanned so far
+  //   "#n\t<entryCount>"               torn-read guard (see below)
+  //   "#floor\t<floor>[\t<run>]"       one per run; no run field = ""
+  //   "<batchId>\t<version>[\t<run>]"  entry lines; no run field = ""
+  // ~20 bytes/batch; rewritten whole per batch commit via the atomic
+  // hint write — and BOUNDED to the most recent MaxLedgerEntries
+  // batch ids PER RUN so the per-commit rewrite stays constant-size
+  // over an unbounded stream (a year of minute-batches is ~525k
+  // batches; an unbounded ledger would make every commit rewrite
+  // megabytes).  Pruning is safe because Structured Streaming
+  // re-delivers only batches at/after the checkpoint — the crash
+  // window is ONE batch wide, and 10k retained ids give ~10k windows
+  // of margin; ids below a run's floor are KNOWN COMMITTED (they were
+  // ledgered, then aged out), so a below-floor replay is a no-op.
+  // The "#n" count makes a ledger truncated at a line boundary (the
+  // one torn shape that still parses) read as CORRUPT — a short read
+  // with a healthy '#through' would otherwise claim entries that were
+  // cut off, and if their manifests were already vacuumed the healing
+  // scan could not recover them.
   // var ONLY so the spec can exercise the pruning/floor arms without
   // paying 10k real commits; production never writes it
   private[graft] var MaxLedgerEntries = 10000
-  /** (entries, through, floor): `through` = highest version whose
-    * headers are folded in; `floor` = smallest batchId NOT pruned off
-    * the tail (ids below it were once ledgered and then aged out —
-    * vacuum may reclaim their unreferenced dirs). */
-  private final case class BatchLedger(entries: Map[Long, Long], through: Long,
-                                       floor: Long, run: Option[String])
-  private val EmptyLedger = BatchLedger(Map.empty, -1L, Long.MinValue, None)
+  /** (entries, through, floors): `entries` maps (run, batchId) →
+    * version (run "" = the unarmed namespace); `through` = highest
+    * version whose headers are folded in; `floors(run)` = smallest
+    * batchId of that run NOT pruned off the tail (ids below it were
+    * once ledgered and then aged out — known committed, and vacuum
+    * may reclaim their unreferenced dirs). */
+  private final case class BatchLedger(entries: Map[(String, Long), Long], through: Long,
+                                       floors: Map[String, Long]) {
+    def floorOf(run: String): Long = floors.getOrElse(run, Long.MinValue)
+  }
+  private val EmptyLedger = BatchLedger(Map.empty, -1L, Map.empty)
 
   private def readLedger(f0: FileSystem, root: String): BatchLedger = {
     val f = rawFs(f0)
@@ -516,47 +593,90 @@ object ManifestStore {
       val through = lines.collectFirst {
         case l if l.startsWith("#through\t") => l.stripPrefix("#through\t").toLong
       }.getOrElse(-1L)
-      val floor = lines.collectFirst {
-        case l if l.startsWith("#floor\t") => l.stripPrefix("#floor\t").toLong
-      }.getOrElse(Long.MinValue)
-      val run = lines.collectFirst {
+      // legacy (v1) ledgers carried one optional "#run" naming THE
+      // single writer; its bare "#floor" and 2-field entries belong to
+      // that run under the v2 model
+      val legacyRun = lines.collectFirst {
         case l if l.startsWith("#run\t") => l.stripPrefix("#run\t")
-      }.filter(_.nonEmpty)
-      val entries = lines.filterNot(_.startsWith("#")).map { l =>
-        val Array(b, v) = l.split('\t'); b.toLong -> v.toLong
+      }.filter(_.nonEmpty).getOrElse("")
+      val floors = lines.filter(_.startsWith("#floor\t")).map { l =>
+        val parts = l.stripPrefix("#floor\t").split('\t')
+        (if (parts.length > 1) parts(1) else legacyRun) -> parts(0).toLong
       }.toMap
-      BatchLedger(entries, through, floor, run)
+      val entryLines = lines.filterNot(_.startsWith("#"))
+      // torn-read guard: a count that disagrees with the surviving
+      // entry lines means a truncated rewrite — corrupt, fall back
+      lines.collectFirst {
+        case l if l.startsWith("#n\t") => l.stripPrefix("#n\t").toLong
+      }.foreach(n => require(n == entryLines.size.toLong))
+      val entries = entryLines.map { l =>
+        val parts = l.split('\t')
+        ((if (parts.length > 2) parts(2) else legacyRun) -> parts(0).toLong) -> parts(1).toLong
+      }.toMap
+      BatchLedger(entries, through, floors)
     } catch {
       case scala.util.control.NonFatal(_) => EmptyLedger
     } // corrupt hint: full header scan
   }
 
-  private def writeLedger(spark: SparkSession, root: String,
-                          entries: Map[Long, Long], through: Long,
-                          priorFloor: Long, run: Option[String]): Unit = {
-    val sorted = entries.toSeq.sortBy(_._1)
-    val kept = sorted.takeRight(MaxLedgerEntries)
-    // the floor is monotonic: once ids age off the tail, later writes
-    // must keep saying so even though the pruned ids are no longer in
-    // the map to count
-    val floor =
-      if (kept.size < sorted.size) math.max(priorFloor, kept.head._1) else priorFloor
-    val floorLine = if (floor == Long.MinValue) "" else s"#floor\t$floor\n"
-    val runLine = run.map(r => s"#run\t$r\n").getOrElse("")
-    // BEST-EFFORT: the ledger is a hint (manifest headers are truth —
-    // a lost write is healed by the next replay's header scan); it is
-    // written after a durable publish, so an IO failure here must not
-    // fail the batch and kill the stream.  (vacuum's fold, where the
-    // write IS load-bearing, verifies the result and aborts loudly.)
-    try writeHint(spark, root, ledgerPath(root),
-      s"#through\t$through\n" + floorLine + runLine +
-        kept.map { case (b, v) => s"$b\t$v" }.mkString("\n") + "\n")
-    catch { case scala.util.control.NonFatal(_) => () }
+  /** Merge `addEntries`/`through`/`addFloors` into the on-disk ledger
+    * and rewrite it, all under the per-root lock with a re-read inside
+    * — two unsynchronized writers (a live stream's per-batch write and
+    * vacuum's load-bearing fold) could otherwise interleave so the
+    * stream's stale pre-fold read rewrites the ledger WITHOUT the
+    * folded ids just as vacuum destroys the manifests that were their
+    * only other record.  Merging (never replacing) means a stale
+    * writer can only ADD what it knows, not drop what it missed.
+    * Same-process only, like every per-root lock here; cross-process
+    * ledger writers remain the documented single-streaming-writer-
+    * per-run contract.
+    *
+    * BEST-EFFORT at the IO layer: the ledger is a hint (manifest
+    * headers are truth — a lost write is healed by the next replay's
+    * header scan); it is written after a durable publish, so an IO
+    * failure must not fail the batch and kill the stream.  (vacuum's
+    * fold, where the write IS load-bearing, verifies the result after
+    * the call and aborts loudly.) */
+  private[graft] def writeLedger(spark: SparkSession, root: String,
+                                 addEntries: Map[(String, Long), Long], through: Long,
+                                 addFloors: Map[String, Long] = Map.empty): Unit = {
+    val f = fs(spark, root)
+    lockFor(f, root).synchronized {
+      val cur = readLedger(f, root)
+      val entries = cur.entries ++ addEntries
+      val thr = math.max(cur.through, through)
+      var floors = (cur.floors.keySet ++ addFloors.keySet).map { r =>
+        r -> math.max(cur.floorOf(r), addFloors.getOrElse(r, Long.MinValue))
+      }.toMap
+      // prune per run; the floor is monotonic: once ids age off the
+      // tail, later writes must keep saying so even though the pruned
+      // ids are no longer in the map to count
+      val kept = entries.groupBy(_._1._1).flatMap { case (run, m) =>
+        val sorted = m.toSeq.sortBy(_._1._2)
+        val keptRun = sorted.takeRight(MaxLedgerEntries)
+        if (keptRun.size < sorted.size)
+          floors += run -> math.max(floors.getOrElse(run, Long.MinValue), keptRun.head._1._2)
+        keptRun
+      }.toSeq.sortBy(e => (e._1._1, e._1._2))
+      val floorLines = floors.toSeq.sorted.map { case (run, fl) =>
+        if (run.isEmpty) s"#floor\t$fl\n" else s"#floor\t$fl\t$run\n"
+      }.mkString
+      val body = s"#through\t$thr\n" + s"#n\t${kept.size}\n" + floorLines +
+        kept.map { case ((run, b), v) =>
+          if (run.isEmpty) s"$b\t$v" else s"$b\t$v\t$run"
+        }.mkString("\n") + "\n"
+      try writeHint(spark, root, ledgerPath(root), body)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
-  /** Batch-id → version ledger entries (spec/observability surface). */
-  private[graft] def batchLedger(spark: SparkSession, root: String): Map[Long, Long] =
-    readLedger(fs(spark, root), root).entries
+  /** Batch-id → version ledger entries of one run namespace
+    * (spec/observability surface); run "" = unarmed. */
+  private[graft] def batchLedger(spark: SparkSession, root: String,
+                                 run: String = ""): Map[Long, Long] =
+    readLedger(fs(spark, root), root).entries.collect {
+      case ((r, b), v) if r == run => b -> v
+    }
 
   /** Delete data files referenced by NO manifest among the newest
     * `keepVersions`, then drop the older manifests, then sweep
@@ -587,16 +707,22 @@ object ManifestStore {
     // lost ledger, the ledger heals dropped headers.
     val led0 = readLedger(f, root)
     val folded = dropVs.flatMap(v => headerBatchOf(spark, root, v).map(_ -> v)).toMap
-    if (folded.exists { case (b, _) => !led0.entries.contains(b) }) {
-      writeLedger(spark, root, folded ++ led0.entries, led0.through, led0.floor, led0.run)
+    if (folded.exists { case (rb, _) => !led0.entries.contains(rb) }) {
+      writeLedger(spark, root, folded, led0.through)
       // the fold is LOAD-BEARING here, not a hint: the manifests about
       // to be dropped are the only other record of these batch ids, so
       // a swallowed hint-write failure would silently destroy the
       // replay truth.  Verify the ids landed (or were legitimately
       // pruned below the new floor) and abort the vacuum BEFORE any
       // manifest is deleted otherwise — the caller retries later.
+      // (writeLedger itself re-reads and MERGES under the per-root
+      // lock, so a live stream's concurrent per-batch write can no
+      // longer rewrite the ledger without these ids — it can only add
+      // its own.)
       val after = readLedger(f, root)
-      val lost = folded.keySet.filterNot(b => after.entries.contains(b) || b < after.floor)
+      val lost = folded.keySet.filterNot { case (run, b) =>
+        after.entries.contains((run, b)) || b < after.floorOf(run)
+      }
       require(lost.isEmpty,
         s"vacuum aborted: could not fold batch ids $lost of the to-be-dropped manifests " +
           s"into the ledger under $root — retry when the ledger is writable")
@@ -614,20 +740,24 @@ object ManifestStore {
     // stream's in-flight write and is never touched.
     val dataRoot = new Path(root, "data")
     val ledAfter = readLedger(f, root)
-    val (ledgered, ledgerFloor) = (ledAfter.entries.keySet, ledAfter.floor)
+    // dir tags → run names the ledger knows (entries + floors); a tag
+    // resolving to NO known run may be a brand-new live stream's
+    // in-flight write and is never touched
+    val knownRuns = ledAfter.entries.keySet.map(_._1) ++ ledAfter.floors.keySet
+    val runByTag: Map[String, String] = knownRuns.map(r => runTag(r) -> r).toMap
     val oldestKept = keep.head
     val orphanDirs =
       if (!f.exists(dataRoot)) Nil
       else f.listStatus(dataRoot).toSeq.filter(_.isDirectory).map(_.getPath).filter { d =>
         val referenced = keepFiles.exists(_.startsWith(d.toString + "/"))
         val name = d.getName
-        !referenced && (name match {
-          case s if s.startsWith("batch") =>
-            s.stripPrefix("batch").toLongOption
-              .exists(id => ledgered.contains(id) || id < ledgerFloor)
-          case s if s.startsWith("v") =>
-            s.stripPrefix("v").takeWhile(_.isDigit).toLongOption.exists(_ < oldestKept)
-          case _ => false
+        !referenced && (parseBatchDirName(name) match {
+          case Some((id, tag)) =>
+            runByTag.get(tag).exists(run =>
+              ledAfter.entries.contains((run, id)) || id < ledAfter.floorOf(run))
+          case None if name.startsWith("v") =>
+            name.stripPrefix("v").takeWhile(_.isDigit).toLongOption.exists(_ < oldestKept)
+          case None => false
         })
       }
     orphanDirs.foreach(d => f.delete(d, true))
@@ -656,14 +786,16 @@ object ManifestStore {
 
   private[graft] def publish(spark: SparkSession, root: String, version: Long,
                              schema: StructType, fileList: Seq[String],
-                             batchId: Option[Long] = None): Unit = {
+                             batch: Option[(String, Long)] = None): Unit = {
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root),
       s".tmp-$version-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, false)
     val headers = SchemaHeader + schema.json + "\n" +
-      batchId.map(b => BatchHeader + b + "\n").getOrElse("")
+      batch.map { case (run, b) =>
+        BatchHeader + b + (if (run.isEmpty) "" else "\t" + run) + "\n"
+      }.getOrElse("")
     try out.write((headers + fileList.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val target = manifestPath(root, version)

@@ -316,19 +316,161 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
-  test("checkpoint-reset run guard: a different runId fails loudly instead of dropping batches") {
+  test("distinct runIds own disjoint batch-id namespaces (multi-pipeline ingest, Delta txnAppId shape)") {
     withRoot { root =>
       ManifestStore.commitStreamBatch(spark, root, Seq(1L).toDF("x"), 0L, Some("runA"))
       // same run: replays stay no-ops, new batches flow
       assert(ManifestStore.commitStreamBatch(spark, root, Seq(1L).toDF("x"), 0L, Some("runA")) == 0L)
       ManifestStore.commitStreamBatch(spark, root, Seq(2L).toDF("x"), 1L, Some("runA"))
-      // a NEW run reusing id 0 would have been silently dropped as a
-      // replay — armed, it is loud
-      val e = intercept[IllegalArgumentException](
-        ManifestStore.commitStreamBatch(spark, root, Seq(9L).toDF("x"), 0L, Some("runB")))
-      assert(e.getMessage.contains("runB") && e.getMessage.contains("runA"))
-      // unarmed callers keep the documented replay semantics
-      assert(ManifestStore.commitStreamBatch(spark, root, Seq(9L).toDF("x"), 0L) == 0L)
+      // a SECOND pipeline reusing id 0 is its own namespace: the batch
+      // COMMITS (the pre-multi-run store dropped it as a replay of
+      // runA's 0 — silent data loss for the second pipeline)
+      val vB = ManifestStore.commitStreamBatch(spark, root, Seq(9L).toDF("x"), 0L, Some("runB"))
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 9L))
+      // ...and runB's OWN replay of id 0 is a no-op
+      assert(ManifestStore.commitStreamBatch(spark, root, Seq(-1L).toDF("x"), 0L, Some("runB")) == vB)
+      // the unarmed "" namespace is separate from both
+      ManifestStore.commitStreamBatch(spark, root, Seq(7L).toDF("x"), 0L)
+      assert(ManifestStore.commitStreamBatch(spark, root, Seq(-1L).toDF("x"), 0L) ==
+        ManifestStore.currentVersion(spark, root).get)
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 7L, 9L))
+      // the ledger holds all three namespaces independently
+      assert(ManifestStore.batchLedger(spark, root, "runA").keySet == Set(0L, 1L))
+      assert(ManifestStore.batchLedger(spark, root, "runB").keySet == Set(0L))
+      assert(ManifestStore.batchLedger(spark, root).keySet == Set(0L))
+      // replay classification survives the ledger hint being lost:
+      // the manifest '#batch' headers carry the run name too
+      new java.io.File(s"$root/_manifests/_batches").delete()
+      assert(ManifestStore.commitStreamBatch(spark, root, Seq(-1L).toDF("x"), 1L, Some("runA")) > 0L)
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 7L, 9L))
+      // a runId that is not path-safe still gets a stable data-dir tag
+      ManifestStore.commitStreamBatch(spark, root, Seq(11L).toDF("x"), 0L, Some("run C/é"))
+      assert(ManifestStore.commitStreamBatch(spark, root, Seq(-1L).toDF("x"), 0L, Some("run C/é")) ==
+        ManifestStore.batchLedger(spark, root, "run C/é")(0L))
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 7L, 9L, 11L))
+    }
+  }
+
+  test("two concurrent armed streams into one root: every (run, batch) lands exactly once") {
+    withRoot { root =>
+      // the multi-pipeline ingest shape: two live streams interleave
+      // micro-batches against one root.  Values encode (run, batch) so
+      // the final multiset proves exactly-once per namespace: run A
+      // commits batch b as 1000+b, run B as 2000+b, ids overlapping.
+      val perRun = 8
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(("A", 1000L), ("B", 2000L)).map { case (run, base) =>
+        new Thread(() => {
+          try {
+            for (b <- 0 until perRun) {
+              ManifestStore.commitStreamBatch(spark, root,
+                Seq(base + b).toDF("x"), b.toLong, Some(s"run$run"))
+              // interleaved replays of an earlier batch: must stay no-ops
+              if (b > 0)
+                ManifestStore.commitStreamBatch(spark, root,
+                  Seq(-1L).toDF("x"), (b - 1).toLong, Some(s"run$run"))
+            }
+          } catch { case t: Throwable => errors.add(t); () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errors.isEmpty, s"no stream may die on the version race: ${errors.toArray.toSeq}")
+      val want = ((0 until perRun).map(1000L + _) ++ (0 until perRun).map(2000L + _)).sorted
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == want,
+        "both streams' batches must land exactly once each")
+      assert(ManifestStore.batchLedger(spark, root, "runA").keySet == (0L until perRun.toLong).toSet)
+      assert(ManifestStore.batchLedger(spark, root, "runB").keySet == (0L until perRun.toLong).toSet)
+      // crash-recovery replays across BOTH runs after the race: no-ops
+      for (b <- 0 until perRun; run <- Seq("runA", "runB"))
+        ManifestStore.commitStreamBatch(spark, root, Seq(-1L).toDF("x"), b.toLong, Some(run))
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == want)
+      // ...and maintenance across both namespaces keeps the multiset
+      ManifestStore.compact(spark, root, 1L << 20)
+      ManifestStore.vacuum(spark, root, keepVersions = 1)
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == want)
+      for (b <- 0 until perRun; run <- Seq("runA", "runB"))
+        ManifestStore.commitStreamBatch(spark, root, Seq(-1L).toDF("x"), b.toLong, Some(run))
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == want)
+    }
+  }
+
+  test("below-floor replay is a known-committed no-op, never a torn-write redo or duplicate append") {
+    val saved = ManifestStore.MaxLedgerEntries
+    ManifestStore.MaxLedgerEntries = 3
+    try withRoot { root =>
+      (0L until 8L).foreach(b =>
+        ManifestStore.commitStreamBatch(spark, root, Seq(b).toDF("x"), b))
+      val want = (0L until 8L).toSeq
+      // ids 0..4 are pruned off the bounded tail (floor = 5); their
+      // manifests are still present, so first pin the PURE floor arm:
+      assert(ManifestStore.batchLedger(spark, root).keySet == Set(5L, 6L, 7L))
+      val vBefore = ManifestStore.currentVersion(spark, root).get
+      // a crash-recovery replay from a restored old checkpoint backup —
+      // batchId BELOW the prune floor.  The id was once ledgered and
+      // committed; re-committing would duplicate every row.
+      val v0 = ManifestStore.commitStreamBatch(spark, root, Seq(0L).toDF("x"), 0L)
+      assert(v0 == vBefore, "below-floor replay must return the current version, not commit")
+      assert(ManifestStore.currentVersion(spark, root).contains(vBefore))
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == want)
+      // its data dir must NOT have been torn-write-deleted either
+      assert(new java.io.File(s"$root/data/batch0").exists(),
+        "a known-committed batch dir must never be cleared as a torn write")
+      // now the harsher shape: compact + vacuum destroy the batch dirs
+      // AND the old manifests — only the floor can classify the replay
+      ManifestStore.compact(spark, root, 1L << 20)
+      ManifestStore.vacuum(spark, root, keepVersions = 1)
+      assert(!new java.io.File(s"$root/data/batch1").exists(),
+        "precondition: vacuum reclaimed the below-floor batch dir")
+      val v1 = ManifestStore.commitStreamBatch(spark, root, Seq(1L).toDF("x"), 1L)
+      assert(v1 == ManifestStore.currentVersion(spark, root).get)
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == want,
+        "below-floor replay after vacuum must not duplicate the batch")
+      // the floor arm is per-namespace: an ARMED run with untouched ids
+      // is unaffected by the unarmed floor
+      ManifestStore.commitStreamBatch(spark, root, Seq(100L).toDF("x"), 0L, Some("runZ"))
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == (want :+ 100L))
+    } finally ManifestStore.MaxLedgerEntries = saved
+  }
+
+  test("ledger writes MERGE under the per-root lock: a stale writer cannot drop folded ids") {
+    withRoot { root =>
+      // the vacuum-fold vs live-stream race, made deterministic: the
+      // fold lands (run "", id 5) -> v3; a per-batch writer holding a
+      // PRE-fold read then writes only its own entry.  A replacing
+      // write would destroy the folded id just as vacuum deletes the
+      // manifests that were its only other record; the merge keeps it.
+      ManifestStore.commitAppend(spark, root, Seq(1L).toDF("x"), "seed")
+      ManifestStore.writeLedger(spark, root, Map(("" , 5L) -> 3L), 3L)
+      assert(ManifestStore.batchLedger(spark, root) == Map(5L -> 3L))
+      ManifestStore.writeLedger(spark, root, Map(("runA", 0L) -> 4L), 4L)
+      assert(ManifestStore.batchLedger(spark, root) == Map(5L -> 3L),
+        "a write that did not know the folded id must not drop it")
+      assert(ManifestStore.batchLedger(spark, root, "runA") == Map(0L -> 4L))
+    }
+  }
+
+  test("a ledger truncated at a line boundary reads as corrupt, not valid-but-short") {
+    withRoot { root =>
+      ManifestStore.commitStreamBatch(spark, root, Seq(1L).toDF("x"), 0L)
+      ManifestStore.commitStreamBatch(spark, root, Seq(2L).toDF("x"), 1L)
+      assert(ManifestStore.batchLedger(spark, root).keySet == Set(0L, 1L))
+      // simulate the non-atomic overwrite torn read: drop the LAST
+      // entry line but keep every header intact — the one torn shape
+      // that still parses cleanly line-by-line
+      val p = s"$root/_manifests/_batches"
+      val lines = scala.io.Source.fromFile(p).getLines().toList
+      val torn = lines.filterNot(_.startsWith("#")).dropRight(1)
+      val out = new java.io.PrintWriter(p)
+      lines.filter(_.startsWith("#")).foreach(out.println); torn.foreach(out.println)
+      out.close()
+      // the '#n' count disagrees -> the whole hint is treated as
+      // corrupt -> replay classification falls back to the manifest
+      // headers (truth) instead of trusting the short entry list
+      assert(ManifestStore.batchLedger(spark, root).isEmpty,
+        "a count-mismatched ledger must read as corrupt (empty), never as a subset")
+      assert(ManifestStore.commitStreamBatch(spark, root, Seq(2L).toDF("x"), 1L) == 1L,
+        "replay must still be recognized through the header fallback")
       assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
     }
   }
