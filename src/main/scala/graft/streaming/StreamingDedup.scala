@@ -22,10 +22,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * representative itself.
   *
   * Scale posture: state is per band-bucket, bounded by
-  * `maxPerBucket` representatives (FIFO eviction beyond — documented
-  * recall loss on pathological buckets); pass `stateTtl` to ALSO drop
-  * idle buckets via processing-time timeout.  The shuffle key is the
-  * band hash — uniformly distributed; no bucket ever sees the corpus.
+  * `maxPerBucket` representatives (FIFO eviction beyond); pass
+  * `stateTtl` to ALSO drop idle buckets via processing-time timeout.
+  * The shuffle key is the band hash — uniformly distributed; no
+  * bucket ever sees the corpus.
+  *
+  * Recall under eviction (measured — StreamingDedupSpec's flooded-
+  * bucket drive, values pinned): `maxPerBucket` is a RECALL bound
+  * sized to the per-bucket distinct-duplicate-family pressure, not a
+  * shrink-to-fit memory knob.  With cap ≥ families-per-bucket, recall
+  * is exactly 1.0; below it, random-arrival recall decays roughly as
+  * cap/families (measured 0.50 at cap = half the pressure, 0.02 at
+  * cap 1/32nd), and an adversarial interleave (every family's members
+  * separated by a full stride of foreign docs) loses EVERYTHING below
+  * the pressure — FIFO re-seeds each member and evicts it before its
+  * next sibling arrives.  The default (64) flags exactly the
+  * unbounded twin's documents on the sf0.1 corpus; a hot production
+  * bucket (e.g. a template family) wants the cap raised or the
+  * upstream exact-hash dedup run first.
   * Semantics are at-least-once per pair (a pair colliding in several
   * bands emits per band); sink-side `dropDuplicates(doc_id, dup_of)`
   * tightens it.
@@ -148,10 +162,13 @@ object StreamingDedup {
 
   /** The stateful leader-clustering core over pre-banded rows —
     * signature-agnostic (xxhash64 and portable variants share it, so
-    * stream decisions agree with their batch twins by construction). */
-  private def nearDupHitsCore(banded: Dataset[(Long, Array[Long], Long)], k: Int,
-                              threshold: Double, maxPerBucket: Int,
-                              stateTtl: Option[String]): Dataset[NearDupHit] = {
+    * stream decisions agree with their batch twins by construction).
+    * private[graft]: the recall-under-eviction spec drives it with
+    * synthetic signatures/band keys to control bucket populations
+    * exactly. */
+  private[graft] def nearDupHitsCore(banded: Dataset[(Long, Array[Long], Long)], k: Int,
+                                     threshold: Double, maxPerBucket: Int,
+                                     stateTtl: Option[String]): Dataset[NearDupHit] = {
     val spark = banded.sparkSession
     import spark.implicits._
     // maxPerBucket <= 0 means UNBOUNDED — the batch capBuckets

@@ -111,6 +111,78 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("recall under FIFO eviction: measured on a flooded bucket, monotone in the cap") {
+    // the production default (maxPerBucket = 64) has a recall story
+    // only if we can measure what eviction costs when a hot bucket
+    // floods.  Synthetic drive of the shared kernel: G families of
+    // IDENTICAL signatures (pairwise-disjoint across families, so a
+    // doc is flagged iff a family sibling is a live representative —
+    // no transitive chains), ALL colliding in one band bucket.  The
+    // kernel walks a bucket in doc_id order, so ids ARE arrival order.
+    val G = 32 // families flooding one bucket
+    val m = 4  // members per family
+    val k = 8
+    def famSig(f: Int): Array[Long] = Array.tabulate(k)(lane => f.toLong * 1000 + lane)
+    def flagged(rows: Seq[(Long, Array[Long], Long)], cap: Int): Set[Long] =
+      StreamingDedup.nearDupHitsCore(rows.toDS(), k, threshold = 0.7,
+        maxPerBucket = cap, stateTtl = None).collect().map(_.doc_id).toSet
+    def recallCurve(rows: Seq[(Long, Array[Long], Long)], caps: Seq[Int]): Seq[(Int, Double)] = {
+      val unbounded = flagged(rows, 0)
+      assert(unbounded.size == G * (m - 1),
+        "unbounded: every non-leader family member must be flagged")
+      val curve = caps.map { cap =>
+        val got = flagged(rows, cap)
+        assert(got.subsetOf(unbounded),
+          s"cap=$cap: identical-signature families admit no false flags vs unbounded")
+        cap -> got.size.toDouble / unbounded.size
+      }
+      assert(curve.map(_._2) == curve.map(_._2).sorted.reverse,
+        s"recall must be monotone in the cap: $curve")
+      curve
+    }
+    // ADVERSARIAL arrival — families interleaved member-major, so
+    // every family's rep sees G-1 foreign arrivals between its
+    // members: FIFO evicts it whenever cap < G.  The cliff is sharp
+    // and total: cap >= G keeps recall 1.0, cap < G loses EVERYTHING
+    // (each member re-seeds and is itself evicted before its next
+    // sibling).  This is why maxPerBucket is documented as a recall
+    // bound sized to per-bucket family pressure, not a shrink-to-fit
+    // tuning knob.
+    val interleaved = for (member <- 0 until m; f <- 0 until G)
+      yield (member.toLong * G + f, famSig(f), 0L)
+    assert(recallCurve(interleaved, Seq(64, 32, 16, 4)) ==
+      Seq(64 -> 1.0, 32 -> 1.0, 16 -> 0.0, 4 -> 0.0))
+    // RANDOM arrival (seeded): the realistic flood.  Recall decays
+    // smoothly as the cap shrinks below the family pressure; exact
+    // values pinned (deterministic kernel + seed).
+    val perm = new scala.util.Random(7).shuffle((0 until G * m).toList)
+    val random = for (member <- 0 until m; f <- 0 until G)
+      yield (perm(member * G + f).toLong, famSig(f), 0L)
+    val curve = recallCurve(random, Seq(64, 16, 8, 4, 1))
+    info(s"measured random-arrival recalls on the flooded bucket: $curve")
+    // pinned measurements (96 flaggable docs): cap at the family
+    // pressure keeps recall 1.0; halving it costs half; the decay
+    // below is roughly cap/G — the sizing rule the scaladoc and
+    // BASELINE.md document
+    assert(curve.map { case (c, r) => c -> math.round(r * 96).toInt } ==
+      Seq(64 -> 96, 16 -> 48, 8 -> 19, 4 -> 11, 1 -> 2))
+  }
+
+  test("production cap 64 loses nothing on the sf0.1 corpus (recall 1.0 vs unbounded twin)") {
+    // the real-corpus arm of the eviction story: bucket populations on
+    // the sf0.1 documents table never cross the production default, so
+    // the capped stream flags EXACTLY the docs the unbounded twin does
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    def flaggedDocs(cap: Int): Set[Long] =
+      StreamingDedup.nearDupHits(docs, "doc_id", "text", maxPerBucket = cap)
+        .collect().map(_.doc_id).toSet
+    val unbounded = flaggedDocs(0)
+    assert(unbounded.nonEmpty, "the sf0.1 corpus ships with near-duplicates")
+    assert(flaggedDocs(64) == unbounded,
+      "cap 64 must flag exactly the unbounded twin's docs on sf0.1")
+  }
+
   test("sf0.1 corpus over 3 micro-batches: state rows stay inside the representative bound") {
     // the 100 TB posture of streaming dedup rests on the state store
     // holding band-bucket representative lists, NOT the corpus: flagged
