@@ -442,6 +442,13 @@ object ManifestStore {
     * streams into one root remain subject to the local-fs/S3 publish
     * caveats above.
     *
+    * Arming a root whose batches were previously committed UNARMED
+    * (or by the pre-namespace release, whose manifest headers carry no
+    * run): run [[adoptUnarmedHistory]] first.  That history is
+    * attributed to the "" namespace by headers and ledger alike, so an
+    * armed replay of one of its ids misses every classification arm
+    * and re-commits the batch — duplicate rows.
+    *
     * @return the version holding this batch (new or already present);
     *         for a replay below the run's ledger prune floor — known
     *         committed, exact version aged out — the CURRENT version
@@ -677,6 +684,62 @@ object ManifestStore {
     readLedger(fs(spark, root), root).entries.collect {
       case ((r, b), v) if r == run => b -> v
     }
+
+  /** Re-attribute the UNARMED namespace's committed batch history to
+    * an armed run — the explicit upgrade/recovery tool for a root
+    * whose batches were committed before run namespaces existed (or
+    * by an unarmed `foreachBatch` that is now being armed).  Such
+    * history is attributed to run "" by both the ledger and the
+    * manifest `#batch` headers, so an ARMED replay of one of its
+    * batch ids misses every classification arm and would RE-COMMIT
+    * the batch — duplicate rows.  Auto-classification is impossible:
+    * a header run of "" is indistinguishable from a legitimate
+    * concurrent unarmed pipeline's commit (mixing unarmed and armed
+    * writers on one root is supported), so the attribution decision
+    * must be the operator's.  Call this ONCE, before resuming the
+    * stream armed, and only when the root's unarmed batch history IS
+    * this stream's pre-arming history (no coexisting genuinely-unarmed
+    * pipeline — its batches would be claimed as `runId`'s and their
+    * armed-namespace replays dropped).
+    *
+    * Folds the union of the current ledger's unarmed entries and every
+    * surviving manifest's unarmed `#batch` header into the ledger
+    * under `runId` (the "" records stay — the unarmed namespace's own
+    * replay classification is untouched), carries the unarmed prune
+    * floor over to the run, and verifies the write landed (load-
+    * bearing, like vacuum's fold — not a best-effort hint).  Ids that
+    * aged below a LOST ledger's floor and whose manifests were already
+    * vacuumed are unrecoverable here: that is a double loss, outside
+    * the single-loss healing contract.
+    *
+    * @return the number of batch ids attributed to `runId` */
+  def adoptUnarmedHistory(spark: SparkSession, root: String, runId: String): Int = {
+    require(runId.nonEmpty, "adoptUnarmedHistory attributes history TO an armed run — " +
+      "pass the stream's runId")
+    require(!runId.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "runId must not contain tab/newline (ledger wire format)")
+    val f = fs(spark, root)
+    val led = readLedger(f, root)
+    // headers are truth; the ledger may hold ids whose manifests were
+    // already vacuumed (its entries outlive the fold) — union both
+    val headerIds: Map[(String, Long), Long] = listVersions(f, root)
+      .flatMap(v => headerBatchOf(spark, root, v).map(_ -> v)).toMap
+    val unarmed = (headerIds ++ led.entries).collect { case (("", b), v) => b -> v }
+    val adopted: Map[(String, Long), Long] = unarmed.map { case (b, v) => (runId, b) -> v }
+    val thr = math.max(led.through, currentVersion(spark, root).getOrElse(-1L))
+    val unarmedFloor = led.floorOf("")
+    writeLedger(spark, root, adopted ++ headerIds, thr,
+      addFloors = if (unarmedFloor == Long.MinValue) Map.empty
+                  else Map(runId -> unarmedFloor))
+    val after = readLedger(f, root)
+    val lost = adopted.keySet.filterNot { case (r, b) =>
+      after.entries.contains((r, b)) || b < after.floorOf(r)
+    }
+    require(lost.isEmpty,
+      s"adoptUnarmedHistory: could not persist adopted batch ids $lost under $root — " +
+        "retry when the ledger is writable")
+    adopted.size
+  }
 
   /** Delete data files referenced by NO manifest among the newest
     * `keepVersions`, then drop the older manifests, then sweep

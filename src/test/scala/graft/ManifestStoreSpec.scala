@@ -597,4 +597,64 @@ class ManifestStoreSpec extends SparkSpec {
       assert(ManifestStore.read(spark, root).as[Long].collect().toSeq == Seq(1L))
     }
   }
+
+  test("arming a root with unarmed history: adoptUnarmedHistory prevents the replay duplicate") {
+    // Unarmed history (pre-namespace releases, or an unarmed
+    // foreachBatch being upgraded) is attributed to run "" by headers
+    // and ledger alike.  First the CONTROL: an armed replay of such an
+    // id misses every classification arm and re-commits — this is the
+    // documented hazard adoptUnarmedHistory exists for, pinned here so
+    // a future change that silently alters the classification shows up.
+    withRoot { root =>
+      ManifestStore.commitStreamBatch(spark, root, Seq(1L).toDF("x"), 0L)
+      ManifestStore.commitStreamBatch(spark, root, Seq(2L).toDF("x"), 1L)
+      // ledger lost (it is a hint); only the run-less headers survive
+      new java.io.File(s"$root/_manifests/_batches").delete()
+      ManifestStore.commitStreamBatch(spark, root, Seq(2L).toDF("x"), 1L, Some("runX"))
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 2L),
+        "control: an armed replay of unadopted unarmed history re-commits (the hazard)")
+    }
+    // the HEAL: adopt first, then the armed replay is a no-op and new
+    // armed batches flow
+    withRoot { root =>
+      ManifestStore.commitStreamBatch(spark, root, Seq(1L).toDF("x"), 0L)
+      ManifestStore.commitStreamBatch(spark, root, Seq(2L).toDF("x"), 1L)
+      new java.io.File(s"$root/_manifests/_batches").delete()
+      assert(ManifestStore.adoptUnarmedHistory(spark, root, "runX") == 2)
+      val v = ManifestStore.commitStreamBatch(spark, root, Seq(-1L).toDF("x"), 1L, Some("runX"))
+      assert(v == ManifestStore.batchLedger(spark, root, "runX")(1L))
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+        "adopted history classifies armed replays as no-ops")
+      // the unarmed namespace's own records are untouched by adoption
+      assert(ManifestStore.batchLedger(spark, root).keySet == Set(0L, 1L))
+      // new armed batches land normally after adoption
+      ManifestStore.commitStreamBatch(spark, root, Seq(3L).toDF("x"), 2L, Some("runX"))
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+      // idempotent: re-adoption (e.g. a retried upgrade script) adds
+      // nothing new and changes no classification
+      assert(ManifestStore.adoptUnarmedHistory(spark, root, "runX") == 2)
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+    }
+    // adoption carries the unarmed prune floor: ids below it classify
+    // as known-committed in the adopted namespace too
+    val saved = ManifestStore.MaxLedgerEntries
+    ManifestStore.MaxLedgerEntries = 2
+    try withRoot { root =>
+      (0L until 5L).foreach(b =>
+        ManifestStore.commitStreamBatch(spark, root, Seq(b).toDF("x"), b))
+      // unarmed floor = 3 (ids 0..2 aged off the bounded tail)
+      ManifestStore.compact(spark, root, 1L << 20)
+      ManifestStore.vacuum(spark, root, keepVersions = 1)
+      assert(ManifestStore.adoptUnarmedHistory(spark, root, "runY") >= 1)
+      val want = (0L until 5L).toSeq
+      val vCur = ManifestStore.currentVersion(spark, root).get
+      assert(ManifestStore.commitStreamBatch(spark, root, Seq(0L).toDF("x"), 0L,
+        Some("runY")) == vCur,
+        "a below-floor id must classify as known-committed in the adopted namespace")
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == want)
+    } finally ManifestStore.MaxLedgerEntries = saved
+  }
 }
