@@ -316,15 +316,45 @@ object NumpyExpr {
       case "//" =>
         if (numJoin(l.ty, r.ty) == TyInt)
           Typed(intFloorDiv(l.col.cast(LongType), r.col.cast(LongType)), TyInt)
-        else Typed(floorD(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType))), TyFloat)
+        else {
+          val (a, b) = (l.col.cast(DoubleType), r.col.cast(DoubleType))
+          val inf = lit(Double.PositiveInfinity)
+          // Python divmod conventions plain floor(a/b) misses (each
+          // measured against numpy's array path):
+          //  - INFINITE dividend over a finite NONZERO divisor is NaN
+          //    (divmod is undefined there; plain a/b said ±inf) — but
+          //    over a ZERO divisor numpy returns ±inf (the divide),
+          //    so b == 0 stays on the floor(a/b) lane;
+          //  - INFINITE divisor with a finite dividend of the opposite
+          //    sign: the quotient is -1 (a = q·b + r with r = b),
+          //    where floor(a/b) says floor(∓0) = 0.
+          val d = when(abs(a) === inf && !isnan(b) && b =!= 0.0 && abs(b) =!= inf,
+              lit(Double.NaN))
+            .when(abs(b) === inf && !isnan(a) && abs(a) =!= inf &&
+              a =!= 0.0 && (a > 0.0) =!= (b > 0.0), lit(-1.0))
+            .otherwise(floorD(ieeeDiv(a, b)))
+          Typed(d, TyFloat)
+        }
       case "%"  => // numpy mod: floored (sign follows divisor)
         if (numJoin(l.ty, r.ty) == TyInt)
           Typed(intFloorMod(l.col.cast(LongType), r.col.cast(LongType)), TyInt)
         else {
-          val m = l.col - r.col * floorD(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)))
+          // numpy's own construction — C fmod, then move a nonzero
+          // remainder to the divisor's sign — NOT l - r·floor(l/r):
+          // that identity overflows through the quotient
+          // (mod(-1e300, 1e-300) became inf via floor(-1e600)) and
+          // collapses to r·(±0) = NaN for every finite-dividend/
+          // infinite-divisor pair where numpy keeps the dividend
+          // (signs agree) or returns the divisor (signs differ) —
+          // fmod + sign-fix lands all of those exactly.  The zero
+          // divisor is guarded out of the evaluated lane: ANSI mode
+          // throws REMAINDER_BY_ZERO where numpy yields NaN.
+          val (a, b) = (l.col.cast(DoubleType), r.col.cast(DoubleType))
+          val r0 = when(b === 0.0, lit(Double.NaN)).otherwise(a % b)
+          val m = when(r0 =!= 0.0 && (r0 < 0.0) =!= (b < 0.0), r0 + b).otherwise(r0)
           Typed(m, TyFloat)
         }
-      case "**" => Typed(pow(l.col, r.col), TyFloat)
+      case "**" => Typed(npPow(l.col, r.col), TyFloat)
       // NumPy comparison semantics with NaN: every comparison is False
       // except '!=' (True).  Spark/SQL instead orders NaN greatest and
       // equal to itself — guard float comparisons explicitly.
@@ -393,11 +423,20 @@ object NumpyExpr {
       when(assert_true(r >= 0 && r <= 62,
           lit("shift count must lie in [0, 62] (NumPy raises on negative " +
             "counts; 2^63 does not fit a signed long)")).isNull, r)
+    // the shift ARITHMETIC stays in longs end to end: the old
+    // double-divide right shift rounded dividends past 2^53 before
+    // flooring (-(2^53+1) >> 3 came back off by one), and the old
+    // double-product left shift rounded the same way.  2^count itself
+    // is an exact double through 2^62, so only the power-of-two
+    // LOOKUP goes through a double; the multiply/divide do not.
+    // Left-shift overflow throws under ANSI where numpy wraps — the
+    // same documented loud-beats-silent-wrap deviation as `*`.
+    def pow2Long(r: Column): Column =
+      pow(lit(2.0), shiftCountGuard(r)).cast(LongType)
     def expr_shiftleft(l: Typed, r: Typed): Column =
-      (l.col.cast(LongType) * pow(lit(2.0), shiftCountGuard(r.col)).cast(LongType))
-        .cast(LongType)
+      l.col.cast(LongType) * pow2Long(r.col)
     def expr_shiftright(l: Typed, r: Typed): Column =
-      floor(l.col.cast(DoubleType) / pow(lit(2.0), shiftCountGuard(r.col))).cast(LongType)
+      intFloorDiv(l.col.cast(LongType), pow2Long(r.col))
 
     def f1(args: List[Typed])(f: Column => Column): Typed = args match {
       case a :: Nil => Typed(f(a.col), TyFloat)
@@ -407,6 +446,17 @@ object NumpyExpr {
       case a :: b :: Nil => Typed(f(a.col, b.col), TyFloat)
       case _             => throw new IllegalArgumentException("expected 2 arguments")
     }
+
+    // numpy's pow: C pow, EXCEPT exponent exactly 0.5 is routed
+    // through sqrt — so (-inf) ** 0.5 is sqrt(-inf) = NaN where IEEE
+    // pow says +inf.  Every other negative-base/non-integer-exponent
+    // pair already agrees (finite base → NaN from both; -inf with
+    // 1.5/2.5/-0.5 → IEEE's ±inf/0 from both, measured on the array
+    // path — numpy scalars differ, but the reference evaluates
+    // columns).
+    def npPow(a: Column, b: Column): Column =
+      when(a === lit(Double.NegativeInfinity) && b === lit(0.5), lit(Double.NaN))
+        .otherwise(pow(a, b))
 
     // NumPy log semantics: x>0 → log, x==0 (either sign) → -inf,
     // x<0 → NaN.  Spark's SQL log returns null for x<=0 — a different
@@ -454,18 +504,56 @@ object NumpyExpr {
       case "arcsin"  => f1(args)(asin(_))
       case "arccos"  => f1(args)(acos(_))
       case "arctan"  => f1(args)(atan(_))
-      case "arctan2" => f2(args)(atan2(_, _))
+      // Spark's Atan2 adds 0.0 to both operands (Hive compat), which
+      // ERASES negative zero: atan2(-0.0, -1) must be -π (numpy), not
+      // +π.  SQL comparisons can't see the sign of a zero, so the
+      // string form is the detector (the ieeeDiv negZero trick); the
+      // y = -0.0 arm uses atan2's oddness in y, and an x = -0.0 with
+      // y = ±0 is replaced by any negative x (the magnitude is
+      // irrelevant once y is zero: the answer is ±π).
+      case "arctan2" => f2(args) { (yc, xc) =>
+        def negZero(c: Column) = c === 0.0 && c.cast(StringType).startsWith("-")
+        val xFixed = when(negZero(xc) && yc === 0.0, lit(-1.0)).otherwise(xc)
+        when(negZero(yc), -atan2(lit(0.0), xFixed))
+          .otherwise(atan2(yc, xFixed))
+      }
       case "sinh"    => f1(args)(sinh(_))
       case "cosh"    => f1(args)(cosh(_))
       case "tanh"    => f1(args)(tanh(_))
-      case "arcsinh" => f1(args)(asinh(_))
+      // Spark's asinh is log(x + sqrt(x² + 1)), which collapses to
+      // log(1) = 0 for |x| below ~1e-16 (asinh(1e-300) must be 1e-300)
+      // — the stable form routes through log1p with the x²/(1+sqrt)
+      // correction; above 1e150 x² would overflow, where
+      // asinh(x) ≈ sign·(ln|x| + ln 2) to well under 1e-12 relative.
+      case "arcsinh" => f1(args) { c =>
+        val a = abs(c)
+        when(isnan(c) || c.isNull, lit(Double.NaN))
+          .when(c === 0.0, c)
+          .when(a > lit(1e150), signum(c) * (log(a) + lit(math.log(2.0))))
+          .otherwise(signum(c) *
+            log1p(a + a * a / (lit(1.0) + sqrt(a * a + lit(1.0)))))
+      }
       case "arccosh" => f1(args)(acosh(_))
       case "arctanh" => f1(args)(atanh(_))
       case "hypot"   => f2(args)(hypot(_, _))
       case "degrees" | "rad2deg" => f1(args)(degrees(_))
       case "radians" | "deg2rad" => f1(args)(radians(_))
-      case "power" | "pow" => f2(args)(pow(_, _))
-      case "fmod"    => f2(args)((a, b) => a % b)
+      case "power" | "pow" => f2(args)(npPow(_, _))
+      // numpy fmod: C fmod (sign of the DIVIDEND, vs '%'/mod's
+      // sign-of-divisor).  The JVM's % has exactly those semantics,
+      // but ANSI mode (the default) throws REMAINDER_BY_ZERO on a
+      // zero divisor where numpy yields NaN (float) / 0 (int) — the
+      // guard keeps the zero branch out of the evaluated lane.  Int
+      // inputs stay int64 (numpy: fmod(int, int).dtype == int64).
+      case "fmod" => args match {
+        case a :: b :: Nil if numJoin(a.ty, b.ty) == TyInt =>
+          val (ac, bc) = (a.col.cast(LongType), b.col.cast(LongType))
+          Typed(when(bc === 0L, lit(0L)).otherwise(ac % bc), TyInt)
+        case a :: b :: Nil =>
+          val (ac, bc) = (a.col.cast(DoubleType), b.col.cast(DoubleType))
+          Typed(when(bc === 0.0, lit(Double.NaN)).otherwise(ac % bc), TyFloat)
+        case _ => throw new IllegalArgumentException("fmod expects 2 arguments")
+      }
       // np.minimum/np.maximum PROPAGATE NaN; least/greatest skip
       // null/NaN (that's np.fmin/np.fmax).  Nulls stand for NumPy's
       // domain-error NaNs here (SURVEY.md §7.1.1).
@@ -477,12 +565,24 @@ object NumpyExpr {
         case a :: b :: Nil => Typed(nanPropagating(a.col, b.col, greatest(a.col, b.col)), TyFloat)
         case _ => throw new IllegalArgumentException("maximum expects 2 arguments")
       }
+      // np.fmin/np.fmax SKIP NaN (return the other operand; NaN only
+      // when both are).  least/greatest skip NULLs but order NaN
+      // GREATEST, so bare greatest(x, NaN) returned NaN where np.fmax
+      // returns x — the float arms make the skip explicit.  (least
+      // happens to land right for fmin — NaN-as-greatest never wins a
+      // minimum — but the explicit form is the contract, not luck.)
       case "fmin" => args match {
-        case a :: b :: Nil => Typed(least(a.col, b.col), numJoin(a.ty, b.ty))
+        case a :: b :: Nil if numJoin(a.ty, b.ty) == TyInt =>
+          Typed(least(a.col, b.col), TyInt)
+        case a :: b :: Nil =>
+          Typed(nanSkipping(a.col, b.col, least(a.col, b.col)), TyFloat)
         case _ => throw new IllegalArgumentException("fmin expects 2 arguments")
       }
       case "fmax" => args match {
-        case a :: b :: Nil => Typed(greatest(a.col, b.col), numJoin(a.ty, b.ty))
+        case a :: b :: Nil if numJoin(a.ty, b.ty) == TyInt =>
+          Typed(greatest(a.col, b.col), TyInt)
+        case a :: b :: Nil =>
+          Typed(nanSkipping(a.col, b.col, greatest(a.col, b.col)), TyFloat)
         case _ => throw new IllegalArgumentException("fmax expects 2 arguments")
       }
       case "clip" => args match {
@@ -544,6 +644,14 @@ object NumpyExpr {
 
     def nanPropagating(a: Column, b: Column, result: Column): Column =
       when(a.isNull || b.isNull || isnan(a) || isnan(b), lit(Double.NaN)).otherwise(result)
+
+    def nanSkipping(a: Column, b: Column, result: Column): Column = {
+      def bad(c: Column) = c.isNull || isnan(c)
+      when(bad(a) && bad(b), lit(Double.NaN))
+        .when(bad(a), b.cast(DoubleType))
+        .when(bad(b), a.cast(DoubleType))
+        .otherwise(result.cast(DoubleType))
+    }
 
     // Conjunctive/disjunctive form rather than CASE WHEN: the plain
     // comparison conjunct remains eligible for parquet filter pushdown

@@ -127,4 +127,98 @@ class NumpyExprSpec extends SparkSpec {
     val e = EzFrame(t).setAlias("logTe", "logT")
     assert(e.where("(J > 2) & (10 ** logTe > 5000)").count() == 1)
   }
+
+  // ---- divergences found by the numpy differential harness
+  // (tools/numpy_parity.py) and fixed in round 20; each case below is
+  // the numpy array-path answer, pinned so CI holds without python.
+
+  private def eval1(cols: Map[String, Any], expr: String): Double = {
+    val t = cols.foldLeft(spark.range(1).toDF()) { case (d, (n, v)) =>
+      v match {
+        case dv: Double => d.withColumn(n, lit(dv))
+        case lv: Long   => d.withColumn(n, lit(lv))
+      }
+    }
+    EzFrame(t).df.select(EzFrame(t).evalexpr(expr).cast("double")).head().getDouble(0)
+  }
+
+  test("float mod: fmod+sign-fix construction (no quotient overflow, divmod inf rules)") {
+    val nInf = Double.NegativeInfinity; val pInf = Double.PositiveInfinity
+    // quotient -1e600 overflowed the old l - r*floor(l/r) identity to inf
+    assert(eval1(Map("a" -> -1e300, "b" -> 1e-300), "a % b") == 5.108445149146398e-301)
+    // infinite divisor: dividend when signs agree, divisor when they differ
+    assert(eval1(Map("a" -> 5.0, "b" -> pInf), "a % b") == 5.0)
+    assert(eval1(Map("a" -> -5.0, "b" -> pInf), "a % b") == pInf)
+    assert(eval1(Map("a" -> 5.0, "b" -> nInf), "a % b") == nInf)
+    assert(eval1(Map("a" -> -5.0, "b" -> nInf), "a % b") == -5.0)
+    // zero divisor is NaN, never an ANSI REMAINDER_BY_ZERO
+    assert(eval1(Map("a" -> 5.0), "a % 0.0").isNaN)
+  }
+
+  test("float floor division: infinite dividend is NaN; opposite-sign infinite divisor is -1") {
+    val nInf = Double.NegativeInfinity; val pInf = Double.PositiveInfinity
+    assert(eval1(Map("a" -> pInf, "b" -> 3.0), "a // b").isNaN)
+    assert(eval1(Map("a" -> nInf, "b" -> -3.0), "a // b").isNaN)
+    assert(eval1(Map("a" -> -5.0, "b" -> pInf), "a // b") == -1.0)
+    assert(eval1(Map("a" -> 5.0, "b" -> nInf), "a // b") == -1.0)
+    assert(eval1(Map("a" -> 5.0, "b" -> pInf), "a // b") == 0.0)
+    // ...but an infinite dividend over a ZERO divisor is numpy's ±inf
+    assert(eval1(Map("a" -> pInf), "a // 0.0") == pInf)
+    assert(eval1(Map("a" -> 1.0), "a // 0.0") == pInf)
+    assert(eval1(Map("a" -> 0.0), "a // 0.0").isNaN)
+  }
+
+  test("fmod: C semantics, NaN on zero divisor (float), 0 (int), int64 dtype kept") {
+    assert(eval1(Map("a" -> 5.0), "fmod(a, 0.0)").isNaN)
+    assert(eval1(Map("a" -> 7.25, "b" -> -2.0), "fmod(a, b)") == 1.25) // dividend's sign
+    val t = Seq((7L, -3L), (-7L, 3L), (7L, 0L)).toDF("a", "b")
+    val got = EzFrame(t).df.select(EzFrame(t).evalexpr("fmod(a, b)").as("m")).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, -1L, 0L),
+      "numpy fmod(int, int) stays int64; fmod(int, 0) is 0")
+  }
+
+  test("(-inf) ** 0.5 is NaN (numpy routes exponent 0.5 through sqrt); other exps IEEE") {
+    val nInf = Double.NegativeInfinity; val pInf = Double.PositiveInfinity
+    assert(eval1(Map("a" -> nInf), "a ** 0.5").isNaN)
+    assert(eval1(Map("a" -> nInf), "power(a, 0.5)").isNaN)
+    assert(eval1(Map("a" -> nInf), "a ** 1.5") == pInf)
+    assert(eval1(Map("a" -> nInf), "a ** 2") == pInf)
+    assert(eval1(Map("a" -> nInf), "a ** 3") == nInf)
+  }
+
+  test("shifts are exact past 2^53 (long arithmetic, not a double round-trip)") {
+    val t = Seq((-9007199254740993L, 9007199254740993L)).toDF("n", "p") // ∓(2^53 + 1)
+    val e = EzFrame(t)
+    val row = e.df.select(e.evalexpr("n >> 3").as("r"), e.evalexpr("p << 1").as("l")).head()
+    assert(row.getLong(0) == -1125899906842625L, "arithmetic >> floors (old path was off by one)")
+    assert(row.getLong(1) == 18014398509481986L, "<< keeps bits a double would round away")
+  }
+
+  test("arctan2 sees the sign of a zero (Spark's builtin erases it)") {
+    val negZ = -0.0
+    assert(eval1(Map("y" -> negZ, "x" -> -1.0), "arctan2(y, x)") == -math.Pi)
+    assert(eval1(Map("y" -> 0.0, "x" -> negZ), "arctan2(y, x)") == math.Pi)
+    assert(eval1(Map("y" -> negZ, "x" -> negZ), "arctan2(y, x)") == -math.Pi)
+    assert(eval1(Map("y" -> 1.0, "x" -> negZ), "arctan2(y, x)") == math.Pi / 2)
+    assert(eval1(Map("y" -> -1.0, "x" -> 0.0), "arctan2(y, x)") == -math.Pi / 2)
+  }
+
+  test("arcsinh is accurate for tiny and huge inputs (stable log1p form)") {
+    assert(eval1(Map("a" -> 1e-300), "arcsinh(a)") == 1e-300)
+    assert(eval1(Map("a" -> -1e-17), "arcsinh(a)") == -1e-17)
+    val big = eval1(Map("a" -> 1e300), "arcsinh(a)")
+    assert(math.abs(big - 691.4686750787737) < 1e-10)
+    assert(eval1(Map("a" -> Double.NegativeInfinity), "arcsinh(a)") == Double.NegativeInfinity)
+    assert(eval1(Map("a" -> 0.0), "arcsinh(a)") == 0.0)
+  }
+
+  test("fmin/fmax SKIP NaN (minimum/maximum propagate it)") {
+    val nan = Double.NaN
+    assert(eval1(Map("a" -> 3.5, "b" -> nan), "fmax(a, b)") == 3.5)
+    assert(eval1(Map("a" -> nan, "b" -> 2.0), "fmax(a, b)") == 2.0)
+    assert(eval1(Map("a" -> nan, "b" -> nan), "fmax(a, b)").isNaN)
+    assert(eval1(Map("a" -> 3.5, "b" -> nan), "fmin(a, b)") == 3.5)
+    assert(eval1(Map("a" -> 3.5, "b" -> nan), "maximum(a, b)").isNaN)
+    assert(eval1(Map("a" -> 3.5, "b" -> nan), "minimum(a, b)").isNaN)
+  }
 }
