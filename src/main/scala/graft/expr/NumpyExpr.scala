@@ -312,48 +312,24 @@ object NumpyExpr {
       case "+"  => Typed(l.col + r.col, numJoin(l.ty, r.ty))
       case "-"  => Typed(l.col - r.col, numJoin(l.ty, r.ty))
       case "*"  => Typed(l.col * r.col, numJoin(l.ty, r.ty))
-      case "/"  => Typed(ieeeDiv(l.col.cast(DoubleType), r.col.cast(DoubleType)), TyFloat) // numpy true division
+      // float /, //, % are single codegen'd nodes (PyArith): the
+      // Column compositions of the CPython/numpy algorithms reference
+      // each operand 15–25×, and operand references duplicate the
+      // operand's SUBTREE — nested arithmetic grew exponentially
+      // (measured: driver OOM planning ~400 fuzz expressions).  The
+      // numpy semantics (fmod+sign-fix mod, mod-consistent floor
+      // division, divmod's infinite/zero-divisor conventions, IEEE
+      // true division with null→NaN) live in PyArith's scalar
+      // kernels, parity-pinned by tools/numpy_parity.py.
+      case "/"  => Typed(PyArith.div(l.col, r.col), TyFloat) // numpy true division
       case "//" =>
         if (numJoin(l.ty, r.ty) == TyInt)
           Typed(intFloorDiv(l.col.cast(LongType), r.col.cast(LongType)), TyInt)
-        else {
-          val (a, b) = (l.col.cast(DoubleType), r.col.cast(DoubleType))
-          val inf = lit(Double.PositiveInfinity)
-          // Python divmod conventions plain floor(a/b) misses (each
-          // measured against numpy's array path):
-          //  - INFINITE dividend over a finite NONZERO divisor is NaN
-          //    (divmod is undefined there; plain a/b said ±inf) — but
-          //    over a ZERO divisor numpy returns ±inf (the divide),
-          //    so b == 0 stays on the floor(a/b) lane;
-          //  - INFINITE divisor with a finite dividend of the opposite
-          //    sign: the quotient is -1 (a = q·b + r with r = b),
-          //    where floor(a/b) says floor(∓0) = 0.
-          val d = when(abs(a) === inf && !isnan(b) && b =!= 0.0 && abs(b) =!= inf,
-              lit(Double.NaN))
-            .when(abs(b) === inf && !isnan(a) && abs(a) =!= inf &&
-              a =!= 0.0 && (a > 0.0) =!= (b > 0.0), lit(-1.0))
-            .otherwise(floorD(ieeeDiv(a, b)))
-          Typed(d, TyFloat)
-        }
+        else Typed(PyArith.floorDiv(l.col, r.col), TyFloat)
       case "%"  => // numpy mod: floored (sign follows divisor)
         if (numJoin(l.ty, r.ty) == TyInt)
           Typed(intFloorMod(l.col.cast(LongType), r.col.cast(LongType)), TyInt)
-        else {
-          // numpy's own construction — C fmod, then move a nonzero
-          // remainder to the divisor's sign — NOT l - r·floor(l/r):
-          // that identity overflows through the quotient
-          // (mod(-1e300, 1e-300) became inf via floor(-1e600)) and
-          // collapses to r·(±0) = NaN for every finite-dividend/
-          // infinite-divisor pair where numpy keeps the dividend
-          // (signs agree) or returns the divisor (signs differ) —
-          // fmod + sign-fix lands all of those exactly.  The zero
-          // divisor is guarded out of the evaluated lane: ANSI mode
-          // throws REMAINDER_BY_ZERO where numpy yields NaN.
-          val (a, b) = (l.col.cast(DoubleType), r.col.cast(DoubleType))
-          val r0 = when(b === 0.0, lit(Double.NaN)).otherwise(a % b)
-          val m = when(r0 =!= 0.0 && (r0 < 0.0) =!= (b < 0.0), r0 + b).otherwise(r0)
-          Typed(m, TyFloat)
-        }
+        else Typed(PyArith.mod(l.col, r.col), TyFloat)
       case "**" => Typed(npPow(l.col, r.col), TyFloat)
       // NumPy comparison semantics with NaN: every comparison is False
       // except '!=' (True).  Spark/SQL instead orders NaN greatest and
@@ -377,19 +353,9 @@ object NumpyExpr {
       case other => throw new IllegalArgumentException(s"unsupported operator '$other'")
     }
 
-    // IEEE-754 division with NumPy semantics: Spark 4's ANSI mode throws
-    // on x/0 even for doubles, but NumPy yields ±inf (or NaN for 0/0).
-    // The zero branch reconstructs the IEEE result, including the sign
-    // of a negative-zero divisor (detected via its string form — only
-    // evaluated in the rare r==0 branch).
-    def ieeeDiv(l: Column, r: Column): Column = {
-      val negZero = r.cast(StringType).startsWith("-")
-      val zsign = when(negZero, lit(-1.0)).otherwise(lit(1.0))
-      when(isnan(l) || isnan(r) || l.isNull || r.isNull, lit(Double.NaN))
-        .when(r =!= 0.0, l / r)
-        .when(l === 0.0, lit(Double.NaN))                       // 0/0
-        .otherwise(zsign * signum(l) * lit(Double.PositiveInfinity))
-    }
+    // (IEEE division itself — NumPy's ±inf / NaN-on-zero semantics
+    // Spark's ANSI Divide refuses — lives in PyArith.pyDiv now: the
+    // JVM's own double division is IEEE, one codegen'd node.)
 
     // EXACT integer floor division / floored mod, entirely in longs —
     // NumPy parity on BOTH counts the old double round-trip missed:
@@ -448,15 +414,15 @@ object NumpyExpr {
     }
 
     // numpy's pow: C pow, EXCEPT exponent exactly 0.5 is routed
-    // through sqrt — so (-inf) ** 0.5 is sqrt(-inf) = NaN where IEEE
-    // pow says +inf.  Every other negative-base/non-integer-exponent
-    // pair already agrees (finite base → NaN from both; -inf with
-    // 1.5/2.5/-0.5 → IEEE's ±inf/0 from both, measured on the array
-    // path — numpy scalars differ, but the reference evaluates
-    // columns).
+    // through sqrt — visible at (-inf) ** 0.5 = sqrt(-inf) = NaN where
+    // IEEE pow says +inf, and at (-0.0) ** 0.5 = sqrt(-0.0) = -0.0
+    // where IEEE pow says +0.0.  Every other negative-base/
+    // non-integer-exponent pair already agrees (finite base → NaN from
+    // both; -inf with 1.5/2.5/-0.5 → IEEE's ±inf/0 from both, measured
+    // on the array path — numpy scalars differ, but the reference
+    // evaluates columns).
     def npPow(a: Column, b: Column): Column =
-      when(a === lit(Double.NegativeInfinity) && b === lit(0.5), lit(Double.NaN))
-        .otherwise(pow(a, b))
+      when(b === lit(0.5), sqrt(a)).otherwise(pow(a, b))
 
     // NumPy log semantics: x>0 → log, x==0 (either sign) → -inf,
     // x<0 → NaN.  Spark's SQL log returns null for x<=0 — a different
@@ -492,7 +458,12 @@ object NumpyExpr {
       case "floor"   => f1(args)(floorD)
       case "ceil"    => f1(args)(ceilD)
       case "rint" | "round" | "around" => args match { // numpy: half-to-even
-        case a :: Nil => Typed(bround(a.col, 0), TyFloat)
+        // bround drops the sign of a negative zero result; numpy
+        // rint(-0.4) is -0.0 — x·0.0 restores the input's sign on the
+        // zero lane (and is only evaluated there)
+        case a :: Nil =>
+          val r0 = bround(a.col, 0)
+          Typed(when(r0 === 0.0, a.col * lit(0.0)).otherwise(r0), TyFloat)
         case _ :: _ :: Nil => throw new IllegalArgumentException(
           s"$fn(x, decimals): decimals must be an integer literal (it is a plan-time constant)")
         case _ => throw new IllegalArgumentException(s"$fn expects 1 argument")

@@ -1,0 +1,137 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Python/NumPy float arithmetic (`/`, `%`, `//`) as single Catalyst
+  * expressions with codegen.
+  *
+  * Two reasons these are custom nodes instead of Column compositions
+  * (the shape [[NumpyExpr]] used before round 20):
+  *
+  *  1. **AST size.**  The Column form of Python's mod-consistent floor
+  *     division references each operand 15–25 times (fmod, sign fix,
+  *     quotient, floor, half-step correction, divmod special cases).
+  *     Operand references duplicate the operand's whole subtree, so
+  *     nested arithmetic (`a // b // c % d`) grew EXPONENTIALLY —
+  *     measured as a driver OOM planning ~400 fuzz expressions.  A
+  *     named binary node binds each operand exactly once at any depth.
+  *  2. **Semantics in one place.**  Spark's own `/` returns null for a
+  *     zero divisor (Hive heritage) and its `%` throws
+  *     REMAINDER_BY_ZERO under ANSI; numpy wants IEEE infinities and
+  *     NaNs.  The JVM's double arithmetic IS IEEE, so the scalar
+  *     kernels below are small and exactly the numpy/CPython
+  *     algorithms (verified by tools/numpy_parity.py against numpy's
+  *     array path, including signed zeros, infinite dividends/
+  *     divisors, and quotient overflow).
+  *
+  * Null convention: a null operand stands for a NumPy domain-error NaN
+  * (the engine-wide rule), so these nodes map null inputs to NaN and
+  * never return null — `doGenCode` emits one static call and the
+  * expressions stay inside whole-stage codegen.
+  */
+object PyArith {
+
+  /** numpy true division: IEEE `a / b` (0/0 = NaN, x/±0 = ±inf with
+    * the zero's sign — plain JVM double division does all of it). */
+  def pyDiv(a: Double, b: Double): Double = a / b
+
+  /** numpy `mod`/`%`: C fmod moved to the divisor's sign — the
+    * construction numpy itself uses.  mod(a, 0) = NaN; an infinite
+    * divisor keeps a same-signed finite dividend (mod(5, inf) = 5)
+    * and returns the divisor otherwise (mod(-5, inf) = inf). */
+  def pyMod(a: Double, b: Double): Double = {
+    val r0 = a % b // JVM % on doubles is C fmod; NaN for b == 0 or a infinite
+    if (r0 != 0.0 && ((r0 < 0.0) != (b < 0.0))) r0 + b else r0
+  }
+
+  /** CPython float_floor_div, the MOD-CONSISTENT floor division —
+    * NOT floor(a/b): 7.0/0.1 rounds up to exactly 70.0 so the naive
+    * floor says 70, but fmod(7.0, 0.1) is nonzero and Python/numpy
+    * return 69.  q = (a - pyMod)/b, floored, +1 when division noise
+    * left it more than half a step low.  Divmod conventions: an
+    * infinite dividend over a finite nonzero divisor is NaN; an
+    * infinite divisor gives 0 (same signs / zero dividend) or -1
+    * (opposite signs); a zero divisor is the floored IEEE divide
+    * (±inf / NaN). */
+  def pyFloorDiv(a: Double, b: Double): Double = {
+    if (a.isNaN || b.isNaN) return Double.NaN
+    if (b == 0.0) return math.floor(a / b)
+    if (a.isInfinite) return Double.NaN
+    if (b.isInfinite) {
+      if (a == 0.0 || (a > 0.0) == (b > 0.0)) return a / b // ±0, sign of the quotient
+      return -1.0
+    }
+    val m = pyMod(a, b)
+    val div = (a - m) / b
+    val fd = math.floor(div)
+    if (div - fd > 0.5) fd + 1.0 else fd
+  }
+
+  def div(l: Column, r: Column): Column = wrap(PyDivExpr, l, r)
+  def mod(l: Column, r: Column): Column = wrap(PyModExpr, l, r)
+  def floorDiv(l: Column, r: Column): Column = wrap(PyFloorDivExpr, l, r)
+
+  private def wrap(f: (Expression, Expression) => Expression,
+                   l: Column, r: Column): Column =
+    GraftBridge.column(f(
+      GraftBridge.expression(l.cast(DoubleType)),
+      GraftBridge.expression(r.cast(DoubleType))))
+}
+
+/** Shared shape: double children, never-null double result (null
+  * operands read as NaN), one static call in codegen. */
+abstract class PyArithBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  protected def kernel(a: Double, b: Double): Double
+  protected def kernelName: String // static method on graft.expr.PyArith
+
+  private def asD(v: Any): Double =
+    if (v == null) Double.NaN else v.asInstanceOf[Double]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    kernel(asD(left.eval(input)), asD(right.eval(input)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val le = left.genCode(ctx)
+    val re = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${le.code}
+        ${re.code}
+        double ${ev.value} = graft.expr.PyArith.$kernelName(
+          ${le.isNull} ? Double.NaN : ${le.value},
+          ${re.isNull} ? Double.NaN : ${re.value});""",
+      isNull = FalseLiteral)
+  }
+}
+
+case class PyDivExpr(left: Expression, right: Expression) extends PyArithBinary {
+  override def prettyName: String = "py_div"
+  override protected def kernel(a: Double, b: Double): Double = PyArith.pyDiv(a, b)
+  override protected def kernelName: String = "pyDiv"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class PyModExpr(left: Expression, right: Expression) extends PyArithBinary {
+  override def prettyName: String = "py_mod"
+  override protected def kernel(a: Double, b: Double): Double = PyArith.pyMod(a, b)
+  override protected def kernelName: String = "pyMod"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class PyFloorDivExpr(left: Expression, right: Expression) extends PyArithBinary {
+  override def prettyName: String = "py_floordiv"
+  override protected def kernel(a: Double, b: Double): Double = PyArith.pyFloorDiv(a, b)
+  override protected def kernelName: String = "pyFloorDiv"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -27,12 +27,17 @@ object NumpyParity {
     val exprs = scala.io.Source.fromFile(args(1), "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).toList
     val fr = graft.core.EzFrame(spark.read.parquet(args(0)))
-    val cols = col("row_id") :: exprs.zipWithIndex.map { case (e, k) =>
-      fr.evalexpr(e).as(s"e$k")
+    // chunked projections, one output dir per chunk: hundreds of
+    // compound expressions in ONE select (or one join tree over the
+    // chunks) blow the codegen / driver-heap budget — the standing
+    // "never inline a big expression k×" caveat.  The checker merges
+    // the chunk files on row_id.
+    exprs.zipWithIndex.grouped(48).zipWithIndex.foreach { case (chunk, ci) =>
+      fr.df.select(col("row_id") +: chunk.map { case (e, k) =>
+        fr.evalexpr(e).as(s"e$k")
+      }: _*).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"${args(2)}/chunk$ci")
     }
-    fr.df.select(cols: _*)
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(args(2))
     println(s"evaluated ${exprs.length} expressions -> ${args(2)}")
     spark.stop()
   }

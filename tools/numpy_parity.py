@@ -114,6 +114,59 @@ EXPRS = [
     "(i % 7 == 0) & (x > 0.0)",
 ]
 
+# ------------------------------------------------- random structural fuzz
+# Seeded random expressions over a TYPED grammar (floats and bools only:
+# every float op is total on both sides, so no ANSI-vs-wrap filtering can
+# mask a parse bug).  Python eval of the SAME string is ground truth for
+# precedence/associativity as well as values — a mis-parse diverges on
+# most rows, unlike 1-row float-noise.  Cancellation-heavy forms can
+# legitimately diverge past the tolerance (libm vs JVM ULP diffs
+# amplified by subtraction of near-equal values); inspect reported rows
+# before calling a divergence a bug.
+RAND_N = 300
+
+def rand_exprs(n, seed=20260816):
+    import random
+    rng = random.Random(seed)
+    fn1 = ("sqrt cbrt square abs sign exp expm1 log log10 log1p floor "
+           "ceil trunc rint sin cos tan tanh arctan arcsinh").split()
+    fn2 = ["arctan2", "hypot", "fmin", "fmax", "minimum", "maximum", "fmod"]
+    lits = ["0.5", "2.0", "3.0", "1.0", "7.25", "0.1", "10.0"]
+    def F(d):
+        if d <= 0:
+            return rng.choice(["x", "y"] + lits)
+        k = rng.randrange(10)
+        if k < 4:
+            op = rng.choice(["+", "-", "*", "/", "%", "//"])
+            return f"{F(d-1)} {op} {F(d-1)}"
+        if k == 4:
+            return f"{F(d-1)} ** {rng.choice(['2', '3', '0.5', '-1.0', '1.5'])}"
+        if k < 7:
+            return f"{rng.choice(fn1)}({F(d-1)})"
+        if k == 7:
+            return f"{rng.choice(fn2)}({F(d-1)}, {F(d-1)})"
+        if k == 8:
+            return f"where({B(d-1)}, {F(d-1)}, {F(d-1)})"
+        return f"-{F(d-1)}"
+    def B(d):
+        # a COLUMN on the left keeps every boolean a numpy array: with
+        # scalar literals on both sides Python eval produces a python
+        # bool, whose ~ is INTEGER complement (~True = -2) — an oracle
+        # artifact, not reference semantics (the reference evaluates
+        # columns)
+        if d <= 0 or rng.randrange(4) == 0:
+            return (f"({rng.choice(['x', 'y'])} "
+                    f"{rng.choice(['<', '<=', '>', '>=', '==', '!='])} {F(0)})")
+        k = rng.randrange(4)
+        if k == 0: return f"({B(d-1)} & {B(d-1)})"
+        if k == 1: return f"({B(d-1)} | {B(d-1)})"
+        if k == 2: return f"(~{B(d-1)})"
+        return f"isnan({F(d-1)})" if rng.randrange(2) else f"isfinite({F(d-1)})"
+    out = []
+    for _ in range(n):
+        out.append(F(rng.randrange(2, 5)) if rng.randrange(5) else B(3))
+    return out
+
 NP_NAMES = {n: getattr(np, n) for n in (
     "sqrt cbrt square abs sign exp expm1 exp2 log log10 log2 log1p "
     "floor ceil trunc rint sin cos tan sinh cosh tanh arcsin arccos "
@@ -129,14 +182,41 @@ def gen():
     for k, v in d.items():
         cols[k] = pa.array(v)
     pq.write_table(pa.table(cols), f"{OUT}/data.parquet")
+    all_exprs = EXPRS + rand_exprs(RAND_N)
     with open(f"{OUT}/exprs.txt", "w") as f:
-        for e in EXPRS:
+        for e in all_exprs:
             f.write(e + "\n")
-    print(f"wrote {OUT}/data.parquet (25 rows) and {len(EXPRS)} expressions")
+    print(f"wrote {OUT}/data.parquet (25 rows) and {len(all_exprs)} expressions "
+          f"({len(EXPRS)} curated + {RAND_N} random, seed-pinned)")
 
 def np_eval(expr, data):
     with np.errstate(all="ignore"):
         return eval(expr, {"__builtins__": {}}, {**NP_NAMES, **data})
+
+def ill_conditioned(expr, data, row, w_row, g_row):
+    """1-ULP input sensitivity probe: perturb x/y at `row` by one ulp in
+    each direction and re-evaluate.  If the numpy result itself swings
+    by (or beyond) the engine-numpy gap, the expression is chaotic at
+    this point (e.g. fmod by a `** 3`-tiny modulus amplifies a 1-ulp
+    libm-vs-JVM difference by ~1e49; tan of a large argument moves by
+    O(1) per ulp) — a conditioning artifact, not a semantics bug."""
+    spread = [w_row]
+    for colname in ("x", "y"):
+        for d in (1, -1):
+            pert = {k: v.copy() for k, v in data.items()}
+            v = pert[colname][row]
+            if np.isfinite(v):
+                pert[colname][row] = np.nextafter(v, d * np.inf)
+            r = np.asarray(np_eval(expr, pert))
+            spread.append(r[row] if r.ndim else r[()])
+    spread = np.array(spread, dtype=np.float64)
+    if np.isnan(spread).any() != np.isnan(spread).all():
+        return True  # NaN boundary within one ulp: chaotic
+    lo, hi = np.nanmin(spread), np.nanmax(spread)
+    swing = hi - lo
+    gap = abs(g_row - w_row)
+    margin = 1e-9 * max(abs(w_row), abs(g_row), 1e-300)
+    return swing + margin >= gap or (lo - margin <= g_row <= hi + margin)
 
 def dtype_class(a):
     if a.dtype == np.bool_: return "bool"
@@ -144,9 +224,17 @@ def dtype_class(a):
     return "float"
 
 def check():
+    import glob
     import pyarrow.parquet as pq
     data = build_data()
-    eng = pq.read_table(f"{OUT}/engine.parquet").to_pandas().sort_values("row_id")
+    chunks = sorted(glob.glob(f"{OUT}/engine.parquet/chunk*"),
+                    key=lambda p: int(p.rsplit("chunk", 1)[1]))
+    assert chunks, "no engine chunks found — run graft.tools.NumpyParity first"
+    eng = None
+    for c in chunks:
+        t = pq.read_table(c).to_pandas()
+        eng = t if eng is None else eng.merge(t, on="row_id")
+    eng = eng.sort_values("row_id")
     exprs = [l.strip() for l in open(f"{OUT}/exprs.txt") if l.strip()]
     findings = []
     for k, expr in enumerate(exprs):
@@ -174,7 +262,8 @@ def check():
         with np.errstate(all="ignore"):
             rel = np.abs(g - w) / np.maximum(np.abs(w), 1e-300)
         ok = exact | (np.isfinite(w) & np.isfinite(g) & (rel <= 1e-12))
-        bad = np.nonzero(~ok)[0]
+        bad = [r for r in np.nonzero(~ok)[0]
+               if not ill_conditioned(expr, data, r, w[r], g[r])]
         if len(bad):
             r = bad[0]
             findings.append((expr, f"row {r}: numpy={w[r]!r} engine={g[r]!r} ({len(bad)} rows differ)"))
