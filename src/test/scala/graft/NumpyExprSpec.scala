@@ -155,6 +155,28 @@ class NumpyExprSpec extends SparkSpec {
     assert(eval1(Map("a" -> 5.0), "a % 0.0").isNaN)
   }
 
+  test("float floor division is MOD-CONSISTENT, not floor(a/b)") {
+    // 7.0/0.1 rounds UP to exactly 70.0 (so naive floor says 70), but
+    // fmod(7.0, 0.1) is nonzero — the dividend is just short of 70
+    // steps — and Python/numpy return 69 (CPython float_floor_div)
+    assert(eval1(Map("a" -> 7.0, "b" -> 0.1), "a // b") == 69.0)
+    assert(eval1(Map("a" -> 2.0, "b" -> 0.1), "a // b") == 19.0)
+    assert(eval1(Map("a" -> 3.0, "b" -> 0.1), "a // b") == 29.0)
+    // ...while a quotient that IS exact stays exact
+    assert(eval1(Map("a" -> 7.25, "b" -> 0.1), "a // b") == 72.0)
+    assert(eval1(Map("a" -> 6.0, "b" -> 2.0), "a // b") == 3.0)
+    // quotient overflow: |a/b| past double range floors to ±inf
+    assert(eval1(Map("a" -> -1e300, "b" -> 1e-300), "a // b") == Double.NegativeInfinity)
+  }
+
+  test("(-0.0) ** 0.5 keeps the zero's sign (numpy routes 0.5 through sqrt); rint too") {
+    // 1/(-0.0 ** 0.5) distinguishes -0.0 from 0.0 without signbit access
+    assert(eval1(Map("a" -> -0.0), "1.0 / a ** 0.5") == Double.NegativeInfinity)
+    assert(eval1(Map("a" -> 0.0), "1.0 / a ** 0.5") == Double.PositiveInfinity)
+    assert(eval1(Map("a" -> -0.4), "rint(a) ** -1.0") == Double.NegativeInfinity)
+    assert(eval1(Map("a" -> 0.4), "rint(a) ** -1.0") == Double.PositiveInfinity)
+  }
+
   test("float floor division: infinite dividend is NaN; opposite-sign infinite divisor is -1") {
     val nInf = Double.NegativeInfinity; val pInf = Double.PositiveInfinity
     assert(eval1(Map("a" -> pInf, "b" -> 3.0), "a // b").isNaN)
