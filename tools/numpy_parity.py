@@ -132,13 +132,36 @@ def rand_exprs(n, seed=20260816):
            "ceil trunc rint sin cos tan tanh arctan arcsinh").split()
     fn2 = ["arctan2", "hypot", "fmin", "fmax", "minimum", "maximum", "fmod"]
     lits = ["0.5", "2.0", "3.0", "1.0", "7.25", "0.1", "10.0"]
+    # integer atoms are BOUNDED (floored-mod wraps them into small
+    # ranges on both sides identically) so the documented
+    # loud-overflow-vs-numpy-wrap deviation never triggers; shift
+    # counts are made nonnegative the same way
+    ilits = ["1", "2", "3", "7", "12"]
+    def I(d):
+        if d <= 0:
+            return rng.choice(["(i % 97)", "(j % 13)", "(h % 1021)"] + ilits)
+        k = rng.randrange(8)
+        if k < 3:
+            return f"({I(d-1)} {rng.choice(['+', '-', '&', '|', '^'])} {I(d-1)})"
+        if k == 3:
+            return f"({I(d-1)} {rng.choice(['//', '%'])} {I(d-1)})"
+        if k == 4:
+            return f"({I(d-1)} << (j % 5 + 5))" if rng.randrange(2) else \
+                   f"({I(d-1)} >> (i % 3 + 3))"
+        if k == 5:
+            return f"(~{I(d-1)})"
+        if k == 6:
+            return f"abs({I(d-1)})"
+        return f"where({B(d-1)}, {I(d-1)}, {I(d-1)})"
     def F(d):
         if d <= 0:
             return rng.choice(["x", "y"] + lits)
-        k = rng.randrange(10)
+        k = rng.randrange(11)
         if k < 4:
             op = rng.choice(["+", "-", "*", "/", "%", "//"])
-            return f"{F(d-1)} {op} {F(d-1)}"
+            # mixed int/float promotion: one arm may be an int subtree
+            a = I(1) if rng.randrange(6) == 0 else F(d-1)
+            return f"{a} {op} {F(d-1)}"
         if k == 4:
             return f"{F(d-1)} ** {rng.choice(['2', '3', '0.5', '-1.0', '1.5'])}"
         if k < 7:
@@ -147,7 +170,9 @@ def rand_exprs(n, seed=20260816):
             return f"{rng.choice(fn2)}({F(d-1)}, {F(d-1)})"
         if k == 8:
             return f"where({B(d-1)}, {F(d-1)}, {F(d-1)})"
-        return f"-{F(d-1)}"
+        if k == 9:
+            return f"-{F(d-1)}"
+        return f"({I(d-1)} + 0.0)"  # int subtree promoted to float
     def B(d):
         # a COLUMN on the left keeps every boolean a numpy array: with
         # scalar literals on both sides Python eval produces a python
@@ -164,7 +189,13 @@ def rand_exprs(n, seed=20260816):
         return f"isnan({F(d-1)})" if rng.randrange(2) else f"isfinite({F(d-1)})"
     out = []
     for _ in range(n):
-        out.append(F(rng.randrange(2, 5)) if rng.randrange(5) else B(3))
+        r = rng.randrange(10)
+        if r == 0:
+            out.append(B(3))
+        elif r <= 2:
+            out.append(I(3))
+        else:
+            out.append(F(rng.randrange(2, 5)))
     return out
 
 NP_NAMES = {n: getattr(np, n) for n in (
