@@ -208,12 +208,13 @@ NP_NAMES = {n: getattr(np, n) for n in (
 def gen():
     import pyarrow as pa, pyarrow.parquet as pq
     os.makedirs(OUT, exist_ok=True)
+    seed = int(os.environ.get("PARITY_SEED", "20260816"))
     d = build_data()
     cols = {"row_id": pa.array(np.arange(25, dtype=np.int64))}
     for k, v in d.items():
         cols[k] = pa.array(v)
     pq.write_table(pa.table(cols), f"{OUT}/data.parquet")
-    all_exprs = EXPRS + rand_exprs(RAND_N)
+    all_exprs = EXPRS + rand_exprs(RAND_N, seed=seed)
     with open(f"{OUT}/exprs.txt", "w") as f:
         for e in all_exprs:
             f.write(e + "\n")
