@@ -324,11 +324,11 @@ object NumpyExpr {
       case "/"  => Typed(PyArith.div(l.col, r.col), TyFloat) // numpy true division
       case "//" =>
         if (numJoin(l.ty, r.ty) == TyInt)
-          Typed(intFloorDiv(l.col.cast(LongType), r.col.cast(LongType)), TyInt)
+          Typed(PyArith.longFloorDiv(l.col, r.col), TyInt)
         else Typed(PyArith.floorDiv(l.col, r.col), TyFloat)
       case "%"  => // numpy mod: floored (sign follows divisor)
         if (numJoin(l.ty, r.ty) == TyInt)
-          Typed(intFloorMod(l.col.cast(LongType), r.col.cast(LongType)), TyInt)
+          Typed(PyArith.longMod(l.col, r.col), TyInt)
         else Typed(PyArith.mod(l.col, r.col), TyFloat)
       case "**" => Typed(npPow(l.col, r.col), TyFloat)
       // NumPy comparison semantics with NaN: every comparison is False
@@ -357,27 +357,11 @@ object NumpyExpr {
     // Spark's ANSI Divide refuses — lives in PyArith.pyDiv now: the
     // JVM's own double division is IEEE, one codegen'd node.)
 
-    // EXACT integer floor division / floored mod, entirely in longs —
-    // NumPy parity on BOTH counts the old double round-trip missed:
-    //  - values past 2^53 rounded silently (a // 1 could be off by one);
-    //  - a zero divisor threw under ANSI where NumPy yields 0 (with a
-    //    RuntimeWarning) for integer // and %.
-    // Formula: r0 = a % b (sign of dividend, exact); NumPy mod moves it
-    // to the divisor's sign; (a - mod) is then exactly divisible by b,
-    // so one DECIMAL(38,0) division is exact at any long magnitude.
-    // (Remaining documented divergence: Long.MinValue // -1 throws
-    // under ANSI where NumPy wraps — the one unrepresentable quotient.)
-    def intFloorMod(a: Column, b: Column): Column = {
-      val r0 = a % b
-      when(b === 0L, lit(0L))
-        .otherwise(when(r0 =!= 0L && (r0 < 0L) =!= (b < 0L), r0 + b).otherwise(r0))
-    }
-    def intFloorDiv(a: Column, b: Column): Column = {
-      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-      when(b === 0L, lit(0L))
-        .otherwise(((a.cast(dec) - intFloorMod(a, b).cast(dec)) / b.cast(dec))
-          .cast(LongType))
-    }
+    // (EXACT integer floor division / floored mod — values past 2^53
+    // exact, zero divisor yields 0 like NumPy, Long.MinValue // -1
+    // throws where NumPy wraps — live in PyArith.pyLongFloorDiv /
+    // pyLongMod now: Math.floorDiv/floorMod in one codegen'd node
+    // replaced the when-guarded DECIMAL(38,0) round-trip.)
 
     // shiftleft/shiftright builtins take a literal Int count; generic shift
     // via pow-of-two multiply keeps variable shift counts working (every
@@ -402,7 +386,7 @@ object NumpyExpr {
     def expr_shiftleft(l: Typed, r: Typed): Column =
       l.col.cast(LongType) * pow2Long(r.col)
     def expr_shiftright(l: Typed, r: Typed): Column =
-      intFloorDiv(l.col.cast(LongType), pow2Long(r.col))
+      PyArith.longFloorDiv(l.col, pow2Long(r.col))
 
     def f1(args: List[Typed])(f: Column => Column): Typed = args match {
       case a :: Nil => Typed(f(a.col), TyFloat)

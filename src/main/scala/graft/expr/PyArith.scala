@@ -72,15 +72,37 @@ object PyArith {
     if (div - fd > 0.5) fd + 1.0 else fd
   }
 
+  /** numpy int64 floor division: exact at every long magnitude
+    * (Math.floorDiv — no double or decimal round-trip), divisor 0
+    * yields 0 (numpy's integer convention, with a RuntimeWarning we
+    * don't mirror).  The one unrepresentable quotient,
+    * Long.MinValue // -1, throws (java.lang.ArithmeticException) —
+    * the documented loud-beats-silent-wrap deviation from numpy. */
+  def pyLongFloorDiv(a: Long, b: Long): Long =
+    if (b == 0L) 0L else Math.floorDiv(a, b)
+
+  /** numpy int64 floored mod (sign follows the divisor; exact in
+    * longs; divisor 0 yields 0). */
+  def pyLongMod(a: Long, b: Long): Long =
+    if (b == 0L) 0L else Math.floorMod(a, b)
+
   def div(l: Column, r: Column): Column = wrap(PyDivExpr, l, r)
   def mod(l: Column, r: Column): Column = wrap(PyModExpr, l, r)
   def floorDiv(l: Column, r: Column): Column = wrap(PyFloorDivExpr, l, r)
+  def longFloorDiv(l: Column, r: Column): Column = wrapLong(PyLongFloorDivExpr, l, r)
+  def longMod(l: Column, r: Column): Column = wrapLong(PyLongModExpr, l, r)
 
   private def wrap(f: (Expression, Expression) => Expression,
                    l: Column, r: Column): Column =
     GraftBridge.column(f(
       GraftBridge.expression(l.cast(DoubleType)),
       GraftBridge.expression(r.cast(DoubleType))))
+
+  private def wrapLong(f: (Expression, Expression) => Expression,
+                       l: Column, r: Column): Column =
+    GraftBridge.column(f(
+      GraftBridge.expression(l.cast(org.apache.spark.sql.types.LongType)),
+      GraftBridge.expression(r.cast(org.apache.spark.sql.types.LongType))))
 }
 
 /** Shared shape: double children, never-null double result (null
@@ -132,6 +154,39 @@ case class PyFloorDivExpr(left: Expression, right: Expression) extends PyArithBi
   override def prettyName: String = "py_floordiv"
   override protected def kernel(a: Double, b: Double): Double = PyArith.pyFloorDiv(a, b)
   override protected def kernelName: String = "pyFloorDiv"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Long twin of [[PyArithBinary]]: null propagates (the null-as-NaN
+  * convention is a FLOAT-domain rule; integer columns have no NaN to
+  * stand for), codegen is one static call. */
+abstract class PyLongArithBinary extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  protected def kernel(a: Long, b: Long): Long
+  protected def kernelName: String // static method on graft.expr.PyArith
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.PyArith.$kernelName($a, $b);")
+}
+
+case class PyLongFloorDivExpr(left: Expression, right: Expression) extends PyLongArithBinary {
+  override def prettyName: String = "py_long_floordiv"
+  override protected def kernel(a: Long, b: Long): Long = PyArith.pyLongFloorDiv(a, b)
+  override protected def kernelName: String = "pyLongFloorDiv"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class PyLongModExpr(left: Expression, right: Expression) extends PyLongArithBinary {
+  override def prettyName: String = "py_long_mod"
+  override protected def kernel(a: Long, b: Long): Long = PyArith.pyLongMod(a, b)
+  override protected def kernelName: String = "pyLongMod"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
