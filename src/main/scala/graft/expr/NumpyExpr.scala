@@ -293,19 +293,12 @@ object NumpyExpr {
       case Call(fn, args) => call(fn, args.map(go))
     }
 
-    // Double-preserving floor/ceil/trunc: Spark's floor/ceil return
-    // LongType, so NaN silently became 0 and infinity Long.MaxValue
-    // (or an ANSI cast crash) — NumPy keeps them float and propagates
-    // NaN/inf.  Beyond 2^53 every double is already integral (and the
-    // guard also passes NaN/±inf through), so the Long-returning
-    // builtin only ever runs where its result is exact and in range.
-    // (A remainder-based x − x%1 formulation is NOT usable here: 1.1%1
-    // carries FP error, and floor(1.1) must be exactly 1.0.)
-    def floorD(x: Column): Column =
-      when(isnan(x) || abs(x) >= lit(9007199254740992.0) /* 2^53 */, x)
-        .otherwise(floor(x).cast(DoubleType))
-    def ceilD(x: Column): Column = -floorD(-x)
-    def truncD(x: Column): Column = when(x >= 0, floorD(x)).otherwise(ceilD(x))
+    // (Double-preserving floor/ceil/trunc/rint live in PyArith now:
+    // java.lang.Math's are the same IEEE-754 operations as numpy's
+    // libm — NaN/±inf propagate, exact past 2^53, and zero SIGNS
+    // survive, which the Spark-builtin round-trips erased: ceil(+0.0)
+    // came back -0.0 via -floor(-x)'s long cast, rint(-0.4) came back
+    // +0.0 from bround.)
 
     def binOp(op: String, l: Typed, r: Typed): Typed = op match {
       case "+" if l.ty == TyStr && r.ty == TyStr => Typed(concat(l.col, r.col), TyStr)
@@ -439,20 +432,15 @@ object NumpyExpr {
         case _ => throw new IllegalArgumentException("abs expects 1 argument")
       }
       case "sign"    => f1(args)(signum(_))
-      case "floor"   => f1(args)(floorD)
-      case "ceil"    => f1(args)(ceilD)
+      case "floor"   => f1(args)(PyArith.floor)
+      case "ceil"    => f1(args)(PyArith.ceil)
       case "rint" | "round" | "around" => args match { // numpy: half-to-even
-        // bround drops the sign of a negative zero result; numpy
-        // rint(-0.4) is -0.0 — x·0.0 restores the input's sign on the
-        // zero lane (and is only evaluated there)
-        case a :: Nil =>
-          val r0 = bround(a.col, 0)
-          Typed(when(r0 === 0.0, a.col * lit(0.0)).otherwise(r0), TyFloat)
+        case a :: Nil => Typed(PyArith.rint(a.col), TyFloat)
         case _ :: _ :: Nil => throw new IllegalArgumentException(
           s"$fn(x, decimals): decimals must be an integer literal (it is a plan-time constant)")
         case _ => throw new IllegalArgumentException(s"$fn expects 1 argument")
       }
-      case "trunc"   => f1(args)(truncD) // the old cast(LongType) crashed under ANSI on NaN/1e20
+      case "trunc"   => f1(args)(PyArith.trunc)
       case "sin"     => f1(args)(sin(_))
       case "cos"     => f1(args)(cos(_))
       case "tan"     => f1(args)(tan(_))

@@ -43,10 +43,15 @@ object PyArith {
   /** numpy `mod`/`%`: C fmod moved to the divisor's sign — the
     * construction numpy itself uses.  mod(a, 0) = NaN; an infinite
     * divisor keeps a same-signed finite dividend (mod(5, inf) = 5)
-    * and returns the divisor otherwise (mod(-5, inf) = inf). */
+    * and returns the divisor otherwise (mod(-5, inf) = inf).  A ZERO
+    * remainder also carries the divisor's sign (numpy copysigns it:
+    * mod(0.5, -0.5) is -0.0) — feeding arctan2 or 1/x, the wrong zero
+    * sign flips the answer by π or to the wrong infinity. */
   def pyMod(a: Double, b: Double): Double = {
     val r0 = a % b // JVM % on doubles is C fmod; NaN for b == 0 or a infinite
-    if (r0 != 0.0 && ((r0 < 0.0) != (b < 0.0))) r0 + b else r0
+    if (r0 == 0.0) Math.copySign(0.0, b)
+    else if ((r0 < 0.0) != (b < 0.0)) r0 + b
+    else r0
   }
 
   /** CPython float_floor_div, the MOD-CONSISTENT floor division —
@@ -86,11 +91,30 @@ object PyArith {
   def pyLongMod(a: Long, b: Long): Long =
     if (b == 0L) 0L else Math.floorMod(a, b)
 
+  // numpy floor/ceil/trunc/rint are C libm, and java.lang.Math's
+  // floor/ceil/rint are the SAME IEEE-754 operations — exact past
+  // 2^53, NaN/±inf-correct, and zero-SIGN-preserving (floor(-0.0) is
+  // -0.0; ceil(-0.4) is -0.0; rint(-0.4) is -0.0).  The Column forms
+  // these replace round-tripped through Spark's long-valued floor
+  // (erasing zero signs: ceil(+0.0) came back -0.0 via -floor(-x))
+  // and bround (rint(-0.4) came back +0.0).
+  def pyFloor(a: Double): Double = Math.floor(a)
+  def pyCeil(a: Double): Double = Math.ceil(a)
+  def pyTrunc(a: Double): Double = if (a < 0.0) Math.ceil(a) else Math.floor(a)
+  def pyRint(a: Double): Double = Math.rint(a) // half-to-even, like numpy
+
   def div(l: Column, r: Column): Column = wrap(PyDivExpr, l, r)
   def mod(l: Column, r: Column): Column = wrap(PyModExpr, l, r)
   def floorDiv(l: Column, r: Column): Column = wrap(PyFloorDivExpr, l, r)
   def longFloorDiv(l: Column, r: Column): Column = wrapLong(PyLongFloorDivExpr, l, r)
   def longMod(l: Column, r: Column): Column = wrapLong(PyLongModExpr, l, r)
+  def floor(c: Column): Column = wrap1(PyFloorExpr, c)
+  def ceil(c: Column): Column = wrap1(PyCeilExpr, c)
+  def trunc(c: Column): Column = wrap1(PyTruncExpr, c)
+  def rint(c: Column): Column = wrap1(PyRintExpr, c)
+
+  private def wrap1(f: Expression => Expression, c: Column): Column =
+    GraftBridge.column(f(GraftBridge.expression(c.cast(DoubleType))))
 
   private def wrap(f: (Expression, Expression) => Expression,
                    l: Column, r: Column): Column =
@@ -189,4 +213,57 @@ case class PyLongModExpr(left: Expression, right: Expression) extends PyLongArit
   override protected def kernelName: String = "pyLongMod"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Unary twin of [[PyArithBinary]]: double child, never-null double
+  * result (null reads as NaN), one static call in codegen. */
+abstract class PyArithUnary extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  protected def kernel(a: Double): Double
+  protected def kernelName: String // static method on graft.expr.PyArith
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    kernel(if (v == null) Double.NaN else v.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ce = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${ce.code}
+        double ${ev.value} = graft.expr.PyArith.$kernelName(
+          ${ce.isNull} ? Double.NaN : ${ce.value});""",
+      isNull = FalseLiteral)
+  }
+}
+
+case class PyFloorExpr(child: Expression) extends PyArithUnary {
+  override def prettyName: String = "py_floor"
+  override protected def kernel(a: Double): Double = PyArith.pyFloor(a)
+  override protected def kernelName: String = "pyFloor"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class PyCeilExpr(child: Expression) extends PyArithUnary {
+  override def prettyName: String = "py_ceil"
+  override protected def kernel(a: Double): Double = PyArith.pyCeil(a)
+  override protected def kernelName: String = "pyCeil"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class PyTruncExpr(child: Expression) extends PyArithUnary {
+  override def prettyName: String = "py_trunc"
+  override protected def kernel(a: Double): Double = PyArith.pyTrunc(a)
+  override protected def kernelName: String = "pyTrunc"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class PyRintExpr(child: Expression) extends PyArithUnary {
+  override def prettyName: String = "py_rint"
+  override protected def kernel(a: Double): Double = PyArith.pyRint(a)
+  override protected def kernelName: String = "pyRint"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

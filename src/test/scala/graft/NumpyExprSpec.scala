@@ -234,6 +234,23 @@ class NumpyExprSpec extends SparkSpec {
     assert(eval1(Map("a" -> 0.0), "arcsinh(a)") == 0.0)
   }
 
+  test("zero results carry numpy's signs: mod copysigns to the divisor; floor/ceil/trunc are IEEE") {
+    // observed through 1/x — the sign of a zero decides the infinity
+    assert(eval1(Map("a" -> 0.5, "b" -> -0.5), "1.0 / (a % b)") == Double.NegativeInfinity,
+      "mod's ZERO remainder takes the divisor's sign (numpy copysigns it)")
+    assert(eval1(Map("a" -> -4.0, "b" -> 2.0), "1.0 / (a % b)") == Double.PositiveInfinity)
+    assert(eval1(Map("a" -> 0.0), "1.0 / ceil(a)") == Double.PositiveInfinity,
+      "ceil(+0.0) is +0.0 (the -floor(-x) long round-trip manufactured -0.0)")
+    assert(eval1(Map("a" -> -0.4), "1.0 / ceil(a)") == Double.NegativeInfinity)
+    assert(eval1(Map("a" -> -0.0), "1.0 / floor(a)") == Double.NegativeInfinity,
+      "floor(-0.0) is -0.0 (the long round-trip erased it)")
+    assert(eval1(Map("a" -> -0.4), "1.0 / trunc(a)") == Double.NegativeInfinity)
+    // ...and the double-preserving contract holds through the kernels
+    assert(eval1(Map("a" -> Double.NaN), "floor(a)").isNaN)
+    assert(eval1(Map("a" -> Double.PositiveInfinity), "ceil(a)") == Double.PositiveInfinity)
+    assert(eval1(Map("a" -> 1e300), "trunc(a)") == 1e300)
+  }
+
   test("fmin/fmax SKIP NaN (minimum/maximum propagate it)") {
     val nan = Double.NaN
     assert(eval1(Map("a" -> 3.5, "b" -> nan), "fmax(a, b)") == 3.5)

@@ -136,7 +136,12 @@ def rand_exprs(n, seed=20260816):
     # ranges on both sides identically) so the documented
     # loud-overflow-vs-numpy-wrap deviation never triggers; shift
     # counts are made nonnegative the same way
-    ilits = ["1", "2", "3", "7", "12"]
+    # array-anchored int constants: bare python ints would make a
+    # scalar-only subtree whose `% 0` is a true ZeroDivisionError in
+    # the python oracle (columns never are — the reference evaluates
+    # arrays), so every atom rides a zeroed column
+    ilits = ["(j * 0 + 1)", "(j * 0 + 2)", "(i * 0 + 3)", "(i * 0 + 7)",
+             "(h * 0 + 12)"]
     def I(d):
         if d <= 0:
             return rng.choice(["(i % 97)", "(j % 13)", "(h % 1021)"] + ilits)
@@ -187,6 +192,7 @@ def rand_exprs(n, seed=20260816):
         if k == 1: return f"({B(d-1)} | {B(d-1)})"
         if k == 2: return f"(~{B(d-1)})"
         return f"isnan({F(d-1)})" if rng.randrange(2) else f"isfinite({F(d-1)})"
+    depth = int(os.environ.get("PARITY_DEPTH", "0"))
     out = []
     for _ in range(n):
         r = rng.randrange(10)
@@ -195,7 +201,7 @@ def rand_exprs(n, seed=20260816):
         elif r <= 2:
             out.append(I(3))
         else:
-            out.append(F(rng.randrange(2, 5)))
+            out.append(F(depth if depth else rng.randrange(2, 5)))
     return out
 
 NP_NAMES = {n: getattr(np, n) for n in (
@@ -225,13 +231,48 @@ def np_eval(expr, data):
     with np.errstate(all="ignore"):
         return eval(expr, {"__builtins__": {}}, {**NP_NAMES, **data})
 
+def precision_dominated(expr, data, row, w_row):
+    """float128 cross-check: re-evaluate the numpy reference in
+    longdouble.  If numpy's own float64 answer differs materially from
+    its higher-precision answer at this row, the expression's value is
+    dominated by rounding of intermediates (e.g. an all-LITERAL
+    subtree like fmod(log(0.1) ** 27, exp(-0.001)) amplifies a 1-ulp
+    pow difference by ~5e9 — input perturbation can't see it because
+    there is no input), so a same-magnitude engine-vs-numpy gap is a
+    conditioning artifact, not semantics."""
+    try:
+        d128 = {k: (v.astype(np.longdouble) if v.dtype == np.float64 else v)
+                for k, v in data.items()}
+        # FLOAT LITERALS must widen too (exactly: f64 value -> f128), or
+        # an all-literal chaotic subtree evaluates identically to the
+        # f64 pass and the check is vacuous there; int literals stay int
+        import re as _re
+        e128 = _re.sub(r"(?<![\w.])(\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)",
+                       r"__ld(\1)", expr)
+        d128["__ld"] = lambda v: np.longdouble(v)
+        r = np.asarray(np_eval(e128, d128))
+        wl = float(r[row] if r.ndim else r[()])
+    except Exception:
+        return False
+    if np.isnan(w_row) and np.isnan(wl):
+        return False  # agreement, not domination
+    if np.isnan(w_row) != np.isnan(wl):
+        return True   # NaN boundary moved with precision: dominated
+    if not np.isfinite(w_row) or not np.isfinite(wl):
+        return w_row != wl  # an infinity that flips with precision
+    return abs(w_row - wl) > 1e-9 * max(abs(w_row), abs(wl), 1e-300)
+
 def ill_conditioned(expr, data, row, w_row, g_row):
     """1-ULP input sensitivity probe: perturb x/y at `row` by one ulp in
     each direction and re-evaluate.  If the numpy result itself swings
     by (or beyond) the engine-numpy gap, the expression is chaotic at
     this point (e.g. fmod by a `** 3`-tiny modulus amplifies a 1-ulp
     libm-vs-JVM difference by ~1e49; tan of a large argument moves by
-    O(1) per ulp) — a conditioning artifact, not a semantics bug."""
+    O(1) per ulp) — a conditioning artifact, not a semantics bug.
+    Backstopped by [[precision_dominated]] for chaos the inputs can't
+    reach (literal subtrees; saturated ±inf lanes)."""
+    if precision_dominated(expr, data, row, w_row):
+        return True
     spread = [w_row]
     for colname in ("x", "y"):
         for d in (1, -1):
