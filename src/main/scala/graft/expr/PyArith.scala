@@ -73,6 +73,11 @@ object PyArith {
     }
     val m = pyMod(a, b)
     val div = (a - m) / b
+    // CPython float_floor_div's zero-quotient arm: a ZERO quotient is
+    // copysigned to the TRUE quotient's sign (-1.1 // -2.7 is +0.0),
+    // where floor((a-m)/b) = floor(-0.0) would keep the artifact sign
+    // of the division that produced it
+    if (div == 0.0) return Math.copySign(0.0, a / b)
     val fd = math.floor(div)
     if (div - fd > 0.5) fd + 1.0 else fd
   }

@@ -245,6 +245,13 @@ class NumpyExprSpec extends SparkSpec {
     assert(eval1(Map("a" -> -0.0), "1.0 / floor(a)") == Double.NegativeInfinity,
       "floor(-0.0) is -0.0 (the long round-trip erased it)")
     assert(eval1(Map("a" -> -0.4), "1.0 / trunc(a)") == Double.NegativeInfinity)
+    // CPython copysigns a ZERO floor-division quotient to the TRUE
+    // quotient's sign: -1.1 // -2.7 is +0.0 (floor(-0.0) would say -0.0)
+    assert(eval1(Map("a" -> -1.1, "b" -> -2.7), "1.0 / (a // b)") == Double.PositiveInfinity)
+    assert(eval1(Map("a" -> 1.1, "b" -> -2.7), "a // b") == -1.0,
+      "a NONZERO opposite-sign quotient still floors to -1")
+    assert(eval1(Map("a" -> -0.0, "b" -> 2.7), "1.0 / (a // b)") == Double.NegativeInfinity,
+      "a -0.0 dividend keeps the true quotient's negative zero")
     // ...and the double-preserving contract holds through the kernels
     assert(eval1(Map("a" -> Double.NaN), "floor(a)").isNaN)
     assert(eval1(Map("a" -> Double.PositiveInfinity), "ceil(a)") == Double.PositiveInfinity)

@@ -231,7 +231,7 @@ def np_eval(expr, data):
     with np.errstate(all="ignore"):
         return eval(expr, {"__builtins__": {}}, {**NP_NAMES, **data})
 
-def precision_dominated(expr, data, row, w_row):
+def precision_dominated(expr, data, row, w_row, g_row):
     """float128 cross-check: re-evaluate the numpy reference in
     longdouble.  If numpy's own float64 answer differs materially from
     its higher-precision answer at this row, the expression's value is
@@ -260,7 +260,14 @@ def precision_dominated(expr, data, row, w_row):
         return True   # NaN boundary moved with precision: dominated
     if not np.isfinite(w_row) or not np.isfinite(wl):
         return w_row != wl  # an infinity that flips with precision
-    return abs(w_row - wl) > 1e-9 * max(abs(w_row), abs(wl), 1e-300)
+    shift = abs(w_row - wl)
+    if shift > 1e-9 * max(abs(w_row), abs(wl), 1e-300):
+        return True
+    # gap-relative arm: the f64->f128 shift being within 4x of the
+    # engine-numpy gap means both are the same conditioning noise (a
+    # pow-chain modulus amplified through %), not a semantics gap --
+    # a real wrong-branch bug dwarfs the precision shift
+    return np.isfinite(g_row) and shift * 4.0 >= abs(w_row - g_row) > 0
 
 def ill_conditioned(expr, data, row, w_row, g_row):
     """1-ULP input sensitivity probe: perturb x/y at `row` by one ulp in
@@ -271,7 +278,7 @@ def ill_conditioned(expr, data, row, w_row, g_row):
     O(1) per ulp) — a conditioning artifact, not a semantics bug.
     Backstopped by [[precision_dominated]] for chaos the inputs can't
     reach (literal subtrees; saturated ±inf lanes)."""
-    if precision_dominated(expr, data, row, w_row):
+    if precision_dominated(expr, data, row, w_row, g_row):
         return True
     spread = [w_row]
     for colname in ("x", "y"):
