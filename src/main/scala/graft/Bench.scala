@@ -170,7 +170,19 @@ object Bench {
       val key = if (prefixCount(p) == 1) p else k
       "\"" + key + "\":" + (math.rint(sec * 1000) / 1000)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"per_query","unit":"sec","value":$total,"queries":$compact}""")
+    // jobs for the SLOW rows only (sec >= 1), in the same tail-safe
+    // compact line: sequential-job count is what separates a
+    // shared-machine burst from a real regression (a 9 s row with 3
+    // jobs is a burst; with 30 jobs it is structure), and the driver
+    // keeps only ~2 KB of stdout tail — the full profiles line above
+    // rarely survives the cut.  Placed BEFORE "queries" so a tail cut
+    // truncates the jobs map, never the seconds map.
+    val slowJobs = results.collect { case (k, (sec, jobs, _)) if sec >= 1.0 =>
+      val p = k.split("_")(0)
+      val key = if (prefixCount(p) == 1) p else k
+      "\"" + key + "\":" + jobs
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"per_query","unit":"sec","value":$total,"jobs":$slowJobs,"queries":$compact}""")
     // totals-only line LAST: the driver keeps only the TAIL of stdout
     // (BENCH_r04's capture cut the HEAD of the big line above, losing
     // the recorded total), so the exact total is repeated in a short

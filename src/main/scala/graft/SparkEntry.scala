@@ -20,6 +20,32 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): EzFrame =
     EzFrame.readParquet(s, s"$dir/$name.parquet")
 
+  /** Deterministic fan-out keys per corpus table (primary key — unique,
+    * so the hash spread is even; see [[graft.sources.FanOut]]). */
+  private val fanKeys: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "orders" -> Seq("o_orderkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** [[t]] + scale-adaptive fan-out: the bench corpora are single-file
+    * single-row-group parquet, so a bare scan feeds the whole table
+    * through ONE task; for queries whose first stage carries real
+    * per-row compute (text/astro/vector kernels, partial aggregates)
+    * this spreads the rows across the session's cores with one
+    * deterministic hash exchange.  No-op above
+    * `spark.graft.fanout.maxBytes` — at production scale the files
+    * themselves provide the parallelism.  See [[graft.sources.FanOut]]. */
+  private def tfan(s: SparkSession, dir: String, name: String): EzFrame = {
+    val ez = t(s, dir, name)
+    val keys = fanKeys(name).map(ez.df(_))
+    new EzFrame(
+      graft.sources.FanOut.small(ez.df, s"$dir/$name.parquet", keys), ez.meta)
+  }
+
   /** Write-then-read slots' scratch space: one fresh temp dir per
     * (tag, JVM) — reused across the bench's two passes via overwrite;
     * unique per process, so concurrent harness runs never race on a
@@ -125,7 +151,7 @@ object SparkEntry {
 
     // §2.4 grouped aggregation (TPC-H Q1 flavor) through the frame API
     "q02_agg_pricing" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tfan(s, dir, "lineitem")
       // Sums stay exact in decimal; the final cast to double is the
       // canonical cross-engine rendering (driver hashes rendered cells, and
       // DuckDB's client converts DECIMAL to float64 — Decimal vs float repr
@@ -263,7 +289,7 @@ object SparkEntry {
 
     // §2.8 sexagesimal string → degrees
     "q16_sexagesimal" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").df
+      val li = tfan(s, dir, "lineitem").df
       val hms = concat(
         lpad((col("l_orderkey") % 24).cast(StringType), 2, "0"), lit(":"),
         lpad((col("l_partkey") % 60).cast(StringType), 2, "0"), lit(":"),
@@ -342,7 +368,7 @@ object SparkEntry {
     // kernel path stays the library default; this query gates the
     // operator end to end against a real SQL oracle)
     "q26_minhash_lsh" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       Dedup.minhashLsh(d, col("text"), col("doc_id"), portableHash = true)
     }),
 
@@ -351,13 +377,13 @@ object SparkEntry {
     // fingerprint VALUES themselves oracle-check (the 64-bit xxhash
     // kernel stays the library default)
     "q27_simhash" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       Dedup.simhash(d, col("text"), col("doc_id"), portableHash = true)
     }),
 
     // M6 LSH-bucketed ANN, the 100 TB scale path (rows-only)
     "q28_ann_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").df
+      val e = tfan(s, dir, "embeddings").df
       Similarity.lshTopK(e, "vec_id", "embedding", 5, planes = 6)
     }),
 
@@ -488,7 +514,7 @@ object SparkEntry {
 
     // §2.8 euler frame transform (celestial -> galactic, J2000)
     "q35_euler_galactic" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").df
+      val li = tfan(s, dir, "lineitem").df
         .withColumn("ra", (col("l_orderkey") % 360).cast(DoubleType))
         .withColumn("dec", ((col("l_partkey") % 181) - 90).cast(DoubleType))
       val (l, b) = Astro.euler(col("ra"), col("dec"), select = 1)
@@ -498,7 +524,7 @@ object SparkEntry {
 
     // §2.8 Aitoff projection
     "q36_aitoff" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").df
+      val li = tfan(s, dir, "lineitem").df
         .withColumn("lon", (col("l_orderkey") % 360).cast(DoubleType))
         .withColumn("lat", ((col("l_partkey") % 181) - 90).cast(DoubleType))
       val (x, y) = Astro.projectAitoff(col("lon"), col("lat"))
@@ -587,7 +613,7 @@ object SparkEntry {
 
     // §2.4 rollup (hierarchical grouping-sets extension)
     "q45_rollup" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").df
+      val li = tfan(s, dir, "lineitem").df
       li.rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
     }),
@@ -615,13 +641,13 @@ object SparkEntry {
 
     // M6 embedding-cosine near-dup candidate pairs (LSH path; rows-only)
     "q49_embedding_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").df
+      val e = tfan(s, dir, "embeddings").df
       Dedup.embeddingNearDup(e, "vec_id", "embedding", threshold = 0.2, planes = 5)
     }),
 
     // §2.4 full CUBE over two keys (grouping-sets family)
     "q50_cube" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").df
+      val li = tfan(s, dir, "lineitem").df
       li.cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
     }),
@@ -630,7 +656,7 @@ object SparkEntry {
     // the per-group range computation is the typed escape hatch)
     "q51_group_function" -> ((s, dir) => {
       import org.apache.spark.sql.Row
-      val li = t(s, dir, "lineitem")
+      val li = tfan(s, dir, "lineitem")
         .select("l_returnflag l_quantity l_extendedprice")
       li.flatMapGroups("l_returnflag", StructType(Seq(
         StructField("l_returnflag", StringType),
@@ -709,7 +735,7 @@ object SparkEntry {
     // M6 exact near-dup pairs: the brute-force oracle twin of the
     // LSH-bucketed q49 (same semantics, O(n²) — verification scale only)
     "q58_neardup_exact" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      val e = tfan(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
       Similarity.exactPairs(e, "vec_id", "embedding", threshold = 0.2)
     }),
 
@@ -750,8 +776,16 @@ object SparkEntry {
       }
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(streamDir.getPath)
+      // each trigger reads ONE file = one map task, so the portable
+      // md5 signature kernel ran single-threaded per micro-batch; the
+      // same scale-adaptive fan-out as the batch slots spreads it (the
+      // stateful core re-shuffles by band bucket either way, and
+      // leader clustering sorts by doc_id within the batch, so the
+      // partitioning is invisible to the result)
+      val fanned = graft.sources.FanOut.small(stream, streamDir.getPath,
+        Seq(col("doc_id")))
       val hits = graft.streaming.StreamingDedup.nearDupHitsPortable(
-        stream, "doc_id", "text", threshold = 0.5)
+        fanned, "doc_id", "text", threshold = 0.5)
       val sink = "q59_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = hits.toDF().writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
@@ -780,7 +814,7 @@ object SparkEntry {
     // M6 TF-IDF top terms per document (rank on the rounded score so
     // the float ordering is oracle-stable; term tiebreak)
     "q61_tfidf_topk" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       val toks = d.select(col("doc_id"),
           explode(split(TextAnalysis.normalize(col("text")), " ")).as("term"))
         .filter(length(col("term")) > 0)
@@ -790,8 +824,17 @@ object SparkEntry {
       val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(total))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+      // top-3 bounded BELOW the shuffle by the partial TopKPerKey
+      // operator (the rankPerProbe pattern): the row_number window
+      // alone would shuffle and fully sort every (doc, term) score;
+      // the rank is recomputed over the ≤ 3·|docs| survivors with the
+      // identical ordering/tiebreak, so the rows and ranks are
+      // unchanged (r21; plan: full-stream Window → TopKPerKey + small
+      // Window)
+      val top = graft.plans.TopK.perKeyOrdered(scored, Seq("doc_id"),
+        Seq("tfidf" -> true, "term" -> false), 3)
       val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
-      scored.withColumn("rank", row_number().over(w).cast(LongType))
+      top.withColumn("rank", row_number().over(w).cast(LongType))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
     }),
@@ -824,7 +867,7 @@ object SparkEntry {
     // eval items — prefixes of every 97th doc — against the whole corpus;
     // bench shingle sets broadcast, corpus never shuffles
     "q65_contamination" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       val bench = d.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("bid"),
           substring(TextAnalysis.normalize(col("text")), 1, 120).as("btext"))
@@ -844,7 +887,7 @@ object SparkEntry {
     // bands-1 by pigeonhole) — PORTABLE 60-bit md5 fingerprints so the
     // per-bit votes, banding, and hamming verify all mirror in SQL
     "q67_simhash_neardup" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       Dedup.simhashNearDup(d, col("text"), col("doc_id"), bands = 4, maxHamming = 3,
         portableHash = true)
     }),
@@ -866,7 +909,7 @@ object SparkEntry {
     // transitive closure is genuinely exercised); component = min
     // reachable id, singleton nodes included as their own component
     "q69_dedup_components" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      val e = tfan(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
       val pairs = Similarity.exactPairs(e, "vec_id", "embedding", threshold = 0.35)
         .select(col("id_a"), col("id_b"))
       Dedup.connectedComponents(e.select(col("vec_id").as("nid")), "nid", pairs)
@@ -880,7 +923,7 @@ object SparkEntry {
     // candidates → exact-jaccard verify → connected components →
     // min-id winners — mirrors in one recursive-CTE DuckDB oracle
     "q70_neardup_corpus" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       Dedup.nearDedupCorpus(d, col("text"), col("doc_id"), minJaccard = 0.5,
           portableHash = true)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -945,7 +988,7 @@ object SparkEntry {
     // M6 duplicate-cluster size distribution over the q69 component
     // graph: how many clusters of each size the near-dup graph contains
     "q77_cluster_sizes" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      val e = tfan(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
       val pairs = Similarity.exactPairs(e, "vec_id", "embedding", threshold = 0.35)
         .select(col("id_a"), col("id_b"))
       Dedup.connectedComponents(e.select(col("vec_id").as("nid")), "nid", pairs)
@@ -967,7 +1010,7 @@ object SparkEntry {
     // repeated across >= 2 distinct documents (one explode into one
     // hash aggregate on the span md5)
     "q79_repeated_spans" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       Dedup.repeatedSpans(d, col("text"), col("doc_id"), width = 60, minDocs = 2,
         portableHash = true)
     }),
@@ -976,7 +1019,7 @@ object SparkEntry {
     // generation (removals, text revisions, additions) and classify
     // every doc by fingerprint — added/removed/changed/unchanged
     "q80_corpus_diff" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       val newGen = d.filter(col("doc_id") % 17 =!= 0)
         .withColumn("text", when(col("doc_id") % 13 === 0,
           concat(col("text"), lit(" revised"))).otherwise(col("text")))
@@ -1035,7 +1078,7 @@ object SparkEntry {
     // is never re-read.  Self-matches filtered (batch ⊂ corpus).
     // PORTABLE md5 band keys → full DuckDB oracle.
     "q86_minhash_index" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       val idx = Dedup.minhashBandIndex(d, col("text"), col("doc_id"), portableHash = true)
       Dedup.minhashLshAgainstIndex(
           d.filter(col("doc_id") % 10 === 0), col("text"), col("doc_id"), idx,
@@ -1047,7 +1090,7 @@ object SparkEntry {
     // codewords): the vector-compression companion to q47's IVF —
     // assignment is a pure projection over literal codewords
     "q87_pq_encode" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").df
+      val e = tfan(s, dir, "embeddings").df
       Similarity.pqEncode(e, "vec_id", "embedding", m = 4, k = 8)
     }),
 
@@ -1059,7 +1102,7 @@ object SparkEntry {
     // collision (bound D²/2⁶⁵, negligible at any test scale).  The
     // cleaned text reduces to its length to keep outputs small.
     "q88_span_removal" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       Dedup.removeRepeatedSpans(d, col("text"), col("doc_id"), width = 60, minDocs = 2)
         .select(col("doc_id"), length(col("text_clean")).cast(LongType).as("n_chars_clean"),
           col("n_spans_cut"))
@@ -1080,7 +1123,7 @@ object SparkEntry {
     // md5-permutation lane bits, so the oracle reproduces the sketch
     // (false positives included) bit-for-bit.
     "q90_bloom_prefilter" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       val bench = d.filter(col("doc_id").isin(3L, 17L))
         .select((col("doc_id") + 100000L).as("bid"),
           substring(col("text"), 1, 80).as("btext"))
@@ -1093,7 +1136,7 @@ object SparkEntry {
     // cells from 4 md5-order sampled centroids, nprobe=2, ADC scoring
     // over the q87 codebook — corpus scanned once for cells + codes
     "q91_ivfpq_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").df
+      val e = tfan(s, dir, "embeddings").df
       val key = conv(substring(md5(col("vec_id").cast(StringType)), 1, 6), 16, 10)
         .cast(LongType)
       val cents = e.filter(col("embedding").isNotNull)
@@ -1126,7 +1169,7 @@ object SparkEntry {
     // complement of q79's fixed-width spans (same synthesized
     // sentence structure as q93)
     "q94_repeated_sentences" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       TextAnalysis.repeatedSentences(withSentences(d), col("doc_id"), col("text"),
         minDocs = 2)
     }),
@@ -1307,7 +1350,7 @@ object SparkEntry {
       // target = the English slice of the SAME corpus → the fused
       // one-pass variant (both distributions from one tokenization;
       // parity with the generic two-frame path is spec-pinned)
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       graft.operators.Dsir.scoresForSlice(d, col("doc_id"), col("text"),
         col("lang") === "en", buckets = 512)
     }),
@@ -1836,7 +1879,7 @@ object SparkEntry {
     // plain self-join + window; the LSH-bucketed production path is
     // recall- and plan-gated in SimilaritySpec.
     "q110_knn_graph" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      val e = tfan(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
       Similarity.knnGraphExact(e, "vec_id", "embedding", k = 5)
     }),
 
@@ -1853,7 +1896,7 @@ object SparkEntry {
     // mass ^ alpha -> budget share -> deterministic md5 keep filter
     // (q83 computes the weights; this actually selects the corpus).
     "q112_budget_mix" -> ((s, dir) => {
-      val d = t(s, dir, "documents").df
+      val d = tfan(s, dir, "documents").df
       operators.Scale.mixSample(d, col("doc_id"), col("source"), col("n_chars"),
           alpha = 0.5, budgetTokens = 2000000L)
         .groupBy(col("source"))
@@ -1865,7 +1908,7 @@ object SparkEntry {
     // rank each other in their top-k — the symmetrization that strips
     // hub-induced one-way edges before graph clustering.
     "q111_mutual_knn" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      val e = tfan(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
       Similarity.mutualKnn(Similarity.knnGraphExact(e, "vec_id", "embedding", k = 5))
     }),
 
@@ -1889,7 +1932,7 @@ object SparkEntry {
     // near-duplicate in train.  Same pair graph as q69; the oracle
     // extends that recursive-CTE CC with the shared md5-bucket fences.
     "q108_leakage_split" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
+      val e = tfan(s, dir, "embeddings").df.filter(col("vec_id") < 1000)
       val pairs = Similarity.exactPairs(e, "vec_id", "embedding", threshold = 0.35)
         .select(col("id_a"), col("id_b"))
       operators.Scale.leakageSafeSplit(e.select(col("vec_id")), "vec_id", pairs)

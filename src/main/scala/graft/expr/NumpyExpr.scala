@@ -390,16 +390,10 @@ object NumpyExpr {
       case _             => throw new IllegalArgumentException("expected 2 arguments")
     }
 
-    // numpy's pow: C pow, EXCEPT exponent exactly 0.5 is routed
-    // through sqrt — visible at (-inf) ** 0.5 = sqrt(-inf) = NaN where
-    // IEEE pow says +inf, and at (-0.0) ** 0.5 = sqrt(-0.0) = -0.0
-    // where IEEE pow says +0.0.  Every other negative-base/
-    // non-integer-exponent pair already agrees (finite base → NaN from
-    // both; -inf with 1.5/2.5/-0.5 → IEEE's ±inf/0 from both, measured
-    // on the array path — numpy scalars differ, but the reference
-    // evaluates columns).
-    def npPow(a: Column, b: Column): Column =
-      when(b === lit(0.5), sqrt(a)).otherwise(pow(a, b))
+    // numpy's pow: C pow with the exponent-0.5 sqrt routing — a single
+    // codegen'd PyArith kernel (binds each operand once; also fixes the
+    // C-pow corners Java Math.pow loses: 1**NaN, (±1)**±inf = 1).
+    def npPow(a: Column, b: Column): Column = PyArith.pow(a, b)
 
     // NumPy log semantics: x>0 → log, x==0 (either sign) → -inf,
     // x<0 → NaN.  Spark's SQL log returns null for x<=0 — a different
@@ -449,33 +443,21 @@ object NumpyExpr {
       case "arctan"  => f1(args)(atan(_))
       // Spark's Atan2 adds 0.0 to both operands (Hive compat), which
       // ERASES negative zero: atan2(-0.0, -1) must be -π (numpy), not
-      // +π.  SQL comparisons can't see the sign of a zero, so the
-      // string form is the detector (the ieeeDiv negZero trick); the
-      // y = -0.0 arm uses atan2's oddness in y, and an x = -0.0 with
-      // y = ±0 is replaced by any negative x (the magnitude is
-      // irrelevant once y is zero: the answer is ±π).
-      case "arctan2" => f2(args) { (yc, xc) =>
-        def negZero(c: Column) = c === 0.0 && c.cast(StringType).startsWith("-")
-        val xFixed = when(negZero(xc) && yc === 0.0, lit(-1.0)).otherwise(xc)
-        when(negZero(yc), -atan2(lit(0.0), xFixed))
-          .otherwise(atan2(yc, xFixed))
-      }
+      // +π.  Java's Math.atan2 already honors zero signs, so the
+      // PyArith kernel IS C atan2 — no per-row cast-to-string probe,
+      // and each operand is bound exactly once (the Column form
+      // referenced them ~4× and re-grew the exponential AST the
+      // PyArith tier removed).
+      case "arctan2" => f2(args)(PyArith.atan2(_, _))
       case "sinh"    => f1(args)(sinh(_))
       case "cosh"    => f1(args)(cosh(_))
       case "tanh"    => f1(args)(tanh(_))
       // Spark's asinh is log(x + sqrt(x² + 1)), which collapses to
-      // log(1) = 0 for |x| below ~1e-16 (asinh(1e-300) must be 1e-300)
-      // — the stable form routes through log1p with the x²/(1+sqrt)
-      // correction; above 1e150 x² would overflow, where
-      // asinh(x) ≈ sign·(ln|x| + ln 2) to well under 1e-12 relative.
-      case "arcsinh" => f1(args) { c =>
-        val a = abs(c)
-        when(isnan(c) || c.isNull, lit(Double.NaN))
-          .when(c === 0.0, c)
-          .when(a > lit(1e150), signum(c) * (log(a) + lit(math.log(2.0))))
-          .otherwise(signum(c) *
-            log1p(a + a * a / (lit(1.0) + sqrt(a * a + lit(1.0)))))
-      }
+      // log(1) = 0 for |x| below ~1e-16 (asinh(1e-300) must be 1e-300).
+      // The stable log1p form lives in the PyArith kernel (one operand
+      // binding; the Column form referenced c ~8× — nested arcsinh
+      // grew ~8^depth).
+      case "arcsinh" => f1(args)(PyArith.asinh)
       case "arccosh" => f1(args)(acosh(_))
       case "arctanh" => f1(args)(atanh(_))
       case "hypot"   => f2(args)(hypot(_, _))

@@ -108,8 +108,47 @@ object PyArith {
   def pyTrunc(a: Double): Double = if (a < 0.0) Math.ceil(a) else Math.floor(a)
   def pyRint(a: Double): Double = Math.rint(a) // half-to-even, like numpy
 
+  /** numpy arctan2 = C atan2, and Java's Math.atan2 IS that function —
+    * including the signed-zero quadrants (atan2(-0.0, -1.0) = -π) that
+    * Spark's Atan2 erases by adding 0.0 to both operands for Hive
+    * compatibility.  The Column workaround this replaces probed the
+    * zero sign through a cast-to-string per row and referenced each
+    * operand ~4 times (the exponential-AST hazard the PyArith tier
+    * exists to kill). */
+  def pyAtan2(y: Double, x: Double): Double = Math.atan2(y, x)
+
+  /** numpy arcsinh, stable at both ends: Spark's asinh is
+    * log(x + sqrt(x² + 1)) which collapses to 0 below ~1e-16; the
+    * log1p form with the x²/(1+sqrt) correction is exact there, and
+    * above 1e150 (x² would overflow) asinh(x) ≈ sign·(ln|x| + ln 2)
+    * to well under 1e-12 relative.  Signed zero passes through
+    * (asinh(-0.0) = -0.0); the sign transfer multiplies by ±1.0,
+    * bit-identical to the signum(x)·v Column form it replaces. */
+  def pyAsinh(x: Double): Double = {
+    if (x != x) return Double.NaN
+    if (x == 0.0) return x
+    val s = Math.signum(x)
+    val a = Math.abs(x)
+    if (a > 1e150) s * (Math.log(a) + 0.6931471805599453)
+    else s * Math.log1p(a + a * a / (1.0 + Math.sqrt(a * a + 1.0)))
+  }
+
+  /** numpy pow: C pow semantics, with numpy's exponent-0.5 routing
+    * through sqrt ((-0.0)**0.5 = -0.0, (-inf)**0.5 = NaN).  The two
+    * C-pow corners Java's Math.pow gets wrong (C99 F.10.4.4, verified
+    * against numpy): 1**b = 1 for EVERY b including NaN/±inf, and
+    * (-1)**±inf = 1; Math.pow returns NaN for all three. */
+  def pyPow(a: Double, b: Double): Double =
+    if (b == 0.5) Math.sqrt(a)
+    else if (a == 1.0) 1.0
+    else if (a == -1.0 && b.isInfinite) 1.0
+    else Math.pow(a, b)
+
   def div(l: Column, r: Column): Column = wrap(PyDivExpr, l, r)
   def mod(l: Column, r: Column): Column = wrap(PyModExpr, l, r)
+  def atan2(y: Column, x: Column): Column = wrap(PyAtan2Expr, y, x)
+  def pow(l: Column, r: Column): Column = wrap(PyPowExpr, l, r)
+  def asinh(c: Column): Column = wrap1(PyAsinhExpr, c)
   def floorDiv(l: Column, r: Column): Column = wrap(PyFloorDivExpr, l, r)
   def longFloorDiv(l: Column, r: Column): Column = wrapLong(PyLongFloorDivExpr, l, r)
   def longMod(l: Column, r: Column): Column = wrapLong(PyLongModExpr, l, r)
@@ -243,6 +282,29 @@ abstract class PyArithUnary extends org.apache.spark.sql.catalyst.expressions.Un
           ${ce.isNull} ? Double.NaN : ${ce.value});""",
       isNull = FalseLiteral)
   }
+}
+
+case class PyAtan2Expr(left: Expression, right: Expression) extends PyArithBinary {
+  override def prettyName: String = "py_atan2"
+  override protected def kernel(a: Double, b: Double): Double = PyArith.pyAtan2(a, b)
+  override protected def kernelName: String = "pyAtan2"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class PyPowExpr(left: Expression, right: Expression) extends PyArithBinary {
+  override def prettyName: String = "py_pow"
+  override protected def kernel(a: Double, b: Double): Double = PyArith.pyPow(a, b)
+  override protected def kernelName: String = "pyPow"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class PyAsinhExpr(child: Expression) extends PyArithUnary {
+  override def prettyName: String = "py_asinh"
+  override protected def kernel(a: Double): Double = PyArith.pyAsinh(a)
+  override protected def kernelName: String = "pyAsinh"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class PyFloorExpr(child: Expression) extends PyArithUnary {

@@ -707,26 +707,40 @@ object Dedup {
         .filter(col("n_docs") >= minDocs)
     } else {
       // both lanes fused in one codegen'd struct-array kernel so a
-      // single posexplode carries (pos, h1, h2)
+      // single posexplode carries (pos, h1, h2).  The exemplar is kept
+      // as EXPLICIT two-level primitive aggregates — per-(span, doc)
+      // count + min pos, then per-span count / sum / min / min_by —
+      // instead of one countDistinct + min(struct(doc_id, pos)): a
+      // STRUCT aggregation buffer is not hash-aggregable, so the
+      // struct-min form planned the whole corpus-wide window stream
+      // through SortAggregate (three full sorts of every window row,
+      // r21 plan capture); all-primitive buffers keep both levels in
+      // HashAggregate.  Same shuffle count and bytes, no sorts.
+      // Equivalence: per (h1, h2), lexicographic min of (doc_id, pos)
+      // = (min doc_id, min pos within that doc) = (first_doc,
+      // min_by(minpos, doc_id)); doc_id is unique per group after the
+      // first level, so min_by has no ties.
       val survivors = live
         .select(col("doc_id"),
           posexplode(WindowHash.windowHashPairs(col("norm"), width)).as(Seq("pos0", "hs")))
         .select(col("doc_id"), (col("pos0") + 1).as("pos"),
           col("hs.h1").as("h1"), col("hs.h2").as("h2"))
+        .groupBy(col("h1"), col("h2"), col("doc_id"))
+        .agg(count(lit(1)).as("occ"), min(col("pos")).as("minpos"))
         .groupBy(col("h1"), col("h2"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-             count(lit(1)).as("n_occurrences"),
+        .agg(count(lit(1)).as("n_docs"),
+             coalesce(sum(col("occ")), lit(0L)).as("n_occurrences"),
              min(col("doc_id")).as("first_doc"),
-             min(struct(col("doc_id"), col("pos"))).as("ex"))
+             min_by(col("minpos"), col("doc_id")).as("ex_pos"))
         .filter(col("n_docs") >= minDocs)
       // bounded second pass: re-extract each surviving span from its
       // exemplar doc and md5 it — survivors are few, so they broadcast
       // and the corpus scan streams past without shuffling
       survivors
         .join(normed.select(col("doc_id").as("ex_doc"), col("norm")),
-          col("ex.doc_id") === col("ex_doc"))
+          col("first_doc") === col("ex_doc"))
         .select(
-          md5(col("norm").substr(col("ex.pos"), lit(width)).cast(BinaryType)).as("span_hash"),
+          md5(col("norm").substr(col("ex_pos"), lit(width)).cast(BinaryType)).as("span_hash"),
           col("n_docs"), col("n_occurrences"), col("first_doc"))
     }
   }
@@ -842,24 +856,32 @@ object Dedup {
     require(width >= 1, s"width must be >= 1, got $width")
     val normed = df.select(id.as("doc_id"), TextAnalysis.normalize(text).as("norm"))
     val live = normed.filter(length(col("norm")) - lit(width - 1) >= 1)
+    // explicit two-level primitive aggregates (count/min per (span,
+    // doc), then count/sum/min/min_by per span) rather than
+    // countDistinct + min(struct): the struct buffer forced the whole
+    // window stream through SortAggregate — all-primitive buffers keep
+    // both levels in HashAggregate with the same shuffle bytes (see
+    // the twin rewrite in [[repeatedSpans]] for the equivalence note).
     val agg = live
       .select(col("doc_id"),
         posexplode(graft.functions.WindowHash.windowHashPairs(col("norm"), width))
           .as(Seq("pos0", "hs")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"),
         col("hs.h1").as("h1"), col("hs.h2").as("h2"))
+      .groupBy(col("h1"), col("h2"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"), min(col("pos")).as("minpos"))
       .groupBy(col("h1"), col("h2"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-           count(lit(1)).as("n_occurrences"),
+      .agg(count(lit(1)).as("n_docs"),
+           coalesce(sum(col("occ")), lit(0L)).as("n_occurrences"),
            min(col("doc_id")).as("first_doc"),
-           min(struct(col("doc_id"), col("pos"))).as("ex"))
+           min_by(col("minpos"), col("doc_id")).as("ex_pos"))
     // one exemplar extraction per distinct span: the (doc, pos) min is
     // deterministic, and the join streams the batch's docs past the
     // aggregated evidence
     agg.join(normed.select(col("doc_id").as("ex_doc"), col("norm")),
-        col("ex.doc_id") === col("ex_doc"))
+        col("first_doc") === col("ex_doc"))
       .select(col("h1"), col("h2"),
-        col("norm").substr(col("ex.pos"), lit(width)).as("span"),
+        col("norm").substr(col("ex_pos"), lit(width)).as("span"),
         col("n_docs"), col("n_occurrences"), col("first_doc"))
   }
 

@@ -223,12 +223,17 @@ object Similarity {
     // of rows whose cosines can never rank (and whose null cos_sim
     // would pass the !isnan filter below: isnan(null) is FALSE in
     // Spark, not null)
+    // squared norm carried with the vector (one extra double per row
+    // through the signature shuffle) so the intra-bucket scorer pays
+    // d flops per pair instead of the fused kernel's 3·d — same
+    // bit-exact value, see the exactPairs note
     val v = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .where(col("v").isNotNull)
+      .withColumn("n2", dot(col("v"), col("v")))
     val perTable = (0 until tables).map { tbl =>
       // identical projections on both sides -> the signature shuffle
       // canonicalizes equal and is computed once per table
-      val sigAll = v.select(col("vid"), col("v"),
+      val sigAll = v.select(col("vid"), col("v"), col("n2"),
         lshSignature(col("v"), nPlanes, dim, seed = 42 + tbl).as("sig"))
       // optional bucket cap: plane auto-resolution bounds the EXPECTED
       // occupancy, but a mass of identical/near-identical vectors
@@ -244,10 +249,12 @@ object Similarity {
             .filter(col("_bn") <= maxBucket).select(col("sig"))
           sigAll.join(small, Seq("sig"), "left_semi")
         }
+      val denom = sqrt(col("a.n2")) * sqrt(col("b.n2"))
       sig.alias("a").join(sig.alias("b"), Seq("sig"))
         .filter(col("a.vid") < col("b.vid"))
         .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-          round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+          round(when(denom === 0.0, lit(Double.NaN))
+            .otherwise(dot(col("a.v"), col("b.v")) / denom), 6).as("cos_sim"))
     }
     // NaN cosine (zero-norm vector) sorts GREATER than every double in
     // Spark, so it would pass any >= threshold filter downstream — a
@@ -281,10 +288,20 @@ object Similarity {
     * so the near-dup semantics stay checkable against a SQL oracle. */
   def exactPairs(corpus: DataFrame, idCol: String, vecCol: String,
                  threshold: Double): DataFrame = {
+    // squared norms precomputed ONCE per row (n ops) instead of inside
+    // the fused cosine kernel per pair (the O(n²) hot loop paid 3·d
+    // flops per pair; dot alone is d).  Bit-identical values: each of
+    // the fused kernel's three accumulators is an independent in-order
+    // sum, so dot(v,v) equals the fused na term exactly, and the final
+    // dot/(√na·√nb) expression is the same float expression the kernel
+    // evaluated; the denom==0 arm reproduces its NaN contract.
     val v = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val denom = sqrt(col("a.n2")) * sqrt(col("b.n2"))
     v.alias("a").join(v.alias("b"), col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+        round(when(denom === 0.0, lit(Double.NaN))
+          .otherwise(dot(col("a.v"), col("b.v")) / denom), 6).as("cos_sim"))
       // NaN (zero-norm input) sorts greater than any double in Spark
       // and would pass >= threshold; an undefined similarity is not a
       // near-duplicate

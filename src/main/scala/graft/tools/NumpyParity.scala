@@ -24,8 +24,10 @@ object NumpyParity {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val exprs = scala.io.Source.fromFile(args(1), "UTF-8").getLines()
-      .map(_.trim).filter(_.nonEmpty).toList
+    val exprSrc = scala.io.Source.fromFile(args(1), "UTF-8")
+    val exprs =
+      try exprSrc.getLines().map(_.trim).filter(_.nonEmpty).toList
+      finally exprSrc.close()
     val fr = graft.core.EzFrame(spark.read.parquet(args(0)))
     // chunked projections, one output dir per chunk: hundreds of
     // compound expressions in ONE select (or one join tree over the

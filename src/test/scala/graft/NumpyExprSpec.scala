@@ -225,6 +225,22 @@ class NumpyExprSpec extends SparkSpec {
     assert(eval1(Map("y" -> -1.0, "x" -> 0.0), "arctan2(y, x)") == -math.Pi / 2)
   }
 
+  test("pow is C pow at the |base|==1 corners Java Math.pow loses (r21 PyArith kernel)") {
+    // C99 F.10.4.4 / numpy: 1**b = 1 for EVERY b (including NaN and
+    // ±inf) and (-1)**±inf = 1; Java's Math.pow returns NaN for all
+    // of them.  The exponent-0.5 sqrt routing must survive the kernel
+    // move: (-0.0)**0.5 = sqrt(-0.0) = -0.0, (-inf)**0.5 = NaN.
+    assert(eval1(Map("a" -> 1.0, "b" -> Double.NaN), "a ** b") == 1.0)
+    assert(eval1(Map("a" -> 1.0, "b" -> Double.PositiveInfinity), "a ** b") == 1.0)
+    assert(eval1(Map("a" -> -1.0, "b" -> Double.PositiveInfinity), "a ** b") == 1.0)
+    assert(eval1(Map("a" -> -1.0, "b" -> Double.NegativeInfinity), "a ** b") == 1.0)
+    assert(eval1(Map("a" -> Double.NaN, "b" -> 0.0), "a ** b") == 1.0)
+    assert(java.lang.Double.doubleToRawLongBits(
+      eval1(Map("a" -> -0.0, "b" -> 0.5), "a ** b")) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
+    assert(eval1(Map("a" -> Double.NegativeInfinity, "b" -> 0.5), "a ** b").isNaN)
+  }
+
   test("arcsinh is accurate for tiny and huge inputs (stable log1p form)") {
     assert(eval1(Map("a" -> 1e-300), "arcsinh(a)") == 1e-300)
     assert(eval1(Map("a" -> -1e-17), "arcsinh(a)") == -1e-17)

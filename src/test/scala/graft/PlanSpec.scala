@@ -296,6 +296,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unbroadcast cross join:\n$plan")
   }
 
+  test("portable span family plans hash-aggregable: no SortAggregate (r21)") {
+    // the r20 shape aggregated min(struct(doc_id, pos)) — a struct
+    // buffer is not hash-aggregable, so the corpus-wide window stream
+    // was planned through SortAggregate (full sorts of every window
+    // row).  The r21 two-level primitive form (count/min per (span,
+    // doc), then count/sum/min/min_by per span) must stay in
+    // HashAggregate end to end.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (plan <- Seq(
+        planOf(graft.operators.Dedup.repeatedSpans(
+          docs, col("text"), col("doc_id"), portableHash = true)),
+        planOf(graft.operators.Dedup.spanEvidenceBatch(
+          docs, col("text"), col("doc_id"), width = 60)))) {
+      assert(!plan.contains("SortAggregate"),
+        s"struct/sort-based aggregation crept back into the span path:\n$plan")
+      assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+    }
+  }
+
   test("repeated spans: one generate, two-level distinct agg, two exchanges") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = planOf(graft.operators.Dedup.repeatedSpans(

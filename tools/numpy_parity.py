@@ -73,6 +73,10 @@ EXPRS = [
     # power (numpy float semantics; -8 ** 0.5 -> nan)
     "x ** 2", "x ** 0.5", "x ** y", "2 ** x", "x ** 3",
     "power(x, 2)",
+    # C-pow |base|==1 corners (r21): 1**b = 1 for EVERY b including
+    # NaN/±inf, (-1)**±inf = 1 — constant bases pair them with the
+    # data's specials, which x**y alone never does
+    "1.0 ** y", "(-1.0) ** y", "power(1.0, x)",
     # precedence / unary
     "-x ** 2", "-(x ** 2)", "(-x) ** 2", "-i // j", "~i", "~(i + j)",
     "x * -y", "x - -y",
