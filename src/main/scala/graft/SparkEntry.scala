@@ -1681,7 +1681,13 @@ object SparkEntry {
         if (evPath.isDirectory) iso.readStream.schema(rawSchema).parquet(evPath.getPath)
         else iso.readStream.schema(rawSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = normalizeEventsTs(raw)
+      // the single-file batch = one map task: the HLL partial
+      // aggregation ran single-threaded per trigger — same
+      // scale-adaptive fan-out as q59 (sketch merges are commutative
+      // and every window stays sparse-exact, so partitioning is
+      // invisible to the result)
+      val ev = graft.sources.FanOut.small(normalizeEventsTs(raw),
+        s"$dir/events.parquet", Seq(col("event_id")))
       val agg = ev.withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "15 minutes"))
         .agg(operators.DistinctSketch.countDistinctSketch(col("user_id")).as("d"))

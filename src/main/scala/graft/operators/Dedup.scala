@@ -1494,11 +1494,18 @@ object Dedup {
       }
     val cents = Similarity.kmeansFit(corpus, idCol, vecCol, kEff, iters)
       .select(col("centroid_id").as(idCol), col("centroid").as(vecCol))
+    // squared norm once per row, not 3·d flops per pair — the
+    // intra-cell scorer is SemDeDup's hot loop; bit-identical values
+    // (see Similarity.exactPairs' equivalence note)
     val cells = Similarity.cellAssigned(corpus, cents, idCol, vecCol)
+      .withColumn("n2", Similarity.dot(col("v"), col("v")))
+    val denom = sqrt(col("a.n2")) * sqrt(col("b.n2"))
     val pairs = cells.alias("a").join(cells.alias("b"), col("a.cell") === col("b.cell"))
       .filter(col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        round(graft.functions.VectorSim.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+        round(when(denom === 0.0, lit(Double.NaN))
+          .otherwise(graft.functions.VectorSim.dot(col("a.v"), col("b.v")) / denom), 6)
+          .as("cos_sim"))
       // NaN (zero-norm) sorts greater than every double — drop, never
       // let it pass a >= threshold gate
       .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
@@ -1568,12 +1575,18 @@ object Dedup {
     }
     val b = Similarity.cellAssigned(batch, centroids, idCol, vecCol)
       .withColumn("st", lit(false))
+    // squared norm once per row (store + batch), not 3·d flops per
+    // pair — same carried-norm scorer as semanticDedup/exactPairs
     val all = s.unionByName(b)
+      .withColumn("n2", Similarity.dot(col("v"), col("v")))
+    val denom = sqrt(col("a.n2")) * sqrt(col("b.n2"))
     val pairs = all.alias("a").join(all.alias("b"),
         col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid") &&
           !(col("a.st") && col("b.st")))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        round(graft.functions.VectorSim.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+        round(when(denom === 0.0, lit(Double.NaN))
+          .otherwise(graft.functions.VectorSim.dot(col("a.v"), col("b.v")) / denom), 6)
+          .as("cos_sim"))
       // NaN (zero-norm) sorts greater than every double — drop, never
       // let it pass a >= threshold gate
       .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
