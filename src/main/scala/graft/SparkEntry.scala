@@ -542,7 +542,15 @@ object SparkEntry {
         .select(col("px_bin"), col("py_bin"), col("value"))
     }),
 
-    // §2.4 datashader first/last reductions, deterministic via min_by/max_by
+    // §2.4 datashader first/last reductions, deterministic via min_by/max_by.
+    // r21 optimization note: min_by/max_by hold the STRING status in
+    // their aggregation buffer, which is not hash-aggregable, so this
+    // plans as SortAggregate.  A fence-lookup rewrite (hash-aggregate
+    // min/max(seq) + join back) was BUILT AND REVERTED: seq is NOT
+    // unique in this corpus (45,832 distinct over 60,000 rows at
+    // sf0.01), so min_by's tie-broken value is not reproducible by a
+    // seq-equality join (measured: 6 rows vs the oracle's 3).  The
+    // sort-based aggregate over tied orderings is the semantics here.
     "q38_first_last" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").df
         .withColumn("seq", col("l_orderkey") * 10 + col("l_linenumber"))
