@@ -719,26 +719,36 @@ object ManifestStore {
     require(!runId.exists(c => c == '\t' || c == '\n' || c == '\r'),
       "runId must not contain tab/newline (ledger wire format)")
     val f = fs(spark, root)
-    val led = readLedger(f, root)
-    // headers are truth; the ledger may hold ids whose manifests were
-    // already vacuumed (its entries outlive the fold) — union both
-    val headerIds: Map[(String, Long), Long] = listVersions(f, root)
-      .flatMap(v => headerBatchOf(spark, root, v).map(_ -> v)).toMap
-    val unarmed = (headerIds ++ led.entries).collect { case (("", b), v) => b -> v }
-    val adopted: Map[(String, Long), Long] = unarmed.map { case (b, v) => (runId, b) -> v }
-    val thr = math.max(led.through, currentVersion(spark, root).getOrElse(-1L))
-    val unarmedFloor = led.floorOf("")
-    writeLedger(spark, root, adopted ++ headerIds, thr,
-      addFloors = if (unarmedFloor == Long.MinValue) Map.empty
-                  else Map(runId -> unarmedFloor))
-    val after = readLedger(f, root)
-    val lost = adopted.keySet.filterNot { case (r, b) =>
-      after.entries.contains((r, b)) || b < after.floorOf(r)
+    // the WHOLE read-union-write-verify sequence holds the per-root
+    // lock (reentrant with writeLedger's own hold): without it, an
+    // in-process unarmed committer landing a '' entry between the
+    // read and the write would be preserved but NOT attributed to
+    // runId — silently requiring a re-run the caller has no way to
+    // know about.  Cross-process adoption remains governed by the
+    // documented stream-down contract (a JVM monitor cannot fence
+    // another process), same as every merge-under-lock ledger write.
+    lockFor(f, root).synchronized {
+      val led = readLedger(f, root)
+      // headers are truth; the ledger may hold ids whose manifests were
+      // already vacuumed (its entries outlive the fold) — union both
+      val headerIds: Map[(String, Long), Long] = listVersions(f, root)
+        .flatMap(v => headerBatchOf(spark, root, v).map(_ -> v)).toMap
+      val unarmed = (headerIds ++ led.entries).collect { case (("", b), v) => b -> v }
+      val adopted: Map[(String, Long), Long] = unarmed.map { case (b, v) => (runId, b) -> v }
+      val thr = math.max(led.through, currentVersion(spark, root).getOrElse(-1L))
+      val unarmedFloor = led.floorOf("")
+      writeLedger(spark, root, adopted ++ headerIds, thr,
+        addFloors = if (unarmedFloor == Long.MinValue) Map.empty
+                    else Map(runId -> unarmedFloor))
+      val after = readLedger(f, root)
+      val lost = adopted.keySet.filterNot { case (r, b) =>
+        after.entries.contains((r, b)) || b < after.floorOf(r)
+      }
+      require(lost.isEmpty,
+        s"adoptUnarmedHistory: could not persist adopted batch ids $lost under $root — " +
+          "retry when the ledger is writable")
+      adopted.size
     }
-    require(lost.isEmpty,
-      s"adoptUnarmedHistory: could not persist adopted batch ids $lost under $root — " +
-        "retry when the ledger is writable")
-    adopted.size
   }
 
   /** Delete data files referenced by NO manifest among the newest

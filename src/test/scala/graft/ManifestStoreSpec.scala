@@ -657,4 +657,40 @@ class ManifestStoreSpec extends SparkSpec {
       assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == want)
     } finally ManifestStore.MaxLedgerEntries = saved
   }
+
+  test("adoptUnarmedHistory vs a LIVE unarmed committer: locked adoption loses nothing (r21)") {
+    // The r20 advice finding: adoption read the ledger/headers OUTSIDE
+    // the per-root lock, so an in-process unarmed commit landing
+    // between the read and the write was preserved but silently
+    // unadopted.  The sequence now holds the per-root lock end to end,
+    // so every interleaving serializes per id into committed-before
+    // (attributed) or committed-after (preserved as ''-history, picked
+    // up by the documented re-run).  Pin: a live unarmed committer
+    // races one adoption; afterwards NO id is lost — one re-adoption
+    // attributes the complete unarmed history and the data holds
+    // exactly one copy per batch.
+    withRoot { root =>
+      ManifestStore.commitStreamBatch(spark, root, Seq(0L).toDF("x"), 0L)
+      val n = 12
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val committer = new Thread(() => {
+        try (1 to n).foreach { b =>
+          ManifestStore.commitStreamBatch(spark, root, Seq(b.toLong).toDF("x"), b.toLong); ()
+        } catch { case t: Throwable => failure.set(t) }
+      })
+      committer.start()
+      val first = ManifestStore.adoptUnarmedHistory(spark, root, "runY")
+      committer.join()
+      assert(failure.get() == null, s"concurrent unarmed committer failed: ${failure.get()}")
+      assert(first >= 1, "at least the pre-existing unarmed id must be attributed")
+      val second = ManifestStore.adoptUnarmedHistory(spark, root, "runY")
+      assert(second == n + 1,
+        s"re-adoption must attribute the COMPLETE unarmed history, got $second of ${n + 1}")
+      assert(ManifestStore.batchLedger(spark, root, "runY").keySet == (0L to n.toLong).toSet)
+      // the unarmed namespace's own records stay intact through both adoptions
+      assert(ManifestStore.batchLedger(spark, root).keySet == (0L to n.toLong).toSet)
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq ==
+        (0L to n.toLong))
+    }
+  }
 }

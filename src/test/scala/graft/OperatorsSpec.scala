@@ -1088,6 +1088,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(ivf3) > 0.95, s"nprobe=3 recall ${recall(ivf3)}")
   }
 
+  test("exactPairs carried-norm scorer is bit-identical to the fused cosine kernel (r21)") {
+    // The r21 rewrite precomputes dot(v,v) once per row and scores
+    // dot/(√n2a·√n2b); every accumulator of the fused kernel is an
+    // independent in-order sum, so the values must match the fused
+    // cosine BITWISE — not merely within tolerance.  Edge rows ride
+    // along: a zero-norm vector (NaN cosine → dropped by both forms)
+    // and a vector with a null ELEMENT (reads as 0.0 in both kernels).
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, ArrayType, FloatType}
+    val rnd = new scala.util.Random(13)
+    val base: Seq[SRow] = (0L until 60L).map { i =>
+      SRow(i, Array.fill(16)(java.lang.Float.valueOf(rnd.nextGaussian().toFloat)).toSeq)
+    }
+    val zeroNorm = SRow(60L, Array.fill(16)(java.lang.Float.valueOf(0f)).toSeq)
+    val nullElem = SRow(61L, {
+      val a = Array.fill(16)(java.lang.Float.valueOf(1f)); a(3) = null; a.toSeq
+    })
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(base :+ zeroNorm :+ nullElem, 4), schema)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1)) ->
+      java.lang.Double.doubleToRawLongBits(r.getDouble(2))
+    val got = Similarity.exactPairs(df, "vec_id", "embedding", threshold = -1.0)
+      .collect().map(key).toMap
+    // reference: the pre-r21 fused-kernel formulation, same filters
+    val v = df.select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("v"))
+    val ref = v.alias("a").join(v.alias("b"), col("a.vid") < col("b.vid"))
+      .select(col("a.vid"), col("b.vid"),
+        round(graft.functions.VectorSim.cosine(col("a.v"), col("b.v")), 6).as("c"))
+      .filter(col("c").isNotNull && col("c") >= -1.0 && !isnan(col("c")))
+      .collect().map(key).toMap
+    assert(got.size == ref.size && got == ref)
+    // the zero-norm vector's pairs are NaN in both forms and absent
+    assert(!got.keys.exists { case (a, b) => a == 60L || b == 60L })
+    // the null-element vector still scores (null elements read as 0)
+    assert(got.keys.exists { case (_, b) => b == 61L })
+  }
+
   test("lshPairs recall against exactPairs, and OR-amplification helps") {
     // deterministic corpus: 40 cluster centers, 5 perturbed members each
     // (seeded) — ground truth = exactPairs at the same threshold
