@@ -44,11 +44,20 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
+    // squared norms once per row (carried-norm scorer, the r21
+    // convention across the similarity family): the per-pair cost is
+    // one dot instead of the fused kernel's 3·d — bit-identical, see
+    // exactPairs' equivalence note
     val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("_cn2", dot(col("cvec"), col("cvec")))
     val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pvec"))
+      .withColumn("_pn2", dot(col("pvec"), col("pvec")))
     val scored0 = c.crossJoin(broadcast(p))
     val scored1 = if (excludeSelf) scored0.filter(col("corpus_id") =!= col("probe_id")) else scored0
-    val scored = scored1.withColumn("cos_sim", cosine(col("cvec"), col("pvec")))
+    val bfDenom = sqrt(col("_cn2")) * sqrt(col("_pn2"))
+    val scored = scored1.withColumn("cos_sim",
+      when(bfDenom === 0.0, lit(Double.NaN))
+        .otherwise(dot(col("cvec"), col("pvec")) / bfDenom))
       // a zero-norm or null vector yields NaN/null cosine; NaN sorts
       // ABOVE every real similarity in the desc ranking (Spark orders
       // NaN greatest), so it would take rank 1 for every probe —
@@ -161,14 +170,22 @@ object Similarity {
     // drop null vectors BEFORE signing (the lshPairs rationale: they
     // would all collide in signature 0 and square in the self-join,
     // scoring pairs the NaN/null filter below discards anyway)
+    // carried-norm scorer (the r21 convention): one extra double per
+    // row through the signature join, one dot per candidate pair
     val sig = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .where(col("v").isNotNull)
+      .withColumn("n2", dot(col("v"), col("v")))
       .withColumn("sig", lshSignature(col("v"), nPlanes, dim))
-    val a = sig.select(col("sig"), col("vid").as("probe_id"), col("v").as("pvec"))
-    val b = sig.select(col("sig"), col("vid").as("corpus_id"), col("v").as("cvec"))
+    val a = sig.select(col("sig"), col("vid").as("probe_id"), col("v").as("pvec"),
+      col("n2").as("_pn2"))
+    val b = sig.select(col("sig"), col("vid").as("corpus_id"), col("v").as("cvec"),
+      col("n2").as("_cn2"))
+    val lshDenom = sqrt(col("_pn2")) * sqrt(col("_cn2"))
     val scored = a.join(b, Seq("sig"))
       .filter(col("probe_id") =!= col("corpus_id"))
-      .withColumn("cos_sim", cosine(col("pvec"), col("cvec")))
+      .withColumn("cos_sim",
+        when(lshDenom === 0.0, lit(Double.NaN))
+          .otherwise(dot(col("pvec"), col("cvec")) / lshDenom))
       // NaN/null similarity (zero-norm or null vector) must not rank —
       // NaN sorts above every real cosine in the desc top-k
       .filter(col("cos_sim").isNotNull && !isnan(col("cos_sim")))
@@ -977,19 +994,23 @@ object Similarity {
     // same assignment semantics as ivfAssign (l2 argmin, centroid_id
     // tiebreak) but computed inline so cvec rides along — a join back
     // against ivfAssign would rescan and reshuffle the whole corpus
+    // carried-norm scorer (the r21 convention): norms computed once
+    // per corpus/probe row, one dot per visited candidate
     val corpusCells = corpus
       .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cvec"))
       .select(nearestCell(col("cvec"), centLits).getField("cid").as("centroid_id"),
-        col("corpus_id"), col("cvec"))
+        col("corpus_id"), col("cvec"), dot(col("cvec"), col("cvec")).as("_cn2"))
     val probeCells = probes
       .select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("pvec"))
       .select(explode(nearestCells(col("pvec"), centLits, nprobe)).as("cell"),
-        col("probe_id"), col("pvec"))
-      .select(col("cell.cid").as("centroid_id"), col("probe_id"), col("pvec"))
+        col("probe_id"), col("pvec"), dot(col("pvec"), col("pvec")).as("_pn2"))
+      .select(col("cell.cid").as("centroid_id"), col("probe_id"), col("pvec"), col("_pn2"))
+    val ivfDenom = sqrt(col("_pn2")) * sqrt(col("_cn2"))
     val scored = probeCells.join(corpusCells, Seq("centroid_id"))
       .filter(col("probe_id") =!= col("corpus_id"))
       .select(col("probe_id"), col("corpus_id"),
-        round(cosine(col("pvec"), col("cvec")), 6).as("cos_sim"))
+        round(when(ivfDenom === 0.0, lit(Double.NaN))
+          .otherwise(dot(col("pvec"), col("cvec")) / ivfDenom), 6).as("cos_sim"))
       // NaN/null cosine (zero-norm or null corpus vector in a visited
       // cell) must not rank — NaN sorts above every real similarity in
       // the desc top-k, so it would take rank 1 for every probe
