@@ -41,7 +41,9 @@ object SparkEntry {
     * themselves provide the parallelism.  See [[graft.sources.FanOut]]. */
   private def tfan(s: SparkSession, dir: String, name: String): EzFrame = {
     val ez = t(s, dir, name)
-    val keys = fanKeys(name).map(ez.df(_))
+    val keys = fanKeys.getOrElse(name, sys.error(
+      s"no fan-out keys declared for table '$name' — add it to SparkEntry.fanKeys"))
+      .map(ez.df(_))
     new EzFrame(
       graft.sources.FanOut.small(ez.df, s"$dir/$name.parquet", keys), ez.meta)
   }
@@ -1654,15 +1656,31 @@ object SparkEntry {
         .foreach(org.apache.commons.io.FileUtils.deleteQuietly))
       val root = s"$evBase/store_" +
         java.util.UUID.randomUUID().toString.take(8)
-      (0 until 3).foreach { b =>
-        sources.ManifestStore.commitAppend(s,
-          root,
-          operators.Dedup.spanEvidenceBatch(
-              d.filter(pmod(col("doc_id"), lit(3)) === b),
-              col("text"), col("doc_id"), width = 60)
-            .withColumn("batch", lit(b)),
-          label = s"batch$b")
-      }
+      // the three ingests are independent (doc-disjoint batches into
+      // one root): STAGE them concurrently — guide §2.6, each batch's
+      // evidence-aggregation job back-fills cores the previous one's
+      // stragglers free — then PUBLISH serially (manifest renames,
+      // milliseconds).  Wall ≈ max of the three scans, not their sum;
+      // same three write jobs, same committed rows (the batch tag is
+      // an explicit literal, so commit order is invisible to the
+      // merge).  Job descriptions/groups are thread-local, so each
+      // staged write labels itself correctly.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      try {
+        val staged = (0 until 3).map { b =>
+          pool.submit(new java.util.concurrent.Callable[sources.ManifestStore.Staged] {
+            def call(): sources.ManifestStore.Staged =
+              sources.ManifestStore.stageAppend(s,
+                root,
+                operators.Dedup.spanEvidenceBatch(
+                    d.filter(pmod(col("doc_id"), lit(3)) === b),
+                    col("text"), col("doc_id"), width = 60)
+                  .withColumn("batch", lit(b)),
+                label = s"batch$b")
+          })
+        }
+        staged.foreach(fut => sources.ManifestStore.commitStaged(s, root, fut.get()))
+      } finally pool.shutdown()
       operators.Dedup.mergeSpanEvidence(
         sources.ManifestStore.read(s, root), minDocs = 2)
     }),

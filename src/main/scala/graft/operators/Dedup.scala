@@ -693,7 +693,13 @@ object Dedup {
                     portableHash: Boolean = false): DataFrame = {
     require(width >= 1 && minDocs >= 1, s"width/minDocs must be >= 1")
     import graft.functions.WindowHash
+    // a null id carries no document identity: such rows are excluded
+    // from evidence ENTIRELY (both arms), which also makes the portable
+    // arm's two-level rewrite unconditionally equivalent to
+    // countDistinct — with nulls admitted, level-2 count(1) would count
+    // a null-doc group countDistinct ignores (r21 verdict)
     val normed = df.select(id.as("doc_id"), TextAnalysis.normalize(text).as("norm"))
+      .filter(col("doc_id").isNotNull)
     val cnt = length(col("norm")) - lit(width - 1)
     val live = normed.filter(cnt >= 1)
     if (!portableHash) {
@@ -854,7 +860,10 @@ object Dedup {
   def spanEvidenceBatch(df: DataFrame, text: Column, id: Column,
                         width: Int = 60): DataFrame = {
     require(width >= 1, s"width must be >= 1, got $width")
+    // null ids excluded, same contract (and for the same two-level
+    // count(1)-vs-countDistinct reason) as [[repeatedSpans]]
     val normed = df.select(id.as("doc_id"), TextAnalysis.normalize(text).as("norm"))
+      .filter(col("doc_id").isNotNull)
     val live = normed.filter(length(col("norm")) - lit(width - 1) >= 1)
     // explicit two-level primitive aggregates (count/min per (span,
     // doc), then count/sum/min/min_by per span) rather than

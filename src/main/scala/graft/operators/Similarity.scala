@@ -307,11 +307,19 @@ object Similarity {
                  threshold: Double): DataFrame = {
     // squared norms precomputed ONCE per row (n ops) instead of inside
     // the fused cosine kernel per pair (the O(n²) hot loop paid 3·d
-    // flops per pair; dot alone is d).  Bit-identical values: each of
-    // the fused kernel's three accumulators is an independent in-order
-    // sum, so dot(v,v) equals the fused na term exactly, and the final
-    // dot/(√na·√nb) expression is the same float expression the kernel
-    // evaluated; the denom==0 arm reproduces its NaN contract.
+    // flops per pair; dot alone is d).  Bit-identical values FOR
+    // EQUAL-LENGTH vectors (every declared corpus is fixed-dim): each
+    // of the fused kernel's three accumulators is an independent
+    // in-order sum, so dot(v,v) equals the fused na term exactly, and
+    // the final dot/(√na·√nb) expression is the same float expression
+    // the kernel evaluated; the denom==0 arm reproduces its NaN
+    // contract.  RAGGED pairs (defensive case) score with each
+    // vector's FULL norm — the cosine of the stored vectors with the
+    // shorter one zero-padded — where the fused kernel truncated the
+    // norms to min(|a|,|b|); spec-pinned ("carried-norm scorer on
+    // RAGGED pairs").  The same convention applies to every carried-
+    // norm scorer in this file (lshPairs, bruteForceTopK, lshTopK,
+    // ivfTopK, semanticDedup).
     val v = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
     val denom = sqrt(col("a.n2")) * sqrt(col("b.n2"))

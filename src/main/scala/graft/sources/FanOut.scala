@@ -55,7 +55,13 @@ object FanOut {
   def small(df: DataFrame, path: String, keys: Seq[Column]): DataFrame = {
     require(keys.nonEmpty, "fan-out needs at least one deterministic key column")
     val s = df.sparkSession
-    val maxBytes = s.conf.getOption(MaxBytesConf).map(_.toLong).getOrElse(DefaultMaxBytes)
+    // a malformed conf value must name the key, not surface as a bare
+    // NumberFormatException from deep inside query construction
+    val maxBytes = s.conf.getOption(MaxBytesConf).map { v =>
+      scala.util.Try(v.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"$MaxBytesConf must be a byte count in decimal, got '$v'"))
+    }.getOrElse(DefaultMaxBytes)
     if (maxBytes > 0 && inputBytes(df, path) <= maxBytes)
       df.repartition(s.sparkContext.defaultParallelism, keys: _*)
     else df

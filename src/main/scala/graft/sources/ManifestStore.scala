@@ -338,6 +338,83 @@ object ManifestStore {
     next
   }
 
+  /** Handle returned by [[stageAppend]]: the batch's data files are
+    * durably written under `root/data/` but referenced by NO manifest —
+    * invisible to every reader until [[commitStaged]] publishes them.
+    * `dir` is the staging directory holding the parquet files. */
+  final case class Staged(root: String, dir: String,
+                          schema: StructType, label: String)
+
+  /** SPLIT commit, phase 1 — write the append's data files WITHOUT
+    * publishing.  [[commitAppend]] couples the expensive Spark write
+    * job to the serialized manifest publish, so N independent ingests
+    * into one root are forced sequential (and an optimistic-concurrency
+    * retry re-runs the whole write job).  Staging decouples them:
+    * callers run their `stageAppend`s CONCURRENTLY (guide §2.6 — the
+    * next ingest's tasks back-fill executors freed by the current
+    * one's stragglers), then publish each with [[commitStaged]], which
+    * is a manifest rename — cheap, serialized, and retried WITHOUT
+    * recomputing data.  Wall time ≈ max of the ingests, not their sum.
+    *
+    * The schema gate runs here as a fail-fast courtesy (don't spend
+    * the write job on a doomed append) and authoritatively again in
+    * [[commitStaged]] against whatever is stored at publish time. */
+  def stageAppend(spark: SparkSession, root: String, df: DataFrame,
+                  label: String = "append"): Staged = {
+    require(label.matches("[A-Za-z0-9_-]+"), s"label must be path-safe, got '$label'")
+    currentVersion(spark, root).flatMap(v => schemaOf(spark, root, Some(v)))
+      .foreach(stored => requireSameSchema(stored, df.schema, root))
+    val dir = new Path(new Path(root, "data"),
+      s"staged-$label-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("errorifexists").parquet(dir.toString)
+    Staged(root, dir.toString, df.schema, label)
+  }
+
+  /** SPLIT commit, phase 2 — publish a [[stageAppend]] batch as the
+    * next version (previous files + the staged ones).  The staged dir
+    * is renamed to the canonical `v<N>-<label>-<uuid>` shape (so
+    * [[vacuum]]'s orphan rules see committed data exactly as
+    * [[commitAppend]] leaves it), then the manifest is published.  On
+    * a lost optimistic-concurrency race the data is NOT deleted and
+    * NOT recomputed: the already-written files are simply re-targeted
+    * at the new next version and publish retries, up to `maxRetries`
+    * races (after which the ConcurrentModificationException surfaces
+    * and the caller may call commitStaged again later — the handle
+    * returned in the exception message names the current dir).
+    * Returns the committed version. */
+  def commitStaged(spark: SparkSession, root: String, staged: Staged,
+                   maxRetries: Int = 10): Long = {
+    val f = fs(spark, root)
+    require(f.makeQualified(new Path(staged.root)) == f.makeQualified(new Path(root)),
+      s"staged handle belongs to ${staged.root}, not $root")
+    var dir = new Path(staged.dir)
+    require(f.exists(dir), s"staged dir ${staged.dir} is gone — already committed or vacuumed?")
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val prev = currentVersion(spark, root)
+      prev.flatMap(v => schemaOf(spark, root, Some(v)))
+        .foreach(stored => requireSameSchema(stored, staged.schema, root))
+      val next = prev.map(_ + 1).getOrElse(0L)
+      val target = versionedDataDir(root, next, staged.label)
+      require(f.rename(dir, target),
+        s"could not move staged data $dir to $target")
+      dir = target
+      try {
+        publish(spark, root, next, staged.schema,
+          prev.map(v => files(spark, root, Some(v))).getOrElse(Nil) ++
+            listParquet(spark, dir))
+        committed = next
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw new java.util.ConcurrentModificationException(
+            s"${e.getMessage} (staged data preserved at $dir after $maxRetries retries)")
+      }
+    }
+    committed
+  }
+
   /** Replace the ENTIRE table as a new version: the manifest lists
     * only the new data files; previous files stay readable for pinned
     * versions until [[vacuum]].  This is the EXPLICIT-rewrite
@@ -839,6 +916,15 @@ object ManifestStore {
     // so a CONCURRENT publisher's in-flight .tmp is never pulled out
     // from under its rename.
     val cutoff = System.currentTimeMillis() - 3600L * 1000
+    // staged-append dirs ([[stageAppend]]) are by definition
+    // uncommitted — referenced by no manifest ever — so an old one is
+    // a crashed stager's debris.  Same age gate: a LIVE stager's
+    // in-flight write (or a handle awaiting commitStaged) is recent.
+    if (f.exists(dataRoot))
+      f.listStatus(dataRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("staged-") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => f.delete(s.getPath, true))
     val mdir = manifestDir(root)
     if (f.exists(mdir))
       f.listStatus(mdir).toSeq

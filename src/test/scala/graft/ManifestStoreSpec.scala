@@ -31,6 +31,89 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("stageAppend/commitStaged: staged data invisible until publish; equals commitAppend (r22)") {
+    withRoot { root =>
+      ManifestStore.commitAppend(spark, root, Seq(1L).toDF("x"), "day0")
+      val st = ManifestStore.stageAppend(spark, root, Seq(2L, 3L).toDF("x"), "day1")
+      // staged but unpublished: readers see only the committed snapshot
+      assert(ManifestStore.read(spark, root).as[Long].collect().toSeq == Seq(1L))
+      assert(ManifestStore.currentVersion(spark, root).contains(0L))
+      val v = ManifestStore.commitStaged(spark, root, st)
+      assert(v == 1L)
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      // the staged dir was renamed into the canonical versioned shape:
+      // no 'staged-' dirs survive a publish
+      val dataDirs = new java.io.File(s"$root/data").listFiles.map(_.getName).toSeq
+      assert(!dataDirs.exists(_.startsWith("staged-")), s"staged debris: $dataDirs")
+      assert(dataDirs.count(_.startsWith("v1-day1-")) == 1)
+    }
+  }
+
+  test("concurrent stageAppend + serialized commitStaged: all batches land, no recompute race (r22)") {
+    withRoot { root =>
+      // the q122 shape: N independent ingests staged concurrently,
+      // published serially — every row lands exactly once regardless
+      // of stage completion order
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      try {
+        val staged = (0 until 3).map { b =>
+          pool.submit(new java.util.concurrent.Callable[ManifestStore.Staged] {
+            def call(): ManifestStore.Staged =
+              ManifestStore.stageAppend(spark, root,
+                Seq(b * 10L, b * 10L + 1L).toDF("x"), s"batch$b")
+          })
+        }
+        staged.foreach(f => ManifestStore.commitStaged(spark, root, f.get()))
+      } finally pool.shutdown()
+      assert(ManifestStore.currentVersion(spark, root).contains(2L))
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq ==
+        Seq(0L, 1L, 10L, 11L, 20L, 21L))
+    }
+  }
+
+  test("commitStaged survives an optimistic-concurrency loss without rewriting data (r22)") {
+    withRoot { root =>
+      val st = ManifestStore.stageAppend(spark, root, Seq(7L).toDF("x"), "late")
+      // another committer wins versions 0 and 1 while 'late' is staged
+      ManifestStore.commitAppend(spark, root, Seq(1L).toDF("x"), "fast0")
+      ManifestStore.commitAppend(spark, root, Seq(2L).toDF("x"), "fast1")
+      val v = ManifestStore.commitStaged(spark, root, st)
+      assert(v == 2L)
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 7L))
+    }
+  }
+
+  test("commitStaged schema-gates against the schema stored at publish time (r22)") {
+    withRoot { root =>
+      val st = ManifestStore.stageAppend(spark, root, Seq(1L).toDF("x"), "first")
+      // a different-schema table gets committed first: the staged
+      // batch must be rejected at publish, data preserved for an
+      // explicit migration decision
+      ManifestStore.commitAppend(spark, root, Seq("a").toDF("s"), "other")
+      val e = intercept[IllegalArgumentException](
+        ManifestStore.commitStaged(spark, root, st))
+      assert(e.getMessage.contains("schema drift"))
+      assert(ManifestStore.read(spark, root).schema.fieldNames.toSeq == Seq("s"))
+    }
+  }
+
+  test("vacuum sweeps only AGED staged dirs (a live stager's write is never touched) (r22)") {
+    withRoot { root =>
+      ManifestStore.commitAppend(spark, root, Seq(1L).toDF("x"), "day0")
+      val fresh = ManifestStore.stageAppend(spark, root, Seq(2L).toDF("x"), "fresh")
+      val stale = ManifestStore.stageAppend(spark, root, Seq(3L).toDF("x"), "stale")
+      // age the stale dir past the 1-hour gate
+      new java.io.File(stale.dir).setLastModified(
+        System.currentTimeMillis() - 2 * 3600L * 1000)
+      ManifestStore.vacuum(spark, root, keepVersions = 1)
+      assert(new java.io.File(fresh.dir).exists, "fresh staged dir must survive vacuum")
+      assert(!new java.io.File(stale.dir).exists, "aged staged dir must be reclaimed")
+      // the fresh one still commits fine after the vacuum
+      ManifestStore.commitStaged(spark, root, fresh)
+      assert(ManifestStore.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    }
+  }
+
   test("uncommitted data files are unobservable (the torn-read the directory store had)") {
     withRoot { root =>
       ManifestStore.commitAppend(spark, root, Seq(1L).toDF("x"), "day0")

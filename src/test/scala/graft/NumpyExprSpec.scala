@@ -241,6 +241,25 @@ class NumpyExprSpec extends SparkSpec {
     assert(eval1(Map("a" -> Double.NegativeInfinity, "b" -> 0.5), "a ** b").isNaN)
   }
 
+  test("null inputs to arctan2 / ** / arcsinh render NaN (never-null kernels, pinned r22)") {
+    // The r21 PyArith kernels (PyAtan2Expr/PyPowExpr/PyAsinhExpr) are
+    // never-null: a null operand reads as NaN, matching the layer's
+    // existing null-as-NaN float convention (pyDiv/pyMod) — where the
+    // old Column compositions propagated null.  Intentional; pinned so
+    // the contract is explicit rather than incidental (r21 ADVICE).
+    // base 2.0, NOT 1.0: the null exponent reads as NaN and 1**NaN is
+    // the C99 corner that returns 1 (pinned above) — 2**NaN is NaN
+    val t = Seq((Option(2.0), Option.empty[Double])).toDF("x", "ynull")
+    val e = EzFrame(t)
+    val r = e.df.select(
+      e.evalexpr("arctan2(ynull, x)").cast("double").as("a"),
+      e.evalexpr("x ** ynull").cast("double").as("p"),
+      e.evalexpr("arcsinh(ynull)").cast("double").as("s")).head()
+    assert(!r.isNullAt(0) && r.getDouble(0).isNaN, "arctan2(null, x) must be NaN, not null")
+    assert(!r.isNullAt(1) && r.getDouble(1).isNaN, "x ** null must be NaN, not null")
+    assert(!r.isNullAt(2) && r.getDouble(2).isNaN, "arcsinh(null) must be NaN, not null")
+  }
+
   test("arcsinh is accurate for tiny and huge inputs (stable log1p form)") {
     assert(eval1(Map("a" -> 1e-300), "arcsinh(a)") == 1e-300)
     assert(eval1(Map("a" -> -1e-17), "arcsinh(a)") == -1e-17)
