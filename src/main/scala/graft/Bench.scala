@@ -155,40 +155,61 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (v, _, _)) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"profiles":$profiles,"errors":$errJson,"sf":"$sfDir"}""")
-    // COMPACT full per-query map, second-to-last: the driver keeps only
-    // ~2 KB of stdout tail, which cut the big line above to its last
-    // ~29 entries in rounds 14/15.  Shortening names to their unique
-    // qNN prefix and rounding to ms fits the whole suite in ~13 bytes
-    // per query (~1.6 KB at 128 queries; headroom to ~150), so the
-    // complete map survives any tail capture.  Keys: the qNN prefix
-    // when unique, the full name on prefix collision (q107_sky vs
-    // q107_cone_sql).
-    val prefixCount = results.groupBy { case (k, _) => k.split("_")(0) }
-      .map { case (p, g) => p -> g.size }
-    val compact = results.map { case (k, (sec, _, _)) =>
-      val p = k.split("_")(0)
-      val key = if (prefixCount(p) == 1) p else k
-      "\"" + key + "\":" + (math.rint(sec * 1000) / 1000)
-    }.mkString("{", ",", "}")
-    // jobs for the SLOW rows only (sec >= 1), in the same tail-safe
-    // compact line: sequential-job count is what separates a
-    // shared-machine burst from a real regression (a 9 s row with 3
-    // jobs is a burst; with 30 jobs it is structure), and the driver
-    // keeps only ~2 KB of stdout tail — the full profiles line above
-    // rarely survives the cut.  Placed BEFORE "queries" so a tail cut
-    // truncates the jobs map, never the seconds map.
-    val slowJobs = results.collect { case (k, (sec, jobs, _)) if sec >= 1.0 =>
-      val p = k.split("_")(0)
-      val key = if (prefixCount(p) == 1) p else k
-      "\"" + key + "\":" + jobs
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"per_query","unit":"sec","value":$total,"jobs":$slowJobs,"queries":$compact}""")
-    // totals-only line LAST: the driver keeps only the TAIL of stdout
-    // (BENCH_r04's capture cut the HEAD of the big line above, losing
-    // the recorded total), so the exact total is repeated in a short
-    // final line that always survives a tail capture
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // tail-safe lines (see tailLines): jobs (sacrificial, cut first),
+    // then the COMPLETE compact seconds map, then the totals-only line
+    Bench.tailLines(results.map { case (k, (sec, jobs, _)) => (k, sec, jobs) },
+      errors.size, sfDir).foreach(println)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** The three TAIL-BUDGETED output lines, in print order: the driver
+    * archives only the LAST ~2 KB of stdout, so everything a verdict
+    * needs must fit there, complete, from the bottom up:
+    *
+    *  3. totals-only line LAST — always survives (BENCH_r04 lost the
+    *     recorded total when the big line's head was cut);
+    *  2. COMPACT full per-query seconds map second-to-last — names
+    *     shortened to their unique qNN prefix; r21 carried the jobs
+    *     map inside this line, which pushed it past the tail budget
+    *     and cost it its head ("metric" and part of jobs were cut at
+    *     134 slots).  Now seconds-ONLY, with ADAPTIVE precision: ms
+    *     (3 decimals) while the projected line fits the budget,
+    *     10 ms (2 decimals) beyond — a complete coarser map beats a
+    *     decapitated precise one (r21 verdict #2; BenchTailBudgetSpec
+    *     pins the 150-slot fit);
+    *  1. per-query jobs for slow rows (sec >= 1) on their OWN line,
+    *     printed FIRST so a tail cut truncates jobs, never seconds —
+    *     sequential-job count is what separates a shared-machine burst
+    *     from a real regression (a 9 s row with 3 jobs is a burst;
+    *     with 30 jobs it is structure).  The big line's profiles map
+    *     remains the full-fidelity record when it survives. */
+  private[graft] def tailLines(rows: Seq[(String, Double, Int)],
+                               nErrors: Int, sfDir: String): Seq[String] = {
+    val prefixCount = rows.groupBy(_._1.split("_")(0)).map { case (p, g) => p -> g.size }
+    def key(k: String): String = {
+      val p = k.split("_")(0); if (prefixCount(p) == 1) p else k
+    }
+    val total = rows.collect { case (_, v, _) if v >= 0 => v }.sum
+    val slowJobs = rows.collect { case (k, sec, jobs) if sec >= 1.0 =>
+      "\"" + key(k) + "\":" + jobs
+    }.mkString("{", ",", "}")
+    val jobsLine = s"""{"metric":"per_query_jobs","jobs":$slowJobs}"""
+    def compactAt(decimals: Int): String = {
+      val scale = math.pow(10, decimals)
+      val entries = rows.map { case (k, sec, _) =>
+        "\"" + key(k) + "\":" + (math.rint(sec * scale) / scale)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"per_query","unit":"sec","queries":$entries}"""
+    }
+    val totalLine = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},""" +
+      s""""unit":"sec","n_queries":${rows.size},"n_errors":$nErrors,"sf":"$sfDir"}"""
+    // budget: 2048 bytes of tail, minus the totals line, the runner's
+    // trailing "[success] ..." line (~90 B), and per-line "[info] "
+    // prefixes (+8 B each incl. newline) — the compact line must fit
+    // WHOLE in what remains
+    val budget = 2048 - (totalLine.length + 8) - 90 - 8
+    val ms = compactAt(3)
+    Seq(jobsLine, if (ms.length <= budget) ms else compactAt(2), totalLine)
   }
 }

@@ -106,6 +106,11 @@ object SparkEntry {
     val iso = s.newSession()
     iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     iso.conf.set("spark.sql.session.timeZone", "UTC")
+    // newSession starts from the CONTEXT conf, not the caller's runtime
+    // sets — propagate the graft fan-out threshold explicitly so a
+    // caller-configured value governs the events path too
+    s.conf.getOption(graft.sources.FanOut.MaxBytesConf)
+      .foreach(iso.conf.set(graft.sources.FanOut.MaxBytesConf, _))
     iso
   }
 
@@ -1147,8 +1152,7 @@ object SparkEntry {
     // over the q87 codebook — corpus scanned once for cells + codes
     "q91_ivfpq_topk" -> ((s, dir) => {
       val e = tfan(s, dir, "embeddings").df
-      val key = conv(substring(md5(col("vec_id").cast(StringType)), 1, 6), 16, 10)
-        .cast(LongType)
+      val key = graft.functions.WindowHash.md5Prefix(col("vec_id").cast(StringType), 6)
       val cents = e.filter(col("embedding").isNotNull)
         .orderBy(key.asc, col("vec_id").asc).limit(4)
       Similarity.ivfPqTopK(e, cents, e.filter(col("vec_id") < 3),
@@ -1707,13 +1711,13 @@ object SparkEntry {
         if (evPath.isDirectory) iso.readStream.schema(rawSchema).parquet(evPath.getPath)
         else iso.readStream.schema(rawSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-      // the single-file batch = one map task: the HLL partial
-      // aggregation ran single-threaded per trigger — same
-      // scale-adaptive fan-out as q59 (sketch merges are commutative
-      // and every window stays sparse-exact, so partitioning is
-      // invisible to the result)
-      val ev = graft.sources.FanOut.small(normalizeEventsTs(raw),
-        s"$dir/events.parquet", Seq(col("event_id")))
+      // fan-out REVERTED (r22, verdict #3): the r21 keep had no
+      // substantiating number, and the isolated alternating A/B
+      // (ABProbe, 6 rounds, conf propagated into the iso session)
+      // reads med 2.46 s WITH the exchange vs 1.78 s without — the
+      // HLL partial aggregation over one 100k-row micro-batch is
+      // cheaper than the 32-way exchange that would spread it
+      val ev = normalizeEventsTs(raw)
       val agg = ev.withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "15 minutes"))
         .agg(operators.DistinctSketch.countDistinctSketch(col("user_id")).as("d"))
@@ -1927,8 +1931,12 @@ object SparkEntry {
     // Budget-aware temperature mixing, MATERIALIZED: per-source token
     // mass ^ alpha -> budget share -> deterministic md5 keep filter
     // (q83 computes the weights; this actually selects the corpus).
+    // fan-out REVERTED (r22, verdict #1/#3): kept in r21 without a
+    // substantiating number; the isolated alternating A/B (ABProbe,
+    // 8 rounds) reads med 1.04 s WITH the exchange vs 0.51 s without —
+    // the 32-way exchange costs ~2× the single-task work it spreads
     "q112_budget_mix" -> ((s, dir) => {
-      val d = tfan(s, dir, "documents").df
+      val d = t(s, dir, "documents").df
       operators.Scale.mixSample(d, col("doc_id"), col("source"), col("n_chars"),
           alpha = 0.5, budgetTokens = 2000000L)
         .groupBy(col("source"))
@@ -2000,8 +2008,8 @@ object SparkEntry {
     // stable under corpus growth, no RNG)
     "q63_hash_split" -> ((s, dir) => {
       val d = t(s, dir, "documents").df
-      val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 6), 16, 10)
-        .cast(LongType) % 100
+      val bucket = graft.functions.WindowHash.md5Prefix(
+        col("doc_id").cast(StringType), 6) % 100
       d.withColumn("split",
           when(bucket < 80, lit("train")).when(bucket < 90, lit("val")).otherwise(lit("test")))
         .groupBy(col("split"))

@@ -228,6 +228,33 @@ object WindowHash {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(PortableMinhashSigExpr(GraftBridge.expression(text), width, k))
   }
+
+  /** First `hexChars` hex digits of md5(s) as a long — bit-identical
+    * to `conv(substring(md5(s), 1, hexChars), 16, 10)::BIGINT` (and to
+    * the SQL oracle's `('0x' || substr(md5(s), 1, N))::BIGINT`), in
+    * one digest pass with no hex-string materialization, no substring,
+    * and no base-16 string parse.  The composed form ran three string
+    * kernels per ROW in the engine's hottest deterministic-hash paths
+    * (DSIR gram buckets, sampling keys, portable simhash tokens);
+    * md5 itself is the irreducible portable price — only the packaging
+    * is fused away (same story as [[md5WindowHashes]]).
+    * `hexChars` ≤ 15 keeps the value inside a signed long. */
+  def md5PrefixLong(s: UTF8String, hexChars: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val v64 = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    v64 >>> (64 - 4 * hexChars)
+  }
+
+  /** Column surface: md5 hex-prefix key as a long (string child). */
+  def md5Prefix(text: Column, hexChars: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(Md5PrefixExpr(GraftBridge.expression(text), hexChars))
+  }
 }
 
 /** All width-`width` rolling window hashes of an ASCII string column,
@@ -359,6 +386,40 @@ case class WindowHashPairsExpr(child: Expression, width: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.WindowHash.windowHashPairs($s, $width);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** md5 hex-prefix key of a string column as a long (see
+  * [[WindowHash.md5PrefixLong]]) — the codegen'd twin of
+  * `conv(substring(md5(s), 1, hexChars), 16, 10)::BIGINT`. */
+case class Md5PrefixExpr(child: Expression, hexChars: Int)
+    extends UnaryExpression {
+  require(hexChars >= 1 && hexChars <= 15,
+    s"md5_prefix needs hexChars in [1,15] (signed-long range), got $hexChars")
+
+  // analysis-time reject of a wrong-typed child: without this, codegen
+  // fails to Janino-compile (stage drops to interpreted) and the
+  // interpreted path throws ClassCastException mid-job instead of a
+  // clean AnalysisException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a string child, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix"
+
+  override def nullSafeEval(s: Any): Any =
+    WindowHash.md5PrefixLong(s.asInstanceOf[UTF8String], hexChars)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.WindowHash.md5PrefixLong($s, $hexChars);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

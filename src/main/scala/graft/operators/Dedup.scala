@@ -460,8 +460,10 @@ object Dedup {
     val tokens = df.select(id.as("doc_id"),
       explode(split(TextAnalysis.normalize(text), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .withColumn("h", conv(substring(md5(col("tok").cast(BinaryType)), 1, 15), 16, 10)
-        .cast(LongType))
+      // fused md5-prefix kernel (r22): bit-identical to
+      // conv(substring(md5(tok), 1, 15), 16, 10)::BIGINT, one digest
+      // pass per token instead of hex-string + substring + base-16 parse
+      .withColumn("h", graft.functions.WindowHash.md5Prefix(col("tok"), 15))
     val bitSums = (0 until 60).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
     }

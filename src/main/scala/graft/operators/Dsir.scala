@@ -50,7 +50,10 @@ object Dsir {
           .otherwise(array()))).as("g"))
     grams
       .select(col("doc_id"),
-        (conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10).cast(LongType)
+        // fused md5-prefix kernel (r22) — value-identical to the
+        // conv(substring(md5(...), 1, 8), 16, 10) form the oracle
+        // mirrors, without the per-gram hex-string round-trip
+        (graft.functions.WindowHash.md5Prefix(col("g"), 8)
           % buckets).as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("c"))
@@ -200,7 +203,8 @@ object Dsir {
     // `spark.catalog.clearCache()` likewise once scores are consumed.
     val flagged = grams
       .select(col("doc_id"), col("_t"),
-        (conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10).cast(LongType)
+        // fused md5-prefix kernel (r22) — see scores(); same value
+        (graft.functions.WindowHash.md5Prefix(col("g"), 8)
           % buckets).as("bucket"))
       .groupBy(col("doc_id"), col("_t"), col("bucket"))
       .agg(count(lit(1)).as("c"))
@@ -241,7 +245,7 @@ object Dsir {
                keep: Int, buckets: Int = 4096): DataFrame = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val s = scores(corpus, id, text, target, targetText, buckets)
-    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+    val u = (graft.functions.WindowHash.md5Prefix(col("doc_id").cast("string"), 8)
       .cast(DoubleType) + lit(0.5)) / lit(4294967296.0)
     val keyed = s.withColumn("gumbel_key",
       col("logw") - log(-log(u)))

@@ -315,8 +315,14 @@ object Scale {
     * inside a signed long. */
   private[operators] def md5Key(id: Column, hexChars: Int): Column = {
     require(hexChars >= 1 && hexChars <= 15, s"hexChars in [1,15], got $hexChars")
-    conv(substring(md5(id.cast(org.apache.spark.sql.types.StringType)), 1, hexChars), 16, 10)
-      .cast(org.apache.spark.sql.types.LongType)
+    // fused kernel (r22): bit-identical to
+    //   conv(substring(md5(id::string), 1, hexChars), 16, 10)::BIGINT
+    // (Md5PrefixSpec pins the equality) in one digest pass — the
+    // composed form materialized the 32-char hex string, substring'd
+    // it, and base-16-parsed it per ROW in every deterministic-hash
+    // path (sampling buckets, caps, shuffle order, k-means seeds)
+    graft.functions.WindowHash.md5Prefix(
+      id.cast(org.apache.spark.sql.types.StringType), hexChars)
   }
 
   private def hashBucket(id: Column): Column = md5Key(id, 6) % 1000

@@ -465,6 +465,64 @@ class PlanSpec extends SparkSpec {
     assert(!curPlan.contains("Exchange rangepartitioning") && !curPlan.contains("Join"),
       s"curriculum gained a sort/join:\n$curPlan")
   }
+
+  test("bucketed+sorted twin: the window's Exchange AND Sort both disappear (r22, guide §6)") {
+    // r21 verdict #8: the window family (q09/q25/q33/q115/q116) pays
+    // one Exchange + one Sort per window because the events corpus is
+    // a plain parquet file.  A bucketed-by-user, sorted-by-(user, ts)
+    // twin table persists exactly the partitioning+ordering the window
+    // requires, so BOTH disappear from the plan — the layout decision
+    // a 100 TB events store would make at write time (guide §6:
+    // partitioning and sort order on write determine what readers can
+    // skip).  One file per bucket is load-bearing: the writer-side
+    // repartition on the bucket column gives each bucket one task and
+    // therefore one file, which is the condition under which the scan
+    // reports its sort order.
+    import spark.implicits._
+    // ts strictly increasing => unique within every user: the window
+    // order is total, so plain-vs-twin results compare deterministically
+    val ev = (0 until 2000).map { i =>
+      (i.toLong % 37, 1700000000L + i.toLong * 7L, i.toLong)
+    }.toDF("user_id", "ts", "value")
+    val tbl = "r22_twin_events"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      ev.repartition(4, col("user_id"))
+        .write.bucketBy(4, "user_id").sortBy("user_id", "ts")
+        .option("path", java.nio.file.Files.createTempDirectory("graft_twin").toString)
+        .saveAsTable(tbl)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      def plan(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      val plain = ev.withColumn("prev", lag(col("value"), 1).over(w))
+      val plainPlan = plan(plain)
+      assert(plainPlan.contains("Exchange hashpartitioning") && plainPlan.contains("Sort ["),
+        s"plain plan lost its expected shuffle+sort:\n$plainPlan")
+      // the scan reports its sort order only under the opt-in flag
+      // (SPARK-28595 made it conditional because the guarantee relies
+      // on one file per bucket, which this writer establishes) — the
+      // conf a production reader of such a layout would set
+      withSQLConf("spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+        val twin = spark.table(tbl).withColumn("prev", lag(col("value"), 1).over(w))
+        val twinPlan = plan(twin)
+        assert(!twinPlan.contains("Exchange hashpartitioning"),
+          s"twin plan still shuffles — bucketing not recognized:\n$twinPlan")
+        assert(!twinPlan.contains("Sort ["),
+          s"twin plan still sorts — one-file-per-bucket sort order not recognized:\n$twinPlan")
+        // layout must be invisible in the result (the oracle-green
+        // analog); ts is strictly increasing so the window order is
+        // total and the comparison deterministic
+        val a = twin.select(col("user_id"), col("ts"), col("value"), col("prev"))
+          .collect().map(_.toString).sorted
+        val b = plain.select(col("user_id"), col("ts"), col("value"), col("prev"))
+          .collect().map(_.toString).sorted
+        assert(a.sameElements(b), "twin window result diverged from the plain window")
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"); ()
+    }
+  }
 }
 
 class GroupedFnSpec extends SparkSpec {
@@ -528,6 +586,5 @@ class GroupedFnSpec extends SparkSpec {
       .select(VectorSim.cosine(col("a"), col("b"))).collect().head.getDouble(0)
     assert(z.isNaN)
   }
-
 
 }
