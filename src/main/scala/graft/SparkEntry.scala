@@ -114,8 +114,38 @@ object SparkEntry {
     iso
   }
 
+  /** events.parquet schema memo, same (path, mtime, len) keying as
+    * EzFrame.readParquet's (r22): the isolated session re-inferred the
+    * schema per QUERY across the ~10 events slots.  Keyed on the file
+    * stat so a regenerated corpus re-infers; the nanosAsLong flag is
+    * constant (eventsSession always sets it), so one memo suffices. */
+  private val eventsSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), StructType]()
+
+  private[graft] def eventsRaw(s: SparkSession, dir: String): DataFrame = {
+    val iso = eventsSession(s)
+    val path = s"$dir/events.parquet"
+    val stat = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      Some((fs.makeQualified(p).toString, st.getModificationTime, st.getLen))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    stat match {
+      case Some(key) =>
+        val cached = eventsSchemaMemo.get(key)
+        if (cached != null) iso.read.schema(cached).parquet(path)
+        else {
+          val fresh = iso.read.parquet(path)
+          eventsSchemaMemo.put(key, fresh.schema)
+          fresh
+        }
+      case None => iso.read.parquet(path)
+    }
+  }
+
   private[graft] def events(s: SparkSession, dir: String): DataFrame =
-    normalizeEventsTs(eventsSession(s).read.parquet(s"$dir/events.parquet"))
+    normalizeEventsTs(eventsRaw(s, dir))
 
   /** BMP pixel-array order (bottom-up rows, BGR) → image-order packed
     * RGB24, so the q95 JPEG members encode the IDENTICAL image the BMP
@@ -1561,7 +1591,13 @@ object SparkEntry {
       val li = t(s, dir, "lineitem").df.filter(col("l_orderkey") < 30000)
       val base = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_q126").getAbsolutePath
-      li.repartition(64).write.mode("overwrite").parquet(s"$base/tiny")
+      // hash-on-key, not round-robin: a keyless repartition(n) first
+      // SORTS its input within partitions (SPARK-23207 retry
+      // determinism); the hash spread gives the same 64 tiny files —
+      // the fixture this slot needs — without that sort, and is
+      // deterministic under retry by construction (r22, guide §2.5)
+      li.repartition(64, col("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$base/tiny")
       operators.Layout.compactSmallFiles(s, s"$base/tiny", s"$base/compacted", 32L << 20)
       s.read.parquet(s"$base/compacted").groupBy(col("l_returnflag"))
         .agg(sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
@@ -1701,7 +1737,7 @@ object SparkEntry {
     // rows-only snapshot.
     "q121_stream_sketch" -> ((s, dir) => {
       val iso = eventsSession(s)
-      val rawSchema = iso.read.parquet(s"$dir/events.parquet").schema
+      val rawSchema = eventsRaw(s, dir).schema
       // the file STREAM source only accepts a directory: testdata ships
       // events.parquet as a single file, so point the source at the
       // table dir and glob-filter to the one file (a directory-shaped

@@ -307,9 +307,21 @@ object ManifestStore {
   }
 
   /** Snapshot read: exactly the files `version` (default: current)
-    * committed — mid-flight appends are unobservable. */
-  def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame =
-    spark.read.parquet(files(spark, root, version): _*)
+    * committed — mid-flight appends are unobservable.  The manifest IS
+    * the catalog: when it carries the committed schema (every manifest
+    * since schema tracking), the read specifies it and skips the
+    * driver-side footer read + schema merge entirely — at scale that
+    * is the listing/inference cost a table format exists to remove
+    * (guide §6); legacy schema-less manifests fall back to inference. */
+  def read(spark: SparkSession, root: String, version: Option[Long] = None): DataFrame = {
+    val lines = manifestLines(spark, root, version)
+    val fileList = lines.filterNot(_.startsWith("#"))
+    lines.find(_.startsWith(SchemaHeader))
+      .map(l => DataType.fromJson(l.stripPrefix(SchemaHeader)).asInstanceOf[StructType]) match {
+      case Some(schema) => spark.read.schema(schema).parquet(fileList: _*)
+      case None => spark.read.parquet(fileList: _*)
+    }
+  }
 
   /** Append `df` as a new version (previous files + the new ones).
     * Returns the committed version.  Throws if another committer
